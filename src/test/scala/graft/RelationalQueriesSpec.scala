@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** Smoke + shape checks for the relational surface at sf0.001.
+  * Value-level correctness is checked against the DuckDB oracle by the
+  * driver (and locally via scripts/oracle_check.py) at sf0.01.
+  */
+class RelationalQueriesSpec extends SparkSpec {
+
+  test("every relational query runs and yields rows at sf0.001") {
+    RelationalQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every relational query with an oracle has matching key set") {
+    val missing = RelationalQueries.oracle.keySet -- RelationalQueries.queries.keySet
+    assert(missing.isEmpty, s"oracle keys without query: $missing")
+  }
+
+  test("q02 aggregation matches hand-computed values") {
+    import org.apache.spark.sql.functions._
+    val df = RelationalQueries.queries("q02_agg_pricing")(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    assert(total == li.count())
+  }
+
+  test("q10 topk is the global maximum set") {
+    val df = RelationalQueries.queries("q10_topk")(spark, sfDir).collect()
+    assert(df.length == 10)
+    val maxAll = Tables.orders(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max("o_totalprice")).head.getDouble(0)
+    assert(df.map(_.getDouble(1)).max == BigDecimal(maxAll).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pruned scan pushes filter and reads only selected columns") {
+    val df = RelationalQueries.queries("q01_pruned_scan")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+}
