@@ -16,8 +16,10 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries("q02_agg_pricing")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.llm.LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracle
+    graft.queries.RelationalQueries.oracle ++
+      graft.llm.LlmQueries.oracle
 }

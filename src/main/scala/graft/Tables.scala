@@ -23,9 +23,15 @@ object Tables {
     * microsecond timestamp (cheap codegen'd arithmetic, stays columnar).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-scoped conf: Spark only reads TIMESTAMP(NANOS) via this
+    // legacy flag (no per-read option exists). Within this engine every
+    // nano-timestamp read goes through this loader, which immediately
+    // converts to a proper timestamp, so the long-typed raw read never
+    // escapes. `div` (integral) — float division of epoch nanos loses
+    // precision past double's 53-bit mantissa (±1us error).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

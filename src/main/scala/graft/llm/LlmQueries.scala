@@ -1,0 +1,404 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` testdata tables: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force cosine
+  * top-k + LSH-bucketed ANN), text analysis (tokenization, stats,
+  * language-ID heuristic, quality score, fingerprinting) and multimodal
+  * binary-column plumbing.
+  *
+  * Everything except the similarity internals is ORACLE-CHECKED: the
+  * hashes (character-level rolling hash, MinHash permutations, SimHash
+  * bits, LSH hyperplane signs) are pure integer arithmetic expressed
+  * identically in the Spark Column API and in generated DuckDB SQL, so
+  * even the "custom" sketch operators get exact hash-match verification.
+  *
+  * Scale design: every operator is a single scan + a shuffle keyed on a
+  * bounded-cardinality key (hash/band/bucket). Near-dup candidate
+  * generation is LSH-banded — candidate pairs come from an equi-join on
+  * (band_id, band_key), NEVER an all-pairs product; exact Jaccard is
+  * computed only on candidates. ANN probes only the query's LSH bucket.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ constants
+  private val P = 1000000007L // rolling-hash / permutation modulus
+  private val NumSig = 16     // MinHash signature length
+  private val NumBands = 8    // LSH bands (2 rows per band)
+  private val SimBits = 16    // SimHash width
+  private val AnnBits = 8     // ANN hyperplane count
+  private val EmbDim = 64
+
+  /** splitmix64 finalizer — deterministic parameter generation. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** MinHash permutation params h_i(x) = (a_i·x + b_i) mod P; a_i ∈ [1,P). */
+  private val minhashAB: IndexedSeq[(Long, Long)] = (0 until NumSig).map { i =>
+    (((mix64(2 * i + 1) & Long.MaxValue) % (P - 1)) + 1, (mix64(2 * i + 2) & Long.MaxValue) % P)
+  }
+  /** ANN random-hyperplane weights w(b,d) ∈ [-504, 504], deterministic. */
+  private def annW(b: Int, d: Int): Double =
+    ((2654435761L * (b * EmbDim + d + 1)) % 1009L - 504L).toDouble
+
+  // ------------------------------------------- shared Spark-side builders
+  /** Whitespace tokens, empties dropped. */
+  private def toksCol(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Character-level rolling hash of a token: fold (h·31 + ascii) mod P.
+    * Matches the generated DuckDB `list_reduce` exactly (ASCII text). */
+  private def tokHash(t: Column): Column =
+    aggregate(filter(split(t, ""), c => c =!= lit("")), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P))
+
+  /** Word-bigram shingles "w_i w_{i+1}". */
+  private def bigramsCol(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Double dot product over two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ----------------------------------------- shared DuckDB SQL fragments
+  /** DuckDB: whitespace tokens, empties dropped. */
+  private val duckToks = raw"""list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
+  /** DuckDB rolling hash of token expression `t` (matches [[tokHash]]). */
+  private def duckTokHash(t: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($t)+1), " +
+      s"i -> ord(substr($t, i, 1))::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
+  private val duckBigrams =
+    "list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])"
+
+  // ------------------------------------------------------------- queries
+
+  /** Exact deduplication: group by content hash, keep lowest doc_id.
+    * At 100 TB the shuffle key is the 32-byte sha2, not the document body,
+    * and map-side partial aggregation collapses within-partition dups
+    * before the exchange. */
+  private val q30DedupExact: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Token-level text statistics in one pass (no UDFs — all codegen'd
+    * higher-order functions). */
+  private val q31TextStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        round(aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double")
+          / size(col("tk")), 4).as("avg_tok_len"),
+        round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4).as("ttr"))
+
+  /** Stopword-overlap language-ID heuristic (deterministic, CASE-ranked). */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein"))
+
+  private val q32LangId: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .withColumn("tk", array_distinct(toksCol(col("text"))))
+    val withHits = langStops.foldLeft(base) { case (df, (lang, stops)) =>
+      df.withColumn(s"hits_$lang",
+        size(array_intersect(col("tk"), array(stops.map(lit): _*))))
+    }
+    val Seq(en, es, fr, de) = langStops.map { case (l, _) => col(s"hits_$l") }
+    withHits.select(
+      col("doc_id"), en.as("hits_en"), es.as("hits_es"), fr.as("hits_fr"), de.as("hits_de"),
+      when(en > 0 && en >= es && en >= fr && en >= de, "en")
+        .when(es > 0 && es >= fr && es >= de, "es")
+        .when(fr > 0 && fr >= de, "fr")
+        .when(de > 0, "de")
+        .otherwise("unk").as("lang_guess"))
+  }
+
+  /** Document quality score: length saturation + type-token ratio. */
+  private val q33QualityScore: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .withColumn("ttr", size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+      .select(
+        col("doc_id"),
+        round(least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 + col("ttr") * 0.5, 4)
+          .as("quality"))
+      .withColumn("low_quality", (col("quality") < 0.55).cast("int"))
+
+  /** Whole-document rolling-hash fingerprint (content-defined identity
+    * that survives storage layout, unlike sha2 it is cheap to compute
+    * incrementally at ingest). */
+  private val q34Fingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokHash(col("text")).as("fingerprint"))
+
+  /** Shared: doc_id, distinct bigram-shingle set, MinHash signature array. */
+  private def sigsDF(s: SparkSession, dir: String): DataFrame = {
+    val withShingles = Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("sset", array_distinct(bigramsCol(col("tk"))))
+      .withColumn("hh", array_distinct(transform(col("sset"), t => tokHash(t))))
+    val sigCols = minhashAB.map { case (a, b) =>
+      array_min(transform(col("hh"), h => (lit(a) * h + lit(b)) % lit(P)))
+    }
+    withShingles.select(col("doc_id"), col("sset"), array(sigCols: _*).as("sig"))
+  }
+
+  /** MinHash signatures, one row per doc — the sketch itself is
+    * oracle-verified (pure arithmetic on both engines). */
+  private val q35MinhashSigs: Q = (s, dir) =>
+    sigsDF(s, dir).select(
+      col("doc_id") +: (0 until NumSig).map(i => col("sig").getItem(i).as(s"s$i")): _*)
+
+  /** 16-bit SimHash over distinct token hashes. */
+  private val q36Simhash: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .withColumn("hh",
+        array_distinct(transform(array_distinct(toksCol(col("text"))), t => tokHash(t))))
+    val bitSums = (0 until SimBits).map { b =>
+      aggregate(col("hh"), lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"bs$b")
+    }
+    base.select(col("doc_id") +: bitSums: _*)
+      .select(
+        col("doc_id"),
+        (0 until SimBits).map(b =>
+          when(col(s"bs$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-duplicate detection: MinHash LSH banding (8 bands × 2 rows) →
+    * candidate pairs via equi-join on the band key → exact bigram-set
+    * Jaccard ≥ 0.4 on candidates only. The only shuffles are the band
+    * join and two hash joins back to the shingle sets — no all-pairs
+    * stage anywhere, which is what makes this survive 100 TB. */
+  private val q37NeardupMinhash: Q = (s, dir) => {
+    val sigs = sigsDF(s, dir).cache()
+    val bandArr = array((0 until NumBands).map { j =>
+      struct(lit(j).as("band_id"),
+        col("sig").getItem(2 * j).as("k0"),
+        col("sig").getItem(2 * j + 1).as("k1"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.k0"), col("b.k1"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sset").as("set_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sset").as("set_b"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (size(col("set_a")) + size(col("set_b")) - col("n_inter")), 4))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+          .cast("double") / lit(NumSig.toDouble), 4))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Brute-force cosine top-k (the correctness baseline for ANN): a small
+    * broadcast query set against the full corpus; rank on the ROUNDED
+    * similarity so Spark/DuckDB float noise cannot flip ranks. */
+  private val q38CosineTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** LSH-bucketed ANN (the scale path): 8 seeded hyperplane signs → one
+    * 8-bit bucket per vector; each query probes ONLY its own bucket.
+    * Per-query work drops from |corpus| to |bucket| ≈ |corpus|/256. */
+  private val q39AnnLsh: Q = (s, dir) => {
+    def bucketOf(emb: Column): Column =
+      (0 until AnnBits).map { b =>
+        val w = array((0 until EmbDim).map(d => lit(annW(b, d))): _*)
+        when(dot(emb, w) > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucketOf(col("emb")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Multimodal binary-column plumbing: text → binary payload →
+    * per-partition "decode" into typed features. The decode body is a
+    * STUB (deterministic fake standing in for an image/audio codec this
+    * container doesn't ship); the Spark-side contract — binary column,
+    * mapPartitions batch shape, typed output schema — is real, and the
+    * fake is arithmetic the oracle recomputes from the text. */
+  private val q40MultimodalStub: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: real impl would hand `bytes` to a codec; the
+          // deterministic fake derives "image" metadata from the payload.
+          val n = bytes.length
+          val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+          (id, n, n % 64 + 1, n % 48 + 1,
+            BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "mean_byte")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_dedup_exact"     -> q30DedupExact,
+    "q31_text_stats"      -> q31TextStats,
+    "q32_lang_id"         -> q32LangId,
+    "q33_quality_score"   -> q33QualityScore,
+    "q34_fingerprint"     -> q34Fingerprint,
+    "q35_minhash_sigs"    -> q35MinhashSigs,
+    "q36_simhash"         -> q36Simhash,
+    "q37_neardup_minhash" -> q37NeardupMinhash,
+    "q38_cosine_topk"     -> q38CosineTopk,
+    "q39_ann_lsh"         -> q39AnnLsh,
+    "q40_multimodal_stub" -> q40MultimodalStub,
+  )
+
+  // -------------------------------------------------- oracle SQL (DuckDB)
+  private def duckSigExprs: Seq[String] =
+    minhashAB.map { case (a, b) => s"list_min(list_transform(hh, h -> ($a * h + $b) % $P))" }
+
+  private val duckSigsCTE: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_distinct($duckBigrams) AS sset FROM toks WHERE len(tk) >= 2),
+       |hs AS (SELECT doc_id, sset, list_distinct(list_transform(sset, t -> ${duckTokHash("t")})) AS hh FROM sh),
+       |sigs AS (SELECT doc_id, sset, [${duckSigExprs.mkString(",\n  ")}] AS sig FROM hs)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "q31_text_stats" ->
+      s"""SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+         |  round(list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk), 4) AS avg_tok_len,
+         |  round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS ttr
+         |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
+    "q32_lang_id" -> {
+      val hits = langStops.map { case (l, stops) =>
+        s"len(list_intersect(tk, [${stops.map(w => s"'$w'").mkString(",")}])) AS hits_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS tk FROM documents),
+         |h AS (SELECT doc_id, $hits FROM t)
+         |SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+         |  CASE WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+         |       WHEN hits_es > 0 AND hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+         |       WHEN hits_fr > 0 AND hits_fr >= hits_de THEN 'fr'
+         |       WHEN hits_de > 0 THEN 'de'
+         |       ELSE 'unk' END AS lang_guess
+         |FROM h""".stripMargin
+    },
+    "q33_quality_score" ->
+      s"""SELECT doc_id,
+         |  round(least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5, 4) AS quality,
+         |  CASE WHEN round(least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5, 4) < 0.55 THEN 1 ELSE 0 END AS low_quality
+         |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
+    "q34_fingerprint" ->
+      s"""SELECT doc_id, ${duckTokHash("text")} AS fingerprint FROM documents""",
+    "q35_minhash_sigs" -> {
+      val cols = (0 until NumSig).map(i => s"sig[${i + 1}] AS s$i").mkString(", ")
+      s"""WITH $duckSigsCTE
+         |SELECT doc_id, $cols FROM sigs""".stripMargin
+    },
+    "q36_simhash" -> {
+      val bits = (0 until SimBits).map(b =>
+        s"CASE WHEN list_sum(list_transform(hh, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS tk FROM documents),
+         |h AS (SELECT doc_id, list_distinct(list_transform(tk, t -> ${duckTokHash("t")})) AS hh FROM t)
+         |SELECT doc_id, $bits AS simhash FROM h""".stripMargin
+    },
+    "q37_neardup_minhash" ->
+      s"""WITH $duckSigsCTE,
+         |bands AS (
+         |  SELECT doc_id, sig, i.j AS band_id, sig[2*i.j + 1] AS k0, sig[2*i.j + 2] AS k1
+         |  FROM sigs, (SELECT unnest(range(0, $NumBands)) AS j) i),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.doc_id < y.doc_id),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(list_sum(list_transform(range(1, ${NumSig + 1}),
+         |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig, 4) AS est_jaccard,
+         |    round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+         |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+         |  FROM cand c
+         |  JOIN sigs a ON a.doc_id = c.doc_a
+         |  JOIN sigs b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
+    "q38_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 4) AS cos_sim
+        |      FROM e, q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos_sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
+        |SELECT q_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3""".stripMargin,
+    "q39_ann_lsh" -> {
+      def wLit(b: Int) = (0 until EmbDim).map(d => annW(b, d)).mkString("[", ", ", "]")
+      val bucketExpr = (0 until AnnBits).map(b =>
+        s"CASE WHEN list_dot_product(emb, ${wLit(b)}) > 0 THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM eb WHERE vec_id < 8),
+         |s AS (SELECT q.q_id, eb.vec_id,
+         |        round(list_cosine_similarity(eb.emb, q.q_emb), 4) AS cos_sim
+         |      FROM eb JOIN q ON eb.bucket = q.bucket AND eb.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
+         |SELECT q_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3""".stripMargin
+    },
+    "q40_multimodal_stub" ->
+      """SELECT doc_id, length(text) AS n_bytes,
+        |  length(text) % 64 + 1 AS width, length(text) % 48 + 1 AS height,
+        |  round(list_sum(list_transform(range(1, length(text)+1),
+        |    i -> ord(substr(text, i, 1))))::DOUBLE / length(text), 4) AS mean_byte
+        |FROM documents""".stripMargin,
+  )
+}

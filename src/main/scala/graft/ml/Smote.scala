@@ -1,8 +1,7 @@
 package graft.ml
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,24 +11,32 @@ import org.apache.spark.sql.types._
   * Semantics: for the minority class, emit synthetic rows
   * `x + u · (nn − x)` where `nn` is one of the k nearest minority
   * neighbors (Euclidean) and `u ~ U(0,1)`, until the minority count
-  * equals the majority count. Output schema = featureCols :+ labelCol,
-  * original rows (both classes) plus synthetic minority rows.
+  * equals the majority count. Output schema = featureCols (double)
+  * :+ labelCol — original rows (both classes) plus synthetic minority
+  * rows.
   *
-  * Scale design (SURVEY §7.4-1): the minority class is assumed small
-  * relative to the cluster (~1% of a fraud table), so the minority
-  * feature matrix is **broadcast** and kNN is computed per-partition
-  * against it — no shuffle, no O(n²) pair join materialized; cost is
-  * |minority|² distance computations spread across partitions, which is
-  * the standard SMOTE regime. Determinism under repartitioning
-  * (SURVEY §7.4-1): all randomness derives from `splitmix64(rowIndex,
-  * replicaIndex, seed)`, never from partition-order `rand()`; row
-  * indices are assigned by a deterministic sort of the minority rows.
+  * Scale design (SURVEY §7.4-1): SMOTE's working set is the MINORITY
+  * class only (~1% of a fraud table). That matrix is collected once
+  * (guarded by `maxMinorityCells` — a clear error beats a silent driver
+  * OOM), deterministically sorted, and broadcast; synthesis is then
+  * driven by `spark.range(minorityCount)` so the kNN + interpolation
+  * work spreads evenly over all partitions — no global window, no
+  * single-task sort, no O(n²) shuffle join. Determinism under
+  * repartitioning: all randomness derives from
+  * `splitmix64(rowIndex, replicaIndex, seed)`, never from
+  * partition-order `rand()`; row indices come from the driver-side sort,
+  * so the output is identical however the input was partitioned.
+  * For a minority class too large to broadcast, the scale path is the
+  * LSH-bucketed kNN of [[graft.llm.AnnSearch]] — out of scope here
+  * because the reference's SMOTE regime is small-minority by
+  * construction.
   */
 class Smote(
     val featureCols: Seq[String],
     val labelCol: String,
     val k: Int = 5,
-    val seed: Long = 42L) extends Serializable {
+    val seed: Long = 42L,
+    val maxMinorityCells: Long = 200L * 1000 * 1000) extends Serializable {
 
   /** Deterministic 64-bit mix (public-domain splitmix64 finalizer). */
   private def mix(z0: Long): Long = {
@@ -40,12 +47,15 @@ class Smote(
   }
   private def uniform(rowIdx: Long, replica: Int, salt: Long): Double = {
     val h = mix(mix(rowIdx * 31L + salt) ^ (replica.toLong * 0x9e3779b9L) ^ seed)
-    (h >>> 11).toDouble / (1L << 53).toDouble  // 53-bit mantissa → [0,1)
+    (h >>> 11).toDouble / (1L << 53).toDouble // 53-bit mantissa → [0,1)
   }
 
   def transform(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val base = df.select((featureCols :+ labelCol).map(col): _*).cache()
+    // Features uniformly double on EVERY path so output schema does not
+    // depend on the data (advice r1): cast once, up front.
+    val base = df.select(
+      (featureCols.map(c => col(c).cast("double").as(c)) :+ col(labelCol)): _*)
 
     val counts = base.groupBy(col(labelCol)).count().collect()
       .map(r => (r.get(0), r.getLong(1)))
@@ -53,29 +63,33 @@ class Smote(
     val Array((minLabel, minCount), (_, majCount)) = counts.sortBy(_._2)
     val needed = majCount - minCount
     if (needed <= 0) return base
+    require(minCount > 1,
+      s"SMOTE needs >=2 minority rows to interpolate between, got $minCount")
+    require(minCount * featureCols.length <= maxMinorityCells,
+      s"minority matrix ${minCount}x${featureCols.length} exceeds broadcast guard " +
+        s"($maxMinorityCells cells); use an LSH-bucketed resampler at this scale")
 
-    // Deterministic dense row index over the minority class.
-    val orderCols = featureCols.map(col) // total order not required; ties fine
-    val minority = base.filter(col(labelCol) === lit(minLabel))
-      .withColumn("__idx",
-        row_number().over(Window.orderBy(orderCols: _*)) - 1)
-
-    // Broadcast the minority feature matrix (small by assumption).
-    val minRows: Array[Array[Double]] = minority
-      .select((Seq(col("__idx")) ++ featureCols.map(c => col(c).cast("double"))): _*)
+    // Deterministic minority matrix: collect, then sort by feature tuple
+    // on the driver (exact-duplicate rows may swap indices — they are
+    // interchangeable, so the output multiset is still deterministic).
+    val minRows: Array[Array[Double]] = base
+      .filter(col(labelCol) === lit(minLabel))
+      .select(featureCols.map(col): _*)
       .collect()
-      .sortBy(_.getInt(0))
-      .map(r => Array.tabulate(featureCols.length)(i => r.getDouble(i + 1)))
+      .map(r => Array.tabulate(featureCols.length)(i => r.getDouble(i)))
+      .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
     val bc: Broadcast[Array[Array[Double]]] = spark.sparkContext.broadcast(minRows)
 
     val nFeat = featureCols.length
     val kk = k
     val needPerRow = needed / minCount
     val remainder = (needed % minCount).toInt
-    val mixSeed = seed
 
-    val syntheticRdd = minority.select(col("__idx")).rdd.flatMap { r =>
-      val idx = r.getInt(0)
+    // Synthesis fan-out: one task slice per range partition; each row of
+    // spark.range(minCount) owns the replicas of minority row `idx`.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val syntheticRdd = spark.range(0, minCount, 1, parallelism).rdd.flatMap { idLong =>
+      val idx = idLong.toInt
       val all = bc.value
       val x = all(idx)
       val replicas = (needPerRow + (if (idx < remainder) 1 else 0)).toInt
@@ -91,7 +105,7 @@ class Smote(
         Iterator.tabulate(replicas) { rep =>
           val pick = neigh((uniform(idx, rep, 1L) * neigh.length).toInt.min(neigh.length - 1))._1
           val u = uniform(idx, rep, 2L)
-          val y = bc.value(pick)
+          val y = all(pick)
           Row.fromSeq(Array.tabulate(nFeat)(f => x(f) + u * (y(f) - x(f))).toSeq :+ minLabel)
         }
       }
@@ -100,10 +114,6 @@ class Smote(
     val schema = StructType(
       featureCols.map(c => StructField(c, DoubleType)) :+
         base.schema(labelCol).copy(name = labelCol))
-    val synthetic = spark.createDataFrame(syntheticRdd, schema)
-    val result = base
-      .select((featureCols.map(c => col(c).cast("double").as(c)) :+ col(labelCol)): _*)
-      .unionByName(synthetic)
-    result
+    base.unionByName(spark.createDataFrame(syntheticRdd, schema))
   }
 }

