@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.llm.LlmQueries.queries
+      graft.llm.LlmQueries.queries ++
+      graft.ml.MlQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
-      graft.llm.LlmQueries.oracle
+      graft.llm.LlmQueries.oracle ++
+      graft.ml.MlQueries.oracle
 }

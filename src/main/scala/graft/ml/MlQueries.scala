@@ -1,0 +1,310 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML / evaluation / XAI operators expressed as oracle-checkable
+  * relational queries (SURVEY §2.4 A5-A12, §2.5 W1/W5/W6, §2.8 M7-M9,
+  * M11; reference: train_model.py, evaluate_model.py, explain_model.py,
+  * xai_tasks.py).
+  *
+  * The deterministic "model" used by the evaluation queries: label is
+  * `l_returnflag = 'R'` and the score is a seeded arithmetic hash of the
+  * row key mixed with the label (so the score separates classes and the
+  * ROC curve is non-trivial). Both engines compute the identical IEEE
+  * double expression, so confusion counts, P/R/F1, the ROC sweep and the
+  * trapezoid AUC hash-match exactly.
+  *
+  * Scale notes: every aggregation is a plain groupBy (map-side partial
+  * agg); the ROC cumulative window orders by DISTINCT THRESHOLD after a
+  * pre-aggregation, so the window input is |thresholds| rows (bounded:
+  * 1000 score buckets), not |lineitem|. SHAP is a broadcast of a 1-row
+  * μ vector — no shuffle at all beyond the global agg.
+  */
+object MlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Deterministic per-row uniform in [0,1): pure integer arithmetic.
+  private def uCol: Column =
+    ((col("l_orderkey") * 9973L + col("l_linenumber") * 7919L) % 1000L) / 1000.0
+  private val uSql =
+    "(((l_orderkey * 9973 + l_linenumber * 7919) % 1000) / 1000.0)"
+
+  private def labelCol: Column = when(col("l_returnflag") === "R", 1).otherwise(0)
+  private val labelSql = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+  /** Class-separating deterministic score: label 1 ∈ [0.3,1), label 0 ∈ [0,0.66). */
+  private def scoreCol: Column =
+    when(labelCol === 1, lit(0.3) + lit(0.7) * uCol).otherwise(lit(0.66) * uCol)
+  private val scoreSql =
+    s"CASE WHEN $labelSql = 1 THEN 0.3 + 0.7 * $uSql ELSE 0.66 * $uSql END"
+
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      labelCol.as("label"), scoreCol.as("score"))
+  private val scoredSql =
+    s"SELECT l_orderkey, l_linenumber, $labelSql AS label, $scoreSql AS score FROM lineitem"
+
+  // ------------------------------------------------------------- queries
+
+  /** A11/M1: StandardScaler fit statistics — per-feature mean and
+    * POPULATION stddev (sklearn ddof=0; train_model.py:36-38) in one pass. */
+  private val q41ScalerStats: Q = (s, dir) =>
+    Tables.lineitem(s, dir).agg(
+      round(avg(col("l_quantity")), 4).as("mean_qty"),
+      round(stddev_pop(col("l_quantity")), 4).as("std_qty"),
+      round(avg(col("l_extendedprice")), 4).as("mean_price"),
+      round(stddev_pop(col("l_extendedprice")), 4).as("std_price"),
+      round(avg(col("l_discount")), 4).as("mean_disc"),
+      round(stddev_pop(col("l_discount")), 4).as("std_disc"),
+      round(avg(col("l_tax")), 4).as("mean_tax"),
+      round(stddev_pop(col("l_tax")), 4).as("std_tax"))
+
+  /** W6: stratified 80/20 split — deterministic per-class row_number,
+    * every 5th row is test. Exact class ratios by construction
+    * (train_model.py:31-33 stratify=y). */
+  private val q42StratSplit: Q = (s, dir) => {
+    val w = Window.partitionBy(col("label")).orderBy(col("l_orderkey"), col("l_linenumber"))
+    scored(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("split", when(col("rn") % 5 === 0, "test").otherwise("train"))
+      .groupBy(col("label"), col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("split"))
+  }
+
+  /** W5: stratified 5-fold assignment (train_model.py:49 StratifiedKFold). */
+  private val q43KfoldAssign: Q = (s, dir) => {
+    val w = Window.partitionBy(col("label")).orderBy(col("l_orderkey"), col("l_linenumber"))
+    scored(s, dir)
+      .withColumn("fold", row_number().over(w) % 5)
+      .groupBy(col("fold"), col("label")).agg(count(lit(1)).as("n"))
+      .orderBy(col("fold"), col("label"))
+  }
+
+  /** A7: confusion matrix at threshold 0.5 (evaluate_model.py:31). */
+  private val q44Confusion: Q = (s, dir) =>
+    scored(s, dir)
+      .withColumn("prediction", (col("score") >= 0.5).cast("int"))
+      .groupBy(col("label"), col("prediction")).agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("prediction"))
+
+  /** A8: classification report — per-class precision/recall/F1 + support
+    * + accuracy, derived from one conditional aggregation pass
+    * (evaluate_model.py:45). */
+  private val q45ClassReport: Q = (s, dir) => {
+    val p = scored(s, dir).withColumn("pred", (col("score") >= 0.5).cast("int"))
+    val tp = sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L))
+    val fp = sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L))
+    val fn = sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L))
+    val tn = sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L))
+    p.agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
+      .select(
+        round(col("tp") / (col("tp") + col("fp")), 4).as("precision_1"),
+        round(col("tp") / (col("tp") + col("fn")), 4).as("recall_1"),
+        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 4).as("f1_1"),
+        round(col("tn") / (col("tn") + col("fn")), 4).as("precision_0"),
+        round(col("tn") / (col("tn") + col("fp")), 4).as("recall_0"),
+        round(lit(2.0) * col("tn") / (lit(2.0) * col("tn") + col("fn") + col("fp")), 4).as("f1_0"),
+        (col("tp") + col("fn")).as("support_1"),
+        (col("tn") + col("fp")).as("support_0"),
+        round((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")), 4)
+          .as("accuracy"))
+  }
+
+  /** A9/W1/M11: full ROC sweep + trapezoid AUC. Pre-aggregates to one row
+    * per distinct threshold BEFORE the cumulative window, so the window
+    * processes |thresholds| (≤1000) rows however large lineitem is. */
+  private val q46RocAuc: Q = (s, dir) => {
+    val perThreshold = scored(s, dir)
+      .groupBy(col("score"))
+      .agg(sum(col("label")).as("tp_at"), sum(lit(1) - col("label")).as("fp_at"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perThreshold.agg(
+      sum(col("tp_at")).as("pos"), sum(col("fp_at")).as("neg"))
+    val curve = perThreshold
+      .withColumn("cum_tp", sum(col("tp_at")).over(w))
+      .withColumn("cum_fp", sum(col("fp_at")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("score"),
+        (col("cum_tp") / col("pos")).as("tpr"),
+        (col("cum_fp") / col("neg")).as("fpr"))
+    val wl = Window.orderBy(col("score").desc)
+    curve
+      .withColumn("prev_tpr", coalesce(lag(col("tpr"), 1).over(wl), lit(0.0)))
+      .withColumn("prev_fpr", coalesce(lag(col("fpr"), 1).over(wl), lit(0.0)))
+      .agg(round(sum((col("fpr") - col("prev_fpr")) * (col("tpr") + col("prev_tpr")) / 2.0), 4)
+        .as("auc"))
+  }
+
+  /** M7/M8/F3: linear SHAP φ = coef ⊙ (x − μ) against the population
+    * mean background, via zip_with over broadcast μ (xai_tasks.py:104-110,
+    * api/worker.py:52-53,75). Sampled output rows; φ recomputed by the
+    * oracle in closed form. */
+  private val shapCoefs = Seq(0.8, -0.5, 1.2, -0.3)
+
+  private def shapFeats(df: DataFrame): Column = array(
+    col("l_quantity").cast("double"),
+    col("l_extendedprice") / 1000.0,
+    col("l_discount") * 10.0,
+    col("l_tax") * 10.0)
+  private val shapFeatSql = Seq(
+    "CAST(l_quantity AS DOUBLE)", "l_extendedprice / 1000.0", "l_discount * 10.0", "l_tax * 10.0")
+
+  private val q47ShapLinear: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val mu = li.agg(
+      avg(col("l_quantity")).as("mu0"), avg(col("l_extendedprice") / 1000.0).as("mu1"),
+      avg(col("l_discount") * 10.0).as("mu2"), avg(col("l_tax") * 10.0).as("mu3"))
+    val coefArr = array(shapCoefs.map(lit): _*)
+    li.filter(col("l_orderkey") % 997 === 0)
+      .crossJoin(broadcast(mu))
+      .withColumn("phi", zip_with(
+        coefArr,
+        zip_with(shapFeats(li), array(col("mu0"), col("mu1"), col("mu2"), col("mu3")),
+          (x, m) => x - m),
+        (c, v) => c * v))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("phi").getItem(0), 4).as("phi_qty"),
+        round(col("phi").getItem(1), 4).as("phi_price"),
+        round(col("phi").getItem(2), 4).as("phi_disc"),
+        round(col("phi").getItem(3), 4).as("phi_tax"),
+        round(aggregate(col("phi"), lit(0.0), (a, x) => a + x), 4).as("margin"))
+  }
+
+  /** A6/M9/W2: global feature importance — mean |φ| per feature, ranked,
+    * top-k=all 4 here (explain_model.py:38-47). */
+  private val q48ShapTopk: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val mu = li.agg(
+      avg(col("l_quantity")).as("mu0"), avg(col("l_extendedprice") / 1000.0).as("mu1"),
+      avg(col("l_discount") * 10.0).as("mu2"), avg(col("l_tax") * 10.0).as("mu3"))
+    val names = Seq("qty", "price", "disc", "tax")
+    val meanAbs = li.crossJoin(broadcast(mu)).agg(
+      round(avg(abs(lit(shapCoefs(0)) * (col("l_quantity") - col("mu0")))), 4).as("m0"),
+      round(avg(abs(lit(shapCoefs(1)) * (col("l_extendedprice") / 1000.0 - col("mu1")))), 4).as("m1"),
+      round(avg(abs(lit(shapCoefs(2)) * (col("l_discount") * 10.0 - col("mu2")))), 4).as("m2"),
+      round(avg(abs(lit(shapCoefs(3)) * (col("l_tax") * 10.0 - col("mu3")))), 4).as("m3"))
+    val long = meanAbs.select(expr(
+      s"stack(4, ${names.zipWithIndex.map { case (n, i) => s"'$n', m$i" }.mkString(", ")}) " +
+        "AS (feature, mean_abs_phi)"))
+    long.withColumn("rnk",
+      row_number().over(Window.orderBy(col("mean_abs_phi").desc, col("feature"))))
+  }
+
+  /** M2 invariant: after SMOTE both classes have exactly the majority
+    * count — checked against the oracle's majority count. Runs the real
+    * [[Smote]] transformer on a lineitem-derived binary task. */
+  private val q49SmoteBalance: Q = (s, dir) => {
+    val src = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(
+        col("l_quantity").as("f_qty"), col("l_extendedprice").as("f_price"),
+        col("l_discount").as("f_disc"), col("l_tax").as("f_tax"),
+        (col("l_quantity") > 45).cast("int").as("label"))
+    new Smote(Seq("f_qty", "f_price", "f_disc", "f_tax"), "label", k = 5, seed = 42L)
+      .transform(src)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q41_scaler_stats" -> q41ScalerStats,
+    "q42_strat_split"  -> q42StratSplit,
+    "q43_kfold_assign" -> q43KfoldAssign,
+    "q44_confusion"    -> q44Confusion,
+    "q45_class_report" -> q45ClassReport,
+    "q46_roc_auc"      -> q46RocAuc,
+    "q47_shap_linear"  -> q47ShapLinear,
+    "q48_shap_topk"    -> q48ShapTopk,
+    "q49_smote_balance" -> q49SmoteBalance,
+  )
+
+  // -------------------------------------------------- oracle SQL (DuckDB)
+  private val muSql =
+    """SELECT avg(l_quantity) AS mu0, avg(l_extendedprice / 1000.0) AS mu1,
+      |  avg(l_discount * 10.0) AS mu2, avg(l_tax * 10.0) AS mu3 FROM lineitem""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q41_scaler_stats" ->
+      """SELECT round(avg(l_quantity), 4) AS mean_qty, round(stddev_pop(l_quantity), 4) AS std_qty,
+        |  round(avg(l_extendedprice), 4) AS mean_price, round(stddev_pop(l_extendedprice), 4) AS std_price,
+        |  round(avg(l_discount), 4) AS mean_disc, round(stddev_pop(l_discount), 4) AS std_disc,
+        |  round(avg(l_tax), 4) AS mean_tax, round(stddev_pop(l_tax), 4) AS std_tax
+        |FROM lineitem""".stripMargin,
+    "q42_strat_split" ->
+      s"""WITH t AS (SELECT label, row_number() OVER (PARTITION BY label
+         |    ORDER BY l_orderkey, l_linenumber) AS rn FROM ($scoredSql) s)
+         |SELECT label, CASE WHEN rn % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+         |  count(*) AS n FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q43_kfold_assign" ->
+      s"""WITH t AS (SELECT label, row_number() OVER (PARTITION BY label
+         |    ORDER BY l_orderkey, l_linenumber) AS rn FROM ($scoredSql) s)
+         |SELECT rn % 5 AS fold, label, count(*) AS n FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q44_confusion" ->
+      s"""SELECT label, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS prediction, count(*) AS n
+         |FROM ($scoredSql) s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q45_class_report" ->
+      s"""WITH c AS (SELECT
+         |  CAST(sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM ($scoredSql) s)
+         |SELECT round(tp / (tp + fp), 4) AS precision_1, round(tp / (tp + fn), 4) AS recall_1,
+         |  round(2.0 * tp / (2.0 * tp + fp + fn), 4) AS f1_1,
+         |  round(tn / (tn + fn), 4) AS precision_0, round(tn / (tn + fp), 4) AS recall_0,
+         |  round(2.0 * tn / (2.0 * tn + fn + fp), 4) AS f1_0,
+         |  tp + fn AS support_1, tn + fp AS support_0,
+         |  round((tp + tn) / (tp + tn + fp + fn), 4) AS accuracy
+         |FROM c""".stripMargin,
+    "q46_roc_auc" ->
+      s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
+         |    CAST(sum(1 - label) AS BIGINT) AS fp_at FROM ($scoredSql) s GROUP BY score),
+         |tot AS (SELECT CAST(sum(tp_at) AS BIGINT) AS pos, CAST(sum(fp_at) AS BIGINT) AS neg FROM per),
+         |curve AS (SELECT score,
+         |    sum(tp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / pos AS tpr,
+         |    sum(fp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
+         |  FROM per, tot),
+         |tz AS (SELECT fpr, tpr,
+         |    coalesce(lag(fpr) OVER (ORDER BY score DESC), 0.0) AS prev_fpr,
+         |    coalesce(lag(tpr) OVER (ORDER BY score DESC), 0.0) AS prev_tpr
+         |  FROM curve)
+         |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin,
+    "q47_shap_linear" -> {
+      val phis = shapCoefs.zip(shapFeatSql).zipWithIndex.map { case ((c, f), i) =>
+        s"round($c * ($f - mu$i), 4)"
+      }
+      s"""WITH mu AS ($muSql)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${phis(0)} AS phi_qty, ${phis(1)} AS phi_price,
+         |  ${phis(2)} AS phi_disc, ${phis(3)} AS phi_tax,
+         |  round(${shapCoefs.zip(shapFeatSql).zipWithIndex
+                    .map { case ((c, f), i) => s"$c * ($f - mu$i)" }.mkString(" + ")}, 4) AS margin
+         |FROM lineitem, mu WHERE l_orderkey % 997 = 0""".stripMargin
+    },
+    "q48_shap_topk" -> {
+      val names = Seq("qty", "price", "disc", "tax")
+      val means = shapCoefs.zip(shapFeatSql).zipWithIndex.map { case ((c, f), i) =>
+        s"round(avg(abs($c * ($f - mu$i))), 4) AS m$i"
+      }.mkString(",\n  ")
+      val unions = names.zipWithIndex.map { case (n, i) =>
+        s"SELECT '$n' AS feature, m$i AS mean_abs_phi FROM ma"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH mu AS ($muSql),
+         |ma AS (SELECT $means FROM lineitem, mu),
+         |long AS ($unions)
+         |SELECT feature, mean_abs_phi,
+         |  row_number() OVER (ORDER BY mean_abs_phi DESC, feature) AS rnk FROM long""".stripMargin
+    },
+    "q49_smote_balance" ->
+      """WITH src AS (SELECT CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END AS label
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |c AS (SELECT label, count(*) AS n FROM src GROUP BY label)
+        |SELECT label, (SELECT max(n) FROM c) AS n FROM c ORDER BY label""".stripMargin,
+  )
+}
