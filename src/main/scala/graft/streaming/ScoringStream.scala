@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The asynchronous scoring/explainability dataflow, Structured-Streaming
+  * native (SURVEY §2.9 ST1-ST5, §3.2; reference api/app.py:243-245 →
+  * xai_tasks.py:63-166 → transaction_results upsert).
+  *
+  * Shape: an unbounded stream of (transaction_id, features map) →
+  * feature alignment (ordered, 0.0-default — xai_tasks.py:86-90) →
+  * linear score + SHAP attribution → idempotent keyed upsert with the
+  * PENDING/COMPLETED/FAILED lifecycle.
+  *
+  * Exactly-once-per-key: the sink writes each micro-batch to a
+  * deterministic `batch=<id>` parquet directory with overwrite — a
+  * replayed batch (worker death + checkpoint recovery, at-least-once
+  * upstream) rewrites the SAME directory, so duplicates cannot
+  * accumulate; readers resolve last-writer-wins via max batch id per
+  * key. This is the Spark-native equivalent of the reference's
+  * `INSERT ... ON CONFLICT (transaction_id) DO UPDATE`
+  * (api/worker.py:90-99) under Celery `acks_late` redelivery.
+  */
+object ScoringStream {
+
+  /** Validated/aligned scoring of one micro-batch (also usable in batch
+    * mode): rows whose feature map is missing every model feature are
+    * FAILED (the 422 arity-check analogue, api/app.py:185-191); others
+    * COMPLETED with score + attributions. */
+  def scoreBatch(batch: DataFrame, featureNames: Seq[String],
+      coefs: Seq[Double], mu: Seq[Double], intercept: Double): DataFrame = {
+    // P3 map-alignment: ordered feature vector with 0.0 default.
+    val aligned = featureNames.zipWithIndex.foldLeft(batch) { case (df, (f, i)) =>
+      df.withColumn(s"__f$i", coalesce(col("features").getItem(f).cast("double"), lit(0.0)))
+    }
+    val attributed = graft.xai.LinearShap.attribute(
+      aligned, featureNames.indices.map(i => s"__f$i"), coefs, mu, intercept)
+    val validity = featureNames.indices
+      .map(i => when(col("features").getItem(featureNames(i)).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    attributed
+      .withColumn("n_present", validity)
+      .select(
+        col("transaction_id"),
+        when(col("n_present") === 0, lit(null).cast("double"))
+          .otherwise(round(col("score"), 6)).as("prediction_score"),
+        when(col("n_present") === 0, lit(null).cast("string"))
+          .otherwise(to_json(map_from_arrays(
+            array(featureNames.map(lit): _*),
+            transform(col("phi"), p => round(p, 6))))).as("shap_values"),
+        when(col("n_present") === 0, lit("FAILED")).otherwise(lit("COMPLETED")).as("status"),
+        current_timestamp().as("updated_at"))
+  }
+
+  /** Idempotent keyed result store over per-batch parquet directories. */
+  final class ResultStore(val path: String) extends Serializable {
+    /** ST3: replay-safe — same batchId always lands in the same dir. */
+    def upsert(results: DataFrame, batchId: Long): Unit =
+      results.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+    /** Last-writer-wins current state, one row per transaction_id. */
+    def snapshot(spark: SparkSession): DataFrame = {
+      val w = Window.partitionBy(col("transaction_id"))
+        .orderBy(col("batch_id").desc, col("updated_at").desc)
+      spark.read.option("basePath", path).parquet(s"$path/batch=*")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+    /** A12: the WorkerRecoveryTestPlan completion rollup
+      * (docs/WorkerRecoveryTestPlan.md:113-118). */
+    def completionRollup(spark: SparkSession): DataFrame =
+      snapshot(spark).agg(
+        count(lit(1)).as("total"),
+        sum(when(col("shap_values").isNotNull, 1L).otherwise(0L)).as("completed"))
+  }
+
+  /** ST1/ST2: wire a (transaction_id, features) stream through scoring
+    * into the store with checkpointed foreachBatch. */
+  def attach(stream: DataFrame, store: ResultStore, checkpointDir: String,
+      featureNames: Seq[String], coefs: Seq[Double], mu: Seq[Double],
+      intercept: Double): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.upsert(scoreBatch(batch, featureNames, coefs, mu, intercept), batchId)
+      }
+      .start()
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ScoringStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val feats = Seq("f0", "f1", "f2")
+  private val coefs = Seq(1.0, -2.0, 0.5)
+  private val mu = Seq(0.0, 0.0, 0.0)
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("end-to-end: stream -> score -> attribute -> idempotent store (ST1/ST5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Map[String, Double])]
+    val stream = input.toDF().toDF("transaction_id", "features")
+    val store = new ScoringStream.ResultStore(tmp("graft-results"))
+    val q = ScoringStream.attach(stream, store, tmp("graft-ckpt"),
+      feats, coefs, mu, intercept = 0.1)
+    try {
+      input.addData(("t1", Map("f0" -> 1.0, "f1" -> 0.5, "f2" -> 2.0)))
+      input.addData(("t2", Map("f0" -> 3.0)), // partial: 0.0-default alignment
+                    ("t3", Map.empty[String, Double])) // no features -> FAILED
+      q.processAllAvailable()
+      val snap = store.snapshot(spark).collect().map(r =>
+        r.getString(r.fieldIndex("transaction_id")) -> r.getString(r.fieldIndex("status"))).toMap
+      assert(snap === Map("t1" -> "COMPLETED", "t2" -> "COMPLETED", "t3" -> "FAILED"))
+      val t1 = store.snapshot(spark).filter($"transaction_id" === "t1").head()
+      val margin = 0.1 + 1.0 * 1.0 - 2.0 * 0.5 + 0.5 * 2.0
+      assert(math.abs(t1.getDouble(t1.fieldIndex("prediction_score"))
+        - 1.0 / (1.0 + math.exp(-margin))) < 1e-5)
+      assert(t1.getString(t1.fieldIndex("shap_values")).contains("\"f0\""))
+    } finally q.stop()
+  }
+
+  test("replayed micro-batch does not duplicate results (ST2/ST3)") {
+    val store = new ScoringStream.ResultStore(tmp("graft-replay"))
+    val batch = Seq(("a", Map("f0" -> 1.0)), ("b", Map("f1" -> 2.0)))
+      .toDF("transaction_id", "features")
+    val scoredBatch = ScoringStream.scoreBatch(batch, feats, coefs, mu, 0.0)
+    store.upsert(scoredBatch, 7L)
+    store.upsert(scoredBatch, 7L) // at-least-once redelivery of batch 7
+    assert(store.snapshot(spark).count() === 2)
+    val rollup = store.completionRollup(spark).head()
+    assert(rollup.getLong(0) === 2 && rollup.getLong(1) === 2)
+  }
+
+  test("later batch wins per key (last-writer-wins upsert, ST3)") {
+    val store = new ScoringStream.ResultStore(tmp("graft-lww"))
+    val b1 = Seq(("k", Map("f0" -> 1.0))).toDF("transaction_id", "features")
+    val b2 = Seq(("k", Map("f0" -> 9.0))).toDF("transaction_id", "features")
+    store.upsert(ScoringStream.scoreBatch(b1, feats, coefs, mu, 0.0), 1L)
+    store.upsert(ScoringStream.scoreBatch(b2, feats, coefs, mu, 0.0), 2L)
+    val snap = store.snapshot(spark)
+    assert(snap.count() === 1)
+    val expected = 1.0 / (1.0 + math.exp(-9.0))
+    assert(math.abs(snap.head().getDouble(1) - expected) < 1e-5)
+  }
+
+  test("kill-and-restart from the same checkpoint keeps exactly-once-per-key (ST2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft-ckpt2")
+    val store = new ScoringStream.ResultStore(tmp("graft-results2"))
+    val input = MemoryStream[(String, Map[String, Double])]
+    val stream = input.toDF().toDF("transaction_id", "features")
+    val q1 = ScoringStream.attach(stream, store, ckpt, feats, coefs, mu, 0.0)
+    input.addData(("x1", Map("f0" -> 1.0)))
+    q1.processAllAvailable()
+    q1.stop() // simulated worker death (WorkerRecoveryTestPlan.md:42-54)
+    input.addData(("x2", Map("f1" -> 1.0)))
+    val q2 = ScoringStream.attach(stream, store, ckpt, feats, coefs, mu, 0.0)
+    try {
+      q2.processAllAvailable()
+      // checkpoint continues batch numbering, so the restarted query can
+      // never clobber or duplicate earlier batches' results
+      val ids = store.snapshot(spark).select("transaction_id").as[String].collect().toSet
+      assert(ids === Set("x1", "x2"))
+      assert(store.snapshot(spark).groupBy("transaction_id").count()
+        .filter($"count" > 1).count() === 0)
+    } finally q2.stop()
+  }
+}
