@@ -17,11 +17,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
+      graft.queries.ExtQueries.queries ++
       graft.llm.LlmQueries.queries ++
       graft.ml.MlQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
+      graft.queries.ExtQueries.oracle ++
       graft.llm.LlmQueries.oracle ++
       graft.ml.MlQueries.oracle
 }

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extension operator surface rounding out SURVEY §2: right/full outer
+  * joins (J1), as-of join (J5), JSON/map scalar set (F5, F6-F12, F15),
+  * CSV scan/sink with explicit schema (S1/S2), and seeded-generator
+  * invariants (F1/S12).
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** J1 right outer: every part kept, parts with no lineitems count 0. */
+  private val q50RightJoin: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_quantity")
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+    li.join(p, li("l_partkey") === p("p_partkey"), "right")
+      .groupBy(col("p_brand"))
+      .agg(count(col("l_quantity")).as("n_lines"), count(lit(1)).as("n_rows"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** J1 full outer over two pre-aggregated sides (nation coverage from
+    * customers vs suppliers) — both sides shrink to |nation| rows BEFORE
+    * the join, so the full-outer shuffle is trivial at any scale. */
+  private val q51FullJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+      .select(
+        coalesce(c("c_nationkey"), su("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** J5 as-of join: each click event picks up the user's most recent
+    * purchase value at-or-before its timestamp. Implemented the
+    * scale-safe way — union both streams, ONE window over (user, time)
+    * with last(ignoreNulls) — instead of a range join that explodes into
+    * |clicks|×|purchases| per user. The oracle uses DuckDB's native
+    * ASOF JOIN, so the semantics are cross-checked engine-to-engine. */
+  private val q52AsofJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("value").as("p_value"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("double").as("p_value"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), round(col("last_purchase"), 4).as("last_purchase_value"))
+  }
+
+  /** F6/F7/F8: regexp extract / extract_all / replace-all + printf-style
+    * formatting. Array-valued intermediates are reduced to scalars so the
+    * oracle compare stays type-stable. */
+  private val q53RegexFns: Q = (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+      size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("n_words"),
+      element_at(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), 1).as("first_word"),
+      format_string("%s/%05d", col("p_brand"), col("p_partkey")).as("part_code"))
+
+  /** F9/F10/F11/F12: JSON parse of the events props payload, map
+    * construction, to_json/from_json roundtrip surfaced as plain values. */
+  private val q54JsonMap: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("props_map", from_json(col("props"), MapType(StringType, IntegerType)))
+      .withColumn("k_val", col("props_map").getItem("k"))
+      .withColumn("roundtrip",
+        from_json(to_json(map_from_arrays(array(lit("k")), array(col("k_val")))),
+          MapType(StringType, IntegerType)).getItem("k"))
+      .select(
+        col("event_id"), col("k_val"), col("roundtrip"),
+        size(map_keys(col("props_map"))).as("n_keys"),
+        array_join(array_sort(map_keys(col("props_map"))), ",").as("keys_sorted"))
+
+  /** S1/S2: CSV sink then CSV scan with an EXPLICIT schema (no inference
+    * — SURVEY §2.1-S1 determinism requirement), closed over an aggregate
+    * the oracle recomputes from the original parquet. */
+  private val q55CsvRoundtrip: Q = (s, dir) => {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/tmp/csv_roundtrip_$slug"
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", LongType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    s.read.option("header", "true").schema(schema).csv(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** F1/F5/F15/S12: nondeterministic generators checked by their
+    * deterministic INVARIANTS (the oracle states the expected constants):
+    * uuid uniqueness, rand range, current_timestamp non-null, and the
+    * seeded creditcard generator's spec properties (row count, sorted
+    * Time, positive Amount, plausible fraud ratio, determinism). */
+  private val q56Generators: Q = (s, dir) => {
+    val n = 500L
+    val g1 = graft.ml.FraudPipeline.syntheticCreditcard(s, n, seed = 42L, fraudRatio = 0.02)
+    val g2 = graft.ml.FraudPipeline.syntheticCreditcard(s, n, seed = 42L, fraudRatio = 0.02)
+    val checksum = (df: DataFrame) =>
+      df.agg(round(sum(col("Amount")) + sum(col("V13")) + sum(col("Time")), 6)).head().getDouble(0)
+    val w = Window.orderBy(col("Time"))
+    val timeSorted = g1
+      .withColumn("prev", lag(col("Time"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("Time")).count() == 0
+    val uuids = s.range(n).select(expr("uuid()").as("u"),
+      rand(1L).as("r"), current_timestamp().as("ts"))
+    val uuidStats = uuids.agg(
+      countDistinct(col("u")).as("nu"),
+      sum(when(col("r") >= 0 && col("r") < 1, 1L).otherwise(0L)).as("nr"),
+      sum(when(col("ts").isNotNull, 1L).otherwise(0L)).as("nt")).head()
+    val fraud = g1.agg(sum(col("Class"))).head().getLong(0)
+    import s.implicits._
+    Seq((
+      g1.count(),
+      uuidStats.getLong(0), uuidStats.getLong(1), uuidStats.getLong(2),
+      if (timeSorted) 1 else 0,
+      if (checksum(g1) == checksum(g2)) 1 else 0,
+      if (fraud > 0 && fraud < n / 10) 1 else 0,
+      g1.filter(col("Amount") <= 0).count()
+    )).toDF("n_rows", "n_unique_uuids", "n_rand_in_range", "n_ts_nonnull",
+      "time_sorted", "seed_deterministic", "fraud_ratio_plausible", "n_nonpos_amount")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q50_right_join"    -> q50RightJoin,
+    "q51_full_join"     -> q51FullJoin,
+    "q52_asof_join"     -> q52AsofJoin,
+    "q53_regex_fns"     -> q53RegexFns,
+    "q54_json_map"      -> q54JsonMap,
+    "q55_csv_roundtrip" -> q55CsvRoundtrip,
+    "q56_generators"    -> q56Generators,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_right_join" ->
+      """SELECT p_brand, count(l_quantity) AS n_lines, count(*) AS n_rows
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q51_full_join" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL JOIN s ON c_nationkey = s_nationkey ORDER BY nationkey""".stripMargin,
+    "q52_asof_join" ->
+      """SELECT c.event_id, round(p.value, 4) AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q53_regex_fns" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+        |  regexp_extract_all(p_name, '[a-z]+')[1] AS first_word,
+        |  printf('%s/%05d', p_brand, p_partkey) AS part_code
+        |FROM part""".stripMargin,
+    "q54_json_map" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::INTEGER AS k_val,
+        |  json_extract(props, '$.k')::INTEGER AS roundtrip,
+        |  len(json_keys(props)) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted
+        |FROM events""".stripMargin,
+    "q55_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q56_generators" ->
+      """SELECT CAST(500 AS BIGINT) AS n_rows, CAST(500 AS BIGINT) AS n_unique_uuids,
+        |  CAST(500 AS BIGINT) AS n_rand_in_range, CAST(500 AS BIGINT) AS n_ts_nonnull,
+        |  1 AS time_sorted, 1 AS seed_deterministic, 1 AS fraud_ratio_plausible,
+        |  CAST(0 AS BIGINT) AS n_nonpos_amount""".stripMargin,
+  )
+}
