@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming building blocks beyond the scoring path (SURVEY §2.9).
+  */
+object StreamOps {
+
+  /** ST7: event-time tumbling window aggregation with a watermark —
+    * identical semantics to the batch q20 view of the events table;
+    * late data beyond the watermark is dropped by the engine. */
+  def tumblingCounts(stream: DataFrame, windowLen: String, lateness: String): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** ST7: session windows — activity bursts per user separated by a gap. */
+  def sessionCounts(stream: DataFrame, gap: String, lateness: String): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** S8: the queue source as a file-backed stream — each JSON file under
+    * `dir` is one producer message (transaction_id + feature map), read
+    * at-least-once with `maxFilesPerTrigger` as the backpressure knob
+    * (ST6; the KEDA queue-length analogue, k8s/keda-scaledobject.yaml). */
+  def fileQueueSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema("transaction_id STRING, features MAP<STRING, DOUBLE>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** S7: the matching queue producer — one JSON file per message batch. */
+  def enqueue(spark: SparkSession, dir: String, msgs: Seq[(String, Map[String, Double])]): Unit = {
+    import spark.implicits._
+    msgs.toDF("transaction_id", "features")
+      .repartition(1).write.mode("append").json(dir)
+  }
+
+  /** ST4: bounded-retry wrapper around a sink action. Retries transient
+    * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
+    * backoff + terminal give-up); returns the number of attempts used or
+    * throws after exhaustion. */
+  def withBoundedRetry[T](maxAttempts: Int, backoffMs: Long = 0L)(action: () => T): (T, Int) = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return (action(), attempt)
+      catch {
+        case e: Throwable =>
+          last = e
+          if (attempt < maxAttempts && backoffMs > 0) Thread.sleep(backoffMs)
+      }
+    }
+    throw new RuntimeException(s"sink failed after $maxAttempts attempts", last)
+  }
+}

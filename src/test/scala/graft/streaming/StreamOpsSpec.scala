@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming tumbling window + watermark matches batch semantics (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(stream, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("append").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(11), "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      input.addData((ts(59), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("window_start", "event_type", "n", "sum_value").collect()
+      val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+      assert(byKey(("2024-01-01 10:00:00.0", "click")) === ((2L, 3.0)))
+      assert(byKey(("2024-01-01 10:10:00.0", "view")) === ((1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session window groups activity bursts (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val stream = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionCounts(stream, "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      // user 1: burst of 3 within gaps < 5m; then silence; user 2: single
+      input.addData((ts(0), 1L), (ts(2), 1L), (ts(4), 1L), (ts(1), 2L))
+      q.processAllAvailable()
+      input.addData((ts(30), 9L)) // advance watermark; close sessions
+      q.processAllAvailable()
+      val rows = spark.table("session_test").collect()
+        .map(r => r.getLong(2) -> r.getLong(3)).toMap
+      assert(rows(1L) === 3L)
+      assert(rows(2L) === 1L)
+    } finally q.stop()
+  }
+
+  test("file queue source feeds the scoring path at-least-once (S7/S8/ST6)") {
+    val queueDir = tmp("graft-queue")
+    val store = new ScoringStream.ResultStore(tmp("graft-queue-results"))
+    StreamOps.enqueue(spark, queueDir, Seq(
+      "m1" -> Map("f0" -> 1.0), "m2" -> Map("f1" -> 2.0)))
+    val stream = StreamOps.fileQueueSource(spark, queueDir, maxFilesPerTrigger = 1)
+    val q = ScoringStream.attach(stream, store, tmp("graft-queue-ckpt"),
+      Seq("f0", "f1"), Seq(1.0, -1.0), Seq(0.0, 0.0), 0.0)
+    try {
+      q.processAllAvailable()
+      StreamOps.enqueue(spark, queueDir, Seq("m3" -> Map("f0" -> 5.0)))
+      q.processAllAvailable()
+      val snap = store.snapshot(spark)
+      assert(snap.select("transaction_id").as[String].collect().toSet === Set("m1", "m2", "m3"))
+      assert(snap.filter(col("status") === "COMPLETED").count() === 3)
+    } finally q.stop()
+  }
+
+  test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
+    var calls = 0
+    val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(attempts === 3)
+    val ex = intercept[RuntimeException] {
+      StreamOps.withBoundedRetry(maxAttempts = 2) { () =>
+        throw new RuntimeException("persistent")
+      }
+    }
+    assert(ex.getMessage.contains("after 2 attempts"))
+  }
+}
