@@ -260,6 +260,48 @@ object LlmQueries {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate dedup: 4 LSH band tables × 4
+    * hyperplane bits; candidate pairs share at least one band key, then
+    * exact cosine ≥ 0.45 on candidates only — the same
+    * band-join-then-verify shape as MinHash dedup, so no all-pairs
+    * product. The oracle implements the identical banding, so recall
+    * behaviour (an LSH property, not a bug) is cross-checked too. */
+  private val q57EmbedNeardup: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def bit(b: Int): Column = {
+      val w = array((0 until EmbDim).map(d => lit(annW(b, d))): _*)
+      when(dot(col("emb"), w) > 0, lit(1 << (b % 4))).otherwise(lit(0))
+    }
+    val banded = e.select(
+      col("vec_id"), col("emb"),
+      explode(array((0 until 4).map { t =>
+        struct(lit(t).as("band_id"),
+          (4 * t until 4 * t + 4).map(bit).reduce(_ + _).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("emb"), col("b.band_id"), col("b.bkey"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"),
+        col("x.emb").as("ea"), col("y.emb").as("eb"))
+      .dropDuplicates("keep_id", "dup_id")
+    cand.withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("cos_sim") >= 0.45)
+      .select(col("keep_id"), col("dup_id"), col("cos_sim"))
+  }
+
+  /** BPE-ish token counting: subword-flavoured regex lexer (letter runs,
+    * digit runs, single punctuation) alongside the whitespace count. */
+  private val q58BpeTokens: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toksCol(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"),
+      size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+        .as("bpe_vocab"))
+
   /** Multimodal binary-column plumbing: text → binary payload →
     * per-partition "decode" into typed features. The decode body is a
     * STUB (deterministic fake standing in for an image/audio codec this
@@ -297,6 +339,8 @@ object LlmQueries {
     "q38_cosine_topk"     -> q38CosineTopk,
     "q39_ann_lsh"         -> q39AnnLsh,
     "q40_multimodal_stub" -> q40MultimodalStub,
+    "q57_embed_neardup"   -> q57EmbedNeardup,
+    "q58_bpe_tokens"      -> q58BpeTokens,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -394,6 +438,33 @@ object LlmQueries {
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
          |SELECT q_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3""".stripMargin
     },
+    "q57_embed_neardup" -> {
+      def wLit(b: Int) = (0 until EmbDim).map(d => annW(b, d)).mkString("[", ", ", "]")
+      def bandKey(t: Int) = (4 * t until 4 * t + 4).map(b =>
+        s"CASE WHEN list_dot_product(emb, ${wLit(b)}) > 0 THEN ${1 << (b % 4)} ELSE 0 END")
+        .mkString(" + ")
+      val bandStructs = (0 until 4).map(t => s"{'band_id': $t, 'bkey': ${bandKey(t)}}")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, emb, b.band_id AS band_id, b.bkey AS bkey
+         |  FROM (SELECT vec_id, emb, unnest($bandStructs) AS b FROM e) t),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS keep_id, y.vec_id AS dup_id
+         |  FROM banded x JOIN banded y
+         |    ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+         |scored AS (
+         |  SELECT c.keep_id, c.dup_id,
+         |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.keep_id JOIN e b ON b.vec_id = c.dup_id)
+         |SELECT keep_id, dup_id, cos_sim FROM scored WHERE cos_sim >= 0.45""".stripMargin
+    },
+    "q58_bpe_tokens" ->
+      raw"""SELECT doc_id,
+           |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+           |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_vocab
+           |FROM documents""".stripMargin,
     "q40_multimodal_stub" ->
       """SELECT doc_id, length(text) AS n_bytes,
         |  length(text) % 64 + 1 AS width, length(text) % 48 + 1 AS height,

@@ -91,13 +91,13 @@ object FraudPipeline {
     df.withColumn("w", when(col(labelCol) === 1, spw).otherwise(1.0))
   }
 
-  /** W6: exact stratified split — per-class deterministic row_number,
+  /** W6: exact stratified split — deterministic per-class rank via the
+    * salted two-phase [[Stratify]] (no per-class single-task sort),
     * every k-th row held out (k = round(1/testFraction)). */
   def stratifiedSplit(df: DataFrame, orderKeys: Seq[String],
       testFraction: Double = 0.2): (DataFrame, DataFrame) = {
     val k = math.max(math.round(1.0 / testFraction).toInt, 2)
-    val w = Window.partitionBy(col(labelCol)).orderBy(orderKeys.map(col): _*)
-    val tagged = df.withColumn("__rn", row_number().over(w))
+    val tagged = Stratify.withClassRank(df, labelCol, orderKeys)
     val test = tagged.filter(col("__rn") % k === 0).drop("__rn")
     val train = tagged.filter(col("__rn") % k =!= 0).drop("__rn")
     (train, test)
@@ -125,8 +125,7 @@ object FraudPipeline {
     * discipline of train_model.py:49-87. Returns per-fold AUCs. */
   def cvWithSmote(df: DataFrame, features: Seq[String], orderKeys: Seq[String],
       k: Int = 5, lrMaxIter: Int = 50, smoteK: Int = 5, seed: Long = 42L): Seq[Double] = {
-    val w = Window.partitionBy(col(labelCol)).orderBy(orderKeys.map(col): _*)
-    val folded = df.withColumn("__fold", row_number().over(w) % k).cache()
+    val folded = Stratify.withFold(df, labelCol, orderKeys, k, foldCol = "__fold").cache()
     try {
       (0 until k).map { i =>
         val trainRaw = folded.filter(col("__fold") =!= i)

@@ -63,26 +63,23 @@ object MlQueries {
       round(avg(col("l_tax")), 4).as("mean_tax"),
       round(stddev_pop(col("l_tax")), 4).as("std_tax"))
 
-  /** W6: stratified 80/20 split — deterministic per-class row_number,
-    * every 5th row is test. Exact class ratios by construction
-    * (train_model.py:31-33 stratify=y). */
-  private val q42StratSplit: Q = (s, dir) => {
-    val w = Window.partitionBy(col("label")).orderBy(col("l_orderkey"), col("l_linenumber"))
-    scored(s, dir)
-      .withColumn("rn", row_number().over(w))
+  /** W6: stratified 80/20 split — deterministic per-class rank (salted
+    * two-phase [[Stratify]], no single-task per-class sort), every 5th
+    * row is test. Exact class ratios by construction
+    * (train_model.py:31-33 stratify=y); split CARDINALITIES are
+    * rank-order-invariant, so the oracle's simple window matches. */
+  private val q42StratSplit: Q = (s, dir) =>
+    Stratify.withClassRank(scored(s, dir), "label", Seq("l_orderkey", "l_linenumber"),
+        rankCol = "rn")
       .withColumn("split", when(col("rn") % 5 === 0, "test").otherwise("train"))
       .groupBy(col("label"), col("split")).agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("split"))
-  }
 
   /** W5: stratified 5-fold assignment (train_model.py:49 StratifiedKFold). */
-  private val q43KfoldAssign: Q = (s, dir) => {
-    val w = Window.partitionBy(col("label")).orderBy(col("l_orderkey"), col("l_linenumber"))
-    scored(s, dir)
-      .withColumn("fold", row_number().over(w) % 5)
+  private val q43KfoldAssign: Q = (s, dir) =>
+    Stratify.withFold(scored(s, dir), "label", Seq("l_orderkey", "l_linenumber"), k = 5)
       .groupBy(col("fold"), col("label")).agg(count(lit(1)).as("n"))
       .orderBy(col("fold"), col("label"))
-  }
 
   /** A7: confusion matrix at threshold 0.5 (evaluate_model.py:31). */
   private val q44Confusion: Q = (s, dir) =>
