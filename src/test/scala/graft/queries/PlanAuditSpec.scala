@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: each flagged query must produce the plan SHAPE
+  * we designed for 100 TB, not merely correct output. Assertions run on
+  * the executed plan string at sf0.001 (plan shape, not timing).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = planOf("q01_pruned_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q03: all three dimension joins are broadcast (single fact shuffle)") {
+    val p = planOf("q03_join_bcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q07: orders aggregates BEFORE the outer join (no post-join re-shuffle)") {
+    val qe = SparkEntry.queries("q07_outer_join")(spark, sfDir).queryExecution
+    val opt = qe.optimizedPlan.toString
+    // Aggregate must sit below the join in the optimized logical plan
+    val joinIdx = opt.indexOf("Join")
+    val aggIdx = opt.indexOf("Aggregate", joinIdx)
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregate under the join:\n$opt")
+  }
+
+  test("q13: set-op semantics compile to aggregates, not except/intersect shuffles") {
+    val opt = SparkEntry.queries("q13_setops")(spark, sfDir).queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Except") && !opt.contains("Intersect"), opt)
+  }
+
+  test("near-dup and ANN pipelines never fall back to all-pairs joins") {
+    for (q <- Seq("q37_neardup_minhash", "q57_embed_neardup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join")
+    }
+  }
+
+  test("q38/q39: the tiny query set is the broadcast side") {
+    for (q <- Seq("q38_cosine_topk", "q39_ann_lsh")) {
+      val p = planOf(q)
+      assert(p.contains("Broadcast"), s"$q does not broadcast the query set:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian product")
+    }
+  }
+
+  test("q46: the ROC cumulative window consumes the pre-aggregated thresholds") {
+    val opt = SparkEntry.queries("q46_roc_auc")(spark, sfDir).queryExecution.optimizedPlan.toString
+    val windowIdx = opt.indexOf("Window")
+    val aggIdx = opt.indexOf("Aggregate", windowIdx)
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"window should sit above the per-threshold aggregate:\n$opt")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project hot path") {
+    // executedPlan.toString renders codegen stages as "*(n) Op"
+    val p = planOf("q01_pruned_scan")
+    assert(p.contains("*(1)"), p)
+  }
+}
