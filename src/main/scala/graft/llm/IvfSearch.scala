@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * clustering-based scale path complementing the hyperplane-LSH buckets
+  * of `q39_ann_lsh`.
+  *
+  * Index: KMeans centroids over the corpus; every vector is assigned to
+  * its nearest centroid's inverted list. Search: a query probes only the
+  * `nProbe` nearest centroids' lists, so per-query work is
+  * ~`nProbe/k` of the corpus instead of all of it. At 100 TB the
+  * inverted lists are just a `cluster` column — probing is a hash join
+  * on cluster id against a broadcast query set, and the corpus can
+  * additionally be partitioned/bucketed by cluster for locality.
+  */
+object IvfSearch {
+
+  final case class Index(model: KMeansModel, indexed: DataFrame)
+
+  /** Build the IVF index: fit KMeans(k) and tag each row with its list. */
+  def build(embeddings: DataFrame, idCol: String, embCol: String,
+      k: Int, seed: Long = 42L): Index = {
+    val vecs = embeddings.select(
+      col(idCol), col(embCol),
+      array_to_vector(col(embCol)).as("__vec"))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("cluster")
+      .fit(vecs)
+    Index(model, model.transform(vecs).drop("__vec"))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Probe: for each query row, search the nProbe nearest inverted lists
+    * and return the top-k neighbors by cosine. The centroid table is tiny
+    * (k rows) and the query set is broadcast — the only join against the
+    * corpus is an equi-join on cluster id. */
+  def search(index: Index, queries: DataFrame, idCol: String, embCol: String,
+      nProbe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    // rank centroids per query; keep the nProbe nearest lists
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_dist", -cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wC))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
+    index.indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos_sim", round(cosine(col(embCol), col("q_emb")), 4))
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol).as("neighbor_id"), col("cos_sim"))
+  }
+}
