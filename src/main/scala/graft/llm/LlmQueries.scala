@@ -273,20 +273,25 @@ object LlmQueries {
       val w = array((0 until EmbDim).map(d => lit(annW(b, d))): _*)
       when(dot(col("emb"), w) > 0, lit(1 << (b % 4))).otherwise(lit(0))
     }
+    // Band join carries only (vec_id, band_id, bkey) — the 64-double
+    // embedding is joined back AFTER candidate dedup, so the widest
+    // shuffle is 3 small ints per row per band.
     val banded = e.select(
-      col("vec_id"), col("emb"),
+      col("vec_id"),
       explode(array((0 until 4).map { t =>
         struct(lit(t).as("band_id"),
           (4 * t until 4 * t + 4).map(bit).reduce(_ + _).as("bkey"))
       }: _*)).as("b"))
-      .select(col("vec_id"), col("emb"), col("b.band_id"), col("b.bkey"))
+      .select(col("vec_id"), col("b.band_id"), col("b.bkey"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey") &&
         col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"),
-        col("x.emb").as("ea"), col("y.emb").as("eb"))
-      .dropDuplicates("keep_id", "dup_id")
-    cand.withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
+      .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("keep_id"), col("emb").as("ea")), "keep_id")
+      .join(e.select(col("vec_id").as("dup_id"), col("emb").as("eb")), "dup_id")
+      .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
       .filter(col("cos_sim") >= 0.45)
       .select(col("keep_id"), col("dup_id"), col("cos_sim"))
   }
