@@ -34,10 +34,8 @@ object IvfSearch {
     Index(model, model.transform(vecs).drop("__vec"))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    call_function("cosine_sim", a, b)
 
   /** Probe: for each query row, search the nProbe nearest inverted lists
     * and return the top-k neighbors by cosine. The centroid table is tiny

@@ -72,8 +72,10 @@ object LlmQueries {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Fused native expression ([[graft.functions.CosineSimilarity]]):
+    * one pass, no intermediate arrays, codegen'd. */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    call_function("cosine_sim", a, b)
 
   // ----------------------------------------- shared DuckDB SQL fragments
   /** DuckDB: whitespace tokens, empties dropped. */
