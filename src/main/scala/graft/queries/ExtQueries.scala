@@ -141,7 +141,19 @@ object ExtQueries {
       "time_sorted", "seed_deterministic", "fraud_ratio_plausible", "n_nonpos_amount")
   }
 
+  /** P6: numeric coercion with null-on-error — the pandas
+    * `to_numeric(errors='coerce')` semantics (deploy.py:30). Spark 4 runs
+    * ANSI mode where a plain CAST throws, so the engine's coercion
+    * operator is try_cast, which yields null exactly like the reference. */
+  private val q59Coercion: Q = (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      expr("try_cast(p_type AS DOUBLE)").as("bad_cast"),
+      expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)").as("good_cast"),
+      expr("try_cast(substring(p_name, 1, 2) AS INT)").as("mixed_cast"))
+
   val queries: Map[String, Q] = Map(
+    "q59_coercion"      -> q59Coercion,
     "q50_right_join"    -> q50RightJoin,
     "q51_full_join"     -> q51FullJoin,
     "q52_asof_join"     -> q52AsofJoin,
@@ -152,6 +164,12 @@ object ExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q59_coercion" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_type AS DOUBLE) AS bad_cast,
+        |  TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS good_cast,
+        |  TRY_CAST(substring(p_name, 1, 2) AS INTEGER) AS mixed_cast
+        |FROM part""".stripMargin,
     "q50_right_join" ->
       """SELECT p_brand, count(l_quantity) AS n_lines, count(*) AS n_rows
         |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey

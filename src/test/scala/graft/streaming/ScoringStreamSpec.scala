@@ -61,6 +61,36 @@ class ScoringStreamSpec extends SparkSpec {
     assert(math.abs(snap.head().getDouble(1) - expected) < 1e-5)
   }
 
+  test("a fitted PipelineModel scores the stream inside foreachBatch (M5 + ST1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = graft.ml.FraudPipeline.syntheticEvalSet(spark, 300, seed = 11L)
+    val model = graft.ml.FraudPipeline
+      .logisticPipeline((0 until 10).map(i => s"f$i"), maxIter = 10).fit(eval)
+    val input = MemoryStream[(String, Seq[Double])]
+    val stream = input.toDF().toDF("transaction_id", "raw")
+    val results = scala.collection.mutable.Map[String, Double]()
+    val q = stream.writeStream
+      .option("checkpointLocation", tmp("graft-model-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val widened = (0 until 10).foldLeft(batch) { (df, i) =>
+          df.withColumn(s"f$i", col("raw").getItem(i))
+        }
+        graft.ml.FraudPipeline.scoreDF(model, widened)
+          .select("transaction_id", "score").collect()
+          .foreach(r => results.synchronized {
+            results(r.getString(0)) = r.getDouble(1)
+          })
+      }
+      .start()
+    try {
+      input.addData(("p1", Seq(3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+                    ("n1", Seq(-3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      assert(results("p1") > 0.9, s"positive example scored ${results("p1")}")
+      assert(results("n1") < 0.1, s"negative example scored ${results("n1")}")
+    } finally q.stop()
+  }
+
   test("kill-and-restart from the same checkpoint keeps exactly-once-per-key (ST2)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("graft-ckpt2")
