@@ -152,8 +152,31 @@ object ExtQueries {
       expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)").as("good_cast"),
       expr("try_cast(substring(p_name, 1, 2) AS INT)").as("mixed_cast"))
 
+  /** The spark.sql(...) surface: the same engine drives ANSI SQL text
+    * over registered views — TPC-H Q3 shape (segment-filtered shipping
+    * priority revenue). Catalyst plans SQL and DataFrame code
+    * identically, so this also pins the two front doors together. */
+  private val q60SqlSurface: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q59_coercion"      -> q59Coercion,
+    "q60_sql_surface"   -> q60SqlSurface,
     "q50_right_join"    -> q50RightJoin,
     "q51_full_join"     -> q51FullJoin,
     "q52_asof_join"     -> q52AsofJoin,
@@ -164,6 +187,17 @@ object ExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q60_sql_surface" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "q59_coercion" ->
       """SELECT p_partkey,
         |  TRY_CAST(p_type AS DOUBLE) AS bad_cast,

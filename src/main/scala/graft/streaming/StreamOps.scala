@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming building blocks beyond the scoring path (SURVEY §2.9).
   */
@@ -42,6 +43,36 @@ object StreamOps {
     import spark.implicits._
     msgs.toDF("transaction_id", "features")
       .repartition(1).write.mode("append").json(dir)
+  }
+
+  /** Custom keyed state via mapGroupsWithState (SURVEY §2.9; the
+    * engine-level analogue of Celery's per-task attempt bookkeeping,
+    * xai_tasks.py:137-163): every (transaction_id, outcome) event updates
+    * a state record of attempts; a task goes terminal FAILED once
+    * `maxAttempts` failures accumulate, COMPLETED on the first success.
+    * State is checkpointed with the query, so attempt counts survive
+    * restarts — this is ST4 done with engine-managed state rather than a
+    * status column. */
+  final case class Attempt(transactionId: String, success: Boolean)
+  final case class TaskState(attempts: Int, status: String)
+
+  def statefulAttempts(events: Dataset[Attempt], maxAttempts: Int): Dataset[(String, Int, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.transactionId)
+      .mapGroupsWithState[TaskState, (String, Int, String)](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Attempt], state: GroupState[TaskState]) =>
+          var s = state.getOption.getOrElse(TaskState(0, "PENDING"))
+          batch.foreach { a =>
+            if (s.status == "PENDING") {
+              val attempts = s.attempts + 1
+              s = if (a.success) TaskState(attempts, "COMPLETED")
+              else if (attempts >= maxAttempts) TaskState(attempts, "FAILED")
+              else TaskState(attempts, "PENDING")
+            }
+          }
+          state.update(s)
+          (key, s.attempts, s.status)
+      }
   }
 
   /** ST4: bounded-retry wrapper around a sink action. Retries transient

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Co-located join via bucketed tables: pre-bucketing both fact tables on
+  * the join key lets the sort-merge join run with ZERO exchanges — the
+  * shuffle is paid once at write time, then every subsequent join reuses
+  * the layout. This is the 100 TB answer for repeatedly-joined fact
+  * tables (SURVEY: "repartition/bucketing for co-located joins").
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    try {
+      val joined = spark.table("li_bucketed").join(
+        spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      // disable broadcast so the join must be SMJ — the point is that
+      // bucketing removes the exchanges, not that the tables are small
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        // and it is correct
+        val n = joined.count()
+        val expect = Tables.lineitem(spark, sfDir).join(
+          Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey")).count()
+        assert(n === expect)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}

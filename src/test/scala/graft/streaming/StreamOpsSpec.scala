@@ -70,6 +70,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState tracks attempts to terminal COMPLETED/FAILED (ST4/ST5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.Attempt
+    val input = MemoryStream[Attempt]
+    val q = StreamOps.statefulAttempts(input.toDS(), maxAttempts = 3)
+      .toDF("transaction_id", "attempts", "status")
+      .writeStream.format("memory").queryName("attempts_test").outputMode("update").start()
+    try {
+      input.addData(Attempt("t1", false), Attempt("t2", true))
+      q.processAllAvailable()
+      input.addData(Attempt("t1", false))
+      q.processAllAvailable()
+      input.addData(Attempt("t1", false)) // third failure -> terminal FAILED
+      q.processAllAvailable()
+      input.addData(Attempt("t1", true)) // late success must NOT resurrect
+      q.processAllAvailable()
+      // latest state per key = the row with the highest attempt count
+      val fin = spark.table("attempts_test")
+        .groupBy("transaction_id")
+        .agg(max(struct(col("attempts"), col("status"))).as("s"))
+        .select(col("transaction_id"), col("s.attempts"), col("s.status"))
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(fin("t2") === ((1, "COMPLETED")))
+      assert(fin("t1") === ((3, "FAILED")))
+    } finally q.stop()
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
