@@ -137,6 +137,19 @@ object MlQueries {
         .as("auc"))
   }
 
+  /** A9 at scale: single-pass binned AUC via the custom typed
+    * [[graft.functions.AucSketch]] Aggregator — no sort, no window,
+    * partition-parallel counts merged once. The oracle recomputes the
+    * identical 1000-bin trapezoid, so the custom aggregate is
+    * hash-verified, not just smoke-tested. */
+  private val q61AucSketch: Q = (s, dir) => {
+    val aucUdaf = udaf(new graft.functions.AucSketch(1000),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaInt))
+    scored(s, dir).agg(round(aucUdaf(col("score"), col("label")), 4).as("auc_sketch"))
+  }
+
   /** M7/M8/F3: linear SHAP φ = coef ⊙ (x − μ) against the population
     * mean background, via zip_with over broadcast μ (xai_tasks.py:104-110,
     * api/worker.py:52-53,75). Sampled output rows; φ recomputed by the
@@ -216,6 +229,7 @@ object MlQueries {
     "q44_confusion"    -> q44Confusion,
     "q45_class_report" -> q45ClassReport,
     "q46_roc_auc"      -> q46RocAuc,
+    "q61_auc_sketch"   -> q61AucSketch,
     "q47_shap_linear"  -> q47ShapLinear,
     "q48_shap_topk"    -> q48ShapTopk,
     "q49_smote_balance" -> q49SmoteBalance,
@@ -272,6 +286,21 @@ object MlQueries {
          |    coalesce(lag(tpr) OVER (ORDER BY score DESC), 0.0) AS prev_tpr
          |  FROM curve)
          |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin,
+    "q61_auc_sketch" ->
+      s"""WITH s AS ($scoredSql),
+         |b AS (SELECT least(CAST(floor(score * 1000) AS INT), 999) AS bin,
+         |    CAST(sum(label) AS BIGINT) AS tp, CAST(sum(1 - label) AS BIGINT) AS fp
+         |  FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tp) AS BIGINT) AS pos, CAST(sum(fp) AS BIGINT) AS neg FROM b),
+         |curve AS (SELECT bin,
+         |    sum(tp) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / pos AS tpr,
+         |    sum(fp) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
+         |  FROM b, tot),
+         |tz AS (SELECT fpr, tpr,
+         |    coalesce(lag(fpr) OVER (ORDER BY bin DESC), 0.0) AS prev_fpr,
+         |    coalesce(lag(tpr) OVER (ORDER BY bin DESC), 0.0) AS prev_tpr
+         |  FROM curve)
+         |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc_sketch FROM tz""".stripMargin,
     "q47_shap_linear" -> {
       val phis = shapCoefs.zip(shapFeatSql).zipWithIndex.map { case ((c, f), i) =>
         s"round($c * ($f - mu$i), 4)"
