@@ -114,7 +114,8 @@ object ExtQueries {
     * Time, positive Amount, plausible fraud ratio, determinism). */
   private val q56Generators: Q = (s, dir) => {
     val n = 500L
-    val g1 = graft.ml.FraudPipeline.syntheticCreditcard(s, n, seed = 42L, fraudRatio = 0.02)
+    // cached: the invariant checks below run ~6 actions over g1
+    val g1 = graft.ml.FraudPipeline.syntheticCreditcard(s, n, seed = 42L, fraudRatio = 0.02).cache()
     val g2 = graft.ml.FraudPipeline.syntheticCreditcard(s, n, seed = 42L, fraudRatio = 0.02)
     val checksum = (df: DataFrame) =>
       df.agg(round(sum(col("Amount")) + sum(col("V13")) + sum(col("Time")), 6)).head().getDouble(0)
@@ -174,9 +175,56 @@ object ExtQueries {
         |LIMIT 10""".stripMargin)
   }
 
+  /** A7 layout: relational pivot — confusion counts pivoted to a 2×2
+    * matrix (groupBy().pivot() with explicit values, so the plan is a
+    * single aggregation, no second scan to discover pivot keys). */
+  private val q62Pivot: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("label"),
+        when(col("l_discount") >= 0.05, 1).otherwise(0).as("prediction"))
+      .groupBy(col("label"))
+      .pivot("prediction", Seq(0, 1))
+      .agg(count(lit(1)))
+      .select(col("label"),
+        coalesce(col("0"), lit(0L)).as("pred_0"),
+        coalesce(col("1"), lit(0L)).as("pred_1"))
+      .orderBy(col("label"))
+
+  /** §2.10 generator surface: explode/unnest — corpus-wide token
+    * frequencies (the vocabulary histogram every text pipeline needs). */
+  private val q63Explode: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Approximate sketches (HLL distinct, t-digest percentile) checked by
+    * their accuracy INVARIANTS against exact values computed in the same
+    * query — approx answers are not bit-stable across engines, bounds
+    * are. */
+  private val q64ApproxSketches: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.agg(
+      approx_count_distinct(col("l_partkey")).as("hll"),
+      countDistinct(col("l_partkey")).as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5)").as("p50_approx"),
+      expr("percentile(l_extendedprice, 0.4)").as("p40"),
+      expr("percentile(l_extendedprice, 0.6)").as("p60"))
+      .select(
+        when(abs(col("hll") - col("exact")) / col("exact") < 0.05, 1).otherwise(0)
+          .as("hll_within_5pct"),
+        when(col("p50_approx").between(col("p40"), col("p60")), 1).otherwise(0)
+          .as("p50_in_band"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q59_coercion"      -> q59Coercion,
     "q60_sql_surface"   -> q60SqlSurface,
+    "q62_pivot"         -> q62Pivot,
+    "q63_explode"       -> q63Explode,
+    "q64_approx"        -> q64ApproxSketches,
     "q50_right_join"    -> q50RightJoin,
     "q51_full_join"     -> q51FullJoin,
     "q52_asof_join"     -> q52AsofJoin,
@@ -198,6 +246,18 @@ object ExtQueries {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q62_pivot" ->
+      """SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+        |  CAST(sum(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS pred_0,
+        |  CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS pred_1
+        |FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin,
+    "q63_explode" ->
+      raw"""SELECT token, count(*) AS n
+           |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+           |      FROM documents) t
+           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q64_approx" ->
+      """SELECT 1 AS hll_within_5pct, 1 AS p50_in_band""",
     "q59_coercion" ->
       """SELECT p_partkey,
         |  TRY_CAST(p_type AS DOUBLE) AS bad_cast,

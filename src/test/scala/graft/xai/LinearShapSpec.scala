@@ -41,6 +41,34 @@ class LinearShapSpec extends SparkSpec {
     assert(m.keys.toSet === feats.toSet)
   }
 
+  test("attributions from a FITTED LR model reproduce its predict_proba (M5+M7 parity)") {
+    import graft.ml.FraudPipeline
+    val eval = FraudPipeline.syntheticEvalSet(spark, 500, seed = 21L)
+    val featNames = (0 until 10).map(i => s"f$i")
+    val model = FraudPipeline.logisticPipeline(featNames, maxIter = 30).fit(eval)
+    // unpack the fitted stages: scaler stats + LR coefficients
+    val scaler = model.stages(1).asInstanceOf[org.apache.spark.ml.feature.StandardScalerModel]
+    val lr = model.stages(2).asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val mu = scaler.mean.toArray
+    val sigma = scaler.std.toArray
+    val coefs = lr.coefficients.toArray
+    // the served model scores z-scaled features; expressing the same
+    // linear form on RAW features: coef'_i = coef_i/sigma_i, with the
+    // means folded into the intercept — exactly the closed-form SHAP
+    // background transformation (api/worker.py:52-53)
+    val rawCoefs = coefs.zip(sigma).map { case (c, s0) => c / s0 }
+    val rawIntercept = lr.intercept - rawCoefs.zip(mu).map { case (c, m) => c * m }.sum
+    val attributed = LinearShap.attribute(
+      eval, featNames, rawCoefs.toSeq, mu.toSeq, rawIntercept)
+    val scored = FraudPipeline.scoreDF(model, eval)
+      .select(col("f0"), col("f1"), col("score"))
+    val joined = attributed.select(col("f0"), col("f1"), col("score").as("shap_score"))
+      .join(scored, Seq("f0", "f1"))
+    val maxDiff = joined
+      .select(max(abs(col("shap_score") - col("score")))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"closed-form score drifts from model predict_proba by $maxDiff")
+  }
+
   test("topFeatures ranks by mean |phi|") {
     val ranked = LinearShap.topFeatures(
       LinearShap.attribute(df, feats, coefs, mu), feats, 3).collect()
