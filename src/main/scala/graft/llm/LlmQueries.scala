@@ -55,11 +55,10 @@ object LlmQueries {
   private def toksCol(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
-  /** Character-level rolling hash of a token: fold (h·31 + ascii) mod P.
-    * Matches the generated DuckDB `list_reduce` exactly (ASCII text). */
-  private def tokHash(t: Column): Column =
-    aggregate(filter(split(t, ""), c => c =!= lit("")), lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(P))
+  /** Character-level rolling hash of a token: fold (h·31 + byte) mod P —
+    * the native codegen'd [[graft.functions.RollingHash]]; matches the
+    * generated DuckDB `list_reduce` ord() fold exactly on ASCII text. */
+  private def tokHash(t: Column): Column = call_function("rolling_hash", t)
 
   /** Word-bigram shingles "w_i w_{i+1}". */
   private def bigramsCol(toks: Column): Column =

@@ -25,6 +25,17 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("rolling_hash matches the per-character ascii fold and the known vector") {
+    val df = Seq("abc", "the quick brown fox", "", "a").toDF("t")
+    val out = df.select(
+      call_function("rolling_hash", $"t").as("native"),
+      expr("aggregate(filter(split(t, ''), c -> c <> ''), 0L, " +
+        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // cross-checked against DuckDB list_reduce during oracle design
+    assert(out(0).getLong(0) === 96354L)
+  }
+
   test("null inputs propagate null, and codegen path is exercised") {
     val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]])).toDF("a", "b")
     val r = df.select(call_function("cosine_sim", $"a", $"b")).head()
