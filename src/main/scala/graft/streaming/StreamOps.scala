@@ -45,6 +45,16 @@ object StreamOps {
       .repartition(1).write.mode("append").json(dir)
   }
 
+  /** ST3 in-stream variant: exactly-once-per-key emission via
+    * dropDuplicates under a watermark — the streaming half of the LLM
+    * exact-dedup operator (content fingerprint as the key). State for
+    * keys older than the watermark is evicted, which is what bounds
+    * dedup state at 100 TB/day ingest. */
+  def streamingDedup(stream: DataFrame, keyCol: String, lateness: String): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.9; the
     * engine-level analogue of Celery's per-task attempt bookkeeping,
     * xai_tasks.py:137-163): every (transaction_id, outcome) event updates

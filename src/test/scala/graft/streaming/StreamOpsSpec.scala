@@ -70,6 +70,23 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream dedup by content fingerprint emits each key once (ST3 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "fingerprint")
+    val q = StreamOps.streamingDedup(stream, "fingerprint", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, "fpA"), (ts(2), 2L, "fpB"), (ts(3), 3L, "fpA"))
+      q.processAllAvailable()
+      input.addData((ts(4), 4L, "fpA"), (ts(5), 5L, "fpC"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").select("fingerprint").as[String].collect()
+      assert(out.sorted.toSeq === Seq("fpA", "fpB", "fpC"),
+        s"stream emitted ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState tracks attempts to terminal COMPLETED/FAILED (ST4/ST5)") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.Attempt
