@@ -333,7 +333,33 @@ object LlmQueries {
       .toDF("doc_id", "n_bytes", "width", "height", "mean_byte")
   }
 
+  /** IVF ANN invariants (KMeans centroids aren't oracle-reproducible, so
+    * the oracle states the structural contract): full corpus coverage,
+    * plural inverted lists, ≤ topK results per query, probe restriction. */
+  private val q65IvfInvariants: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val index = IvfSearch.build(e, "vec_id", "emb", k = 8)
+    val res = IvfSearch.search(index, e.filter(col("vec_id") < 8), "vec_id", "emb",
+      nProbe = 2, topK = 3).cache()
+    val nIndexed = index.indexed.count()
+    val nLists = index.indexed.select("cluster").distinct().count()
+    val maxPerQuery = res.groupBy("q_id").count().agg(max("count")).head().getLong(0)
+    val clustersPerQuery = res
+      .join(index.indexed.select(col("vec_id").as("neighbor_id"), col("cluster")), "neighbor_id")
+      .groupBy("q_id").agg(countDistinct("cluster").as("nc"))
+      .agg(max("nc")).head().getLong(0)
+    Seq((
+      nIndexed,
+      if (nLists > 1 && nLists <= 8) 1 else 0,
+      if (maxPerQuery <= 3) 1 else 0,
+      if (clustersPerQuery <= 2) 1 else 0
+    )).toDF("n_indexed", "lists_plural", "topk_bounded", "probe_restricted")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q65_ivf_invariants"  -> q65IvfInvariants,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -360,6 +386,9 @@ object LlmQueries {
        |sigs AS (SELECT doc_id, sset, [${duckSigExprs.mkString(",\n  ")}] AS sig FROM hs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q65_ivf_invariants" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_indexed,
+        |  1 AS lists_plural, 1 AS topk_bounded, 1 AS probe_restricted""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,
