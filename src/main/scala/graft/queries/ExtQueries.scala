@@ -219,8 +219,34 @@ object ExtQueries {
           .as("p50_in_band"))
   }
 
+  /** ST7 batch view of session windows: gaps-and-islands — a new session
+    * starts when a user's inter-event gap exceeds 30 minutes. One
+    * window over (user, ts) + a windowed cumulative sum; identical SQL
+    * on the oracle side (session_window() itself is streaming-only
+    * shaped; this is its exact relational semantics). */
+  private val q66SessionWindows: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("longest_session"),
+        round(avg(col("session_value")), 4).as("avg_session_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q59_coercion"      -> q59Coercion,
+    "q66_session_windows" -> q66SessionWindows,
     "q60_sql_surface"   -> q60SqlSurface,
     "q62_pivot"         -> q62Pivot,
     "q63_explode"       -> q63Explode,
@@ -246,6 +272,26 @@ object ExtQueries {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q66_session_windows" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps),
+        |agg AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    round(sum(value), 4) AS session_value
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS longest_session,
+        |  round(avg(session_value), 4) AS avg_session_value
+        |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q62_pivot" ->
       """SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
         |  CAST(sum(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS pred_0,
