@@ -1,0 +1,93 @@
+package graft.api
+
+import graft.ml.FraudPipeline
+import graft.sources.ModelRegistry
+import graft.streaming.ScoringStream
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin query layer mirroring the reference's serving API (SURVEY §3.1,
+  * §7.1; api/app.py): synchronous scoring with arity validation, the
+  * async explainability handoff, point lookup of explanations, and the
+  * health/completion rollups. No HTTP here — the contract is the
+  * DataFrame/value semantics each endpoint computes; any transport can
+  * wrap it.
+  */
+final class ScoringService(
+    spark: SparkSession,
+    model: PipelineModel,
+    featureNames: Seq[String],
+    store: ScoringStream.ResultStore) {
+
+  /** POST /predict (api/app.py:179-260): validate arity (422 semantics),
+    * score a 1-row frame, return (prediction, P(1), correlationId) and
+    * queue the explanation. */
+  def predict(transactionId: String, features: Seq[Double]): Either[String, PredictionOut] =
+    ModelRegistry.validateArity(features, featureNames.size) match {
+      case Some(err) => Left(err)
+      case None =>
+        import spark.implicits._
+        val df = Seq(Tuple1(features)).toDF("raw")
+        val widened = featureNames.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+          d.withColumn(f, col("raw").getItem(i))
+        }
+        val row = FraudPipeline.scoreDF(model, widened)
+          .select(col("prediction"), col("score")).head()
+        val correlationId = java.util.UUID.randomUUID().toString
+        enqueueExplain(transactionId, features)
+        Right(PredictionOut(transactionId, row.getDouble(0).toInt, row.getDouble(1),
+          correlationId, "Calculation queued"))
+    }
+
+  /** The async handoff (api/app.py:243-245 → xai_tasks): here the
+    * explanation is computed through the same scoreBatch path the
+    * streaming worker uses, and upserted idempotently. */
+  private def enqueueExplain(transactionId: String, features: Seq[Double]): Unit = {
+    import spark.implicits._
+    val (coefs, mu, intercept) = linearForm
+    val batch = Seq((transactionId, featureNames.zip(features).toMap))
+      .toDF("transaction_id", "features")
+    // label = transaction id: unique per logical write, idempotent under
+    // retry (a colliding NUMERIC batch id would overwrite another txn's dir)
+    store.upsertLabeled(
+      ScoringStream.scoreBatch(batch, featureNames, coefs, mu, intercept),
+      label = java.net.URLEncoder.encode(transactionId, "UTF-8"),
+      order = System.currentTimeMillis())
+  }
+
+  /** The served model's closed linear form on raw features — scaler μ/σ
+    * folded into coefficients/intercept (the LinearShapSpec parity). */
+  lazy val linearForm: (Seq[Double], Seq[Double], Double) = {
+    val scaler = model.stages(1).asInstanceOf[org.apache.spark.ml.feature.StandardScalerModel]
+    val lr = model.stages(2).asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val sigma = scaler.std.toArray
+    val mu = scaler.mean.toArray
+    val raw = lr.coefficients.toArray.zip(sigma).map { case (c, s) => c / s }
+    val b0 = lr.intercept - raw.zip(mu).map { case (c, m) => c * m }.sum
+    (raw.toSeq, mu.toSeq, b0)
+  }
+
+  /** GET /explain/{id} (api/app.py:262-278): point lookup by key. */
+  def explain(transactionId: String): Option[Row] = {
+    val rows = store.snapshot(spark)
+      .filter(col("transaction_id") === transactionId)
+      .collect()
+    rows.headOption
+  }
+
+  /** GET /health (api/app.py:135-175) + the completion rollup (A12). */
+  def health(): HealthOut = {
+    val rollup = try {
+      val r = store.completionRollup(spark).head()
+      Some((r.getLong(0), r.getLong(1)))
+    } catch { case _: Throwable => None }
+    HealthOut(modelLoaded = model != null,
+      total = rollup.map(_._1).getOrElse(0L),
+      completed = rollup.map(_._2).getOrElse(0L))
+  }
+}
+
+final case class PredictionOut(transactionId: String, prediction: Int, score: Double,
+    correlationId: String, message: String)
+final case class HealthOut(modelLoaded: Boolean, total: Long, completed: Long)

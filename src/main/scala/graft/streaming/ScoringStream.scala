@@ -58,8 +58,15 @@ object ScoringStream {
   final class ResultStore(val path: String) extends Serializable {
     /** ST3: replay-safe — same batchId always lands in the same dir. */
     def upsert(results: DataFrame, batchId: Long): Unit =
-      results.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      upsertLabeled(results, batchId.toString, batchId)
+
+    /** Label-keyed variant for non-streaming writers (e.g. the API path,
+      * one label per transaction): the label must be unique per logical
+      * write and stable under retry; `order` breaks last-writer-wins
+      * ties in the snapshot. */
+    def upsertLabeled(results: DataFrame, label: String, order: Long): Unit =
+      results.withColumn("batch_id", lit(order))
+        .write.mode("overwrite").parquet(s"$path/batch=$label")
 
     /** Last-writer-wins current state, one row per transaction_id. */
     def snapshot(spark: SparkSession): DataFrame = {
