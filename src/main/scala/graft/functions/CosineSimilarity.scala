@@ -87,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigsExpr(children.head)))
   }
 }

@@ -35,17 +35,10 @@ object LlmQueries {
   private val AnnBits = 8     // ANN hyperplane count
   private val EmbDim = 64
 
-  /** splitmix64 finalizer — deterministic parameter generation. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  /** MinHash permutation params h_i(x) = (a_i·x + b_i) mod P; a_i ∈ [1,P). */
-  private val minhashAB: IndexedSeq[(Long, Long)] = (0 until NumSig).map { i =>
-    (((mix64(2 * i + 1) & Long.MaxValue) % (P - 1)) + 1, (mix64(2 * i + 2) & Long.MaxValue) % P)
-  }
+  /** MinHash permutation params — shared with the native
+    * [[graft.functions.MinHashSigsExpr]] so Spark and the generated
+    * oracle SQL use identical constants. */
+  private val minhashAB: IndexedSeq[(Long, Long)] = graft.functions.MinHashParams.ab
   /** ANN random-hyperplane weights w(b,d) ∈ [-504, 504], deterministic. */
   private def annW(b: Int, d: Int): Double =
     ((2654435761L * (b * EmbDim + d + 1)) % 1009L - 504L).toDouble
@@ -160,10 +153,10 @@ object LlmQueries {
       .filter(size(col("tk")) >= 2)
       .withColumn("sset", array_distinct(bigramsCol(col("tk"))))
       .withColumn("hh", array_distinct(transform(col("sset"), t => tokHash(t))))
-    val sigCols = minhashAB.map { case (a, b) =>
-      array_min(transform(col("hh"), h => (lit(a) * h + lit(b)) % lit(P)))
-    }
-    withShingles.select(col("doc_id"), col("sset"), array(sigCols: _*).as("sig"))
+    // all 16 signature minima in one native codegen'd pass (vs 16×
+    // array_min(transform(...)) traversals)
+    withShingles.select(col("doc_id"), col("sset"),
+      call_function("minhash_sigs", col("hh")).as("sig"))
   }
 
   /** MinHash signatures, one row per doc — the sketch itself is

@@ -244,8 +244,61 @@ object ExtQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Statistical aggregates (EDA surface): correlation, covariance
+    * (population + sample), variance, sample stddev in one pass. */
+  private val q67StatsFns: Q = (s, dir) =>
+    Tables.lineitem(s, dir).agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+      round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_pop_qp"),
+      round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_samp_qp"),
+      round(var_pop(col("l_discount")), 6).as("var_pop_disc"),
+      round(stddev_samp(col("l_discount")), 6).as("stddev_samp_disc"))
+
+  /** Fuzzy matching: Levenshtein edit distance between part names — the
+    * string-similarity half of near-dup detection (bounded pair set). */
+  private val q68EditDistance: Q = (s, dir) => {
+    val a = Tables.part(s, dir).filter(col("p_partkey") <= 15)
+      .select(col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+    val b = Tables.part(s, dir).filter(col("p_partkey") <= 40)
+      .select(col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+    a.join(broadcast(b), col("pk_a") < col("pk_b"))
+      .select(col("pk_a"), col("pk_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+  }
+
+  /** Datetime scalar surface: calendar extraction + interval arithmetic. */
+  private val q69DatetimeFns: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("plus3d"))
+
+  /** Null semantics: nullif/coalesce/null-safe equality (the engine's
+    * `<=>` vs SQL's IS [NOT] DISTINCT FROM). */
+  private val q70NullSemantics: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 101 === 0)
+      .withColumn("nf", nullif(col("o_orderstatus"), lit("O")))
+      .select(
+        col("o_orderkey"),
+        col("nf"),
+        coalesce(col("nf"), lit("open")).as("backfilled"),
+        (col("nf") <=> lit("F")).cast("int").as("nsafe_eq_f"),
+        (!(col("nf") <=> lit("F"))).cast("int").as("distinct_from_f"),
+        when(col("nf").isNull, "was_open").otherwise("terminal").as("bucket"))
+
   val queries: Map[String, Q] = Map(
     "q59_coercion"      -> q59Coercion,
+    "q67_stats_fns"     -> q67StatsFns,
+    "q68_edit_distance" -> q68EditDistance,
+    "q69_datetime_fns"  -> q69DatetimeFns,
+    "q70_null_semantics" -> q70NullSemantics,
     "q66_session_windows" -> q66SessionWindows,
     "q60_sql_surface"   -> q60SqlSurface,
     "q62_pivot"         -> q62Pivot,
@@ -272,6 +325,31 @@ object ExtQueries {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q67_stats_fns" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
+        |  round(var_pop(l_discount), 6) AS var_pop_disc,
+        |  round(stddev_samp(l_discount), 6) AS stddev_samp_disc
+        |FROM lineitem""".stripMargin,
+    "q68_edit_distance" ->
+      """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |  levenshtein(a.p_name, b.p_name) AS edit_dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey <= 15 AND b.p_partkey <= 40""".stripMargin,
+    "q69_datetime_fns" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        |  last_day(o_orderdate) AS month_end,
+        |  o_orderdate + INTERVAL 3 DAY AS plus3d
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
+    "q70_null_semantics" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS nf,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS backfilled,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END AS nsafe_eq_f,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F' THEN 1 ELSE 0 END AS distinct_from_f,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 'was_open' ELSE 'terminal' END AS bucket
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
     "q66_session_windows" ->
       """WITH gaps AS (
         |  SELECT user_id, ts, value,
