@@ -85,6 +85,55 @@ object StreamOps {
       }
   }
 
+  /** flatMapGroupsWithState sessionization: state holds the open session
+    * per user; an event-time timeout (watermark-driven) closes it and
+    * EMITS the summary — zero-or-more outputs per group per trigger,
+    * which is what flatMap (vs map) GroupsWithState exists for. An event
+    * arriving after a gap longer than `gapMs` also closes the previous
+    * session inline. */
+  final case class UserEvent(userId: Long, tsMs: Long)
+  final case class SessionState(start: Long, end: Long, n: Int)
+  final case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
+
+  def flatMapSessions(events: Dataset[UserEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", (col("tsMs") / 1000.0).cast("timestamp"))
+      .withWatermark("eventTime", "10 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.start, s.end, s.n))
+          } else {
+            val times = batch.map(_._2).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** ST4: bounded-retry wrapper around a sink action. Retries transient
     * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
     * backoff + terminal give-up); returns the number of attempts used or

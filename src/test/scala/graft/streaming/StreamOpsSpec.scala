@@ -114,6 +114,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.UserEvent
+    val input = MemoryStream[UserEvent]
+    val q = StreamOps.flatMapSessions(input.toDS(), gapMs = 5000)
+      .writeStream.format("memory").queryName("fmgws_test").outputMode("append").start()
+    try {
+      // user 1: burst of 3 (2s apart), then a far later event closes it
+      // inline (base offset keeps events clear of the initial watermark)
+      val base = 100000L
+      input.addData(UserEvent(1L, base), UserEvent(1L, base + 2000L), UserEvent(1L, base + 4000L))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, base + 60000L)) // gap > 5s -> closes burst
+      q.processAllAvailable()
+      // push the watermark far ahead so the open session times out
+      input.addData(UserEvent(9L, base + 500000L))
+      q.processAllAvailable()
+      input.addData(UserEvent(9L, base + 900000L))
+      q.processAllAvailable()
+      val sessions = spark.table("fmgws_test")
+        .filter($"userId" === 1L).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+      assert(sessions.nonEmpty, "no session closed for user 1")
+      assert(sessions.head === ((base, base + 4000L, 3)), s"got ${sessions.mkString(",")}")
+      // the +60s singleton must also have been closed by the timeout
+      assert(sessions.length === 2)
+      assert(sessions(1) === ((base + 60000L, base + 60000L, 1)))
+    } finally q.stop()
+  }
+
+  test("sampleBy draws a seeded approximate stratified sample (W6 scale path)") {
+    val df = graft.Tables.lineitem(spark, sfDir)
+      .withColumn("label", (col("l_quantity") > 25).cast("int"))
+    val sampled = df.stat.sampleBy("label", Map(0 -> 0.2, 1 -> 0.5), 42L)
+    val base = df.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(got(0).toDouble / base(0) - 0.2) < 0.05)
+    assert(math.abs(got(1).toDouble / base(1) - 0.5) < 0.05)
+    // seeded: same sample on re-run
+    val again = df.stat.sampleBy("label", Map(0 -> 0.2, 1 -> 0.5), 42L).count()
+    assert(again === sampled.count())
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
