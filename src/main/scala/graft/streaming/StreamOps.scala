@@ -85,6 +85,27 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join (click→purchase attribution): both
+    * sides watermarked, join condition bounded by an event-time interval
+    * so the engine can evict state for timestamps the watermark has
+    * passed — the only way a stream-stream join holds bounded state at
+    * 100 TB/day. Expects (user_id, ts, click_id) vs (user_id, ts,
+    * purchase_id, value). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      attributionWindow: String, lateness: String): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+      .withWatermark("c_ts", lateness)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("purchase_id"), col("value"))
+      .withWatermark("p_ts", lateness)
+    c.join(p, expr(
+      s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $attributionWindow"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("value"), col("c_ts"), col("p_ts"))
+  }
+
   /** flatMapGroupsWithState sessionization: state holds the open session
     * per user; an event-time timeout (watermark-driven) closes it and
     * EMITS the summary — zero-or-more outputs per group per trigger,

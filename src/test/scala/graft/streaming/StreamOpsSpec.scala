@@ -114,6 +114,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, String, Double)]
+    val joined = StreamOps.clickAttribution(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id", "value"),
+      attributionWindow = "30 minutes", lateness = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), "c1"), (2L, ts(5), "c2"))
+      purchases.addData((1L, ts(10), "p1", 99.0)) // within 30m of c1
+      purchases.addData((2L, ts(50), "p2", 5.0))  // beyond 30m of c2 -> no match
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("click_id", "purchase_id", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("c1", "p1", 99.0)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.UserEvent
