@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate RESOLUTION: detection (MinHash LSH, q37) yields pairs;
+  * turning pairs into a deduped corpus needs the connected components of
+  * the similarity graph — a doc chain A~B~C is ONE duplicate group even
+  * if A and C never collide directly.
+  *
+  * Components are computed by iterative min-label propagation: every
+  * node starts labeled with itself; each round takes the min of its own
+  * and its neighbors' labels; convergence is bounded by the component
+  * diameter (near-dup clusters are tiny, so 2-4 rounds in practice).
+  * Each round is one shuffle-join on the edge list — the standard
+  * scalable formulation (no driver-side graph, no recursion depth tied
+  * to data size).
+  */
+object Dedup {
+
+  /** edges: two long columns (a, b). Returns (node, component) where
+    * component = min node id reachable. Only nodes appearing in an edge
+    * are returned (isolated docs are trivially their own component). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          col("label"))
+        .cache()
+      val changed = updated.filter(col("new_label") < col("label")).count()
+      val next = updated.select(col("node"), col("new_label").as("label")).cache()
+      labels.unpersist()
+      updated.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+}

@@ -351,8 +351,23 @@ object LlmQueries {
     )).toDF("n_indexed", "lists_plural", "topk_bounded", "probe_restricted")
   }
 
+  /** Near-dup RESOLUTION: connected components over the q37 similarity
+    * graph ([[Dedup.connectedComponents]] min-label propagation), so
+    * transitive chains A~B~C collapse to one canonical document. The
+    * oracle recomputes components with a recursive CTE over the same
+    * LSH-derived edges — the iterative distributed algorithm is
+    * hash-checked against closed-form SQL recursion. */
+  private val q71DedupComponents: Q = (s, dir) => {
+    val pairs = q37NeardupMinhash(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"),
+        (col("node") === col("component")).cast("int").as("is_canonical"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
+    "q71_dedup_components" -> q71DedupComponents,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -377,6 +392,27 @@ object LlmQueries {
        |sh AS (SELECT doc_id, list_distinct($duckBigrams) AS sset FROM toks WHERE len(tk) >= 2),
        |hs AS (SELECT doc_id, sset, list_distinct(list_transform(sset, t -> ${duckTokHash("t")})) AS hh FROM sh),
        |sigs AS (SELECT doc_id, sset, [${duckSigExprs.mkString(",\n  ")}] AS sig FROM hs)""".stripMargin
+
+  /** Shared CTE chain producing the LSH-verified `scored` pairs (used by
+    * q37 detection and q71 resolution). */
+  private lazy val duckNeardupCTEs: String =
+    s"""$duckSigsCTE,
+       |bands AS (
+       |  SELECT doc_id, sig, i.j AS band_id, sig[2*i.j + 1] AS k0, sig[2*i.j + 2] AS k1
+       |  FROM sigs, (SELECT unnest(range(0, $NumBands)) AS j) i),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.doc_id < y.doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(list_sum(list_transform(range(1, ${NumSig + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig, 4) AS est_jaccard,
+       |    round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+       |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+       |  FROM cand c
+       |  JOIN sigs a ON a.doc_id = c.doc_a
+       |  JOIN sigs b ON b.doc_id = c.doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q65_ivf_invariants" ->
@@ -425,24 +461,20 @@ object LlmQueries {
          |SELECT doc_id, $bits AS simhash FROM h""".stripMargin
     },
     "q37_neardup_minhash" ->
-      s"""WITH $duckSigsCTE,
-         |bands AS (
-         |  SELECT doc_id, sig, i.j AS band_id, sig[2*i.j + 1] AS k0, sig[2*i.j + 2] AS k1
-         |  FROM sigs, (SELECT unnest(range(0, $NumBands)) AS j) i),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_id = y.band_id AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.doc_id < y.doc_id),
-         |scored AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    round(list_sum(list_transform(range(1, ${NumSig + 1}),
-         |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig, 4) AS est_jaccard,
-         |    round(len(list_intersect(a.sset, b.sset))::DOUBLE /
-         |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
-         |  FROM cand c
-         |  JOIN sigs a ON a.doc_id = c.doc_a
-         |  JOIN sigs b ON b.doc_id = c.doc_b)
+      s"""WITH $duckNeardupCTEs
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
+    "q71_dedup_components" ->
+      s"""WITH RECURSIVE $duckNeardupCTEs,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.4),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM sym
+         |  UNION SELECT a, b FROM sym
+         |  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
+         |SELECT n AS doc_id, min(m) AS component,
+         |  CASE WHEN n = min(m) THEN 1 ELSE 0 END AS is_canonical
+         |FROM reach GROUP BY n""".stripMargin,
     "q38_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),

@@ -11,7 +11,7 @@ class LlmQueriesSpec extends SparkSpec {
       val n = df.count()
       // pair-producing queries may legitimately be small; per-doc ones must
       // cover every document
-      if (Set("q37_neardup_minhash", "q57_embed_neardup")(name)) assert(n >= 0)
+      if (Set("q37_neardup_minhash", "q57_embed_neardup", "q71_dedup_components")(name)) assert(n >= 0)
       else assert(n > 0, s"$name returned no rows")
     }
   }
