@@ -240,7 +240,11 @@ object ExtQueries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("longest_session"),
-        round(avg(col("session_value")), 4).as("avg_session_value"))
+        // sum, not avg: the values are 2-decimal currency, so sums sit
+        // safely off rounding boundaries; averages divided by
+        // power-of-two session counts land exactly on x.xxxx5 where
+        // 1e-13 cross-engine float noise flips round()
+        round(sum(col("session_value")), 2).as("total_session_value"))
       .orderBy(col("user_id"))
   }
 
@@ -368,7 +372,7 @@ object ExtQueries {
         |  FROM sess GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions,
         |  max(n_events) AS longest_session,
-        |  round(avg(session_value), 4) AS avg_session_value
+        |  round(sum(session_value), 2) AS total_session_value
         |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q62_pivot" ->
       """SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
