@@ -222,7 +222,29 @@ object MlQueries {
       .orderBy(col("label"))
   }
 
+  /** W2 at scale: top-3 parts per brand via the bounded-heap
+    * [[graft.functions.TopKAgg]] Aggregator — map-side partial
+    * aggregation caps every partition's contribution at k rows per
+    * group, vs the window formulation's full per-group sort (q08, same
+    * oracle semantics). */
+  private val q72TopkAgg: Q = (s, dir) => {
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("p_brand"),
+        (col("pos") + 1).as("price_rank"),
+        col("entry._2").as("p_partkey"),
+        round(col("entry._1"), 2).as("p_retailprice"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_topk_agg"     -> q72TopkAgg,
     "q41_scaler_stats" -> q41ScalerStats,
     "q42_strat_split"  -> q42StratSplit,
     "q43_kfold_assign" -> q43KfoldAssign,
@@ -286,6 +308,13 @@ object MlQueries {
          |    coalesce(lag(tpr) OVER (ORDER BY score DESC), 0.0) AS prev_tpr
          |  FROM curve)
          |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin,
+    "q72_topk_agg" ->
+      """SELECT p_brand, price_rank, p_partkey, round(p_retailprice, 2) AS p_retailprice
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+        |      FROM part) t
+        |WHERE price_rank <= 3""".stripMargin,
     "q61_auc_sketch" ->
       s"""WITH s AS ($scoredSql),
          |b AS (SELECT least(CAST(floor(score * 1000) AS INT), 999) AS bin,
