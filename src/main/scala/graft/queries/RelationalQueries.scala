@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Half-up rounding to 4dp as floor arithmetic — bit-identical across
+    * engines for identical input doubles (see q02 avg_disc comment). */
+  private[queries] def fpRound4(c: org.apache.spark.sql.Column) =
+    floor(c * 10000.0 + 0.5) / 10000.0
+  private[queries] val fpRound4Sql = (e: String) => s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   // ---------------------------------------------------------------- scans
   /** S1/P1-P3: pruned projection + pushed filter. */
   private val q01PrunedScan: Q = (s, dir) =>
@@ -37,7 +43,15 @@ object RelationalQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // Decimal-valued averages need two guards for cross-engine hash
+        // parity: (1) snap the sum to its exact 0.01 grid before
+        // dividing (summation-order ulp noise), and (2) round via
+        // floor(x·10^4 + 0.5) — Spark's round() goes through the decimal
+        // string (HALF_UP on "…5") while DuckDB rounds the binary value,
+        // so they disagree on true half-way doubles; floor of identical
+        // doubles is identical everywhere. Integer-valued sums (qty) are
+        // order-exact, so plain avg+round is safe there.
+        fpRound4(round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -253,7 +267,8 @@ object RelationalQueries {
   private val q19DateTrunc: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        fpRound4(round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
       .orderBy(col("day"), col("event_type"))
 
   /** ST7 tumbling 1-hour window over the events stream table (batch view;
@@ -278,7 +293,9 @@ object RelationalQueries {
       .agg(
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("n_purchase"),
         sum(when(col("event_type") =!= "purchase", 1).otherwise(0)).cast("long").as("n_other"),
-        round(avg(when(col("event_type") === "purchase", col("value"))), 4).as("avg_purchase_value"))
+        fpRound4(round(sum(when(col("event_type") === "purchase", col("value"))), 2) /
+          nullif(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)), lit(0L)))
+          .as("avg_purchase_value"))
 
   val queries: Map[String, Q] = Map(
     "q01_pruned_scan"    -> q01PrunedScan,
@@ -317,7 +334,7 @@ object RelationalQueries {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((round(sum(l_discount), 2) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -420,7 +437,8 @@ object RelationalQueries {
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "q19_date_trunc" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
-        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |  count(*) AS n,
+        |  floor((round(sum(value), 2) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q20_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -432,7 +450,9 @@ object RelationalQueries {
     "q22_cond_counts" ->
       """SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
-        |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS avg_purchase_value
+        |  floor((round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) /
+        |         nullif(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)) * 10000.0 + 0.5) / 10000.0
+        |    AS avg_purchase_value
         |FROM events""".stripMargin,
     "q23_theta_join" ->
       """SELECT p_brand, count(*) AS n_matches, round(sum(l_quantity), 2) AS qty_in_window
