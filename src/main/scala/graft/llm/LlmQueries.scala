@@ -44,6 +44,13 @@ object LlmQueries {
     ((2654435761L * (b * EmbDim + d + 1)) % 1009L - 504L).toDouble
 
   // ------------------------------------------- shared Spark-side builders
+  /** Half-up 4dp rounding as floor arithmetic: integer-ratio outputs
+    * (jaccard, token ratios) can land EXACTLY on round()'s half-way
+    * points, where Spark (decimal-string HALF_UP) and DuckDB (binary)
+    * disagree; floor of identical doubles never does. */
+  private def fpRound4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def fpRound4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   /** Whitespace tokens, empties dropped. */
   private def toksCol(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
@@ -100,9 +107,9 @@ object LlmQueries {
         col("doc_id"),
         size(col("tk")).as("n_tokens"),
         size(array_distinct(col("tk"))).as("n_distinct"),
-        round(aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double")
-          / size(col("tk")), 4).as("avg_tok_len"),
-        round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4).as("ttr"))
+        fpRound4(aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double")
+          / size(col("tk"))).as("avg_tok_len"),
+        fpRound4(size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("ttr"))
 
   /** Stopword-overlap language-ID heuristic (deterministic, CASE-ranked). */
   private val langStops: Seq[(String, Seq[String])] = Seq(
@@ -135,7 +142,7 @@ object LlmQueries {
       .withColumn("ttr", size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
       .select(
         col("doc_id"),
-        round(least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 + col("ttr") * 0.5, 4)
+        fpRound4(least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 + col("ttr") * 0.5)
           .as("quality"))
       .withColumn("low_quality", (col("quality") < 0.55).cast("int"))
 
@@ -205,12 +212,12 @@ object LlmQueries {
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sset").as("set_b"), col("sig").as("sig_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("jaccard", round(col("n_inter").cast("double")
-        / (size(col("set_a")) + size(col("set_b")) - col("n_inter")), 4))
-      .withColumn("est_jaccard", round(
+      .withColumn("jaccard", fpRound4(col("n_inter").cast("double")
+        / (size(col("set_a")) + size(col("set_b")) - col("n_inter"))))
+      .withColumn("est_jaccard", fpRound4(
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
-          .cast("double") / lit(NumSig.toDouble), 4))
+          .cast("double") / lit(NumSig.toDouble)))
       .filter(col("jaccard") >= 0.4)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }
@@ -319,8 +326,9 @@ object LlmQueries {
           // deterministic fake derives "image" metadata from the payload.
           val n = bytes.length
           val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-          (id, n, n % 64 + 1, n % 48 + 1,
-            BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          // floor-form rounding: see fpRound4 — keeps the stub's driver-side
+          // arithmetic bit-identical to the oracle's SQL formula
+          (id, n, n % 64 + 1, n % 48 + 1, math.floor(mean * 10000.0 + 0.5) / 10000.0)
         }
       }
       .toDF("doc_id", "n_bytes", "width", "height", "mean_byte")
@@ -406,10 +414,10 @@ object LlmQueries {
        |    ON x.band_id = y.band_id AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.doc_id < y.doc_id),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    round(list_sum(list_transform(range(1, ${NumSig + 1}),
-       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig, 4) AS est_jaccard,
-       |    round(len(list_intersect(a.sset, b.sset))::DOUBLE /
-       |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+       |    ${fpRound4Sql(s"list_sum(list_transform(range(1, ${NumSig + 1}), " +
+                s"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig")} AS est_jaccard,
+       |    ${fpRound4Sql("len(list_intersect(a.sset, b.sset))::DOUBLE / " +
+                "(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))")} AS jaccard
        |  FROM cand c
        |  JOIN sigs a ON a.doc_id = c.doc_a
        |  JOIN sigs b ON b.doc_id = c.doc_b)""".stripMargin
@@ -423,8 +431,8 @@ object LlmQueries {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q31_text_stats" ->
       s"""SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
-         |  round(list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk), 4) AS avg_tok_len,
-         |  round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS ttr
+         |  ${fpRound4Sql("list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk)")} AS avg_tok_len,
+         |  ${fpRound4Sql("len(list_distinct(tk))::DOUBLE / len(tk)")} AS ttr
          |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
     "q32_lang_id" -> {
       val hits = langStops.map { case (l, stops) =>
@@ -440,11 +448,14 @@ object LlmQueries {
          |       ELSE 'unk' END AS lang_guess
          |FROM h""".stripMargin
     },
-    "q33_quality_score" ->
+    "q33_quality_score" -> {
+      val qExpr = fpRound4Sql(
+        "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
       s"""SELECT doc_id,
-         |  round(least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5, 4) AS quality,
-         |  CASE WHEN round(least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5, 4) < 0.55 THEN 1 ELSE 0 END AS low_quality
-         |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
+         |  $qExpr AS quality,
+         |  CASE WHEN $qExpr < 0.55 THEN 1 ELSE 0 END AS low_quality
+         |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin
+    },
     "q34_fingerprint" ->
       s"""SELECT doc_id, ${duckTokHash("text")} AS fingerprint FROM documents""",
     "q35_minhash_sigs" -> {
@@ -526,10 +537,10 @@ object LlmQueries {
            |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_vocab
            |FROM documents""".stripMargin,
     "q40_multimodal_stub" ->
-      """SELECT doc_id, length(text) AS n_bytes,
-        |  length(text) % 64 + 1 AS width, length(text) % 48 + 1 AS height,
-        |  round(list_sum(list_transform(range(1, length(text)+1),
-        |    i -> ord(substr(text, i, 1))))::DOUBLE / length(text), 4) AS mean_byte
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, length(text) AS n_bytes,
+         |  length(text) % 64 + 1 AS width, length(text) % 48 + 1 AS height,
+         |  ${fpRound4Sql("list_sum(list_transform(range(1, length(text)+1), " +
+               "i -> ord(substr(text, i, 1))))::DOUBLE / length(text)")} AS mean_byte
+         |FROM documents""".stripMargin,
   )
 }

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
 object MlQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Half-up 4dp rounding via floor — integer-count ratios (P/R/F1,
+    * accuracy) can land exactly on round()'s half-way points where Spark
+    * and DuckDB disagree; floor of identical doubles cannot. */
+  private def fpRound4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def fpRound4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   // Deterministic per-row uniform in [0,1): pure integer arithmetic.
   private def uCol: Column =
     ((col("l_orderkey") * 9973L + col("l_linenumber") * 7919L) % 1000L) / 1000.0
@@ -99,15 +105,15 @@ object MlQueries {
     val tn = sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L))
     p.agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
       .select(
-        round(col("tp") / (col("tp") + col("fp")), 4).as("precision_1"),
-        round(col("tp") / (col("tp") + col("fn")), 4).as("recall_1"),
-        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 4).as("f1_1"),
-        round(col("tn") / (col("tn") + col("fn")), 4).as("precision_0"),
-        round(col("tn") / (col("tn") + col("fp")), 4).as("recall_0"),
-        round(lit(2.0) * col("tn") / (lit(2.0) * col("tn") + col("fn") + col("fp")), 4).as("f1_0"),
+        fpRound4(col("tp") / (col("tp") + col("fp"))).as("precision_1"),
+        fpRound4(col("tp") / (col("tp") + col("fn"))).as("recall_1"),
+        fpRound4(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn"))).as("f1_1"),
+        fpRound4(col("tn") / (col("tn") + col("fn"))).as("precision_0"),
+        fpRound4(col("tn") / (col("tn") + col("fp"))).as("recall_0"),
+        fpRound4(lit(2.0) * col("tn") / (lit(2.0) * col("tn") + col("fn") + col("fp"))).as("f1_0"),
         (col("tp") + col("fn")).as("support_1"),
         (col("tn") + col("fp")).as("support_0"),
-        round((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")), 4)
+        fpRound4((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")))
           .as("accuracy"))
   }
 
@@ -288,12 +294,14 @@ object MlQueries {
          |  CAST(sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          |  CAST(sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |  FROM ($scoredSql) s)
-         |SELECT round(tp / (tp + fp), 4) AS precision_1, round(tp / (tp + fn), 4) AS recall_1,
-         |  round(2.0 * tp / (2.0 * tp + fp + fn), 4) AS f1_1,
-         |  round(tn / (tn + fn), 4) AS precision_0, round(tn / (tn + fp), 4) AS recall_0,
-         |  round(2.0 * tn / (2.0 * tn + fn + fp), 4) AS f1_0,
+         |SELECT ${fpRound4Sql("tp / (tp + fp)")} AS precision_1,
+         |  ${fpRound4Sql("tp / (tp + fn)")} AS recall_1,
+         |  ${fpRound4Sql("2.0 * tp / (2.0 * tp + fp + fn)")} AS f1_1,
+         |  ${fpRound4Sql("tn / (tn + fn)")} AS precision_0,
+         |  ${fpRound4Sql("tn / (tn + fp)")} AS recall_0,
+         |  ${fpRound4Sql("2.0 * tn / (2.0 * tn + fn + fp)")} AS f1_0,
          |  tp + fn AS support_1, tn + fp AS support_0,
-         |  round((tp + tn) / (tp + tn + fp + fn), 4) AS accuracy
+         |  ${fpRound4Sql("(tp + tn) / (tp + tn + fp + fn)")} AS accuracy
          |FROM c""".stripMargin,
     "q46_roc_auc" ->
       s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
