@@ -297,8 +297,39 @@ object ExtQueries {
         (!(col("nf") <=> lit("F"))).cast("int").as("distinct_from_f"),
         when(col("nf").isNull, "was_open").otherwise("terminal").as("bucket"))
 
+  /** Explicit GROUPING SETS (the general form behind cube/rollup q11/q12):
+    * chosen aggregation levels only, one pass. */
+  private val q73GroupingSets: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n,
+        |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** RANGE window frame (value-based, vs the ROWS frames of q09/q24):
+    * per-customer rolling 30-day spend. The order key is epoch days so
+    * both engines run an identical numeric RANGE frame. */
+  private val q74RangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_key"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("day_key",
+        // orders dates are TIMESTAMP_NTZ; cast through TIMESTAMP (session
+        // is pinned UTC, so the instant is unchanged) for unix_micros
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("spend_30d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q59_coercion"      -> q59Coercion,
+    "q73_grouping_sets" -> q73GroupingSets,
+    "q74_range_frame"   -> q74RangeFrame,
     "q67_stats_fns"     -> q67StatsFns,
     "q68_edit_distance" -> q68EditDistance,
     "q69_datetime_fns"  -> q69DatetimeFns,
@@ -329,6 +360,20 @@ object ExtQueries {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q73_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n,
+        |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q74_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_key
+        |        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_key
+        |      FROM orders) t""".stripMargin,
     "q67_stats_fns" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
