@@ -55,9 +55,9 @@ object Bench {
     val total = timed.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
-    println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
-    spark.stop()
+    spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
+    println(json)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -49,11 +49,13 @@ final class ScoringService(
     val batch = Seq((transactionId, featureNames.zip(features).toMap))
       .toDF("transaction_id", "features")
     // label = transaction id: unique per logical write, idempotent under
-    // retry (a colliding NUMERIC batch id would overwrite another txn's dir)
+    // retry (a colliding NUMERIC batch id would overwrite another txn's dir);
+    // order comes from the store's shared monotonic clock so API and
+    // streaming writes resolve last-writer-wins in one time domain
     store.upsertLabeled(
       ScoringStream.scoreBatch(batch, featureNames, coefs, mu, intercept),
       label = java.net.URLEncoder.encode(transactionId, "UTF-8"),
-      order = System.currentTimeMillis())
+      order = ScoringStream.nextWriteStamp())
   }
 
   /** The served model's closed linear form on raw features — scaler μ/σ

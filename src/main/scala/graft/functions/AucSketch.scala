@@ -23,7 +23,10 @@ class AucSketch(nBins: Int) extends Aggregator[(Double, Int), Array[Long], Doubl
   override def zero: Array[Long] = new Array[Long](2 * nBins)
 
   override def reduce(buf: Array[Long], in: (Double, Int)): Array[Long] = {
-    val bin = math.min(math.floor(in._1 * nBins).toInt, nBins - 1)
+    // clamp to [0, nBins-1]: a score outside the documented [0,1] domain
+    // (or NaN, which floors to bin 0) lands in the edge bin instead of
+    // indexing out of bounds deep inside codegen'd aggregation
+    val bin = math.max(0, math.min(math.floor(in._1 * nBins).toInt, nBins - 1))
     if (in._2 == 1) buf(2 * bin) += 1 else buf(2 * bin + 1) += 1
     buf
   }

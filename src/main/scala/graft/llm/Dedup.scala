@@ -20,7 +20,12 @@ object Dedup {
 
   /** edges: two long columns (a, b). Returns (node, component) where
     * component = min node id reachable. Only nodes appearing in an edge
-    * are returned (isolated docs are trivially their own component). */
+    * are returned (isolated docs are trivially their own component).
+    *
+    * Throws `IllegalStateException` if `maxIter` rounds pass without
+    * convergence (a component whose diameter exceeds maxIter) — silently
+    * returning half-propagated labels would split one duplicate group
+    * into several and the caller could not tell. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -51,6 +56,10 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 }

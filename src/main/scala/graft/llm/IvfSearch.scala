@@ -40,7 +40,13 @@ object IvfSearch {
   /** Probe: for each query row, search the nProbe nearest inverted lists
     * and return the top-k neighbors by cosine. The centroid table is tiny
     * (k rows) and the query set is broadcast — the only join against the
-    * corpus is an equi-join on cluster id. */
+    * corpus is an equi-join on cluster id.
+    *
+    * Probe centroids are ranked by the SAME squared-Euclidean metric
+    * KMeans used for list assignment (ranking by a different metric
+    * than the index was built with systematically probes the wrong
+    * lists), with cluster id as tiebreaker so tied distances give a
+    * deterministic probe set across runs. */
   def search(index: Index, queries: DataFrame, idCol: String, embCol: String,
       nProbe: Int, topK: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -50,9 +56,11 @@ object IvfSearch {
       .toDF("cluster", "centroid")
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     // rank centroids per query; keep the nProbe nearest lists
-    val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"))
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("cluster"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", -cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_dist", aggregate(
+        zip_with(col("q_emb"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d2) => acc + d2))
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))

@@ -54,11 +54,25 @@ object ScoringStream {
         current_timestamp().as("updated_at"))
   }
 
+  /** One ordering domain for every writer: strictly-monotonic epoch
+    * millis. The streaming path used to order by micro-batch id (0,1,2…)
+    * while the API path used wall-clock millis — an API write would then
+    * permanently shadow any later streaming re-score of the same key.
+    * Both paths now stamp writes from this clock, so last-writer-wins
+    * means the latest actual write regardless of which path made it. */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  def nextWriteStamp(): Long = lastStamp.updateAndGet { prev =>
+    math.max(prev + 1, System.currentTimeMillis())
+  }
+
   /** Idempotent keyed result store over per-batch parquet directories. */
   final class ResultStore(val path: String) extends Serializable {
-    /** ST3: replay-safe — same batchId always lands in the same dir. */
+    /** ST3: replay-safe — same batchId always lands in the same dir
+      * (the label); the ORDER is the shared write stamp, so a replayed
+      * batch overwrites its own dir with a newer stamp and snapshot
+      * still resolves to exactly one row per key. */
     def upsert(results: DataFrame, batchId: Long): Unit =
-      upsertLabeled(results, batchId.toString, batchId)
+      upsertLabeled(results, batchId.toString, nextWriteStamp())
 
     /** Label-keyed variant for non-streaming writers (e.g. the API path,
       * one label per transaction): the label must be unique per logical

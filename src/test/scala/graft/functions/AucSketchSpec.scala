@@ -49,6 +49,14 @@ class AucSketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("scores outside [0,1] clamp to the edge bins instead of crashing") {
+    val df = Seq((-0.3, 0), (1.7, 1), (Double.NaN, 0), (0.5, 1), (0.2, 0))
+      .toDF("score", "label")
+    val a = df.agg(aucUdaf(100)($"score", $"label")).head().getDouble(0)
+    // -0.3 and NaN land in bin 0, 1.7 in the top bin: a well-defined AUC
+    assert(!a.isNaN && a >= 0.0 && a <= 1.0)
+  }
+
   test("degenerate single-class input yields NaN, not a crash") {
     val df = (1 to 50).map(i => (i / 100.0, 1)).toDF("score", "label")
     val a = df.agg(aucUdaf(100)($"score", $"label")).head().getDouble(0)

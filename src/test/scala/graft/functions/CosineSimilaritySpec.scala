@@ -36,6 +36,25 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out(0).getLong(0) === 96354L)
   }
 
+  test("mismatched array lengths yield null (not a truncated similarity)") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),        // mismatch -> null
+      (Seq(1.0, 2.0), Seq(1.0, 2.0))              // match -> 1.0
+    ).toDF("a", "b")
+    val rows = df.select(call_function("cosine_sim", $"a", $"b")).collect()
+    assert(rows(0).isNullAt(0), "length mismatch must be null")
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    // interpreted path agrees with codegen
+    val ev = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).eval(null)
+    assert(ev == null)
+  }
+
   test("null inputs propagate null, and codegen path is exercised") {
     val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]])).toDF("a", "b")
     val r = df.select(call_function("cosine_sim", $"a", $"b")).head()

@@ -49,6 +49,19 @@ class DedupInjectionSpec extends SparkSpec {
     nearPairs.foreach { case (_, _, j) => assert(j >= 0.8 && j < 1.0) }
   }
 
+  test("connectedComponents throws rather than return unconverged labels") {
+    import spark.implicits._
+    // a 6-node path graph has diameter 5: one min-label round cannot finish
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+    // and with enough rounds the same graph converges to component 0
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .select("component").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("component resolution collapses each planted triple to one canonical doc") {
     val comps = LlmQueries.queries("q71_dedup_components")(spark, injectedDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

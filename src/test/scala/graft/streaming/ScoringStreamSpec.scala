@@ -61,6 +61,22 @@ class ScoringStreamSpec extends SparkSpec {
     assert(math.abs(snap.head().getDouble(1) - expected) < 1e-5)
   }
 
+  test("streaming re-score after an API-path write wins (one ordering domain)") {
+    val store = new ScoringStream.ResultStore(tmp("graft-xdomain"))
+    // API-path write (labeled, stamped from the shared clock)
+    val apiBatch = Seq(("k", Map("f0" -> 1.0))).toDF("transaction_id", "features")
+    store.upsertLabeled(ScoringStream.scoreBatch(apiBatch, feats, coefs, mu, 0.0),
+      label = "k", order = ScoringStream.nextWriteStamp())
+    // later streaming re-score of the same key, tiny micro-batch id
+    val streamBatch = Seq(("k", Map("f0" -> 9.0))).toDF("transaction_id", "features")
+    store.upsert(ScoringStream.scoreBatch(streamBatch, feats, coefs, mu, 0.0), batchId = 0L)
+    val snap = store.snapshot(spark)
+    assert(snap.count() === 1)
+    val expected = 1.0 / (1.0 + math.exp(-9.0)) // the LATER (streaming) score
+    assert(math.abs(snap.head().getDouble(1) - expected) < 1e-5,
+      "streaming write with small batch id must beat the earlier API write")
+  }
+
   test("a fitted PipelineModel scores the stream inside foreachBatch (M5 + ST1)") {
     implicit val sqlCtx = spark.sqlContext
     val eval = graft.ml.FraudPipeline.syntheticEvalSet(spark, 300, seed = 11L)
