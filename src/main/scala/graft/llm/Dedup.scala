@@ -34,6 +34,7 @@ object Dedup {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .cache()
+    var cachedPrev = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -41,17 +42,21 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val updated = labels
+      val next = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
-          col("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__changed"))
         .cache()
-      val changed = updated.filter(col("new_label") < col("label")).count()
-      val next = updated.select(col("node"), col("new_label").as("label")).cache()
-      labels.unpersist()
-      updated.unpersist()
-      labels = next
+      // ONE action per round, and it materializes `next`'s cache BEFORE the
+      // previous round's cache is dropped — unpersisting first would make
+      // every later round recompute the whole lineage back to the edge
+      // pipeline (quadratic recompute; at q71's scale that re-ran the full
+      // MinHash LSH join once per round)
+      val changed = next.filter(col("__changed")).count()
+      cachedPrev.unpersist()
+      cachedPrev = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }

@@ -22,16 +22,23 @@ object IvfSearch {
 
   final case class Index(model: KMeansModel, indexed: DataFrame)
 
-  /** Build the IVF index: fit KMeans(k) and tag each row with its list. */
+  /** Build the IVF index: fit KMeans(k) and tag each row with its list.
+    * The vectorized input is cached for the duration of the fit — KMeans
+    * makes one pass per iteration, and without the cache each pass
+    * re-reads and re-vectorizes the source. */
   def build(embeddings: DataFrame, idCol: String, embCol: String,
       k: Int, seed: Long = 42L): Index = {
     val vecs = embeddings.select(
       col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
+      .cache()
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__vec").setPredictionCol("cluster")
       .fit(vecs)
-    Index(model, model.transform(vecs).drop("__vec"))
+    val indexed = model.transform(vecs).drop("__vec").cache()
+    indexed.count() // materialize the index, then release the fit-time cache
+    vecs.unpersist()
+    Index(model, indexed)
   }
 
   private def cosine(a: Column, b: Column): Column =
