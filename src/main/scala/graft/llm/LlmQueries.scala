@@ -334,6 +334,85 @@ object LlmQueries {
       .toDF("doc_id", "n_bytes", "width", "height", "mean_byte")
   }
 
+  /** Train/eval contamination detection: docs whose id ≡ 0 (mod 10) form
+    * the held-out eval set; a train doc sharing ≥ 3 distinct bigram
+    * shingles with an eval doc is flagged. The join key is the 8-byte
+    * shingle hash, never the shingle text, and the shuffle is keyed on
+    * that hash — at 100 TB this is the standard decontamination sweep
+    * (explode → hash-join → count), with no all-pairs stage. */
+  private val q75Contamination: Q = (s, dir) => {
+    val sh = Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("bg", array_distinct(bigramsCol(col("tk"))))
+      .select(col("doc_id"), size(col("bg")).as("n_sh"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("n_sh"), tokHash(col("b")).as("h"))
+    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("train_id"), col("n_sh"), col("h"))
+    // per-doc shingle sets are distinct, and both engines hash identically,
+    // so plain count(*) equals the shared-shingle count; the containment
+    // gate (≥ half the train doc's shingles appear in the eval doc) is
+    // pure integer arithmetic — no float comparison to sit on a boundary
+    trainSh.join(evalSh, Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3 && col("n_shared") * 2 >= col("n_sh"))
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        fpRound4(col("n_shared").cast("double") / col("n_sh")).as("containment"))
+  }
+
+  /** Repetition scoring (the Gopher-style quality signal): per document,
+    * the total/distinct bigram counts, the most-frequent-bigram share
+    * (`top_frac`) and the duplicate-bigram share (`dup_frac`). Two
+    * partial-aggregated groupBys keyed by doc — scales as a scan. */
+  private val q76Repetition: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("bg", bigramsCol(col("tk")))
+      .select(col("doc_id"), size(col("bg")).as("n_bg"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("n_bg"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_bg"))
+      .agg(max(col("cnt")).as("top_cnt"), count(lit(1)).as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_bg"), col("top_cnt"), col("n_distinct"),
+        fpRound4(col("top_cnt").cast("double") / col("n_bg")).as("top_frac"),
+        fpRound4(lit(1.0) - col("n_distinct").cast("double") / col("n_bg")).as("dup_frac"))
+
+  /** Sequence packing for LLM pretraining: concat-and-chunk documents
+    * into fixed context windows of [[PackWindow]] tokens. Docs are
+    * ordered deterministically WITHIN each source shard and chunk ids
+    * fall out of a cumulative token sum — a partitioned window, so no
+    * global sort exists anywhere in the plan; each shard packs
+    * independently, which is exactly how a 100 TB corpus is packed. */
+  private val PackWindow = 256L
+  private val q77PackSequences: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toksCol(col("text"))).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div $PackWindow").as("pack_id"),
+        (col("cum_before") % PackWindow).as("offset_in_pack"))
+  }
+
+  /** Per-label embedding centroids: posexplode to (label, dim, value)
+    * and aggregate — partial (map-side) aggregation collapses each
+    * partition to ≤ labels×dims rows before the shuffle, so the 64×
+    * row inflation never crosses the exchange. */
+  private val q78EmbCentroids: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 4).as("centroid"),
+        round(stddev_pop(col("v")), 4).as("spread"),
+        count(lit(1)).as("n"))
+
   /** IVF ANN invariants (KMeans centroids aren't oracle-reproducible, so
     * the oracle states the structural contract): full corpus coverage,
     * plural inverted lists, ≤ topK results per query, probe restriction. */
@@ -389,6 +468,10 @@ object LlmQueries {
     "q40_multimodal_stub" -> q40MultimodalStub,
     "q57_embed_neardup"   -> q57EmbedNeardup,
     "q58_bpe_tokens"      -> q58BpeTokens,
+    "q75_contamination"   -> q75Contamination,
+    "q76_repetition"      -> q76Repetition,
+    "q77_pack_sequences"  -> q77PackSequences,
+    "q78_emb_centroids"   -> q78EmbCentroids,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -536,6 +619,45 @@ object LlmQueries {
            |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
            |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_vocab
            |FROM documents""".stripMargin,
+    "q75_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |d AS (SELECT doc_id, list_distinct($duckBigrams) AS bg
+         |      FROM toks WHERE len(tk) >= 2),
+         |bg AS (SELECT doc_id, len(bg) AS n_sh, unnest(bg) AS b FROM d),
+         |sh AS (SELECT doc_id, n_sh, ${duckTokHash("b")} AS h FROM bg)
+         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared,
+         |  ${fpRound4Sql("count(*)::DOUBLE / t.n_sh")} AS containment
+         |FROM sh t JOIN sh e ON t.h = e.h
+         |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         |GROUP BY t.doc_id, e.doc_id, t.n_sh
+         |HAVING count(*) >= 3 AND count(*) * 2 >= t.n_sh""".stripMargin,
+    "q76_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |b AS (SELECT doc_id, $duckBigrams AS bg FROM toks WHERE len(tk) >= 2),
+         |ex AS (SELECT doc_id, len(bg) AS n_bg, unnest(bg) AS b FROM b),
+         |c AS (SELECT doc_id, n_bg, b, count(*) AS cnt FROM ex GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_bg, CAST(max(cnt) AS BIGINT) AS top_cnt,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  ${fpRound4Sql("max(cnt)::DOUBLE / n_bg")} AS top_frac,
+         |  ${fpRound4Sql("1.0 - count(*)::DOUBLE / n_bg")} AS dup_frac
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q77_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, len($duckToks) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  cum_before // $PackWindow AS pack_id,
+         |  cum_before % $PackWindow AS offset_in_pack
+         |FROM c""".stripMargin,
+    "q78_emb_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings)
+        |SELECT label, dim, round(avg(v), 4) AS centroid,
+        |  round(stddev_pop(v), 4) AS spread, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q40_multimodal_stub" ->
       s"""SELECT doc_id, length(text) AS n_bytes,
          |  length(text) % 64 + 1 AS width, length(text) % 48 + 1 AS height,

@@ -11,7 +11,8 @@ class LlmQueriesSpec extends SparkSpec {
       val n = df.count()
       // pair-producing queries may legitimately be small; per-doc ones must
       // cover every document
-      if (Set("q37_neardup_minhash", "q57_embed_neardup", "q71_dedup_components")(name)) assert(n >= 0)
+      if (Set("q37_neardup_minhash", "q57_embed_neardup", "q71_dedup_components",
+          "q75_contamination")(name)) assert(n >= 0)
       else assert(n > 0, s"$name returned no rows")
     }
   }
@@ -63,6 +64,59 @@ class LlmQueriesSpec extends SparkSpec {
     // 16-bit simhash: strong near-dups should average well under half the bits
     assert(dists.sum.toDouble / dists.length < 5.0,
       s"mean hamming ${dists.sum.toDouble / dists.length} too high for jaccard>=0.8 pairs")
+  }
+
+  test("contamination flags only high-containment train/eval pairs") {
+    val out = LlmQueries.queries("q75_contamination")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.nonEmpty, "expected planted near-dups to cross the eval boundary at sf0.01")
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("train_id")) % 10 !== 0L)
+      assert(r.getLong(r.fieldIndex("eval_id")) % 10 === 0L)
+      assert(r.getDouble(r.fieldIndex("containment")) >= 0.5)
+    }
+  }
+
+  test("sequence packing: packs are contiguous per source and never exceed the window") {
+    val out = LlmQueries.queries("q77_pack_sequences")(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(out.length.toLong === docs, "every document must be packed exactly once")
+    out.foreach { r =>
+      val off = r.getLong(r.fieldIndex("offset_in_pack"))
+      assert(off >= 0 && off < 256, s"offset $off outside the 256-token window")
+    }
+    // within a source, pack ids are non-decreasing in doc order
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val packs = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(packs.zip(packs.drop(1)).forall { case (a, b) => a <= b },
+        s"pack ids not monotone within source $src")
+    }
+  }
+
+  test("embedding centroids cover every (label, dim) cell and bound the data") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val nLabels = emb.select("label").distinct().count()
+    val out = LlmQueries.queries("q78_emb_centroids")(spark, sfDir)
+    assert(out.count() === nLabels * 64)
+    // centroid of each cell lies within the per-cell min/max of the data
+    assert(out.filter(col("centroid") < -10 || col("centroid") > 10).count() === 0)
+    assert(out.filter(col("spread") < 0).count() === 0)
+  }
+
+  test("repetition: dup_frac and top_frac are consistent per document") {
+    val out = LlmQueries.queries("q76_repetition")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nBg = r.getInt(r.fieldIndex("n_bg"))
+      val topCnt = r.getLong(r.fieldIndex("top_cnt"))
+      val nDist = r.getLong(r.fieldIndex("n_distinct"))
+      assert(topCnt >= 1 && topCnt <= nBg)
+      assert(nDist >= 1 && nDist <= nBg)
+      val topFrac = r.getDouble(r.fieldIndex("top_frac"))
+      val dupFrac = r.getDouble(r.fieldIndex("dup_frac"))
+      assert(topFrac > 0 && topFrac <= 1.0)
+      assert(dupFrac >= 0 && dupFrac < 1.0)
+    }
   }
 
   test("multimodal stub decodes deterministic features from the binary payload") {
