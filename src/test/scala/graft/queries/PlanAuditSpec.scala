@@ -66,6 +66,29 @@ class PlanAuditSpec extends SparkSpec {
       s"window should sit above the per-threshold aggregate:\n$opt")
   }
 
+  test("q75: contamination is a hash join on the shingle hash, never all-pairs") {
+    val p = planOf("q75_contamination")
+    assert(!p.contains("CartesianProduct"), s"contamination degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), s"expected a hash join on the shingle hash:\n$p")
+  }
+
+  test("q77: packing uses a partitioned window — no global range sort anywhere") {
+    val p = planOf("q77_pack_sequences")
+    // a global sort renders as Exchange rangepartitioning; the pack window
+    // must hash-partition by source and sort only within partitions
+    assert(!p.contains("rangepartitioning"), s"global sort in the packing plan:\n$p")
+    assert(p.contains("hashpartitioning(source"), s"expected hash partitioning by source:\n$p")
+  }
+
+  test("q78: centroid aggregation partially aggregates below the exchange") {
+    val p = planOf("q78_emb_centroids")
+    val partialIdx = p.indexOf("HashAggregate(keys=[label")
+    assert(partialIdx >= 0, s"no hash aggregate on (label, dim):\n$p")
+    // partial_avg marks map-side combine before the shuffle
+    assert(p.contains("partial_avg") || p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // executedPlan.toString renders codegen stages as "*(n) Op"
     val p = planOf("q01_pruned_scan")
