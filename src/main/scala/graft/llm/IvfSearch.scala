@@ -32,7 +32,12 @@ object IvfSearch {
       col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
       .cache()
+    // random init (one pass) + bounded iterations: an IVF index needs
+    // roughly-balanced lists, not converged centroids — kmeans|| init and
+    // 20 default iterations would cost ~25 full passes over the corpus
+    // for no recall gain at the nProbe values this index serves
     val model = new KMeans().setK(k).setSeed(seed)
+      .setInitMode("random").setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("__vec").setPredictionCol("cluster")
       .fit(vecs)
     val indexed = model.transform(vecs).drop("__vec").cache()

@@ -335,26 +335,39 @@ object LlmQueries {
   }
 
   /** Train/eval contamination detection: docs whose id ≡ 0 (mod 10) form
-    * the held-out eval set; a train doc sharing ≥ 3 distinct bigram
-    * shingles with an eval doc is flagged. The join key is the 8-byte
-    * shingle hash, never the shingle text, and the shuffle is keyed on
-    * that hash — at 100 TB this is the standard decontamination sweep
-    * (explode → hash-join → count), with no all-pairs stage. */
+    * the held-out eval set; a train doc whose RARE bigram shingles are
+    * ≥ half contained in an eval doc is flagged. The join key is the
+    * 8-byte shingle hash, never the shingle text — the standard
+    * decontamination sweep (explode → hash-join → count), no all-pairs.
+    *
+    * The df cap is the scale guard: a stop-bigram ("of the") appearing
+    * in f·N train docs and f·N/9 eval docs alone produces ~f²N²/9 join
+    * rows — quadratic in corpus size. Dropping shingles whose document
+    * frequency exceeds 5% of the corpus removes that blow-up AND the
+    * noise (a shingle shared by half the corpus carries no contamination
+    * signal); containment is measured over each doc's rare shingles. */
   private val q75Contamination: Q = (s, dir) => {
-    val sh = Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .withColumn("tk", toksCol(col("text")))
       .filter(size(col("tk")) >= 2)
       .withColumn("bg", array_distinct(bigramsCol(col("tk"))))
-      .select(col("doc_id"), size(col("bg")).as("n_sh"), explode(col("bg")).as("b"))
-      .select(col("doc_id"), col("n_sh"), tokHash(col("b")).as("h"))
-    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+    val sh = base.select(col("doc_id"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), tokHash(col("b")).as("h"))
+    // shingle document frequency (per-doc sets are distinct -> count = df);
+    // keep only shingles in ≤ 5% of docs (df·20 ≤ n_docs: integer compare)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val total = base.agg(count(lit(1)).as("n_docs"))
+    val rare = sh.join(dfreq, Seq("h")).crossJoin(broadcast(total))
+      .filter(col("df") * 20 <= col("n_docs"))
+      .select(col("doc_id"), col("h"))
+    val nSh = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val evalSh = rare.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
-    val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+    val trainSh = rare.filter(col("doc_id") % 10 =!= 0)
+      .join(nSh, Seq("doc_id"))
       .select(col("doc_id").as("train_id"), col("n_sh"), col("h"))
-    // per-doc shingle sets are distinct, and both engines hash identically,
-    // so plain count(*) equals the shared-shingle count; the containment
-    // gate (≥ half the train doc's shingles appear in the eval doc) is
-    // pure integer arithmetic — no float comparison to sit on a boundary
+    // the containment gate (≥ half the train doc's rare shingles appear in
+    // the eval doc) is pure integer arithmetic — no float boundary
     trainSh.join(evalSh, Seq("h"))
       .groupBy(col("train_id"), col("eval_id"), col("n_sh"))
       .agg(count(lit(1)).as("n_shared"))
@@ -623,15 +636,21 @@ object LlmQueries {
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |d AS (SELECT doc_id, list_distinct($duckBigrams) AS bg
          |      FROM toks WHERE len(tk) >= 2),
-         |bg AS (SELECT doc_id, len(bg) AS n_sh, unnest(bg) AS b FROM d),
-         |sh AS (SELECT doc_id, n_sh, ${duckTokHash("b")} AS h FROM bg)
+         |ex AS (SELECT doc_id, unnest(bg) AS b FROM d),
+         |sh AS (SELECT doc_id, ${duckTokHash("b")} AS h FROM ex),
+         |dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+         |tot AS (SELECT count(*) AS n_docs FROM d),
+         |rare AS (SELECT s.doc_id, s.h FROM sh s JOIN dfreq f ON s.h = f.h, tot
+         |         WHERE f.df * 20 <= tot.n_docs),
+         |ns AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id)
          |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
          |  CAST(count(*) AS BIGINT) AS n_shared,
-         |  ${fpRound4Sql("count(*)::DOUBLE / t.n_sh")} AS containment
-         |FROM sh t JOIN sh e ON t.h = e.h
+         |  ${fpRound4Sql("count(*)::DOUBLE / ns.n_sh")} AS containment
+         |FROM rare t JOIN rare e ON t.h = e.h
+         |JOIN ns ON ns.doc_id = t.doc_id
          |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
-         |GROUP BY t.doc_id, e.doc_id, t.n_sh
-         |HAVING count(*) >= 3 AND count(*) * 2 >= t.n_sh""".stripMargin,
+         |GROUP BY t.doc_id, e.doc_id, ns.n_sh
+         |HAVING count(*) >= 3 AND count(*) * 2 >= ns.n_sh""".stripMargin,
     "q76_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |b AS (SELECT doc_id, $duckBigrams AS bg FROM toks WHERE len(tk) >= 2),
