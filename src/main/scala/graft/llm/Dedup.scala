@@ -31,8 +31,12 @@ object Dedup {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with min(node, min neighbor): exactly what the first
+    // propagation round would compute, but as ONE aggregation over the
+    // edge list instead of a join round — saves a full iteration
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("node"), least(col("node"), col("mb")).as("label"))
       .cache()
     var cachedPrev = labels
     var iter = 0
