@@ -413,6 +413,21 @@ object LlmQueries {
         (col("cum_before") % PackWindow).as("offset_in_pack"))
   }
 
+  /** Percentile-based length pruning (the classic corpus quality gate:
+    * drop the shortest/longest tails per source shard). percent_rank
+    * over a PARTITIONED window — each shard computes its own cutoffs,
+    * no global sort; ties get identical ranks in both engines so the
+    * keep flag is boundary-exact. */
+  private val q79LengthPrune: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toksCol(col("text"))))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        fpRound4(col("pr")).as("len_rank"),
+        (col("pr") >= 0.1 && col("pr") <= 0.9).cast("int").as("keep"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value)
     * and aggregate — partial (map-side) aggregation collapses each
     * partition to ≤ labels×dims rows before the shuffle, so the 64×
@@ -485,6 +500,7 @@ object LlmQueries {
     "q76_repetition"      -> q76Repetition,
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
+    "q79_length_prune"    -> q79LengthPrune,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -671,6 +687,15 @@ object LlmQueries {
          |  cum_before // $PackWindow AS pack_id,
          |  cum_before % $PackWindow AS offset_in_pack
          |FROM c""".stripMargin,
+    "q79_length_prune" ->
+      s"""WITH t AS (SELECT doc_id, source, len($duckToks) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, source, n_tokens,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS pr
+         |  FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ${fpRound4Sql("pr")} AS len_rank,
+         |  CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN 1 ELSE 0 END AS keep
+         |FROM r""".stripMargin,
     "q78_emb_centroids" ->
       """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
         |  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings)
