@@ -55,6 +55,25 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** In-stream contamination gate: the streaming half of the q75 batch
+    * decontamination sweep, emitting the QUARANTINE list — doc ids whose
+    * shingles hit the eval index ≥ `minShared` times. The eval corpus's
+    * rare-shingle hashes are a STATIC index (broadcast if small, shuffled
+    * stream-static join otherwise); each arriving doc is exploded to its
+    * bigram hashes and joined against it. The stream-static join itself
+    * holds no state and re-reads the static side per micro-batch (index
+    * refreshes are picked up); the per-doc count is a keyed aggregation
+    * whose state the watermark evicts once a doc's event time expires. */
+  def contaminationGate(docs: DataFrame, evalShingles: DataFrame,
+      minShared: Int, lateness: String): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"), explode(col("shingle_hashes")).as("h"))
+      .join(evalShingles, Seq("h")) // stream-static equi-join on the hash
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.9; the
     * engine-level analogue of Celery's per-task attempt bookkeeping,
     * xai_tasks.py:137-163): every (transaction_id, outcome) event updates

@@ -70,6 +70,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream contamination gate quarantines docs hitting the eval index") {
+    implicit val sqlCtx = spark.sqlContext
+    // static eval index: rare-shingle hashes 100-104
+    val evalShingles = Seq(100L, 101L, 102L, 103L, 104L).toDF("h")
+    val input = MemoryStream[(Timestamp, Long, Seq[Long])]
+    val stream = input.toDF().toDF("ts", "doc_id", "shingle_hashes")
+    val q = StreamOps.contaminationGate(stream, evalShingles, minShared = 3, "10 minutes")
+      .writeStream.format("memory").queryName("contam_test").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), 1L, Seq(100L, 101L, 102L, 7L)),   // 3 hits -> quarantined
+        (ts(2), 2L, Seq(100L, 5L, 6L)),           // 1 hit  -> clean
+        (ts(3), 3L, Seq(100L, 101L, 102L, 103L))) // 4 hits -> quarantined
+      q.processAllAvailable()
+      val flagged = spark.table("contam_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flagged.keySet === Set(1L, 3L))
+      assert(flagged(1L) === 3L && flagged(3L) === 4L)
+    } finally q.stop()
+  }
+
   test("in-stream dedup by content fingerprint emits each key once (ST3 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
