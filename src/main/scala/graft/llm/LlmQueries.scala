@@ -428,6 +428,24 @@ object LlmQueries {
         (col("pr") >= 0.1 && col("pr") <= 0.9).cast("int").as("keep"))
   }
 
+  /** Corpus mixture accounting: per-source token share and the
+    * resampling weight that would flatten the mixture to uniform —
+    * the bookkeeping behind training-mixture reweighting. One partial
+    * aggregation per source plus a broadcast of the 1-row total. */
+  private val q80SourceMixture: Q = (s, dir) => {
+    val perSource = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toksCol(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    val total = perSource.agg(
+      sum(col("toks")).as("tot_toks"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("toks"),
+        fpRound4(col("toks").cast("double") / col("tot_toks")).as("token_share"),
+        fpRound4(col("tot_toks").cast("double")
+          / (col("n_sources") * col("toks"))).as("uniform_weight"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value)
     * and aggregate — partial (map-side) aggregation collapses each
     * partition to ≤ labels×dims rows before the shuffle, so the 64×
@@ -501,6 +519,7 @@ object LlmQueries {
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
     "q79_length_prune"    -> q79LengthPrune,
+    "q80_source_mixture"  -> q80SourceMixture,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -687,6 +706,16 @@ object LlmQueries {
          |  cum_before // $PackWindow AS pack_id,
          |  cum_before % $PackWindow AS offset_in_pack
          |FROM c""".stripMargin,
+    "q80_source_mixture" ->
+      s"""WITH t AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tot_toks,
+         |  count(*) AS n_sources FROM t)
+         |SELECT source, n_docs, toks,
+         |  ${fpRound4Sql("toks::DOUBLE / tot_toks")} AS token_share,
+         |  ${fpRound4Sql("tot_toks::DOUBLE / (n_sources * toks)")} AS uniform_weight
+         |FROM t, tot""".stripMargin,
     "q79_length_prune" ->
       s"""WITH t AS (SELECT doc_id, source, len($duckToks) AS n_tokens FROM documents),
          |r AS (SELECT doc_id, source, n_tokens,
