@@ -354,11 +354,15 @@ object LlmQueries {
     val sh = base.select(col("doc_id"), explode(col("bg")).as("b"))
       .select(col("doc_id"), tokHash(col("b")).as("h"))
     // shingle document frequency (per-doc sets are distinct -> count = df);
-    // keep only shingles in ≤ 5% of docs (df·20 ≤ n_docs: integer compare)
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val total = base.agg(count(lit(1)).as("n_docs"))
-    val rare = sh.join(dfreq, Seq("h")).crossJoin(broadcast(total))
-      .filter(col("df") * 20 <= col("n_docs"))
+    // keep only shingles in ≤ 5% of docs (df·20 ≤ n_docs: integer compare).
+    // n_docs resolves to a literal (corpus size is one cheap count) so the
+    // df filter sits INSIDE the aggregate subtree — no scalar cross join
+    // replicated into every reuse of `rare`
+    val nDocs = base.count()
+    val rareKeys = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 20 <= lit(nDocs))
+      .select(col("h"))
+    val rare = sh.join(rareKeys, Seq("h"))
       .select(col("doc_id"), col("h"))
     val nSh = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val evalSh = rare.filter(col("doc_id") % 10 === 0)
@@ -673,10 +677,9 @@ object LlmQueries {
          |      FROM toks WHERE len(tk) >= 2),
          |ex AS (SELECT doc_id, unnest(bg) AS b FROM d),
          |sh AS (SELECT doc_id, ${duckTokHash("b")} AS h FROM ex),
-         |dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
-         |tot AS (SELECT count(*) AS n_docs FROM d),
-         |rare AS (SELECT s.doc_id, s.h FROM sh s JOIN dfreq f ON s.h = f.h, tot
-         |         WHERE f.df * 20 <= tot.n_docs),
+         |rk AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
+         |       WHERE df * 20 <= (SELECT count(*) FROM d)),
+         |rare AS (SELECT s.doc_id, s.h FROM sh s JOIN rk ON s.h = rk.h),
          |ns AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id)
          |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
          |  CAST(count(*) AS BIGINT) AS n_shared,

@@ -69,8 +69,8 @@ class PlanAuditSpec extends SparkSpec {
   test("q75: contamination is a hash join on the shingle hash, never all-pairs") {
     val p = planOf("q75_contamination")
     assert(!p.contains("CartesianProduct"), s"contamination degenerated to all-pairs:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashJoin"), s"expected a hash join on the shingle hash:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q77: packing uses a partitioned window — no global range sort anywhere") {
