@@ -143,6 +143,38 @@ object MlQueries {
         .as("auc"))
   }
 
+  /** Calibration (reliability) bins — evaluate_model's companion check:
+    * decile bins of predicted score vs observed positive rate. One
+    * partial-aggregated groupBy on the bin id. */
+  private val q81Calibration: Q = (s, dir) =>
+    scored(s, dir)
+      .withColumn("bin", least(floor(col("score") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 4).as("mean_score"),
+        fpRound4(sum(col("label")).cast("double") / count(lit(1))).as("pos_rate"))
+
+  /** Kolmogorov-Smirnov statistic — the classic fraud-score separation
+    * measure: max |cumulative positive share − cumulative negative
+    * share| sweeping thresholds high → low. Same pre-aggregated
+    * cumulative-window shape as the ROC (one row per DISTINCT score
+    * crosses the window, not one per input row). */
+  private val q82KsStat: Q = (s, dir) => {
+    val perThreshold = scored(s, dir)
+      .groupBy(col("score"))
+      .agg(sum(col("label")).as("tp_at"), sum(lit(1) - col("label")).as("fp_at"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perThreshold.agg(
+      sum(col("tp_at")).as("pos"), sum(col("fp_at")).as("neg"))
+    perThreshold
+      .withColumn("cum_tp", sum(col("tp_at")).over(w))
+      .withColumn("cum_fp", sum(col("fp_at")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(round(max(abs(col("cum_tp") / col("pos") - col("cum_fp") / col("neg"))), 4)
+        .as("ks"))
+  }
+
   /** A9 at scale: single-pass binned AUC via the custom typed
     * [[graft.functions.AucSketch]] Aggregator — no sort, no window,
     * partition-parallel counts merged once. The oracle recomputes the
@@ -261,6 +293,8 @@ object MlQueries {
     "q47_shap_linear"  -> q47ShapLinear,
     "q48_shap_topk"    -> q48ShapTopk,
     "q49_smote_balance" -> q49SmoteBalance,
+    "q81_calibration"  -> q81Calibration,
+    "q82_ks_stat"      -> q82KsStat,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -316,6 +350,21 @@ object MlQueries {
          |    coalesce(lag(tpr) OVER (ORDER BY score DESC), 0.0) AS prev_tpr
          |  FROM curve)
          |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin,
+    "q81_calibration" ->
+      s"""SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(score), 4) AS mean_score,
+         |  ${fpRound4Sql("CAST(sum(label) AS DOUBLE) / count(*)")} AS pos_rate
+         |FROM ($scoredSql) s GROUP BY 1""".stripMargin,
+    "q82_ks_stat" ->
+      s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
+         |    CAST(sum(1 - label) AS BIGINT) AS fp_at FROM ($scoredSql) s GROUP BY score),
+         |tot AS (SELECT CAST(sum(tp_at) AS BIGINT) AS pos, CAST(sum(fp_at) AS BIGINT) AS neg FROM per),
+         |curve AS (SELECT score,
+         |    sum(tp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / pos AS tpr,
+         |    sum(fp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
+         |  FROM per, tot)
+         |SELECT round(max(abs(tpr - fpr)), 4) AS ks FROM curve""".stripMargin,
     "q72_topk_agg" ->
       """SELECT p_brand, price_rank, p_partkey, round(p_retailprice, 2) AS p_retailprice
         |FROM (SELECT p_brand, p_partkey, p_retailprice,
