@@ -362,8 +362,12 @@ object LlmQueries {
     val rareKeys = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") * 20 <= lit(nDocs))
       .select(col("h"))
+    // materialize once: three consumers (per-doc counts, eval side,
+    // train side) would otherwise each recompute scan+explode+hash+join —
+    // at scale this IS the staged rare-shingle index
     val rare = sh.join(rareKeys, Seq("h"))
       .select(col("doc_id"), col("h"))
+      .cache()
     val nSh = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val evalSh = rare.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
