@@ -65,10 +65,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    if (!converged)
+    if (!converged) {
+      cachedPrev.unpersist() // don't leak the last round's cache on the throw path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds maxIter); raise maxIter")
+    }
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -355,10 +355,11 @@ object LlmQueries {
       .select(col("doc_id"), tokHash(col("b")).as("h"))
     // shingle document frequency (per-doc sets are distinct -> count = df);
     // keep only shingles in ≤ 5% of docs (df·20 ≤ n_docs: integer compare).
-    // n_docs resolves to a literal (corpus size is one cheap count) so the
-    // df filter sits INSIDE the aggregate subtree — no scalar cross join
-    // replicated into every reuse of `rare`
-    val nDocs = base.count()
+    // n_docs resolves to a literal (corpus size is one cheap count-star on
+    // the raw table — no tokenization) so the df filter sits INSIDE the
+    // aggregate subtree — no scalar cross join replicated into every
+    // reuse of `rare`
+    val nDocs = Tables.documents(s, dir).count()
     val rareKeys = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") * 20 <= lit(nDocs))
       .select(col("h"))
@@ -682,7 +683,7 @@ object LlmQueries {
          |ex AS (SELECT doc_id, unnest(bg) AS b FROM d),
          |sh AS (SELECT doc_id, ${duckTokHash("b")} AS h FROM ex),
          |rk AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
-         |       WHERE df * 20 <= (SELECT count(*) FROM d)),
+         |       WHERE df * 20 <= (SELECT count(*) FROM documents)),
          |rare AS (SELECT s.doc_id, s.h FROM sh s JOIN rk ON s.h = rk.h),
          |ns AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id)
          |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,

@@ -171,8 +171,8 @@ object MlQueries {
       .withColumn("cum_tp", sum(col("tp_at")).over(w))
       .withColumn("cum_fp", sum(col("fp_at")).over(w))
       .crossJoin(broadcast(totals))
-      .agg(round(max(abs(col("cum_tp") / col("pos") - col("cum_fp") / col("neg"))), 4)
-        .as("ks"))
+      .agg(fpRound4(max(abs(col("cum_tp") / col("pos") - col("cum_fp") / col("neg"))))
+        .as("ks")) // integer-count ratio: floor-form rounding, see fpRound4
   }
 
   /** A9 at scale: single-pass binned AUC via the custom typed
@@ -364,7 +364,7 @@ object MlQueries {
          |    sum(tp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / pos AS tpr,
          |    sum(fp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
          |  FROM per, tot)
-         |SELECT round(max(abs(tpr - fpr)), 4) AS ks FROM curve""".stripMargin,
+         |SELECT ${fpRound4Sql("max(abs(tpr - fpr))")} AS ks FROM curve""".stripMargin,
     "q72_topk_agg" ->
       """SELECT p_brand, price_rank, p_partkey, round(p_retailprice, 2) AS p_retailprice
         |FROM (SELECT p_brand, p_partkey, p_retailprice,

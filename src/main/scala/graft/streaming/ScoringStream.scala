@@ -18,8 +18,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * deterministic `batch=<id>` parquet directory with overwrite — a
   * replayed batch (worker death + checkpoint recovery, at-least-once
   * upstream) rewrites the SAME directory, so duplicates cannot
-  * accumulate; readers resolve last-writer-wins via max batch id per
-  * key. This is the Spark-native equivalent of the reference's
+  * accumulate; readers resolve last-writer-wins via the max write
+  * stamp per key (`batch_id` column — a monotonic clock shared by the
+  * streaming and API paths, replay-stable via an `_stamp` sidecar).
+  * This is the Spark-native equivalent of the reference's
   * `INSERT ... ON CONFLICT (transaction_id) DO UPDATE`
   * (api/worker.py:90-99) under Celery `acks_late` redelivery.
   */
@@ -68,19 +70,38 @@ object ScoringStream {
   /** Idempotent keyed result store over per-batch parquet directories. */
   final class ResultStore(val path: String) extends Serializable {
     /** ST3: replay-safe — same batchId always lands in the same dir
-      * (the label); the ORDER is the shared write stamp, so a replayed
-      * batch overwrites its own dir with a newer stamp and snapshot
-      * still resolves to exactly one row per key. */
+      * (the label), and a REPLAY reuses the stamp recorded by the first
+      * attempt (see [[stampFor]]): a batch replayed after an interleaved
+      * API write keeps its ORIGINAL position in the ordering domain
+      * instead of resurrecting its stale result above the newer write. */
     def upsert(results: DataFrame, batchId: Long): Unit =
-      upsertLabeled(results, batchId.toString, nextWriteStamp())
+      upsertLabeled(results, batchId.toString, stampFor(batchId.toString))
+
+    /** The stable stamp for a label: first write takes a fresh monotonic
+      * stamp and records it in an `_stamp` sidecar inside the batch dir
+      * (underscore-prefixed: invisible to parquet listing, like
+      * _SUCCESS); a rewrite of the same label finds and reuses it. If a
+      * crash lands between the parquet write and the sidecar write, the
+      * replay takes a fresh stamp — it rewrites identical content, so
+      * ordering is only perturbed for the batch's own payload. */
+    private def stampFor(label: String): Long = {
+      val p = java.nio.file.Paths.get(path, s"batch=$label", "_stamp")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).trim.toLong
+      else nextWriteStamp()
+    }
 
     /** Label-keyed variant for non-streaming writers (e.g. the API path,
       * one label per transaction): the label must be unique per logical
       * write and stable under retry; `order` breaks last-writer-wins
       * ties in the snapshot. */
-    def upsertLabeled(results: DataFrame, label: String, order: Long): Unit =
+    def upsertLabeled(results: DataFrame, label: String, order: Long): Unit = {
       results.withColumn("batch_id", lit(order))
         .write.mode("overwrite").parquet(s"$path/batch=$label")
+      // re-record AFTER the write (overwrite wiped the dir)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, s"batch=$label", "_stamp"), order.toString)
+    }
 
     /** Last-writer-wins current state, one row per transaction_id. */
     def snapshot(spark: SparkSession): DataFrame = {

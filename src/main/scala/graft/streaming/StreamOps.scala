@@ -62,17 +62,23 @@ object StreamOps {
     * stream-static join otherwise); each arriving doc is exploded to its
     * bigram hashes and joined against it. The stream-static join itself
     * holds no state and re-reads the static side per micro-batch (index
-    * refreshes are picked up); the per-doc count is a keyed aggregation
-    * whose state the watermark evicts once a doc's event time expires. */
+    * refreshes are picked up); the per-doc count keys on (event-time
+    * window, doc_id) so the watermark can evict expired windows. */
   def contaminationGate(docs: DataFrame, evalShingles: DataFrame,
-      minShared: Int, lateness: String): DataFrame =
+      minShared: Int, lateness: String, windowLen: String = "10 minutes"): DataFrame =
     docs
       .withWatermark("ts", lateness)
       .select(col("doc_id"), col("ts"), explode(col("shingle_hashes")).as("h"))
       .join(evalShingles, Seq("h")) // stream-static equi-join on the hash
-      .groupBy(col("doc_id"))
+      // the event-time window in the KEY is what lets the watermark evict
+      // a doc's state once its window expires — a bare groupBy(doc_id)
+      // would hold one state row per doc ever seen, forever. A doc's
+      // shingles all carry its single ts, so the window never splits a
+      // doc's count.
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
 
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.9; the
     * engine-level analogue of Celery's per-task attempt bookkeeping,

@@ -85,8 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q78_emb_centroids")
     val partialIdx = p.indexOf("HashAggregate(keys=[label")
     assert(partialIdx >= 0, s"no hash aggregate on (label, dim):\n$p")
-    // partial_avg marks map-side combine before the shuffle
-    assert(p.contains("partial_avg") || p.contains("partial_"), s"no partial aggregation:\n$p")
+    // partial_avg marks map-side combine of the centroid mean specifically
+    assert(p.contains("partial_avg"), s"no partial aggregation of the centroid avg:\n$p")
   }
 
   test("whole-stage codegen covers the scan+filter+project hot path") {

@@ -43,11 +43,13 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain")
         || plan.contains("might_contain"),
         s"no runtime bloom filter injected:\n$plan")
-      // and the result matches the un-filtered-plan join exactly
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // baseline MUST run with injection off, or a bloom filter that
+      // wrongly dropped rows would corrupt both sides identically
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       val expected = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("qty"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(got === expected)
     }
   }

@@ -77,6 +77,23 @@ class ScoringStreamSpec extends SparkSpec {
       "streaming write with small batch id must beat the earlier API write")
   }
 
+  test("a replayed batch keeps its original stamp and cannot resurrect over later writes") {
+    val store = new ScoringStream.ResultStore(tmp("graft-replaystamp"))
+    val orig = Seq(("k", Map("f0" -> 1.0))).toDF("transaction_id", "features")
+    store.upsert(ScoringStream.scoreBatch(orig, feats, coefs, mu, 0.0), batchId = 5L)
+    // an interleaved, NEWER API write for the same key
+    val newer = Seq(("k", Map("f0" -> 9.0))).toDF("transaction_id", "features")
+    store.upsertLabeled(ScoringStream.scoreBatch(newer, feats, coefs, mu, 0.0),
+      label = "api-k", order = ScoringStream.nextWriteStamp())
+    // at-least-once redelivery of batch 5: must reuse its ORIGINAL stamp
+    store.upsert(ScoringStream.scoreBatch(orig, feats, coefs, mu, 0.0), batchId = 5L)
+    val snap = store.snapshot(spark)
+    assert(snap.count() === 1)
+    val expected = 1.0 / (1.0 + math.exp(-9.0)) // the newer API score survives
+    assert(math.abs(snap.head().getDouble(1) - expected) < 1e-5,
+      "replayed batch resurrected its stale result over a later write")
+  }
+
   test("a fitted PipelineModel scores the stream inside foreachBatch (M5 + ST1)") {
     implicit val sqlCtx = spark.sqlContext
     val eval = graft.ml.FraudPipeline.syntheticEvalSet(spark, 300, seed = 11L)
