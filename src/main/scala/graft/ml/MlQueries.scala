@@ -175,6 +175,60 @@ object MlQueries {
         .as("ks")) // integer-count ratio: floor-form rounding, see fpRound4
   }
 
+  /** Precision-recall average precision — the metric that matters for
+    * imbalanced fraud (ROC-AUC flatters the majority class). Same
+    * pre-aggregated descending-score cumulative window as the ROC;
+    * AP = Σ (recall − prev_recall) · precision. */
+  private val q83PrAuc: Q = (s, dir) => {
+    val perThreshold = scored(s, dir)
+      .groupBy(col("score"))
+      .agg(sum(col("label")).as("tp_at"), sum(lit(1) - col("label")).as("fp_at"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perThreshold.agg(sum(col("tp_at")).as("pos"))
+    val curve = perThreshold
+      .withColumn("cum_tp", sum(col("tp_at")).over(w))
+      .withColumn("cum_fp", sum(col("fp_at")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("score"),
+        (col("cum_tp") / (col("cum_tp") + col("cum_fp"))).as("precision"),
+        (col("cum_tp") / col("pos")).as("recall"))
+    curve
+      .withColumn("prev_recall",
+        coalesce(lag(col("recall"), 1).over(Window.orderBy(col("score").desc)), lit(0.0)))
+      .agg(fpRound4(sum((col("recall") - col("prev_recall")) * col("precision")))
+        .as("average_precision"))
+  }
+
+  /** Decile lift/gain table — the fraud-ops triage metric: rank by
+    * score, cut into 10 bins, report each decile's capture rate and
+    * lift over the base rate. A per-row ntile would be a single-task
+    * global sort; instead the cumulative window runs over the
+    * per-DISTINCT-score aggregate (the q46 shape) and each score group
+    * is bucketed by its starting cumulative position — pure integer
+    * arithmetic, ties share a bucket, scales with |distinct scores|. */
+  private val q84DecileLift: Q = (s, dir) => {
+    val per = scored(s, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = per.agg(
+      sum(col("n_at")).as("tot_n"), sum(col("pos_at")).as("tot_pos"))
+    per
+      .withColumn("cum_n", sum(col("n_at")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", least(lit(9L),
+        expr("((cum_n - n_at) * 10) div tot_n")))
+      .groupBy(col("decile"))
+      .agg(sum(col("n_at")).as("n"), sum(col("pos_at")).as("n_pos"),
+        first(col("tot_n")).as("tn"), first(col("tot_pos")).as("tp"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        fpRound4(col("n_pos").cast("double") / col("tp")).as("capture_rate"),
+        fpRound4((col("n_pos").cast("double") / col("n"))
+          / (col("tp").cast("double") / col("tn"))).as("lift"))
+  }
+
   /** A9 at scale: single-pass binned AUC via the custom typed
     * [[graft.functions.AucSketch]] Aggregator — no sort, no window,
     * partition-parallel counts merged once. The oracle recomputes the
@@ -295,6 +349,8 @@ object MlQueries {
     "q49_smote_balance" -> q49SmoteBalance,
     "q81_calibration"  -> q81Calibration,
     "q82_ks_stat"      -> q82KsStat,
+    "q83_pr_auc"       -> q83PrAuc,
+    "q84_decile_lift"  -> q84DecileLift,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -365,6 +421,35 @@ object MlQueries {
          |    sum(fp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
          |  FROM per, tot)
          |SELECT ${fpRound4Sql("max(abs(tpr - fpr))")} AS ks FROM curve""".stripMargin,
+    "q83_pr_auc" ->
+      s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
+         |    CAST(sum(1 - label) AS BIGINT) AS fp_at FROM ($scoredSql) s GROUP BY score),
+         |tot AS (SELECT CAST(sum(tp_at) AS BIGINT) AS pos FROM per),
+         |curve AS (SELECT score,
+         |    sum(tp_at) OVER w / (sum(tp_at) OVER w + sum(fp_at) OVER w) AS precision,
+         |    sum(tp_at) OVER w / pos AS recall
+         |  FROM per, tot
+         |  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ap AS (SELECT precision, recall,
+         |    coalesce(lag(recall) OVER (ORDER BY score DESC), 0.0) AS prev_recall
+         |  FROM curve)
+         |SELECT ${fpRound4Sql("sum((recall - prev_recall) * precision)")} AS average_precision
+         |FROM ap""".stripMargin,
+    "q84_decile_lift" ->
+      s"""WITH per AS (SELECT score, CAST(count(*) AS BIGINT) AS n_at,
+         |    CAST(sum(label) AS BIGINT) AS pos_at FROM ($scoredSql) s GROUP BY score),
+         |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS tot_n,
+         |    CAST(sum(pos_at) AS BIGINT) AS tot_pos FROM per),
+         |cum AS (SELECT score, n_at, pos_at,
+         |    CAST(sum(n_at) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+         |  FROM per),
+         |d AS (SELECT least(9, ((cum_n - n_at) * 10) // tot_n) AS decile, n_at, pos_at,
+         |    tot_n, tot_pos FROM cum, tot)
+         |SELECT decile, CAST(sum(n_at) AS BIGINT) AS n, CAST(sum(pos_at) AS BIGINT) AS n_pos,
+         |  ${fpRound4Sql("CAST(sum(pos_at) AS DOUBLE) / any_value(tot_pos)")} AS capture_rate,
+         |  ${fpRound4Sql("(CAST(sum(pos_at) AS DOUBLE) / sum(n_at)) / (CAST(any_value(tot_pos) AS DOUBLE) / any_value(tot_n))")} AS lift
+         |FROM d GROUP BY 1""".stripMargin,
     "q72_topk_agg" ->
       """SELECT p_brand, price_rank, p_partkey, round(p_retailprice, 2) AS p_retailprice
         |FROM (SELECT p_brand, p_partkey, p_retailprice,
