@@ -208,8 +208,16 @@ object LlmQueries {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sset").as("set_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sset").as("set_b"), col("sig").as("sig_b"))
+    // prune BEFORE the verify joins: only candidate docs' shingle sets
+    // should ever cross the wire — shuffling the full sigs table (with
+    // its array payloads) twice is corpus-sized; the semi-joined subset
+    // is candidate-sized (LSH keeps candidates ≪ corpus)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val needed = sigs.join(candDocs, Seq("doc_id"), "left_semi")
+    val sa = needed.select(col("doc_id").as("doc_a"), col("sset").as("set_a"), col("sig").as("sig_a"))
+    val sb = needed.select(col("doc_id").as("doc_b"), col("sset").as("set_b"), col("sig").as("sig_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard", fpRound4(col("n_inter").cast("double")
