@@ -463,6 +463,45 @@ object LlmQueries {
           / (col("n_sources") * col("toks"))).as("uniform_weight"))
   }
 
+  /** The composed corpus pipeline, end-to-end as ONE lazy plan: quality
+    * gate (q33 formula) → exact dedup (q30: min-id representative per
+    * content hash) → decontamination (drop train docs the q75 sweep
+    * flags, and eval docs themselves) → sequence packing (q77 windows
+    * over the SURVIVORS). This is the "switch your training-data
+    * pipeline to this library" query: every stage is the same operator
+    * the standalone queries verify, Catalyst sees the whole dataflow,
+    * and the composite output is oracle-checked as a unit. */
+  private val q85CorpusPipeline: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .filter(size(col("tk")) >= 2)
+    // 1. quality gate
+    val quality = base
+      .withColumn("quality", fpRound4(
+        least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 +
+          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))) * 0.5))
+      .filter(col("quality") >= 0.55)
+    // 2. exact dedup: keep the lowest doc_id per distinct text
+    val reps = quality
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = quality.join(reps, Seq("doc_id"), "left_semi")
+    // 3. decontamination: train docs only, minus the q75 quarantine list
+    val flagged = q75Contamination(s, dir).select(col("train_id").as("doc_id")).distinct()
+    val clean = deduped
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    // 4. pack survivors into fixed token windows per source shard
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clean
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        expr(s"cum_before div $PackWindow").as("pack_id"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value)
     * and aggregate — partial (map-side) aggregation collapses each
     * partition to ≤ labels×dims rows before the shuffle, so the 64×
@@ -537,6 +576,7 @@ object LlmQueries {
     "q78_emb_centroids"   -> q78EmbCentroids,
     "q79_length_prune"    -> q79LengthPrune,
     "q80_source_mixture"  -> q80SourceMixture,
+    "q85_corpus_pipeline" -> q85CorpusPipeline,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -732,6 +772,40 @@ object LlmQueries {
          |  ${fpRound4Sql("toks::DOUBLE / tot_toks")} AS token_share,
          |  ${fpRound4Sql("tot_toks::DOUBLE / (n_sources * toks)")} AS uniform_weight
          |FROM t, tot""".stripMargin,
+    "q85_corpus_pipeline" -> {
+      val qualityExpr = fpRound4Sql(
+        "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
+      s"""WITH toks AS (SELECT doc_id, text, source, $duckToks AS tk FROM documents),
+         |base AS (SELECT * FROM toks WHERE len(tk) >= 2),
+         |qual AS (SELECT doc_id, text, source, tk, $qualityExpr AS quality
+         |         FROM base WHERE $qualityExpr >= 0.55),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY sha256(text)),
+         |dedup AS (SELECT q.* FROM qual q JOIN reps r ON q.doc_id = r.doc_id),
+         |cbg AS (SELECT doc_id, list_distinct($duckBigrams) AS bg
+         |        FROM toks WHERE len(tk) >= 2),
+         |cex AS (SELECT doc_id, unnest(bg) AS b FROM cbg),
+         |csh AS (SELECT doc_id, ${duckTokHash("b")} AS h FROM cex),
+         |crk AS (SELECT h FROM (SELECT h, count(*) AS df FROM csh GROUP BY h)
+         |        WHERE df * 20 <= (SELECT count(*) FROM documents)),
+         |crare AS (SELECT s.doc_id, s.h FROM csh s JOIN crk ON s.h = crk.h),
+         |cns AS (SELECT doc_id, count(*) AS n_sh FROM crare GROUP BY doc_id),
+         |flagged AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT t.doc_id AS doc_id
+         |  FROM crare t JOIN crare e ON t.h = e.h
+         |  JOIN cns ON cns.doc_id = t.doc_id
+         |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         |  GROUP BY t.doc_id, e.doc_id, cns.n_sh
+         |  HAVING count(*) >= 3 AND count(*) * 2 >= cns.n_sh)),
+         |clean AS (SELECT * FROM dedup
+         |  WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |packed AS (SELECT doc_id, source, len(tk) AS n_tokens, quality,
+         |  CAST(coalesce(sum(len(tk)) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM clean)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+         |  cum_before // $PackWindow AS pack_id
+         |FROM packed""".stripMargin
+    },
     "q79_length_prune" ->
       s"""WITH t AS (SELECT doc_id, source, len($duckToks) AS n_tokens FROM documents),
          |r AS (SELECT doc_id, source, n_tokens,

@@ -119,6 +119,28 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
+    val sf = "/root/testdata/sf0.01"
+    val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every survivor: train side, quality above the gate
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("doc_id")) % 10 !== 0L)
+      assert(r.getDouble(r.fieldIndex("quality")) >= 0.55)
+    }
+    // no surviving doc is on the contamination quarantine list
+    val flagged = LlmQueries.queries("q75_contamination")(spark, sf)
+      .select(col("train_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !flagged(r.getLong(0))), "quarantined doc survived the pipeline")
+    // no duplicate texts survive (dedup kept one representative per content)
+    val docs = graft.Tables.documents(spark, sf)
+    val survivors = out.select("doc_id")
+    val nTexts = docs.join(survivors, "doc_id").select("text").distinct().count()
+    assert(nTexts === rows.length.toLong, "duplicate texts survived dedup")
+    out.unpersist()
+  }
+
   test("multimodal stub decodes deterministic features from the binary payload") {
     val out = LlmQueries.queries("q40_multimodal_stub")(spark, sfDir)
     val joined = out.join(graft.Tables.documents(spark, sfDir), "doc_id")
