@@ -88,6 +88,16 @@ class StreamOpsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(flagged.keySet === Set(1L, 3L))
       assert(flagged(1L) === 3L && flagged(3L) === 4L)
+      // eviction proof: advance the watermark far past the docs' windows
+      // and the aggregation state must shrink back (the window in the
+      // grouping key is what makes old doc state collectable)
+      input.addData((ts(59), 99L, Seq(100L, 101L, 102L)))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 100L, Seq(1L)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2,
+        s"aggregation state not evicted by the watermark: $stateRows rows")
     } finally q.stop()
   }
 
