@@ -153,7 +153,11 @@ object LlmQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), tokHash(col("text")).as("fingerprint"))
 
-  /** Shared: doc_id, distinct bigram-shingle set, MinHash signature array. */
+  /** Shared: doc_id, distinct bigram-shingle HASH set, MinHash signature
+    * array. Downstream exact-Jaccard verification runs on the hash set,
+    * not the shingle strings — 8-byte longs instead of variable-length
+    * text cross the verify shuffles, and both engines hash identically
+    * so the Jaccard values are bit-equal either way. */
   private def sigsDF(s: SparkSession, dir: String): DataFrame = {
     val withShingles = Tables.documents(s, dir)
       .withColumn("tk", toksCol(col("text")))
@@ -162,7 +166,7 @@ object LlmQueries {
       .withColumn("hh", array_distinct(transform(col("sset"), t => tokHash(t))))
     // all 16 signature minima in one native codegen'd pass (vs 16×
     // array_min(transform(...)) traversals)
-    withShingles.select(col("doc_id"), col("sset"),
+    withShingles.select(col("doc_id"), col("hh"),
       call_function("minhash_sigs", col("hh")).as("sig"))
   }
 
@@ -216,8 +220,8 @@ object LlmQueries {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val needed = sigs.join(candDocs, Seq("doc_id"), "left_semi")
-    val sa = needed.select(col("doc_id").as("doc_a"), col("sset").as("set_a"), col("sig").as("sig_a"))
-    val sb = needed.select(col("doc_id").as("doc_b"), col("sset").as("set_b"), col("sig").as("sig_b"))
+    val sa = needed.select(col("doc_id").as("doc_a"), col("hh").as("set_a"), col("sig").as("sig_a"))
+    val sb = needed.select(col("doc_id").as("doc_b"), col("hh").as("set_b"), col("sig").as("sig_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard", fpRound4(col("n_inter").cast("double")
@@ -587,7 +591,7 @@ object LlmQueries {
     s"""toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
        |sh AS (SELECT doc_id, list_distinct($duckBigrams) AS sset FROM toks WHERE len(tk) >= 2),
        |hs AS (SELECT doc_id, sset, list_distinct(list_transform(sset, t -> ${duckTokHash("t")})) AS hh FROM sh),
-       |sigs AS (SELECT doc_id, sset, [${duckSigExprs.mkString(",\n  ")}] AS sig FROM hs)""".stripMargin
+       |sigs AS (SELECT doc_id, hh, [${duckSigExprs.mkString(",\n  ")}] AS sig FROM hs)""".stripMargin
 
   /** Shared CTE chain producing the LSH-verified `scored` pairs (used by
     * q37 detection and q71 resolution). */
@@ -604,8 +608,8 @@ object LlmQueries {
        |  SELECT c.doc_a, c.doc_b,
        |    ${fpRound4Sql(s"list_sum(list_transform(range(1, ${NumSig + 1}), " +
                 s"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig")} AS est_jaccard,
-       |    ${fpRound4Sql("len(list_intersect(a.sset, b.sset))::DOUBLE / " +
-                "(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))")} AS jaccard
+       |    ${fpRound4Sql("len(list_intersect(a.hh, b.hh))::DOUBLE / " +
+                "(len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh)))")} AS jaccard
        |  FROM cand c
        |  JOIN sigs a ON a.doc_id = c.doc_a
        |  JOIN sigs b ON b.doc_id = c.doc_b)""".stripMargin
