@@ -26,10 +26,9 @@ import org.apache.spark.sql.types._
   * `splitmix64(rowIndex, replicaIndex, seed)`, never from
   * partition-order `rand()`; row indices come from the driver-side sort,
   * so the output is identical however the input was partitioned.
-  * For a minority class too large to broadcast, the scale path is the
-  * LSH-bucketed kNN of [[graft.llm.AnnSearch]] — out of scope here
-  * because the reference's SMOTE regime is small-minority by
-  * construction.
+  * For a minority class too large to broadcast, use [[SmoteLsh]] —
+  * the LSH-bucketed variant that finds neighbors inside hyperplane
+  * buckets with no driver collect.
   */
 class Smote(
     val featureCols: Seq[String],
@@ -67,7 +66,7 @@ class Smote(
       s"SMOTE needs >=2 minority rows to interpolate between, got $minCount")
     require(minCount * featureCols.length <= maxMinorityCells,
       s"minority matrix ${minCount}x${featureCols.length} exceeds broadcast guard " +
-        s"($maxMinorityCells cells); use an LSH-bucketed resampler at this scale")
+        s"($maxMinorityCells cells); use SmoteLsh (bucketed, no collect) at this scale")
 
     // Deterministic minority matrix: collect, then sort by feature tuple
     // on the driver (exact-duplicate rows may swap indices — they are
