@@ -80,10 +80,15 @@ final class ScoringService(
 
   /** GET /health (api/app.py:135-175) + the completion rollup (A12). */
   def health(): HealthOut = {
+    // an empty store (no batch dir yet) reads as zero results, but any
+    // OTHER failure should surface, not masquerade as "healthy, 0 done"
     val rollup = try {
       val r = store.completionRollup(spark).head()
       Some((r.getLong(0), r.getLong(1)))
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND")
+        || e.getMessage.toLowerCase.contains("path does not exist") => None
+    }
     HealthOut(modelLoaded = model != null,
       total = rollup.map(_._1).getOrElse(0L),
       completed = rollup.map(_._2).getOrElse(0L))

@@ -51,21 +51,16 @@ object LlmQueries {
   private def fpRound4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
   private def fpRound4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
-  /** Whitespace tokens, empties dropped. */
-  private def toksCol(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+  /** Whitespace tokens, empties dropped (public form: [[TextOps.tokens]]). */
+  private def toksCol(text: Column): Column = TextOps.tokens(text)
 
   /** Character-level rolling hash of a token: fold (h·31 + byte) mod P —
     * the native codegen'd [[graft.functions.RollingHash]]; matches the
     * generated DuckDB `list_reduce` ord() fold exactly on ASCII text. */
-  private def tokHash(t: Column): Column = call_function("rolling_hash", t)
+  private def tokHash(t: Column): Column = TextOps.rollingHash(t)
 
-  /** Word-bigram shingles "w_i w_{i+1}". */
-  private def bigramsCol(toks: Column): Column =
-    zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
+  /** Word-bigram shingles "w_i w_{i+1}" ([[TextOps.bigrams]]). */
+  private def bigramsCol(toks: Column): Column = TextOps.bigrams(toks)
 
   /** Double dot product over two array<double> columns. */
   private def dot(a: Column, b: Column): Column =

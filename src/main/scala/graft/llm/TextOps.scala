@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public text-analysis column builders — the composable pieces behind
+  * the LLM-pipeline queries, usable on any DataFrame with a text
+  * column (batch or streaming; everything here is a codegen'd column
+  * expression, no UDFs).
+  *
+  * `shingleHashes` is the contract between the batch decontamination
+  * sweep (q75) and the streaming [[graft.streaming.StreamOps
+  * .contaminationGate]]: compute it on the eval corpus to build the
+  * static index, and on arriving docs to probe it.
+  */
+object TextOps {
+
+  /** Rolling-hash modulus shared with the DuckDB oracle arithmetic. */
+  val HashModulus = 1000000007L
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Word-bigram shingles "w_i w_{i+1}" over a token array. */
+  def bigrams(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Native codegen'd rolling hash ([[graft.functions.RollingHash]]);
+    * requires the GraftExtensions-registered session. */
+  def rollingHash(t: Column): Column = call_function("rolling_hash", t)
+
+  /** Distinct bigram-shingle hashes of a raw text column — the unit
+    * every dedup/contamination operator joins on. */
+  def shingleHashes(text: Column): Column = {
+    val tk = tokens(text)
+    array_distinct(transform(array_distinct(bigrams(tk)), t => rollingHash(t)))
+  }
+}

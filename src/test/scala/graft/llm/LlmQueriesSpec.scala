@@ -141,6 +141,19 @@ class LlmQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("TextOps.shingleHashes composes tokens -> bigrams -> rolling hash") {
+    import spark.implicits._
+    val out = Seq("the quick brown fox", "x").toDF("text")
+      .select(TextOps.shingleHashes(col("text")).as("h"))
+      .collect()
+    val hashes = out(0).getSeq[Long](0)
+    val expected = Seq("the quick", "quick brown", "brown fox").map { s =>
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.HashModulus)
+    }
+    assert(hashes === expected)
+    assert(out(1).getSeq[Long](0).isEmpty, "single-token doc has no bigrams")
+  }
+
   test("multimodal stub decodes deterministic features from the binary payload") {
     val out = LlmQueries.queries("q40_multimodal_stub")(spark, sfDir)
     val joined = out.join(graft.Tables.documents(spark, sfDir), "doc_id")
