@@ -501,6 +501,38 @@ object LlmQueries {
         expr(s"cum_before div $PackWindow").as("pack_id"))
   }
 
+  /** Deterministic hash sampling — the reproducible corpus subsample:
+    * keep a doc iff rolling_hash(source|doc_id) mod 100 < 20. No rand(),
+    * no sampleBy seed dependence on partitioning: the same doc is kept
+    * or dropped on every run, on every cluster layout — which is what a
+    * training-data pipeline needs for resumable sampling. */
+  private val q86HashSample: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        tokHash(concat(col("source"), lit("|"), col("doc_id").cast("string"))) % 100)
+      .filter(col("bucket") < 20)
+      .select(col("doc_id"), col("source"), col("bucket"))
+
+  /** Cross-modal join: documents to their embedding row (doc_id =
+    * vec_id), reporting quality alongside the embedding L2 norm — the
+    * join every multimodal pipeline runs to pair text features with
+    * vector features. Equi-join on the shared key; both sides pruned
+    * to the joined columns before the exchange. */
+  private val q87DocEmbJoin: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .select(col("doc_id"),
+        fpRound4(least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 +
+          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))) * 0.5)
+          .as("quality"))
+    val embs = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("label"),
+        round(sqrt(aggregate(col("embedding").cast("array<double>"),
+          lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"))
+    docs.join(embs, Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("l2_norm"), col("label"))
+  }
+
   /** Per-label embedding centroids: posexplode to (label, dim, value)
     * and aggregate — partial (map-side) aggregation collapses each
     * partition to ≤ labels×dims rows before the shuffle, so the 64×
@@ -576,6 +608,8 @@ object LlmQueries {
     "q79_length_prune"    -> q79LengthPrune,
     "q80_source_mixture"  -> q80SourceMixture,
     "q85_corpus_pipeline" -> q85CorpusPipeline,
+    "q86_hash_sample"     -> q86HashSample,
+    "q87_doc_emb_join"    -> q87DocEmbJoin,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -804,6 +838,23 @@ object LlmQueries {
          |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
          |  cum_before // $PackWindow AS pack_id
          |FROM packed""".stripMargin
+    },
+    "q86_hash_sample" -> {
+      val keyExpr = "source || '|' || CAST(doc_id AS VARCHAR)"
+      s"""SELECT doc_id, source, ${duckTokHash(s"($keyExpr)")} % 100 AS bucket
+         |FROM documents
+         |WHERE ${duckTokHash(s"($keyExpr)")} % 100 < 20""".stripMargin
+    },
+    "q87_doc_emb_join" -> {
+      val qualityExpr = fpRound4Sql(
+        "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
+      s"""WITH d AS (SELECT doc_id, $qualityExpr AS quality
+         |  FROM (SELECT doc_id, $duckToks AS tk FROM documents) t),
+         |e AS (SELECT vec_id AS doc_id, label,
+         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm
+         |  FROM embeddings)
+         |SELECT d.doc_id, d.quality, e.l2_norm, e.label
+         |FROM d JOIN e ON d.doc_id = e.doc_id""".stripMargin
     },
     "q79_length_prune" ->
       s"""WITH t AS (SELECT doc_id, source, len($duckToks) AS n_tokens FROM documents),
