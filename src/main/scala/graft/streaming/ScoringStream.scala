@@ -83,7 +83,12 @@ object ScoringStream {
       * _SUCCESS); a rewrite of the same label finds and reuses it. If a
       * crash lands between the parquet write and the sidecar write, the
       * replay takes a fresh stamp — it rewrites identical content, so
-      * ordering is only perturbed for the batch's own payload. */
+      * ordering is only perturbed for the batch's own payload.
+      *
+      * The sidecar uses java.nio, so this store's path must be a LOCAL
+      * filesystem (the parquet side is FS-agnostic). On a cluster, back
+      * the store with a transactional keyed sink (the JDBC upsert in
+      * [[graft.sources.JdbcResults]]) instead of directories. */
     private def stampFor(label: String): Long = {
       val p = java.nio.file.Paths.get(path, s"batch=$label", "_stamp")
       if (java.nio.file.Files.exists(p))
