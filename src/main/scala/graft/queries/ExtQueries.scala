@@ -62,6 +62,33 @@ object ExtQueries {
       .select(col("event_id"), round(col("last_purchase"), 4).as("last_purchase_value"))
   }
 
+  /** Conversion attribution with tolerance (the funnel variant of the
+    * q52 as-of): each purchase is attributed to the user's latest prior
+    * click iff it happened within the hour. Same union + partitioned
+    * last(ignoreNulls) window — one shuffle keyed on user_id, no
+    * range-join explosion; latency is exact integer microseconds so
+    * both engines agree bit-for-bit. */
+  private val q88Attribution: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("ts").as("c_ts"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(2).as("tag"),
+        lit(null).cast("timestamp").as("c_ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = 3600L * 1000000L
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("c_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 2)
+      .withColumn("latency_us", unix_micros(col("ts")) - unix_micros(col("last_click")))
+      .select(col("event_id"),
+        (col("last_click").isNotNull && col("latency_us") <= tolUs).cast("int").as("attributed"),
+        when(col("last_click").isNotNull && col("latency_us") <= tolUs, col("latency_us"))
+          .as("latency_us"))
+  }
+
   /** F6/F7/F8: regexp extract / extract_all / replace-all + printf-style
     * formatting. Array-valued intermediates are reduced to scalars so the
     * oracle compare stays type-stable. */
@@ -346,9 +373,20 @@ object ExtQueries {
     "q54_json_map"      -> q54JsonMap,
     "q55_csv_roundtrip" -> q55CsvRoundtrip,
     "q56_generators"    -> q56Generators,
+    "q88_attribution"   -> q88Attribution,
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_attribution" ->
+      """SELECT p.event_id,
+        |  CASE WHEN c.ts IS NOT NULL
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000 THEN 1 ELSE 0 END AS attributed,
+        |  CASE WHEN c.ts IS NOT NULL
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |    THEN CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) END AS latency_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "q60_sql_surface" ->
       """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer
