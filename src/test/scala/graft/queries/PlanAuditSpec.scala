@@ -89,6 +89,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_avg"), s"no partial aggregation of the centroid avg:\n$p")
   }
 
+  test("q85: the composed pipeline stays join-sane end to end") {
+    val p = planOf("q85_corpus_pipeline")
+    assert(!p.contains("CartesianProduct"), s"composed pipeline went all-pairs:\n$p")
+    // dedup + decontamination must stay semi/anti joins (no row inflation)
+    assert(p.contains("LeftSemi"), s"dedup semi join missing:\n$p")
+    assert(p.contains("LeftAnti"), s"decontamination anti join missing:\n$p")
+  }
+
+  test("q88: attribution is a partitioned window, not a range join") {
+    val p = planOf("q88_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution degenerated to a range-join product:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"expected user-keyed window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // executedPlan.toString renders codegen stages as "*(n) Op"
     val p = planOf("q01_pruned_scan")
