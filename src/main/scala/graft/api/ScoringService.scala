@@ -86,7 +86,10 @@ final class ScoringService(
       val r = store.completionRollup(spark).head()
       Some((r.getLong(0), r.getLong(1)))
     } catch {
+      // empty-store shapes only: no batch dir yet, or a dir holding just
+      // sidecars so parquet schema inference has nothing to read
       case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND")
+        || e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
         || e.getMessage.toLowerCase.contains("path does not exist") => None
     }
     HealthOut(modelLoaded = model != null,

@@ -80,6 +80,9 @@ object LlmQueries {
       s"i -> ord(substr($t, i, 1))::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
   private val duckBigrams =
     "list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])"
+  /** DuckDB form of [[TextOps.quality]] over a `tk` token-list column. */
+  private val duckQuality: String = fpRound4Sql(
+    "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
 
   // ------------------------------------------------------------- queries
 
@@ -130,16 +133,13 @@ object LlmQueries {
         .otherwise("unk").as("lang_guess"))
   }
 
-  /** Document quality score: length saturation + type-token ratio. */
+  /** Document quality score: length saturation + type-token ratio
+    * ([[TextOps.quality]] — one formula shared with q85/q87). */
   private val q33QualityScore: Q = (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("tk", toksCol(col("text")))
-      .withColumn("ttr", size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
-      .select(
-        col("doc_id"),
-        fpRound4(least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 + col("ttr") * 0.5)
-          .as("quality"))
-      .withColumn("low_quality", (col("quality") < 0.55).cast("int"))
+      .select(col("doc_id"), TextOps.quality(col("tk")).as("quality"))
+      .withColumn("low_quality", (col("quality") < TextOps.QualityGate).cast("int"))
 
   /** Whole-document rolling-hash fingerprint (content-defined identity
     * that survives storage layout, unlike sha2 it is cheap to compute
@@ -207,6 +207,7 @@ object LlmQueries {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .cache() // referenced 3x below (probe + both sides of the doc prune)
     // prune BEFORE the verify joins: only candidate docs' shingle sets
     // should ever cross the wire — shuffling the full sigs table (with
     // its array payloads) twice is corpus-sized; the semi-joined subset
@@ -462,24 +463,25 @@ object LlmQueries {
           / (col("n_sources") * col("toks"))).as("uniform_weight"))
   }
 
-  /** The composed corpus pipeline, end-to-end as ONE lazy plan: quality
-    * gate (q33 formula) → exact dedup (q30: min-id representative per
-    * content hash) → decontamination (drop train docs the q75 sweep
-    * flags, and eval docs themselves) → sequence packing (q77 windows
-    * over the SURVIVORS). This is the "switch your training-data
-    * pipeline to this library" query: every stage is the same operator
-    * the standalone queries verify, Catalyst sees the whole dataflow,
-    * and the composite output is oracle-checked as a unit. */
+  /** The composed corpus pipeline: quality gate (q33 formula) → exact
+    * dedup (q30: min-id representative per content hash) →
+    * decontamination (drop train docs the q75 sweep flags, and eval
+    * docs themselves) → sequence packing (q77 windows over the
+    * SURVIVORS). This is the "switch your training-data pipeline to
+    * this library" query: every stage is the same operator the
+    * standalone queries verify, and the composite output is
+    * oracle-checked as a unit. The dataflow is lazy except two staged
+    * materializations inherited from q75 (the corpus count-star and
+    * the cached rare-shingle index) — deliberate stage boundaries, the
+    * same ones a production decontamination pass persists. */
   private val q85CorpusPipeline: Q = (s, dir) => {
     val base = Tables.documents(s, dir)
       .withColumn("tk", toksCol(col("text")))
       .filter(size(col("tk")) >= 2)
-    // 1. quality gate
+    // 1. quality gate (TextOps.quality: the q33 formula, one source)
     val quality = base
-      .withColumn("quality", fpRound4(
-        least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 +
-          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))) * 0.5))
-      .filter(col("quality") >= 0.55)
+      .withColumn("quality", TextOps.quality(col("tk")))
+      .filter(col("quality") >= TextOps.QualityGate)
     // 2. exact dedup: keep the lowest doc_id per distinct text
     val reps = quality
       .groupBy(sha2(col("text"), 256).as("h"))
@@ -521,10 +523,7 @@ object LlmQueries {
   private val q87DocEmbJoin: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .withColumn("tk", toksCol(col("text")))
-      .select(col("doc_id"),
-        fpRound4(least(lit(1.0), size(col("tk")) / lit(100.0)) * 0.5 +
-          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))) * 0.5)
-          .as("quality"))
+      .select(col("doc_id"), TextOps.quality(col("tk")).as("quality"))
     val embs = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("label"),
         round(sqrt(aggregate(col("embedding").cast("array<double>"),
@@ -669,14 +668,11 @@ object LlmQueries {
          |       ELSE 'unk' END AS lang_guess
          |FROM h""".stripMargin
     },
-    "q33_quality_score" -> {
-      val qExpr = fpRound4Sql(
-        "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
+    "q33_quality_score" ->
       s"""SELECT doc_id,
-         |  $qExpr AS quality,
-         |  CASE WHEN $qExpr < 0.55 THEN 1 ELSE 0 END AS low_quality
-         |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin
-    },
+         |  $duckQuality AS quality,
+         |  CASE WHEN $duckQuality < 0.55 THEN 1 ELSE 0 END AS low_quality
+         |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
     "q34_fingerprint" ->
       s"""SELECT doc_id, ${duckTokHash("text")} AS fingerprint FROM documents""",
     "q35_minhash_sigs" -> {
@@ -806,8 +802,7 @@ object LlmQueries {
          |  ${fpRound4Sql("tot_toks::DOUBLE / (n_sources * toks)")} AS uniform_weight
          |FROM t, tot""".stripMargin,
     "q85_corpus_pipeline" -> {
-      val qualityExpr = fpRound4Sql(
-        "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
+      val qualityExpr = duckQuality
       s"""WITH toks AS (SELECT doc_id, text, source, $duckToks AS tk FROM documents),
          |base AS (SELECT * FROM toks WHERE len(tk) >= 2),
          |qual AS (SELECT doc_id, text, source, tk, $qualityExpr AS quality
@@ -846,9 +841,7 @@ object LlmQueries {
          |WHERE ${duckTokHash(s"($keyExpr)")} % 100 < 20""".stripMargin
     },
     "q87_doc_emb_join" -> {
-      val qualityExpr = fpRound4Sql(
-        "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
-      s"""WITH d AS (SELECT doc_id, $qualityExpr AS quality
+      s"""WITH d AS (SELECT doc_id, $duckQuality AS quality
          |  FROM (SELECT doc_id, $duckToks AS tk FROM documents) t),
          |e AS (SELECT vec_id AS doc_id, label,
          |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm

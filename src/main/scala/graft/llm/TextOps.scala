@@ -34,9 +34,26 @@ object TextOps {
   def rollingHash(t: Column): Column = call_function("rolling_hash", t)
 
   /** Distinct bigram-shingle hashes of a raw text column — the unit
-    * every dedup/contamination operator joins on. */
+    * every dedup/contamination operator joins on. Total: a doc with
+    * fewer than 2 tokens (empty/whitespace text included) yields an
+    * empty array rather than crashing the caller's query — slice with
+    * a negative length throws, and a streaming consumer must survive
+    * arbitrary input. */
   def shingleHashes(text: Column): Column = {
     val tk = tokens(text)
-    array_distinct(transform(array_distinct(bigrams(tk)), t => rollingHash(t)))
+    when(size(tk) >= 2,
+      array_distinct(transform(array_distinct(bigrams(tk)), t => rollingHash(t))))
+      .otherwise(array().cast("array<bigint>"))
   }
+
+  /** The q33 quality score over a token array: length saturation +
+    * type-token ratio, floor-form 4dp rounding (shared by the quality
+    * query, the composed corpus pipeline, and the cross-modal join). */
+  def quality(tk: Column): Column =
+    floor((least(lit(1.0), size(tk) / lit(100.0)) * 0.5 +
+      (size(array_distinct(tk)).cast("double") / size(tk)) * 0.5) * 10000.0 + 0.5) / 10000.0
+
+  /** The quality gate threshold used by q33's low_quality flag and the
+    * corpus pipeline's filter. */
+  val QualityGate = 0.55
 }

@@ -28,12 +28,19 @@ import org.apache.spark.sql.types._
   * preserved: replicas are allocated by global row index, not by
   * bucket.
   */
+/** @param nBits hyperplane count, or -1 (default) to SIZE THE BUCKETS
+  *   TO THE DATA: bits = ceil(log2(minorityCount / targetBucketRows)),
+  *   clamped to [1, 20]. A fixed small nBits caps the bucket count and
+  *   silently re-concentrates a huge minority class into a handful of
+  *   O(bucket²) kNN tasks — the failure mode this class exists to
+  *   avoid — so the bit width must grow with the data. */
 class SmoteLsh(
     val featureCols: Seq[String],
     val labelCol: String,
     val k: Int = 5,
-    val nBits: Int = 4,
-    val seed: Long = 42L) extends Serializable {
+    val nBits: Int = -1,
+    val seed: Long = 42L,
+    val targetBucketRows: Long = 256L) extends Serializable {
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -66,7 +73,10 @@ class SmoteLsh(
 
     val nFeat = featureCols.length
     val kk = k
-    val bits = nBits
+    val bits =
+      if (nBits > 0) nBits
+      else math.min(20, math.max(1,
+        math.ceil(math.log(minCount.toDouble / targetBucketRows) / math.log(2.0)).toInt))
     val needPerRow = needed / minCount
     val remainder = (needed % minCount).toInt
     val planes: Array[Array[Double]] =

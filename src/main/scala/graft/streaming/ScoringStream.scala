@@ -122,7 +122,10 @@ object ScoringStream {
     def completionRollup(spark: SparkSession): DataFrame =
       snapshot(spark).agg(
         count(lit(1)).as("total"),
-        sum(when(col("shap_values").isNotNull, 1L).otherwise(0L)).as("completed"))
+        // coalesce: sum over ZERO rows is null, and an empty-but-existing
+        // store must read as (0, 0), not NPE in the caller's getLong
+        coalesce(sum(when(col("shap_values").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("completed"))
   }
 
   /** ST1/ST2: wire a (transaction_id, features) stream through scoring

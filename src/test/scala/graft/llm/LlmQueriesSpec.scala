@@ -152,6 +152,11 @@ class LlmQueriesSpec extends SparkSpec {
     }
     assert(hashes === expected)
     assert(out(1).getSeq[Long](0).isEmpty, "single-token doc has no bigrams")
+    // total on arbitrary input: empty / whitespace-only text must yield
+    // an empty array, not crash (the streaming-gate contract)
+    val degenerate = Seq("", "   ", "\t\n").toDF("text")
+      .select(TextOps.shingleHashes(col("text")).as("h")).collect()
+    degenerate.foreach(r => assert(r.getSeq[Long](0).isEmpty))
   }
 
   test("multimodal stub decodes deterministic features from the binary payload") {
