@@ -89,6 +89,20 @@ object ExtQueries {
           .as("latency_us"))
   }
 
+  /** F10 on real data: parse the events table's `props` JSON sidecar
+    * column (schema-on-read with an explicit struct — no sampling
+    * inference pass) and aggregate the extracted field per event type.
+    * The JSON parse is a codegen'd projection; the only shuffle is the
+    * final small groupBy. */
+  private val q89EventProps: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("p", from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.k")).as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+
   /** F6/F7/F8: regexp extract / extract_all / replace-all + printf-style
     * formatting. Array-valued intermediates are reduced to scalars so the
     * oracle compare stays type-stable. */
@@ -374,9 +388,16 @@ object ExtQueries {
     "q55_csv_roundtrip" -> q55CsvRoundtrip,
     "q56_generators"    -> q56Generators,
     "q88_attribution"   -> q88Attribution,
+    "q89_event_props"   -> q89EventProps,
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_event_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q88_attribution" ->
       """SELECT p.event_id,
         |  CASE WHEN c.ts IS NOT NULL
