@@ -159,6 +159,25 @@ class LlmQueriesSpec extends SparkSpec {
     degenerate.foreach(r => assert(r.getSeq[Long](0).isEmpty))
   }
 
+  test("hash sampling is reproducible and lands near the 20% target") {
+    val sf = "/root/testdata/sf0.01"
+    val a = LlmQueries.queries("q86_hash_sample")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = LlmQueries.queries("q86_hash_sample")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "hash sample changed between runs")
+    val total = graft.Tables.documents(spark, sf).count().toDouble
+    val rate = a.size / total
+    assert(rate > 0.12 && rate < 0.28, s"sample rate $rate far from 20%")
+  }
+
+  test("doc-embedding join pairs every doc with a positive-norm vector") {
+    val out = LlmQueries.queries("q87_doc_emb_join")(spark, sfDir)
+    assert(out.count() === graft.Tables.embeddings(spark, sfDir).count())
+    assert(out.filter(col("l2_norm") <= 0).count() === 0)
+    assert(out.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+  }
+
   test("multimodal stub decodes deterministic features from the binary payload") {
     val out = LlmQueries.queries("q40_multimodal_stub")(spark, sfDir)
     val joined = out.join(graft.Tables.documents(spark, sfDir), "doc_id")
