@@ -83,6 +83,15 @@ object LlmQueries {
   /** DuckDB form of [[TextOps.quality]] over a `tk` token-list column. */
   private val duckQuality: String = fpRound4Sql(
     "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
+  /** Shared SimHash CTE chain (`sim(doc_id, simhash)`) for q36/q90. */
+  private lazy val duckSimhashCTE: String = {
+    val bits = (0 until SimBits).map(b =>
+      s"CASE WHEN list_sum(list_transform(hh, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""t AS (SELECT doc_id, list_distinct($duckToks) AS tk FROM documents),
+       |h AS (SELECT doc_id, list_distinct(list_transform(tk, t -> ${duckTokHash("t")})) AS hh FROM t),
+       |sim AS (SELECT doc_id, $bits AS simhash FROM h)""".stripMargin
+  }
 
   // ------------------------------------------------------------- queries
 
@@ -503,6 +512,44 @@ object LlmQueries {
         expr(s"cum_before div $PackWindow").as("pack_id"))
   }
 
+  /** SimHash-banded near-dup detection, completing the dedup family
+    * (MinHash-LSH q37, embedding-LSH q57). The q36 16-bit unigram
+    * signature is a doc FINGERPRINT, not a pair detector — shared
+    * vocabulary makes unrelated docs agree on most bits. Detection uses
+    * a 32-bit SimHash over the bigram-shingle hashes (doc-specific for
+    * the same reason MinHash shingles are), split into 2 bands of 16
+    * bits: any pair within Hamming distance 1 agrees exactly on ≥1 band
+    * (pigeonhole), so candidates come from an equi-join on the band key
+    * — never all-pairs — and verify with bit_count(xor) ≤ 1. */
+  private val q90SimhashPairs: Q = (s, dir) => {
+    val bitSums = (0 until 32).map { b =>
+      aggregate(col("hh"), lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"bs$b")
+    }
+    val sims = sigsDF(s, dir)
+      .select(col("doc_id") +: bitSums: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"bs$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+      .cache()
+    val bandArr = array((0 until 2).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535L)).as("bkey"))
+    }: _*)
+    val bands = sims.select(col("doc_id"), col("simhash"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Deterministic hash sampling — the reproducible corpus subsample:
     * keep a doc iff rolling_hash(source|doc_id) mod 100 < 20. No rand(),
     * no sampleBy seed dependence on partitioning: the same doc is kept
@@ -609,6 +656,7 @@ object LlmQueries {
     "q85_corpus_pipeline" -> q85CorpusPipeline,
     "q86_hash_sample"     -> q86HashSample,
     "q87_doc_emb_join"    -> q87DocEmbJoin,
+    "q90_simhash_pairs"   -> q90SimhashPairs,
   )
 
   // -------------------------------------------------- oracle SQL (DuckDB)
@@ -680,13 +728,23 @@ object LlmQueries {
       s"""WITH $duckSigsCTE
          |SELECT doc_id, $cols FROM sigs""".stripMargin
     },
-    "q36_simhash" -> {
-      val bits = (0 until SimBits).map(b =>
+    "q36_simhash" ->
+      s"""WITH $duckSimhashCTE
+         |SELECT doc_id, simhash FROM sim""".stripMargin,
+    "q90_simhash_pairs" -> {
+      val bits32 = (0 until 32).map(b =>
         s"CASE WHEN list_sum(list_transform(hh, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
         .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS tk FROM documents),
-         |h AS (SELECT doc_id, list_distinct(list_transform(tk, t -> ${duckTokHash("t")})) AS hh FROM t)
-         |SELECT doc_id, $bits AS simhash FROM h""".stripMargin
+      s"""WITH $duckSigsCTE,
+         |sim AS (SELECT doc_id, $bits32 AS simhash FROM hs),
+         |bands AS (SELECT doc_id, simhash, j.b AS band, (simhash >> (16 * j.b)) & 65535 AS bkey
+         |          FROM sim, (SELECT unnest(range(0, 2)) AS b) j),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |           x.simhash AS sh_a, y.simhash AS sh_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1""".stripMargin
     },
     "q37_neardup_minhash" ->
       s"""WITH $duckNeardupCTEs

@@ -12,7 +12,7 @@ class LlmQueriesSpec extends SparkSpec {
       // pair-producing queries may legitimately be small; per-doc ones must
       // cover every document
       if (Set("q37_neardup_minhash", "q57_embed_neardup", "q71_dedup_components",
-          "q75_contamination")(name)) assert(n >= 0)
+          "q75_contamination", "q90_simhash_pairs")(name)) assert(n >= 0)
       else assert(n > 0, s"$name returned no rows")
     }
   }
