@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the runner half of the query-scoped-cache contract: queries may
+      // cache intermediates their result lineage reads (so they cannot
+      // unpersist in-closure); releasing here keeps a long session's
+      // storage memory flat across the 85-query sweep
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,9 +58,13 @@ object StreamOps {
   /** In-stream contamination gate: the streaming half of the q75 batch
     * decontamination sweep, emitting the QUARANTINE list — doc ids whose
     * shingles hit the eval index ≥ `minShared` times. The eval corpus's
-    * rare-shingle hashes are a STATIC index (broadcast if small, shuffled
-    * stream-static join otherwise); each arriving doc is exploded to its
-    * bigram hashes and joined against it. The stream-static join itself
+    * rare-shingle hashes are a STATIC index — build it with
+    * [[graft.llm.LlmQueries.rareShingleIndex]], which applies BOTH df
+    * caps (relative noise gate + absolute quadratic-join guard), so the
+    * stream-side join inherits the same stop-shingle blow-up protection
+    * as the batch sweep (broadcast if small, shuffled stream-static join
+    * otherwise); each arriving doc is exploded to its bigram hashes and
+    * joined against it. The stream-static join itself
     * holds no state and re-reads the static side per micro-batch (index
     * refreshes are picked up); the per-doc count keys on (event-time
     * window, doc_id) so the watermark can evict expired windows. */

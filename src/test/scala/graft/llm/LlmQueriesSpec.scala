@@ -141,6 +141,47 @@ class LlmQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("rare-shingle index: the absolute df cap drops stop-shingles the relative cap keeps") {
+    import spark.implicits._
+    // 100 docs; bigram "hot stop" in 3 docs (passes the relative cap:
+    // 3·20 ≤ 100) and "rare pair" in 2. With absCap=2 the df=3 shingle
+    // must be dropped — the stop-shingle blow-up guard — while df=2 stays.
+    val docs = (0 until 100).map { i =>
+      val extra =
+        if (i < 3) " hot stop"
+        else if (i < 5) " rare pair"
+        else ""
+      (i.toLong, s"filler$i text$i$extra")
+    }.toDF("doc_id", "text")
+    val hotHash = "hot stop".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.HashModulus)
+    val rareHash = "rare pair".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.HashModulus)
+    val capped = LlmQueries.rareShingleIndex(docs, nDocs = 100, absCap = 2)
+      .select("h").distinct().collect().map(_.getLong(0)).toSet
+    assert(!capped(hotHash), "absolute cap failed to drop the df=3 stop-shingle")
+    assert(capped(rareHash), "df=2 shingle should survive both caps")
+    // relative-only behaviour unchanged when the absolute cap is loose
+    val loose = LlmQueries.rareShingleIndex(docs, nDocs = 100, absCap = 1000)
+      .select("h").distinct().collect().map(_.getLong(0)).toSet
+    assert(loose(hotHash) && loose(rareHash))
+  }
+
+  test("query-scoped caches: the runner's clearCache releases every storage block") {
+    // q37 caches sigs+cand (its result lineage reads them, so it cannot
+    // unpersist in-closure); after the runner contract runs, nothing may
+    // linger — this is what keeps an 85-query session's storage flat
+    spark.catalog.clearCache() // isolate from other suites
+    LlmQueries.queries("q37_neardup_minhash")(spark, sfDir).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected q37's query-scoped caches to be live after its action")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearCache left storage blocks behind")
+    // q65 releases in-closure (result is built from driver scalars)
+    LlmQueries.queries("q65_ivf_invariants")(spark, sfDir).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q65 leaked its res/index caches despite in-closure unpersist")
+  }
+
   test("TextOps.shingleHashes composes tokens -> bigrams -> rolling hash") {
     import spark.implicits._
     val out = Seq("the quick brown fox", "x").toDF("text")
