@@ -51,8 +51,13 @@ object IvfSearch {
 
   /** Probe: for each query row, search the nProbe nearest inverted lists
     * and return the top-k neighbors by cosine. The centroid table is tiny
-    * (k rows) and the query set is broadcast — the only join against the
-    * corpus is an equi-join on cluster id.
+    * (k rows — always broadcast); the probe-set join against the corpus
+    * is an equi-join on cluster id whose STRATEGY is sized to the query
+    * set: a small batch is broadcast, a query TABLE above
+    * `maxBroadcastQueries` rows takes the shuffle path (hash-partitioned
+    * on cluster id on both sides) — broadcasting it would OOM the
+    * executors, the failure mode [[graft.ml.Smote]]'s guard documents.
+    * The one count(*) action on the query set is what buys the choice.
     *
     * Probe centroids are ranked by the SAME squared-Euclidean metric
     * KMeans used for list assignment (ranking by a different metric
@@ -60,7 +65,7 @@ object IvfSearch {
     * lists), with cluster id as tiebreaker so tied distances give a
     * deterministic probe set across runs. */
   def search(index: Index, queries: DataFrame, idCol: String, embCol: String,
-      nProbe: Int, topK: Int): DataFrame = {
+      nProbe: Int, topK: Int, maxBroadcastQueries: Long = 1L << 16): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centroids = index.model.clusterCenters.zipWithIndex
@@ -76,8 +81,10 @@ object IvfSearch {
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))
+    val probeSide =
+      if (queries.count() <= maxBroadcastQueries) broadcast(probes) else probes
     val wS = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
-    index.indexed.join(broadcast(probes), Seq("cluster"))
+    index.indexed.join(probeSide, Seq("cluster"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos_sim", round(cosine(col(embCol), col("q_emb")), 4))
       .withColumn("rnk", row_number().over(wS))

@@ -335,7 +335,45 @@ object MlQueries {
         round(col("entry._1"), 2).as("p_retailprice"))
   }
 
+  /** M3+M5 on the oracle-checked query surface (the fit+score path was
+    * spec-only before): fit the LR pipeline on the seeded separable eval
+    * set (S13: label = f0 > 0), score the same frame through
+    * [[FraudPipeline.scoreDF]], and report the invariants the oracle can
+    * state as constants — exact row count, zero scores outside [0,1],
+    * zero prediction/P(1) threshold inconsistencies, and the
+    * near-perfect accuracy/AUC a separable task guarantees REGARDLESS
+    * of which seeded sample each partitioning draws (the q56/q64/q65
+    * nondeterministic-operator pattern). */
+  private val q91ModelScoring: Q = (s, dir) => {
+    import s.implicits._
+    val n = 2000L
+    val feats = (0 until 10).map(i => s"f$i")
+    val df = FraudPipeline.syntheticEvalSet(s, n).cache()
+    try {
+      val model = FraudPipeline.logisticPipeline(feats, maxIter = 50).fit(df)
+      val scored = FraudPipeline.scoreDF(model, df)
+        .select(col(FraudPipeline.labelCol).as("label"),
+          col("prediction"), col("score")).cache()
+      try {
+        val nScored = scored.count()
+        val outOfRange = scored.filter(col("score") < 0 || col("score") > 1).count()
+        val inconsistent = scored.filter(
+          (col("score") >= 0.5 && col("prediction") =!= 1.0) ||
+            (col("score") < 0.5 && col("prediction") =!= 0.0)).count()
+        val acc = scored.filter(col("prediction") === col("label").cast("double"))
+          .count().toDouble / nScored
+        val aucVal = FraudPipeline.auc(model, df)
+        Seq((nScored, outOfRange, inconsistent,
+          if (acc >= 0.98) 1 else 0,
+          if (FraudPipeline.aucGate(aucVal, 0.99)) 1 else 0))
+          .toDF("n_scored", "n_out_of_range", "n_threshold_inconsistent",
+            "acc_gate", "auc_gate")
+      } finally scored.unpersist()
+    } finally df.unpersist() // result is driver scalars: release in-closure
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_model_scoring" -> q91ModelScoring,
     "q72_topk_agg"     -> q72TopkAgg,
     "q41_scaler_stats" -> q41ScalerStats,
     "q42_strat_split"  -> q42StratSplit,
@@ -359,6 +397,11 @@ object MlQueries {
       |  avg(l_discount * 10.0) AS mu2, avg(l_tax * 10.0) AS mu3 FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q91_model_scoring" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_scored,
+        |  CAST(0 AS BIGINT) AS n_out_of_range,
+        |  CAST(0 AS BIGINT) AS n_threshold_inconsistent,
+        |  1 AS acc_gate, 1 AS auc_gate""".stripMargin,
     "q41_scaler_stats" ->
       """SELECT round(avg(l_quantity), 4) AS mean_qty, round(stddev_pop(l_quantity), 4) AS std_qty,
         |  round(avg(l_extendedprice), 4) AS mean_price, round(stddev_pop(l_extendedprice), 4) AS std_price,

@@ -24,10 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Stratify {
 
+  /** Rows each (label, bucket) window sort should handle in one task.
+    * The adaptive default sizes nBuckets = clamp(ceil(n/target),
+    * [MinBuckets, MaxBuckets]) — a FIXED bucket count would put N/(64·
+    * |classes|) rows into each sort task at 100 TB (a straggler), the
+    * same failure family [[SmoteLsh]]'s adaptive bit width avoids. The
+    * cap bounds the per-class offsets broadcast (|classes|·nBuckets
+    * rows). Costs one count(*) on the input when sizing adaptively. */
+  val TargetRowsPerBucket: Long = 1L << 20
+  val MinBuckets = 64
+  val MaxBuckets = 1 << 20
+
+  def adaptiveBuckets(n: Long, targetRows: Long = TargetRowsPerBucket): Int =
+    math.min(MaxBuckets.toLong,
+      math.max(MinBuckets.toLong, (math.max(n, 1L) - 1L) / targetRows + 1L)).toInt
+
+  /** @param nBuckets salt-bucket count, or -1 (default) to size it to
+    *   the data via [[adaptiveBuckets]]. */
   def withClassRank(df: DataFrame, labelCol: String, orderKeys: Seq[String],
-      nBuckets: Int = 64, rankCol: String = "__rn"): DataFrame = {
+      nBuckets: Int = -1, rankCol: String = "__rn",
+      targetRows: Long = TargetRowsPerBucket): DataFrame = {
+    val buckets = if (nBuckets > 0) nBuckets else adaptiveBuckets(df.count(), targetRows)
     val keyCols = orderKeys.map(col)
-    val bucketed = df.withColumn("__bkt", pmod(hash(keyCols: _*), lit(nBuckets)))
+    val bucketed = df.withColumn("__bkt", pmod(hash(keyCols: _*), lit(buckets)))
     val wLocal = Window.partitionBy(col(labelCol), col("__bkt")).orderBy(keyCols: _*)
     val wOff = Window.partitionBy(col(labelCol)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -43,7 +62,7 @@ object Stratify {
 
   /** W5: deterministic stratified fold id in [0, k). */
   def withFold(df: DataFrame, labelCol: String, orderKeys: Seq[String], k: Int,
-      foldCol: String = "fold", nBuckets: Int = 64): DataFrame =
+      foldCol: String = "fold", nBuckets: Int = -1): DataFrame =
     withClassRank(df, labelCol, orderKeys, nBuckets)
       .withColumn(foldCol, col("__rn") % k).drop("__rn")
 }

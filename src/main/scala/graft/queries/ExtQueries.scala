@@ -172,7 +172,7 @@ object ExtQueries {
       sum(when(col("ts").isNotNull, 1L).otherwise(0L)).as("nt")).head()
     val fraud = g1.agg(sum(col("Class"))).head().getLong(0)
     import s.implicits._
-    Seq((
+    try Seq((
       g1.count(),
       uuidStats.getLong(0), uuidStats.getLong(1), uuidStats.getLong(2),
       if (timeSorted) 1 else 0,
@@ -181,6 +181,7 @@ object ExtQueries {
       g1.filter(col("Amount") <= 0).count()
     )).toDF("n_rows", "n_unique_uuids", "n_rand_in_range", "n_ts_nonnull",
       "time_sorted", "seed_deterministic", "fraud_ratio_plausible", "n_nonpos_amount")
+    finally g1.unpersist() // result is driver scalars: release in-closure
   }
 
   /** P6: numeric coercion with null-on-error — the pandas

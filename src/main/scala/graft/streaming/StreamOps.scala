@@ -45,6 +45,40 @@ object StreamOps {
       .repartition(1).write.mode("append").json(dir)
   }
 
+  /** The queue message schema shared by every queue-source flavour. */
+  val QueueSchema = "transaction_id STRING, features MAP<STRING, DOUBLE>"
+
+  /** Decode Kafka-shaped records (binary `value` column, JSON payload)
+    * into the queue contract — the transform half of
+    * [[kafkaQueueSource]], a plain column expression testable against
+    * any frame with a binary `value` (a MemoryStream in the specs; no
+    * broker needed). Malformed payloads yield null columns (from_json
+    * PERMISSIVE), which the scoring path's arity validation rejects
+    * per-row instead of killing the stream. */
+  def kafkaQueueDecode(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(QueueSchema)).as("m"))
+      .select(col("m.transaction_id").as("transaction_id"), col("m.features").as("features"))
+
+  /** S8, Kafka-shaped: the same (transaction_id, features) queue
+    * contract as [[fileQueueSource]], over a Kafka topic — config-only
+    * wiring (`format("kafka")` resolves the spark-sql-kafka connector
+    * from the CLUSTER classpath; this container ships no broker or
+    * connector, so the specs drive [[kafkaQueueDecode]] behind the same
+    * interface instead of opening a socket). `maxOffsetsPerTrigger` is
+    * the ST6 backpressure knob — the per-trigger row cap playing the
+    * role maxFilesPerTrigger plays for the file queue. */
+  def kafkaQueueSource(spark: SparkSession, bootstrapServers: String, topic: String,
+      maxOffsetsPerTrigger: Long): DataFrame =
+    kafkaQueueDecode(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest") // at-least-once like the file queue
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+        .load())
+
   /** ST3 in-stream variant: exactly-once-per-key emission via
     * dropDuplicates under a watermark — the streaming half of the LLM
     * exact-dedup operator (content fingerprint as the key). State for

@@ -30,6 +30,36 @@ class IvfSearchSpec extends SparkSpec {
     perQuery.foreach(r => assert(r.getLong(1) <= 2))
   }
 
+  test("a non-broadcastable query table takes the shuffle path with identical results") {
+    val queries = emb.filter(col("vec_id") < 64) // 64 rows > the forced threshold
+    def run(threshold: Long) = IvfSearch.search(index, queries, "vec_id", "emb",
+        nProbe = 2, topK = 3, maxBroadcastQueries = threshold)
+    // at test scale the planner would auto-broadcast the tiny probe side
+    // regardless of the hint; disable it so the assertion sees the
+    // strategy the hint (absence) selects at 100 TB
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val shuffled = run(threshold = 4)      // forces the large-batch path
+      val broadcasted = run(threshold = 1 << 16)
+      // the large-batch plan must NOT broadcast the probe set (the
+      // explicit centroid broadcast is k rows and always present; the
+      // probe join against the corpus must be a shuffled equi-join)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin [cluster"),
+        s"probe join still broadcast on the large-batch path:\n$plan")
+      val bplan = broadcasted.queryExecution.executedPlan.toString
+      assert(bplan.contains("BroadcastHashJoin [cluster"),
+        s"small-batch path lost its probe broadcast:\n$bplan")
+      // identical results either way: strategy choice is plan-only
+      val a = shuffled.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      val b = broadcasted.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      assert(a.sameElements(b), "shuffle and broadcast paths disagree")
+      assert(a.nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("recall against brute-force top-3 is useful and results are exact cosines") {
     val queries = emb.filter(col("vec_id") < 16)
     val ann = IvfSearch.search(index, queries, "vec_id", "emb", nProbe = 3, topK = 3)

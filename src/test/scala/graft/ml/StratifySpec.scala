@@ -29,6 +29,36 @@ class StratifySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("adaptive bucket count grows with the input and clamps at both ends") {
+    assert(Stratify.adaptiveBuckets(500) === Stratify.MinBuckets)        // small input: floor
+    assert(Stratify.adaptiveBuckets(1L << 30) === 1024)                   // 2^30 / 2^20
+    assert(Stratify.adaptiveBuckets(1L << 45) === Stratify.MaxBuckets)    // cap
+    assert(Stratify.adaptiveBuckets(0) === Stratify.MinBuckets)
+    // boundary: n = k·target → exactly k (when above the floor)
+    assert(Stratify.adaptiveBuckets(100 << 20) === 100)
+  }
+
+  test("rank invariants hold at two adaptively chosen bucket counts") {
+    // force two different adaptive sizes on the same 500-row input:
+    // default target → MinBuckets (64); target=4 → 125 buckets
+    for (target <- Seq(Stratify.TargetRowsPerBucket, 4L)) {
+      val ranked = Stratify.withClassRank(df, "label", Seq("id"), targetRows = target)
+      ranked.groupBy("label").agg(
+        count(lit(1)).as("n"), min("__rn").as("lo"), max("__rn").as("hi"),
+        countDistinct("__rn").as("nd")).collect().foreach { r =>
+        val (n, lo, hi, nd) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(lo === 1L && hi === n && nd === n,
+          s"target=$target class ${r.get(0)}: not a permutation (n=$n lo=$lo hi=$hi nd=$nd)")
+      }
+      // membership stays deterministic under repartitioning at this width
+      val a = Stratify.withClassRank(df, "label", Seq("id"), targetRows = target)
+        .select("id", "__rn").orderBy("id").collect().toSeq
+      val b = Stratify.withClassRank(df.repartition(13), "label", Seq("id"), targetRows = target)
+        .select("id", "__rn").orderBy("id").collect().toSeq
+      assert(a === b)
+    }
+  }
+
   test("folds are exactly balanced per class") {
     val folded = Stratify.withFold(df, "label", Seq("id"), k = 5)
     val counts = folded.groupBy("label", "fold").count()

@@ -70,6 +70,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka-shaped queue source feeds the same scoring path (source factory swapped)") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new ScoringStream.ResultStore(tmp("graft-kafka-results"))
+    // Kafka record shape: binary value carrying the JSON queue message —
+    // exactly what format("kafka").load() emits, minus the broker
+    val input = MemoryStream[Array[Byte]]
+    input.addData(
+      """{"transaction_id":"k1","features":{"f0":1.0}}""".getBytes("UTF-8"),
+      """{"transaction_id":"k2","features":{"f1":2.0}}""".getBytes("UTF-8"),
+      "not json at all".getBytes("UTF-8")) // malformed: must not kill the stream
+    val stream = StreamOps.kafkaQueueDecode(input.toDF().toDF("value"))
+      .filter(col("transaction_id").isNotNull) // drop the malformed record
+    val q = ScoringStream.attach(stream, store, tmp("graft-kafka-ckpt"),
+      Seq("f0", "f1"), Seq(1.0, -1.0), Seq(0.0, 0.0), 0.0)
+    try {
+      q.processAllAvailable()
+      input.addData("""{"transaction_id":"k3","features":{"f0":5.0}}""".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val snap = store.snapshot(spark)
+      assert(snap.select("transaction_id").as[String].collect().toSet === Set("k1", "k2", "k3"))
+      assert(snap.filter(col("status") === "COMPLETED").count() === 3)
+    } finally q.stop()
+  }
+
   test("in-stream contamination gate quarantines docs hitting the eval index") {
     implicit val sqlCtx = spark.sqlContext
     // static eval index: rare-shingle hashes 100-104
