@@ -350,25 +350,30 @@ object MlQueries {
     val feats = (0 until 10).map(i => s"f$i")
     val df = FraudPipeline.syntheticEvalSet(s, n).cache()
     try {
-      val model = FraudPipeline.logisticPipeline(feats, maxIter = 50).fit(df)
+      // light L2: on a SEPARABLE task unregularized LR never converges
+      // (coefficients diverge), so maxIter would run to exhaustion; the
+      // ridge term makes L-BFGS stop in a few iterations while the
+      // ranking (and thus every gate below) stays perfect
+      val model = FraudPipeline.logisticPipeline(feats, maxIter = 15, regParam = 0.01).fit(df)
       val scored = FraudPipeline.scoreDF(model, df)
-        .select(col(FraudPipeline.labelCol).as("label"),
-          col("prediction"), col("score")).cache()
-      try {
-        val nScored = scored.count()
-        val outOfRange = scored.filter(col("score") < 0 || col("score") > 1).count()
-        val inconsistent = scored.filter(
-          (col("score") >= 0.5 && col("prediction") =!= 1.0) ||
-            (col("score") < 0.5 && col("prediction") =!= 0.0)).count()
-        val acc = scored.filter(col("prediction") === col("label").cast("double"))
-          .count().toDouble / nScored
-        val aucVal = FraudPipeline.auc(model, df)
-        Seq((nScored, outOfRange, inconsistent,
-          if (acc >= 0.98) 1 else 0,
-          if (FraudPipeline.aucGate(aucVal, 0.99)) 1 else 0))
-          .toDF("n_scored", "n_out_of_range", "n_threshold_inconsistent",
-            "acc_gate", "auc_gate")
-      } finally scored.unpersist()
+        .select(col(FraudPipeline.labelCol).as("label"), col("prediction"), col("score"))
+      // ONE aggregation pass for every scored-frame invariant (separate
+      // count actions would each re-score the frame)
+      val st = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("score") < 0 || col("score") > 1, 1L).otherwise(0L)).as("oor"),
+        sum(when((col("score") >= 0.5 && col("prediction") =!= 1.0) ||
+          (col("score") < 0.5 && col("prediction") =!= 0.0), 1L).otherwise(0L)).as("inc"),
+        sum(when(col("prediction") === col("label").cast("double"), 1L).otherwise(0L)).as("hit"))
+        .head()
+      val (nScored, outOfRange, inconsistent, hits) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val aucVal = FraudPipeline.auc(model, df)
+      Seq((nScored, outOfRange, inconsistent,
+        if (hits.toDouble / nScored >= 0.98) 1 else 0,
+        if (FraudPipeline.aucGate(aucVal, 0.99)) 1 else 0))
+        .toDF("n_scored", "n_out_of_range", "n_threshold_inconsistent",
+          "acc_gate", "auc_gate")
     } finally df.unpersist() // result is driver scalars: release in-closure
   }
 
