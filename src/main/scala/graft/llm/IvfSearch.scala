@@ -64,8 +64,12 @@ object IvfSearch {
     * than the index was built with systematically probes the wrong
     * lists), with cluster id as tiebreaker so tied distances give a
     * deterministic probe set across runs. */
+  /** @param numQueries caller-known query-set size; when absent the
+    *   sizing runs one count(*) over `queries`, which EXECUTES its
+    *   lineage — cache the frame or pass the size if it is expensive. */
   def search(index: Index, queries: DataFrame, idCol: String, embCol: String,
-      nProbe: Int, topK: Int, maxBroadcastQueries: Long = 1L << 16): DataFrame = {
+      nProbe: Int, topK: Int, maxBroadcastQueries: Long = 1L << 16,
+      numQueries: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centroids = index.model.clusterCenters.zipWithIndex
@@ -82,7 +86,8 @@ object IvfSearch {
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))
     val probeSide =
-      if (queries.count() <= maxBroadcastQueries) broadcast(probes) else probes
+      if (numQueries.getOrElse(queries.count()) <= maxBroadcastQueries)
+        broadcast(probes) else probes
     val wS = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
     index.indexed.join(probeSide, Seq("cluster"))
       .filter(col(idCol) =!= col("q_id"))

@@ -68,10 +68,6 @@ object LlmQueries {
   /** Word-bigram shingles "w_i w_{i+1}" ([[TextOps.bigrams]]). */
   private def bigramsCol(toks: Column): Column = TextOps.bigrams(toks)
 
-  /** Double dot product over two array<double> columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   /** Fused native expression ([[graft.functions.CosineSimilarity]]):
     * one pass, no intermediate arrays, codegen'd. */
   private def cosine(a: Column, b: Column): Column =

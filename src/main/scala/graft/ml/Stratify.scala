@@ -40,7 +40,11 @@ object Stratify {
       math.max(MinBuckets.toLong, (math.max(n, 1L) - 1L) / targetRows + 1L)).toInt
 
   /** @param nBuckets salt-bucket count, or -1 (default) to size it to
-    *   the data via [[adaptiveBuckets]]. */
+    *   the data via [[adaptiveBuckets]]. Adaptive sizing runs one
+    *   count(*) that EXECUTES the input's lineage — a scale-aware
+    *   caller with an expensive derived frame should cache it or pass
+    *   nBuckets explicitly (any value keeps the rank a per-class
+    *   permutation; only task sizing changes). */
   def withClassRank(df: DataFrame, labelCol: String, orderKeys: Seq[String],
       nBuckets: Int = -1, rankCol: String = "__rn",
       targetRows: Long = TargetRowsPerBucket): DataFrame = {

@@ -34,7 +34,7 @@ object StreamOps {
     * (ST6; the KEDA queue-length analogue, k8s/keda-scaledobject.yaml). */
   def fileQueueSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame =
     spark.readStream
-      .schema("transaction_id STRING, features MAP<STRING, DOUBLE>")
+      .schema(QueueSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
