@@ -22,27 +22,45 @@ object IvfSearch {
 
   final case class Index(model: KMeansModel, indexed: DataFrame)
 
-  /** Build the IVF index: fit KMeans(k) and tag each row with its list.
-    * The vectorized input is cached for the duration of the fit — KMeans
-    * makes one pass per iteration, and without the cache each pass
-    * re-reads and re-vectorizes the source. */
+  /** Build the IVF index: fit KMeans(k) on a BOUNDED SAMPLE and tag
+    * every row with its nearest list in one assignment pass.
+    *
+    * The quantizer fit never touches the full corpus: iterative KMeans
+    * over 100 TB costs maxIter full passes, while centroid quality
+    * saturates at a few hundred training points per centroid — so the
+    * fit reads at most `fitSampleRows` (default 512·k) rows, selected
+    * by a DETERMINISTIC hash of the id (a seeded .sample() would pick
+    * different rows under different partitioning; the hash keep-set is
+    * stable on any cluster layout). At the test SFs the cap exceeds the
+    * corpus, so every row trains and behaviour is unchanged. The sampled
+    * fit input is collected-free and cached only for the fit passes;
+    * assignment over the corpus is the model's single transform pass. */
   def build(embeddings: DataFrame, idCol: String, embCol: String,
-      k: Int, seed: Long = 42L): Index = {
+      k: Int, seed: Long = 42L, fitSampleRows: Long = -1L): Index = {
     val vecs = embeddings.select(
       col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
-      .cache()
+    val cap = if (fitSampleRows > 0) fitSampleRows else 512L * k
+    val n = vecs.count()
+    val fitInput =
+      if (n <= cap) vecs
+      else {
+        // keep ≈cap rows: hash the id into [0, 1e6) and keep the low slice
+        val keepPerM = math.max(1L, cap * 1000000L / n)
+        vecs.filter(pmod(hash(col(idCol), lit(seed)), lit(1000000L)) < lit(keepPerM))
+      }
+    val cached = fitInput.cache()
     // random init (one pass) + bounded iterations: an IVF index needs
     // roughly-balanced lists, not converged centroids — kmeans|| init and
-    // 20 default iterations would cost ~25 full passes over the corpus
+    // 20 default iterations would cost ~25 passes over the fit sample
     // for no recall gain at the nProbe values this index serves
     val model = new KMeans().setK(k).setSeed(seed)
       .setInitMode("random").setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("__vec").setPredictionCol("cluster")
-      .fit(vecs)
+      .fit(cached)
     val indexed = model.transform(vecs).drop("__vec").cache()
     indexed.count() // materialize the index, then release the fit-time cache
-    vecs.unpersist()
+    cached.unpersist()
     Index(model, indexed)
   }
 

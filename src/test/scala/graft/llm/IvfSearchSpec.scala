@@ -30,6 +30,21 @@ class IvfSearchSpec extends SparkSpec {
     perQuery.foreach(r => assert(r.getLong(1) <= 2))
   }
 
+  test("quantizer fits on a bounded sample yet the index covers the full corpus") {
+    // force the sampled-fit path (cap 64 ≪ 500 vectors): the quantizer
+    // trains on ~64 hash-selected rows, assignment still tags every row
+    val sampled = IvfSearch.build(emb, "vec_id", "emb", k = 8, fitSampleRows = 64)
+    assert(sampled.indexed.count() === emb.count(), "sampled fit lost corpus coverage")
+    val nLists = sampled.indexed.select("cluster").distinct().count()
+    assert(nLists > 1 && nLists <= 8, s"degenerate list structure: $nLists lists")
+    // the index remains searchable with bounded per-query results
+    val res = IvfSearch.search(sampled, emb.filter(col("vec_id") < 4),
+      "vec_id", "emb", nProbe = 2, topK = 3)
+    val perQ = res.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= 3))
+    sampled.indexed.unpersist()
+  }
+
   test("a non-broadcastable query table takes the shuffle path with identical results") {
     val queries = emb.filter(col("vec_id") < 64) // 64 rows > the forced threshold
     def run(threshold: Long) = IvfSearch.search(index, queries, "vec_id", "emb",
