@@ -61,11 +61,20 @@ object Bench {
     val qs = names.flatMap(n => timed.get(n).map(v => s"${jstr(n)}:$v")).mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timed.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
+    val streaming = StreamBench.run(spark)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
+    // The full per-query map (~4 KB as one line) outgrows the driver's
+    // stdout tail window, which truncates the head of the line and breaks
+    // its JSON parse (rounds 3-4 both ended "parsed": null). So the full
+    // record goes ONLY to the sidecar file, and stdout ends with a compact
+    // summary line small enough to survive any tail window.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    Files.writeString(Paths.get(sidecar), full + "\n")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"detail":${jstr(sidecar)}}"""
     spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
-    println(json)
+    println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.ScoringStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming latency micro-bench: MemoryStream → validate/score/attribute
+  * → idempotent store, timed per micro-batch. The reference's only
+  * published latency SLO is serving P95 < 500 ms
+  * (reference monitoring/prometheus/rules/fraud-detection-alerts.yml:4-8,
+  * BASELINE.md row 1); the batch bench can't see it, so this measures the
+  * engine-side end-to-end path — ingest, arity validation, linear score +
+  * SHAP attribution, keyed upsert — at micro-batch granularity.
+  *
+  * Methodology mirrors the batch bench: untimed warm-up batches (stream
+  * start + codegen dominate the first trigger), then timed batches, P50 /
+  * P95 / max by nearest-rank. Returns a JSON object string embedded in
+  * the bench sidecar under "streaming".
+  */
+object StreamBench {
+
+  def run(spark: SparkSession, warmBatches: Int = 3, timedBatches: Int = 20,
+      rowsPerBatch: Int = 100): String = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val featureNames = (0 until 8).map(i => s"f$i")
+    val coefs = featureNames.indices.map(i => 0.25 * (i % 3) - 0.1)
+    val mu = Seq.fill(featureNames.size)(0.0)
+
+    val input = MemoryStream[(String, Map[String, Double])]
+    val stream = input.toDF().toDF("transaction_id", "features")
+    val store = new ScoringStream.ResultStore(s"$dir/store")
+    val q = ScoringStream.attach(stream, store, s"$dir/ckpt",
+      featureNames, coefs, mu, intercept = 0.05)
+
+    def oneBatch(b: Int): Double = {
+      val rows = (0 until rowsPerBatch).map { i =>
+        (s"t${b}_$i", featureNames.map(f => f -> ((i * 31 + b) % 97) / 97.0).toMap)
+      }
+      input.addData(rows)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    val lat =
+      try {
+        (0 until warmBatches).foreach(oneBatch)
+        (warmBatches until warmBatches + timedBatches).map(oneBatch)
+      } finally q.stop()
+
+    val sorted = lat.sorted
+    def pct(p: Double): Double =
+      sorted(math.min(sorted.size - 1, math.max(0, math.ceil(p * sorted.size).toInt - 1)))
+    f"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"max_ms":${sorted.last}%.1f,"slo_ms":500}"""
+  }
+}
