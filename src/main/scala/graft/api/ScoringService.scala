@@ -70,13 +70,34 @@ final class ScoringService(
     (raw.toSeq, mu.toSeq, b0)
   }
 
-  /** GET /explain/{id} (api/app.py:262-278): point lookup by key. */
-  def explain(transactionId: String): Option[Row] = {
-    val rows = store.snapshot(spark)
-      .filter(col("transaction_id") === transactionId)
-      .collect()
-    rows.headOption
-  }
+  /** GET /explain/{id} (api/app.py:262-278): point lookup by key. The
+    * key predicate reaches the parquet scan (PushedFilters) instead of
+    * scanning + windowing the whole snapshot — the old path read every
+    * batch directory for a one-row read. */
+  def explain(transactionId: String): Option[Row] =
+    explainFrame(transactionId).collect().headOption
+
+  /** The explain read as a lazy frame — exposed so callers (and the
+    * spec) can audit the plan: pushed-filter keyed scan, top-1 by write
+    * stamp, no global window. */
+  def explainFrame(transactionId: String): DataFrame =
+    store.keyedLookup(spark, transactionId)
+
+  /** GET /explain/{id}, reference-shaped: the stored row re-shaped to
+    * `{shap_values, feature_names, created_at}` exactly as the
+    * reference deserializes its JSONB column (api/app.py:265-277).
+    * from_json parses the stored attribution map, to_json re-serializes
+    * the shaped struct — F9/F10 at the facade edge, computed in the
+    * plan rather than driver-side string splicing. */
+  def explainJson(transactionId: String): Option[String] =
+    explainFrame(transactionId)
+      .select(to_json(struct(
+        from_json(col("shap_values"),
+          org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, DOUBLE>")).as("shap_values"),
+        array(featureNames.map(lit): _*).as("feature_names"),
+        date_format(col("updated_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("created_at")
+      )).as("payload"))
+      .collect().headOption.map(_.getString(0))
 
   /** GET /health (api/app.py:135-175) + the completion rollup (A12). */
   def health(): HealthOut = {

@@ -22,6 +22,23 @@ object IvfSearch {
 
   final case class Index(model: KMeansModel, indexed: DataFrame)
 
+  /** Adaptive list-count defaults: size k to the corpus so per-probe
+    * list scans stay ~constant as data grows (the same failure family
+    * as fixed LSH band widths: a FIXED k means lists grow linearly with
+    * the corpus, and at 10⁹ vectors each probe re-scans millions of
+    * rows). Target ≈√n-style balance is overkill here; what matters is
+    * bounded rows per list, so k = clamp(ceil(n / targetListRows), lo,
+    * hi) — the [[EmbedLsh.adaptiveBits]] pattern in linear space. */
+  val TargetListRows = 4096L
+  val MinK = 4
+  val MaxK = 65536
+
+  def adaptiveK(n: Long, targetListRows: Long = TargetListRows,
+      lo: Int = MinK, hi: Int = MaxK): Int = {
+    val raw = ((math.max(n, 1L) + targetListRows - 1L) / targetListRows)
+    math.min(hi.toLong, math.max(lo.toLong, raw)).toInt
+  }
+
   /** Build the IVF index: fit KMeans(k) on a BOUNDED SAMPLE and tag
     * every row with its nearest list in one assignment pass.
     *
@@ -34,14 +51,19 @@ object IvfSearch {
     * stable on any cluster layout). At the test SFs the cap exceeds the
     * corpus, so every row trains and behaviour is unchanged. The sampled
     * fit input is collected-free and cached only for the fit passes;
-    * assignment over the corpus is the model's single transform pass. */
+    * assignment over the corpus is the model's single transform pass.
+    *
+    * `k = -1` (the default callers should prefer) sizes the list count
+    * to the corpus via [[adaptiveK]]; a positive k pins it. */
   def build(embeddings: DataFrame, idCol: String, embCol: String,
-      k: Int, seed: Long = 42L, fitSampleRows: Long = -1L): Index = {
+      k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L,
+      targetListRows: Long = TargetListRows): Index = {
     val vecs = embeddings.select(
       col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
-    val cap = if (fitSampleRows > 0) fitSampleRows else 512L * k
     val n = vecs.count()
+    val kEff = if (k > 0) k else adaptiveK(n, targetListRows)
+    val cap = if (fitSampleRows > 0) fitSampleRows else 512L * kEff
     val fitInput =
       if (n <= cap) vecs
       else {
@@ -54,7 +76,7 @@ object IvfSearch {
     // roughly-balanced lists, not converged centroids — kmeans|| init and
     // 20 default iterations would cost ~25 passes over the fit sample
     // for no recall gain at the nProbe values this index serves
-    val model = new KMeans().setK(k).setSeed(seed)
+    val model = new KMeans().setK(kEff).setSeed(seed)
       .setInitMode("random").setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("__vec").setPredictionCol("cluster")
       .fit(cached)

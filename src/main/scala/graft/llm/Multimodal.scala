@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column operations over opaque binary payloads (brief:
-  * decode / feature-extract / resize / frame-sample). The codec bodies
-  * are STUBS — deterministic byte arithmetic standing in for image/audio
-  * libraries this container doesn't ship — but the Spark contracts are
-  * real: binary columns in, typed rows out, per-partition batch
-  * processing, array-of-struct frame output, and pushdown-friendly
-  * metadata columns alongside the blob.
+  * decode / feature-extract / resize / frame-sample). Image decode is
+  * REAL — `javax.imageio` ships inside JDK 17 and reads PNG/JPEG/GIF/BMP
+  * with zero added dependencies; payloads ImageIO cannot decode (and the
+  * audio/video frame path, whose codecs the JDK does not ship) fall back
+  * to deterministic byte arithmetic so the operators stay total over
+  * arbitrary blobs. The Spark contracts are real throughout: binary
+  * columns in, typed rows out, per-partition batch processing,
+  * array-of-struct frame output, pushdown-friendly metadata columns
+  * alongside the blob.
   *
   * Scale shape: every operator is mapPartitions over the binary column —
   * embarrassingly parallel, no shuffle; the payload never moves except
@@ -18,27 +21,77 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** "Decode + resize": emits fake image metadata at a target geometry.
-    * A real implementation swaps `stubResize` for a codec call; rows
-    * stream through one partition at a time (bounded memory). */
+  // ImageIO's default scratch-file cache turns every decode into disk
+  // I/O on the executor; decode fully in memory instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode + resize: ImageIO-decodes the payload, resamples it to the
+    * target geometry by nearest-neighbor (integer source-index
+    * arithmetic — bit-identical across JVMs, unlike a Graphics2D
+    * interpolating render), and emits pixel-derived features. Rows
+    * stream through one partition at a time (bounded memory).
+    *
+    * Output per row: target geometry, payload size, a checksum over the
+    * RESIZED pixels (order-sensitive, so it witnesses real decode),
+    * `decoded` = whether ImageIO recognized the payload, and the source
+    * geometry (-1 when undecodable). Undecodable payloads keep the
+    * deterministic byte-arithmetic checksum so mixed/corrupt corpora
+    * flow through without exceptions — filter on `decoded` downstream.
+    */
   def resize(df: DataFrame, idCol: String, blobCol: String,
       targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"target geometry must be positive: ${targetW}x$targetH")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB: real impl decodes + resamples pixels; the fake derives
-          // a deterministic "pixel checksum" of the target geometry
-          val checksum = bytes.indices.foldLeft(0L) { (a, i) =>
-            (a * 31 + (bytes(i) & 0xff) * ((i % targetW) + 1)) % 1000000007L
+          decodeResize(bytes, targetW, targetH) match {
+            case Some((srcW, srcH, checksum)) =>
+              (id, targetW, targetH, bytes.length, checksum, true, srcW, srcH)
+            case None =>
+              (id, targetW, targetH, bytes.length, stubChecksum(bytes, targetW), false, -1, -1)
           }
-          (id, targetW, targetH, bytes.length, checksum)
         }
       }
-      .toDF(idCol, "width", "height", "src_bytes", "pixel_checksum")
+      .toDF(idCol, "width", "height", "src_bytes", "pixel_checksum",
+        "decoded", "src_width", "src_height")
   }
+
+  /** The real codec path: ImageIO decode + nearest-neighbor resample.
+    * Returns (srcWidth, srcHeight, checksum over resized RGB pixels in
+    * row-major order), or None when the payload is not a decodable
+    * image. ImageIO.read returns null for unrecognized formats and
+    * throws on truncated containers — both map to None. */
+  private[llm] def decodeResize(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        var acc = 0L
+        var y = 0
+        while (y < h) {
+          val sy = (y.toLong * sh / h).toInt
+          var x = 0
+          while (x < w) {
+            val sx = (x.toLong * sw / w).toInt
+            acc = (acc * 31 + (img.getRGB(sx, sy) & 0xffffff)) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        Some((sw, sh, acc))
+      }
+    } catch { case _: Exception => None }
+
+  /** Fallback for undecodable payloads: deterministic byte arithmetic
+    * (position-weighted rolling hash) so the operator is total. */
+  private[llm] def stubChecksum(bytes: Array[Byte], targetW: Int): Long =
+    bytes.indices.foldLeft(0L) { (a, i) =>
+      (a * 31 + (bytes(i) & 0xff) * ((i % targetW) + 1)) % 1000000007L
+    }
 
   /** "Frame sampling": treats the payload as a sequence of fixed-size
     * frames and keeps every `stride`-th one, emitting an array of

@@ -377,8 +377,52 @@ object MlQueries {
     } finally df.unpersist() // result is driver scalars: release in-closure
   }
 
+  /** M4+M5 on the oracle-checked query surface (weighted GBT was the one
+    * ML capability still spec-only): class-weight the seeded separable
+    * eval set (scale_pos_weight → per-row weight column, the XGBoost
+    * analogue), fit [[FraudPipeline.weightedGbtPipeline]], score through
+    * the same scoreDF path, and gate on the invariants a separable task
+    * guarantees regardless of which seeded sample each partitioning
+    * draws: exact row count, scores inside [0,1], prediction consistent
+    * with the 0.5 threshold, near-perfect accuracy and AUC. Gates carry
+    * margin below the ~0.998/1.0 the task actually measures (see
+    * MlQueriesSpec) because GBT split points are quantile-binned —
+    * maxBins bins across N(0,1) leave a small systematic band at the
+    * class boundary that varies with the drawn sample. */
+  private val q92WeightedGbt: Q = (s, dir) => {
+    import s.implicits._
+    val n = 2000L
+    val feats = (0 until 10).map(i => s"f$i")
+    val df = FraudPipeline.withClassWeight(FraudPipeline.syntheticEvalSet(s, n)).cache()
+    try {
+      // 10 boosting rounds of depth-3 trees: plenty for a task a single
+      // f0 split almost solves; 100×depth-5 (the serving default) would
+      // spend seconds learning nothing new inside a correctness query
+      val model = FraudPipeline.weightedGbtPipeline(feats, maxIter = 10, maxDepth = 3).fit(df)
+      val scored = FraudPipeline.scoreDF(model, df)
+        .select(col(FraudPipeline.labelCol).as("label"), col("prediction"), col("score"))
+      // ONE aggregation pass for every scored-frame invariant (q91 pattern)
+      val st = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("score") < 0 || col("score") > 1, 1L).otherwise(0L)).as("oor"),
+        sum(when((col("score") >= 0.5 && col("prediction") =!= 1.0) ||
+          (col("score") < 0.5 && col("prediction") =!= 0.0), 1L).otherwise(0L)).as("inc"),
+        sum(when(col("prediction") === col("label").cast("double"), 1L).otherwise(0L)).as("hit"))
+        .head()
+      val (nScored, outOfRange, inconsistent, hits) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val aucVal = FraudPipeline.auc(model, df)
+      Seq((nScored, outOfRange, inconsistent,
+        if (hits.toDouble / nScored >= 0.97) 1 else 0,
+        if (FraudPipeline.aucGate(aucVal, 0.99)) 1 else 0))
+        .toDF("n_scored", "n_out_of_range", "n_threshold_inconsistent",
+          "acc_gate", "auc_gate")
+    } finally df.unpersist() // result is driver scalars: release in-closure
+  }
+
   val queries: Map[String, Q] = Map(
     "q91_model_scoring" -> q91ModelScoring,
+    "q92_weighted_gbt" -> q92WeightedGbt,
     "q72_topk_agg"     -> q72TopkAgg,
     "q41_scaler_stats" -> q41ScalerStats,
     "q42_strat_split"  -> q42StratSplit,
@@ -403,6 +447,11 @@ object MlQueries {
 
   val oracle: Map[String, String] = Map(
     "q91_model_scoring" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_scored,
+        |  CAST(0 AS BIGINT) AS n_out_of_range,
+        |  CAST(0 AS BIGINT) AS n_threshold_inconsistent,
+        |  1 AS acc_gate, 1 AS auc_gate""".stripMargin,
+    "q92_weighted_gbt" ->
       """SELECT CAST(2000 AS BIGINT) AS n_scored,
         |  CAST(0 AS BIGINT) AS n_out_of_range,
         |  CAST(0 AS BIGINT) AS n_threshold_inconsistent,

@@ -108,6 +108,20 @@ object ScoringStream {
         java.nio.file.Paths.get(path, s"batch=$label", "_stamp"), order.toString)
     }
 
+    /** Keyed point lookup: the same last-writer-wins semantics as
+      * [[snapshot]] for ONE key, but the key predicate is pushed into
+      * the parquet scan (PushedFilters prunes row groups by the
+      * transaction_id statistics) and the per-key winner comes from a
+      * TakeOrderedAndProject over the handful of matching rows — no
+      * global window over every key the store has ever written, which
+      * is what a GET /explain point read must never do at a 100×-scale
+      * store. */
+    def keyedLookup(spark: SparkSession, transactionId: String): DataFrame =
+      spark.read.option("basePath", path).parquet(s"$path/batch=*")
+        .filter(col("transaction_id") === transactionId)
+        .orderBy(col("batch_id").desc, col("updated_at").desc)
+        .limit(1)
+
     /** Last-writer-wins current state, one row per transaction_id. */
     def snapshot(spark: SparkSession): DataFrame = {
       val w = Window.partitionBy(col("transaction_id"))

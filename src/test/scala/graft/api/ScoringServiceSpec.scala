@@ -51,5 +51,39 @@ class ScoringServiceSpec extends SparkSpec {
 
   test("unknown transaction id explains to None") {
     assert(service.explain("nope").isEmpty)
+    assert(service.explainJson("nope").isEmpty)
+  }
+
+  test("explain reads through a pushed-filter keyed scan, not a snapshot window") {
+    service.predict("t4", Seq(2.0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    val frame = service.explainFrame("t4")
+    frame.collect() // materialize so executedPlan is the final adaptive plan
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(transaction_id), EqualTo(transaction_id,t4)]"),
+      s"key predicate did not reach the parquet scan:\n$plan")
+    assert(!plan.contains("Window"), s"point lookup still windows the snapshot:\n$plan")
+  }
+
+  test("explainJson round-trips the reference shape {shap_values, feature_names, created_at}") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import spark.implicits._
+    service.predict("t5", Seq(-2.0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0))
+    val payload = service.explainJson("t5").get
+    val parsed = Seq(payload).toDF("j")
+      .select(from_json(col("j"), org.apache.spark.sql.types.StructType.fromDDL(
+        "shap_values MAP<STRING,DOUBLE>, feature_names ARRAY<STRING>, created_at STRING")).as("p"))
+      .select("p.*").head()
+    val shap = parsed.getMap[String, Double](0)
+    val names = parsed.getSeq[String](1)
+    assert(names === (0 until 10).map(i => s"f$i"))
+    assert(shap.keySet === names.toSet, "shap map keys != feature names")
+    assert(parsed.getString(2).matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}.*"""))
+    // the shaped values equal the stored attribution row's map
+    val stored = service.explain("t5").get
+    val storedShap = Seq(stored.getString(stored.fieldIndex("shap_values"))).toDF("j")
+      .select(from_json(col("j"),
+        org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, DOUBLE>")))
+      .head().getMap[String, Double](0)
+    assert(shap === storedShap)
   }
 }

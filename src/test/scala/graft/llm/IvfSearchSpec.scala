@@ -75,6 +75,30 @@ class IvfSearchSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("adaptive k (k = -1) sizes the list count to the corpus") {
+    // the clamp formula itself
+    assert(IvfSearch.adaptiveK(0) === IvfSearch.MinK)
+    assert(IvfSearch.adaptiveK(IvfSearch.TargetListRows) === IvfSearch.MinK)
+    assert(IvfSearch.adaptiveK(10L * IvfSearch.TargetListRows) === 10)
+    assert(IvfSearch.adaptiveK(10L * IvfSearch.TargetListRows + 1) === 11)
+    assert(IvfSearch.adaptiveK(Long.MaxValue / 4) === IvfSearch.MaxK)
+    // index invariants at two adaptively-chosen k values on the corpus
+    val n = emb.count()
+    for (target <- Seq(n / 5, n / 10)) {
+      val kExp = IvfSearch.adaptiveK(n, target)
+      assert(kExp >= IvfSearch.MinK, s"target $target chose degenerate k")
+      val idx = IvfSearch.build(emb, "vec_id", "emb", k = -1, targetListRows = target)
+      assert(idx.model.clusterCenters.length === kExp,
+        s"adaptive build used k=${idx.model.clusterCenters.length}, formula says $kExp")
+      assert(idx.indexed.count() === n, "adaptive index lost corpus coverage")
+      val res = IvfSearch.search(idx, emb.filter(col("vec_id") < 4),
+        "vec_id", "emb", nProbe = 2, topK = 3)
+      val perQ = res.groupBy("q_id").count().collect()
+      assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= 3))
+      idx.indexed.unpersist()
+    }
+  }
+
   test("recall against brute-force top-3 is useful and results are exact cosines") {
     val queries = emb.filter(col("vec_id") < 16)
     val ann = IvfSearch.search(index, queries, "vec_id", "emb", nProbe = 3, topK = 3)

@@ -18,6 +18,54 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b, "checksum not partition-invariant")
   }
 
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resize decodes a real PNG and derives output from actual pixels") {
+    val df = Seq((1L, pngBytes(4, 4, 0xff0000))).toDF("doc_id", "payload")
+    val out = Multimodal.resize(df, "doc_id", "payload", targetW = 2, targetH = 2).head()
+    assert(out.getAs[Boolean]("decoded"))
+    assert(out.getAs[Int]("src_width") === 4 && out.getAs[Int]("src_height") === 4)
+    assert(out.getAs[Int]("width") === 2 && out.getAs[Int]("height") === 2)
+    // 2x2 resample of solid red: four pixels of 0xff0000 through the
+    // rolling checksum — computable by hand, so this pins REAL decode
+    val expected = (0 until 4).foldLeft(0L)((a, _) => (a * 31 + 0xff0000L) % 1000000007L)
+    assert(out.getAs[Long]("pixel_checksum") === expected)
+  }
+
+  test("resize decodes JPEG and distinguishes pixel content") {
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.resize(df, "doc_id", "payload", 4, 3).head()
+    assert(out.getAs[Boolean]("decoded"))
+    assert(out.getAs[Int]("src_width") === 8 && out.getAs[Int]("src_height") === 6)
+    // different pixel content -> different checksum (decode is not a
+    // function of the container bytes alone)
+    val red = Multimodal.resize(
+      Seq((1L, pngBytes(8, 6, 0xff0000))).toDF("doc_id", "payload"), "doc_id", "payload", 4, 3)
+      .head().getAs[Long]("pixel_checksum")
+    assert(out.getAs[Long]("pixel_checksum") !== red)
+  }
+
+  test("non-image payloads fall back to the deterministic stub, flagged undecoded") {
+    val bytes = "definitely not an image payload".getBytes("UTF-8")
+    val out = Multimodal.resize(Seq((7L, bytes)).toDF("doc_id", "payload"),
+      "doc_id", "payload", 32, 24).head()
+    assert(!out.getAs[Boolean]("decoded"))
+    assert(out.getAs[Int]("src_width") === -1 && out.getAs[Int]("src_height") === -1)
+    assert(out.getAs[Long]("pixel_checksum") === Multimodal.stubChecksum(bytes, 32))
+  }
+
   test("frame sampling keeps every stride-th frame with per-frame features") {
     val out = Multimodal.sampleFrames(blobs, "doc_id", "payload", frameBytes = 16, stride = 2)
     val row = out.join(Tables.documents(spark, sfDir), "doc_id")

@@ -80,6 +80,28 @@ class FraudPipelineSpec extends SparkSpec {
     assert(a > 0.9, s"weighted GBT AUC $a")
   }
 
+  test("q92 weighted-GBT oracle gates hold with margin (M4/M5)") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    // raw metrics must clear the query's gates (0.97 acc / 0.99 auc) with
+    // headroom, so the gates stay green for any partitioning's sample
+    val feats = (0 until 10).map(i => s"f$i")
+    val df = FraudPipeline.withClassWeight(FraudPipeline.syntheticEvalSet(spark, 2000))
+    val model = FraudPipeline.weightedGbtPipeline(feats, maxIter = 10, maxDepth = 3).fit(df)
+    val scored = FraudPipeline.scoreDF(model, df)
+    val st = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("prediction") === col(FraudPipeline.labelCol).cast("double"), 1L)
+        .otherwise(0L)).as("hit")).head()
+    val acc = st.getLong(1).toDouble / st.getLong(0)
+    val aucVal = FraudPipeline.auc(model, df)
+    assert(acc >= 0.985, s"accuracy $acc leaves <1.5% margin over the 0.97 gate")
+    assert(aucVal >= 0.995, s"AUC $aucVal leaves <0.5% margin over the 0.99 gate")
+    // and the query itself emits the oracle constants
+    val row = MlQueries.queries("q92_weighted_gbt")(spark, sfDir).head()
+    assert(row.getLong(0) === 2000L && row.getLong(1) === 0L && row.getLong(2) === 0L)
+    assert(row.getInt(3) === 1 && row.getInt(4) === 1)
+  }
+
   test("stratified CV with in-fold SMOTE returns one AUC per fold") {
     val cc500 = FraudPipeline.syntheticCreditcard(spark, 500, seed = 7L, fraudRatio = 0.08)
     val feats = Seq("V1", "V2", "V3", "V4", "Amount")
