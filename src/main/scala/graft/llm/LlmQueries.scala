@@ -649,9 +649,66 @@ object LlmQueries {
         (col("node") === col("component")).cast("int").as("is_canonical"))
   }
 
+  /** REAL image decode on the oracle-checked surface (q40 proves the
+    * binary-column plumbing with stub arithmetic the oracle can restate;
+    * this proves the CODEC): generate one losslessly-encoded PNG per row
+    * — geometry and a per-pixel color pattern both pure functions of the
+    * row id — alongside the checksum the nearest-neighbor resample MUST
+    * produce if ImageIO returns exactly the encoded pixels. Then run the
+    * production [[Multimodal.resize]] operator over the payloads and
+    * count mismatches. PNG is lossless, the pattern and the resample are
+    * integer arithmetic, so every invariant is an exact constant the
+    * oracle states directly (the q91/q92 pattern). The per-row PNG
+    * encode lives in the same mapPartitions shape production ingest
+    * would use — no driver-side image work. */
+  private val q93ImageDecode: Q = (s, dir) => {
+    import s.implicits._
+    val n = 200
+    val (tw, th) = (6, 4)
+    val gen = s.range(n).select(col("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sw = 5 + (id % 4).toInt
+        val sh = 4 + (id % 3).toInt
+        def pix(x: Int, y: Int): Int =
+          (((id * 31 + x * 17 + y * 101) * 2654435761L) % 0x1000000L).toInt
+        val img = new java.awt.image.BufferedImage(
+          sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < sh) { var x = 0; while (x < sw) { img.setRGB(x, y, pix(x, y)); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        // the checksum decodeResize must produce: same nearest-neighbor
+        // source-index arithmetic over the same pattern
+        var acc = 0L
+        var ty = 0
+        while (ty < th) {
+          val sy = (ty.toLong * sh / th).toInt
+          var tx = 0
+          while (tx < tw) {
+            val sx = (tx.toLong * sw / tw).toInt
+            acc = (acc * 31 + (pix(sx, sy) & 0xffffff)) % 1000000007L
+            tx += 1
+          }
+          ty += 1
+        }
+        (id, bos.toByteArray, sw, sh, acc)
+      }
+    }.toDF("img_id", "payload", "exp_w", "exp_h", "exp_checksum")
+    val resized = Multimodal.resize(gen, "img_id", "payload", tw, th)
+    resized.join(gen.drop("payload"), "img_id")
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("src_width") === col("exp_w") &&
+          col("src_height") === col("exp_h"), 1L).otherwise(0L)).as("n_geometry_match"),
+        sum(when(col("pixel_checksum") === col("exp_checksum"), 1L).otherwise(0L))
+          .as("n_pixel_match"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
     "q71_dedup_components" -> q71DedupComponents,
+    "q93_image_decode"    -> q93ImageDecode,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -965,5 +1022,13 @@ object LlmQueries {
          |  ${fpRound4Sql("list_sum(list_transform(range(1, length(text)+1), " +
                "i -> ord(substr(text, i, 1))))::DOUBLE / length(text)")} AS mean_byte
          |FROM documents""".stripMargin,
+    // q93: every gate is an exact constant — PNG is lossless and both the
+    // pattern and the resample are pure integer arithmetic, so a single
+    // pixel returned differently by the codec breaks n_pixel_match
+    "q93_image_decode" ->
+      """SELECT CAST(200 AS BIGINT) AS n_images,
+        |  CAST(200 AS BIGINT) AS n_decoded,
+        |  CAST(200 AS BIGINT) AS n_geometry_match,
+        |  CAST(200 AS BIGINT) AS n_pixel_match""".stripMargin,
   )
 }
