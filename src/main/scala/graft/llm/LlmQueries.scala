@@ -705,10 +705,63 @@ object LlmQueries {
           .as("n_pixel_match"))
   }
 
+  /** REAL audio decode on the oracle-checked surface — the q93 pattern
+    * for WAV: per row, synthesize 16-bit PCM whose sample values are a
+    * pure function of (row id, sample index), encode to WAV
+    * (javax.sound.sampled — lossless like PNG), run the production
+    * [[Multimodal.audioFrames]] operator, and compare its per-frame
+    * exact-integer energy features against the same arithmetic applied
+    * to the raw pattern. All gates are constants for the oracle. */
+  private val q94AudioDecode: Q = (s, dir) => {
+    import s.implicits._
+    val n = 200
+    val frameSamples = 40
+    val stride = 2
+    val rate = 8000f
+    val gen = s.range(n).select(col("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ns = 160 + (id % 5).toInt * 20
+        def sample(i: Int): Short = (((id * 7 + i * 13) % 4001) - 2000).toShort
+        val pcm = new Array[Byte](ns * 2) // 16-bit little-endian mono
+        var i = 0
+        while (i < ns) {
+          val v = sample(i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val nFrames = ns / frameSamples
+        val expFrames = (0 until nFrames by stride).map { f =>
+          var sAbs = 0L
+          var j = f * frameSamples
+          while (j < (f + 1) * frameSamples) { sAbs += math.abs(sample(j).toLong); j += 1 }
+          (f, sAbs)
+        }
+        (id, bos.toByteArray, ns, nFrames, expFrames)
+      }
+    }.toDF("audio_id", "payload", "exp_samples", "exp_frames_n", "exp_frames")
+    val framed = Multimodal.audioFrames(gen, "audio_id", "payload", frameSamples, stride)
+    framed.join(gen.drop("payload"), "audio_id")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("sample_rate") === 8000 &&
+          col("n_samples") === col("exp_samples"), 1L).otherwise(0L)).as("n_shape_match"),
+        sum(when(col("n_frames") === col("exp_frames_n") &&
+          col("frames") === col("exp_frames"), 1L).otherwise(0L)).as("n_energy_match"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
     "q71_dedup_components" -> q71DedupComponents,
     "q93_image_decode"    -> q93ImageDecode,
+    "q94_audio_decode"    -> q94AudioDecode,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1030,5 +1083,12 @@ object LlmQueries {
         |  CAST(200 AS BIGINT) AS n_decoded,
         |  CAST(200 AS BIGINT) AS n_geometry_match,
         |  CAST(200 AS BIGINT) AS n_pixel_match""".stripMargin,
+    // q94: WAV is lossless PCM and the energy feature is exact integer
+    // arithmetic — every gate is a constant
+    "q94_audio_decode" ->
+      """SELECT CAST(200 AS BIGINT) AS n_clips,
+        |  CAST(200 AS BIGINT) AS n_decoded,
+        |  CAST(200 AS BIGINT) AS n_shape_match,
+        |  CAST(200 AS BIGINT) AS n_energy_match""".stripMargin,
   )
 }

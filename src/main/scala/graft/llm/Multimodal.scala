@@ -4,12 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column operations over opaque binary payloads (brief:
-  * decode / feature-extract / resize / frame-sample). Image decode is
-  * REAL — `javax.imageio` ships inside JDK 17 and reads PNG/JPEG/GIF/BMP
-  * with zero added dependencies; payloads ImageIO cannot decode (and the
-  * audio/video frame path, whose codecs the JDK does not ship) fall back
-  * to deterministic byte arithmetic so the operators stay total over
-  * arbitrary blobs. The Spark contracts are real throughout: binary
+  * decode / feature-extract / resize / frame-sample). Image and audio
+  * decode are REAL — `javax.imageio` (PNG/JPEG/GIF/BMP) and
+  * `javax.sound.sampled` (WAV/PCM) ship inside JDK 17 with zero added
+  * dependencies; payloads those cannot decode, and the video frame path
+  * (no JDK codec exists), fall back to deterministic byte arithmetic so
+  * the operators stay total over arbitrary blobs. The Spark contracts are real throughout: binary
   * columns in, typed rows out, per-partition batch processing,
   * array-of-struct frame output, pushdown-friendly metadata columns
   * alongside the blob.
@@ -93,9 +93,74 @@ object Multimodal {
       (a * 31 + (bytes(i) & 0xff) * ((i % targetW) + 1)) % 1000000007L
     }
 
-  /** "Frame sampling": treats the payload as a sequence of fixed-size
-    * frames and keeps every `stride`-th one, emitting an array of
-    * per-frame feature structs (the batch shape a video pipeline needs). */
+  /** Audio frame features: REAL WAV (RIFF/PCM) decode via
+    * `javax.sound.sampled` (in the JDK, like ImageIO) — the payload is
+    * parsed as 16-bit signed PCM, chunked into `frameSamples`-sample
+    * frames, and every `stride`-th frame emits (frame index, sum of
+    * absolute sample values) — an exact-integer energy feature, so the
+    * decode is oracle-pinnable (WAV is lossless). Non-WAV payloads
+    * (or compressed/float encodings the JDK doesn't ship codecs for)
+    * yield `decoded = false` with empty frames; route those through the
+    * byte-level [[sampleFrames]] instead. */
+  def audioFrames(df: DataFrame, idCol: String, blobCol: String,
+      frameSamples: Int, stride: Int): DataFrame = {
+    require(frameSamples > 0 && stride > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some((rate, samples)) =>
+              val nFrames = samples.length / frameSamples
+              val frames = (0 until nFrames by stride).map { f =>
+                var s = 0L
+                var i = f * frameSamples
+                while (i < (f + 1) * frameSamples) { s += math.abs(samples(i).toLong); i += 1 }
+                (f, s)
+              }
+              (id, true, rate, samples.length, nFrames, frames)
+            case None =>
+              (id, false, -1, 0, 0, Seq.empty[(Int, Long)])
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "sample_rate", "n_samples", "n_frames", "frames")
+      .withColumn("n_sampled", size(col("frames")))
+  }
+
+  /** WAV decode: 16-bit signed PCM mono only (what the JDK decodes
+    * without add-on codecs); anything else — non-RIFF payloads, float
+    * or compressed encodings, multichannel — maps to None. */
+  private[llm] def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            (if (fmt.isBigEndian) ((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)
+             else ((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Byte-level frame sampling: treats the payload as a sequence of
+    * fixed-size frames and keeps every `stride`-th one, emitting an
+    * array of per-frame feature structs (the batch shape a video
+    * pipeline needs). The per-frame feature is byte arithmetic — a
+    * REAL video decode needs codecs the JDK does not ship, so this
+    * stays the documented stub for video payloads. */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
       frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)

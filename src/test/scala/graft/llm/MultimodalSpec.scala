@@ -66,6 +66,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("pixel_checksum") === Multimodal.stubChecksum(bytes, 32))
   }
 
+  test("audioFrames decodes a real WAV with exact-integer energy features") {
+    // 100 samples of a known ramp: sample(i) = 50*i - 2000
+    val ns = 100
+    val pcm = new Array[Byte](ns * 2)
+    for (i <- 0 until ns) {
+      val v = (50 * i - 2000).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((3L, bos.toByteArray)).toDF("clip_id", "payload")
+    val out = Multimodal.audioFrames(df, "clip_id", "payload", frameSamples = 25, stride = 2).head()
+    assert(out.getAs[Boolean]("decoded"))
+    assert(out.getAs[Int]("sample_rate") === 16000)
+    assert(out.getAs[Int]("n_samples") === ns && out.getAs[Int]("n_frames") === 4)
+    val frames = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("frames"))
+    assert(frames.map(_.getInt(0)) === Seq(0, 2)) // every 2nd of 4 frames
+    def expSum(f: Int) = (f * 25 until (f + 1) * 25).map(i => math.abs(50 * i - 2000).toLong).sum
+    assert(frames.map(_.getLong(1)) === Seq(expSum(0), expSum(2)))
+  }
+
+  test("non-WAV payloads come back decoded=false with empty frames") {
+    val out = Multimodal.audioFrames(
+      Seq((9L, "just text".getBytes("UTF-8"))).toDF("clip_id", "payload"),
+      "clip_id", "payload", 25, 2).head()
+    assert(!out.getAs[Boolean]("decoded"))
+    assert(out.getAs[Int]("n_sampled") === 0)
+  }
+
   test("frame sampling keeps every stride-th frame with per-frame features") {
     val out = Multimodal.sampleFrames(blobs, "doc_id", "payload", frameBytes = 16, stride = 2)
     val row = out.join(Tables.documents(spark, sfDir), "doc_id")
