@@ -757,11 +757,45 @@ object LlmQueries {
           col("frames") === col("exp_frames"), 1L).otherwise(0L)).as("n_energy_match"))
   }
 
+  /** Int8 scalar quantization of the embedding column — at 100 TB the
+    * ANN working set is dominated by float embeddings, and symmetric
+    * max-abs int8 cuts memory/shuffle 4× (with ~0.5% cosine error at
+    * these dims). Per vector: scale = max|x|, q_i = floor(x_i·127/scale
+    * + 0.5) — pure scan-shaped column arithmetic (one transform, no
+    * shuffle), and every step is IEEE-replicable in the oracle (the
+    * floor-form rounding from the shared fpRound4 discipline), so the
+    * gates are the exact integer checksum of the quantized codes and
+    * the reconstruction-error bound 1/254 · scale. */
+  private val q95QuantizeEmbeddings: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val scale = array_max(transform(col("emb"), x => abs(x)))
+    e.withColumn("scale", scale)
+      // all-zero vectors quantize to all-zero codes (guard the 0-divide)
+      .withColumn("q", when(col("scale") === 0.0,
+          transform(col("emb"), _ => lit(0L)))
+        .otherwise(transform(col("emb"), x => floor(x * 127.0 / col("scale") + 0.5).cast("long"))))
+      .withColumn("recon_err", when(col("scale") === 0.0, lit(0.0)).otherwise(
+        aggregate(
+          zip_with(col("emb"), col("q"), (x, qi) => abs(x - qi * col("scale") / 127.0)),
+          lit(0.0), (acc, d) => greatest(acc, d))))
+      .select(
+        col("vec_id"),
+        // position-weighted integer checksum: any single code off by one
+        // at any dim changes it
+        aggregate(zip_with(col("q"),
+            sequence(lit(1L), size(col("q")).cast("long")), (qi, i) => qi * i),
+          lit(0L), (acc, v) => acc + v).as("q_checksum"),
+        aggregate(col("q"), lit(0L), (acc, qi) => greatest(acc, abs(qi))).as("q_max_abs"),
+        fpRound4(col("recon_err") / (col("scale") / 254.0 + lit(1e-300))).as("err_vs_bound"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
     "q71_dedup_components" -> q71DedupComponents,
     "q93_image_decode"    -> q93ImageDecode,
     "q94_audio_decode"    -> q94AudioDecode,
+    "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1090,5 +1124,22 @@ object LlmQueries {
         |  CAST(200 AS BIGINT) AS n_decoded,
         |  CAST(200 AS BIGINT) AS n_shape_match,
         |  CAST(200 AS BIGINT) AS n_energy_match""".stripMargin,
+    // q95: the same IEEE arithmetic as the Spark plan (mult/div order,
+    // floor-form rounding), so the integer code checksum is exact
+    "q95_quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(v)) AS scale FROM e GROUP BY vec_id),
+        |q AS (SELECT e.vec_id, i, v, scale,
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(floor(v * 127.0 / scale + 0.5) AS BIGINT) END AS qi
+        |  FROM e JOIN s ON e.vec_id = s.vec_id)
+        |SELECT vec_id,
+        |  CAST(sum(qi * i) AS BIGINT) AS q_checksum,
+        |  CAST(max(abs(qi)) AS BIGINT) AS q_max_abs,
+        |  floor((max(CASE WHEN scale = 0 THEN 0.0
+        |                  ELSE abs(v - qi * scale / 127.0) END)
+        |    / (scale / 254.0 + 1e-300)) * 10000.0 + 0.5) / 10000.0 AS err_vs_bound
+        |FROM q GROUP BY vec_id, scale""".stripMargin,
   )
 }

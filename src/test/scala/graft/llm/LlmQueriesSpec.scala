@@ -225,4 +225,16 @@ class LlmQueriesSpec extends SparkSpec {
     assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() === 0)
     assert(joined.filter(col("mean_byte") < 32 || col("mean_byte") > 127).count() === 0)
   }
+
+  test("int8 quantization: codes bounded, reconstruction inside the half-step bound") {
+    val out = LlmQueries.queries("q95_quantize_embeddings")(spark, sfDir)
+    assert(out.count() === graft.Tables.embeddings(spark, sfDir).count())
+    // |q_i| ≤ 127 by construction (max-abs symmetric quantizer)
+    assert(out.filter(col("q_max_abs") > 127).count() === 0)
+    // max reconstruction error ≤ scale/254 (half a quantization step):
+    // err_vs_bound is err normalized by that bound, so ≤ 1 (+ fp slack)
+    assert(out.filter(col("err_vs_bound") > 1.0001).count() === 0)
+    // the quantizer actually uses the range: some vector hits ±127
+    assert(out.filter(col("q_max_abs") === 127).count() > 0)
+  }
 }
