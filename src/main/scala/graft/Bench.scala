@@ -61,19 +61,24 @@ object Bench {
     val qs = names.flatMap(n => timed.get(n).map(v => s"${jstr(n)}:$v")).mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timed.values.sum
-    val streaming = StreamBench.run(spark)
+    // a streaming-bench failure must not discard minutes of batch results
+    val streaming = scala.util.Try(StreamBench.run(spark))
+      .getOrElse(s"""{"error":"streaming bench failed"}""")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's
     // stdout tail window, which truncates the head of the line and breaks
     // its JSON parse (rounds 3-4 both ended "parsed": null). So the full
-    // record goes ONLY to the sidecar file, and stdout ends with a compact
-    // summary line small enough to survive any tail window.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    Files.writeString(Paths.get(sidecar), full + "\n")
+    // record goes ONLY to the sidecar file (or, with no sidecar configured
+    // or a failed write, to stdout BEFORE the summary), and stdout ends
+    // with a compact summary line small enough to survive any tail window.
+    val sidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter { p =>
+      scala.util.Try(Files.writeString(Paths.get(p), full + "\n")).isSuccess
+    }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"detail":${jstr(sidecar)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
     spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
+    if (sidecar.isEmpty) println(full)
     println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -49,11 +49,27 @@ object StreamBench {
       try {
         (0 until warmBatches).foreach(oneBatch)
         (warmBatches until warmBatches + timedBatches).map(oneBatch)
-      } finally q.stop()
+      } finally {
+        q.stop()
+        deleteRecursively(java.nio.file.Paths.get(dir))
+      }
 
     val sorted = lat.sorted
     def pct(p: Double): Double =
       sorted(math.min(sorted.size - 1, math.max(0, math.ceil(p * sorted.size).toInt - 1)))
-    f"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"max_ms":${sorted.last}%.1f,"slo_ms":500}"""
+    // tenth-of-ms rounding via Double.toString: locale-independent, unlike
+    // the f"" interpolator (comma-decimal locales would break the JSON)
+    def ms(v: Double): String = (math.round(v * 10.0) / 10.0).toString
+    s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"slo_ms":500}"""
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val paths = java.nio.file.Files.walk(root)
+      try paths.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally paths.close()
+    }
   }
 }

@@ -75,7 +75,7 @@ final class ScoringService(
     * scanning + windowing the whole snapshot — the old path read every
     * batch directory for a one-row read. */
   def explain(transactionId: String): Option[Row] =
-    explainFrame(transactionId).collect().headOption
+    guardEmptyStore(explainFrame(transactionId).collect().headOption)
 
   /** The explain read as a lazy frame — exposed so callers (and the
     * spec) can audit the plan: pushed-filter keyed scan, top-1 by write
@@ -89,15 +89,32 @@ final class ScoringService(
     * from_json parses the stored attribution map, to_json re-serializes
     * the shaped struct — F9/F10 at the facade edge, computed in the
     * plan rather than driver-side string splicing. */
-  def explainJson(transactionId: String): Option[String] =
+  def explainJson(transactionId: String): Option[String] = guardEmptyStore {
     explainFrame(transactionId)
       .select(to_json(struct(
         from_json(col("shap_values"),
           org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, DOUBLE>")).as("shap_values"),
         array(featureNames.map(lit): _*).as("feature_names"),
         date_format(col("updated_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("created_at")
-      )).as("payload"))
+      ),
+        // a FAILED row stores shap_values = null; the reference shape
+        // guarantees the key, so emit "shap_values":null rather than
+        // dropping it (to_json default omits null fields)
+        Map("ignoreNullFields" -> "false")).as("payload"))
       .collect().headOption.map(_.getString(0))
+  }
+
+  /** An empty store (no batch dir yet) must read as "not found", not an
+    * AnalysisException — the same shapes [[health]] guards. */
+  private def guardEmptyStore[T](read: => Option[T]): Option[T] =
+    try read catch {
+      case e: org.apache.spark.sql.AnalysisException if isEmptyStoreShape(e) => None
+    }
+
+  private def isEmptyStoreShape(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getMessage.contains("PATH_NOT_FOUND") ||
+      e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+      e.getMessage.toLowerCase.contains("path does not exist")
 
   /** GET /health (api/app.py:135-175) + the completion rollup (A12). */
   def health(): HealthOut = {
@@ -109,9 +126,7 @@ final class ScoringService(
     } catch {
       // empty-store shapes only: no batch dir yet, or a dir holding just
       // sidecars so parquet schema inference has nothing to read
-      case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND")
-        || e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
-        || e.getMessage.toLowerCase.contains("path does not exist") => None
+      case e: org.apache.spark.sql.AnalysisException if isEmptyStoreShape(e) => None
     }
     HealthOut(modelLoaded = model != null,
       total = rollup.map(_._1).getOrElse(0L),

@@ -35,6 +35,7 @@ object IvfSearch {
 
   def adaptiveK(n: Long, targetListRows: Long = TargetListRows,
       lo: Int = MinK, hi: Int = MaxK): Int = {
+    require(targetListRows > 0, s"targetListRows must be positive: $targetListRows")
     val raw = ((math.max(n, 1L) + targetListRows - 1L) / targetListRows)
     math.min(hi.toLong, math.max(lo.toLong, raw)).toInt
   }

@@ -693,7 +693,10 @@ object LlmQueries {
         }
         (id, bos.toByteArray, sw, sh, acc)
       }
-    }.toDF("img_id", "payload", "exp_w", "exp_h", "exp_checksum")
+      // query-scoped cache: the result lineage reads gen twice (resize
+      // input + expected-value join) — without it every rep re-encodes
+      // all 200 PNGs twice; the runner's clearCache releases it
+    }.toDF("img_id", "payload", "exp_w", "exp_h", "exp_checksum").cache()
     val resized = Multimodal.resize(gen, "img_id", "payload", tw, th)
     resized.join(gen.drop("payload"), "img_id")
       .agg(
@@ -745,7 +748,8 @@ object LlmQueries {
         }
         (id, bos.toByteArray, ns, nFrames, expFrames)
       }
-    }.toDF("audio_id", "payload", "exp_samples", "exp_frames_n", "exp_frames")
+      // query-scoped cache: same two-reader shape as q93
+    }.toDF("audio_id", "payload", "exp_samples", "exp_frames_n", "exp_frames").cache()
     val framed = Multimodal.audioFrames(gen, "audio_id", "payload", frameSamples, stride)
     framed.join(gen.drop("payload"), "audio_id")
       .agg(

@@ -59,14 +59,34 @@ object Multimodal {
         "decoded", "src_width", "src_height")
   }
 
+  /** Decompression-bomb guard: a few-KB container can DECLARE a raster
+    * whose allocation OOMs the executor (an Error, not an Exception —
+    * uncatchable by the fallback), so geometry is read from the HEADER
+    * and oversized images bail to None before any pixel is allocated.
+    * 64 M pixels ≈ 256 MB of int raster — far above any sane thumbnail
+    * source, well below executor memory. */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   /** The real codec path: ImageIO decode + nearest-neighbor resample.
     * Returns (srcWidth, srcHeight, checksum over resized RGB pixels in
     * row-major order), or None when the payload is not a decodable
-    * image. ImageIO.read returns null for unrecognized formats and
-    * throws on truncated containers — both map to None. */
+    * image. Unrecognized formats, truncated containers, and
+    * declared-geometry bombs all map to None. */
   private[llm] def decodeResize(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Int, Long)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          // header-only geometry read — no raster allocation yet
+          val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val (sw, sh) = (img.getWidth, img.getHeight)

@@ -54,6 +54,27 @@ class ScoringServiceSpec extends SparkSpec {
     assert(service.explainJson("nope").isEmpty)
   }
 
+  test("explain on an EMPTY store is None, not an AnalysisException") {
+    val fresh = new ScoringService(spark, model, feats,
+      new ScoringStream.ResultStore(Files.createTempDirectory("graft-api-empty").toString))
+    assert(fresh.explain("anything").isEmpty)
+    assert(fresh.explainJson("anything").isEmpty)
+  }
+
+  test("explainJson keeps the shap_values key (null) for FAILED rows") {
+    val store = new ScoringStream.ResultStore(
+      Files.createTempDirectory("graft-api-failed").toString)
+    val svc = new ScoringService(spark, model, feats, store)
+    import spark.implicits._
+    val batch = Seq(("tfail", Map.empty[String, Double])).toDF("transaction_id", "features")
+    store.upsertLabeled(
+      ScoringStream.scoreBatch(batch, feats, feats.map(_ => 0.1), feats.map(_ => 0.0), 0.0),
+      label = "tfail", order = ScoringStream.nextWriteStamp())
+    val payload = svc.explainJson("tfail").get
+    assert(payload.contains("\"shap_values\":null"), payload)
+    assert(payload.contains("\"feature_names\":"))
+  }
+
   test("explain reads through a pushed-filter keyed scan, not a snapshot window") {
     service.predict("t4", Seq(2.0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
     val frame = service.explainFrame("t4")

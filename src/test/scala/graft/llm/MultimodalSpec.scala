@@ -57,6 +57,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("pixel_checksum") !== red)
   }
 
+  test("a declared-geometry decompression bomb bails to the fallback, no raster allocated") {
+    // hand-built PNG header DECLARING 50000x50000 (2.5e9 px ≈ 10 GB
+    // raster) with a valid IHDR CRC — the reader must report the
+    // geometry from the header and the guard must refuse to decode
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(50000).putInt(50000)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32(); crc.update(ihdr.array())
+    val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+    bos.write(len); bos.write(ihdr.array())
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    val bomb = bos.toByteArray
+    assert(Multimodal.decodeResize(bomb, 2, 2).isEmpty)
+    val out = Multimodal.resize(Seq((1L, bomb)).toDF("doc_id", "payload"),
+      "doc_id", "payload", 2, 2).head()
+    assert(!out.getAs[Boolean]("decoded"))
+  }
+
   test("non-image payloads fall back to the deterministic stub, flagged undecoded") {
     val bytes = "definitely not an image payload".getBytes("UTF-8")
     val out = Multimodal.resize(Seq((7L, bytes)).toDF("doc_id", "payload"),
