@@ -794,12 +794,56 @@ object LlmQueries {
         fpRound4(col("recon_err") / (col("scale") / 254.0 + lit(1e-300))).as("err_vs_bound"))
   }
 
+  /** BM25 relevance scoring of the corpus against a query term set —
+    * the retrieval/quality-scoring primitive a training-data pipeline
+    * uses for keyword-targeted subset selection. Shape: tokenize →
+    * filter to query terms BEFORE the explode shuffle (per-doc work is
+    * O(matching tokens), not O(all tokens)) → tf per (doc, term) → df
+    * per term (tiny, broadcast) → per-term contribution → fixed-order
+    * sum. Uses the rational Robertson-Sparck-Jones idf
+    * (N - df + 0.5)/(df + 0.5) WITHOUT the textbook ln(): every step is
+    * then +,-,*,/ on exactly-reproducible doubles, so the oracle
+    * hash-compare is IEEE-exact (ln differs by ULPs across libms; swap
+    * in log() for textbook BM25 — same per-term ordering). Constants
+    * are spelled identically on both sides (2.2 = k1+1 pre-folded,
+    * 0.25 = 1-b) so neither engine folds them differently. */
+  private val q96Bm25: Q = (s, dir) => {
+    val qTerms = Seq("join", "vector", "stream")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")) // integer-valued doubles: exact sum
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(broadcast(dfT), "tok").crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) / (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+    // fixed-order per-term sum: a groupBy sum over doubles is
+    // order-nondeterministic at the ULP, which the hash-compare would see
+    val perTerm = qTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("tok") === t, col("contrib"))), lit(0.0)).as(s"__c$i")
+    }
+    contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        fpRound4(qTerms.indices.map(i => col(s"__c$i")).reduce(_ + _)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
     "q71_dedup_components" -> q71DedupComponents,
     "q93_image_decode"    -> q93ImageDecode,
     "q94_audio_decode"    -> q94AudioDecode,
     "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
+    "q96_bm25"            -> q96Bm25,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1145,5 +1189,26 @@ object LlmQueries {
         |                  ELSE abs(v - qi * scale / 127.0) END)
         |    / (scale / 254.0 + 1e-300)) * 10000.0 + 0.5) / 10000.0 AS err_vs_bound
         |FROM q GROUP BY vec_id, scale""".stripMargin,
+    // q96: identical formula text on both engines — rational idf, fixed
+    // per-term addition order, floor-form rounding
+    "q96_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |dd AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM d),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*) AS avgdl FROM dd),
+         |t AS (SELECT doc_id, dl, unnest(tk) AS tok FROM dd),
+         |tf AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM t
+         |  WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+         |dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |c AS (SELECT doc_id, tok,
+         |    ((n_docs - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+         |  FROM tf JOIN dfx USING (tok) CROSS JOIN stats),
+         |p AS (SELECT doc_id,
+         |    coalesce(sum(CASE WHEN tok = 'join' THEN contrib END), 0.0) AS c0,
+         |    coalesce(sum(CASE WHEN tok = 'vector' THEN contrib END), 0.0) AS c1,
+         |    coalesce(sum(CASE WHEN tok = 'stream' THEN contrib END), 0.0) AS c2
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, floor((c0 + c1 + c2) * 10000.0 + 0.5) / 10000.0 AS bm25
+         |FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
   )
 }
