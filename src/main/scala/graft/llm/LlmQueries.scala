@@ -837,6 +837,40 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before anything else. Detection is regexp_count per
+    * category, redaction regexp_replace to a category tag; both are
+    * codegen'd scan-shaped column ops (no UDF, no shuffle). Patterns
+    * stay inside the RE2-compatible subset (no backrefs/lookaround) so
+    * Java regex and the oracle's RE2 agree. Because the corpus tables
+    * carry no real PII, the input is synthesized from row ids (the
+    * q93/q94 generate-then-verify pattern, exact string concat on both
+    * engines) — emails, North-American-style phone numbers, and IPv4s
+    * woven between filler words; doc text joins in as untainted noise. */
+  private val q97PiiRedact: Q = (s, dir) => {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val text = concat(
+      lit("contact user"), col("doc_id"), lit("@mail"), pmod(col("doc_id"), lit(7L)),
+      lit(".example.com or call 555-"),
+      lpad(pmod(col("doc_id") * 37L, lit(1000L)).cast("string"), 3, "0"),
+      lit("-"), lpad(pmod(col("doc_id") * 91L, lit(10000L)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)),
+      lit(".0."), pmod(col("doc_id") * 3L, lit(256L)),
+      lit(" re: "), substring(col("doc_text"), 1, 40))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").as("doc_text"))
+      .withColumn("text", text)
+    base.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_email"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phone"),
+      regexp_count(col("text"), lit(ipRe)).as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]").as("redacted"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
     "q71_dedup_components" -> q71DedupComponents,
@@ -844,6 +878,7 @@ object LlmQueries {
     "q94_audio_decode"    -> q94AudioDecode,
     "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
     "q96_bm25"            -> q96Bm25,
+    "q97_pii_redact"      -> q97PiiRedact,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1210,5 +1245,24 @@ object LlmQueries {
          |  FROM c GROUP BY doc_id)
          |SELECT doc_id, floor((c0 + c1 + c2) * 10000.0 + 0.5) / 10000.0 AS bm25
          |FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // q97: identical generated strings, RE2-compatible patterns, 'g' flag
+    // for DuckDB's default first-match-only regexp_replace
+    "q97_pii_redact" ->
+      raw"""WITH b AS (SELECT doc_id,
+           |  'contact user' || doc_id || '@mail' || (doc_id % 7) ||
+           |  '.example.com or call 555-' ||
+           |  lpad(((doc_id * 37) % 1000)::VARCHAR, 3, '0') || '-' ||
+           |  lpad(((doc_id * 91) % 10000)::VARCHAR, 4, '0') ||
+           |  ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) ||
+           |  ' re: ' || substr(text, 1, 40) AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+           |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+           |FROM b""".stripMargin,
   )
 }
