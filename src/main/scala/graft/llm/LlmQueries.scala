@@ -809,30 +809,37 @@ object LlmQueries {
     * 0.25 = 1-b) so neither engine folds them differently. */
   private val q96Bm25: Q = (s, dir) => {
     val qTerms = Seq("join", "vector", "stream")
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .withColumn("dl", size(col("tk")).cast("double"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl")) // integer-valued doubles: exact sum
-    val tf = docs.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
-      .filter(col("tok").isin(qTerms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf.join(broadcast(dfT), "tok").crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(2.2) / (col("tf") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
-    // fixed-order per-term sum: a groupBy sum over doubles is
-    // order-nondeterministic at the ULP, which the hash-compare would see
-    val perTerm = qTerms.zipWithIndex.map { case (t, i) =>
-      coalesce(sum(when(col("tok") === t, col("contrib"))), lit(0.0)).as(s"__c$i")
+    // ONE corpus scan: per-doc term frequencies via codegen'd
+    // higher-order filter/size — no explode, no per-token shuffle rows.
+    // The naive tf/df/stats formulation scanned the corpus three times
+    // (explode+agg for tf, a second explode+agg for df, a stats agg);
+    // at 100 TB that is 3× IO for a query whose working set after this
+    // projection is 5 small columns.
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id") +: TextOps.tokens(col("text")).as("tk") +: Nil: _*)
+      .select(col("doc_id") +: size(col("tk")).cast("double").as("dl") +:
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).cast("double").as(s"tf$i")
+        }: _*)
+      .cache() // read twice (stats fold + scoring); runner clearCache releases
+    // corpus stats + per-term dfs fold to FIVE driver constants (q91
+    // pattern) — both engines then compute idf from identical integers
+    val stAggs = count(lit(1)).cast("double").as("n_docs") +:
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +: // integer-valued doubles: exact sum
+      qTerms.indices.map(i =>
+        coalesce(sum(when(col(s"tf$i") > 0.0, 1L)), lit(0L)).cast("double").as(s"df$i"))
+    val st = perDoc.agg(stAggs.head, stAggs.tail: _*).head()
+    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+    // per-term contribution; an absent term has tf = 0 so contributes
+    // exactly 0.0 — no conditional needed. Fixed left-to-right addition
+    // order (a groupBy float sum is order-nondeterministic at the ULP,
+    // which the hash-compare would see).
+    val contribs = qTerms.indices.map { i =>
+      val idf = (nDocs - st.getDouble(2 + i) + 0.5) / (st.getDouble(2 + i) + 0.5)
+      lit(idf) * (col(s"tf$i") * lit(2.2) / (col(s"tf$i") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
     }
-    contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
-      .select(col("doc_id"),
-        fpRound4(qTerms.indices.map(i => col(s"__c$i")).reduce(_ + _)).as("bm25"))
+    perDoc.select(col("doc_id"), fpRound4(contribs.reduce(_ + _)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }
