@@ -104,6 +104,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), s"expected user-keyed window:\n$p")
   }
 
+  test("q95/q97: quantization and PII redaction stay scan-shaped — zero shuffles") {
+    for (q <- Seq("q95_quantize_embeddings", "q97_pii_redact")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q introduced a shuffle:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+        s"$q left the codegen path:\n$p")
+    }
+  }
+
+  test("q96: BM25 scoring reads the corpus ONCE — no explode, no join, no extra scan") {
+    val df = SparkEntry.queries("q96_bm25")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"BM25 re-introduced an explode:\n$p")
+    assert(!p.contains("Join"), s"BM25 re-introduced a join:\n$p")
+    // the scoring pass reads the cached per-doc frame; the ONE FileScan
+    // in the rendering is the InMemoryRelation's build lineage, executed
+    // only on cache miss — a second one would be a real re-scan
+    assert(p.contains("InMemoryTableScan"), s"per-doc frame not cached:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, s"scoring re-scans the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // executedPlan.toString renders codegen stages as "*(n) Op"
     val p = planOf("q01_pruned_scan")
