@@ -131,6 +131,40 @@ object ScoringStream {
         .filter(col("__rn") === 1).drop("__rn")
     }
 
+    /** Compaction: fold every batch directory into ONE batch holding
+      * the current last-writer-wins snapshot, then delete the rest. An
+      * append-only store otherwise grows one directory per micro-batch
+      * forever, and every snapshot/point read pays listing + footer
+      * costs proportional to the store's whole history instead of its
+      * live key count. Single-writer maintenance op: quiesce writers
+      * while it runs (the same contract as any parquet compaction).
+      * Replay safety is preserved: the compacted batch takes a FRESH
+      * monotonic stamp, so a streaming batch replayed AFTER compaction
+      * rewrites its (now deleted) directory with its ORIGINAL stamp and
+      * correctly loses to the compacted row. */
+    def compact(spark: SparkSession): Unit = {
+      val live = snapshot(spark).drop("batch_id")
+      val stamp = nextWriteStamp()
+      val label = s"c$stamp"
+      // the write action reads the old directories (the glob was
+      // resolved when `live` was planned) and lands in a NEW one
+      upsertLabeled(live, label, stamp)
+      val root = java.nio.file.Paths.get(path)
+      val dirs = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        dirs.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("batch=") &&
+            p.getFileName.toString != s"batch=$label")
+          .foreach { p =>
+            val files = java.nio.file.Files.walk(p)
+            try files.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+            finally files.close()
+          }
+      } finally dirs.close()
+    }
+
     /** A12: the WorkerRecoveryTestPlan completion rollup
       * (docs/WorkerRecoveryTestPlan.md:113-118). */
     def completionRollup(spark: SparkSession): DataFrame =

@@ -94,6 +94,34 @@ class ScoringStreamSpec extends SparkSpec {
       "replayed batch resurrected its stale result over a later write")
   }
 
+  test("compaction folds the history into one batch, preserving the snapshot") {
+    val store = new ScoringStream.ResultStore(tmp("graft-compact"))
+    // 5 micro-batches with overlapping keys + one API-path labeled write
+    for (b <- 0 until 5) {
+      val batch = Seq((s"k${b % 3}", Map("f0" -> (b + 1.0))))
+        .toDF("transaction_id", "features")
+      store.upsert(ScoringStream.scoreBatch(batch, feats, coefs, mu, 0.0), b.toLong)
+    }
+    store.upsertLabeled(
+      ScoringStream.scoreBatch(Seq(("api", Map("f0" -> 2.0)))
+        .toDF("transaction_id", "features"), feats, coefs, mu, 0.0),
+      label = "api", order = ScoringStream.nextWriteStamp())
+    val before = store.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    store.compact(spark)
+    val root = new java.io.File(store.path)
+    val dirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length === 1, s"expected one compacted dir, got ${dirs.map(_.getName).toSeq}")
+    val after = store.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after === before, "compaction changed the snapshot")
+    // post-compaction writes still win over compacted rows
+    val newer = Seq(("k0", Map("f0" -> 9.0))).toDF("transaction_id", "features")
+    store.upsert(ScoringStream.scoreBatch(newer, feats, coefs, mu, 0.0), 99L)
+    val k0 = store.snapshot(spark).filter($"transaction_id" === "k0").head()
+    assert(math.abs(k0.getDouble(1) - 1.0 / (1.0 + math.exp(-9.0))) < 1e-5)
+  }
+
   test("a fitted PipelineModel scores the stream inside foreachBatch (M5 + ST1)") {
     implicit val sqlCtx = spark.sqlContext
     val eval = graft.ml.FraudPipeline.syntheticEvalSet(spark, 300, seed = 11L)
