@@ -368,7 +368,32 @@ object ExtQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("spend_30d"))
   }
 
+  /** Z-order clustering on the oracle surface: normalize
+    * (l_partkey, l_suppkey) to 16-bit codes (min/max affine — driver
+    * scalars from one tiny agg, the q91 pattern), interleave bits into
+    * the Morton z-value, then aggregate per coarse z-bucket. The bucket
+    * sums are exact integers the oracle recomputes from the same
+    * generated bit formula ([[graft.operators.ZOrder.zValueSql]]), so a
+    * single bit off in ANY row's interleave breaks the hash. The layout
+    * effect itself (row-group min/max locality on BOTH dims) is pinned
+    * by ZOrderSpec, which a hash-compare cannot see. */
+  private val q98Zorder: Q = (s, dir) => {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+    val b = li.agg(
+      min(col("l_partkey")).cast("double"), max(col("l_partkey")).cast("double"),
+      min(col("l_suppkey")).cast("double"), max(col("l_suppkey")).cast("double")).head()
+    val z = ZOrder.zValue(
+      ZOrder.minMaxNormalize(col("l_partkey"), b.getDouble(0), b.getDouble(1)),
+      ZOrder.minMaxNormalize(col("l_suppkey"), b.getDouble(2), b.getDouble(3)))
+    li.withColumn("z", z)
+      .groupBy(shiftright(col("z"), 24).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("z_sum"))
+      .orderBy(col("z_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_zorder"     -> q98Zorder,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -392,7 +417,20 @@ object ExtQueries {
     "q89_event_props"   -> q89EventProps,
   )
 
+  private val q98ZorderSql: String = {
+    import graft.operators.ZOrder
+    val na = ZOrder.minMaxNormalizeSql("l_partkey", "(SELECT min(l_partkey)::DOUBLE FROM lineitem)",
+      "(SELECT max(l_partkey)::DOUBLE FROM lineitem)")
+    val nb = ZOrder.minMaxNormalizeSql("l_suppkey", "(SELECT min(l_suppkey)::DOUBLE FROM lineitem)",
+      "(SELECT max(l_suppkey)::DOUBLE FROM lineitem)")
+    s"""WITH z AS (SELECT ${ZOrder.zValueSql(s"($na)", s"($nb)")} AS z FROM lineitem)
+       |SELECT z >> 24 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(z) AS BIGINT) AS z_sum
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q98_zorder" -> q98ZorderSql,
     "q89_event_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
