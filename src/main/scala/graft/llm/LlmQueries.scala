@@ -878,6 +878,77 @@ object LlmQueries {
         emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]").as("redacted"))
   }
 
+  /** URL canonicalization + dedup — the FIRST dedup pass of any web-crawl
+    * corpus (exact-URL dedup is cheaper than any content hash and removes
+    * the bulk of recrawl duplicates). URLs are synthesized from row ids
+    * (the q97 pattern: exact string concat on both engines) with the
+    * noise a real crawl carries — mixed-case hosts, `www.` prefixes,
+    * trailing slashes, tracking params, fragments. Spark side parses with
+    * `parse_url` (codegen'd, scan-shaped); canonicalization is lowercased
+    * de-`www.`ed host + trailing-slash-stripped path + utm-stripped
+    * sorted query. The dedup groupBy keys on the canonical string — a
+    * hash shuffle on a bounded-size key, the same plan at any corpus
+    * size. The oracle re-derives host/path/query with regexes. */
+  private val q101UrlCanonical: Q = (s, dir) => {
+    // `page` is the true identity: every noise axis below (www, case,
+    // trailing slash, tracking param, param order, fragment) varies with
+    // doc_id but canonicalizes away, so each page's N/50 recrawls
+    // collapse to one canonical URL.
+    val page = pmod(col("doc_id"), lit(50L))
+    val host = concat(
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("site"), pmod(page, lit(7L)),
+      when(col("doc_id") % 3 === 0, lit(".Example.COM")).otherwise(lit(".example.com")))
+    val path = concat(lit("/p/"), page,
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")))
+    val utm = concat(lit("utm_source=s"), pmod(col("doc_id"), lit(11L)))
+    val ref = concat(lit("ref=r"), pmod(page, lit(3L)))
+    val query = when(page % 5 === 0, utm)
+      .when(col("doc_id") % 3 === 0, concat(ref, lit("&"), utm)) // order noise
+      .otherwise(concat(utm, lit("&"), ref))
+    val frag = when(col("doc_id") % 4 === 0, concat(lit("#sec"), pmod(col("doc_id"), lit(6L))))
+      .otherwise(lit(""))
+    val urls = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://"), host, path, lit("?"), query, frag).as("url"))
+    val hostC = regexp_replace(lower(parse_url(col("url"), lit("HOST"))), "^www\\.", "")
+    val pathC = regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "")
+    val params = filter(split(coalesce(parse_url(col("url"), lit("QUERY")), lit("")), "&"),
+      p => !p.startsWith("utm_") && p =!= lit(""))
+    val queryC = array_join(array_sort(params), "&")
+    urls
+      .withColumn("canon", concat(lit("https://"), hostC, pathC,
+        when(queryC === "", lit("")).otherwise(concat(lit("?"), queryC))))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_dups"))
+      .orderBy(col("canon"))
+  }
+
+  /** Token-rarity scoring — the unigram-LM quality signal (rare-token
+    * density flags gibberish and OCR noise; all-common-token docs are
+    * boilerplate-ish), kept RATIONAL (mean/min of integer document
+    * frequencies, no ln) so the oracle hash-compare is IEEE-exact — the
+    * q96 BM25 trick. Two scans of the token stream: one builds the
+    * per-token df table (distinct (doc,token) → count — map-side partial
+    * agg, key space = vocabulary, bounded and tiny relative to the
+    * corpus), one joins each token instance back to its df (broadcast:
+    * the df table is vocabulary-sized) and folds per-doc mean/min. At
+    * 100 TB the df table is the classic shared-dictionary broadcast;
+    * nothing here grows with corpus size except the two scans. */
+  private val q102TokenRarity: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+    val df = toks.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    toks.join(broadcast(df), "t")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        fpRound4(sum(col("df")).cast("double") / count(lit(1))).as("mean_df"),
+        min(col("df")).as("min_df"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_ivf_invariants"  -> q65IvfInvariants,
     "q71_dedup_components" -> q71DedupComponents,
@@ -886,6 +957,8 @@ object LlmQueries {
     "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
     "q96_bm25"            -> q96Bm25,
     "q97_pii_redact"      -> q97PiiRedact,
+    "q101_url_canonical"  -> q101UrlCanonical,
+    "q102_token_rarity"   -> q102TokenRarity,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1252,6 +1325,47 @@ object LlmQueries {
          |  FROM c GROUP BY doc_id)
          |SELECT doc_id, floor((c0 + c1 + c2) * 10000.0 + 0.5) / 10000.0 AS bm25
          |FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // q101: identical generated URL strings; host/path/query re-derived
+    // with regexes (DuckDB has no parse_url); literal-prefix utm strip
+    // via left(x,4) (LIKE's `_` is a wildcard)
+    // NB: DuckDB's array_to_string([]) is NULL where Spark's array_join
+    // is '' — hence the coalesce.
+    "q101_url_canonical" ->
+      raw"""WITH u AS (SELECT doc_id,
+           |  'https://' ||
+           |  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+           |  'site' || ((doc_id % 50) % 7) ||
+           |  CASE WHEN doc_id % 3 = 0 THEN '.Example.COM' ELSE '.example.com' END ||
+           |  '/p/' || (doc_id % 50) || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+           |  '?' ||
+           |  CASE WHEN (doc_id % 50) % 5 = 0 THEN 'utm_source=s' || (doc_id % 11)
+           |    WHEN doc_id % 3 = 0
+           |      THEN 'ref=r' || ((doc_id % 50) % 3) || '&utm_source=s' || (doc_id % 11)
+           |    ELSE 'utm_source=s' || (doc_id % 11) || '&ref=r' || ((doc_id % 50) % 3) END ||
+           |  CASE WHEN doc_id % 4 = 0 THEN '#sec' || (doc_id % 6) ELSE '' END AS url
+           |  FROM documents),
+           |p AS (SELECT doc_id,
+           |  regexp_replace(lower(regexp_extract(url, 'https://([^/?#]+)', 1)), '^www\.', '') AS host,
+           |  regexp_replace(regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1), '/$$', '') AS path,
+           |  coalesce(array_to_string(list_sort(list_filter(
+           |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+           |    x -> left(x, 4) <> 'utm_' AND x <> '')), '&'), '') AS qc
+           |  FROM u)
+           |SELECT 'https://' || host || path ||
+           |    CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canon,
+           |  CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           |  CAST(count(*) AS BIGINT) AS n_dups
+           |FROM p GROUP BY canon ORDER BY canon""".stripMargin,
+    // q102: same tokenizer, df = count(distinct doc), rational mean
+    "q102_token_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+         |df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  ${fpRound4Sql("sum(df)::DOUBLE / count(*)")} AS mean_df,
+         |  CAST(min(df) AS BIGINT) AS min_df
+         |FROM tok JOIN df USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q97: identical generated strings, RE2-compatible patterns, 'g' flag
     // for DuckDB's default first-match-only regexp_replace
     "q97_pii_redact" ->

@@ -377,6 +377,42 @@ object ExtQueries {
     * single bit off in ANY row's interleave breaks the hash. The layout
     * effect itself (row-group min/max locality on BOTH dims) is pinned
     * by ZOrderSpec, which a hash-compare cannot see. */
+  /** S3-adjacent: ORC sink then ORC scan — the second columnar format
+    * large pipelines standardize on. Unlike q55's CSV (schema-less text,
+    * explicit-schema contract), ORC carries its own schema, so the
+    * roundtrip proves the write→read path preserves every type in play
+    * (int64 / double / timestamp / string) bit-exactly: the closing
+    * aggregate hash-matches the oracle's recomputation from the original
+    * parquet only if no value shifted through the ORC encode/decode. */
+  private val q99OrcRoundtrip: Q = (s, dir) => {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/tmp/orc_roundtrip_$slug"
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** SO-adjacent schema evolution: `unionByName(allowMissingColumns)` —
+    * the operation every multi-source ingest runs when one source grew a
+    * column the other lacks. Positional `union` would silently misalign
+    * (id under bal); by-name union aligns on names and null-fills the
+    * missing column, which is exactly DuckDB's UNION ALL BY NAME. */
+  private val q100UnionByName: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+      col("c_mktsegment").as("seg"), lit("customer").as("src"))
+    val su = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("id"), col("s_acctbal").as("bal"), lit("supplier").as("src"))
+    c.unionByName(su, allowMissingColumns = true)
+      .orderBy(col("src"), col("id"))
+  }
+
   private val q98Zorder: Q = (s, dir) => {
     import graft.operators.ZOrder
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
@@ -394,6 +430,8 @@ object ExtQueries {
 
   val queries: Map[String, Q] = Map(
     "q98_zorder"     -> q98Zorder,
+    "q99_orc_roundtrip" -> q99OrcRoundtrip,
+    "q100_union_by_name" -> q100UnionByName,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -431,6 +469,17 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q98_zorder" -> q98ZorderSql,
+    "q99_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, max(o_orderdate) AS max_date
+        |FROM orders WHERE o_orderkey % 40 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q100_union_by_name" ->
+      """SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg,
+        |  'customer' AS src FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS id, s_acctbal AS bal, 'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin,
     "q89_event_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
