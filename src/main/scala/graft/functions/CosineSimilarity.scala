@@ -100,5 +100,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinHashSigsExpr(children.head)))
+    // Catalyst ships bloom_filter_agg/might_contain for its own runtime
+    // filters but does not register them in the SQL FunctionRegistry;
+    // exposing them here lets graft.operators.BloomPrune build the same
+    // plan shape InjectRuntimeFilter emits, on demand.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, e) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, e)
+        case Seq(c, e, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, e, n)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1-3 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -413,6 +413,25 @@ object ExtQueries {
       .orderBy(col("src"), col("id"))
   }
 
+  /** J-adjacent runtime filter: bloom-prune the lineitem scan with the
+    * key set of a selective orders subset BEFORE the semi-join shuffle
+    * ([[graft.operators.BloomPrune]] — the manual form of Spark's
+    * InjectRuntimeFilter plan). The oracle is the plain semi join: bloom
+    * filters have no false negatives and the exact join removes false
+    * positives, so the results must hash-match exactly — the bloom only
+    * moves the filtering before the exchange. */
+  private val q103BloomPrune: Q = (s, dir) => {
+    val hot = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    graft.operators.BloomPrune.prunedSemiJoin(
+        Tables.lineitem(s, dir), "l_orderkey", hot, "o_orderkey",
+        estItems = 4096L, numBits = 1L << 16)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   private val q98Zorder: Q = (s, dir) => {
     import graft.operators.ZOrder
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
@@ -432,6 +451,7 @@ object ExtQueries {
     "q98_zorder"     -> q98Zorder,
     "q99_orc_roundtrip" -> q99OrcRoundtrip,
     "q100_union_by_name" -> q100UnionByName,
+    "q103_bloom_prune" -> q103BloomPrune,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -474,6 +494,13 @@ object ExtQueries {
         |  round(sum(o_totalprice), 2) AS sum_price, max(o_orderdate) AS max_date
         |FROM orders WHERE o_orderkey % 40 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q103_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q100_union_by_name" ->
       """SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg,
         |  'customer' AS src FROM customer
