@@ -924,6 +924,58 @@ object LlmQueries {
       .orderBy(col("canon"))
   }
 
+  /** SemDeDup semantic dedup on the oracle surface — the
+    * generate-then-verify pattern (q93/q94): inject a SCALED copy of
+    * every 10th vector (id + 1,000,000, values × 1.5 — same direction,
+    * so after L2 normalization it is the same point and cosine is ~1),
+    * run [[SemDedup.dedup]], and gate the invariants the algorithm
+    * guarantees: row conservation, every injected copy dropped in favor
+    * of its lower-id original, every dropped row's canonical kept, and
+    * kept-set maximality (no two kept rows in a cluster within τ). The
+    * oracle restates the counts from the base table and the flags as
+    * constants (the q65/q91 pattern for operators SQL cannot express). */
+  private val q104SemDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("emb"), x => x * lit(1.5)).as("emb"))
+    val tau = 0.99
+    val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau, k = 8).cache()
+    try {
+      val nTotal = res.count()
+      val nKept = res.filter(col("keep")).count()
+      val nInjected = copies.count()
+      val injDropped = res.filter(!col("keep") && col("vec_id") >= 1000000L).count()
+      val canonNotKept = res.filter(!col("keep"))
+        .join(res.filter(col("keep")).select(col("vec_id").as("canonical")),
+          Seq("canonical"), "left_anti").count()
+      // maximality: re-pair the KEPT set within clusters; none within τ
+      val keptL = res.filter(col("keep")).select(col("cluster"), col("vec_id").as("a"))
+      val keptR = res.filter(col("keep")).select(col("cluster"), col("vec_id").as("b"))
+      val normed = base.union(copies).select(col("vec_id"),
+        SemDedup.l2Normalize(col("emb")).as("ne"))
+      val keptClose = keptL.join(keptR, Seq("cluster")).filter(col("a") < col("b"))
+        .join(normed.select(col("vec_id").as("a"), col("ne").as("ea")), Seq("a"))
+        .join(normed.select(col("vec_id").as("b"), col("ne").as("eb")), Seq("b"))
+        .filter(call_function("cosine_sim", col("ea"), col("eb")) >= lit(tau))
+        .count()
+      Seq((
+        nTotal,
+        nInjected,
+        if (injDropped == nInjected) 1 else 0,
+        if (nKept + (nTotal - nKept) == nTotal) 1 else 0,
+        if (canonNotKept == 0L) 1 else 0,
+        if (keptClose == 0L) 1 else 0
+      )).toDF("n_total", "n_injected", "all_copies_dropped", "conservation",
+        "canonical_kept", "kept_maximal")
+    } finally {
+      // result frame is built from driver-side scalars; release eagerly
+      res.unpersist()
+    }
+  }
+
   /** Token-rarity scoring — the unigram-LM quality signal (rare-token
     * density flags gibberish and OCR noise; all-common-token docs are
     * boilerplate-ish), kept RATIONAL (mean/min of integer document
@@ -959,6 +1011,7 @@ object LlmQueries {
     "q97_pii_redact"      -> q97PiiRedact,
     "q101_url_canonical"  -> q101UrlCanonical,
     "q102_token_rarity"   -> q102TokenRarity,
+    "q104_semdedup"       -> q104SemDedup,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1356,6 +1409,17 @@ object LlmQueries {
            |  CAST(min(doc_id) AS BIGINT) AS canonical_doc,
            |  CAST(count(*) AS BIGINT) AS n_dups
            |FROM p GROUP BY canon ORDER BY canon""".stripMargin,
+    // q104: counts restated from the base table, invariants as constants
+    // (the q65 pattern: clustering internals aren't SQL-expressible)
+    "q104_semdedup" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 10 = 0)
+        |    AS n_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 10 = 0)
+        |    AS n_injected,
+        |  1 AS all_copies_dropped, 1 AS conservation,
+        |  1 AS canonical_kept, 1 AS kept_maximal""".stripMargin,
     // q102: same tokenizer, df = count(distinct doc), rational mean
     "q102_token_rarity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
