@@ -125,6 +125,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size === 1, s"scoring re-scans the corpus:\n$p")
   }
 
+  test("q101: URL canonicalization is pure column work — no explode before the dedup shuffle") {
+    val p = planOf("q101_url_canonical")
+    // param strip/sort are array EXPRESSIONS (filter/array_sort), not a
+    // Generate: per-row work stays inside the scan stage and the only
+    // wide op is the groupBy on the canonical key
+    assert(!p.contains("Generate"), s"URL param handling exploded rows:\n$p")
+    assert(p.contains("hashpartitioning(canon"), s"expected canon-keyed dedup shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q102: the token-df dictionary joins back as a broadcast") {
+    val p = planOf("q102_token_rarity")
+    assert(p.contains("BroadcastHashJoin"), s"vocabulary join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: the bloom predicate sits on the probe side below the semi join") {
+    val p = planOf("q103_bloom_prune")
+    assert(p.contains("might_contain"), s"bloom prefilter missing from the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // executedPlan.toString renders codegen stages as "*(n) Op"
     val p = planOf("q01_pruned_scan")
