@@ -942,12 +942,20 @@ object LlmQueries {
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("emb"), x => x * lit(1.5)).as("emb"))
     val tau = 0.99
-    val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau, k = 8).cache()
+    // fitSampleRows bounds the quantizer fit (invariants hold under ANY
+    // clustering — identical normalized points always co-cluster)
+    val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau,
+      k = 8, fitSampleRows = 1024L).cache()
     try {
-      val nTotal = res.count()
-      val nKept = res.filter(col("keep")).count()
+      // ONE aggregation pass for the scalar counts (q91 pattern)
+      val counts = res.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep") && col("vec_id") >= 1000000L, 1L).otherwise(0L))
+          .as("inj_dropped")).head()
+      val (nTotal, nKept, injDropped) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
       val nInjected = copies.count()
-      val injDropped = res.filter(!col("keep") && col("vec_id") >= 1000000L).count()
       val canonNotKept = res.filter(!col("keep"))
         .join(res.filter(col("keep")).select(col("vec_id").as("canonical")),
           Seq("canonical"), "left_anti").count()

@@ -50,11 +50,12 @@ object SemDedup {
     * runner-side clearCache releases it (query-scoped cache contract).
     */
   def dedup(embeddings: DataFrame, idCol: String, embCol: String, tau: Double,
-      k: Int = -1, seed: Long = 42L): DataFrame = {
+      k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L): DataFrame = {
     val normed = embeddings.select(
       col(idCol).as("__id"),
       l2Normalize(col(embCol).cast("array<double>")).as("__emb"))
-    val index = IvfSearch.build(normed, "__id", "__emb", k = k, seed = seed)
+    val index = IvfSearch.build(normed, "__id", "__emb", k = k, seed = seed,
+      fitSampleRows = fitSampleRows)
     val lhs = index.indexed.select(col("cluster"), col("__id").as("a"), col("__emb").as("ea"))
     val rhs = index.indexed.select(col("cluster"), col("__id").as("b"), col("__emb").as("eb"))
     val edges = lhs.join(rhs, Seq("cluster"))

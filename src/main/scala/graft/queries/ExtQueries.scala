@@ -432,6 +432,52 @@ object ExtQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Partition-aware parquet layout on the oracle surface: write
+    * lineitem directory-partitioned by l_returnflag and sorted within
+    * files by l_shipdate ([[graft.sources.PartitionedParquet]] — the
+    * 100 TB scan-path layout: partition pruning skips directories,
+    * row-group min/max stats skip pages for the range predicate), then
+    * answer a pruned query from the layout. The oracle recomputes from
+    * the ORIGINAL parquet, so the hash-match proves the layout recall
+    * is lossless; PartitionedParquetSpec pins the PartitionFilters /
+    * pushed-range plan shape. */
+  private val q105PartitionPrune: Q = (s, dir) => {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/tmp/part_parquet_$slug"
+    graft.sources.PartitionedParquet.write(
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"),
+      path, "l_returnflag", Seq("l_shipdate"))
+    graft.sources.PartitionedParquet.read(s, path)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Funnel analysis over the events stream table: per-user strictly
+    * ordered view → click → purchase progression (first qualifying
+    * event at each stage), folded to stage conversion counts. Each
+    * stage is a user-keyed aggregate joined to the previous stage —
+    * three hash shuffles on user_id that AQE coalesces, no windows over
+    * the full event log, no self-cross-join. */
+  private val q106Funnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+    views.join(clicks, Seq("user_id"), "left").join(buys, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("users_viewed"),
+        count(col("t_click")).as("users_clicked"),
+        count(col("t_buy")).as("users_purchased"))
+  }
+
   private val q98Zorder: Q = (s, dir) => {
     import graft.operators.ZOrder
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
@@ -452,6 +498,8 @@ object ExtQueries {
     "q99_orc_roundtrip" -> q99OrcRoundtrip,
     "q100_union_by_name" -> q100UnionByName,
     "q103_bloom_prune" -> q103BloomPrune,
+    "q105_partition_prune" -> q105PartitionPrune,
+    "q106_funnel" -> q106Funnel,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -494,6 +542,24 @@ object ExtQueries {
         |  round(sum(o_totalprice), 2) AS sum_price, max(o_orderdate) AS max_date
         |FROM orders WHERE o_orderkey % 40 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q105_partition_prune" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |    JOIN v ON e.user_id = v.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |b AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+        |    JOIN c ON e.user_id = c.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS users_viewed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS users_clicked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS users_purchased""".stripMargin,
     "q103_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price
