@@ -478,6 +478,67 @@ object ExtQueries {
         count(col("t_buy")).as("users_purchased"))
   }
 
+  /** JSON-lines sink/scan with an EXPLICIT schema (the q55 determinism
+    * contract — no inference pass over the data): the third text/object
+    * interchange format after CSV and parquet/ORC. The closing aggregate
+    * hash-matches the oracle's recomputation from the original parquet
+    * only if long/double/string values survive the JSON encode/decode
+    * (doubles round-trip via shortest-repr printing). */
+  private val q107JsonlRoundtrip: Q = (s, dir) => {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/tmp/jsonl_roundtrip_$slug"
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType),
+      StructField("p_retailprice", DoubleType), StructField("p_size", IntegerType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"),
+        max(col("p_size")).as("max_size"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Time-series gap-fill (resample): daily event counts per type with
+    * ZERO-filled missing days over the observed span — the regularized
+    * series every downstream window/trend computation assumes. The day
+    * spine is `sequence(min, max)` exploded from ONE aggregate row and
+    * cross-joined with the tiny distinct-type dim (both broadcast-sized
+    * at any corpus scale: the spine grows with the time span, not the
+    * data volume); observed days left-join onto the spine. */
+  private val q108GapFill: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"), col("value"))
+    val daily = ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+    val days = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val types = ev.select(col("event_type")).distinct()
+    days.crossJoin(types)
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
+    * long (metric, value) rows via the native `Dataset.unpivot` (a
+    * Generate-free Expand, one output row per metric per input row,
+    * scan-shaped). The oracle restates it as a UNION ALL of per-metric
+    * aggregates. */
+  private val q109Unpivot: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("sum_val"))
+      .orderBy(col("metric"))
+  }
+
   private val q98Zorder: Q = (s, dir) => {
     import graft.operators.ZOrder
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
@@ -500,6 +561,9 @@ object ExtQueries {
     "q103_bloom_prune" -> q103BloomPrune,
     "q105_partition_prune" -> q105PartitionPrune,
     "q106_funnel" -> q106Funnel,
+    "q107_jsonl_roundtrip" -> q107JsonlRoundtrip,
+    "q108_gap_fill" -> q108GapFill,
+    "q109_unpivot" -> q109Unpivot,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -542,6 +606,32 @@ object ExtQueries {
         |  round(sum(o_totalprice), 2) AS sum_price, max(o_orderdate) AS max_date
         |FROM orders WHERE o_orderkey % 40 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q107_jsonl_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price,
+        |  max(p_size) AS max_size
+        |FROM part WHERE p_partkey % 20 = 0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q108_gap_fill" ->
+      """WITH ev AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, value
+        |    FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 2) AS sum_v FROM ev GROUP BY event_type, d),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(d) FROM ev), (SELECT max(d) FROM ev),
+        |    INTERVAL 1 DAY)) AS d),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, s.d,
+        |  coalesce(daily.n, 0) AS n, coalesce(daily.sum_v, 0.0) AS sum_v
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
+        |ORDER BY t.event_type, s.d""".stripMargin,
+    "q109_unpivot" ->
+      """SELECT 'p_retailprice' AS metric, count(*) AS n,
+        |  round(sum(p_retailprice), 2) AS sum_val FROM part
+        |UNION ALL
+        |SELECT 'p_size' AS metric, count(*) AS n,
+        |  round(sum(CAST(p_size AS DOUBLE)), 2) AS sum_val FROM part
+        |ORDER BY metric""".stripMargin,
     "q105_partition_prune" ->
       """SELECT date_trunc('month', l_shipdate) AS ship_month, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price
