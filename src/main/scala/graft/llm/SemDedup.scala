@@ -51,9 +51,15 @@ object SemDedup {
     */
   def dedup(embeddings: DataFrame, idCol: String, embCol: String, tau: Double,
       k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L): DataFrame = {
-    val normed = embeddings.select(
+    val all = embeddings.select(
       col(idCol).as("__id"),
       l2Normalize(col(embCol).cast("array<double>")).as("__emb"))
+    // zero-norm embeddings normalize to NULL and have no cosine to
+    // anything: exclude them from clustering (KMeans rejects nulls) and
+    // pass them through as kept singletons so the output still covers
+    // every input id
+    val normed = all.filter(col("__emb").isNotNull)
+    val degenerate = all.filter(col("__emb").isNull).select(col("__id"))
     val index = IvfSearch.build(normed, "__id", "__emb", k = k, seed = seed,
       fitSampleRows = fitSampleRows)
     val lhs = index.indexed.select(col("cluster"), col("__id").as("a"), col("__emb").as("ea"))
@@ -69,5 +75,7 @@ object SemDedup {
       .select(col(idCol), col("cluster"),
         coalesce(col("component"), col(idCol)).as("canonical"),
         (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
+      .unionByName(degenerate.select(col("__id").as(idCol),
+        lit(-1).as("cluster"), col("__id").as("canonical"), lit(true).as("keep")))
   }
 }

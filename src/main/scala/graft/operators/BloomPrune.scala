@@ -49,7 +49,9 @@ object BloomPrune {
       estItems: Long = 1L << 16, numBits: Long = 1L << 19): DataFrame = {
     val pruned = probe.filter(call_function("might_contain",
       bloomOf(build, buildKey, estItems, numBits), xxhash64(col(probeKey))))
-    pruned.join(build.select(col(buildKey)).distinct(),
-      col(probeKey) === col(buildKey), "left_semi")
+    // rename the build key so a same-named probe key can't make the join
+    // condition ambiguous
+    val keys = build.select(col(buildKey).as("__bloom_bk")).distinct()
+    pruned.join(keys, col(probeKey) === col("__bloom_bk"), "left_semi")
   }
 }

@@ -44,6 +44,18 @@ class SemDedupSpec extends SparkSpec {
     } finally res.unpersist()
   }
 
+  test("zero-norm embeddings pass through as kept singletons") {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .limit(50)
+    val zero = Seq((9999L, Seq.fill(64)(0.0))).toDF("vec_id", "emb")
+    val res = SemDedup.dedup(base.union(zero), "vec_id", "emb", tau = 0.99, k = 4)
+    val r = res.filter(col("vec_id") === 9999L).head()
+    assert(r.getAs[Boolean]("keep"), "degenerate embedding must be kept")
+    assert(r.getAs[Long]("canonical") === 9999L)
+    assert(res.count() === 51L, "output must cover every input id")
+  }
+
   test("distinct random embeddings survive (no spurious merging)") {
     val base = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

@@ -19,6 +19,13 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.size === 40) // 4 keys × 10 rows each
   }
 
+  test("same-named probe and build keys do not make the join ambiguous") {
+    val build2 = Seq(3L, 77L).toDF("k")
+    val n = BloomPrune.prunedSemiJoin(probe, "k", build2, "k",
+      estItems = 16L, numBits = 1L << 12).count()
+    assert(n === 20) // 2 keys × 10 rows
+  }
+
   test("the bloom predicate prunes the probe side before the join") {
     // count rows surviving the bloom prefilter alone: with 4 keys in a
     // 4096-bit filter the false-positive rate is tiny, so the prefilter
