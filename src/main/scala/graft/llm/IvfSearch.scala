@@ -58,7 +58,7 @@ object IvfSearch {
     * to the corpus via [[adaptiveK]]; a positive k pins it. */
   def build(embeddings: DataFrame, idCol: String, embCol: String,
       k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L,
-      targetListRows: Long = TargetListRows): Index = {
+      targetListRows: Long = TargetListRows, maxIter: Int = 10): Index = {
     val vecs = embeddings.select(
       col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
@@ -78,7 +78,7 @@ object IvfSearch {
     // 20 default iterations would cost ~25 passes over the fit sample
     // for no recall gain at the nProbe values this index serves
     val model = new KMeans().setK(kEff).setSeed(seed)
-      .setInitMode("random").setMaxIter(10).setTol(1e-3)
+      .setInitMode("random").setMaxIter(maxIter).setTol(1e-3)
       .setFeaturesCol("__vec").setPredictionCol("cluster")
       .fit(cached)
     val indexed = model.transform(vecs).drop("__vec").cache()

@@ -942,20 +942,25 @@ object LlmQueries {
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("emb"), x => x * lit(1.5)).as("emb"))
     val tau = 0.99
-    // fitSampleRows bounds the quantizer fit (invariants hold under ANY
-    // clustering — identical normalized points always co-cluster)
-    val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau,
-      k = 8, fitSampleRows = 1024L).cache()
+    // full-corpus quantizer fit: at these SFs it is under IvfSearch's own
+    // 512·k sample cap anyway, and a sampled fit measurably UNBALANCES
+    // the clusters — the within-cluster pair joins (edge + maximality)
+    // grow quadratically in the biggest cluster, costing more than the
+    // fit saves (6.7s vs 4.3s at sf0.1)
+    val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau, k = 8).cache()
     try {
-      // ONE aggregation pass for the scalar counts (q91 pattern)
+      // ONE aggregation pass for ALL scalar counts (q91 pattern) — the
+      // injected population is identifiable by its id offset, so even
+      // nInjected folds in (one more driver action here is one more
+      // whole Spark job)
       val counts = res.agg(
         count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(!col("keep") && col("vec_id") >= 1000000L, 1L).otherwise(0L))
-          .as("inj_dropped")).head()
-      val (nTotal, nKept, injDropped) =
-        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
-      val nInjected = copies.count()
+          .as("inj_dropped"),
+        sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L)).as("n_injected")).head()
+      val (nTotal, nKept, injDropped, nInjected) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
       val canonNotKept = res.filter(!col("keep"))
         .join(res.filter(col("keep")).select(col("vec_id").as("canonical")),
           Seq("canonical"), "left_anti").count()

@@ -50,7 +50,8 @@ object SemDedup {
     * runner-side clearCache releases it (query-scoped cache contract).
     */
   def dedup(embeddings: DataFrame, idCol: String, embCol: String, tau: Double,
-      k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L): DataFrame = {
+      k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L,
+      maxIter: Int = 5): DataFrame = {
     val all = embeddings.select(
       col(idCol).as("__id"),
       l2Normalize(col(embCol).cast("array<double>")).as("__emb"))
@@ -60,8 +61,13 @@ object SemDedup {
     // every input id
     val normed = all.filter(col("__emb").isNotNull)
     val degenerate = all.filter(col("__emb").isNull).select(col("__id"))
+    // maxIter defaults LOW here (5, vs the ANN index's 10): dedup needs
+    // the clusters roughly balanced so the pair joins stay bounded, not
+    // converged — every extra KMeans iteration is a full pass over the
+    // fit sample for no dedup-quality gain (identical points co-cluster
+    // from iteration zero)
     val index = IvfSearch.build(normed, "__id", "__emb", k = k, seed = seed,
-      fitSampleRows = fitSampleRows)
+      fitSampleRows = fitSampleRows, maxIter = maxIter)
     val lhs = index.indexed.select(col("cluster"), col("__id").as("a"), col("__emb").as("ea"))
     val rhs = index.indexed.select(col("cluster"), col("__id").as("b"), col("__emb").as("eb"))
     val edges = lhs.join(rhs, Seq("cluster"))
