@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties for the SemDeDup operator: under ANY planted
+  * duplicate layout, exactly one representative per duplicate group
+  * survives, and the operator is idempotent (a second pass over the kept
+  * set drops nothing). Case counts small — each case runs a KMeans fit. */
+object SemDedupProps extends Properties("semdedup") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(3)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // n distinct one-hot base directions (pairwise cosine 0) with a random
+  // subset duplicated `copies` times at varying positive scales (same
+  // direction = cosine 1 after normalization)
+  private val layouts = for {
+    nBase <- Gen.choose(6, 16)
+    dupFrac <- Gen.choose(1, 3) // every dupFrac-th base vector duplicated
+    copies <- Gen.choose(1, 3)
+  } yield (nBase, dupFrac, copies)
+
+  property("one survivor per duplicate group; idempotent second pass") =
+    Prop.forAll(layouts) { case (nBase, dupFrac, copies) =>
+      val rows = (0 until nBase).flatMap { i =>
+        val dir = Seq.tabulate(16)(d => if (d == i) 1.0 else 0.0)
+        val orig = (i.toLong, dir)
+        val dups = if (i % dupFrac == 0)
+          (1 to copies).map(c => (1000L * c + i, dir.map(_ * (0.5 + c))))
+        else Nil
+        orig +: dups
+      }
+      val df = rows.toDF("id", "emb")
+      val res = SemDedup.dedup(df, "id", "emb", tau = 0.999, k = 4).cache()
+      try {
+        val kept = res.filter(col("keep")).select("id").as[Long].collect().toSet
+        // exactly the base originals survive: every duplicate group keeps
+        // its min id (the original), non-duplicated bases keep themselves
+        val expected = (0 until nBase).map(_.toLong).toSet
+        val oneSurvivor = kept == expected
+        // idempotence: dedup over the kept rows drops nothing
+        val keptDf = df.filter(col("id").isin(kept.toSeq: _*))
+        val second = SemDedup.dedup(keptDf, "id", "emb", tau = 0.999, k = 4)
+        val stable = second.filter(!col("keep")).count() == 0
+        oneSurvivor && stable
+      } finally { res.unpersist(); () }
+    }
+}
