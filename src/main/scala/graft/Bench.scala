@@ -61,9 +61,12 @@ object Bench {
     val qs = names.flatMap(n => timed.get(n).map(v => s"${jstr(n)}:$v")).mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timed.values.sum
-    // a streaming-bench failure must not discard minutes of batch results
+    // a streaming-bench failure must not discard minutes of batch
+    // results — but the record must keep the exception detail or the
+    // failure can't be triaged from the sidecar
     val streaming = scala.util.Try(StreamBench.run(spark))
-      .getOrElse(s"""{"error":"streaming bench failed"}""")
+      .recover { case e => s"""{"error":${jstr(e.toString.take(200))}}""" }
+      .get
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's

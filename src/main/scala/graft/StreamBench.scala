@@ -51,7 +51,7 @@ object StreamBench {
         (warmBatches until warmBatches + timedBatches).map(oneBatch)
       } finally {
         q.stop()
-        deleteRecursively(java.nio.file.Paths.get(dir))
+        Fs.deleteRecursively(java.nio.file.Paths.get(dir))
       }
 
     val sorted = lat.sorted
@@ -63,13 +63,4 @@ object StreamBench {
     s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"slo_ms":500}"""
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root)) {
-      val paths = java.nio.file.Files.walk(root)
-      try paths.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally paths.close()
-    }
-  }
 }

@@ -839,7 +839,12 @@ object LlmQueries {
       lit(idf) * (col(s"tf$i") * lit(2.2) / (col(s"tf$i") +
         lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
     }
-    perDoc.select(col("doc_id"), fpRound4(contribs.reduce(_ + _)).as("bm25"))
+    // the oracle's universe is docs matching ≥1 query term (its tf CTE
+    // filters before grouping); keep the universes identical or a corpus
+    // with <20 matching docs pads Spark's top-20 with bm25=0 rows the
+    // oracle never emits. tf sums are integer-valued doubles — exact.
+    perDoc.filter(qTerms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0.0)
+      .select(col("doc_id"), fpRound4(contribs.reduce(_ + _)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }
@@ -938,8 +943,13 @@ object LlmQueries {
     import s.implicits._
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // the copy-id offset clears the REAL id range (a fixed 1e6 would
+    // collide with genuine vec_ids at a large enough SF, corrupting the
+    // canonical checks and the injected-population counts)
+    val offset = math.max(1000000L,
+      base.agg(max(col("vec_id"))).head().getLong(0) + 1L)
     val copies = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(offset)).as("vec_id"),
         transform(col("emb"), x => x * lit(1.5)).as("emb"))
     val tau = 0.99
     // full-corpus quantizer fit: at these SFs it is under IvfSearch's own
@@ -955,11 +965,11 @@ object LlmQueries {
       // whole Spark job)
       val counts = res.agg(
         count(lit(1)).as("n_total"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(!col("keep") && col("vec_id") >= 1000000L, 1L).otherwise(0L))
+        sum(when(!col("keep") && col("vec_id") >= offset, 1L).otherwise(0L))
           .as("inj_dropped"),
-        sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L)).as("n_injected")).head()
-      val (nTotal, nKept, injDropped, nInjected) =
+        sum(when(col("vec_id") >= offset, 1L).otherwise(0L)).as("n_injected"),
+        countDistinct(col("vec_id")).as("n_distinct")).head()
+      val (nTotal, injDropped, nInjected, nDistinct) =
         (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
       val canonNotKept = res.filter(!col("keep"))
         .join(res.filter(col("keep")).select(col("vec_id").as("canonical")),
@@ -974,11 +984,16 @@ object LlmQueries {
         .join(normed.select(col("vec_id").as("b"), col("ne").as("eb")), Seq("b"))
         .filter(call_function("cosine_sim", col("ea"), col("eb")) >= lit(tau))
         .count()
+      // conservation is a REAL gate: one output row per DISTINCT input id
+      // (a dedup that dropped or duplicated output rows breaks it; the
+      // old nKept + (nTotal - nKept) == nTotal form was algebraically
+      // always true). n_total itself is pinned to the base-table count
+      // by the oracle, so coverage and uniqueness are both checked.
       Seq((
         nTotal,
         nInjected,
         if (injDropped == nInjected) 1 else 0,
-        if (nKept + (nTotal - nKept) == nTotal) 1 else 0,
+        if (nDistinct == nTotal) 1 else 0,
         if (canonNotKept == 0L) 1 else 0,
         if (keptClose == 0L) 1 else 0
       )).toDF("n_total", "n_injected", "all_copies_dropped", "conservation",

@@ -50,8 +50,9 @@ object BloomPrune {
     val pruned = probe.filter(call_function("might_contain",
       bloomOf(build, buildKey, estItems, numBits), xxhash64(col(probeKey))))
     // rename the build key so a same-named probe key can't make the join
-    // condition ambiguous
-    val keys = build.select(col(buildKey).as("__bloom_bk")).distinct()
+    // condition ambiguous; no distinct — semi-join semantics already
+    // deduplicate the build side, a pre-distinct is a wasted exchange
+    val keys = build.select(col(buildKey).as("__bloom_bk"))
     pruned.join(keys, col(probeKey) === col("__bloom_bk"), "left_semi")
   }
 }

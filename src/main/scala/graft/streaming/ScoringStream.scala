@@ -93,7 +93,27 @@ object ScoringStream {
       val p = java.nio.file.Paths.get(path, s"batch=$label", "_stamp")
       if (java.nio.file.Files.exists(p))
         java.nio.file.Files.readString(p).trim.toLong
-      else nextWriteStamp()
+      else compactedStamps.getOrElse(label, nextWriteStamp())
+    }
+
+    /** Stamps of batch dirs folded away by [[compact]] (root-level
+      * `_stamps` sidecar, one "label stamp" line per folded dir). A
+      * batch REPLAYED after compaction deleted its directory must still
+      * reuse its ORIGINAL stamp — a fresh stamp would outrank the
+      * compacted snapshot and resurrect the replay's stale rows, the
+      * exact failure the per-dir `_stamp` sidecar exists to prevent. */
+    private def compactedStamps: Map[String, Long] = {
+      val p = java.nio.file.Paths.get(path, "_stamps")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.nonEmpty)
+          .map { line =>
+            val Array(label, stamp) = line.split(' ')
+            label -> stamp.toLong
+          }.toMap
+      }
     }
 
     /** Label-keyed variant for non-streaming writers (e.g. the API path,
@@ -138,31 +158,53 @@ object ScoringStream {
       * costs proportional to the store's whole history instead of its
       * live key count. Single-writer maintenance op: quiesce writers
       * while it runs (the same contract as any parquet compaction).
-      * Replay safety is preserved: the compacted batch takes a FRESH
-      * monotonic stamp, so a streaming batch replayed AFTER compaction
-      * rewrites its (now deleted) directory with its ORIGINAL stamp and
-      * correctly loses to the compacted row. */
+      * Replay safety is preserved TWO ways: the compacted batch takes a
+      * fresh monotonic stamp (so it outranks everything it folded), and
+      * every folded dir's original stamp is recorded in the root
+      * `_stamps` sidecar BEFORE deletion (so a batch replayed after its
+      * directory is gone still reuses its original stamp via
+      * [[stampFor]]/[[compactedStamps]] and correctly loses to the
+      * compacted row — without the record, the replay would take a
+      * fresh stamp and resurrect its stale rows). */
     def compact(spark: SparkSession): Unit = {
-      val live = snapshot(spark).drop("batch_id")
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      // dirs captured BEFORE the compacted dir is written, so the new
+      // batch=c<stamp> is naturally excluded from folding
+      val toFold: Seq[java.nio.file.Path] =
+        if (!java.nio.file.Files.exists(root)) Seq.empty
+        else {
+          val s = java.nio.file.Files.list(root)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("batch=")).toSeq
+          finally s.close()
+        }
+      if (toFold.isEmpty) return // empty store: nothing to fold, not an error
+      // `batch` is the DIRECTORY partition column snapshot() reads back
+      // — persisting it as data would collide with the partition column
+      // on every post-compaction read (and freeze stale labels into the
+      // rows); batch_id is replaced by the fresh stamp
+      val live = snapshot(spark).drop("batch_id", "batch")
       val stamp = nextWriteStamp()
       val label = s"c$stamp"
       // the write action reads the old directories (the glob was
       // resolved when `live` was planned) and lands in a NEW one
       upsertLabeled(live, label, stamp)
-      val root = java.nio.file.Paths.get(path)
-      val dirs = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        dirs.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("batch=") &&
-            p.getFileName.toString != s"batch=$label")
-          .foreach { p =>
-            val files = java.nio.file.Files.walk(p)
-            try files.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
-            finally files.close()
-          }
-      } finally dirs.close()
+      // record folded stamps FIRST (crash between record and delete just
+      // leaves a dir whose sidecar agrees with the map), then delete
+      val lines = toFold.flatMap { p =>
+        val lbl = p.getFileName.toString.stripPrefix("batch=")
+        val sp = p.resolve("_stamp")
+        if (java.nio.file.Files.exists(sp))
+          Some(s"$lbl ${java.nio.file.Files.readString(sp).trim}")
+        else None
+      }
+      if (lines.nonEmpty)
+        java.nio.file.Files.writeString(root.resolve("_stamps"),
+          lines.mkString("", "\n", "\n"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      toFold.foreach(graft.Fs.deleteRecursively)
     }
 
     /** A12: the WorkerRecoveryTestPlan completion rollup

@@ -120,6 +120,33 @@ class ScoringStreamSpec extends SparkSpec {
     store.upsert(ScoringStream.scoreBatch(newer, feats, coefs, mu, 0.0), 99L)
     val k0 = store.snapshot(spark).filter($"transaction_id" === "k0").head()
     assert(math.abs(k0.getDouble(1) - 1.0 / (1.0 + math.exp(-9.0))) < 1e-5)
+    // the compacted files must not embed the pre-compaction `batch`
+    // partition labels as a data column (it would collide with the
+    // directory partition column and freeze stale labels into rows)
+    val labels = store.snapshot(spark).select("batch").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.forall(l => l.startsWith("c") || l == "99"),
+      s"stale pre-compaction batch labels leaked into the data: $labels")
+  }
+
+  test("a batch replayed AFTER compaction deleted its dir still loses to newer writes") {
+    val store = new ScoringStream.ResultStore(tmp("graft-compact-replay"))
+    def score(v: Double) = ScoringStream.scoreBatch(
+      Seq(("k", Map("f0" -> v))).toDF("transaction_id", "features"), feats, coefs, mu, 0.0)
+    store.upsert(score(1.0), 7L)                 // batch 7: stale value
+    store.upsertLabeled(score(9.0), "api-k",     // later API re-score: newer value
+      order = ScoringStream.nextWriteStamp())
+    store.compact(spark)                          // folds both, deletes batch=7
+    store.upsert(score(1.0), 7L)                  // checkpoint replay of batch 7
+    val k = store.snapshot(spark).filter($"transaction_id" === "k").head()
+    assert(math.abs(k.getDouble(1) - 1.0 / (1.0 + math.exp(-9.0))) < 1e-5,
+      "replayed batch resurrected its stale result over the compacted snapshot")
+  }
+
+  test("compacting an empty store is a no-op, not an error") {
+    val store = new ScoringStream.ResultStore(tmp("graft-compact-empty"))
+    store.compact(spark) // must not throw
+    store.compact(spark) // idempotent on still-empty store
   }
 
   test("a fitted PipelineModel scores the stream inside foreachBatch (M5 + ST1)") {
