@@ -1004,6 +1004,56 @@ object LlmQueries {
     }
   }
 
+  /** Count-min sketch frequency estimation — the mergeable one-pass
+    * sketch for hot-key counting at stream/corpus scale (q64 covers HLL
+    * cardinality and quantile sketches; CMS completes the family). The
+    * invariant gated against the oracle is the sketch's one-sided error
+    * contract: estimate ≥ exact ALWAYS, and ≤ exact + ε·N with the
+    * configured confidence — stated per query term next to the exact
+    * count the oracle recomputes. At 2/ε = 2000 counters against this
+    * corpus's tiny vocabulary the estimate is collision-free, so the
+    * bound flag is deterministically 1. */
+  private val q110Cms: Q = (s, dir) => {
+    import s.implicits._
+    val terms = Seq("join", "vector", "stream")
+    val eps = 0.001
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("t")).cache()
+    try {
+      val cms = toks.stat.countMinSketch("t", eps = eps, confidence = 0.99, seed = 42)
+      val nTotal = cms.totalCount() // corpus token count, tracked by the sketch
+      toks.filter(col("t").isin(terms: _*))
+        .groupBy("t").agg(count(lit(1)).as("exact_count"))
+        .collect()
+        .map { r =>
+          val (t, exact) = (r.getString(0), r.getLong(1))
+          val est = cms.estimateCount(t)
+          (t, exact,
+            if (est >= exact && est <= exact + (eps * nTotal).toLong + 1L) 1 else 0)
+        }.toSeq.sortBy(_._1)
+        .toDF("term", "exact_count", "within_bounds")
+    } finally { toks.unpersist(); () }
+  }
+
+  /** BPE merge training on the oracle surface ([[TextOps.bpeTrain]],
+    * Sennrich et al. 2016): train 8 merges over the corpus word-freq
+    * table. The FIRST merge is SQL-expressible — it is the argmax
+    * weighted adjacent character pair — so the oracle recomputes it
+    * exactly (tie-break by pair, identical on both sides because the
+    * separator sorts below every token character); the iterative rest is
+    * gated by invariants (merge count, all merges distinct — a repeated
+    * merge would mean the apply step failed to consume its pair). */
+  private val q111BpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 8)
+    val (a, b) = merges.head
+    Seq((a, b, merges.size, if (merges.distinct.size == merges.size) 1 else 0))
+      .toDF("first_a", "first_b", "n_merges", "merges_distinct")
+  }
+
   /** Token-rarity scoring — the unigram-LM quality signal (rare-token
     * density flags gibberish and OCR noise; all-common-token docs are
     * boilerplate-ish), kept RATIONAL (mean/min of integer document
@@ -1040,6 +1090,8 @@ object LlmQueries {
     "q101_url_canonical"  -> q101UrlCanonical,
     "q102_token_rarity"   -> q102TokenRarity,
     "q104_semdedup"       -> q104SemDedup,
+    "q110_cms"            -> q110Cms,
+    "q111_bpe_train"      -> q111BpeTrain,
     "q30_dedup_exact"     -> q30DedupExact,
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
@@ -1448,6 +1500,30 @@ object LlmQueries {
         |    AS n_injected,
         |  1 AS all_copies_dropped, 1 AS conservation,
         |  1 AS canonical_kept, 1 AS kept_maximal""".stripMargin,
+    // q110: exact counts recomputed; the one-sided-error flag is the
+    // sketch's contract, deterministically met at this vocabulary size
+    "q110_cms" ->
+      s"""SELECT t AS term, CAST(count(*) AS BIGINT) AS exact_count,
+         |  1 AS within_bounds
+         |FROM (SELECT unnest($duckToks) AS t FROM documents)
+         |WHERE t IN ('join', 'vector', 'stream')
+         |GROUP BY t ORDER BY t""".stripMargin,
+    // q111: the first BPE merge is the argmax weighted adjacent char
+    // pair — recomputed exactly; the iterative rest gated by invariants.
+    // Tie-break: ORDER BY cnt DESC, pr — the ' ' separator sorts below
+    // every token character, so pr ordering == (a, b) ordering.
+    "q111_bpe_train" ->
+      s"""WITH w AS (SELECT t, count(*) AS freq
+         |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY t),
+         |ch AS (SELECT freq, list_filter(string_split(t, ''), c -> c <> '') AS cs FROM w),
+         |pe AS (SELECT freq, unnest(list_transform(range(1, len(cs)),
+         |    i -> cs[i] || ' ' || cs[i+1])) AS pr
+         |  FROM ch WHERE len(cs) >= 2),
+         |ag AS (SELECT pr, sum(freq) AS cnt FROM pe GROUP BY pr
+         |  ORDER BY cnt DESC, pr LIMIT 1)
+         |SELECT string_split(pr, ' ')[1] AS first_a,
+         |  string_split(pr, ' ')[2] AS first_b,
+         |  8 AS n_merges, 1 AS merges_distinct FROM ag""".stripMargin,
     // q102: same tokenizer, df = count(distinct doc), rational mean
     "q102_token_rarity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Public text-analysis column builders — the composable pieces behind
@@ -56,4 +56,63 @@ object TextOps {
   /** The quality gate threshold used by q33's low_quality flag and the
     * corpus pipeline's filter. */
   val QualityGate = 0.55
+
+  /** Classic BPE merge training (Sennrich et al., 2016, arXiv:1508.07909)
+    * re-expressed Spark-first. Input is the WORD-FREQUENCY table — the
+    * standard reduction: the corpus collapses to (word, freq) in one
+    * distributed scan, and every merge round then runs over that
+    * vocabulary-sized frame, which is bounded regardless of corpus size
+    * (a 100 TB corpus and a 100 GB corpus have comparable vocabularies).
+    *
+    * Per round: weighted adjacent-pair counts (the q76 bigram explode
+    * over symbol arrays), the argmax pair comes to the driver (one tiny
+    * deterministic row — ties break on the pair itself), and the merge
+    * applies as a codegen'd left-to-right array fold: no UDF, no
+    * collect of the vocabulary. Cache discipline mirrors
+    * [[Dedup.connectedComponents]]: materialize the next round's frame
+    * BEFORE releasing the previous one, or round N recomputes every
+    * earlier merge.
+    *
+    * Returns the merge sequence (most-frequent first). Stops early if
+    * no pair occurs at least twice (merging singletons is noise). */
+  def bpeTrain(words: DataFrame, wordCol: String, freqCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var syms = words.select(col(freqCol).cast("long").as("freq"),
+      filter(split(col(wordCol), ""), c => c =!= lit("")).as("sym")).cache()
+    syms.count()
+    try {
+      var done = false
+      while (!done && merges.size < nMerges) {
+        val top = syms.filter(size(col("sym")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty || top.head.getLong(2) < 2L) done = true
+        else {
+          val (a, b) = (top.head.getString(0), top.head.getString(1))
+          merges += ((a, b))
+          val merged = a + b
+          // greedy leftmost merge: fold symbols left to right, replacing
+          // an (a, b) adjacency with the merged symbol; try_element_at
+          // returns null on the empty accumulator (ANSI-safe)
+          val next = syms.withColumn("sym",
+            aggregate(col("sym"), array().cast("array<string>"),
+              (acc, s) => when(
+                try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(s))))).cache()
+          next.count() // materialize BEFORE dropping the previous round
+          syms.unpersist()
+          syms = next
+        }
+      }
+      merges.toList
+    } finally syms.unpersist()
+  }
 }
