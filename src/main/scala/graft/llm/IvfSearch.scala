@@ -72,12 +72,23 @@ object IvfSearch {
         val keepPerM = math.max(1L, cap * 1000000L / n)
         vecs.filter(pmod(hash(col(idCol), lit(seed)), lit(1000000L)) < lit(keepPerM))
       }
-    val cached = fitInput.cache()
+    // fit on DISTINCT points only: MLlib's random init samples k rows
+    // and dedups them, so duplicate-heavy data can yield FEWER than k
+    // centers — the block aggregator then crashes (AIOOBE: "Index k-1
+    // out of bounds"). A dedup corpus makes this a first-class hazard
+    // (SemDedup NORMALIZES scaled copies into exact duplicates), and
+    // duplicate points add nothing to a quantizer fit anyway. The
+    // distinct runs on the already-capped sample, so the shuffle is
+    // bounded; k additionally clamps to the distinct count.
+    val cached = fitInput.select(col(embCol)).distinct()
+      .select(array_to_vector(col(embCol)).as("__vec")).cache()
+    val nDistinctFit = cached.count()
+    val kFit = math.min(kEff.toLong, math.max(1L, nDistinctFit)).toInt
     // random init (one pass) + bounded iterations: an IVF index needs
     // roughly-balanced lists, not converged centroids — kmeans|| init and
     // 20 default iterations would cost ~25 passes over the fit sample
     // for no recall gain at the nProbe values this index serves
-    val model = new KMeans().setK(kEff).setSeed(seed)
+    val model = new KMeans().setK(kFit).setSeed(seed)
       .setInitMode("random").setMaxIter(maxIter).setTol(1e-3)
       .setFeaturesCol("__vec").setPredictionCol("cluster")
       .fit(cached)

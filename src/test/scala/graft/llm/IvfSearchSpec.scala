@@ -13,6 +13,23 @@ class IvfSearchSpec extends SparkSpec {
 
   private lazy val index = IvfSearch.build(emb, "vec_id", "emb", k = 8)
 
+  test("duplicate-heavy corpora with fewer distinct points than k do not crash the fit") {
+    // MLlib's random init dedups its sampled centers, so a corpus of 3
+    // distinct points under k=8 used to yield <k centers and an AIOOBE
+    // in the block aggregator; the fit now runs on distinct points with
+    // k clamped to their count
+    import spark.implicits._
+    val dup = (0 until 300).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => if (d == i % 3) 1.0 else 0.0))
+    }.toDF("vec_id", "emb")
+    val idx = IvfSearch.build(dup, "vec_id", "emb", k = 8)
+    try {
+      assert(idx.model.clusterCenters.length === 3)
+      assert(idx.indexed.count() === 300L)
+      assert(idx.indexed.select("cluster").distinct().count() === 3L)
+    } finally idx.indexed.unpersist()
+  }
+
   test("every vector lands in exactly one inverted list") {
     assert(index.indexed.count() === emb.count())
     val nLists = index.indexed.select("cluster").distinct().count()

@@ -14,6 +14,7 @@ object BloomPruneProps extends Properties("bloomprune") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(5)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
 
   private lazy val spark = SparkSpec.session
   import spark.implicits._
