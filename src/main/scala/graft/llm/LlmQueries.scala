@@ -1049,7 +1049,11 @@ object LlmQueries {
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 8)
-    val (a, b) = merges.head
+    // bpeTrain stops early when no pair repeats — surface that as data
+    // (empty first pair, the true merge count) instead of crashing; on a
+    // corpus too thin for 8 merges the oracle mismatch is then a correct
+    // divergence signal rather than a NoSuchElementException
+    val (a, b) = merges.headOption.getOrElse(("", ""))
     Seq((a, b, merges.size, if (merges.distinct.size == merges.size) 1 else 0))
       .toDF("first_a", "first_b", "n_merges", "merges_distinct")
   }

@@ -97,30 +97,55 @@ object ScoringStream {
     }
 
     /** Stamps of batch dirs folded away by [[compact]] (root-level
-      * `_stamps` sidecar, one "label stamp" line per folded dir). A
+      * `_stamps` sidecar, one "stamp label" line per folded dir —
+      * stamp FIRST so labels containing spaces parse unambiguously). A
       * batch REPLAYED after compaction deleted its directory must still
       * reuse its ORIGINAL stamp — a fresh stamp would outrank the
       * compacted snapshot and resurrect the replay's stale rows, the
-      * exact failure the per-dir `_stamp` sidecar exists to prevent. */
+      * exact failure the per-dir `_stamp` sidecar exists to prevent.
+      *
+      * The parsed map is memoized on the file's (size, mtime): stampFor
+      * consults this on every first-write label, and re-parsing the
+      * whole history per micro-batch would put O(compactions × batches)
+      * work on the hot write path. */
+    @transient private var stampsMemo: (Long, Long, Map[String, Long]) = null
     private def compactedStamps: Map[String, Long] = {
       val p = java.nio.file.Paths.get(path, "_stamps")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(p).asScala
-          .filter(_.nonEmpty)
-          .map { line =>
-            val Array(label, stamp) = line.split(' ')
-            label -> stamp.toLong
-          }.toMap
+        val size = java.nio.file.Files.size(p)
+        val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        val memo = stampsMemo
+        if (memo != null && memo._1 == size && memo._2 == mtime) memo._3
+        else {
+          import scala.jdk.CollectionConverters._
+          val m = java.nio.file.Files.readAllLines(p).asScala
+            .filter(_.nonEmpty)
+            .map { line =>
+              val Array(stamp, label) = line.split(" ", 2)
+              label -> stamp.toLong
+            }.toMap
+          stampsMemo = (size, mtime, m)
+          m
+        }
       }
     }
 
     /** Label-keyed variant for non-streaming writers (e.g. the API path,
       * one label per transaction): the label must be unique per logical
       * write and stable under retry; `order` breaks last-writer-wins
-      * ties in the snapshot. */
+      * ties in the snapshot.
+      *
+      * A label permanently identifies ONE logical write: replays of that
+      * write reuse its original stamp even after compaction folded the
+      * directory away (see [[compactedStamps]]). Reusing a label for
+      * genuinely NEW data — e.g. restarting a stream with a wiped
+      * checkpoint so batch ids restart at 0 — keeps the OLD write's
+      * position in the ordering and the new rows lose last-writer-wins;
+      * a new stream incarnation must use a fresh store path. */
     def upsertLabeled(results: DataFrame, label: String, order: Long): Unit = {
+      require(!label.contains('\n') && !label.contains('\r'),
+        s"batch label must not contain line breaks: ${label.take(40)}")
       results.withColumn("batch_id", lit(order))
         .write.mode("overwrite").parquet(s"$path/batch=$label")
       // re-record AFTER the write (overwrite wiped the dir)
@@ -191,13 +216,26 @@ object ScoringStream {
       // resolved when `live` was planned) and lands in a NEW one
       upsertLabeled(live, label, stamp)
       // record folded stamps FIRST (crash between record and delete just
-      // leaves a dir whose sidecar agrees with the map), then delete
+      // leaves a dir whose record agrees with the map), then delete. The
+      // authoritative stamp source is the DATA — upsertLabeled writes the
+      // stamp into every row's batch_id, so it survives even when a crash
+      // between the parquet write and the sidecar write lost the per-dir
+      // `_stamp` (skipping such a dir would let its replay take a fresh
+      // stamp and resurrect stale rows); the sidecar remains the fallback
+      // for zero-row writes, whose parquet carries no rows to read.
+      val fromData = spark.read.option("basePath", path)
+        .parquet(s"$path/batch=*")
+        .groupBy(col("batch")).agg(max(col("batch_id")).as("stamp"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val lines = toFold.flatMap { p =>
         val lbl = p.getFileName.toString.stripPrefix("batch=")
         val sp = p.resolve("_stamp")
-        if (java.nio.file.Files.exists(sp))
-          Some(s"$lbl ${java.nio.file.Files.readString(sp).trim}")
-        else None
+        val st =
+          if (fromData.contains(lbl)) Some(fromData(lbl))
+          else if (java.nio.file.Files.exists(sp))
+            Some(java.nio.file.Files.readString(sp).trim.toLong)
+          else None
+        st.map(s => s"$s $lbl")
       }
       if (lines.nonEmpty)
         java.nio.file.Files.writeString(root.resolve("_stamps"),

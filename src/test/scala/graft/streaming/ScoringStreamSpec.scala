@@ -149,6 +149,35 @@ class ScoringStreamSpec extends SparkSpec {
     store.compact(spark) // idempotent on still-empty store
   }
 
+  test("a folded label containing a space does not corrupt the stamp record") {
+    val store = new ScoringStream.ResultStore(tmp("graft-compact-space"))
+    def score(v: Double) = ScoringStream.scoreBatch(
+      Seq(("k", Map("f0" -> v))).toDF("transaction_id", "features"), feats, coefs, mu, 0.0)
+    store.upsertLabeled(score(1.0), "api retry 1", ScoringStream.nextWriteStamp())
+    store.compact(spark)
+    // parsing the _stamps record must survive the 3-token line: this
+    // upsert consults it for the new label before taking a fresh stamp
+    store.upsert(score(5.0), 0L)
+    val k = store.snapshot(spark).filter($"transaction_id" === "k").head()
+    assert(math.abs(k.getDouble(1) - 1.0 / (1.0 + math.exp(-5.0))) < 1e-5)
+  }
+
+  test("a batch that lost its _stamp sidecar still folds replay-safely (stamp from data)") {
+    val store = new ScoringStream.ResultStore(tmp("graft-compact-nosidecar"))
+    def score(v: Double) = ScoringStream.scoreBatch(
+      Seq(("k", Map("f0" -> v))).toDF("transaction_id", "features"), feats, coefs, mu, 0.0)
+    store.upsert(score(1.0), 7L) // stale
+    // simulate the crash window: parquet landed, sidecar write was lost
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(store.path, "batch=7", "_stamp"))
+    store.upsertLabeled(score(9.0), "api-k", ScoringStream.nextWriteStamp()) // newer
+    store.compact(spark)
+    store.upsert(score(1.0), 7L) // checkpoint replay of the sidecar-less batch
+    val k = store.snapshot(spark).filter($"transaction_id" === "k").head()
+    assert(math.abs(k.getDouble(1) - 1.0 / (1.0 + math.exp(-9.0))) < 1e-5,
+      "replay of a sidecar-less folded batch resurrected its stale result")
+  }
+
   test("a fitted PipelineModel scores the stream inside foreachBatch (M5 + ST1)") {
     implicit val sqlCtx = spark.sqlContext
     val eval = graft.ml.FraudPipeline.syntheticEvalSet(spark, 300, seed = 11L)
