@@ -209,7 +209,17 @@ object ScoringStream {
       // — persisting it as data would collide with the partition column
       // on every post-compaction read (and freeze stale labels into the
       // rows); batch_id is replaced by the fresh stamp
+      // Range-partition + sort the folded snapshot by key: each output
+      // file (and row group) then carries a NARROW transaction_id
+      // min/max span, so keyedLookup's pushed point filter prunes every
+      // range but the one holding the key. Written unordered, every row
+      // group's stats span the whole key space and a GET /explain point
+      // read scans the entire compacted store. No explicit partition
+      // count — AQE coalesces the range shuffle to the snapshot's real
+      // size, so a small store still compacts to few files.
       val live = snapshot(spark).drop("batch_id", "batch")
+        .repartitionByRange(col("transaction_id"))
+        .sortWithinPartitions(col("transaction_id"))
       val stamp = nextWriteStamp()
       val label = s"c$stamp"
       // the write action reads the old directories (the glob was

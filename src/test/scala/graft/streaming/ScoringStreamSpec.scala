@@ -14,6 +14,15 @@ class ScoringStreamSpec extends SparkSpec {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("end-to-end: stream -> score -> attribute -> idempotent store (ST1/ST5)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Map[String, Double])]
@@ -127,6 +136,35 @@ class ScoringStreamSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(labels.forall(l => l.startsWith("c") || l == "99"),
       s"stale pre-compaction batch labels leaked into the data: $labels")
+  }
+
+  test("compacted snapshot is key-sorted: keyedLookup prunes row groups (scan metrics)") {
+    val store = new ScoringStream.ResultStore(tmp("graft-compact-sorted"))
+    val n = 1000
+    val batch = (0 until n).map(i => (f"k$i%04d", Map("f0" -> i.toDouble)))
+      .toDF("transaction_id", "features")
+    store.upsert(ScoringStream.scoreBatch(batch, feats, coefs, mu, 0.0), 0L)
+    // small files so the compacted snapshot lands in MANY row groups —
+    // pruning is invisible when everything fits in one
+    withConf("spark.sql.files.maxRecordsPerFile" -> "100") {
+      store.compact(spark)
+    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // materialize so the adaptive plan + metrics are final
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val lookup = store.keyedLookup(spark, "k0500")
+    assert(lookup.collect().map(_.getString(0)).toSeq === Seq("k0500"))
+    val read = scanRows(store.keyedLookup(spark, "k0500"))
+    assert(read > 0 && read < n / 2,
+      s"point lookup scanned $read of $n rows — compacted row groups are not pruning")
   }
 
   test("a batch replayed AFTER compaction deleted its dir still loses to newer writes") {
