@@ -12,6 +12,17 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * engine-side end-to-end path — ingest, arity validation, linear score +
   * SHAP attribution, keyed upsert — at micro-batch granularity.
   *
+  * Three configs, because the single-config number hid the two ways the
+  * path degrades at scale:
+  *  - `baseline`: 100 rows/batch, fresh store — the r4/r5 number;
+  *  - `rows1k`: 10× the batch rate — row-proportional work (score +
+  *    attribution are scan-shaped) should move P95 far less than 10×;
+  *  - `aged`: a store carrying 50 batches of history, with the
+  *    auto-compaction knob on ([[ScoringStream.attach]] compactEvery) —
+  *    per-batch parquet dir listing grows with store history between
+  *    compactions, so this config is the one that drifts out of the SLO
+  *    if compaction is never wired in.
+  *
   * Methodology mirrors the batch bench: untimed warm-up batches (stream
   * start + codegen dominate the first trigger), then timed batches, P50 /
   * P95 / max by nearest-rank. Returns a JSON object string embedded in
@@ -19,8 +30,31 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object StreamBench {
 
-  def run(spark: SparkSession, warmBatches: Int = 3, timedBatches: Int = 20,
-      rowsPerBatch: Int = 100): String = {
+  /** Standalone entry for iterating on the streaming path alone (the
+    * per-round number comes from [[Bench]], which embeds [[run]]'s JSON
+    * in its sidecar). */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"STREAMBENCH ${run(spark)}")
+    spark.stop()
+  }
+
+  /** All three configs as one JSON object (the bench sidecar entry). */
+  def run(spark: SparkSession): String = {
+    val baseline = runConfig(spark)
+    val rows1k = runConfig(spark, rowsPerBatch = 1000)
+    val aged = runConfig(spark, historyBatches = 50, compactEvery = 25)
+    s"""{"baseline":$baseline,"rows1k":$rows1k,"aged":$aged}"""
+  }
+
+  def runConfig(spark: SparkSession, warmBatches: Int = 3, timedBatches: Int = 20,
+      rowsPerBatch: Int = 100, historyBatches: Int = 0, compactEvery: Int = 0): String = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -33,7 +67,7 @@ object StreamBench {
     val stream = input.toDF().toDF("transaction_id", "features")
     val store = new ScoringStream.ResultStore(s"$dir/store")
     val q = ScoringStream.attach(stream, store, s"$dir/ckpt",
-      featureNames, coefs, mu, intercept = 0.05)
+      featureNames, coefs, mu, intercept = 0.05, compactEvery = compactEvery)
 
     def oneBatch(b: Int): Double = {
       val rows = (0 until rowsPerBatch).map { i =>
@@ -47,8 +81,12 @@ object StreamBench {
 
     val lat =
       try {
-        (0 until warmBatches).foreach(oneBatch)
-        (warmBatches until warmBatches + timedBatches).map(oneBatch)
+        // history first (untimed): ages the store so the timed batches
+        // pay the real listing cost of an accumulated directory tree
+        (0 until historyBatches).foreach(oneBatch)
+        (historyBatches until historyBatches + warmBatches).foreach(oneBatch)
+        val start = historyBatches + warmBatches
+        (start until start + timedBatches).map(oneBatch)
       } finally {
         q.stop()
         Fs.deleteRecursively(java.nio.file.Paths.get(dir))
@@ -60,7 +98,6 @@ object StreamBench {
     // tenth-of-ms rounding via Double.toString: locale-independent, unlike
     // the f"" interpolator (comma-decimal locales would break the JSON)
     def ms(v: Double): String = (math.round(v * 10.0) / 10.0).toString
-    s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"slo_ms":500}"""
+    s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"slo_ms":500}"""
   }
-
 }

@@ -761,6 +761,61 @@ object LlmQueries {
           col("frames") === col("exp_frames"), 1L).otherwise(0L)).as("n_energy_match"))
   }
 
+  /** REAL video frame decode on the oracle-checked surface — the
+    * q93/q94 generate-then-verify pattern for MJPEG-in-AVI: per row,
+    * render a few frames whose pixels are a pure function of
+    * (row id, frame, x, y), JPEG-encode each (ImageIO), and compute the
+    * EXPECTED per-frame checksum by decoding those exact JPEG bytes
+    * with the same decoder the production operator uses — JPEG is
+    * lossy, but decode-of-given-bytes is deterministic, so the
+    * container roundtrip (RIFF mux → [[Multimodal.videoFrames]] demux →
+    * per-frame ImageIO) is gated EXACTLY: one frame lost, reordered,
+    * byte-shifted, or decoded differently breaks n_frame_match. All
+    * gates are constants for the oracle. */
+  private val q112VideoDecode: Q = (s, dir) => {
+    import s.implicits._
+    val n = 100
+    val stride = 2
+    val gen = s.range(n).select(col("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nf = 3 + (id % 3).toInt
+        val (w, h) = (16 + (id % 3).toInt * 8, 8 + (id % 2).toInt * 8)
+        val jpegs = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (((id * 131 + f * 31 + x * 17 + y * 101) * 2654435761L) % 0x1000000L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        // expected = decode of the SAME bytes through the SAME codec
+        val expFrames = (0 until nf by stride).map { f =>
+          (f, Multimodal.pixelChecksum(Multimodal.decodeImage(jpegs(f)).get))
+        }
+        (id, Multimodal.encodeAviMjpeg(jpegs, w, h, fps = 10), w, h, nf, expFrames)
+      }
+      // query-scoped cache: same two-reader shape as q93/q94
+    }.toDF("video_id", "payload", "exp_w", "exp_h", "exp_frames_n", "exp_frames").cache()
+    val framed = Multimodal.videoFrames(gen, "video_id", "payload", stride)
+    framed.join(gen.drop("payload"), "video_id")
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("width") === col("exp_w") &&
+          col("height") === col("exp_h"), 1L).otherwise(0L)).as("n_geometry_match"),
+        sum(when(col("n_frames") === col("exp_frames_n") &&
+          col("frames") === col("exp_frames"), 1L).otherwise(0L)).as("n_frame_match"))
+  }
+
   /** Int8 scalar quantization of the embedding column — at 100 TB the
     * ANN working set is dominated by float embeddings, and symmetric
     * max-abs int8 cuts memory/shuffle 4× (with ~0.5% cosine error at
@@ -1088,6 +1143,7 @@ object LlmQueries {
     "q71_dedup_components" -> q71DedupComponents,
     "q93_image_decode"    -> q93ImageDecode,
     "q94_audio_decode"    -> q94AudioDecode,
+    "q112_video_decode"   -> q112VideoDecode,
     "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
     "q96_bm25"            -> q96Bm25,
     "q97_pii_redact"      -> q97PiiRedact,
@@ -1424,6 +1480,14 @@ object LlmQueries {
         |  CAST(200 AS BIGINT) AS n_decoded,
         |  CAST(200 AS BIGINT) AS n_shape_match,
         |  CAST(200 AS BIGINT) AS n_energy_match""".stripMargin,
+    // q112: JPEG is lossy but decode-of-given-bytes is deterministic —
+    // the expected checksums come from the same decoder over the same
+    // bytes, so the AVI mux/demux roundtrip gates are exact constants
+    "q112_video_decode" ->
+      """SELECT CAST(100 AS BIGINT) AS n_videos,
+        |  CAST(100 AS BIGINT) AS n_decoded,
+        |  CAST(100 AS BIGINT) AS n_geometry_match,
+        |  CAST(100 AS BIGINT) AS n_frame_match""".stripMargin,
     // q95: the same IEEE arithmetic as the Spark plan (mult/div order,
     // floor-form rounding), so the integer code checksum is exact
     "q95_quantize_embeddings" ->

@@ -74,13 +74,37 @@ object TextOps {
     * earlier merge.
     *
     * Returns the merge sequence (most-frequent first). Stops early if
-    * no pair occurs at least twice (merging singletons is noise). */
+    * no pair occurs at least twice (merging singletons is noise).
+    *
+    * HYBRID execution: the word-frequency reduction is always
+    * distributed, but the merge LOOP is inherently sequential — one
+    * tiny argmax depends on the previous merge — so each distributed
+    * round costs a full Spark job for vocabulary-sized work. A
+    * production tokenizer needs ~32k merges ⇒ ~32k sequential jobs,
+    * pure scheduling overhead. Since the reduced vocabulary is bounded
+    * regardless of corpus size (typically ≪ 10⁶ rows), when it fits
+    * under `localThreshold` rows it is collected ONCE and the loop runs
+    * driver-local with incremental pair-count maintenance (only words
+    * containing the merged pair are recounted — the Sennrich reference
+    * optimization). Both paths use the same greedy-leftmost fold and
+    * the same (count desc, pair asc by UTF-8 bytes) argmax, so they
+    * produce the IDENTICAL merge sequence (BpeTrainSpec pins this);
+    * `localThreshold = 0` forces the distributed path for vocabularies
+    * that genuinely cannot sit on the driver. */
   def bpeTrain(words: DataFrame, wordCol: String, freqCol: String,
-      nMerges: Int): Seq[(String, String)] = {
+      nMerges: Int, localThreshold: Long = 2000000L): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var syms = words.select(col(freqCol).cast("long").as("freq"),
       filter(split(col(wordCol), ""), c => c =!= lit("")).as("sym")).cache()
-    syms.count()
+    val vocabRows = syms.count()
+    if (vocabRows <= localThreshold) {
+      try {
+        val local = syms.collect().map { r =>
+          (r.getSeq[String](r.fieldIndex("sym")).toArray, r.getLong(r.fieldIndex("freq")))
+        }
+        return bpeTrainLocal(local, nMerges)
+      } finally syms.unpersist()
+    }
     try {
       var done = false
       while (!done && merges.size < nMerges) {
@@ -114,5 +138,88 @@ object TextOps {
       }
       merges.toList
     } finally syms.unpersist()
+  }
+
+  /** Spark string ordering is binary over UTF-8 bytes; the local argmax
+    * must break count ties identically or the two paths diverge on the
+    * first tie. (UTF-16 `String.compareTo` disagrees for supplementary
+    * characters.) */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      if ((a(i) & 0xff) != (b(i) & 0xff)) return (a(i) & 0xff) < (b(i) & 0xff)
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Driver-local merge loop over a collected (symbols, freq) vocab —
+    * the classic algorithm with the incremental-recount optimization:
+    * a pair → word-ids index makes each merge touch only the words that
+    * actually contain the merged pair, so 32k merges stay proportional
+    * to total rewrites, not 32k full vocabulary scans. The argmax scan
+    * per round is O(live pairs); a lazy-deletion heap would shave that
+    * further if profiles ever show it dominating. */
+  private def bpeTrainLocal(vocab: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    val words = vocab.map(_._1.clone())
+    val freqs = vocab.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val w = words(wi)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(wi)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          occurs.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+        i += 1
+      }
+      // stale occurs entries for removed pairs are tolerated: the merge
+      // loop re-checks actual adjacency before rewriting a word
+    }
+    words.indices.foreach(addWord(_, 1L))
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    while (merges.size < nMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.foreach { case (p, c) =>
+        if (c > bestCnt || (c == bestCnt && best != null &&
+            (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+          { best = p; bestCnt = c }
+      }
+      if (bestCnt < 2L) return merges.toList
+      merges += best
+      val (a, b) = best
+      val merged = a + b
+      val affected = occurs.remove(best).getOrElse(scala.collection.mutable.Set.empty)
+      affected.foreach { wi =>
+        val w = words(wi)
+        // re-check adjacency: the index may hold stale ids from earlier
+        // rewrites of this word
+        var has = false
+        var i = 0
+        while (!has && i < w.length - 1) { has = w(i) == a && w(i + 1) == b; i += 1 }
+        if (has) {
+          addWord(wi, -1L)
+          // greedy-leftmost fold, identical to the distributed column fold
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          w.foreach { s =>
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = merged
+            else out += s
+          }
+          words(wi) = out.toArray
+          addWord(wi, 1L)
+        }
+      }
+    }
+    merges.toList
   }
 }

@@ -314,6 +314,64 @@ object MlQueries {
       .orderBy(col("label"))
   }
 
+  /** M2's SCALE path on the oracle surface ([[SmoteLsh]] was spec-only
+    * — the q65/q104 invariant-flag pattern): run the LSH-bucketed SMOTE
+    * on the same lineitem-derived binary task as q49 and gate what the
+    * oracle can restate from the base table — exact class counts, the
+    * balance invariant (both classes land on the majority count), the
+    * interpolation envelope (synthetic rows are convex combinations of
+    * minority rows, so every minority-labeled feature stays inside the
+    * ORIGINAL minority per-feature [min, max] — the segment check's
+    * SQL-expressible projection), and partition invariance (the seeded
+    * splitmix randomness keys off the deterministic dense row index, so
+    * a repartitioned input must produce the identical output multiset). */
+  private val q113SmoteLsh: Q = (s, dir) => {
+    import s.implicits._
+    val feats = Seq("f_qty", "f_price", "f_disc", "f_tax")
+    val src = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(
+        col("l_quantity").cast("double").as("f_qty"),
+        col("l_extendedprice").cast("double").as("f_price"),
+        col("l_discount").cast("double").as("f_disc"),
+        col("l_tax").cast("double").as("f_tax"),
+        (col("l_quantity") > 45).cast("int").as("label")).cache()
+    try {
+      val base = src.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // 2 rows
+      val (minLabel, minCount) = base.minBy { case (l, n) => (n, l) }
+      val majCount = base.values.max
+      val envelope = src.filter(col("label") === minLabel)
+        .agg(min(col(feats.head)).as(s"mn_${feats.head}"),
+          (feats.tail.flatMap(f => Seq(min(col(f)).as(s"mn_$f"), max(col(f)).as(s"mx_$f")))
+            :+ max(col(feats.head)).as(s"mx_${feats.head}")): _*)
+        .head()
+      val smote = new SmoteLsh(feats, "label", k = 5, seed = 42L)
+      val out = smote.transform(src).cache()
+      try {
+        def rowChecksum = sum(hash((feats.map(col) :+ col("label")): _*).cast("long"))
+        val st = out.agg(
+          count(lit(1)).as("n_out"),
+          sum(when(col("label") === minLabel, 1L).otherwise(0L)).as("n_min_out"),
+          sum(when(col("label") === minLabel &&
+            feats.map(f => col(f) < lit(envelope.getAs[Double](s"mn_$f")) ||
+              col(f) > lit(envelope.getAs[Double](s"mx_$f"))).reduce(_ || _),
+            1L).otherwise(0L)).as("n_escaped"),
+          rowChecksum.as("cs")).head()
+        // same transform over a differently-partitioned input: the seeded
+        // index-keyed randomness must reproduce the exact multiset
+        val cs2 = smote.transform(src.repartition(7))
+          .agg(rowChecksum.as("cs")).head().getLong(0)
+        Seq((
+          minCount, majCount,
+          if (st.getLong(0) == 2 * majCount && st.getLong(1) == majCount) 1 else 0,
+          if (st.getLong(2) == 0L) 1 else 0,
+          if (st.getLong(3) == cs2) 1 else 0
+        )).toDF("n_minority", "n_majority", "balanced", "bounds_ok", "partition_invariant")
+      } finally out.unpersist()
+    } finally src.unpersist()
+  }
+
   /** W2 at scale: top-3 parts per brand via the bounded-heap
     * [[graft.functions.TopKAgg]] Aggregator — map-side partial
     * aggregation caps every partition's contribution at k rows per
@@ -434,6 +492,7 @@ object MlQueries {
     "q47_shap_linear"  -> q47ShapLinear,
     "q48_shap_topk"    -> q48ShapTopk,
     "q49_smote_balance" -> q49SmoteBalance,
+    "q113_smote_lsh"    -> q113SmoteLsh,
     "q81_calibration"  -> q81Calibration,
     "q82_ks_stat"      -> q82KsStat,
     "q83_pr_auc"       -> q83PrAuc,
@@ -600,5 +659,16 @@ object MlQueries {
         |  FROM lineitem WHERE l_orderkey % 97 = 0),
         |c AS (SELECT label, count(*) AS n FROM src GROUP BY label)
         |SELECT label, (SELECT max(n) FROM c) AS n FROM c ORDER BY label""".stripMargin,
+    // q113: class counts restated from the base table; the balance,
+    // envelope, and partition-invariance gates are constants (the
+    // q65/q104 invariant-flag pattern — LSH bucketing + seeded
+    // interpolation aren't SQL-expressible, their invariants are)
+    "q113_smote_lsh" ->
+      """WITH src AS (SELECT CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END AS label
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |c AS (SELECT label, count(*) AS n FROM src GROUP BY label)
+        |SELECT CAST((SELECT min(n) FROM c) AS BIGINT) AS n_minority,
+        |  CAST((SELECT max(n) FROM c) AS BIGINT) AS n_majority,
+        |  1 AS balanced, 1 AS bounds_ok, 1 AS partition_invariant""".stripMargin,
   )
 }

@@ -267,14 +267,27 @@ object ScoringStream {
   }
 
   /** ST1/ST2: wire a (transaction_id, features) stream through scoring
-    * into the store with checkpointed foreachBatch. */
+    * into the store with checkpointed foreachBatch.
+    *
+    * `compactEvery` > 0 folds the store every that-many micro-batches:
+    * an append-only store pays parquet dir listing proportional to its
+    * WHOLE batch history on every snapshot/point read, so a long-lived
+    * stream must compact periodically or read latency drifts with
+    * uptime (StreamBench's `aged` config measures exactly this). Safe
+    * here and only here because foreachBatch is the store's single
+    * writer and batches are sequential — compact's quiesce contract
+    * holds by construction. Replays remain safe: a replayed batch
+    * whose dir was folded reuses its recorded stamp (see
+    * [[ResultStore.compactedStamps]]). */
   def attach(stream: DataFrame, store: ResultStore, checkpointDir: String,
       featureNames: Seq[String], coefs: Seq[Double], mu: Seq[Double],
-      intercept: Double): StreamingQuery =
+      intercept: Double, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.upsert(scoreBatch(batch, featureNames, coefs, mu, intercept), batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          store.compact(batch.sparkSession)
       }
       .start()
 }

@@ -32,4 +32,28 @@ class BpeTrainSpec extends SparkSpec {
     val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 2)
     assert(merges === Seq(("x", "y")))
   }
+
+  test("local and distributed paths produce the identical merge sequence") {
+    // deterministic pseudo-random corpus over a small alphabet so merges
+    // chain deeply and ties occur (the tie-break is where paths diverge
+    // if the orderings disagree)
+    val rnd = new scala.util.Random(42)
+    val corpus = (0 until 120).map { _ =>
+      val len = 2 + rnd.nextInt(7)
+      (Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString, 1L + rnd.nextInt(9))
+    } ++ Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+    val words = corpus.toDF("w", "freq")
+    val local = TextOps.bpeTrain(words, "w", "freq", nMerges = 12)
+    val dist = TextOps.bpeTrain(words, "w", "freq", nMerges = 12, localThreshold = 0L)
+    assert(local === dist,
+      s"hybrid paths diverged:\n  local: $local\n  dist:  $dist")
+    assert(local.size === 12, s"expected a full 12-merge sequence, got ${local.size}")
+  }
+
+  test("classic example is identical through the forced-distributed path") {
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+      .toDF("w", "freq")
+    assert(TextOps.bpeTrain(words, "w", "freq", nMerges = 3, localThreshold = 0L)
+      === Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
 }

@@ -121,6 +121,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("n_sampled") === 0)
   }
 
+  private def jpegBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (((seed * 31 + x * 17 + y * 101) * 2654435761L) % 0x1000000L).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("videoFrames demuxes a synthetic 3-frame MJPEG AVI and decodes every frame") {
+    val jpegs = (0 until 3).map(f => jpegBytes(16, 8, seed = f))
+    val avi = Multimodal.encodeAviMjpeg(jpegs, w = 16, h = 8, fps = 10)
+    // the demux must recover the EXACT muxed payload bytes, in order
+    assert(Multimodal.aviFramePayloads(avi).get.map(_.toSeq) === jpegs.map(_.toSeq))
+    val out = Multimodal.videoFrames(
+      Seq((5L, avi)).toDF("video_id", "payload"), "video_id", "payload", stride = 1).head()
+    assert(out.getAs[Boolean]("decoded"))
+    assert(out.getAs[Int]("width") === 16 && out.getAs[Int]("height") === 8)
+    assert(out.getAs[Int]("n_frames") === 3 && out.getAs[Int]("n_sampled") === 3)
+    val frames = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("frames"))
+    assert(frames.map(_.getInt(0)) === Seq(0, 1, 2))
+    // per-frame checksums match an independent decode of the same bytes
+    val exp = jpegs.map(b => Multimodal.pixelChecksum(Multimodal.decodeImage(b).get))
+    assert(frames.map(_.getLong(1)) === exp)
+    // stride sampling keeps frames 0 and 2
+    val strided = Multimodal.videoFrames(
+      Seq((5L, avi)).toDF("video_id", "payload"), "video_id", "payload", stride = 2).head()
+    assert(strided.getSeq[org.apache.spark.sql.Row](strided.fieldIndex("frames"))
+      .map(_.getInt(0)) === Seq(0, 2))
+  }
+
+  test("videoFrames flags non-AVI and truncated payloads instead of throwing") {
+    val jpegs = (0 until 3).map(f => jpegBytes(8, 8, seed = f + 7))
+    val avi = Multimodal.encodeAviMjpeg(jpegs, 8, 8, fps = 5)
+    val notAvi = "just text, no RIFF here".getBytes("UTF-8")
+    val truncated = java.util.Arrays.copyOfRange(avi, 0, avi.length / 2)
+    val out = Multimodal.videoFrames(
+      Seq((1L, notAvi), (2L, truncated), (3L, Array.empty[Byte]))
+        .toDF("video_id", "payload"), "video_id", "payload", stride = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("decoded")).toMap
+    assert(out(1L) === false && out(3L) === false)
+    // a truncated AVI either fails cleanly or yields only complete frames
+    val t = Multimodal.aviFramePayloads(truncated)
+    assert(t.isEmpty || t.get.length < 3)
+  }
+
   test("frame sampling keeps every stride-th frame with per-frame features") {
     val out = Multimodal.sampleFrames(blobs, "doc_id", "payload", frameBytes = 16, stride = 2)
     val row = out.join(Tables.documents(spark, sfDir), "doc_id")

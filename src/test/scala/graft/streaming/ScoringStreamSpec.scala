@@ -246,6 +246,32 @@ class ScoringStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attach with compactEvery folds history periodically without losing results") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Map[String, Double])]
+    val stream = input.toDF().toDF("transaction_id", "features")
+    val store = new ScoringStream.ResultStore(tmp("graft-autocompact"))
+    val q = ScoringStream.attach(stream, store, tmp("graft-autocompact-ckpt"),
+      feats, coefs, mu, intercept = 0.0, compactEvery = 2)
+    try {
+      for (b <- 0 until 7) {
+        input.addData((s"k$b", Map("f0" -> b.toDouble)), ("shared", Map("f0" -> b.toDouble)))
+        q.processAllAvailable()
+      }
+      // 7 batches with compaction every 2: far fewer than 7 dirs remain
+      val dirs = new java.io.File(store.path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      assert(dirs.length < 7, s"auto-compaction never folded: ${dirs.map(_.getName).toSeq}")
+      // every key survives, and the overlapping key kept its LAST score
+      val snap = store.snapshot(spark)
+      assert(snap.count() === 8)
+      val shared = snap.filter($"transaction_id" === "shared").head()
+      val expected = 1.0 / (1.0 + math.exp(-6.0))
+      assert(math.abs(shared.getDouble(1) - expected) < 1e-5,
+        "compaction resurrected a stale value for the overlapping key")
+    } finally q.stop()
+  }
+
   test("kill-and-restart from the same checkpoint keeps exactly-once-per-key (ST2)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("graft-ckpt2")
