@@ -483,6 +483,65 @@ object LlmQueries {
           / (col("n_sources") * col("toks"))).as("uniform_weight"))
   }
 
+  /** Temperature-based source-mixture reweighting — the multilingual/
+    * multi-source α-sampling scheme (p_s ∝ n_s^α, α < 1 up-weights
+    * small sources): q80 reports the PROPORTIONAL mixture; this reports
+    * the α = 0.5 temperature mixture relative to the largest source.
+    * α = 0.5 deliberately: sqrt is correctly-rounded IEEE (bit-identical
+    * in Spark and DuckDB), where a general pow(x, α) is libm-dependent —
+    * the same discipline that keeps ln out of q96/q102. Every float op
+    * is per-row (ratio to an exact integer max, sqrt, ratio) — no
+    * cross-row float sums whose order could differ between engines. */
+  private val q116TemperatureMixture: Q = (s, dir) => {
+    val perSource = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toksCol(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    val m = perSource.agg(max(col("toks")).as("toks_max"))
+    perSource.crossJoin(broadcast(m))
+      .withColumn("rel", col("toks").cast("double") / col("toks_max"))
+      .select(col("source"), col("n_docs"), col("toks"),
+        fpRound4(sqrt(col("rel"))).as("temp_rel"),
+        fpRound4(sqrt(col("rel")) / col("rel")).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** Tokens per exact-match decontamination window (q115). */
+  private val DecontamWindow = 8
+
+  /** Windowed n-gram EXACT-match decontamination (Lee et al.,
+    * arXiv:2107.06499 — exact substring matching, re-expressed at
+    * token-window granularity): slide a [[DecontamWindow]]-token window
+    * over every document, hash each window's joined text with the
+    * codegen'd rolling hash, and equi-join eval windows (doc_id % 10 ==
+    * 0, the q75 split) against train windows. Complements q75's
+    * rare-bigram CONTAINMENT sweep: this catches verbatim runs (the
+    * benchmark-leak shape) that bigram-set overlap understates, and
+    * misses paraphrase that containment catches.
+    *
+    * Scale shape: the explode is one row per token position (the q35
+    * shingle discipline — corpus × ~tokens, the unavoidable cost of
+    * exact matching), but W-gram hashes are naturally rare so the join
+    * fan-out is bounded without the df cap q75's bigrams need; the join
+    * is a hash equi-join on the window hash, never all-pairs. */
+  private val q115WindowDecontam: Q = (s, dir) => {
+    val W = DecontamWindow
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - (W - 1)),
+        i => tokHash(array_join(slice(col("tk"), i, lit(W)), " "))))).as("h"))
+    val evalW = wins.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val trainW = wins.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("train_id"), col("h"))
+    trainW.join(evalW, Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** The composed corpus pipeline: quality gate (q33 formula) → exact
     * dedup (q30: min-id representative per content hash) →
     * decontamination (drop train docs the q75 sweep flags, and eval
@@ -816,6 +875,54 @@ object LlmQueries {
           col("frames") === col("exp_frames"), 1L).otherwise(0L)).as("n_frame_match"))
   }
 
+  /** Product quantization on the oracle surface (the q65/q104
+    * invariant-flag pattern — KMeans codebooks aren't SQL-expressible,
+    * their defining invariants are): fit [[ProductQuant]] codebooks,
+    * encode the corpus, and gate (a) code shape/range, (b) assignment
+    * OPTIMALITY — every stored code's subdistance equals the true
+    * subspace minimum recomputed independently in Column arithmetic
+    * (tiny relative tolerance absorbs MLlib's norm-trick float path),
+    * and (c) encode determinism under repartitioning. Counts restate
+    * from the embeddings table. */
+  private val q114ProductQuant: Q = (s, dir) => {
+    import s.implicits._
+    val (m, k) = (8, 16)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")).cache()
+    try {
+      val pq = ProductQuant.fit(e, "emb", m = m, k = k)
+      val subDim = pq.subDim
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+      val violations = (0 until m).map { j =>
+        val cb = typedLit(pq.centers(j))
+        val sub = slice(col("emb"), j * subDim + 1, subDim)
+        val assigned = d2(sub, element_at(cb, element_at(col("codes"), j + 1) + 1))
+        val minAll = aggregate(transform(cb, cw => d2(sub, cw)),
+          lit(Double.MaxValue), (a, b) => least(a, b))
+        when(assigned > minAll * 1.0000001 + 1e-12, 1L).otherwise(0L)
+      }.reduce(_ + _)
+      def checksum = sum(hash(col("vec_id"), col("codes")).cast("long"))
+      val coded = ProductQuant.encode(e, "emb", pq).cache()
+      try {
+        val st = coded.agg(
+          count(lit(1)).as("n"),
+          sum(when(size(col("codes")) === m &&
+            !exists(col("codes"), c => c < 0 || c >= k), 0L).otherwise(1L)).as("shape_bad"),
+          sum(violations).as("opt_bad"),
+          checksum.as("cs")).head()
+        val cs2 = ProductQuant.encode(e.repartition(7), "emb", pq)
+          .agg(checksum.as("cs")).head().getLong(0)
+        Seq((
+          st.getLong(0),
+          if (st.getLong(1) == 0L) 1 else 0,
+          if (st.getLong(2) == 0L) 1 else 0,
+          if (st.getLong(3) == cs2) 1 else 0
+        )).toDF("n_vectors", "codes_shape_ok", "assignment_optimal", "encode_deterministic")
+      } finally coded.unpersist()
+    } finally e.unpersist()
+  }
+
   /** Int8 scalar quantization of the embedding column — at 100 TB the
     * ANN working set is dominated by float embeddings, and symmetric
     * max-abs int8 cuts memory/shuffle 4× (with ~0.5% cosine error at
@@ -1144,6 +1251,7 @@ object LlmQueries {
     "q93_image_decode"    -> q93ImageDecode,
     "q94_audio_decode"    -> q94AudioDecode,
     "q112_video_decode"   -> q112VideoDecode,
+    "q114_product_quant"  -> q114ProductQuant,
     "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
     "q96_bm25"            -> q96Bm25,
     "q97_pii_redact"      -> q97PiiRedact,
@@ -1166,6 +1274,8 @@ object LlmQueries {
     "q57_embed_neardup"   -> q57EmbedNeardup,
     "q58_bpe_tokens"      -> q58BpeTokens,
     "q75_contamination"   -> q75Contamination,
+    "q115_window_decontam" -> q115WindowDecontam,
+    "q116_temp_mixture"   -> q116TemperatureMixture,
     "q76_repetition"      -> q76Repetition,
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
@@ -1212,6 +1322,37 @@ object LlmQueries {
     "q65_ivf_invariants" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_indexed,
         |  1 AS lists_plural, 1 AS topk_bounded, 1 AS probe_restricted""".stripMargin,
+    // q114: codebooks aren't SQL-expressible; the shape/optimality/
+    // determinism gates are constants, count restated from the table
+    "q114_product_quant" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  1 AS codes_shape_ok, 1 AS assignment_optimal,
+        |  1 AS encode_deterministic""".stripMargin,
+    // q115: the window lambda variable is `wi`, NOT `i` — duckTokHash's
+    // inner character fold binds `i`, and an outer `i` would be shadowed
+    // inside the hash (silently hashing the wrong window)
+    "q115_window_decontam" -> {
+      val W = DecontamWindow
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - ${W - 2}),
+         |    wi -> ${duckTokHash(s"array_to_string(tk[wi:wi+${W - 1}], ' ')")})) AS whs
+         |  FROM toks WHERE len(tk) >= $W),
+         |e AS (SELECT doc_id AS eval_id, unnest(whs) AS h FROM w WHERE doc_id % 10 = 0),
+         |t2 AS (SELECT doc_id AS train_id, unnest(whs) AS h FROM w WHERE doc_id % 10 <> 0)
+         |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_windows
+         |FROM t2 JOIN e USING (h) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // q116: sqrt is correctly-rounded IEEE in both engines (general pow
+    // is not); all float ops are per-row, no cross-row float sums
+    "q116_temp_mixture" ->
+      s"""WITH t AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT max(toks) AS toks_max FROM t)
+         |SELECT source, n_docs, toks,
+         |  ${fpRound4Sql("sqrt(toks::DOUBLE / toks_max)")} AS temp_rel,
+         |  ${fpRound4Sql("sqrt(toks::DOUBLE / toks_max) / (toks::DOUBLE / toks_max)")} AS boost
+         |FROM t, m ORDER BY source""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,

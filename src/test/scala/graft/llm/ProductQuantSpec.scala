@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered synthetic corpus: `nClusters` well-separated anchors in
+    * 16 dims, `perCluster` jittered members each — deterministic. */
+  private def corpus(nClusters: Int, perCluster: Int): org.apache.spark.sql.DataFrame = {
+    def mix(z: Long): Long = {
+      var x = z + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def u(a: Long, b: Long): Double = (mix(a * 1024 + b) >>> 11).toDouble / (1L << 53)
+    (0 until nClusters * perCluster).map { i =>
+      val c = i % nClusters
+      val emb = (0 until 16).map(d => 10.0 * u(c, d) + 0.1 * (u(i, d + 100) - 0.5))
+      (i.toLong, emb)
+    }.toDF("vec_id", "emb")
+  }
+
+  test("encode emits m in-range codes; decode reconstructs within cluster jitter") {
+    val df = corpus(nClusters = 6, perCluster = 30)
+    val pq = ProductQuant.fit(df, "emb", m = 4, k = 8, seed = 7L)
+    assert(pq.subDim === 4)
+    val coded = ProductQuant.encode(df, "emb", pq)
+    assert(coded.filter(size(col("codes")) =!= 4).count() === 0)
+    assert(coded.filter(exists(col("codes"), c => c < 0 || c >= 8)).count() === 0)
+    // reconstruction error per vector ≪ inter-anchor distance (≈10 per
+    // dim): with ≥ cluster-many codewords the codebook captures anchors
+    // and residual is jitter-scale
+    val err = coded
+      .withColumn("recon", ProductQuant.decode(pq, col("codes")))
+      .withColumn("e2", aggregate(
+        zip_with(col("emb"), col("recon"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, d) => a + d))
+      .agg(max(col("e2"))).head().getDouble(0)
+    assert(err < 1.0, s"max squared reconstruction error $err — codebook missed a cluster")
+  }
+
+  test("ADC top-k returns the query's own cluster (quantized distances rank clusters right)") {
+    val nClusters = 5
+    val df = corpus(nClusters, perCluster = 40).cache()
+    val pq = ProductQuant.fit(df, "emb", m = 4, k = 8, seed = 11L)
+    val coded = ProductQuant.encode(df, "emb", pq).cache()
+    val queries = df.filter(col("vec_id") < nClusters) // one per cluster (cluster = id % 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val topK = 10
+    val adc = ProductQuant.adcSearch(coded, "vec_id", "codes",
+      queries, "q_id", "q_emb", pq, topK).cache()
+    // exactly topK neighbors per query
+    val perQuery = adc.groupBy("q_id").count().collect()
+    assert(perQuery.length === nClusters && perQuery.forall(_.getLong(1) === topK))
+    // PQ collapses within-cluster jitter (members share codes, so exact
+    // member RANKS reshuffle) but must never rank another cluster's
+    // members closer: every returned neighbor is from the query's cluster
+    val wrongCluster = adc
+      .filter(pmod(col("neighbor_id"), lit(nClusters)) =!= pmod(col("q_id"), lit(nClusters)))
+      .count()
+    assert(wrongCluster === 0,
+      s"$wrongCluster ADC neighbors came from a different cluster")
+    adc.unpersist(); df.unpersist(); coded.unpersist()
+  }
+
+  test("duplicate-heavy corpora cannot starve the fit (k clamps to distinct points)") {
+    val dup = (0 until 200).map(i => (i.toLong, Seq.fill(16)(if (i % 2 == 0) 1.0 else 5.0)))
+      .toDF("vec_id", "emb") // only TWO distinct vectors
+    val pq = ProductQuant.fit(dup, "emb", m = 4, k = 8, seed = 3L)
+    val coded = ProductQuant.encode(dup, "emb", pq)
+    assert(coded.count() === 200)
+    assert(coded.select(col("codes")).distinct().count() === 2)
+  }
+
+  test("dim not divisible by m is rejected") {
+    val df = corpus(2, 5) // 16 dims
+    intercept[IllegalArgumentException] {
+      ProductQuant.fit(df, "emb", m = 5, k = 4)
+    }
+  }
+}

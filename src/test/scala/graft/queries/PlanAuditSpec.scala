@@ -147,6 +147,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
   }
 
+  test("q115: window decontamination is a hash join on the window hash, never all-pairs") {
+    val p = planOf("q115_window_decontam")
+    assert(!p.contains("CartesianProduct"), s"window decontam went all-pairs:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on the window hash:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // executedPlan.toString renders codegen stages as "*(n) Op"
     val p = planOf("q01_pruned_scan")
