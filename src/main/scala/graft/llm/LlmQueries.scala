@@ -880,10 +880,10 @@ object LlmQueries {
     * their defining invariants are): fit [[ProductQuant]] codebooks,
     * encode the corpus, and gate (a) code shape/range, (b) assignment
     * OPTIMALITY — every stored code's subdistance equals the true
-    * subspace minimum recomputed independently in Column arithmetic
-    * (tiny relative tolerance absorbs MLlib's norm-trick float path),
-    * and (c) encode determinism under repartitioning. Counts restate
-    * from the embeddings table. */
+    * subspace minimum recomputed independently (exact: encode and gate
+    * share the d2 expression and codebook literal), and (c) encode
+    * determinism under repartitioning. Counts restate from the
+    * embeddings table. */
   private val q114ProductQuant: Q = (s, dir) => {
     import s.implicits._
     val (m, k) = (8, 16)
@@ -894,13 +894,16 @@ object LlmQueries {
       val subDim = pq.subDim
       def d2(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+      // EXACT optimality: encode's argmin and this recomputation use the
+      // same d2 expression over the same codebook literal, so the
+      // assigned subdistance must EQUAL the subspace minimum bit-for-bit
       val violations = (0 until m).map { j =>
         val cb = typedLit(pq.centers(j))
         val sub = slice(col("emb"), j * subDim + 1, subDim)
         val assigned = d2(sub, element_at(cb, element_at(col("codes"), j + 1) + 1))
         val minAll = aggregate(transform(cb, cw => d2(sub, cw)),
           lit(Double.MaxValue), (a, b) => least(a, b))
-        when(assigned > minAll * 1.0000001 + 1e-12, 1L).otherwise(0L)
+        when(assigned > minAll, 1L).otherwise(0L)
       }.reduce(_ + _)
       def checksum = sum(hash(col("vec_id"), col("codes")).cast("long"))
       val coded = ProductQuant.encode(e, "emb", pq).cache()

@@ -1,8 +1,5 @@
 package graft.llm
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,36 +7,40 @@ import org.apache.spark.sql.functions._
 /** Product quantization (Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", IEEE TPAMI 2011) — the compression tier
   * below [[IvfSearch]]: each vector splits into `m` contiguous
-  * subvectors, each subspace gets its own KMeans codebook of `k`
-  * codewords, and a vector is stored as `m` small codes. At k=16 a
-  * 64-dim float vector compresses 256 bytes → 8 codes (32×) — at 100 TB
-  * the ANN working set drops from corpus-scale to memory-scale, which
-  * is the difference between an in-memory probe and re-reading parquet
-  * per query batch (q95's int8 path is the 4× waypoint; this is the
+  * subvectors, each subspace gets its own codebook of `k` codewords,
+  * and a vector is stored as `m` small codes. At k=16 a 64-dim float
+  * vector compresses 256 bytes → 8 codes (32×) — at 100 TB the ANN
+  * working set drops from corpus-scale to memory-scale, which is the
+  * difference between an in-memory probe and re-reading parquet per
+  * query batch (q95's int8 path is the 4× waypoint; this is the
   * production end-state, IVF for candidate pruning + PQ for storage).
   *
-  * Spark shape: the fits are `m` bounded-sample KMeans (the
-  * [[IvfSearch.build]] discipline — hash-stable sample, distinct
-  * points, k clamped to the distinct count); encode is `m` lazy
-  * KMeansModel transforms fused into ONE scan pass (no shuffle);
-  * decode and ADC distances are pure Column arithmetic over the
-  * codebook as a nested-array literal (tiny: m·k·subDim doubles
-  * — always plan-embeddable, never a join). */
+  * Execution shape, deliberately hybrid (the [[TextOps.bpeTrain]]
+  * argument): codebook training needs only a BOUNDED sample — quality
+  * saturates at a few hundred points per codeword — so the sample is
+  * selected distributed (hash-stable keep-set), collected ONCE, and
+  * Lloyd's iterations run driver-local. The MLlib alternative is m
+  * sequential KMeans fits ≈ m·(init+iters) tiny Spark jobs of pure
+  * scheduling overhead (measured 11 s for the q114 gate at sf0.1; this
+  * form is sub-second). Everything CORPUS-sized stays distributed and
+  * scan-shaped: encode is a codegen'd per-subspace argmin Column
+  * expression (no shuffle, no MLlib row objects), decode and ADC
+  * distances are Column arithmetic over the codebook literal (tiny:
+  * m·k·subDim doubles — always plan-embeddable, never a join). */
 object ProductQuant {
 
-  final case class Model(m: Int, subDim: Int, k: Int, models: Seq[KMeansModel]) {
-    /** Codebooks as plain numbers: centers(j)(c) = codeword c of subspace j. */
-    lazy val centers: Seq[Seq[Seq[Double]]] =
-      models.map(_.clusterCenters.toSeq.map(_.toArray.toSeq))
-  }
+  /** centers(j)(c) = codeword c of subspace j. */
+  final case class Model(m: Int, subDim: Int, k: Int, centers: Seq[Seq[Seq[Double]]])
 
   /** Fit `m` subspace codebooks on a bounded, partitioning-stable
     * sample. The sample key is the hash of the EMBEDDING itself, so the
-    * keep-set is identical on any cluster layout and duplicate-heavy
-    * corpora can't starve the fit (distinct per subspace + k clamp, the
-    * MLlib random-init AIOOBE guard from [[IvfSearch.build]]). */
+    * keep-set is identical on any cluster layout; the collected sample
+    * is sorted and deduped per subspace before the seeded local
+    * kmeans++ fit, so the codebook is deterministic under any input
+    * partitioning (and duplicate-heavy corpora just clamp k to the
+    * distinct count instead of starving the init). */
   def fit(embeddings: DataFrame, embCol: String, m: Int, k: Int = 16,
-      seed: Long = 42L, fitSampleRows: Long = -1L, maxIter: Int = 10): Model = {
+      seed: Long = 42L, fitSampleRows: Long = -1L, maxIter: Int = 20): Model = {
     val base = embeddings.select(col(embCol).cast("array<double>").as("__e"))
     val dim = base.select(size(col("__e"))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -53,52 +54,119 @@ object ProductQuant {
         val keepPerM = math.max(1L, cap * 1000000L / n)
         base.filter(pmod(hash(col("__e"), lit(seed)), lit(1000000L)) < lit(keepPerM))
       }
-    val cached = fitInput.cache()
-    cached.count()
-    try {
-      val models = (0 until m).map { j =>
-        val sub = cached
-          .select(slice(col("__e"), j * subDim + 1, subDim).as("__s"))
-          .distinct()
-          .select(array_to_vector(col("__s")).as("__vec"))
-          .cache()
-        try {
-          val kFit = math.min(k.toLong, math.max(1L, sub.count())).toInt
-          // k-means|| init, unlike IvfSearch's random: every decode and
-          // ADC distance pays for codebook quality forever, the fit is
-          // bounded-sample and k is tiny, and random init's local optima
-          // (two codewords splitting one mode, another mode unmodeled)
-          // show up directly as reconstruction error
-          new KMeans().setK(kFit).setSeed(seed + j)
-            .setMaxIter(maxIter).setTol(1e-4)
-            .setFeaturesCol("__vec").setPredictionCol("__c")
-            .fit(sub)
-        } finally sub.unpersist()
+    val sample: Array[Array[Double]] = fitInput.collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot fit a codebook on an empty corpus")
+    val centers = (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+        .distinct
+        .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
+      localKMeans(sub, k, seed + j, maxIter).map(_.toSeq).toSeq
+    }
+    Model(m, subDim, k, centers)
+  }
+
+  private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Seeded kmeans++ init + Lloyd's iterations over a small in-memory
+    * point set (callers pass the SORTED, DEDUPED bounded sample — both
+    * make the result partitioning-independent). Empty clusters keep
+    * their previous center; converges early when assignments stop
+    * moving. */
+  private[llm] def localKMeans(points: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
+    val n = points.length
+    val kEff = math.min(k, n)
+    val rnd = new scala.util.Random(seed)
+    // kmeans++: next center ∝ squared distance to the nearest chosen one
+    val centers = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(n)).clone())
+    val dmin = Array.fill(n)(Double.MaxValue)
+    while (centers.length < kEff) {
+      var i = 0; var tot = 0.0
+      while (i < n) {
+        val d = sqdist(points(i), centers.last)
+        if (d < dmin(i)) dmin(i) = d
+        tot += dmin(i); i += 1
       }
-      Model(m, subDim, k, models)
-    } finally cached.unpersist()
+      if (tot == 0.0) return centers.toArray // all points already covered
+      var r = rnd.nextDouble() * tot
+      var idx = 0
+      while (idx < n - 1 && r >= dmin(idx)) { r -= dmin(idx); idx += 1 }
+      centers += points(idx).clone()
+    }
+    val assign = Array.fill(n)(-1)
+    var moved = true
+    var iter = 0
+    while (moved && iter < maxIter) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          val d = sqdist(points(i), centers(c))
+          if (d < bestD) { bestD = d; best = c } // strict <: first wins ties
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(centers.length)(new Array[Double](points(0).length))
+        val counts = new Array[Int](centers.length)
+        i = 0
+        while (i < n) {
+          val c = assign(i); counts(c) += 1
+          var d = 0
+          while (d < points(i).length) { sums(c)(d) += points(i)(d); d += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < centers.length) {
+          if (counts(c) > 0) {
+            var d = 0
+            while (d < sums(c).length) { centers(c)(d) = sums(c)(d) / counts(c); d += 1 }
+          } // empty cluster: keep the previous center
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    centers.toArray
+  }
+
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** Codegen'd nearest-codeword index for one subspace: fold over the
+    * codeword indices carrying (best index, best distance); strict <
+    * keeps the FIRST codeword on exact ties — the same rule as the
+    * local fit, so encode is deterministic everywhere. */
+  private def argminCode(sub: Column, codebook: Seq[Seq[Double]]): Column = {
+    val cb = typedLit(codebook)
+    aggregate(
+      sequence(lit(0), lit(codebook.length - 1)),
+      struct(lit(-1).as("i"), lit(Double.MaxValue).as("d")),
+      (acc, i) => {
+        val d = d2(sub, element_at(cb, i + 1))
+        when(d < acc.getField("d"), struct(i.as("i"), d.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("i"))
   }
 
   /** Add a `codesCol` array<int> of length m: the per-subspace nearest
-    * codewords. All `m` model transforms are lazy projections over the
-    * same row — Catalyst fuses them into one scan-shaped pass. */
+    * codewords — one scan-shaped projection, no shuffle, no UDF. */
   def encode(df: DataFrame, embCol: String, model: Model,
-      codesCol: String = "codes"): DataFrame = {
-    val withSubs = (0 until model.m).foldLeft(
-      df.withColumn("__e", col(embCol).cast("array<double>"))) { (d, j) =>
-      d.withColumn(s"__s$j",
-        array_to_vector(slice(col("__e"), j * model.subDim + 1, model.subDim)))
-    }
-    val coded = model.models.zipWithIndex.foldLeft(withSubs) { case (d, (km, j)) =>
-      // copy: setting input/output cols on the shared model would leak
-      // state across concurrent encodes
-      km.copy(ParamMap.empty).setFeaturesCol(s"__s$j").setPredictionCol(s"__c$j")
-        .transform(d)
-    }
-    coded
-      .withColumn(codesCol, array((0 until model.m).map(j => col(s"__c$j")): _*))
-      .drop("__e" +: (0 until model.m).flatMap(j => Seq(s"__s$j", s"__c$j")): _*)
-  }
+      codesCol: String = "codes"): DataFrame =
+    df.withColumn(codesCol, {
+      val e = col(embCol).cast("array<double>")
+      array((0 until model.m).map { j =>
+        argminCode(slice(e, j * model.subDim + 1, model.subDim), model.centers(j))
+      }: _*)
+    })
 
   /** Reconstruction of a codes column: codeword lookup per subspace,
     * concatenated — pure Column arithmetic over the codebook literal. */
@@ -106,9 +174,6 @@ object ProductQuant {
     concat((0 until model.m).map { j =>
       element_at(typedLit(model.centers(j)), element_at(codes, j + 1) + 1)
     }: _*)
-
-  private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
 
   /** Asymmetric-distance (ADC) top-k: queries stay full-precision, the
     * corpus is its codes — dist(q, v) ≈ Σ_j ‖q_j − codeword(code_j)‖².
