@@ -175,6 +175,44 @@ object ProductQuant {
       element_at(typedLit(model.centers(j)), element_at(codes, j + 1) + 1)
     }: _*)
 
+  /** IVF + PQ composed search — the production ANN end-state: the IVF
+    * index prunes candidates to the `nProbe` nearest inverted lists
+    * (per-query work ~nProbe/k of the corpus, [[IvfSearch.search]]'s
+    * argument) and ADC ranks the survivors over their CODES — the scan
+    * reads m small ints per row instead of the full float vector, so
+    * the probe working set is 32× smaller on top of the list pruning.
+    * `coded` must carry the IVF `cluster` column AND the PQ codes of
+    * the SAME corpus (build once: `encode(index.indexed, ...)`). */
+  def ivfAdcSearch(index: IvfSearch.Index, coded: DataFrame, idCol: String,
+      codesCol: String, queries: DataFrame, qIdCol: String, qEmbCol: String,
+      model: Model, nProbe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+    val q = queries.select(col(qIdCol).as("q_id"), col(qEmbCol).cast("array<double>").as("q_emb"))
+    // probe the nProbe nearest lists by the index's own metric
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("cluster"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_dist", d2(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wC))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val cbAll = typedLit(model.centers)
+    val dist = aggregate(
+      transform(sequence(lit(0), lit(model.m - 1)), j =>
+        d2(slice(col("q_emb"), j * model.subDim + 1, lit(model.subDim)),
+          element_at(element_at(cbAll, j + 1), element_at(col(codesCol), j + 1) + 1))),
+      lit(0.0), (acc, d) => acc + d)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
+    coded.join(broadcast(probes), Seq("cluster"))
+      .withColumn("adc_dist", round(dist, 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol).as("neighbor_id"), col("adc_dist"))
+  }
+
   /** Asymmetric-distance (ADC) top-k: queries stay full-precision, the
     * corpus is its codes — dist(q, v) ≈ Σ_j ‖q_j − codeword(code_j)‖².
     * The codebook rides along as a literal, the query set broadcasts

@@ -66,6 +66,31 @@ class ProductQuantSpec extends SparkSpec {
     adc.unpersist(); df.unpersist(); coded.unpersist()
   }
 
+  test("IVF+PQ composed search prunes lists AND ranks by quantized distance") {
+    val nClusters = 5
+    val df = corpus(nClusters, perCluster = 40)
+      .select(col("vec_id"), col("emb").as("embedding")).cache()
+    val index = IvfSearch.build(df, "vec_id", "embedding", k = nClusters, seed = 9L)
+    val pq = ProductQuant.fit(df, "embedding", m = 4, k = 8, seed = 9L)
+    val coded = ProductQuant.encode(index.indexed, "embedding", pq).cache()
+    val queries = df.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val res = ProductQuant.ivfAdcSearch(index, coded, "vec_id", "codes",
+      queries, "q_id", "q_emb", pq, nProbe = 1, topK = 10).cache()
+    // every query gets a full top-k from its probed list
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.length === nClusters && perQuery.forall(_.getLong(1) === 10))
+    // all neighbors from the query's own cluster (nProbe=1 on separated data)
+    val wrong = res.filter(
+      pmod(col("neighbor_id"), lit(nClusters)) =!= pmod(col("q_id"), lit(nClusters))).count()
+    assert(wrong === 0, s"$wrong neighbors leaked from unprobed clusters")
+    // the plan stays join-sane: cluster equi-join, no all-pairs scan
+    val p = res.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    res.unpersist(); coded.unpersist(); df.unpersist()
+    index.indexed.unpersist()
+  }
+
   test("duplicate-heavy corpora cannot starve the fit (k clamps to distinct points)") {
     val dup = (0 until 200).map(i => (i.toLong, Seq.fill(16)(if (i % 2 == 0) 1.0 else 5.0)))
       .toDF("vec_id", "emb") // only TWO distinct vectors
