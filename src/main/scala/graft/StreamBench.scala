@@ -17,11 +17,16 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *  - `baseline`: 100 rows/batch, fresh store — the r4/r5 number;
   *  - `rows1k`: 10× the batch rate — row-proportional work (score +
   *    attribution are scan-shaped) should move P95 far less than 10×;
-  *  - `aged`: a store carrying 50 batches of history, with the
-  *    auto-compaction knob on ([[ScoringStream.attach]] compactEvery) —
-  *    per-batch parquet dir listing grows with store history between
-  *    compactions, so this config is the one that drifts out of the SLO
-  *    if compaction is never wired in.
+  *  - `aged`: a store carrying 50 batches of history with the
+  *    auto-compaction knob on ([[ScoringStream.attach]] compactEvery).
+  *    Measured result worth recording: the WRITE path is
+  *    history-independent (P95 ≈245 ms at 50-batch history with
+  *    compaction OFF — see the `STREAMBENCH_AGED_NOCOMPACT` control in
+  *    [[main]] — the upsert writes one new dir and never lists the
+  *    others), so this config's job is to pin that in-loop compaction
+  *    itself stays inside the SLO; the listing cost history DOES grow
+  *    is the READ side (snapshot/point lookups), which compaction plus
+  *    the key-sorted snapshot bound.
   *
   * Methodology mirrors the batch bench: untimed warm-up batches (stream
   * start + codegen dominate the first trigger), then timed batches, P50 /
@@ -42,6 +47,9 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"STREAMBENCH ${run(spark)}")
+    // the control the `aged` config's compact_every defends against:
+    // same 50-batch history, compaction off — the listing-cost drift
+    println(s"STREAMBENCH_AGED_NOCOMPACT ${runConfig(spark, historyBatches = 50)}")
     spark.stop()
   }
 
