@@ -542,6 +542,90 @@ object LlmQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Overlapping token-window chunking — the RAG-ingestion primitive
+    * (split every document into fixed-size windows with overlap so no
+    * retrieval-relevant span straddles a chunk boundary unseen). Pure
+    * scan-shaped column work: one explode over per-doc window starts,
+    * chunk text hashed with the shared rolling hash so the oracle
+    * compares content exactly, partial tail windows kept (their token
+    * count says so). */
+  private val q117ChunkOverlap: Q = (s, dir) => {
+    val (size_, overlap) = (64, 16)
+    val step = size_ - overlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        posexplode(transform(
+          // drop a trailing window the PREVIOUS chunk already covered
+          // (it would be a strict subset — pure retrieval noise)
+          filter(sequence(lit(1), size(col("tk")), lit(step)),
+            st => st === 1 || st - step + (size_ - 1) < size(col("tk"))),
+          st => struct(
+            least(lit(size_), size(col("tk")) - st + 1).as("chunk_tokens"),
+            tokHash(array_join(slice(col("tk"), st, lit(size_)), " ")).as("chunk_hash"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("c.chunk_tokens").as("chunk_tokens"), col("c.chunk_hash").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): the exact counterpart of q37's approximate LSH near-dup.
+    * Tokens are ordered GLOBALLY rare-first (ascending document
+    * frequency, canonicalized as one sortable df-prefixed string key so
+    * both engines sort identically); two sets with Jaccard ≥ θ MUST
+    * share a token within their first |s| − ⌈θ·|s|⌉ + 1 tokens
+    * (pigeonhole), so the candidate join explodes ONLY that prefix —
+    * common tokens (huge posting lists) sit at the end of the ordering
+    * and never generate candidates, which is what caps the join fan-out
+    * at corpus scale (the df-cap reasoning of q75, made exact).
+    * Candidates pass the θ length filter and an exact Jaccard verify,
+    * both in integer cross-multiplied form — no float boundary, and
+    * ⌈0.8·len⌉ is `(4·len + 4) div 5`, never a float ceil.
+    *
+    * The similarity unit is the BIGRAM-shingle set — q37's space, so
+    * this is its exact twin (LSH recall vs exact enumeration over the
+    * same metric). Unigram sets were measured non-discriminative on
+    * this templated corpus (¼ of ALL pairs ≥ 0.8 at sf0.001 → 3M result
+    * rows at sf0.1); on shingles only genuine near-dups match, so the
+    * output — and the verify fan-out — stays proportional to the real
+    * duplicate density. */
+  private val q118SimJoinExact: Q = (s, dir) => {
+    // θ = 0.8 throughout, as integers: verify 5·inter ≥ 4·union;
+    // length filter 4·|a| ≤ 5·|b| ∧ 4·|b| ≤ 5·|a|
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk0"))
+      .filter(size(col("tk0")) >= 2)
+      .select(col("doc_id"), array_distinct(bigramsCol(col("tk0"))).as("tk"))
+    val toks = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val keyed = toks.join(dfTab, "tok")
+      .withColumn("k", concat(lpad(col("df").cast("string"), 10, "0"), col("tok")))
+      .groupBy(col("doc_id")).agg(array_sort(collect_list(col("k"))).as("ks"))
+      .withColumn("len", size(col("ks")))
+      .withColumn("plen", col("len") - expr("(len * 4 + 4) div 5") + 1)
+      .cache() // two consumers: prefix explode + verify join (runner clears)
+    val pref = keyed.select(col("doc_id"), col("len"),
+      explode(slice(col("ks"), lit(1), col("plen").cast("int"))).as("k"))
+    val cand = pref.select(col("doc_id").as("a"), col("len").as("la"), col("k"))
+      .join(pref.select(col("doc_id").as("b"), col("len").as("lb"), col("k")), "k")
+      .filter(col("a") < col("b") &&
+        col("la") * 4 <= col("lb") * 5 && col("lb") * 4 <= col("la") * 5)
+      .select("a", "b").distinct()
+    cand
+      .join(keyed.select(col("doc_id").as("a"), col("ks").as("ksa"), col("len").as("la")), "a")
+      .join(keyed.select(col("doc_id").as("b"), col("ks").as("ksb"), col("len").as("lb")), "b")
+      .withColumn("inter", size(array_intersect(col("ksa"), col("ksb"))))
+      .filter(col("inter") * 5 >= (col("la") + col("lb") - col("inter")) * 4)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("inter").cast("long").as("n_common"),
+        fpRound4(col("inter").cast("double")
+          / (col("la") + col("lb") - col("inter"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The composed corpus pipeline: quality gate (q33 formula) → exact
     * dedup (q30: min-id representative per content hash) →
     * decontamination (drop train docs the q75 sweep flags, and eval
@@ -1279,6 +1363,8 @@ object LlmQueries {
     "q75_contamination"   -> q75Contamination,
     "q115_window_decontam" -> q115WindowDecontam,
     "q116_temp_mixture"   -> q116TemperatureMixture,
+    "q117_chunk_overlap"  -> q117ChunkOverlap,
+    "q118_simjoin_exact"  -> q118SimJoinExact,
     "q76_repetition"      -> q76Repetition,
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
@@ -1345,6 +1431,49 @@ object LlmQueries {
          |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_windows
          |FROM t2 JOIN e USING (h) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // q117: outer lambda var `st` (duckTokHash binds `i` internally —
+    // the q115 shadowing rule); DuckDB range excludes its stop, list
+    // slicing clamps like Spark's slice
+    "q117_chunk_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |d AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM toks WHERE len(tk) >= 1),
+         |c AS (SELECT doc_id, n_tokens,
+         |    list_transform(
+         |      list_filter(range(1, n_tokens + 1, 48),
+         |        st -> st = 1 OR st - 48 + 63 < n_tokens),
+         |      st -> struct_pack(
+         |        chunk_tokens := least(64, n_tokens - st + 1),
+         |        chunk_hash := ${duckTokHash("array_to_string(tk[st:st+63], ' ')")})) AS cs
+         |  FROM d)
+         |SELECT doc_id, generate_subscripts(cs, 1) - 1 AS chunk_idx, n_tokens,
+         |  CAST(unnest(cs).chunk_tokens AS INTEGER) AS chunk_tokens,
+         |  unnest(cs).chunk_hash AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q118: the oracle replicates the SAME prefix-filter algebra (the
+    // q37 precedent for sketch pipelines); exactness vs brute force is
+    // spec-pinned on the full sf0.001 corpus. Integer θ gates only.
+    "q118_simjoin_exact" ->
+      s"""WITH toks0 AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |docs AS (SELECT doc_id, list_distinct($duckBigrams) AS tk
+         |  FROM toks0 WHERE len(tk) >= 2),
+         |t AS (SELECT doc_id, unnest(tk) AS tok FROM docs),
+         |dfr AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+         |keyed AS (SELECT doc_id,
+         |    list_sort(list(lpad(df::VARCHAR, 10, '0') || tok)) AS ks
+         |  FROM t JOIN dfr USING (tok) GROUP BY doc_id),
+         |k2 AS (SELECT doc_id, ks, len(ks) AS l,
+         |    len(ks) - ((len(ks) * 4 + 4) // 5) + 1 AS plen FROM keyed),
+         |pref AS (SELECT doc_id, l, unnest(ks[1:plen]) AS k FROM k2),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+         |    AND a.l * 4 <= b.l * 5 AND b.l * 4 <= a.l * 5),
+         |v AS (SELECT da, db, x.l AS la, y.l AS lb,
+         |    len(list_intersect(x.ks, y.ks)) AS inter
+         |  FROM cand JOIN k2 x ON x.doc_id = da JOIN k2 y ON y.doc_id = db)
+         |SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS n_common,
+         |  ${fpRound4Sql("inter::DOUBLE / (la + lb - inter)")} AS jaccard
+         |FROM v WHERE inter * 5 >= (la + lb - inter) * 4
+         |ORDER BY 1, 2""".stripMargin,
     // q116: sqrt is correctly-rounded IEEE in both engines (general pow
     // is not); all float ops are per-row, no cross-row float sums
     "q116_temp_mixture" ->
