@@ -1307,6 +1307,45 @@ object LlmQueries {
       .toDF("first_a", "first_b", "n_merges", "merges_distinct")
   }
 
+  /** Tokenizer END-TO-END: train 8 merges on the corpus (q111's
+    * pipeline), then ENCODE the word table with them
+    * ([[TextOps.bpeApply]] — the same greedy-leftmost fold the training
+    * rounds use) and gate the properties a correct encoder cannot
+    * violate: segmentation CONSERVES every word (concat of symbols ==
+    * word), the corpus strictly COMPRESSES (each trained merge fired ≥2
+    * times in training, so weighted symbol count < weighted char
+    * count), and the emitted vocabulary is CLOSED (every multi-char
+    * symbol is a trained merge product). The word count restates from
+    * the base table; the merge list itself is data-dependent, hence the
+    * invariant-flag pattern. */
+  private val q119BpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache() // train + encode consumers (runner clears)
+    try {
+      val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 8)
+      val products = merges.map { case (a, b) => a + b }
+      val st = words
+        .withColumn("syms", TextOps.bpeApply(col("w"), merges))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(when(concat_ws("", col("syms")) =!= col("w"), 1L).otherwise(0L)).as("broken"),
+          sum(col("freq") * length(col("w"))).as("tot_chars"),
+          sum(col("freq") * size(col("syms"))).as("tot_syms"),
+          sum(size(filter(col("syms"), sym => length(sym) > 1 &&
+            !array_contains(typedLit(products), sym)))).as("foreign"))
+        .head()
+      Seq((
+        st.getLong(0),
+        if (st.getLong(1) == 0L) 1 else 0,
+        if (st.getLong(3) < st.getLong(2)) 1 else 0,
+        if (st.getLong(4) == 0L) 1 else 0
+      )).toDF("n_words", "conserved", "compressed", "vocab_closed")
+    } finally words.unpersist()
+  }
+
   /** Token-rarity scoring — the unigram-LM quality signal (rare-token
     * density flags gibberish and OCR noise; all-common-token docs are
     * boilerplate-ish), kept RATIONAL (mean/min of integer document
@@ -1365,6 +1404,7 @@ object LlmQueries {
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q118_simjoin_exact"  -> q118SimJoinExact,
+    "q119_bpe_encode"     -> q119BpeEncode,
     "q76_repetition"      -> q76Repetition,
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
@@ -1474,6 +1514,12 @@ object LlmQueries {
          |  ${fpRound4Sql("inter::DOUBLE / (la + lb - inter)")} AS jaccard
          |FROM v WHERE inter * 5 >= (la + lb - inter) * 4
          |ORDER BY 1, 2""".stripMargin,
+    // q119: the merge list is data-dependent (trained), so the encode
+    // gates are invariant flags; the word count restates from the table
+    "q119_bpe_encode" ->
+      s"""SELECT CAST((SELECT count(DISTINCT t) FROM
+         |    (SELECT unnest($duckToks) AS t FROM documents) u) AS BIGINT) AS n_words,
+         |  1 AS conserved, 1 AS compressed, 1 AS vocab_closed""".stripMargin,
     // q116: sqrt is correctly-rounded IEEE in both engines (general pow
     // is not); all float ops are per-row, no cross-row float sums
     "q116_temp_mixture" ->

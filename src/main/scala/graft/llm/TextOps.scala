@@ -140,6 +140,30 @@ object TextOps {
     } finally syms.unpersist()
   }
 
+  /** Apply a TRAINED merge sequence to a word column — the encode half
+    * of the tokenizer ([[bpeTrain]] is the train half): split to
+    * characters, then one greedy-leftmost fold per merge, in training
+    * order — the exact expression the distributed training rounds use,
+    * so encode(w) is definitionally consistent with the merges. All
+    * codegen'd Column arithmetic, no UDF.
+    *
+    * The expression tree grows linearly with the merge count — right
+    * for bounded lists (the oracle-gated path trains 8). A production
+    * 32k-merge vocabulary wants the mapPartitions route instead (a trie
+    * tokenizer built once per partition from the broadcast merge list —
+    * the [[graft.llm.Multimodal]] typed-contract precedent), not a
+    * 32k-deep expression. */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = filter(split(word, ""), c => c =!= lit(""))
+    merges.foldLeft(chars) { case (syms, (a, b)) =>
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(
+          try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    }
+  }
+
   /** Spark string ordering is binary over UTF-8 bytes; the local argmax
     * must break count ties identically or the two paths diverge on the
     * first tie. (UTF-16 `String.compareTo` disagrees for supplementary

@@ -33,6 +33,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges === Seq(("x", "y")))
   }
 
+  test("bpeApply encodes with trained merges: conservation + classic segmentation") {
+    import org.apache.spark.sql.functions._
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug")) // the classic result
+    val df = Seq("hug", "hugs", "pun", "pug", "bun", "xyz")
+      .toDF("w")
+      .withColumn("syms", TextOps.bpeApply(col("w"), merges))
+    val out = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("hug") === Seq("hug"))
+    assert(out("hugs") === Seq("hug", "s"))
+    assert(out("pun") === Seq("p", "un"))
+    assert(out("pug") === Seq("p", "ug"))
+    assert(out("xyz") === Seq("x", "y", "z")) // untouched word stays chars
+    // conservation over every word
+    assert(df.filter(concat_ws("", col("syms")) =!= col("w")).count() === 0)
+  }
+
   test("local and distributed paths produce the identical merge sequence") {
     // deterministic pseudo-random corpus over a small alphabet so merges
     // chain deeply and ties occur (the tie-break is where paths diverge
