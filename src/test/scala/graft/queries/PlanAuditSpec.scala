@@ -154,6 +154,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q118: prefix-filtered sim-join is hash equi-joins only, never all-pairs") {
+    val p = planOf("q118_simjoin_exact")
+    assert(!p.contains("CartesianProduct"), s"sim-join degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), s"expected hash equi-joins (candidates + verify):\n$p")
+  }
+
+  test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
+    // the 100 TB shape for metadata-only questions: with pushdown on,
+    // the scan node carries PushedAggregation and reads NO data pages.
+    // Aggregate pushdown lives in the V2 parquet reader only, so route
+    // parquet off the V1 list for the duration of the pin.
+    val pairs = Seq(
+      "spark.sql.parquet.aggregatePushDown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.max("l_orderkey"),
+          org.apache.spark.sql.functions.count("*"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation"),
+        s"aggregate not pushed to the parquet footer:\n$p")
+      assert(df.head().getLong(1) > 0) // and it still answers
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan+filter+project hot path") {
     // executedPlan.toString renders codegen stages as "*(n) Op"
     val p = planOf("q01_pruned_scan")
