@@ -78,21 +78,24 @@ object EmbedLsh {
     when(dot(emb, wArr) > 0, lit(1L << b)).otherwise(lit(0L))
   }
 
-  /** (vec_id, band_id, bkey) — `NumBands` band keys of `bits`
-    * hyperplane signs each, band `t` drawing planes t·BandMaxBits+b so
-    * widths can grow without re-using another band's planes. Only the
-    * 3 small columns cross the band-join shuffle; embeddings join back
+  /** The band-key kernel as a struct-array column — for callers that
+    * must keep their own id/payload columns alongside the keys (the
+    * streaming ingest gate): `NumBands` structs of (band_id, bkey),
+    * band `t` drawing planes t·BandMaxBits+b so widths can grow
+    * without re-using another band's planes. */
+  def bandKeyArray(emb: Column, bits: Int): Column =
+    array((0 until NumBands).map { t =>
+      struct(lit(t).as("band_id"),
+        (0 until bits).map(b => signBit(emb, t * BandMaxBits + b, b))
+          .reduce(_ + _).as("bkey"))
+    }: _*)
+
+  /** (vec_id, band_id, bkey) — [[bandKeyArray]] exploded. Only the 3
+    * small columns cross the band-join shuffle; embeddings join back
     * after candidate dedup. */
-  def bandKeys(e: DataFrame, bits: Int): DataFrame = {
-    def bkey(t: Int): Column =
-      (0 until bits).map(b => signBit(col("emb"), t * BandMaxBits + b, b)).reduce(_ + _)
-    e.select(
-      col("vec_id"),
-      explode(array((0 until NumBands).map { t =>
-        struct(lit(t).as("band_id"), bkey(t).as("bkey"))
-      }: _*)).as("b"))
+  def bandKeys(e: DataFrame, bits: Int): DataFrame =
+    e.select(col("vec_id"), explode(bandKeyArray(col("emb"), bits)).as("b"))
       .select(col("vec_id"), col("b.band_id"), col("b.bkey"))
-  }
 
   /** Distinct candidate pairs sharing ≥1 band key — ALWAYS an equi-join
     * on (band_id, bkey), never a cross product. */

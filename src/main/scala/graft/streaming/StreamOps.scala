@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -117,6 +117,48 @@ object StreamOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"), col("n_shared"))
+
+  /** Streaming EMBEDDING near-dup gate — the q57 detector applied at
+    * ingest time (the embedding-space twin of [[contaminationGate]]):
+    * a STATIC index of [[graft.llm.EmbedLsh]] band keys over the known
+    * corpus, probed by each arriving doc's band keys through a
+    * stream-static equi-join on (band_id, bkey); candidates verify by
+    * exact cosine ≥ `threshold`. Per-row work is stateless projection;
+    * the one stateful operator is the windowed per-doc aggregate whose
+    * window key the watermark evicts (the contaminationGate state
+    * story — no unbounded per-doc state).
+    *
+    * `n_band_hits` counts (candidate × matching band) — a pair landing
+    * in several bands counts once per band. The GATE decision
+    * (`max_cos` ≥ threshold — any verified near-dup) is band-count
+    * independent; keeping the count band-inflated avoids a second
+    * stateful dedup operator in the chain. At scale the index side
+    * stays cheap: band keys are 3 small columns and index embeddings
+    * join in only for candidate rows. */
+  def embeddingDupGate(docs: DataFrame, index: DataFrame, bits: Int,
+      threshold: Double, lateness: String,
+      windowLen: String = "10 minutes"): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val banded = graft.llm.EmbedLsh.bandKeys(index, bits)
+      .join(index.select(col("vec_id"), col("emb").as("idx_emb")), Seq("vec_id"))
+    val probes = docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"), col("emb"),
+        explode(graft.llm.EmbedLsh.bandKeyArray(col("emb"), bits)).as("b"))
+      .select(col("doc_id"), col("ts"), col("emb"), col("b.band_id"), col("b.bkey"))
+    val cos = dot(col("emb"), col("idx_emb")) /
+      sqrt(dot(col("emb"), col("emb")) * dot(col("idx_emb"), col("idx_emb")))
+    probes.join(banded, Seq("band_id", "bkey")) // stream-static equi-join
+      // zero-norm guard FIRST: ANSI mode raises on 0/0, and a zero
+      // vector can never be a near-dup anyway
+      .filter(dot(col("emb"), col("emb")) > 0 && dot(col("idx_emb"), col("idx_emb")) > 0)
+      .withColumn("cos", cos)
+      .filter(col("cos") >= threshold)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_band_hits"), max(col("cos")).as("max_cos"))
+      .select(col("doc_id"), col("n_band_hits"), round(col("max_cos"), 4).as("max_cos"))
+  }
 
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.9; the
     * engine-level analogue of Celery's per-task attempt bookkeeping,

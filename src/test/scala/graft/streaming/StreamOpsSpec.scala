@@ -125,6 +125,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding near-dup gate flags same-direction arrivals, passes orthogonal ones") {
+    implicit val sqlCtx = spark.sqlContext
+    def oneHot(d: Int, scale: Double) = Seq.tabulate(64)(i => if (i == d) scale else 0.0)
+    val index = Seq((10L, oneHot(0, 2.0)), (11L, oneHot(1, 1.0)), (12L, oneHot(2, 3.0)))
+      .toDF("vec_id", "emb")
+    val input = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val stream = input.toDF().toDF("ts", "doc_id", "emb")
+    val q = StreamOps.embeddingDupGate(stream, index, bits = 4,
+      threshold = 0.9, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("embgate_test").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), 1L, oneHot(0, 5.0)),   // same direction as vec 10 -> cos 1 -> flagged
+        (ts(2), 2L, oneHot(7, 1.0)),   // orthogonal to the whole index -> clean
+        (ts(3), 3L, oneHot(1, 1.0).updated(5, 0.01))) // vec 11 + tiny noise -> flagged
+      q.processAllAvailable()
+      val flagged = spark.table("embgate_test").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(flagged.keySet === Set(1L, 3L), s"gate flagged $flagged")
+      assert(flagged(1L) === 1.0)
+      assert(flagged(3L) > 0.99)
+    } finally q.stop()
+  }
+
   test("in-stream dedup by content fingerprint emits each key once (ST3 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
