@@ -32,6 +32,10 @@ object ProductQuant {
   /** centers(j)(c) = codeword c of subspace j. */
   final case class Model(m: Int, subDim: Int, k: Int, centers: Seq[Seq[Seq[Double]]])
 
+  /** Hard cap on sample values (rows × dims ≈ 128 MB of doubles) the
+    * driver-local fit will collect. */
+  val MaxFitValues: Long = 1L << 24
+
   /** Fit `m` subspace codebooks on a bounded, partitioning-stable
     * sample. The sample key is the hash of the EMBEDDING itself, so the
     * keep-set is identical on any cluster layout; the collected sample
@@ -47,6 +51,15 @@ object ProductQuant {
     require(k > 0, s"codewords per subspace must be positive: $k")
     val subDim = dim / m
     val cap = if (fitSampleRows > 0) fitSampleRows else 512L * k
+    // the driver-local fit's own scale guard (the Smote broadcast-guard
+    // precedent): the collected sample must actually fit on the driver.
+    // 512·k rows is fine for codebook-sized k; a caller asking for a
+    // huge k must size fitSampleRows deliberately — quality saturates
+    // at a few hundred points per codeword anyway.
+    require(cap * dim <= MaxFitValues,
+      s"PQ fit sample would collect $cap rows × $dim dims > $MaxFitValues values " +
+        "to the driver — pass a smaller fitSampleRows (a few hundred rows per " +
+        "codeword saturates codebook quality)")
     val n = base.count()
     val fitInput =
       if (n <= cap) base

@@ -134,7 +134,9 @@ object StreamOps {
     * independent; keeping the count band-inflated avoids a second
     * stateful dedup operator in the chain. At scale the index side
     * stays cheap: band keys are 3 small columns and index embeddings
-    * join in only for candidate rows. */
+    * join in only for candidate rows. A stream-static join re-evaluates
+    * the static plan per micro-batch — pass a CACHED `index` frame so the
+    * per-batch cost is the band-key projection, not a re-scan. */
   def embeddingDupGate(docs: DataFrame, index: DataFrame, bits: Int,
       threshold: Double, lateness: String,
       windowLen: String = "10 minutes"): DataFrame = {
