@@ -85,6 +85,25 @@ object LlmQueries {
   /** DuckDB form of [[TextOps.quality]] over a `tk` token-list column. */
   private val duckQuality: String = fpRound4Sql(
     "least(1.0, len(tk) / 100.0) * 0.5 + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5")
+  /** Shared chunk CTE (`chunks(doc_id, chunk_idx, n_tokens,
+    * chunk_tokens, chunk_hash)`) for q117/q120 — mirrors
+    * [[chunkFrame]] exactly (64-token windows, stride 48,
+    * covered-trailing-window dropped). */
+  private lazy val duckChunksCTE: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |d AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM toks WHERE len(tk) >= 1),
+       |c AS (SELECT doc_id, n_tokens,
+       |    list_transform(
+       |      list_filter(range(1, n_tokens + 1, 48),
+       |        st -> st = 1 OR st - 48 + 63 < n_tokens),
+       |      st -> struct_pack(
+       |        chunk_tokens := least(64, n_tokens - st + 1),
+       |        chunk_hash := ${duckTokHash("array_to_string(tk[st:st+63], ' ')")})) AS cs
+       |  FROM d),
+       |chunks AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS chunk_idx, n_tokens,
+       |  CAST(unnest(cs).chunk_tokens AS INTEGER) AS chunk_tokens,
+       |  unnest(cs).chunk_hash AS chunk_hash FROM c)""".stripMargin
+
   /** Shared SimHash CTE chain (`sim(doc_id, simhash)`) for q36/q90. */
   private lazy val duckSimhashCTE: String = {
     val bits = (0 until SimBits).map(b =>
@@ -549,7 +568,9 @@ object LlmQueries {
     * chunk text hashed with the shared rolling hash so the oracle
     * compares content exactly, partial tail windows kept (their token
     * count says so). */
-  private val q117ChunkOverlap: Q = (s, dir) => {
+  /** The q117/q120 chunk frame: (doc_id, chunk_idx, n_tokens,
+    * chunk_tokens, chunk_hash), unordered. */
+  private def chunkFrame(s: SparkSession, dir: String): DataFrame = {
     val (size_, overlap) = (64, 16)
     val step = size_ - overlap
     Tables.documents(s, dir)
@@ -567,7 +588,32 @@ object LlmQueries {
           .as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
         col("c.chunk_tokens").as("chunk_tokens"), col("c.chunk_hash").as("chunk_hash"))
+  }
+
+  private val q117ChunkOverlap: Q = (s, dir) =>
+    chunkFrame(s, dir).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The composed RAG-ingestion pipeline (the q85 pattern over the new
+    * operators): chunk the corpus (q117's frame) → exact chunk-level
+    * dedup (first (doc_id, chunk_idx) wins per hash — chunk-granular
+    * q30) → chunk-level DECONTAMINATION (drop train chunks whose hash
+    * appears in any eval doc's chunks, doc_id % 10 — q115's split at
+    * chunk granularity) → per-doc rollup of what survives. One lazy
+    * plan; every stage is an operator a standalone query verifies. */
+  private val q120RagPipeline: Q = (s, dir) => {
+    val chunks = chunkFrame(s, dir)
+    val evalHashes = chunks.filter(col("doc_id") % 10 === 0)
+      .select(col("chunk_hash")).distinct()
+    val w = Window.partitionBy(col("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(evalHashes, Seq("chunk_hash"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).cast("long").as("kept_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** EXACT set-similarity self-join with prefix filtering (the
@@ -1403,6 +1449,7 @@ object LlmQueries {
     "q115_window_decontam" -> q115WindowDecontam,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
+    "q120_rag_pipeline"   -> q120RagPipeline,
     "q118_simjoin_exact"  -> q118SimJoinExact,
     "q119_bpe_encode"     -> q119BpeEncode,
     "q76_repetition"      -> q76Repetition,
@@ -1475,20 +1522,20 @@ object LlmQueries {
     // the q115 shadowing rule); DuckDB range excludes its stop, list
     // slicing clamps like Spark's slice
     "q117_chunk_overlap" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |d AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM toks WHERE len(tk) >= 1),
-         |c AS (SELECT doc_id, n_tokens,
-         |    list_transform(
-         |      list_filter(range(1, n_tokens + 1, 48),
-         |        st -> st = 1 OR st - 48 + 63 < n_tokens),
-         |      st -> struct_pack(
-         |        chunk_tokens := least(64, n_tokens - st + 1),
-         |        chunk_hash := ${duckTokHash("array_to_string(tk[st:st+63], ' ')")})) AS cs
-         |  FROM d)
-         |SELECT doc_id, generate_subscripts(cs, 1) - 1 AS chunk_idx, n_tokens,
-         |  CAST(unnest(cs).chunk_tokens AS INTEGER) AS chunk_tokens,
-         |  unnest(cs).chunk_hash AS chunk_hash
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""$duckChunksCTE
+         |SELECT * FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q120: the composed RAG pipeline over the q117 chunk frame
+    "q120_rag_pipeline" ->
+      s"""$duckChunksCTE,
+         |ev AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 10 = 0),
+         |reps AS (SELECT doc_id, chunk_tokens, chunk_hash,
+         |    row_number() OVER (PARTITION BY chunk_hash
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks WHERE doc_id % 10 <> 0)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(chunk_tokens) AS BIGINT) AS kept_tokens
+         |FROM reps WHERE rn = 1 AND chunk_hash NOT IN (SELECT chunk_hash FROM ev)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q118: the oracle replicates the SAME prefix-filter algebra (the
     // q37 precedent for sketch pipelines); exactness vs brute force is
     // spec-pinned on the full sf0.001 corpus. Integer θ gates only.
