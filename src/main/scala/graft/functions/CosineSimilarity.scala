@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (children: Seq[Expression]) => SqDist(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))

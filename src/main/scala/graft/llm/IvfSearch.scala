@@ -131,9 +131,8 @@ object IvfSearch {
     // rank centroids per query; keep the nProbe nearest lists
     val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("cluster"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", aggregate(
-        zip_with(col("q_emb"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d2) => acc + d2))
+      .withColumn("c_dist",
+        call_function("sq_dist", col("q_emb"), col("centroid")))
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))

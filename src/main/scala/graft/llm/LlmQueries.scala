@@ -1022,8 +1022,8 @@ object LlmQueries {
     try {
       val pq = ProductQuant.fit(e, "emb", m = m, k = k)
       val subDim = pq.subDim
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+      // the same native kernel encode's argmin uses — bit-identical
+      def d2(a: Column, b: Column): Column = call_function("sq_dist", a, b)
       // EXACT optimality: encode's argmin and this recomputation use the
       // same d2 expression over the same codebook literal, so the
       // assigned subdistance must EQUAL the subspace minimum bit-for-bit

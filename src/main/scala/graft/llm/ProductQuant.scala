@@ -151,8 +151,11 @@ object ProductQuant {
     centers.toArray
   }
 
+  /** Native fused squared distance ([[graft.functions.SqDist]] —
+    * codegen'd, allocation-free; identical accumulation order to the
+    * HOF fold it replaced). Requires the GraftExtensions session. */
   private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    call_function("sq_dist", a, b)
 
   /** Codegen'd nearest-codeword index for one subspace: fold over the
     * codeword indices carrying (best index, best distance); strict <
