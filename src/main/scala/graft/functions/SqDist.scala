@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * codegen inlines.
   *
   * Accumulation order is the same sequential left-to-right as the fold
-  * it replaces, so swapping call sites cannot move a single bit of any
-  * oracle-checked result. Mismatched lengths yield NULL (the
+  * it replaces — bit-identical on arrays of non-null doubles, which is
+  * what every call site feeds it. Null-ELEMENT contract differs from
+  * the fold and matches [[CosineSimilarity]]: a null element reads as
+  * 0.0 (`getDouble` on a null slot), where the HOF fold would yield
+  * NULL for the whole distance. Mismatched lengths yield NULL (the
   * cosine_sim contract: malformed input is a detectable absence). */
 case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -1,8 +1,8 @@
 package graft.llm
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,11 +16,21 @@ import org.apache.spark.sql.functions._
   * ~`nProbe/k` of the corpus instead of all of it. At 100 TB the
   * inverted lists are just a `cluster` column — probing is a hash join
   * on cluster id against a broadcast query set, and the corpus can
-  * additionally be partitioned/bucketed by cluster for locality.
+  * additionally be partitioned/bucketed by cluster for locality
+  * ([[save]] does exactly that, so a loaded index prunes unprobed lists
+  * at the parquet-partition level).
+  *
+  * The index is deliberately MLlib-free in its representation: centers
+  * are plain `Seq[Seq[Double]]`, which makes the artifact persistable as
+  * a k-row parquet table ([[save]]/[[load]]) — at 100 TB the index is
+  * built once and served for weeks, so the centroids + the assigned
+  * corpus ARE the index, not a session-lifetime object.
   */
 object IvfSearch {
 
-  final case class Index(model: KMeansModel, indexed: DataFrame)
+  /** `centers(c)` = centroid of inverted list c; `indexed` = the corpus
+    * with its `cluster` assignment column. */
+  final case class Index(centers: Seq[Seq[Double]], indexed: DataFrame)
 
   /** Adaptive list-count defaults: size k to the corpus so per-probe
     * list scans stay ~constant as data grows (the same failure family
@@ -33,6 +43,11 @@ object IvfSearch {
   val MinK = 4
   val MaxK = 65536
 
+  /** Largest k the driver-local fit path serves: beyond this the
+    * centroid literal embedded in the assignment expression stops being
+    * plan-sized and the distributed MLlib fit takes over. */
+  val MaxLocalFitK = 4096
+
   def adaptiveK(n: Long, targetListRows: Long = TargetListRows,
       lo: Int = MinK, hi: Int = MaxK): Int = {
     require(targetListRows > 0, s"targetListRows must be positive: $targetListRows")
@@ -40,7 +55,25 @@ object IvfSearch {
     math.min(hi.toLong, math.max(lo.toLong, raw)).toInt
   }
 
-  /** Build the IVF index: fit KMeans(k) on a BOUNDED SAMPLE and tag
+  /** Nearest-centroid index over the centroid literal — the
+    * [[ProductQuant]] argmin shape at full vector width: fold over the
+    * centroid indices carrying (best index, best distance); strict <
+    * keeps the FIRST centroid on exact ties, so assignment is
+    * deterministic under any partitioning. The inner distance is the
+    * native codegen'd `sq_dist` kernel. */
+  private[llm] def argminCenter(emb: Column, centers: Seq[Seq[Double]]): Column = {
+    val cb = typedLit(centers)
+    aggregate(
+      sequence(lit(0), lit(centers.length - 1)),
+      struct(lit(-1).as("i"), lit(Double.MaxValue).as("d")),
+      (acc, i) => {
+        val d = call_function("sq_dist", emb, element_at(cb, i + 1))
+        when(d < acc.getField("d"), struct(i.as("i"), d.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("i"))
+  }
+
+  /** Build the IVF index: fit k centroids on a BOUNDED SAMPLE and tag
     * every row with its nearest list in one assignment pass.
     *
     * The quantizer fit never touches the full corpus: iterative KMeans
@@ -50,52 +83,119 @@ object IvfSearch {
     * by a DETERMINISTIC hash of the id (a seeded .sample() would pick
     * different rows under different partitioning; the hash keep-set is
     * stable on any cluster layout). At the test SFs the cap exceeds the
-    * corpus, so every row trains and behaviour is unchanged. The sampled
-    * fit input is collected-free and cached only for the fit passes;
-    * assignment over the corpus is the model's single transform pass.
+    * corpus, so every row trains.
+    *
+    * HYBRID fit execution (the [[TextOps.bpeTrain]] / [[ProductQuant]]
+    * argument): an iterative fit on BOUNDED data should collect once
+    * and loop driver-local — an MLlib KMeans fit is init + maxIter
+    * distributed rounds of tiny-job scheduling overhead for a sample
+    * that fits in one driver array. When the sample cap and k are
+    * plan-sized (k ≤ [[MaxLocalFitK]], cap·dim ≤
+    * [[ProductQuant.MaxFitValues]]) the DISTINCT sample is collected
+    * ONCE, sorted (partitioning-independent), and fit with the same
+    * seeded kmeans++/Lloyd loop the PQ codebooks use; assignment is a
+    * codegen-friendly argmin over the centroid literal — one
+    * scan-shaped projection, no shuffle. A k beyond driver reach (the
+    * adaptive formula can choose 65536 lists at 10⁹ vectors) falls back
+    * to the distributed MLlib fit + model transform.
+    *
+    * Both paths fit on DISTINCT points only: duplicate points add
+    * nothing to a quantizer, can starve k-center inits (MLlib's random
+    * init dedups its sampled centers and then crashes the block
+    * aggregator when fewer than k survive), and a dedup corpus makes
+    * exact duplicates a first-class hazard (SemDedup NORMALIZES scaled
+    * copies into identical points). k clamps to the distinct count.
     *
     * `k = -1` (the default callers should prefer) sizes the list count
     * to the corpus via [[adaptiveK]]; a positive k pins it. */
   def build(embeddings: DataFrame, idCol: String, embCol: String,
       k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L,
       targetListRows: Long = TargetListRows, maxIter: Int = 10): Index = {
-    val vecs = embeddings.select(
-      col(idCol), col(embCol),
-      array_to_vector(col(embCol)).as("__vec"))
-    val n = vecs.count()
+    val vecs = embeddings.select(col(idCol), col(embCol))
+    // one job for both sizing facts (row count, vector width)
+    val st = vecs.agg(count(lit(1)), max(size(col(embCol)))).head()
+    val n = st.getLong(0)
+    require(n > 0, "cannot build an IVF index over an empty corpus")
+    val dim = st.getInt(1)
     val kEff = if (k > 0) k else adaptiveK(n, targetListRows)
     val cap = if (fitSampleRows > 0) fitSampleRows else 512L * kEff
     val fitInput =
       if (n <= cap) vecs
       else {
-        // keep ≈cap rows: hash the id into [0, 1e6) and keep the low slice
-        val keepPerM = math.max(1L, cap * 1000000L / n)
-        vecs.filter(pmod(hash(col(idCol), lit(seed)), lit(1000000L)) < lit(keepPerM))
+        // keep ≈cap rows: hash the id into [0, 1e9) and keep the low
+        // slice — the fine modulus keeps the keep-rate resolution high
+        // enough that the EXPECTED collected rows stay ≤ cap until
+        // n > cap·1e9 (the ProductQuant.fit discipline)
+        val keepPerB = math.max(1L, cap * 1000000000L / n)
+        vecs.filter(pmod(hash(col(idCol), lit(seed)), lit(1000000000L)) < lit(keepPerB))
       }
-    // fit on DISTINCT points only: MLlib's random init samples k rows
-    // and dedups them, so duplicate-heavy data can yield FEWER than k
-    // centers — the block aggregator then crashes (AIOOBE: "Index k-1
-    // out of bounds"). A dedup corpus makes this a first-class hazard
-    // (SemDedup NORMALIZES scaled copies into exact duplicates), and
-    // duplicate points add nothing to a quantizer fit anyway. The
-    // distinct runs on the already-capped sample, so the shuffle is
-    // bounded; k additionally clamps to the distinct count.
-    val cached = fitInput.select(col(embCol)).distinct()
-      .select(array_to_vector(col(embCol)).as("__vec")).cache()
-    val nDistinctFit = cached.count()
-    val kFit = math.min(kEff.toLong, math.max(1L, nDistinctFit)).toInt
-    // random init (one pass) + bounded iterations: an IVF index needs
-    // roughly-balanced lists, not converged centroids — kmeans|| init and
-    // 20 default iterations would cost ~25 passes over the fit sample
-    // for no recall gain at the nProbe values this index serves
-    val model = new KMeans().setK(kFit).setSeed(seed)
-      .setInitMode("random").setMaxIter(maxIter).setTol(1e-3)
-      .setFeaturesCol("__vec").setPredictionCol("cluster")
-      .fit(cached)
-    val indexed = model.transform(vecs).drop("__vec").cache()
-    indexed.count() // materialize the index, then release the fit-time cache
-    cached.unpersist()
-    Index(model, indexed)
+    val distinctEmb = fitInput.select(col(embCol)).distinct()
+    val centers: Seq[Seq[Double]] =
+      if (kEff <= MaxLocalFitK && cap * dim <= ProductQuant.MaxFitValues) {
+        // driver-local path: the distinct sample is bounded by
+        // construction (≈cap rows × dim values, guarded above), so
+        // collect ONCE and run the seeded local fit — sorted first so
+        // the codebook is identical on any cluster layout
+        val sample = distinctEmb.collect().map(_.getSeq[Double](0).toArray)
+          .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
+        ProductQuant.localKMeans(sample, kEff, seed, maxIter)
+          .map(_.toSeq).toSeq
+      } else {
+        // distributed fallback: k (and so the sample) is beyond what a
+        // driver array or a plan literal should hold
+        val cached = distinctEmb.select(array_to_vector(col(embCol)).as("__vec")).cache()
+        val nDistinctFit = cached.count()
+        val kFit = math.min(kEff.toLong, math.max(1L, nDistinctFit)).toInt
+        // random init (one pass) + bounded iterations: an IVF index needs
+        // roughly-balanced lists, not converged centroids — kmeans|| init
+        // and 20 default iterations would cost ~25 passes over the fit
+        // sample for no recall gain at the nProbe values this index serves
+        val model = new KMeans().setK(kFit).setSeed(seed)
+          .setInitMode("random").setMaxIter(maxIter).setTol(1e-3)
+          .setFeaturesCol("__vec").setPredictionCol("cluster")
+          .fit(cached)
+        cached.unpersist()
+        model.clusterCenters.map(_.toArray.toSeq).toSeq
+      }
+    val indexed = assign(vecs, embCol, centers).cache()
+    indexed.count() // materialize the index once
+    Index(centers, indexed)
+  }
+
+  /** Tag every row with its nearest inverted list — the assignment pass
+    * as a standalone operator, so NEW vectors (an ingest stream, a
+    * reloaded session) can be indexed against persisted centers without
+    * refitting. Scan-shaped: one projection, no shuffle. */
+  def assign(df: DataFrame, embCol: String, centers: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cluster", argminCenter(col(embCol), centers))
+
+  /** Persist the index: centroids as a k-row parquet artifact, the
+    * assigned corpus partitioned BY INVERTED LIST — so a probe against
+    * the loaded index prunes unprobed lists at the parquet-partition
+    * level (dynamic partition pruning from the broadcast probe set),
+    * which is the 100 TB read story: nProbe/k of the files, not a full
+    * scan. */
+  def save(index: Index, dir: String): Unit = {
+    val spark = index.indexed.sparkSession
+    import spark.implicits._
+    index.centers.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.indexed.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$dir/indexed")
+  }
+
+  /** Reload a persisted index. The centroid artifact is k rows (bounded
+    * by [[MaxK]]) — the one collect here is metadata-sized. The corpus
+    * side stays a lazy parquet read; cache it if the session will probe
+    * repeatedly, or leave it cold and let per-query partition pruning
+    * read only the probed lists. */
+  def load(spark: SparkSession, dir: String): Index = {
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+    require(centers.nonEmpty, s"no centroids found under $dir")
+    Index(centers, spark.read.parquet(s"$dir/indexed"))
   }
 
   private def cosine(a: Column, b: Column): Column =
@@ -112,7 +212,7 @@ object IvfSearch {
     * The one count(*) action on the query set is what buys the choice.
     *
     * Probe centroids are ranked by the SAME squared-Euclidean metric
-    * KMeans used for list assignment (ranking by a different metric
+    * the index assigned lists with (ranking by a different metric
     * than the index was built with systematically probes the wrong
     * lists), with cluster id as tiebreaker so tied distances give a
     * deterministic probe set across runs. */
@@ -124,9 +224,8 @@ object IvfSearch {
       numQueries: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centroids = index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
+    val centroids = index.centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     // rank centroids per query; keep the nProbe nearest lists
     val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("cluster"))

@@ -551,6 +551,10 @@ object LlmQueries {
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("tk")) - (W - 1)),
         i => tokHash(array_join(slice(col("tk"), i, lit(W)), " "))))).as("h"))
+      // consumed twice (eval + train splits) and the tokenize +
+      // per-position window-hash explode is the expensive part — cache;
+      // runner-side clearCache releases it (query-scoped contract)
+      .cache()
     val evalW = wins.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val trainW = wins.filter(col("doc_id") % 10 =!= 0)
@@ -1247,11 +1251,10 @@ object LlmQueries {
       .select((col("vec_id") + lit(offset)).as("vec_id"),
         transform(col("emb"), x => x * lit(1.5)).as("emb"))
     val tau = 0.99
-    // full-corpus quantizer fit: at these SFs it is under IvfSearch's own
-    // 512·k sample cap anyway, and a sampled fit measurably UNBALANCES
-    // the clusters — the within-cluster pair joins (edge + maximality)
-    // grow quadratically in the biggest cluster, costing more than the
-    // fit saves (6.7s vs 4.3s at sf0.1)
+    // the quantizer fit runs IvfSearch's default bounded-sample path —
+    // at these SFs the 512·k cap exceeds the corpus, so every distinct
+    // point trains and the fit is the driver-local seeded Lloyd loop
+    // (one bounded collect, zero MLlib jobs)
     val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau, k = 8).cache()
     try {
       // ONE aggregation pass for ALL scalar counts (q91 pattern) — the
@@ -1266,19 +1269,30 @@ object LlmQueries {
         countDistinct(col("vec_id")).as("n_distinct")).head()
       val (nTotal, injDropped, nInjected, nDistinct) =
         (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
-      val canonNotKept = res.filter(!col("keep"))
+      // the two re-verification counts (canonical-of-dropped is kept;
+      // kept-set maximality) fold into ONE action via a cross join of
+      // their 1-row aggregates — each extra driver action on this tiny
+      // frame is a whole Spark job of fixed overhead. normed is read
+      // twice (both pair sides) and l2Normalize is an interpreted HOF —
+      // cache it for the one action that consumes it
+      val canonNotKeptDf = res.filter(!col("keep"))
         .join(res.filter(col("keep")).select(col("vec_id").as("canonical")),
-          Seq("canonical"), "left_anti").count()
-      // maximality: re-pair the KEPT set within clusters; none within τ
+          Seq("canonical"), "left_anti")
+        .agg(count(lit(1)).as("canon_not_kept"))
       val keptL = res.filter(col("keep")).select(col("cluster"), col("vec_id").as("a"))
       val keptR = res.filter(col("keep")).select(col("cluster"), col("vec_id").as("b"))
       val normed = base.union(copies).select(col("vec_id"),
-        SemDedup.l2Normalize(col("emb")).as("ne"))
-      val keptClose = keptL.join(keptR, Seq("cluster")).filter(col("a") < col("b"))
-        .join(normed.select(col("vec_id").as("a"), col("ne").as("ea")), Seq("a"))
-        .join(normed.select(col("vec_id").as("b"), col("ne").as("eb")), Seq("b"))
-        .filter(call_function("cosine_sim", col("ea"), col("eb")) >= lit(tau))
-        .count()
+        SemDedup.l2Normalize(col("emb")).as("ne")).cache()
+      val (canonNotKept, keptClose) =
+        try {
+          val row = canonNotKeptDf.crossJoin(
+            keptL.join(keptR, Seq("cluster")).filter(col("a") < col("b"))
+              .join(normed.select(col("vec_id").as("a"), col("ne").as("ea")), Seq("a"))
+              .join(normed.select(col("vec_id").as("b"), col("ne").as("eb")), Seq("b"))
+              .filter(call_function("cosine_sim", col("ea"), col("eb")) >= lit(tau))
+              .agg(count(lit(1)).as("kept_close"))).head()
+          (row.getLong(0), row.getLong(1))
+        } finally normed.unpersist()
       // conservation is a REAL gate: one output row per DISTINCT input id
       // (a dedup that dropped or duplicated output rows breaks it; the
       // old nKept + (nTotal - nKept) == nTotal form was algebraically

@@ -64,17 +64,58 @@ object ProductQuant {
     val fitInput =
       if (n <= cap) base
       else {
-        val keepPerM = math.max(1L, cap * 1000000L / n)
-        base.filter(pmod(hash(col("__e"), lit(seed)), lit(1000000L)) < lit(keepPerM))
+        // fine modulus (1e9): the keep-rate resolution is what bounds
+        // the EXPECTED collected rows by ≈cap — with the coarse 1e6
+        // modulus, keepPerM clamps to 1 once n > 1e6·cap and the
+        // expected sample n/1e6 silently overruns the cap; at 1e9 that
+        // point moves to n > 1e9·cap, beyond any corpus this serves
+        val keepPerB = math.max(1L, cap * 1000000000L / n)
+        base.filter(pmod(hash(col("__e"), lit(seed)), lit(1000000000L)) < lit(keepPerB))
       }
     val sample: Array[Array[Double]] = fitInput.collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot fit a codebook on an empty corpus")
     val centers = (0 until m).map { j =>
+      // dedup on a VALUE-comparable shape: Java arrays compare by
+      // reference, so Array.distinct is a no-op on Array[Array[Double]]
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-        .distinct
+        .distinctBy(_.toSeq)
         .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
       localKMeans(sub, k, seed + j, maxIter).map(_.toSeq).toSeq
+    }
+    Model(m, subDim, k, centers)
+  }
+
+  /** Persist the codebooks: (m, subDim, k) meta plus one row per
+    * (subspace, code) — m·k rows of subDim doubles, a metadata-sized
+    * artifact. At 100 TB the codebooks are fit once and every encode /
+    * ADC session reloads them (the reference persists every artifact it
+    * fits — reference preprocess.py:52-55, train_model.py:113-114); the
+    * CODED corpus itself is an ordinary DataFrame the caller writes as
+    * a parquet table next to this. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- model.centers.indices
+      c <- model.centers(j).indices
+    } yield (j, c, model.centers(j)(c))
+    rows.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((model.m, model.subDim, model.k)).toDF("m", "sub_dim", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload persisted codebooks — the one collect is m·k rows, bounded
+    * by the fit's own driver guard. Codeword order within a subspace is
+    * restored from the stored code ids, so encode/decode over a loaded
+    * model is bit-identical to the session that fit it. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, subDim, k) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val centers = (0 until m).map { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq
     }
     Model(m, subDim, k, centers)
   }
@@ -198,15 +239,27 @@ object ProductQuant {
     * reads m small ints per row instead of the full float vector, so
     * the probe working set is 32× smaller on top of the list pruning.
     * `coded` must carry the IVF `cluster` column AND the PQ codes of
-    * the SAME corpus (build once: `encode(index.indexed, ...)`). */
+    * the SAME corpus (build once: `encode(index.indexed, ...)`).
+    *
+    * The probe-set join strategy is sized to the QUERY set exactly as
+    * [[IvfSearch.search]] sizes it: a small batch broadcasts its
+    * queries×nProbe probe rows (each carries a full-precision
+    * embedding), a query TABLE above `maxBroadcastQueries` rows — e.g.
+    * corpus-vs-corpus dedup via ANN — takes the shuffled equi-join on
+    * cluster id instead, because broadcasting an unbounded probe set of
+    * float vectors is the executor-OOM shape the Smote guard documents.
+    * @param numQueries caller-known query-set size; when absent the
+    *   sizing runs one count(*) over `queries` (cache the frame or pass
+    *   the size if its lineage is expensive). */
   def ivfAdcSearch(index: IvfSearch.Index, coded: DataFrame, idCol: String,
       codesCol: String, queries: DataFrame, qIdCol: String, qEmbCol: String,
-      model: Model, nProbe: Int, topK: Int): DataFrame = {
+      model: Model, nProbe: Int, topK: Int,
+      maxBroadcastQueries: Long = 1L << 16,
+      numQueries: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centroids = index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
+    val centroids = index.centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
     val q = queries.select(col(qIdCol).as("q_id"), col(qEmbCol).cast("array<double>").as("q_emb"))
     // probe the nProbe nearest lists by the index's own metric
     val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("cluster"))
@@ -215,6 +268,9 @@ object ProductQuant {
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))
+    val probeSide =
+      if (numQueries.getOrElse(queries.count()) <= maxBroadcastQueries)
+        broadcast(probes) else probes
     val cbAll = typedLit(model.centers)
     val dist = aggregate(
       transform(sequence(lit(0), lit(model.m - 1)), j =>
@@ -222,7 +278,7 @@ object ProductQuant {
           element_at(element_at(cbAll, j + 1), element_at(col(codesCol), j + 1) + 1))),
       lit(0.0), (acc, d) => acc + d)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
-    coded.join(broadcast(probes), Seq("cluster"))
+    coded.join(probeSide, Seq("cluster"))
       .withColumn("adc_dist", round(dist, 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)

@@ -52,9 +52,16 @@ object SemDedup {
   def dedup(embeddings: DataFrame, idCol: String, embCol: String, tau: Double,
       k: Int = -1, seed: Long = 42L, fitSampleRows: Long = -1L,
       maxIter: Int = 5): DataFrame = {
+    // cache the NORMALIZED input: l2Normalize is an interpreted HOF
+    // whose norm subexpression evaluates twice per row, and without the
+    // cache every downstream action (the build's sizing agg, the fit
+    // collect, the assignment pass, the degenerate union) re-normalizes
+    // the corpus from the scan — measured at sf0.1 this was ~0.3 s PER
+    // ACTION of pure recompute. Query-scoped: the runner-side
+    // clearCache releases it with the index cache.
     val all = embeddings.select(
       col(idCol).as("__id"),
-      l2Normalize(col(embCol).cast("array<double>")).as("__emb"))
+      l2Normalize(col(embCol).cast("array<double>")).as("__emb")).cache()
     // zero-norm embeddings normalize to NULL and have no cosine to
     // anything: exclude them from clustering (KMeans rejects nulls) and
     // pass them through as kept singletons so the output still covers

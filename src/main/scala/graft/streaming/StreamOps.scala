@@ -139,24 +139,61 @@ object StreamOps {
     * per-batch cost is the band-key projection, not a re-scan. */
   def embeddingDupGate(docs: DataFrame, index: DataFrame, bits: Int,
       threshold: Double, lateness: String,
-      windowLen: String = "10 minutes"): DataFrame = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val banded = graft.llm.EmbedLsh.bandKeys(index, bits)
+      windowLen: String = "10 minutes"): DataFrame =
+    embeddingDupGateBanded(docs, dupGateIndex(index, bits), bits,
+      threshold, lateness, windowLen)
+
+  /** The gate's static side, as a standalone artifact: band keys joined
+    * back to their embeddings — (vec_id, band_id, bkey, idx_emb). Build
+    * once over the known corpus, then either cache it for a session
+    * gate or persist it ([[saveDupGateIndex]]) so every ingest stream
+    * reloads the artifact instead of re-banding 100 TB. */
+  def dupGateIndex(index: DataFrame, bits: Int): DataFrame =
+    graft.llm.EmbedLsh.bandKeys(index, bits)
       .join(index.select(col("vec_id"), col("emb").as("idx_emb")), Seq("vec_id"))
+
+  /** Persist the gate index: the banded frame partitioned by band_id
+    * (probe joins hit a band's files only) plus a 1-row meta artifact
+    * carrying `bits` — the probe side must band arrivals at the SAME
+    * width or keys never match, so the width travels with the data. */
+  def saveDupGateIndex(index: DataFrame, bits: Int, dir: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    dupGateIndex(index, bits).write.mode("overwrite")
+      .partitionBy("band_id").parquet(s"$dir/banded")
+    Seq(bits).toDF("bits").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a persisted gate index → (banded frame, band-key width).
+    * The banded side stays a lazy parquet read; a long-lived stream
+    * should cache it so per-batch cost is the probe projection, not a
+    * re-scan ([[embeddingDupGateBanded]]'s contract). */
+  def loadDupGateIndex(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val bits = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    (spark.read.parquet(s"$dir/banded"), bits)
+  }
+
+  /** The gate over a prebuilt static side ([[dupGateIndex]] /
+    * [[loadDupGateIndex]]). Candidate verification is the native
+    * codegen'd `cosine_sim` kernel — one fused pass per candidate row;
+    * the composed `aggregate(zip_with(...))` folds it replaced are
+    * interpreted (HOFs are CodegenFallback) and walked each array three
+    * times per row, in a per-event streaming hot path. Zero-norm
+    * vectors surface as NaN from the kernel (0/0) and are dropped by
+    * the explicit NaN guard — under Spark's ordering NaN compares
+    * GREATER than any threshold, so an unguarded `cos >= t` would flag
+    * every degenerate vector as a duplicate. */
+  def embeddingDupGateBanded(docs: DataFrame, banded: DataFrame, bits: Int,
+      threshold: Double, lateness: String,
+      windowLen: String = "10 minutes"): DataFrame = {
     val probes = docs
       .withWatermark("ts", lateness)
       .select(col("doc_id"), col("ts"), col("emb"),
         explode(graft.llm.EmbedLsh.bandKeyArray(col("emb"), bits)).as("b"))
       .select(col("doc_id"), col("ts"), col("emb"), col("b.band_id"), col("b.bkey"))
-    val cos = dot(col("emb"), col("idx_emb")) /
-      sqrt(dot(col("emb"), col("emb")) * dot(col("idx_emb"), col("idx_emb")))
     probes.join(banded, Seq("band_id", "bkey")) // stream-static equi-join
-      // zero-norm guard FIRST: ANSI mode raises on 0/0, and a zero
-      // vector can never be a near-dup anyway
-      .filter(dot(col("emb"), col("emb")) > 0 && dot(col("idx_emb"), col("idx_emb")) > 0)
-      .withColumn("cos", cos)
-      .filter(col("cos") >= threshold)
+      .withColumn("cos", call_function("cosine_sim", col("emb"), col("idx_emb")))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(count(lit(1)).as("n_band_hits"), max(col("cos")).as("max_cos"))
       .select(col("doc_id"), col("n_band_hits"), round(col("max_cos"), 4).as("max_cos"))

@@ -14,17 +14,17 @@ class IvfSearchSpec extends SparkSpec {
   private lazy val index = IvfSearch.build(emb, "vec_id", "emb", k = 8)
 
   test("duplicate-heavy corpora with fewer distinct points than k do not crash the fit") {
-    // MLlib's random init dedups its sampled centers, so a corpus of 3
-    // distinct points under k=8 used to yield <k centers and an AIOOBE
-    // in the block aggregator; the fit now runs on distinct points with
-    // k clamped to their count
+    // duplicate points add nothing to a quantizer and can starve
+    // k-center inits (MLlib's random init dedups its sampled centers
+    // and then AIOOBEs when <k survive); the fit runs on distinct
+    // points with k clamped to their count on BOTH fit paths
     import spark.implicits._
     val dup = (0 until 300).map { i =>
       (i.toLong, Seq.tabulate(4)(d => if (d == i % 3) 1.0 else 0.0))
     }.toDF("vec_id", "emb")
     val idx = IvfSearch.build(dup, "vec_id", "emb", k = 8)
     try {
-      assert(idx.model.clusterCenters.length === 3)
+      assert(idx.centers.length === 3)
       assert(idx.indexed.count() === 300L)
       assert(idx.indexed.select("cluster").distinct().count() === 3L)
     } finally idx.indexed.unpersist()
@@ -105,8 +105,8 @@ class IvfSearchSpec extends SparkSpec {
       val kExp = IvfSearch.adaptiveK(n, target)
       assert(kExp >= IvfSearch.MinK, s"target $target chose degenerate k")
       val idx = IvfSearch.build(emb, "vec_id", "emb", k = -1, targetListRows = target)
-      assert(idx.model.clusterCenters.length === kExp,
-        s"adaptive build used k=${idx.model.clusterCenters.length}, formula says $kExp")
+      assert(idx.centers.length === kExp,
+        s"adaptive build used k=${idx.centers.length}, formula says $kExp")
       assert(idx.indexed.count() === n, "adaptive index lost corpus coverage")
       val res = IvfSearch.search(idx, emb.filter(col("vec_id") < 4),
         "vec_id", "emb", nProbe = 2, topK = 3)
@@ -114,6 +114,32 @@ class IvfSearchSpec extends SparkSpec {
       assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= 3))
       idx.indexed.unpersist()
     }
+  }
+
+  test("save/load roundtrips the index: identical centers, corpus, and search results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      IvfSearch.save(index, dir)
+      val re = IvfSearch.load(spark, dir)
+      assert(re.centers === index.centers, "loaded centroids differ")
+      assert(re.indexed.count() === index.indexed.count())
+      val queries = emb.filter(col("vec_id") < 8)
+      def rows(i: IvfSearch.Index) =
+        IvfSearch.search(i, queries, "vec_id", "emb", nProbe = 2, topK = 3)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+      val a = rows(index)
+      val b = rows(re)
+      assert(a.nonEmpty && a.sameElements(b), "search over the loaded index diverged")
+      // the persisted corpus is partitioned BY INVERTED LIST, so a probe
+      // against the loaded index prunes unprobed lists at the scan: the
+      // broadcast probe side plants a dynamic-pruning subquery on the
+      // cluster partition column (the 100 TB read story — nProbe/k of
+      // the files, not a full scan)
+      val plan = IvfSearch.search(re, queries, "vec_id", "emb", nProbe = 2, topK = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"loaded-index probe scan is not partition-pruned:\n$plan")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("recall against brute-force top-3 is useful and results are exact cosines") {

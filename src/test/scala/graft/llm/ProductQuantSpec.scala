@@ -91,6 +91,56 @@ class ProductQuantSpec extends SparkSpec {
     index.indexed.unpersist()
   }
 
+  test("ivfAdcSearch: a non-broadcastable query table takes the shuffle path, identical results") {
+    val nClusters = 5
+    val df = corpus(nClusters, perCluster = 40)
+      .select(col("vec_id"), col("emb").as("embedding")).cache()
+    val index = IvfSearch.build(df, "vec_id", "embedding", k = nClusters, seed = 9L)
+    val pq = ProductQuant.fit(df, "embedding", m = 4, k = 8, seed = 9L)
+    val coded = ProductQuant.encode(index.indexed, "embedding", pq).cache()
+    val queries = df.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def run(threshold: Long) = ProductQuant.ivfAdcSearch(index, coded, "vec_id", "codes",
+      queries, "q_id", "q_emb", pq, nProbe = 1, topK = 5, maxBroadcastQueries = threshold)
+    // disable auto-broadcast so the assertion sees the strategy the hint
+    // (absence) selects at 100 TB, not the planner's small-table rescue
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val shuffled = run(threshold = 4) // 64 queries > 4 → shuffle path
+      val broadcasted = run(threshold = 1 << 16)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin [cluster"),
+        s"probe join still broadcast on the large-batch path:\n$plan")
+      val bplan = broadcasted.queryExecution.executedPlan.toString
+      assert(bplan.contains("BroadcastHashJoin [cluster"),
+        s"small-batch path lost its probe broadcast:\n$bplan")
+      val a = shuffled.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      val b = broadcasted.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      assert(a.nonEmpty && a.sameElements(b), "shuffle and broadcast paths disagree")
+    } finally {
+      spark.conf.set(key, prev)
+      coded.unpersist(); df.unpersist(); index.indexed.unpersist()
+    }
+  }
+
+  test("save/load roundtrips the codebooks bit-for-bit (encode identity)") {
+    val df = corpus(nClusters = 4, perCluster = 25)
+    val pq = ProductQuant.fit(df, "emb", m = 4, k = 8, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    try {
+      ProductQuant.save(spark, pq, dir)
+      val re = ProductQuant.load(spark, dir)
+      assert(re === pq, "loaded model differs from the fit one")
+      val a = ProductQuant.encode(df, "emb", pq).select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      val b = ProductQuant.encode(df, "emb", re).select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      assert(a.sameElements(b), "encode over the loaded model diverged")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("duplicate-heavy corpora cannot starve the fit (k clamps to distinct points)") {
     val dup = (0 until 200).map(i => (i.toLong, Seq.fill(16)(if (i % 2 == 0) 1.0 else 5.0)))
       .toDF("vec_id", "emb") // only TWO distinct vectors

@@ -149,6 +149,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding dup gate runs against a PERSISTED index artifact (save → load → gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    def oneHot(d: Int, scale: Double) = Seq.tabulate(64)(i => if (i == d) scale else 0.0)
+    val index = Seq((10L, oneHot(0, 2.0)), (11L, oneHot(1, 1.0)), (12L, oneHot(2, 3.0)))
+      .toDF("vec_id", "emb")
+    val dir = tmp("graft-gateidx")
+    StreamOps.saveDupGateIndex(index, bits = 4, dir)
+    val (banded, bits) = StreamOps.loadDupGateIndex(spark, dir)
+    assert(bits === 4, "band-key width did not travel with the artifact")
+    val input = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val stream = input.toDF().toDF("ts", "doc_id", "emb")
+    val q = StreamOps.embeddingDupGateBanded(stream, banded, bits,
+      threshold = 0.9, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("embgate_load_test").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), 1L, oneHot(0, 5.0)),              // near-dup of vec 10 → flagged
+        (ts(2), 2L, oneHot(7, 1.0)),              // orthogonal → clean
+        (ts(3), 3L, Seq.fill(64)(0.0)))           // zero vector → NaN cosine → clean
+      q.processAllAvailable()
+      val flagged = spark.table("embgate_load_test").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(flagged.keySet === Set(1L), s"loaded-index gate flagged $flagged")
+      assert(flagged(1L) === 1.0)
+    } finally {
+      q.stop()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("in-stream dedup by content fingerprint emits each key once (ST3 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
