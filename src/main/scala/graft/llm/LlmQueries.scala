@@ -1060,6 +1060,73 @@ object LlmQueries {
     } finally e.unpersist()
   }
 
+  /** ANN index-tier PERSISTENCE on the oracle surface (the q93/q94
+    * lossless-roundtrip pattern, applied to the index lifecycle): build
+    * the IVF index and the PQ codebooks, encode the corpus, persist all
+    * three artifacts — centroids ([[IvfSearch.save]]), codebooks
+    * ([[ProductQuant.save]]), coded corpus (a parquet table partitioned
+    * by inverted list) — reload them into fresh objects, and gate that
+    * the composed IVF+ADC search over the LOADED artifacts is
+    * row-identical to the in-session one. At 100 TB the index is built
+    * once and served for weeks by sessions that never saw the fit
+    * (ingest gates, query services), so save→load identity is the
+    * contract that makes the lifecycle safe; the reference persists
+    * every artifact it fits (reference preprocess.py:52-55,
+    * train_model.py:113-114). Identity checks compare multisets (count
+    * equality + one-sided exceptAll), all folded into ONE driver action
+    * (the q104 discipline); the centroid/codebook artifacts compare
+    * driver-side — they are metadata-sized by construction. */
+  private val q121IndexPersist: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")).cache()
+    val out = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    try {
+      val index = IvfSearch.build(e, "vec_id", "emb", k = 8)
+      val pq = ProductQuant.fit(e, "emb", m = 8, k = 16)
+      val coded = ProductQuant.encode(index.indexed, "emb", pq).cache()
+      try {
+        IvfSearch.save(index, s"$out/ivf")
+        ProductQuant.save(s, pq, s"$out/pq")
+        coded.write.mode("overwrite").partitionBy("cluster").parquet(s"$out/coded")
+        val reIdx = IvfSearch.load(s, s"$out/ivf")
+        val rePq = ProductQuant.load(s, s"$out/pq")
+        val reCoded = s.read.parquet(s"$out/coded")
+        val queries = e.filter(col("vec_id") % 100 === 0)
+        def run(ix: IvfSearch.Index, cd: DataFrame, m: ProductQuant.Model) =
+          ProductQuant.ivfAdcSearch(ix, cd, "vec_id", "codes",
+            queries, "vec_id", "emb", m, nProbe = 2, topK = 5)
+        val live = run(index, coded, pq).cache()
+        try {
+          def codesOf(df: DataFrame) = df.select(col("vec_id"), col("cluster"), col("codes"))
+          val loaded = run(reIdx, reCoded, rePq)
+          val st = codesOf(coded).agg(count(lit(1)).as("n_vectors"))
+            .crossJoin(codesOf(reCoded).agg(count(lit(1)).as("n_recoded")))
+            .crossJoin(codesOf(coded).exceptAll(codesOf(reCoded))
+              .agg(count(lit(1)).as("coded_diff")))
+            .crossJoin(live.agg(count(lit(1)).as("n_live")))
+            .crossJoin(loaded.agg(count(lit(1)).as("n_loaded")))
+            .crossJoin(live.exceptAll(loaded).agg(count(lit(1)).as("search_diff")))
+            .head()
+          val (nVec, nRe, codedDiff) = (st.getLong(0), st.getLong(1), st.getLong(2))
+          val (nLive, nLoaded, searchDiff) = (st.getLong(3), st.getLong(4), st.getLong(5))
+          Seq((
+            nVec,
+            if (reIdx.centers == index.centers) 1 else 0,
+            if (rePq == pq) 1 else 0,
+            if (nRe == nVec && codedDiff == 0L) 1 else 0,
+            if (nLoaded == nLive && searchDiff == 0L) 1 else 0,
+            if (nLive > 0L) 1 else 0
+          )).toDF("n_vectors", "centers_roundtrip", "codebooks_roundtrip",
+            "coded_roundtrip", "search_identity", "results_nonempty")
+        } finally live.unpersist()
+      } finally coded.unpersist()
+    } finally {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+      e.unpersist()
+    }
+  }
+
   /** Int8 scalar quantization of the embedding column — at 100 TB the
     * ANN working set is dominated by float embeddings, and symmetric
     * max-abs int8 cuts memory/shuffle 4× (with ~0.5% cosine error at
@@ -1438,6 +1505,7 @@ object LlmQueries {
     "q94_audio_decode"    -> q94AudioDecode,
     "q112_video_decode"   -> q112VideoDecode,
     "q114_product_quant"  -> q114ProductQuant,
+    "q121_index_persist"  -> q121IndexPersist,
     "q95_quantize_embeddings" -> q95QuantizeEmbeddings,
     "q96_bm25"            -> q96Bm25,
     "q97_pii_redact"      -> q97PiiRedact,
@@ -1518,6 +1586,13 @@ object LlmQueries {
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |  1 AS codes_shape_ok, 1 AS assignment_optimal,
         |  1 AS encode_deterministic""".stripMargin,
+    // q121: artifact save/load identity isn't SQL-expressible; the
+    // roundtrip flags are constants, the count restates from the table
+    "q121_index_persist" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  1 AS centers_roundtrip, 1 AS codebooks_roundtrip,
+        |  1 AS coded_roundtrip, 1 AS search_identity,
+        |  1 AS results_nonempty""".stripMargin,
     // q115: the window lambda variable is `wi`, NOT `i` — duckTokHash's
     // inner character fold binds `i`, and an outer `i` would be shadowed
     // inside the hash (silently hashing the wrong window)
