@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
 object IvfSearch {
 
   /** `centers(c)` = centroid of inverted list c; `indexed` = the corpus
-    * with its `cluster` assignment column. */
-  final case class Index(centers: Seq[Seq[Double]], indexed: DataFrame)
+    * with its `cluster` assignment column. `listBuckets` is set on a
+    * LOADED index: the persisted corpus is partitioned by
+    * `list_bucket = cluster mod listBuckets` ([[save]]'s fan-out
+    * clamp), and search derives the same bucket on the probe side so
+    * partition pruning keeps working through the clamp. */
+  final case class Index(centers: Seq[Seq[Double]], indexed: DataFrame,
+      listBuckets: Option[Int] = None)
 
   /** Adaptive list-count defaults: size k to the corpus so per-probe
     * list scans stay ~constant as data grows (the same failure family
@@ -116,33 +121,45 @@ object IvfSearch {
     val st = vecs.agg(count(lit(1)), max(size(col(embCol)))).head()
     val n = st.getLong(0)
     require(n > 0, "cannot build an IVF index over an empty corpus")
+    require(!st.isNullAt(1),
+      s"cannot build an IVF index: '$embCol' contains no non-null arrays")
     val dim = st.getInt(1)
     val kEff = if (k > 0) k else adaptiveK(n, targetListRows)
     val cap = if (fitSampleRows > 0) fitSampleRows else 512L * kEff
     val fitInput =
       if (n <= cap) vecs
       else {
-        // keep ≈cap rows: hash the id into [0, 1e9) and keep the low
-        // slice — the fine modulus keeps the keep-rate resolution high
-        // enough that the EXPECTED collected rows stay ≤ cap until
-        // n > cap·1e9 (the ProductQuant.fit discipline)
-        val keepPerB = math.max(1L, cap * 1000000000L / n)
-        vecs.filter(pmod(hash(col(idCol), lit(seed)), lit(1000000000L)) < lit(keepPerB))
+        // keep ≈cap rows: hash the id and keep the low slice of a
+        // POWER-OF-TWO residue space — hash() is 32-bit Murmur3 and
+        // 2^32 mod 2^30 = 0, so every residue has exactly 4 preimages
+        // and the EXPECTED kept rows are ≤ cap (a non-power modulus
+        // like 1e9 leaves the low residues with 5 preimages vs 4 —
+        // a silent 1.16× sample overrun in the common large-n case)
+        val keepPer = math.max(1L, cap * ProductQuant.SampleModulus / n)
+        vecs.filter(pmod(hash(col(idCol), lit(seed)),
+          lit(ProductQuant.SampleModulus)) < lit(keepPer))
       }
     val distinctEmb = fitInput.select(col(embCol)).distinct()
-    val centers: Seq[Seq[Double]] =
+    val (centers: Seq[Seq[Double]], assigned: DataFrame) =
       if (kEff <= MaxLocalFitK && cap * dim <= ProductQuant.MaxFitValues) {
         // driver-local path: the distinct sample is bounded by
         // construction (≈cap rows × dim values, guarded above), so
         // collect ONCE and run the seeded local fit — sorted first so
-        // the codebook is identical on any cluster layout
+        // the codebook is identical on any cluster layout. k is
+        // plan-sized here (≤ MaxLocalFitK), so the argmin over the
+        // centroid literal is a legal codegen expression.
         val sample = distinctEmb.collect().map(_.getSeq[Double](0).toArray)
           .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
-        ProductQuant.localKMeans(sample, kEff, seed, maxIter)
+        val cs = ProductQuant.localKMeans(sample, kEff, seed, maxIter)
           .map(_.toSeq).toSeq
+        (cs, assign(vecs, embCol, cs))
       } else {
         // distributed fallback: k (and so the sample) is beyond what a
-        // driver array or a plan literal should hold
+        // driver array or a plan literal should hold — so BOTH the fit
+        // and the assignment stay on MLlib (model.transform); routing
+        // assignment through assign()'s centroid literal here would
+        // re-embed k·dim doubles into the plan, the exact hazard this
+        // branch exists to avoid
         val cached = distinctEmb.select(array_to_vector(col(embCol)).as("__vec")).cache()
         val nDistinctFit = cached.count()
         val kFit = math.min(kEff.toLong, math.max(1L, nDistinctFit)).toInt
@@ -155,9 +172,11 @@ object IvfSearch {
           .setFeaturesCol("__vec").setPredictionCol("cluster")
           .fit(cached)
         cached.unpersist()
-        model.clusterCenters.map(_.toArray.toSeq).toSeq
+        val cs = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        (cs, model.transform(vecs.withColumn("__vec", array_to_vector(col(embCol))))
+          .drop("__vec"))
       }
-    val indexed = assign(vecs, embCol, centers).cache()
+    val indexed = assigned.cache()
     indexed.count() // materialize the index once
     Index(centers, indexed)
   }
@@ -165,37 +184,95 @@ object IvfSearch {
   /** Tag every row with its nearest inverted list — the assignment pass
     * as a standalone operator, so NEW vectors (an ingest stream, a
     * reloaded session) can be indexed against persisted centers without
-    * refitting. Scan-shaped: one projection, no shuffle. */
+    * refitting. Scan-shaped: one projection, no shuffle.
+    *
+    * MALFORMED-ROW CONTRACT: a row whose embedding is NULL or whose
+    * length mismatches the centroid dim gets `cluster = -1` (sq_dist is
+    * NULL for it, so no centroid ever beats the seed struct). That is
+    * deliberate quarantine-by-construction, not an accident: probes
+    * only ever target clusters ≥ 0, so corrupt rows are unreachable by
+    * any search, and [[save]] writes them into a visible `cluster=-1`
+    * partition the operator can audit — at 100 TB one corrupt row must
+    * not kill a 1000-executor index build, but it must not silently
+    * join a real list either. Callers wanting fail-fast semantics
+    * filter `cluster < 0` and require the count be zero. */
   def assign(df: DataFrame, embCol: String, centers: Seq[Seq[Double]]): DataFrame =
     df.withColumn("cluster", argminCenter(col(embCol), centers))
 
+  /** Default cap on the persisted corpus's partition fan-out. At the
+    * adaptive k ceiling (65536 lists) a raw `partitionBy("cluster")` is
+    * 65k directories of ~one-row-group files on a mid-size corpus — the
+    * small-files listing shape HDFS/S3 hate. 1024 buckets keeps the
+    * directory count listing-friendly while a probe still prunes to
+    * nProbe/min(k, 1024) of the files; at 100 TB each bucket is a few
+    * file-sized lists, which is exactly the layout a distributed scan
+    * wants. */
+  val DefaultMaxListPartitions = 1024
+
+  /** Partition key for the persisted corpus: cluster mod `p`, with the
+    * malformed-row sentinel kept as its own visible `-1` partition (a
+    * pmod would smear quarantined rows into bucket p-1). */
+  private[llm] def bucketCol(cluster: Column, p: Int): Column =
+    when(cluster < 0, lit(-1)).otherwise(pmod(cluster, lit(p)))
+
+  /** Probe-side bucket derivation + join keys: when the corpus side is
+    * bucket-partitioned (a loaded index) the probe rows compute the
+    * same `list_bucket` so the equi-join carries the partition column —
+    * that is what lets dynamic partition pruning survive the fan-out
+    * clamp. An in-memory index (no bucket column) joins on cluster
+    * alone. */
+  private[llm] def bucketedProbes(probes: DataFrame, corpus: DataFrame,
+      listBuckets: Option[Int]): (DataFrame, Seq[String]) =
+    listBuckets match {
+      case Some(p) if corpus.columns.contains("list_bucket") =>
+        (probes.withColumn("list_bucket", bucketCol(col("cluster"), p)),
+          Seq("list_bucket", "cluster"))
+      case _ => (probes, Seq("cluster"))
+    }
+
   /** Persist the index: centroids as a k-row parquet artifact, the
-    * assigned corpus partitioned BY INVERTED LIST — so a probe against
-    * the loaded index prunes unprobed lists at the parquet-partition
+    * assigned corpus partitioned BY INVERTED-LIST BUCKET
+    * (`cluster mod min(k, maxListPartitions)`) — so a probe against
+    * the loaded index prunes unprobed buckets at the parquet-partition
     * level (dynamic partition pruning from the broadcast probe set),
-    * which is the 100 TB read story: nProbe/k of the files, not a full
-    * scan. */
-  def save(index: Index, dir: String): Unit = {
+    * which is the 100 TB read story: ~nProbe/min(k, cap) of the files,
+    * not a full scan. The clamp exists because k can reach 65536
+    * ([[MaxK]]) and one directory per list is the small-files shape at
+    * mid-scale; below the cap the bucket IS the cluster id, so nothing
+    * changes for small indexes. The bucket count is persisted in
+    * `$dir/meta` — probes must derive the SAME bucket or the join keys
+    * never match, so the width travels with the data (the
+    * [[graft.streaming.StreamOps.saveDupGateIndex]] contract). */
+  def save(index: Index, dir: String,
+      maxListPartitions: Int = DefaultMaxListPartitions): Unit = {
     val spark = index.indexed.sparkSession
     import spark.implicits._
+    require(maxListPartitions > 0, s"maxListPartitions must be positive: $maxListPartitions")
     index.centers.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    index.indexed.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$dir/indexed")
+    val p = math.min(math.max(1, index.centers.length), maxListPartitions)
+    index.indexed
+      .withColumn("list_bucket", bucketCol(col("cluster"), p))
+      .write.mode("overwrite")
+      .partitionBy("list_bucket").parquet(s"$dir/indexed")
+    Seq(p).toDF("list_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Reload a persisted index. The centroid artifact is k rows (bounded
-    * by [[MaxK]]) — the one collect here is metadata-sized. The corpus
-    * side stays a lazy parquet read; cache it if the session will probe
-    * repeatedly, or leave it cold and let per-query partition pruning
-    * read only the probed lists. */
+    * by [[MaxK]]) — the one collect here is metadata-sized, as is the
+    * 1-row bucket-count meta. The corpus side stays a lazy parquet
+    * read; cache it if the session will probe repeatedly, or leave it
+    * cold and let per-query partition pruning read only the probed
+    * buckets. */
   def load(spark: SparkSession, dir: String): Index = {
     val centers = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
     require(centers.nonEmpty, s"no centroids found under $dir")
-    Index(centers, spark.read.parquet(s"$dir/indexed"))
+    val p = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    Index(centers, spark.read.parquet(s"$dir/indexed"), Some(p))
   }
 
   private def cosine(a: Column, b: Column): Column =
@@ -235,11 +312,13 @@ object IvfSearch {
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))
+    val (keyedProbes, joinKeys) =
+      bucketedProbes(probes, index.indexed, index.listBuckets)
     val probeSide =
       if (numQueries.getOrElse(queries.count()) <= maxBroadcastQueries)
-        broadcast(probes) else probes
+        broadcast(keyedProbes) else keyedProbes
     val wS = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
-    index.indexed.join(probeSide, Seq("cluster"))
+    index.indexed.join(probeSide, joinKeys)
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos_sim", round(cosine(col(embCol), col("q_emb")), 4))
       .withColumn("rnk", row_number().over(wS))

@@ -36,6 +36,16 @@ object ProductQuant {
     * driver-local fit will collect. */
   val MaxFitValues: Long = 1L << 24
 
+  /** Residue space for the hash-stable fit samples (here and in
+    * [[IvfSearch.build]]). POWER OF TWO on purpose: hash() is 32-bit
+    * Murmur3 and 2^32 is an exact multiple of 2^30, so every residue
+    * has exactly 4 preimages and the keep-rate is exactly keepPer/2^30.
+    * A decimal modulus (the old 1e9) splits 2^32 unevenly — low
+    * residues get 5 preimages vs 4, biasing the expected sample to
+    * ≈1.16× the cap whenever the keep slice sits inside the uneven
+    * range (the common large-n case). */
+  val SampleModulus: Long = 1L << 30
+
   /** Fit `m` subspace codebooks on a bounded, partitioning-stable
     * sample. The sample key is the hash of the EMBEDDING itself, so the
     * keep-set is identical on any cluster layout; the collected sample
@@ -64,13 +74,14 @@ object ProductQuant {
     val fitInput =
       if (n <= cap) base
       else {
-        // fine modulus (1e9): the keep-rate resolution is what bounds
-        // the EXPECTED collected rows by ≈cap — with the coarse 1e6
-        // modulus, keepPerM clamps to 1 once n > 1e6·cap and the
-        // expected sample n/1e6 silently overruns the cap; at 1e9 that
-        // point moves to n > 1e9·cap, beyond any corpus this serves
-        val keepPerB = math.max(1L, cap * 1000000000L / n)
-        base.filter(pmod(hash(col("__e"), lit(seed)), lit(1000000000L)) < lit(keepPerB))
+        // fine power-of-two modulus ([[SampleModulus]]): the keep-rate
+        // resolution bounds the EXPECTED collected rows by ≈cap until
+        // n > 2^30·cap (beyond any corpus this serves), and the exact
+        // 2^32/2^30 residue split keeps the keep-rate unbiased — a
+        // coarse or decimal modulus either clamps keepPer to 1 too
+        // early or skews the low residues' preimage counts
+        val keepPer = math.max(1L, cap * SampleModulus / n)
+        base.filter(pmod(hash(col("__e"), lit(seed)), lit(SampleModulus)) < lit(keepPer))
       }
     val sample: Array[Array[Double]] = fitInput.collect()
       .map(_.getSeq[Double](0).toArray)
@@ -268,9 +279,14 @@ object ProductQuant {
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cluster"))
+    // a persisted coded corpus is bucket-partitioned exactly like the
+    // IVF corpus; deriving the bucket on the probe side keeps partition
+    // pruning alive through the fan-out clamp (IvfSearch.bucketedProbes)
+    val (keyedProbes, joinKeys) =
+      IvfSearch.bucketedProbes(probes, coded, index.listBuckets)
     val probeSide =
       if (numQueries.getOrElse(queries.count()) <= maxBroadcastQueries)
-        broadcast(probes) else probes
+        broadcast(keyedProbes) else keyedProbes
     val cbAll = typedLit(model.centers)
     val dist = aggregate(
       transform(sequence(lit(0), lit(model.m - 1)), j =>
@@ -278,7 +294,7 @@ object ProductQuant {
           element_at(element_at(cbAll, j + 1), element_at(col(codesCol), j + 1) + 1))),
       lit(0.0), (acc, d) => acc + d)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
-    coded.join(probeSide, Seq("cluster"))
+    coded.join(probeSide, joinKeys)
       .withColumn("adc_dist", round(dist, 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)

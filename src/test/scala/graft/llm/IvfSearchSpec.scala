@@ -142,6 +142,34 @@ class IvfSearchSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("save clamps partition fan-out to maxListPartitions and search still prunes") {
+    // 8 lists forced through a 3-bucket clamp: the directory count must
+    // be bounded by the cap (the small-files guard for k up to 65536),
+    // bucketed search results must match the unclamped index exactly,
+    // and the probe join must still carry the partition column so
+    // dynamic pruning survives the clamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-clamp").toString
+    try {
+      IvfSearch.save(index, dir, maxListPartitions = 3)
+      val buckets = new java.io.File(s"$dir/indexed").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list_bucket="))
+      assert(buckets.length <= 3, s"fan-out clamp leaked: ${buckets.map(_.getName).toSeq}")
+      val re = IvfSearch.load(spark, dir)
+      assert(re.listBuckets === Some(3))
+      assert(re.indexed.count() === index.indexed.count())
+      val queries = emb.filter(col("vec_id") < 8)
+      def rows(i: IvfSearch.Index) =
+        IvfSearch.search(i, queries, "vec_id", "emb", nProbe = 2, topK = 3)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+      assert(rows(re).sameElements(rows(index)),
+        "bucketed search diverged from the unclamped index")
+      val plan = IvfSearch.search(re, queries, "vec_id", "emb", nProbe = 2, topK = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"clamped layout lost partition pruning:\n$plan")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("recall against brute-force top-3 is useful and results are exact cosines") {
     val queries = emb.filter(col("vec_id") < 16)
     val ann = IvfSearch.search(index, queries, "vec_id", "emb", nProbe = 3, topK = 3)
