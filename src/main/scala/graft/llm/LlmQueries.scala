@@ -1473,6 +1473,58 @@ object LlmQueries {
     } finally words.unpersist()
   }
 
+  /** Tokenizer LIFECYCLE gate — the q121 pattern applied to the BPE
+    * tier, closing the last fit-once artifact that died with its
+    * session: train merges on the corpus word table, persist the
+    * ordered merge artifact ([[TextOps.bpeSave]]), reload it into a
+    * fresh list, and gate (a) the loaded sequence is IDENTICAL to the
+    * trained one (driver-side — the artifact is merge-count-sized),
+    * (b) encoding the word table with the LOADED merges is
+    * row-identical to encoding with the in-session ones (multiset
+    * exceptAll folded into the same driver action), and (c) decode
+    * inverts encode on EVERY word ([[TextOps.bpeDecode]] — zero broken
+    * words). At 100 TB the tokenizer is trained once and applied for
+    * months by sessions that never saw the fit (ingest gates, packing
+    * jobs), so save→load→encode identity is the contract that makes
+    * the tokenizer servable, exactly as q121 made the ANN index
+    * servable; the reference persists every artifact it fits
+    * (reference preprocess.py:52-55, train_model.py:113-114). */
+  private val q122BpePersist: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache() // train + two encode consumers (released below)
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    try {
+      val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 8)
+      TextOps.bpeSave(s, merges, out)
+      val loaded = TextOps.bpeLoad(s, out)
+      def enc(ms: Seq[(String, String)]) =
+        words.select(col("w"), TextOps.bpeApply(col("w"), ms).as("syms"))
+      val live = enc(merges).cache()
+      try {
+        val st = live
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(when(TextOps.bpeDecode(col("syms")) =!= col("w"), 1L)
+              .otherwise(0L)).as("broken"))
+          .crossJoin(live.exceptAll(enc(loaded))
+            .agg(count(lit(1)).as("enc_diff")))
+          .head()
+        Seq((
+          st.getLong(0),
+          if (loaded == merges) 1 else 0,
+          if (st.getLong(2) == 0L) 1 else 0,
+          if (st.getLong(1) == 0L) 1 else 0
+        )).toDF("n_words", "merges_roundtrip", "encode_identity", "decode_conserves")
+      } finally live.unpersist()
+    } finally {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+      words.unpersist()
+    }
+  }
+
   /** Token-rarity scoring — the unigram-LM quality signal (rare-token
     * density flags gibberish and OCR noise; all-common-token docs are
     * boilerplate-ish), kept RATIONAL (mean/min of integer document
@@ -1534,6 +1586,7 @@ object LlmQueries {
     "q120_rag_pipeline"   -> q120RagPipeline,
     "q118_simjoin_exact"  -> q118SimJoinExact,
     "q119_bpe_encode"     -> q119BpeEncode,
+    "q122_bpe_persist"    -> q122BpePersist,
     "q76_repetition"      -> q76Repetition,
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
@@ -1656,6 +1709,13 @@ object LlmQueries {
       s"""SELECT CAST((SELECT count(DISTINCT t) FROM
          |    (SELECT unnest($duckToks) AS t FROM documents) u) AS BIGINT) AS n_words,
          |  1 AS conserved, 1 AS compressed, 1 AS vocab_closed""".stripMargin,
+    // q122: the merge artifact and its roundtrip aren't SQL-expressible;
+    // the lifecycle gates are invariant flags, the word count restates
+    // from the table (the q119/q121 discipline)
+    "q122_bpe_persist" ->
+      s"""SELECT CAST((SELECT count(DISTINCT t) FROM
+         |    (SELECT unnest($duckToks) AS t FROM documents) u) AS BIGINT) AS n_words,
+         |  1 AS merges_roundtrip, 1 AS encode_identity, 1 AS decode_conserves""".stripMargin,
     // q116: sqrt is correctly-rounded IEEE in both engines (general pow
     // is not); all float ops are per-row, no cross-row float sums
     "q116_temp_mixture" ->

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Public text-analysis column builders — the composable pieces behind
@@ -163,6 +163,40 @@ object TextOps {
           .otherwise(concat(acc, array(s))))
     }
   }
+
+  /** Decode — the exact inverse of [[bpeApply]]'s fold. Every BPE merge
+    * only CONCATENATES adjacent symbols: no symbol is dropped, rewritten
+    * or reordered by any round, so flattening the token array back to a
+    * string restores the original word exactly, for ANY merge list
+    * (trained, loaded, even empty). One codegen'd expression, no UDF;
+    * q122 gates decode(encode(w)) == w over the whole word table. */
+  def bpeDecode(toks: Column): Column = array_join(toks, "")
+
+  /** Persist a trained merge sequence as an ordered table artifact —
+    * the [[ProductQuant.save]] pattern applied to the tokenizer tier:
+    * one row per merge (rank, left, right), merge-count-sized (a
+    * production vocabulary is ~32k rows), so the artifact is
+    * metadata-sized next to any corpus. `rank` is the training order,
+    * which IS the apply order — encode is only correct when merges
+    * replay in the order they were learned. The reference persists
+    * every artifact it fits (reference preprocess.py:52-55,
+    * train_model.py:113-114); this is the merge table's turn. */
+  def bpeSave(spark: SparkSession, merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Reload a persisted merge sequence in training order. The collect
+    * is merge-count-sized (bounded by the nMerges the trainer was given)
+    * — the same metadata-sized-artifact contract as
+    * [[IvfSearch.load]]'s centroid read. An EMPTY merge table is legal
+    * (a corpus too thin for any repeated pair trains zero merges, and
+    * [[bpeApply]] with no merges is the character tokenizer). */
+  def bpeLoad(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges").orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** Spark string ordering is binary over UTF-8 bytes; the local argmax
     * must break count ties identically or the two paths diverge on the

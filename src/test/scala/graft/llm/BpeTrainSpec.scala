@@ -72,4 +72,49 @@ class BpeTrainSpec extends SparkSpec {
     assert(TextOps.bpeTrain(words, "w", "freq", nMerges = 3, localThreshold = 0L)
       === Seq(("u", "g"), ("u", "n"), ("h", "ug")))
   }
+
+  test("save/load roundtrips the merge sequence in training order") {
+    import org.apache.spark.sql.functions._
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+      .toDF("w", "freq")
+    val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-rt").toString
+    try {
+      TextOps.bpeSave(spark, merges, dir)
+      val loaded = TextOps.bpeLoad(spark, dir)
+      // sequence identity includes ORDER — apply order is training order,
+      // and ("u","g") before ("h","ug") is load-bearing: the second merge
+      // only exists because the first already produced "ug"
+      assert(loaded === merges)
+      assert(loaded === Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+      // encoding with the loaded artifact is identical to the live list
+      val enc = words.select(col("w"),
+        TextOps.bpeApply(col("w"), merges).as("a"),
+        TextOps.bpeApply(col("w"), loaded).as("b"))
+      assert(enc.filter(col("a") =!= col("b")).count() === 0)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("empty merge list persists and loads as the character tokenizer") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-empty").toString
+    try {
+      TextOps.bpeSave(spark, Seq.empty, dir)
+      val loaded = TextOps.bpeLoad(spark, dir)
+      assert(loaded.isEmpty)
+      val out = Seq("hug").toDF("w")
+        .select(TextOps.bpeApply(col("w"), loaded).as("syms"))
+        .head().getSeq[String](0)
+      assert(out === Seq("h", "u", "g"))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("bpeDecode inverts bpeApply for any merge list, including unicode") {
+    import org.apache.spark.sql.functions._
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    val df = Seq("hug", "hugs", "pun", "xyz", "héllo", "日本語", "")
+      .toDF("w")
+      .withColumn("back", TextOps.bpeDecode(TextOps.bpeApply(col("w"), merges)))
+    assert(df.filter(col("back") =!= col("w")).count() === 0)
+  }
 }
