@@ -212,7 +212,7 @@ object IvfSearch {
   /** Partition key for the persisted corpus: cluster mod `p`, with the
     * malformed-row sentinel kept as its own visible `-1` partition (a
     * pmod would smear quarantined rows into bucket p-1). */
-  private[llm] def bucketCol(cluster: Column, p: Int): Column =
+  private[graft] def bucketCol(cluster: Column, p: Int): Column =
     when(cluster < 0, lit(-1)).otherwise(pmod(cluster, lit(p)))
 
   /** Probe-side bucket derivation + join keys: when the corpus side is
@@ -273,6 +273,54 @@ object IvfSearch {
     require(centers.nonEmpty, s"no centroids found under $dir")
     val p = spark.read.parquet(s"$dir/meta").head().getInt(0)
     Index(centers, spark.read.parquet(s"$dir/indexed"), Some(p))
+  }
+
+  /** Root of the streaming-ingest tier under a persisted index: one
+    * parquet directory per micro-batch (`ingest/batch=<id>/
+    * list_bucket=…`), written idempotently by
+    * [[graft.streaming.StreamOps.ivfIngestSink]]. */
+  private[graft] def ingestRoot(dir: String): String = s"$dir/ingest"
+
+  /** The ingest tier as one union-ready frame, or None when no batch
+    * has landed yet. Partition discovery runs over the `batch=*` dirs
+    * with the ingest root as basePath, so `list_bucket` STAYS a
+    * partition column and probe-side pruning works per batch dir; the
+    * synthetic `batch` column is dropped (it exists for replay
+    * idempotence, not for consumers). The listing is one metadata RPC
+    * against the index root — cheap next to any read of the tier. */
+  def loadIngest(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(ingestRoot(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val batches = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      if (batches.isEmpty) None
+      else Some(spark.read.option("basePath", ingestRoot(dir))
+        .parquet(batches.map(_.getPath.toString).toIndexedSeq: _*)
+        .drop("batch"))
+    }
+  }
+
+  /** Reload a persisted index INCLUDING everything the ingest stream
+    * appended since [[save]] — the query-service view: centers from the
+    * artifact, corpus = base ∪ ingest tier (projected to the base
+    * schema, so PQ codes carried for the ADC tier don't widen the IVF
+    * view). Both sides keep `list_bucket` as a partition column, so a
+    * probe's equi-join prunes base AND ingest scans alike. The ingest
+    * tier never needs compaction for correctness (each batch dir is
+    * immutable once its replay window passes), but a long-lived index
+    * wants the [[graft.streaming.ScoringStream.ResultStore]]-style fold
+    * once batch-dir listings dominate — same trade, same fix. */
+  def loadServable(spark: SparkSession, dir: String): Index = {
+    val base = load(spark, dir)
+    loadIngest(spark, dir) match {
+      case Some(ing) =>
+        val cols = base.indexed.columns.toIndexedSeq.map(col)
+        Index(base.centers, base.indexed.unionByName(ing.select(cols: _*)),
+          base.listBuckets)
+      case None => base
+    }
   }
 
   private def cosine(a: Column, b: Column): Column =

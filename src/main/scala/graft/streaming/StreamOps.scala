@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Streaming building blocks beyond the scoring path (SURVEY §2.9).
   */
@@ -197,6 +197,60 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(count(lit(1)).as("n_band_hits"), max(col("cos")).as("max_cos"))
       .select(col("doc_id"), col("n_band_hits"), round(col("max_cos"), 4).as("max_cos"))
+  }
+
+  /** Streaming ingest INTO a persisted IVF index ([[graft.llm.IvfSearch
+    * .save]]): arrivals are assigned to their inverted list against the
+    * LOADED centroids — one metadata-sized artifact read at stream
+    * start, no refit, the `assign` half of the build/serve split —
+    * optionally PQ-encoded against loaded codebooks (pass
+    * [[graft.llm.ProductQuant.load]]'s model so the ADC tier sees new
+    * vectors too), and appended to the index's ingest tier as ONE
+    * idempotent parquet directory per micro-batch, partitioned by the
+    * same `list_bucket` the base corpus uses.
+    *
+    * Replay safety is the [[graft.streaming.ScoringStream.ResultStore]]
+    * discipline: the batch id names the directory and the write is
+    * mode-overwrite, so a micro-batch replayed after a crash rewrites
+    * IDENTICAL content instead of duplicating rows (assignment and
+    * encoding are deterministic functions of frozen artifacts — a
+    * replay cannot even diverge semantically). A fresh session then
+    * serves base + arrivals via [[graft.llm.IvfSearch.loadServable]]
+    * with per-batch partition pruning intact, and the dup gate keeps
+    * reading the same artifacts — nothing refits, nothing rebuilds.
+    *
+    * `arrivals` must carry the SAME id/embedding column names the saved
+    * corpus uses (they become the appended rows' schema; unionByName in
+    * the loader is what makes mismatches loud, not silent). */
+  def ivfIngestSink(arrivals: DataFrame, indexDir: String, checkpointDir: String,
+      embCol: String = "emb",
+      pq: Option[graft.llm.ProductQuant.Model] = None): StreamingQuery = {
+    val spark = arrivals.sparkSession
+    val idx = graft.llm.IvfSearch.load(spark, indexDir)
+    val buckets = idx.listBuckets.getOrElse(math.max(1, idx.centers.length))
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIngestBatch(batch, batchId, indexDir, idx.centers, buckets, embCol, pq)
+      }
+      .start()
+  }
+
+  /** The per-batch writer behind [[ivfIngestSink]], visible so replay
+    * semantics are directly testable (call it twice with one batch id:
+    * the second write overwrites the first, row counts unchanged). */
+  def ivfIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      centers: Seq[Seq[Double]], listBuckets: Int, embCol: String,
+      pq: Option[graft.llm.ProductQuant.Model]): Unit = {
+    val assigned = graft.llm.IvfSearch.assign(batch, embCol, centers)
+    val coded = pq match {
+      case Some(m) => graft.llm.ProductQuant.encode(assigned, embCol, m)
+      case None    => assigned
+    }
+    coded
+      .withColumn("list_bucket", graft.llm.IvfSearch.bucketCol(col("cluster"), listBuckets))
+      .write.mode("overwrite").partitionBy("list_bucket")
+      .parquet(s"${graft.llm.IvfSearch.ingestRoot(indexDir)}/batch=$batchId")
   }
 
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.9; the

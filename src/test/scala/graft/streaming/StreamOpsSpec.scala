@@ -290,6 +290,79 @@ class StreamOpsSpec extends SparkSpec {
     assert(again === sampled.count())
   }
 
+  test("IVF ingest stream: arrivals append to the persisted index, a fresh load serves them, replay is idempotent") {
+    import graft.llm.{IvfSearch, ProductQuant}
+    // 64 base vectors in 4 well-separated directions + per-vector jitter
+    val base = (0 until 64).map { i =>
+      val c = i % 4
+      (i.toLong, Seq.tabulate(8)(d =>
+        (if (d == c * 2) 1.0 else 0.0) + 0.01 * ((i * 7 + d) % 5)))
+    }.toDF("vec_id", "emb")
+    val index = IvfSearch.build(base, "vec_id", "emb", k = 4)
+    val pq = ProductQuant.fit(base, "emb", m = 4, k = 4)
+    val dir = tmp("graft-ivf-ingest")
+    val ckpt = tmp("graft-ivf-ingest-ckpt")
+    try {
+      IvfSearch.save(index, dir)
+      implicit val sqlCtx = spark.sqlContext
+      // arrivals live in direction d=1 — orthogonal to every base
+      // cluster direction (d = 0,2,4,6), so they are the strict
+      // nearest neighbors of a d=1 probe under BOTH exact cosine and
+      // quantized ADC distance (quantization collapses jitter-scale
+      // differences, so a same-direction fixture would tie with base
+      // rows and lose the id tie-break)
+      def newVec(id: Long) =
+        (id, Seq.tabulate(8)(d => if (d == 1) 1.0 else 0.001 * (id % 7)))
+      val input = MemoryStream[(Long, Seq[Double])]
+      val arrivals = input.toDF().toDF("vec_id", "emb")
+      val q = StreamOps.ivfIngestSink(arrivals, dir, ckpt, pq = Some(pq))
+      try {
+        input.addData(newVec(1000L))
+        q.processAllAvailable()
+        input.addData(newVec(1001L), newVec(1002L))
+        q.processAllAvailable()
+      } finally q.stop()
+      // a FRESH load (no handle on the stream's session state) serves
+      // base + arrivals
+      val servable = IvfSearch.loadServable(spark, dir)
+      assert(servable.indexed.count() === 67L)
+      // plain IVF search over the fresh load finds the new vectors
+      val probe = Seq((9000L, Seq.tabulate(8)(d => if (d == 1) 1.0 else 0.0)))
+        .toDF("vec_id", "emb")
+      val hits = IvfSearch.search(servable, probe, "vec_id", "emb",
+        nProbe = 2, topK = 5)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(Set(1000L, 1001L, 1002L).subsetOf(hits),
+        s"ingested vectors missing from IVF search: $hits")
+      // the composed ADC tier sees them too: the stream encoded codes
+      // against the loaded codebooks, so base coded ∪ ingest tier is
+      // the full servable coded corpus
+      val baseCoded = ProductQuant.encode(index.indexed, "emb", pq)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val ingest = IvfSearch.loadIngest(spark, dir).get
+      assert(ingest.count() === 3L)
+      val coded = baseCoded.unionByName(
+        ingest.select(col("vec_id"), col("cluster"), col("codes")))
+      val adcHits = ProductQuant.ivfAdcSearch(servable, coded, "vec_id", "codes",
+        probe, "vec_id", "emb", pq, nProbe = 2, topK = 5)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(Set(1000L, 1001L, 1002L).subsetOf(adcHits),
+        s"ingested vectors missing from ADC search: $adcHits")
+      // replay safety: re-writing batch 1 with the same content (the
+      // crash-recovery path foreachBatch takes) overwrites, not appends
+      val batch1 = Seq(newVec(1001L), newVec(1002L)).toDF("vec_id", "emb")
+      StreamOps.ivfIngestBatch(batch1, 1L, dir, servable.centers,
+        servable.listBuckets.get, "emb", Some(pq))
+      assert(IvfSearch.loadIngest(spark, dir).get.count() === 3L,
+        "replayed micro-batch duplicated ingest rows")
+      assert(IvfSearch.loadServable(spark, dir).indexed.count() === 67L)
+    } finally {
+      index.indexed.unpersist()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
