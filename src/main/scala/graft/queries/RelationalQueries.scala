@@ -72,6 +72,57 @@ object RelationalQueries {
       .orderBy(col("r_name"))
   }
 
+  /** The q03 join shape UN-EXECUTED, over ANALYZE'd catalog tables
+    * (registration included — cheap after the first call per session;
+    * see [[graft.sources.TableStats.register]]), written in a
+    * deliberately BAD syntactic order: the fact⋈dim join first.
+    * Separated from [[q123CboJoin]] so PlanAuditSpec can inspect the
+    * optimized join order this query executes under. Callers own the
+    * [[graft.sources.TableStats.cboConfs]] window. */
+  private[graft] def cboJoinShape(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.TableStats.register(s, dir,
+      Seq("orders", "customer", "nation", "region"),
+      suffix = "_cbo", allColumns = false)
+    s.sql(
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM customer_cbo c
+        |JOIN orders_cbo o ON o.o_custkey = c.c_custkey
+        |JOIN nation_cbo n ON c.c_nationkey = n.n_nationkey
+        |JOIN region_cbo r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  /** q03's revenue-per-region planned by the COST-BASED optimizer
+    * instead of hand-placed broadcast hints — the production stance for
+    * repeatedly-queried tables: catalog registration + one ANALYZE per
+    * load cycle, CBO + join reorder on, and Catalyst picks the
+    * dims-first join order from rowCount statistics AT PLAN TIME no
+    * matter how badly the query was written. That initial-order
+    * insurance is what AQE cannot give at 100×: runtime adaptation only
+    * re-plans stage boundaries it already scheduled, and a fact-first
+    * mistake has shuffled the big table before the first stage
+    * finishes. The CBO confs are session-wide, so the query executes
+    * INSIDE its conf window and returns the bounded result (≤ |regions|
+    * rows) as a local frame — restoring the confs before returning
+    * keeps the other queries' syntactic-order planning untouched, and a
+    * lazily-returned plan would silently re-optimize WITHOUT stats when
+    * the runner's downstream write re-plans it. Oracle: identical
+    * result to q03's chain. */
+  private val q123CboJoin: Q = (s, dir) => {
+    val confs = graft.sources.TableStats.cboConfs
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = cboJoinShape(s, dir)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(df.collect().toList.asJava, df.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** §2.3 large equi join lineitem ⋈ orders (shuffle join at scale; AQE
     * may still broadcast orders at small SF — both are correct plans). */
   private val q04JoinFactFact: Q = (s, dir) => {
@@ -322,6 +373,7 @@ object RelationalQueries {
     "q22_cond_counts"    -> q22ConditionalCounts,
     "q23_theta_join"     -> q23ThetaJoin,
     "q24_lag_lead"       -> q24LagLead,
+    "q123_cbo_join"      -> q123CboJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -339,6 +391,15 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q03_join_bcast" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // q123: the CBO-planned chain must produce exactly q03's result —
+    // the optimizer may only change the ORDER work happens in
+    "q123_cbo_join" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey

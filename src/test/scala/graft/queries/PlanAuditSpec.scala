@@ -190,4 +190,38 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q01_pruned_scan")
     assert(p.contains("*(1)"), p)
   }
+
+  test("q123: rowCount stats + CBO reorder the fact-first chain dims-first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val prev = graft.sources.TableStats.cboConfs
+      .map { case (k, _) => k -> spark.conf.getOption(k) }
+    graft.sources.TableStats.cboConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = RelationalQueries.cboJoinShape(spark, sfDir)
+        .queryExecution.optimizedPlan
+      // ANALYZE recorded the rowCount the reorder costs against
+      val stats = spark.sql("DESCRIBE EXTENDED orders_cbo")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(stats.get("Statistics").exists(_.contains("rows")),
+        s"no rowCount statistic on orders_cbo: ${stats.get("Statistics")}")
+      // the INNERMOST join (no Join descendants — the first executed)
+      // must be dims-only: the syntactic order joined customer⋈orders
+      // first, and the whole point of the stats is undoing that
+      val innermost = plan.collect { case j: Join => j }
+        .filter(j => j.collect { case jj: Join => jj }.size == 1)
+      val tables = innermost.map(_.collect {
+        case r: LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("")
+      }.filter(_.nonEmpty).toSet)
+      assert(tables.nonEmpty && tables.forall(!_.contains("orders_cbo")),
+        s"CBO kept the fact table in the innermost join:\n$plan")
+      // and the reordered query still answers q03's oracle shape
+      val rows = SparkEntry.queries("q123_cbo_join")(spark, sfDir).collect()
+      assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
