@@ -15,8 +15,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * Three configs, because the single-config number hid the two ways the
   * path degrades at scale:
   *  - `baseline`: 100 rows/batch, fresh store — the r4/r5 number;
-  *  - `rows1k`: 10× the batch rate — row-proportional work (score +
-  *    attribution are scan-shaped) should move P95 far less than 10×;
+  *  - `rows1k` / `rows10k`: 10× and 100× the batch rate —
+  *    row-proportional work (score + attribution are scan-shaped)
+  *    should move P95 far less than the rate, and two decades locate
+  *    where the write path stops being batch-size-flat;
   *  - `aged`: a store carrying 50 batches of history with the
   *    auto-compaction knob on ([[ScoringStream.attach]] compactEvery).
   *    Measured result worth recording: the WRITE path is
@@ -53,12 +55,18 @@ object StreamBench {
     spark.stop()
   }
 
-  /** All three configs as one JSON object (the bench sidecar entry). */
+  /** All four configs as one JSON object (the bench sidecar entry). */
   def run(spark: SparkSession): String = {
     val baseline = runConfig(spark)
     val rows1k = runConfig(spark, rowsPerBatch = 1000)
+    // the second decade of the batch-rate sweep: rows1k cost only
+    // ~+19 ms P95 over baseline in r6/r7, so one more 10× tells whether
+    // the write path stays batch-size-flat or where it starts bending
+    // (score + attribution are scan-shaped; the keyed upsert writes one
+    // dir per batch regardless of rows, so flat is the design claim)
+    val rows10k = runConfig(spark, rowsPerBatch = 10000)
     val aged = runConfig(spark, historyBatches = 50, compactEvery = 25)
-    s"""{"baseline":$baseline,"rows1k":$rows1k,"aged":$aged}"""
+    s"""{"baseline":$baseline,"rows1k":$rows1k,"rows10k":$rows10k,"aged":$aged}"""
   }
 
   def runConfig(spark: SparkSession, warmBatches: Int = 3, timedBatches: Int = 20,
