@@ -1538,6 +1538,43 @@ object LlmQueries {
     }
   }
 
+  /** SCALE-PATH encode equivalence on the oracle surface: the column
+    * fold ([[TextOps.bpeApply]]) is the oracle-replicable definition,
+    * but its expression tree grows with the merge count — a production
+    * 32k-merge vocabulary runs the partition-local broadcast tokenizer
+    * ([[TextOps.bpeApplyBig]], the [[Multimodal]] mapPartitions shape)
+    * instead. This gate trains the q111 merges, encodes the word table
+    * through BOTH paths keyed on the word itself, and pins (a) the
+    * paths agree word-for-word (the scale path may never change a
+    * single segmentation), (b) the scale path conserves every word
+    * ([[TextOps.bpeDecode]]), (c) full-table coverage. One fused
+    * aggregate action over the joined frames (the q104 discipline). */
+  private val q124BpeScaleEncode: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache() // train + two encode consumers (runner clears)
+    try {
+      val merges = TextOps.bpeTrain(words, "w", "freq", nMerges = 8)
+      val viaCol = words.select(col("w"), TextOps.bpeApply(col("w"), merges).as("syms_col"))
+      val viaBig = TextOps.bpeApplyBig(words, "w", "w", merges)
+        .withColumnRenamed("syms", "syms_big")
+      val st = viaCol.join(viaBig, "w")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(when(col("syms_col") =!= col("syms_big"), 1L).otherwise(0L)).as("diverged"),
+          sum(when(TextOps.bpeDecode(col("syms_big")) =!= col("w"), 1L)
+            .otherwise(0L)).as("broken"))
+        .head()
+      Seq((
+        st.getLong(0),
+        if (st.getLong(1) == 0L) 1 else 0,
+        if (st.getLong(2) == 0L) 1 else 0
+      )).toDF("n_words", "paths_agree", "scale_conserves")
+    } finally words.unpersist()
+  }
+
   /** Token-rarity scoring — the unigram-LM quality signal (rare-token
     * density flags gibberish and OCR noise; all-common-token docs are
     * boilerplate-ish), kept RATIONAL (mean/min of integer document
@@ -1600,6 +1637,7 @@ object LlmQueries {
     "q118_simjoin_exact"  -> q118SimJoinExact,
     "q119_bpe_encode"     -> q119BpeEncode,
     "q122_bpe_persist"    -> q122BpePersist,
+    "q124_bpe_scale"      -> q124BpeScaleEncode,
     "q76_repetition"      -> q76Repetition,
     "q77_pack_sequences"  -> q77PackSequences,
     "q78_emb_centroids"   -> q78EmbCentroids,
@@ -1729,6 +1767,12 @@ object LlmQueries {
       s"""SELECT CAST((SELECT count(DISTINCT t) FROM
          |    (SELECT unnest($duckToks) AS t FROM documents) u) AS BIGINT) AS n_words,
          |  1 AS merges_roundtrip, 1 AS encode_identity, 1 AS decode_conserves""".stripMargin,
+    // q124: merge-table-dependent outputs gate as invariant flags; the
+    // word count restates from the table (the q119/q122 discipline)
+    "q124_bpe_scale" ->
+      s"""SELECT CAST((SELECT count(DISTINCT t) FROM
+         |    (SELECT unnest($duckToks) AS t FROM documents) u) AS BIGINT) AS n_words,
+         |  1 AS paths_agree, 1 AS scale_conserves""".stripMargin,
     // q116: sqrt is correctly-rounded IEEE in both engines (general pow
     // is not); all float ops are per-row, no cross-row float sums
     "q116_temp_mixture" ->

@@ -164,6 +164,94 @@ object TextOps {
     }
   }
 
+  /** The SCALE encode path: [[bpeApply]]'s exact semantics as
+    * partition-local Scala over a broadcast merge table, for merge
+    * lists too large to live in an expression tree (a production
+    * vocabulary is ~32k merges; the Column fold grows the plan
+    * linearly and leaves codegen long before that). Output contract:
+    * (idCol, syms) — same projection shape as the [[Multimodal]]
+    * codecs, no shuffle, merge table broadcast once per executor.
+    *
+    * Per word: code-point symbols (split("")'s semantics — surrogate
+    * pairs stay intact), then merges applied in TRAINING ORDER with a
+    * skip-scan: each round finds the smallest merge rank ABOVE the
+    * last applied one present among the word's current adjacencies
+    * (O(len) scan) and applies that merge's single greedy-leftmost
+    * pass — so a 32k-merge table costs O(applied merges · len), not
+    * 32k no-op passes. Never revisiting a lower rank is what makes
+    * this bit-identical to the sequential fold: the classic
+    * priority-heap formulation ("repeatedly merge the min-rank pair
+    * present") silently diverges on merge tables whose operands appear
+    * AFTER their products, and encode identity should not depend on
+    * table consistency. BpeTrainSpec pins equality against
+    * [[bpeApply]] on trained AND adversarially inconsistent tables. */
+  def bpeApplyBig(df: DataFrame, idCol: String, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val bcMerges = spark.sparkContext.broadcast(merges.toArray)
+    val bcRank = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    // the id column rides through UNTYPED (any id type — a numeric key,
+    // or the word itself when the vocabulary is the unit of work)
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("syms", ArrayType(StringType), nullable = true)))
+    df.select(col(idCol), col(wordCol).cast("string"))
+      .mapPartitions { it =>
+        val ms = bcMerges.value
+        val rank = bcRank.value
+        it.map(r => Row(r.get(0), encodeLocal(r.getString(1), ms, rank)))
+      }(Encoders.row(outSchema))
+      .toDF(idCol, "syms")
+  }
+
+  /** One word through the sequential-with-skip encoder — the exact
+    * [[bpeApply]] fold, minus the no-op passes. */
+  private[llm] def encodeLocal(w: String, merges: Array[(String, String)],
+      rank: Map[(String, String), Int]): Seq[String] = {
+    if (w == null) return null
+    var syms = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf
+    }
+    var last = -1
+    var done = false
+    while (!done) {
+      // smallest applicable rank STRICTLY ABOVE the last applied one —
+      // ranks ≤ last have had their one sequential pass already
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))) match {
+          case Some(r) if r > last && r < best => best = r
+          case _ =>
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        val merged = a + b
+        // the single greedy-leftmost pass, identical to the column fold
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = merged
+          else out += s
+        }
+        syms = out
+        last = best
+      }
+    }
+    syms.toSeq
+  }
+
   /** Decode — the exact inverse of [[bpeApply]]'s fold. Every BPE merge
     * only CONCATENATES adjacent symbols: no symbol is dropped, rewritten
     * or reordered by any round, so flattening the token array back to a

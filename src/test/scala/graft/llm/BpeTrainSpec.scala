@@ -109,6 +109,56 @@ class BpeTrainSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("bpeApplyBig matches bpeApply word-for-word on a trained merge table") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 150).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString, 1L + rnd.nextInt(9))
+    } ++ Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L), ("", 1L))
+    val words = corpus.zipWithIndex
+      .map { case ((w, f), i) => (i.toLong, w, f) }.toDF("id", "w", "freq")
+    val merges = TextOps.bpeTrain(words.select("w", "freq"), "w", "freq", nMerges = 12)
+    assert(merges.size === 12)
+    val viaColumn = words
+      .select(col("id"), TextOps.bpeApply(col("w"), merges).as("syms"))
+    val viaPartitions = TextOps.bpeApplyBig(words, "id", "w", merges)
+    assert(viaColumn.count() === viaPartitions.count())
+    val diff = viaColumn.join(viaPartitions.withColumnRenamed("syms", "syms2"), "id")
+      .filter(col("syms") =!= col("syms2"))
+    assert(diff.count() === 0,
+      s"scale path diverged from the column fold: ${diff.take(3).toSeq}")
+  }
+
+  test("bpeApplyBig matches the sequential fold even on an INCONSISTENT merge table") {
+    import org.apache.spark.sql.functions._
+    // (q,xa) ranked BEFORE the (x,a) that creates "xa": the sequential
+    // fold never revisits rank 0 after rank 1 produces its operand, so
+    // "qxa" must encode to [q, xa] — a min-present-rank tokenizer would
+    // wrongly produce [qxa]
+    val merges = Seq(("q", "xa"), ("x", "a"))
+    val words = Seq((0L, "qxa"), (1L, "xaq"), (2L, "qxaxa")).toDF("id", "w")
+    val viaColumn = words.select(col("id"), TextOps.bpeApply(col("w"), merges).as("syms"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaColumn(0L) === Seq("q", "xa"))
+    val big = TextOps.bpeApplyBig(words, "id", "w", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(big === viaColumn)
+  }
+
+  test("bpeApplyBig keeps surrogate pairs intact (split(\"\") code-point semantics)") {
+    import org.apache.spark.sql.functions._
+    val words = Seq((0L, "a😀b"), (1L, "日本語")).toDF("id", "w")
+    val out = TextOps.bpeApplyBig(words, "id", "w", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L) === Seq("a", "😀", "b"))
+    assert(out(1L) === Seq("日", "本", "語"))
+    // and the column split agrees
+    val colSplit = words.select(col("id"), TextOps.bpeApply(col("w"), Seq.empty).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(colSplit === out)
+  }
+
   test("bpeDecode inverts bpeApply for any merge list, including unicode") {
     import org.apache.spark.sql.functions._
     val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
