@@ -242,6 +242,12 @@ object StreamOps {
   def ivfIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
       centers: Seq[Seq[Double]], listBuckets: Int, embCol: String,
       pq: Option[graft.llm.ProductQuant.Model]): Unit = {
+    // a micro-batch replayed AFTER compactIngest folded its directory
+    // into the base corpus must not resurrect it — the _tier record is
+    // authoritative (the ResultStore _stamps discipline); the check is
+    // one small-file read per batch, cheap next to the parquet write
+    if (graft.llm.IvfSearch.readTierState(batch.sparkSession, indexDir)
+        .folded.contains(s"batch=$batchId")) return
     val assigned = graft.llm.IvfSearch.assign(batch, embCol, centers)
     val coded = pq match {
       case Some(m) => graft.llm.ProductQuant.encode(assigned, embCol, m)

@@ -170,6 +170,65 @@ class IvfSearchSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("compactIngest folds the ingest tier into a versioned corpus atomically") {
+    import spark.implicits._
+    // 60 base vectors in 4 orthogonal directions; arrivals live in a
+    // 5th direction so they are unambiguous search hits after the fold
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => if (d == i % 4) 1.0 else 0.001 * (i % 5)))
+    }.toDF("vec_id", "emb")
+    def newVec(id: Long) =
+      (id, Seq.tabulate(8)(d => if (d == 5) 1.0 else 0.001 * (id % 7)))
+    val idx = IvfSearch.build(base, "vec_id", "emb", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    try {
+      IvfSearch.save(idx, dir)
+      val buckets = IvfSearch.load(spark, dir).listBuckets.get
+      def ingest(id: Long, batch: Long): Unit =
+        graft.streaming.StreamOps.ivfIngestBatch(
+          Seq(newVec(id)).toDF("vec_id", "emb"), batch, dir,
+          idx.centers, buckets, "emb", None)
+      ingest(1000L, 0L); ingest(1001L, 1L)
+      assert(IvfSearch.loadServable(spark, dir).indexed.count() === 62L)
+
+      assert(IvfSearch.compactIngest(spark, dir), "pending batches not folded")
+      // the ingest tier is gone; the fold moved its rows into a NEW
+      // versioned corpus dir and retired the old one
+      assert(IvfSearch.loadIngest(spark, dir).isEmpty)
+      assert(new java.io.File(s"$dir/indexed_v2").isDirectory)
+      assert(!new java.io.File(s"$dir/indexed").exists(), "old corpus not cleaned up")
+      val re = IvfSearch.loadServable(spark, dir)
+      assert(re.indexed.count() === 62L, "fold lost or duplicated rows")
+      val probe = Seq((9000L, Seq.tabulate(8)(d => if (d == 5) 1.0 else 0.0)))
+        .toDF("vec_id", "emb")
+      val found = IvfSearch.search(re, probe, "vec_id", "emb", nProbe = 2, topK = 2)
+      val hits = found.select("neighbor_id").as[Long].collect().toSet
+      assert(hits === Set(1000L, 1001L), s"folded vectors missing from search: $hits")
+      // the compacted corpus is still bucket-partitioned: probes prune
+      assert(found.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "compacted corpus lost partition pruning")
+
+      // a folded micro-batch REPLAYED after compaction must not
+      // resurrect its directory (the _tier record is authoritative)
+      ingest(1001L, 1L)
+      assert(IvfSearch.loadIngest(spark, dir).isEmpty,
+        "replay of a folded batch resurrected ingest rows")
+      assert(IvfSearch.loadServable(spark, dir).indexed.count() === 62L)
+
+      // the cycle continues: fresh arrivals land, a second fold commits
+      // the next corpus version, and an empty tier is a no-op
+      ingest(1002L, 2L)
+      assert(IvfSearch.loadServable(spark, dir).indexed.count() === 63L)
+      assert(IvfSearch.compactIngest(spark, dir))
+      assert(new java.io.File(s"$dir/indexed_v3").isDirectory)
+      assert(IvfSearch.load(spark, dir).indexed.count() === 63L)
+      assert(!IvfSearch.compactIngest(spark, dir), "empty tier must be a no-op")
+    } finally {
+      idx.indexed.unpersist()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("recall against brute-force top-3 is useful and results are exact cosines") {
     val queries = emb.filter(col("vec_id") < 16)
     val ann = IvfSearch.search(index, queries, "vec_id", "emb", nProbe = 3, topK = 3)
