@@ -24,7 +24,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q118_simjoin_exact,q121_index_persist —
+    // iterate on one query's timing without paying the full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     var errors = Map.empty[String, String]
 
     def once(name: String): Option[Double] = {
@@ -64,9 +69,13 @@ object Bench {
     // a streaming-bench failure must not discard minutes of batch
     // results — but the record must keep the exception detail or the
     // failure can't be triaged from the sidecar
-    val streaming = scala.util.Try(StreamBench.run(spark))
-      .recover { case e => s"""{"error":${jstr(e.toString.take(200))}}""" }
-      .get
+    // a subset run (BENCH_ONLY) is per-query iteration — skip the
+    // minutes of micro-batch sweeps; the full sweep keeps them
+    val streaming =
+      if (only.isDefined) "null"
+      else scala.util.Try(StreamBench.run(spark))
+        .recover { case e => s"""{"error":${jstr(e.toString.take(200))}}""" }
+        .get
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's
