@@ -275,7 +275,7 @@ object IvfSearch {
     // the corpus pointer resolves through the _tier state so a load
     // after any number of [[compactIngest]] folds reads the current
     // versioned corpus; fresh saves have no _tier file → `indexed`
-    val corpusDir = readTierState(spark, dir).corpusDir
+    val corpusDir = readTierState(spark, dir).baseDir
     Index(centers, spark.read.parquet(s"$dir/$corpusDir"), Some(p))
   }
 
@@ -285,125 +285,34 @@ object IvfSearch {
     * [[graft.streaming.StreamOps.ivfIngestSink]]. */
   private[graft] def ingestRoot(dir: String): String = s"$dir/ingest"
 
-  /** Resolved tier state of a persisted index: which directory holds the
-    * CURRENT base corpus (fresh saves use `indexed`; each
-    * [[compactIngest]] commits a new `indexed_vN`) and which ingest
-    * batch dirs have already been folded into it. The state lives in
-    * ONE small text file (`$dir/_tier`) committed by atomic rename —
-    * a one-file transaction log: readers that resolve through it can
-    * never observe a half-applied compaction, because the corpus
-    * pointer and the folded-batch set change together or not at all.
-    * A missing file IS the initial state (`indexed`, nothing folded),
-    * so artifacts written before this mechanism existed stay loadable. */
-  private[graft] final case class TierState(corpusDir: String, folded: Set[String])
-
-  private def tierPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_tier")
-
-  private[graft] def readTierState(spark: SparkSession, dir: String): TierState = {
-    val p = tierPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) TierState("indexed", Set.empty)
-    else {
-      val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
-      val corpus = lines.collectFirst { case s if s.startsWith("corpus ") => s.drop(7) }
-        .getOrElse("indexed")
-      TierState(corpus, lines.collect { case s if s.startsWith("folded ") => s.drop(7) }.toSet)
-    }
-  }
-
-  /** The atomic commit: write the whole state to a temp file, then
-    * rename over the live one. Rename is atomic on HDFS/posix (an
-    * object store needs its conditional-put equivalent); the
-    * delete-then-rename window leaves NO `_tier` file, which readers
-    * resolve as the initial state — safe while `indexed` still exists
-    * (always true until the first compaction's cleanup), and a loud
-    * missing-directory failure afterwards, never silent wrong data. */
-  private def writeTierState(spark: SparkSession, dir: String, st: TierState): Unit = {
-    val dst = tierPath(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_tier.tmp")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(
-      (s"corpus ${st.corpusDir}" +: st.folded.toSeq.sorted.map("folded " + _))
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"could not commit tier state at $dst")
-  }
-
-  private[graft] def nextCorpusDir(current: String): String = current match {
-    case "indexed" => "indexed_v2"
-    case s if s.startsWith("indexed_v") => s"indexed_v${s.drop(9).toInt + 1}"
-    case other => throw new IllegalStateException(s"unrecognized corpus dir: $other")
-  }
+  /** Tier state of a persisted index (base-corpus pointer + folded
+    * batch set) — the shared [[graft.sources.TieredParquet]] one-file
+    * transaction log, with `indexed` as this artifact's default base. */
+  private[graft] def readTierState(spark: SparkSession, dir: String)
+      : graft.sources.TieredParquet.TierState =
+    graft.sources.TieredParquet.readState(spark, dir, "indexed")
 
   /** Fold the ingest tier into the base corpus — the
     * [[graft.streaming.ScoringStream.ResultStore.compact]] discipline
     * for the index: an append-only tier otherwise grows one directory
     * per micro-batch forever, and every [[loadServable]] pays listing +
     * footer costs proportional to the stream's whole history instead of
-    * the corpus size. Returns true when a fold happened.
-    *
-    * The fold writes base ∪ ingest to a NEW versioned corpus directory
-    * (never in place — readers of the old corpus are undisturbed),
-    * sorted within partitions by cluster id so each row group carries a
-    * narrow cluster min/max span and probe-side cluster predicates
-    * prune row groups within a bucket. The commit point is ONE atomic
-    * `_tier` rename carrying both the new corpus pointer and the
-    * folded-batch set; cleanup (old corpus + folded batch dirs) runs
-    * AFTER it, so a crash anywhere leaves either the old state fully
-    * intact or the new state fully committed plus harmless garbage a
-    * rerun removes — never duplicates, never missing rows. Replays of a
-    * folded micro-batch are refused by the `_tier` record
-    * ([[graft.streaming.StreamOps.ivfIngestBatch]] checks it), the
-    * `_stamps` sidecar pattern.
-    *
-    * Single-writer maintenance op (quiesce the ingest stream while it
-    * runs — the ResultStore.compact contract). The compacted schema is
-    * the BASE corpus schema: extra ingest-tier columns (the PQ `codes`
-    * the ADC tier carries) are dropped, loudly recomputable — encode is
-    * a deterministic function of the frozen codebooks and the
-    * embeddings survive in the corpus. At 100 TB the full-corpus
-    * rewrite amortizes over the thousands of batch dirs it folds;
-    * an operator wanting bounded I/O per fold instead rewrites only the
-    * buckets with pending ingest rows via dynamic partition overwrite,
-    * trading away the single atomic commit point. */
-  def compactIngest(spark: SparkSession, dir: String): Boolean = {
-    val st = readTierState(spark, dir)
-    val root = new org.apache.hadoop.fs.Path(ingestRoot(dir))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pending =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=")
-          && !st.folded(s.getPath.getName))
-        .map(_.getPath)
-    if (pending.isEmpty) return false
-    val basePath = s"$dir/${st.corpusDir}"
-    val base = spark.read.parquet(basePath)
-    val cols = base.columns.toIndexedSeq.map(col)
-    val ing = spark.read.option("basePath", ingestRoot(dir))
-      .parquet(pending.map(_.toString): _*)
-      .drop("batch").select(cols: _*)
-    val next = nextCorpusDir(st.corpusDir)
-    // no repartition: base tasks already align with bucket dirs, so the
-    // union writes ≈ one file per input file without shuffling the
-    // whole corpus through the cluster; the sort is task-local
-    base.unionByName(ing)
-      .sortWithinPartitions(col("list_bucket"), col("cluster"))
-      .write.mode("overwrite").partitionBy("list_bucket").parquet(s"$dir/$next")
-    writeTierState(spark, dir,
-      TierState(next, st.folded ++ pending.map(_.getName)))
-    // cleanup AFTER the commit: readers resolve through _tier, so a
-    // failure here leaves garbage directories, never wrong answers
-    pending.foreach(p => fs.delete(p, true))
-    fs.delete(new org.apache.hadoop.fs.Path(basePath), true)
-    true
-  }
+    * the corpus size. Returns true when a fold happened. Mechanics
+    * (versioned base dir, atomic `_tier` commit, replay refusal,
+    * single-writer contract) are [[graft.sources.TieredParquet.compact]];
+    * the task-local sort by (bucket, cluster) narrows row-group stats
+    * so probe-side cluster predicates prune within a bucket. The
+    * compacted schema is the BASE corpus schema: extra ingest-tier
+    * columns (the PQ `codes` the ADC tier carries) drop, loudly
+    * recomputable — encode is a deterministic function of the frozen
+    * codebooks and the embeddings survive in the corpus. At 100 TB the
+    * full-corpus rewrite amortizes over the thousands of batch dirs it
+    * folds; an operator wanting bounded I/O per fold instead rewrites
+    * only the buckets with pending ingest rows via dynamic partition
+    * overwrite, trading away the single atomic commit point. */
+  def compactIngest(spark: SparkSession, dir: String): Boolean =
+    graft.sources.TieredParquet.compact(spark, dir, "indexed",
+      Seq("list_bucket"), Seq("list_bucket", "cluster"))
 
   /** The ingest tier as one union-ready frame, or None when no batch
     * has landed yet. Partition discovery runs over the `batch=*` dirs
@@ -412,24 +321,8 @@ object IvfSearch {
     * synthetic `batch` column is dropped (it exists for replay
     * idempotence, not for consumers). The listing is one metadata RPC
     * against the index root — cheap next to any read of the tier. */
-  def loadIngest(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(ingestRoot(dir))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else {
-      // batches recorded as folded by [[compactIngest]] are already in
-      // the base corpus — a replayed dir that reappears after the fold
-      // must not be double-counted
-      val folded = readTierState(spark, dir).folded
-      val batches = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=")
-          && !folded(s.getPath.getName))
-      if (batches.isEmpty) None
-      else Some(spark.read.option("basePath", ingestRoot(dir))
-        .parquet(batches.map(_.getPath.toString).toIndexedSeq: _*)
-        .drop("batch"))
-    }
-  }
+  def loadIngest(spark: SparkSession, dir: String): Option[DataFrame] =
+    graft.sources.TieredParquet.loadIngest(spark, dir, "indexed")
 
   /** Reload a persisted index INCLUDING everything the ingest stream
     * appended since [[save]] — the query-service view: centers from the

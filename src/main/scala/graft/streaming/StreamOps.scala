@@ -165,13 +165,109 @@ object StreamOps {
   }
 
   /** Reload a persisted gate index → (banded frame, band-key width).
-    * The banded side stays a lazy parquet read; a long-lived stream
-    * should cache it so per-batch cost is the probe projection, not a
-    * re-scan ([[embeddingDupGateBanded]]'s contract). */
+    * The banded side resolves through the [[graft.sources.TieredParquet]]
+    * state (current base tier ∪ live ingest tier), so a gate loaded in
+    * a fresh session deduplicates against every doc
+    * [[dupGateIngestSink]] has admitted since the index was built. The
+    * frame stays a lazy parquet read; a long-lived stream should cache
+    * it so per-batch cost is the probe projection, not a re-scan
+    * ([[embeddingDupGateBanded]]'s contract). */
   def loadDupGateIndex(spark: SparkSession, dir: String): (DataFrame, Int) = {
     val bits = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    (spark.read.parquet(s"$dir/banded"), bits)
+    (graft.sources.TieredParquet.loadTiered(spark, dir, "banded"), bits)
   }
+
+  /** Self-growing dup gate: admit-or-reject each arriving doc against
+    * the persisted gate index AND every previously admitted arrival,
+    * then append the admitted docs' band keys to the index's ingest
+    * tier — so the gate closes the window a STATIC index leaves open
+    * (a new doc is admitted once, but its later duplicates would pass
+    * a gate that never learns). Per micro-batch:
+    *
+    *   1. candidates = banded arrivals ⋈ (base ∪ ingest tier) on
+    *      (band_id, bkey), verified by exact `cosine_sim` ≥ threshold
+    *      (NaN-guarded — the zero-norm trap);
+    *   2. within-batch near-dups resolve FIRST-WINS by id: an arrival
+    *      also matching a lower-id arrival in the same batch is
+    *      rejected (two copies landing together must not both pass);
+    *   3. admitted rows append as `$dir/ingest/batch=<id>`, partitioned
+    *      by band_id like the base tier, written idempotently.
+    *
+    * Replay safety: the batch dir is keyed by batch id and the
+    * computation is a deterministic function of the FROZEN artifacts
+    * plus EARLIER batch dirs — the reader excludes the batch's own
+    * (possibly half-written) directory, so a replay after a crash
+    * recomputes identical content instead of self-matching and
+    * rejecting everything. Batches folded by [[compactDupGateIndex]]
+    * are refused via the `_tier` record (the ivfIngestBatch guard).
+    *
+    * At scale the per-batch cost is the arrival banding (projection)
+    * plus an equi-join that touches only the band partitions the
+    * arrivals hash into; the ingest tier stays join-ready because it
+    * carries the SAME partitioning as the base. Arrivals must carry
+    * (`vec_id`, `emb`) — the banded artifact's id/embedding schema. */
+  def dupGateIngestSink(arrivals: DataFrame, indexDir: String,
+      checkpointDir: String, threshold: Double): StreamingQuery = {
+    val spark = arrivals.sparkSession
+    val bits = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dupGateIngestBatch(batch, batchId, indexDir, bits, threshold)
+      }
+      .start()
+  }
+
+  /** The per-batch admit-and-append behind [[dupGateIngestSink]],
+    * visible so replay semantics are directly testable. */
+  def dupGateIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      bits: Int, threshold: Double): Unit = {
+    import graft.sources.TieredParquet
+    val spark = batch.sparkSession
+    val label = s"batch=$batchId"
+    if (TieredParquet.readState(spark, indexDir, "banded").folded.contains(label))
+      return // folded into the base tier; a replay must not resurrect it
+    val index = TieredParquet.loadTiered(spark, indexDir, "banded",
+      exclude = Set(label))
+    val arr = batch.select(col("vec_id"), col("emb"))
+    // probe columns renamed up front: the banded index carries its own
+    // vec_id/emb, and the within-batch check is a self-join
+    val probes = graft.llm.EmbedLsh.bandKeys(arr, bits)
+      .join(arr, Seq("vec_id"))
+      .select(col("vec_id").as("p_id"), col("band_id"), col("bkey"),
+        col("emb").as("p_emb"))
+    def verified(cand: DataFrame, leftEmb: String, rightEmb: String) = {
+      val cos = call_function("cosine_sim", col(leftEmb), col(rightEmb))
+      cand.filter(!isnan(cos) && cos >= threshold)
+    }
+    // vs the index (base ∪ earlier batches)
+    val dupVsIndex = verified(
+      probes.join(index, Seq("band_id", "bkey")), "p_emb", "idx_emb")
+      .select(col("p_id").as("vec_id"))
+    // vs LOWER-ID arrivals in the same batch (first-wins)
+    val later = probes.select(col("p_id").as("l_id"), col("band_id"),
+      col("bkey"), col("p_emb").as("l_emb"))
+    val dupInBatch = verified(
+      later.join(probes, Seq("band_id", "bkey"))
+        .filter(col("l_id") > col("p_id")),
+      "l_emb", "p_emb")
+      .select(col("l_id").as("vec_id"))
+    val admitted = arr.join(
+      dupVsIndex.union(dupInBatch).distinct(), Seq("vec_id"), "left_anti")
+    graft.llm.EmbedLsh.bandKeys(admitted, bits)
+      .join(admitted.select(col("vec_id"), col("emb").as("idx_emb")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("band_id")
+      .parquet(s"${TieredParquet.ingestRoot(indexDir)}/$label")
+  }
+
+  /** Fold the gate index's ingest tier into its base banded table —
+    * [[graft.sources.TieredParquet.compact]] with this artifact's
+    * layout (partitioned by band_id, task-local sort by bkey for
+    * row-group stats). Single-writer maintenance op: quiesce the
+    * ingest stream while it runs. */
+  def compactDupGateIndex(spark: SparkSession, dir: String): Boolean =
+    graft.sources.TieredParquet.compact(spark, dir, "banded",
+      Seq("band_id"), Seq("band_id", "bkey"))
 
   /** The gate over a prebuilt static side ([[dupGateIndex]] /
     * [[loadDupGateIndex]]). Candidate verification is the native

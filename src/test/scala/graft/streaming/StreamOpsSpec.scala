@@ -363,6 +363,54 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("self-growing dup gate: admitted docs join the index and reject their later duplicates") {
+    import spark.implicits._
+    def oneHot(d: Int, scale: Double) = Seq.tabulate(64)(i => if (i == d) scale else 0.0)
+    val index = Seq((10L, oneHot(0, 2.0)), (11L, oneHot(2, 1.0)))
+      .toDF("vec_id", "emb")
+    val dir = tmp("graft-gategrow")
+    StreamOps.saveDupGateIndex(index, bits = 4, dir)
+    try {
+      def gateSize = StreamOps.loadDupGateIndex(spark, dir)._1
+        .select("vec_id").distinct().count()
+      assert(gateSize === 2L)
+      // batch 0: A fresh; B = same-direction dup of A (first-wins: A
+      // admitted, B rejected); C duplicates base vec 10 → rejected
+      val b0 = Seq(
+        (100L, oneHot(1, 5.0)), (101L, oneHot(1, 3.0)), (102L, oneHot(0, 7.0)))
+        .toDF("vec_id", "emb")
+      StreamOps.dupGateIngestBatch(b0, 0L, dir, bits = 4, threshold = 0.9)
+      assert(gateSize === 3L, "batch 0 should admit exactly doc 100")
+      // batch 1: D duplicates the JUST-ADMITTED 100 → rejected (the
+      // self-growing property a static index lacks); E is fresh
+      val b1 = Seq((103L, oneHot(1, 2.0)), (104L, oneHot(3, 1.0)))
+        .toDF("vec_id", "emb")
+      StreamOps.dupGateIngestBatch(b1, 1L, dir, bits = 4, threshold = 0.9)
+      assert(gateSize === 4L, "batch 1 should admit exactly doc 104")
+      // replay of batch 1 recomputes identical content (its own crashed
+      // dir is excluded from the index view, so nothing self-matches)
+      StreamOps.dupGateIngestBatch(b1, 1L, dir, bits = 4, threshold = 0.9)
+      assert(gateSize === 4L, "replayed batch duplicated or dropped rows")
+      // compaction folds both batches into banded_v2; the gate view is
+      // unchanged and a folded batch's replay is refused
+      assert(StreamOps.compactDupGateIndex(spark, dir))
+      assert(new java.io.File(s"$dir/banded_v2").isDirectory)
+      assert(graft.sources.TieredParquet.loadIngest(spark, dir, "banded").isEmpty)
+      assert(gateSize === 4L, "compaction changed the gate view")
+      StreamOps.dupGateIngestBatch(b1, 1L, dir, bits = 4, threshold = 0.9)
+      assert(graft.sources.TieredParquet.loadIngest(spark, dir, "banded").isEmpty,
+        "replay of a folded batch resurrected its directory")
+      // post-compaction arrivals still dedup against folded admissions
+      val b2 = Seq((105L, oneHot(3, 9.0)), (106L, oneHot(5, 1.0)))
+        .toDF("vec_id", "emb")
+      StreamOps.dupGateIngestBatch(b2, 2L, dir, bits = 4, threshold = 0.9)
+      assert(gateSize === 5L, "batch 2 should reject the dup of folded doc 104")
+      val ids = StreamOps.loadDupGateIndex(spark, dir)._1
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(ids === Set(10L, 11L, 100L, 104L, 106L))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
