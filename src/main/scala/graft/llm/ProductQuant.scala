@@ -226,14 +226,18 @@ object ProductQuant {
   }
 
   /** Add a `codesCol` array<int> of length m: the per-subspace nearest
-    * codewords — one scan-shaped projection, no shuffle, no UDF. */
+    * codewords — one scan-shaped projection, no shuffle, no UDF. A NULL
+    * embedding takes NULL codes (not a silent array of −1s: the argmin
+    * fold's null distance would otherwise fall through every `when` and
+    * leave the seed index — the same invisible-corruption shape the
+    * cluster = −1 quarantine exists to prevent). */
   def encode(df: DataFrame, embCol: String, model: Model,
       codesCol: String = "codes"): DataFrame =
     df.withColumn(codesCol, {
       val e = col(embCol).cast("array<double>")
-      array((0 until model.m).map { j =>
+      when(e.isNotNull, array((0 until model.m).map { j =>
         argminCode(slice(e, j * model.subDim + 1, model.subDim), model.centers(j))
-      }: _*)
+      }: _*))
     })
 
   /** Reconstruction of a codes column: codeword lookup per subspace,
@@ -243,6 +247,55 @@ object ProductQuant {
       element_at(typedLit(model.centers(j)), element_at(codes, j + 1) + 1)
     }: _*)
 
+  /** Residual of each vector against its inverted list's centroid —
+    * the IVFADC refinement (Jégou et al. 2011 §IV): within a list the
+    * residuals r = x − c_list span a much tighter ball than the raw
+    * vectors (the coarse quantizer already absorbed the between-list
+    * variance), so PQ codebooks trained on residuals spend their k
+    * codewords on local detail instead of re-learning list positions —
+    * materially lower reconstruction error for the same code budget.
+    *
+    * The centroid arrives via a BROADCAST join on the `cluster` column,
+    * not a plan literal: k can be 65536 on a big index
+    * ([[IvfSearch.MaxK]]), and embedding k·dim doubles in the plan is
+    * the exact hazard [[IvfSearch.build]]'s fallback guard documents.
+    * Quarantined rows (`cluster = -1`, the [[IvfSearch.assign]]
+    * malformed-row contract) take a null residual — unreachable by
+    * probes, visibly null here, never silently coded. */
+  def withResidual(df: DataFrame, embCol: String,
+      centers: Seq[Seq[Double]], out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centers.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster", "__cent")
+    df.join(broadcast(cents), Seq("cluster"), "left")
+      .withColumn(out,
+        when(col("cluster") >= 0,
+          zip_with(col(embCol).cast("array<double>"), col("__cent"), (a, b) => a - b)))
+      .drop("__cent")
+  }
+
+  /** Fit codebooks on the RESIDUALS of an IVF-indexed corpus — same
+    * bounded-sample driver-local fit as [[fit]], same determinism
+    * guarantees; quarantined rows are excluded (their residual is
+    * undefined). Pair with [[encodeResidual]] and
+    * `ivfAdcSearch(..., residual = true)`. */
+  def fitResidual(index: IvfSearch.Index, embCol: String, m: Int, k: Int = 16,
+      seed: Long = 42L, fitSampleRows: Long = -1L, maxIter: Int = 20): Model = {
+    val res = withResidual(index.indexed.filter(col("cluster") >= 0),
+      embCol, index.centers, "__res")
+    fit(res, "__res", m, k, seed, fitSampleRows, maxIter)
+  }
+
+  /** [[encode]] over residuals: `df` must carry the IVF `cluster`
+    * column (an indexed corpus, or [[IvfSearch.assign]]ed arrivals).
+    * Quarantined rows encode to null codes. */
+  def encodeResidual(df: DataFrame, embCol: String,
+      centers: Seq[Seq[Double]], model: Model,
+      codesCol: String = "codes"): DataFrame =
+    encode(withResidual(df, embCol, centers, "__res"), "__res", model, codesCol)
+      .drop("__res")
+
   /** IVF + PQ composed search — the production ANN end-state: the IVF
     * index prunes candidates to the `nProbe` nearest inverted lists
     * (per-query work ~nProbe/k of the corpus, [[IvfSearch.search]]'s
@@ -251,6 +304,16 @@ object ProductQuant {
     * the probe working set is 32× smaller on top of the list pruning.
     * `coded` must carry the IVF `cluster` column AND the PQ codes of
     * the SAME corpus (build once: `encode(index.indexed, ...)`).
+    *
+    * With `residual = true` (codes from [[encodeResidual]], model from
+    * [[fitResidual]] — the full IVFADC of Jégou et al. 2011), each
+    * probe row re-bases its query onto the probed list's centroid
+    * (q − c_list) BEFORE the candidate join, so the ADC distance
+    * compares residual to residual codewords. The re-basing happens on
+    * the probe side where the centroid is already in hand — per
+    * (query × nProbe) row, never per candidate — and everything
+    * downstream (join shape, broadcast sizing, distance fold, top-k
+    * window) is byte-identical to the raw path.
     *
     * The probe-set join strategy is sized to the QUERY set exactly as
     * [[IvfSearch.search]] sizes it: a small batch broadcasts its
@@ -266,7 +329,8 @@ object ProductQuant {
       codesCol: String, queries: DataFrame, qIdCol: String, qEmbCol: String,
       model: Model, nProbe: Int, topK: Int,
       maxBroadcastQueries: Long = 1L << 16,
-      numQueries: Option[Long] = None): DataFrame = {
+      numQueries: Option[Long] = None,
+      residual: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centroids = index.centers.zipWithIndex
@@ -278,7 +342,10 @@ object ProductQuant {
       .withColumn("c_dist", d2(col("q_emb"), col("centroid")))
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("cluster"))
+      .select(col("q_id"),
+        (if (residual) zip_with(col("q_emb"), col("centroid"), (a, b) => a - b)
+         else col("q_emb")).as("q_emb"),
+        col("cluster"))
     // a persisted coded corpus is bucket-partitioned exactly like the
     // IVF corpus; deriving the bucket on the probe side keeps partition
     // pruning alive through the fan-out clamp (IvfSearch.bucketedProbes)

@@ -141,6 +141,78 @@ class ProductQuantSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("residual codebooks beat raw codebooks at the same budget (IVFADC refinement)") {
+    val nClusters = 6
+    val df = corpus(nClusters, perCluster = 40)
+      .select(col("vec_id"), col("emb").as("embedding")).cache()
+    val index = IvfSearch.build(df, "vec_id", "embedding", k = nClusters, seed = 13L)
+    // a starved budget (2 codewords per subspace, 6 anchors): raw PQ
+    // must spend its codewords on anchor POSITIONS and still misses
+    // most; residual PQ only has to cover jitter around zero
+    val raw = ProductQuant.fit(df, "embedding", m = 4, k = 2, seed = 13L)
+    val rpq = ProductQuant.fitResidual(index, "embedding", m = 4, k = 2, seed = 13L)
+    def sse(frame: org.apache.spark.sql.DataFrame, target: String,
+        model: ProductQuant.Model): Double =
+      ProductQuant.encode(frame, target, model)
+        .withColumn("recon", ProductQuant.decode(model, col("codes")))
+        .withColumn("e2", aggregate(
+          zip_with(col(target), col("recon"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, d) => a + d))
+        .agg(sum(col("e2"))).head().getDouble(0)
+    val errRaw = sse(df, "embedding", raw)
+    val errRes = sse(ProductQuant.withResidual(index.indexed, "embedding",
+      index.centers, "__res"), "__res", rpq)
+    assert(errRes < errRaw * 0.5,
+      s"residual SSE $errRes not materially below raw SSE $errRaw")
+    df.unpersist(); index.indexed.unpersist()
+  }
+
+  test("encodeResidual: quarantined rows take null codes, clean rows code in-range") {
+    val nClusters = 4
+    val df = corpus(nClusters, perCluster = 30)
+      .select(col("vec_id"), col("emb").as("embedding")).cache()
+    val index = IvfSearch.build(df, "vec_id", "embedding", k = nClusters, seed = 3L)
+    val rpq = ProductQuant.fitResidual(index, "embedding", m = 4, k = 4, seed = 3L)
+    // arrivals: one clean member of cluster 0's anchor, one malformed
+    val clean = df.filter(col("vec_id") === 0L)
+      .select(lit(1000L).as("vec_id"), col("embedding"))
+    val bad = Seq(1001L).toDF("vec_id")
+      .withColumn("embedding", lit(null).cast("array<double>"))
+    val assigned = IvfSearch.assign(clean.unionByName(bad), "embedding", index.centers)
+    val coded = ProductQuant.encodeResidual(assigned, "embedding", index.centers, rpq)
+      .select("vec_id", "cluster", "codes").collect().sortBy(_.getLong(0))
+    assert(coded(0).getInt(1) >= 0, "clean arrival was quarantined")
+    val codes = coded(0).getSeq[Int](2)
+    assert(codes.length === 4 && codes.forall(c => c >= 0 && c < 4),
+      s"clean arrival's codes out of range: $codes")
+    assert(coded(1).getInt(1) === -1, "malformed arrival escaped quarantine")
+    assert(coded(1).isNullAt(2),
+      s"quarantined arrival must take NULL codes, got ${coded(1).get(2)}")
+    df.unpersist(); index.indexed.unpersist()
+  }
+
+  test("ivfAdcSearch residual path: complete own-cluster top-k, same shape as raw") {
+    val nClusters = 5
+    val df = corpus(nClusters, perCluster = 40)
+      .select(col("vec_id"), col("emb").as("embedding")).cache()
+    val index = IvfSearch.build(df, "vec_id", "embedding", k = nClusters, seed = 9L)
+    val rpq = ProductQuant.fitResidual(index, "embedding", m = 4, k = 8, seed = 9L)
+    val rcoded = ProductQuant.encodeResidual(index.indexed, "embedding",
+      index.centers, rpq).cache()
+    val queries = df.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val res = ProductQuant.ivfAdcSearch(index, rcoded, "vec_id", "codes",
+      queries, "q_id", "q_emb", rpq, nProbe = 1, topK = 10, residual = true).cache()
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.length === nClusters && perQuery.forall(_.getLong(1) === 10))
+    val wrong = res.filter(
+      pmod(col("neighbor_id"), lit(nClusters)) =!= pmod(col("q_id"), lit(nClusters))).count()
+    assert(wrong === 0, s"$wrong residual-ADC neighbors leaked from unprobed clusters")
+    assert(res.columns.toSeq ===
+      Seq("q_id", "rnk", "neighbor_id", "adc_dist"), "residual path changed the contract")
+    res.unpersist(); rcoded.unpersist(); df.unpersist(); index.indexed.unpersist()
+  }
+
   test("duplicate-heavy corpora cannot starve the fit (k clamps to distinct points)") {
     val dup = (0 until 200).map(i => (i.toLong, Seq.fill(16)(if (i % 2 == 0) 1.0 else 5.0)))
       .toDF("vec_id", "emb") // only TWO distinct vectors
