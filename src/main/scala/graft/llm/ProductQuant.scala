@@ -331,6 +331,60 @@ object ProductQuant {
       maxBroadcastQueries: Long = 1L << 16,
       numQueries: Option[Long] = None,
       residual: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
+    adcCandidates(index, coded, idCol, codesCol, queries, qIdCol, qEmbCol,
+      model, nProbe, maxBroadcastQueries, numQueries, residual, keepFull = false)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol).as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** ADC shortlist + exact re-rank — IVFADC+R (Jégou et al., "Searching
+    * in one billion vectors: re-rank with source coding", ICASSP 2011):
+    * the ADC pass ranks each query's probed candidates by quantized
+    * distance and keeps a `topK·refine` shortlist; the survivors alone
+    * get an EXACT squared distance on the corpus's full-precision
+    * `embCol`, and the final top-k orders by that. The accuracy/IO trade
+    * at 100 TB: the probe scan still reads only the m-byte codes per
+    * candidate (the 32× working-set win), while full vectors are read
+    * for topK·refine rows PER QUERY — point reads, never a corpus scan —
+    * so quantization error stops deciding final ranks at the cost of a
+    * bounded second look. `coded` must carry `embCol` alongside the
+    * codes (the saved corpus does: codes ride it as a column).
+    *
+    * Output contract matches [[ivfAdcSearch]] with the exact distance in
+    * place of the quantized one: (q_id, rnk, neighbor_id, dist). */
+  def ivfAdcRefine(index: IvfSearch.Index, coded: DataFrame, idCol: String,
+      embCol: String, codesCol: String, queries: DataFrame, qIdCol: String,
+      qEmbCol: String, model: Model, nProbe: Int, topK: Int, refine: Int = 4,
+      maxBroadcastQueries: Long = 1L << 16,
+      numQueries: Option[Long] = None,
+      residual: Boolean = false): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1: $refine")
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
+    val wX = Window.partitionBy(col("q_id")).orderBy(col("dist"), col(idCol))
+    adcCandidates(index, coded, idCol, codesCol, queries, qIdCol, qEmbCol,
+      model, nProbe, maxBroadcastQueries, numQueries, residual, keepFull = true)
+      .withColumn("adc_rnk", row_number().over(wAdc))
+      .filter(col("adc_rnk") <= topK.toLong * refine)
+      // exact distance on the ORIGINAL query vector (residual re-based
+      // the ADC copy; q_full survives untouched for exactly this)
+      .withColumn("dist", round(d2(col("q_full"), col(embCol).cast("array<double>")), 4))
+      .withColumn("rnk", row_number().over(wX))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol).as("neighbor_id"), col("dist"))
+  }
+
+  /** Shared candidate pipeline of [[ivfAdcSearch]] / [[ivfAdcRefine]]:
+    * probe the nProbe nearest lists, join candidates on the (bucketed)
+    * cluster key with query-set-sized join strategy, attach the ADC
+    * distance. With `keepFull` the probe rows also carry the original
+    * full-precision query vector as `q_full` (the re-rank pass needs it;
+    * the residual path rewrites `q_emb` per probed list). */
+  private def adcCandidates(index: IvfSearch.Index, coded: DataFrame,
+      idCol: String, codesCol: String, queries: DataFrame, qIdCol: String,
+      qEmbCol: String, model: Model, nProbe: Int, maxBroadcastQueries: Long,
+      numQueries: Option[Long], residual: Boolean, keepFull: Boolean): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centroids = index.centers.zipWithIndex
@@ -342,10 +396,12 @@ object ProductQuant {
       .withColumn("c_dist", d2(col("q_emb"), col("centroid")))
       .withColumn("c_rank", row_number().over(wC))
       .filter(col("c_rank") <= nProbe)
-      .select(col("q_id"),
+      .select(Seq(
+        col("q_id"),
         (if (residual) zip_with(col("q_emb"), col("centroid"), (a, b) => a - b)
          else col("q_emb")).as("q_emb"),
-        col("cluster"))
+        col("cluster")) ++
+        (if (keepFull) Seq(col("q_emb").as("q_full")) else Nil): _*)
     // a persisted coded corpus is bucket-partitioned exactly like the
     // IVF corpus; deriving the bucket on the probe side keeps partition
     // pruning alive through the fan-out clamp (IvfSearch.bucketedProbes)
@@ -360,12 +416,8 @@ object ProductQuant {
         d2(slice(col("q_emb"), j * model.subDim + 1, lit(model.subDim)),
           element_at(element_at(cbAll, j + 1), element_at(col(codesCol), j + 1) + 1))),
       lit(0.0), (acc, d) => acc + d)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
     coded.join(probeSide, joinKeys)
       .withColumn("adc_dist", round(dist, 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col(idCol).as("neighbor_id"), col("adc_dist"))
   }
 
   /** Asymmetric-distance (ADC) top-k: queries stay full-precision, the

@@ -317,17 +317,21 @@ object StreamOps {
     *
     * `arrivals` must carry the SAME id/embedding column names the saved
     * corpus uses (they become the appended rows' schema; unionByName in
-    * the loader is what makes mismatches loud, not silent). */
+    * the loader is what makes mismatches loud, not silent). A base
+    * corpus coded with [[graft.llm.ProductQuant.encodeResidual]] takes
+    * `residual = true` so arrivals' codes land in the same space. */
   def ivfIngestSink(arrivals: DataFrame, indexDir: String, checkpointDir: String,
       embCol: String = "emb",
-      pq: Option[graft.llm.ProductQuant.Model] = None): StreamingQuery = {
+      pq: Option[graft.llm.ProductQuant.Model] = None,
+      residual: Boolean = false): StreamingQuery = {
     val spark = arrivals.sparkSession
     val idx = graft.llm.IvfSearch.load(spark, indexDir)
     val buckets = idx.listBuckets.getOrElse(math.max(1, idx.centers.length))
     arrivals.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ivfIngestBatch(batch, batchId, indexDir, idx.centers, buckets, embCol, pq)
+        ivfIngestBatch(batch, batchId, indexDir, idx.centers, buckets, embCol, pq,
+          residual)
       }
       .start()
   }
@@ -337,7 +341,8 @@ object StreamOps {
     * the second write overwrites the first, row counts unchanged). */
   def ivfIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
       centers: Seq[Seq[Double]], listBuckets: Int, embCol: String,
-      pq: Option[graft.llm.ProductQuant.Model]): Unit = {
+      pq: Option[graft.llm.ProductQuant.Model],
+      residual: Boolean = false): Unit = {
     // a micro-batch replayed AFTER compactIngest folded its directory
     // into the base corpus must not resurrect it — the _tier record is
     // authoritative (the ResultStore _stamps discipline); the check is
@@ -345,7 +350,12 @@ object StreamOps {
     if (graft.llm.IvfSearch.readTierState(batch.sparkSession, indexDir)
         .folded.contains(s"batch=$batchId")) return
     val assigned = graft.llm.IvfSearch.assign(batch, embCol, centers)
+    // residual: the arrivals' codes must live in the SAME space as the
+    // base corpus's ([[graft.llm.ProductQuant.encodeResidual]]) or the
+    // ADC tier would silently mix raw- and residual-space codes
     val coded = pq match {
+      case Some(m) if residual =>
+        graft.llm.ProductQuant.encodeResidual(assigned, embCol, centers, m)
       case Some(m) => graft.llm.ProductQuant.encode(assigned, embCol, m)
       case None    => assigned
     }

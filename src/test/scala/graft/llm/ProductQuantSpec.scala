@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class ProductQuantSpec extends SparkSpec {
@@ -211,6 +212,58 @@ class ProductQuantSpec extends SparkSpec {
     assert(res.columns.toSeq ===
       Seq("q_id", "rnk", "neighbor_id", "adc_dist"), "residual path changed the contract")
     res.unpersist(); rcoded.unpersist(); df.unpersist(); index.indexed.unpersist()
+  }
+
+  test("ivfAdcRefine: exact re-rank recovers the true neighbors a coarse ADC collapses") {
+    val nClusters = 4
+    val df = corpus(nClusters, perCluster = 50)
+      .select(col("vec_id"), col("emb").as("embedding")).cache()
+    val index = IvfSearch.build(df, "vec_id", "embedding", k = nClusters, seed = 21L)
+    // deliberately starved codebook: within a cluster most members share
+    // codes, so pure ADC ranks are quantization noise — the refine pass
+    // must still land the EXACT top-k
+    val pq = ProductQuant.fit(df, "embedding", m = 4, k = 2, seed = 21L)
+    val coded = ProductQuant.encode(index.indexed, "embedding", pq).cache()
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val topK = 5
+    val refined = ProductQuant.ivfAdcRefine(index, coded, "vec_id", "embedding",
+      "codes", queries, "q_id", "q_emb", pq, nProbe = 1, topK = topK,
+      refine = 50) // shortlist covers the whole probed list → re-rank is exact
+    // ground truth: brute-force exact top-k over the whole corpus (true
+    // neighbors all sit in the query's own cluster, which nProbe=1 probes);
+    // same rounding + (dist, id) tie-break as the operator
+    val exactDist = aggregate(
+      zip_with(col("q_emb"), col("emb2"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, d) => a + d)
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nid"))
+    val exact = df.select(col("vec_id").as("nid"), col("embedding").as("emb2"))
+      .crossJoin(queries)
+      .withColumn("dist", round(exactDist, 4))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("nid").as("neighbor_id"), col("dist"))
+    val a = refined.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val b = exact.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(a.length === 3 * topK)
+    assert(a.sameElements(b), "refined top-k diverged from brute-force exact top-k")
+    // the coarse ADC alone does NOT produce this ranking (the refine pass
+    // is load-bearing): at k=2 within-cluster codes collapse
+    val adcOnly = ProductQuant.ivfAdcSearch(index, coded, "vec_id", "codes",
+      queries, "q_id", "q_emb", pq, nProbe = 1, topK = topK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(!adcOnly.sameElements(a.map(t => (t._1, t._2, t._3))),
+      "coarse ADC already matched exact ranks — the starved-codebook premise broke")
+    // residual codes + refine compose: same exact result set
+    val rpq = ProductQuant.fitResidual(index, "embedding", m = 4, k = 2, seed = 21L)
+    val rcoded = ProductQuant.encodeResidual(index.indexed, "embedding",
+      index.centers, rpq).cache()
+    val rRefined = ProductQuant.ivfAdcRefine(index, rcoded, "vec_id", "embedding",
+      "codes", queries, "q_id", "q_emb", rpq, nProbe = 1, topK = topK,
+      refine = 50, residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rRefined.sameElements(b), "residual+refine diverged from exact top-k")
+    coded.unpersist(); rcoded.unpersist(); df.unpersist(); index.indexed.unpersist()
   }
 
   test("duplicate-heavy corpora cannot starve the fit (k clamps to distinct points)") {

@@ -363,6 +363,43 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ingest with residual codes lands arrivals in the base corpus's code space") {
+    import graft.llm.{IvfSearch, ProductQuant}
+    val base = (0 until 64).map { i =>
+      val c = i % 4
+      (i.toLong, Seq.tabulate(8)(d =>
+        (if (d == c * 2) 1.0 else 0.0) + 0.01 * ((i * 7 + d) % 5)))
+    }.toDF("vec_id", "emb")
+    val index = IvfSearch.build(base, "vec_id", "emb", k = 4)
+    val rpq = ProductQuant.fitResidual(index, "emb", m = 4, k = 4)
+    val dir = tmp("graft-ivf-ingest-res")
+    try {
+      IvfSearch.save(index, dir)
+      val loaded = IvfSearch.load(spark, dir)
+      val arrivals = (2000 until 2003).map(id =>
+        (id.toLong, Seq.tabulate(8)(d => if (d == 1) 1.0 else 0.001 * (id % 7))))
+        .toDF("vec_id", "emb")
+      StreamOps.ivfIngestBatch(arrivals, 0L, dir, loaded.centers,
+        loaded.listBuckets.get, "emb", Some(rpq), residual = true)
+      val got = IvfSearch.loadIngest(spark, dir).get
+        .select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      // the ingest tier's codes must be exactly what a batch
+      // encodeResidual of the same arrivals against the same artifacts
+      // produces — same space as the base corpus, deterministic
+      val expected = ProductQuant.encodeResidual(
+        IvfSearch.assign(arrivals, "emb", loaded.centers), "emb",
+        loaded.centers, rpq)
+        .select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      assert(got.length === 3 && got.sameElements(expected),
+        "ingested residual codes diverged from batch encodeResidual")
+    } finally {
+      index.indexed.unpersist()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("self-growing dup gate: admitted docs join the index and reject their later duplicates") {
     import spark.implicits._
     def oneHot(d: Int, scale: Double) = Seq.tabulate(64)(i => if (i == d) scale else 0.0)
