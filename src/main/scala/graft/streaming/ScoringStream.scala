@@ -33,10 +33,14 @@ object ScoringStream {
     * COMPLETED with score + attributions. */
   def scoreBatch(batch: DataFrame, featureNames: Seq[String],
       coefs: Seq[Double], mu: Seq[Double], intercept: Double): DataFrame = {
-    // P3 map-alignment: ordered feature vector with 0.0 default.
-    val aligned = featureNames.zipWithIndex.foldLeft(batch) { case (df, (f, i)) =>
-      df.withColumn(s"__f$i", coalesce(col("features").getItem(f).cast("double"), lit(0.0)))
-    }
+    // P3 map-alignment: ordered feature vector with 0.0 default. ONE
+    // select, not a per-feature withColumn fold — this plan is re-built
+    // and re-analyzed EVERY micro-batch (foreachBatch), and n nested
+    // Projects cost n analyzer passes per trigger on the latency path.
+    val aligned = batch.select(col("*") +: featureNames.zipWithIndex.map {
+      case (f, i) =>
+        coalesce(col("features").getItem(f).cast("double"), lit(0.0)).as(s"__f$i")
+    }: _*)
     val attributed = graft.xai.LinearShap.attribute(
       aligned, featureNames.indices.map(i => s"__f$i"), coefs, mu, intercept)
     val validity = featureNames.indices
@@ -67,8 +71,20 @@ object ScoringStream {
     math.max(prev + 1, System.currentTimeMillis())
   }
 
-  /** Idempotent keyed result store over per-batch parquet directories. */
-  final class ResultStore(val path: String) extends Serializable {
+  /** Idempotent keyed result store over per-batch parquet directories.
+    *
+    * @param maxWritePartitions cap on writer tasks (and parquet files)
+    *   per batch dir. A micro-batch inherits the SESSION's parallelism
+    *   (a MemoryStream batch arrives in defaultParallelism slices, a
+    *   Kafka batch in one per topic-partition), so on a 32-core session
+    *   a 100-row batch would otherwise schedule 32 near-empty write
+    *   tasks and emit 32 tiny files — per-batch latency then scales
+    *   with CORES, not data, and the store ages into the small-files
+    *   shape compaction exists to undo. `coalesce` (narrow, no shuffle)
+    *   caps that at data-proportional cost; batches with fewer
+    *   partitions pass through unchanged. 0 disables the cap. */
+  final class ResultStore(val path: String,
+      val maxWritePartitions: Int = 8) extends Serializable {
     /** ST3: replay-safe — same batchId always lands in the same dir
       * (the label), and a REPLAY reuses the stamp recorded by the first
       * attempt (see [[stampFor]]): a batch replayed after an interleaved
@@ -146,7 +162,9 @@ object ScoringStream {
     def upsertLabeled(results: DataFrame, label: String, order: Long): Unit = {
       require(!label.contains('\n') && !label.contains('\r'),
         s"batch label must not contain line breaks: ${label.take(40)}")
-      results.withColumn("batch_id", lit(order))
+      val sized =
+        if (maxWritePartitions > 0) results.coalesce(maxWritePartitions) else results
+      sized.withColumn("batch_id", lit(order))
         .write.mode("overwrite").parquet(s"$path/batch=$label")
       // re-record AFTER the write (overwrite wiped the dir)
       java.nio.file.Files.writeString(
