@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
       (children: Seq[Expression]) => SqDist(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("mat_vec"),
+      new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),
+      (children: Seq[Expression]) => MatVec(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))

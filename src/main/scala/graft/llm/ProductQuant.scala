@@ -55,11 +55,20 @@ object ProductQuant {
     * distinct count instead of starving the init). */
   def fit(embeddings: DataFrame, embCol: String, m: Int, k: Int = 16,
       seed: Long = 42L, fitSampleRows: Long = -1L, maxIter: Int = 20): Model = {
+    val (sample, dim) = sampleForFit(embeddings, embCol, m, k, fitSampleRows, seed)
+    fitOnSample(sample, m, dim / m, k, seed, maxIter)
+  }
+
+  /** The bounded, partitioning-stable sample collection [[fit]] runs on
+    * — shared with [[Opq.fit]], whose alternating loop re-fits codebooks
+    * on ROTATIONS of the same sample (collect once, iterate
+    * driver-local: the bpeTrain argument). Returns (sample, dim). */
+  private[llm] def sampleForFit(embeddings: DataFrame, embCol: String, m: Int,
+      k: Int, fitSampleRows: Long, seed: Long): (Array[Array[Double]], Int) = {
     val base = embeddings.select(col(embCol).cast("array<double>").as("__e"))
     val dim = base.select(size(col("__e"))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(k > 0, s"codewords per subspace must be positive: $k")
-    val subDim = dim / m
     val cap = if (fitSampleRows > 0) fitSampleRows else 512L * k
     // the driver-local fit's own scale guard (the Smote broadcast-guard
     // precedent): the collected sample must actually fit on the driver.
@@ -86,6 +95,16 @@ object ProductQuant {
     val sample: Array[Array[Double]] = fitInput.collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot fit a codebook on an empty corpus")
+    (sample, dim)
+  }
+
+  /** The driver-local per-subspace codebook fit over an in-memory
+    * sample. Per-subspace dedup + sort make the result deterministic
+    * under ANY collect order, so a caller feeding transformed copies of
+    * the same multiset (Opq's rotated samples) gets the same
+    * determinism for free. */
+  private[llm] def fitOnSample(sample: Array[Array[Double]], m: Int,
+      subDim: Int, k: Int, seed: Long, maxIter: Int): Model = {
     val centers = (0 until m).map { j =>
       // dedup on a VALUE-comparable shape: Java arrays compare by
       // reference, so Array.distinct is a no-op on Array[Array[Double]]
