@@ -101,6 +101,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),
       (children: Seq[Expression]) => MatVec(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_dist"),
+      new ExpressionInfo(classOf[PqAdcDist].getName, "pq_adc_dist"),
+      (children: Seq[Expression]) =>
+        PqAdcDist(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))

@@ -23,14 +23,41 @@ import org.apache.spark.sql.functions._
   * sequential KMeans fits ≈ m·(init+iters) tiny Spark jobs of pure
   * scheduling overhead (measured 11 s for the q114 gate at sf0.1; this
   * form is sub-second). Everything CORPUS-sized stays distributed and
-  * scan-shaped: encode is a codegen'd per-subspace argmin Column
-  * expression (no shuffle, no MLlib row objects), decode and ADC
-  * distances are Column arithmetic over the codebook literal (tiny:
-  * m·k·subDim doubles — always plan-embeddable, never a join). */
+  * scan-shaped: encode and the ADC distance are NATIVE codegen kernels
+  * ([[graft.functions.PqEncode]]/[[graft.functions.PqAdcDist]] over the
+  * flat codebook layout — no shuffle, no MLlib row objects, no
+  * interpreted HOF folds), decode is Column arithmetic over the
+  * codebook literal (tiny: m·k·subDim doubles — always plan-embeddable,
+  * never a join). */
 object ProductQuant {
 
   /** centers(j)(c) = codeword c of subspace j. */
-  final case class Model(m: Int, subDim: Int, k: Int, centers: Seq[Seq[Seq[Double]]])
+  final case class Model(m: Int, subDim: Int, k: Int, centers: Seq[Seq[Seq[Double]]]) {
+    /** Flat row-major layout for the native kernels
+      * ([[graft.functions.PqEncode]]/[[graft.functions.PqAdcDist]]):
+      * entry (subspace j, codeword c, component t) at (j·k + c)·subDim.
+      * Ragged subspaces (localKMeans clamps k to the distinct sample
+      * count) pad by REPEATING THE LAST CODEWORD — the strict-<
+      * first-wins argmin never prefers a duplicate over its first
+      * occurrence and encode never emits a padded index, so padding is
+      * semantically invisible to both kernels. */
+    def flatCenters: Seq[Double] = {
+      val out = new Array[Double](m * k * subDim)
+      var j = 0
+      while (j < m) {
+        val cb = centers(j)
+        var c = 0
+        while (c < k) {
+          val cw = cb(math.min(c, cb.length - 1))
+          var t = 0
+          while (t < subDim) { out((j * k + c) * subDim + t) = cw(t); t += 1 }
+          c += 1
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+  }
 
   /** Hard cap on sample values (rows × dims ≈ 128 MB of doubles) the
     * driver-local fit will collect. */
@@ -228,36 +255,23 @@ object ProductQuant {
   private def d2(a: Column, b: Column): Column =
     call_function("sq_dist", a, b)
 
-  /** Codegen'd nearest-codeword index for one subspace: fold over the
-    * codeword indices carrying (best index, best distance); strict <
-    * keeps the FIRST codeword on exact ties — the same rule as the
-    * local fit, so encode is deterministic everywhere. */
-  private def argminCode(sub: Column, codebook: Seq[Seq[Double]]): Column = {
-    val cb = typedLit(codebook)
-    aggregate(
-      sequence(lit(0), lit(codebook.length - 1)),
-      struct(lit(-1).as("i"), lit(Double.MaxValue).as("d")),
-      (acc, i) => {
-        val d = d2(sub, element_at(cb, i + 1))
-        when(d < acc.getField("d"), struct(i.as("i"), d.as("d"))).otherwise(acc)
-      },
-      acc => acc.getField("i"))
-  }
-
   /** Add a `codesCol` array<int> of length m: the per-subspace nearest
-    * codewords — one scan-shaped projection, no shuffle, no UDF. A NULL
-    * embedding takes NULL codes (not a silent array of −1s: the argmin
-    * fold's null distance would otherwise fall through every `when` and
-    * leave the seed index — the same invisible-corruption shape the
-    * cluster = −1 quarantine exists to prevent). */
+    * codewords in ONE scan-shaped projection — the native
+    * [[graft.functions.PqEncode]] kernel (a plain Java loop nest inside
+    * whole-stage codegen; the per-subspace `aggregate` HOF fold it
+    * replaced was CodegenFallback — m interpreted folds with a struct
+    * allocation per codeword per row, on the operator that touches
+    * every corpus row at index build AND every arrival at ingest). Same
+    * strict-< first-wins tie rule as the local fit, so encode stays
+    * deterministic everywhere. A NULL embedding takes NULL codes, and —
+    * stricter than the old fold, which left −1s — so does a WRONG-LENGTH
+    * embedding (the kernel's divisibility contract): malformed input is
+    * a detectable absence, the cluster = −1 quarantine rule. */
   def encode(df: DataFrame, embCol: String, model: Model,
       codesCol: String = "codes"): DataFrame =
-    df.withColumn(codesCol, {
-      val e = col(embCol).cast("array<double>")
-      when(e.isNotNull, array((0 until model.m).map { j =>
-        argminCode(slice(e, j * model.subDim + 1, model.subDim), model.centers(j))
-      }: _*))
-    })
+    df.withColumn(codesCol,
+      call_function("pq_encode", typedLit(model.flatCenters),
+        col(embCol).cast("array<double>"), lit(model.k), lit(model.m)))
 
   /** Reconstruction of a codes column: codeword lookup per subspace,
     * concatenated — pure Column arithmetic over the codebook literal. */
@@ -429,12 +443,11 @@ object ProductQuant {
     val probeSide =
       if (numQueries.getOrElse(queries.count()) <= maxBroadcastQueries)
         broadcast(keyedProbes) else keyedProbes
-    val cbAll = typedLit(model.centers)
-    val dist = aggregate(
-      transform(sequence(lit(0), lit(model.m - 1)), j =>
-        d2(slice(col("q_emb"), j * model.subDim + 1, lit(model.subDim)),
-          element_at(element_at(cbAll, j + 1), element_at(col(codesCol), j + 1) + 1))),
-      lit(0.0), (acc, d) => acc + d)
+    // native ADC kernel — THE serving inner loop (one eval per query ×
+    // candidate row); the transform/aggregate HOF nest it replaced was
+    // interpreted with an intermediate array per row
+    val dist = call_function("pq_adc_dist", typedLit(model.flatCenters),
+      col("q_emb"), col(codesCol), lit(model.k))
     coded.join(probeSide, joinKeys)
       .withColumn("adc_dist", round(dist, 4))
   }
@@ -449,14 +462,10 @@ object ProductQuant {
   def adcSearch(coded: DataFrame, idCol: String, codesCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       model: Model, topK: Int): DataFrame = {
-    val cbAll = typedLit(model.centers) // array<array<array<double>>>
     val q = broadcast(
       queries.select(col(qIdCol).as("q_id"), col(qEmbCol).cast("array<double>").as("q_emb")))
-    val dist = aggregate(
-      transform(sequence(lit(0), lit(model.m - 1)), j =>
-        d2(slice(col("q_emb"), j * model.subDim + 1, lit(model.subDim)),
-          element_at(element_at(cbAll, j + 1), element_at(col(codesCol), j + 1) + 1))),
-      lit(0.0), (acc, d) => acc + d)
+    val dist = call_function("pq_adc_dist", typedLit(model.flatCenters),
+      col("q_emb"), col(codesCol), lit(model.k))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col(idCol))
     coded.crossJoin(q)
       .withColumn("adc_dist", round(dist, 4))
