@@ -118,10 +118,19 @@ object Opq {
     * embeddings rotate to NULL; a length mismatch vs the rotation dim
     * is NULL by the `mat_vec` divisibility contract — malformed input
     * stays a detectable absence. */
-  def rotate(df: DataFrame, embCol: String, model: Model, out: String): DataFrame = {
+  def rotate(df: DataFrame, embCol: String, model: Model, out: String): DataFrame =
+    rotateWith(df, embCol, model.rotation, out)
+
+  /** [[rotate]] from a bare rotation matrix — the ingest path
+    * ([[graft.streaming.StreamOps.ivfIngestBatch]]) carries only the
+    * rotation (loaded once at stream start via [[loadRotation]]), not
+    * the whole model. `out = embCol` overwrites in place, which is how
+    * arrivals into a rotated index enter the index's own space. */
+  def rotateWith(df: DataFrame, embCol: String, rotation: Seq[Seq[Double]],
+      out: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rotDf = Seq(Tuple1(model.rotation.flatten)).toDF("__rot")
+    val rotDf = Seq(Tuple1(rotation.flatten)).toDF("__rot")
     df.crossJoin(broadcast(rotDf))
       .withColumn(out,
         call_function("mat_vec", col("__rot"), col(embCol).cast("array<double>")))
@@ -161,12 +170,15 @@ object Opq {
 
   /** Reload a persisted model bit-identically (row order restored from
     * the stored indices, the [[ProductQuant.load]] rule). */
-  def load(spark: SparkSession, dir: String): Model = {
-    val rotation = spark.read.parquet(s"$dir/rotation").collect()
+  def load(spark: SparkSession, dir: String): Model =
+    Model(loadRotation(spark, dir), ProductQuant.load(spark, s"$dir/pq"))
+
+  /** Just the rotation rows — what a serving or ingest session that
+    * already holds its PQ model (e.g. a residual fit) needs. */
+  def loadRotation(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/rotation").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).map(_._2).toSeq
-    Model(rotation, ProductQuant.load(spark, s"$dir/pq"))
-  }
 
   // ---- driver-local linear algebra (d×d, d = embedding dim) ----
 

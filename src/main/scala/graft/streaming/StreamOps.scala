@@ -319,19 +319,29 @@ object StreamOps {
     * corpus uses (they become the appended rows' schema; unionByName in
     * the loader is what makes mismatches loud, not silent). A base
     * corpus coded with [[graft.llm.ProductQuant.encodeResidual]] takes
-    * `residual = true` so arrivals' codes land in the same space. */
+    * `residual = true` so arrivals' codes land in the same space, and
+    * an OPQ-ROTATED index ([[graft.llm.Opq]] — centers fit and corpus
+    * saved in the rotated space) takes `opqDir` so arrivals rotate
+    * through the SAME persisted rotation before assignment: an
+    * unrotated arrival into a rotated index would land in whatever
+    * list the un-rotated geometry suggests and be unreachable by
+    * correctly-rotated probes — the cross-space mixing this sink
+    * exists to prevent, in a third disguise. */
   def ivfIngestSink(arrivals: DataFrame, indexDir: String, checkpointDir: String,
       embCol: String = "emb",
       pq: Option[graft.llm.ProductQuant.Model] = None,
-      residual: Boolean = false): StreamingQuery = {
+      residual: Boolean = false,
+      opqDir: Option[String] = None): StreamingQuery = {
     val spark = arrivals.sparkSession
     val idx = graft.llm.IvfSearch.load(spark, indexDir)
     val buckets = idx.listBuckets.getOrElse(math.max(1, idx.centers.length))
+    // one metadata-sized artifact read at stream start, like the index
+    val rotation = opqDir.map(d => graft.llm.Opq.loadRotation(spark, d))
     arrivals.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ivfIngestBatch(batch, batchId, indexDir, idx.centers, buckets, embCol, pq,
-          residual)
+          residual, rotation)
       }
       .start()
   }
@@ -342,14 +352,23 @@ object StreamOps {
   def ivfIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
       centers: Seq[Seq[Double]], listBuckets: Int, embCol: String,
       pq: Option[graft.llm.ProductQuant.Model],
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false,
+      rotation: Option[Seq[Seq[Double]]] = None): Unit = {
     // a micro-batch replayed AFTER compactIngest folded its directory
     // into the base corpus must not resurrect it — the _tier record is
     // authoritative (the ResultStore _stamps discipline); the check is
     // one small-file read per batch, cheap next to the parquet write
     if (graft.llm.IvfSearch.readTierState(batch.sparkSession, indexDir)
         .folded.contains(s"batch=$batchId")) return
-    val assigned = graft.llm.IvfSearch.assign(batch, embCol, centers)
+    // rotated index ⇒ rotate FIRST, in place: the appended rows'
+    // embedding column then lives in the index's own (rotated) space,
+    // exactly like the base corpus — assignment, codes, and the exact
+    // re-rank column all stay coherent
+    val inSpace = rotation match {
+      case Some(r) => graft.llm.Opq.rotateWith(batch, embCol, r, embCol)
+      case None    => batch
+    }
+    val assigned = graft.llm.IvfSearch.assign(inSpace, embCol, centers)
     // residual: the arrivals' codes must live in the SAME space as the
     // base corpus's ([[graft.llm.ProductQuant.encodeResidual]]) or the
     // ADC tier would silently mix raw- and residual-space codes

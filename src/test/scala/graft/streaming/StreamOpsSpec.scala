@@ -400,6 +400,67 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ingest into an OPQ-rotated index rotates arrivals into the index's space") {
+    import graft.llm.{IvfSearch, Opq, ProductQuant}
+    // correlated corpus (second half copies the first) — the case OPQ
+    // learns a non-trivial rotation for
+    val base = (0 until 64).map { i =>
+      val c = i % 4
+      val half = Seq.tabulate(4)(d => (if (d == c) 2.0 else 0.0) + 0.01 * ((i * 7 + d) % 5))
+      (i.toLong, half ++ half.map(_ * 1.5))
+    }.toDF("vec_id", "emb")
+    val opq = Opq.fit(base, "emb", m = 4, k = 4, opqIters = 4, maxIter = 8)
+    // index built IN the rotated space — the Opq serving layout
+    val rotatedBase = Opq.rotate(base, "emb", opq, "emb")
+    val index = IvfSearch.build(rotatedBase, "vec_id", "emb", k = 4)
+    val dir = tmp("graft-ivf-ingest-opq")
+    val opqDir = tmp("graft-ivf-ingest-opq-model")
+    val ckpt = tmp("graft-ivf-ingest-opq-ckpt")
+    try {
+      IvfSearch.save(index, dir)
+      Opq.save(spark, opq, opqDir)
+      implicit val sqlCtx = spark.sqlContext
+      // arrivals arrive RAW — the sink owns the rotation
+      def newVec(id: Long) = (id, Seq.tabulate(8)(d => if (d == 1) 1.5 else 0.001 * (id % 7)))
+      val input = MemoryStream[(Long, Seq[Double])]
+      val arrivals = input.toDF().toDF("vec_id", "emb")
+      val q = StreamOps.ivfIngestSink(arrivals, dir, ckpt,
+        pq = Some(opq.pq), opqDir = Some(opqDir))
+      try {
+        input.addData(newVec(3000L), newVec(3001L))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the stored arrival embedding is the ROTATED vector (in-space
+      // storage: same column contract as the base corpus), with codes
+      // equal to a batch encode of the rotated arrival
+      val raw = Seq(newVec(3000L), newVec(3001L)).toDF("vec_id", "emb")
+      val expected = ProductQuant.encode(
+        Opq.rotate(raw, "emb", opq, "emb"), "emb", opq.pq)
+        .select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      val got = IvfSearch.loadIngest(spark, dir).get
+        .select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      assert(got.length === 2 && got.sameElements(expected),
+        "rotated-ingest codes diverged from batch rotate+encode")
+      // a correctly-rotated probe finds the arrivals from a fresh load
+      val servable = IvfSearch.loadServable(spark, dir)
+      val probe = Opq.rotate(
+        Seq((9000L, Seq.tabulate(8)(d => if (d == 1) 1.5 else 0.0)))
+          .toDF("vec_id", "emb"), "emb", opq, "emb")
+      val hits = IvfSearch.search(servable, probe, "vec_id", "emb",
+        nProbe = 2, topK = 3)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(Set(3000L, 3001L).subsetOf(hits),
+        s"rotated arrivals unreachable by rotated probes: $hits")
+    } finally {
+      index.indexed.unpersist()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(opqDir))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
   test("self-growing dup gate: admitted docs join the index and reject their later duplicates") {
     import spark.implicits._
     def oneHot(d: Int, scale: Double) = Seq.tabulate(64)(i => if (i == d) scale else 0.0)
