@@ -30,6 +30,18 @@ class IvfSearchSpec extends SparkSpec {
     } finally idx.indexed.unpersist()
   }
 
+  test("empty and all-NULL embedding columns fail with descriptive errors, not NPEs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    val e1 = intercept[IllegalArgumentException](IvfSearch.build(empty, "vec_id", "emb"))
+    assert(e1.getMessage.contains("empty corpus"))
+    // rows exist but every embedding is NULL — max(size(emb)) is NULL and a
+    // bare getInt would NPE without saying which column is at fault
+    val allNull = Seq((1L, null: Seq[Double]), (2L, null: Seq[Double])).toDF("vec_id", "emb")
+    val e2 = intercept[IllegalArgumentException](IvfSearch.build(allNull, "vec_id", "emb"))
+    assert(e2.getMessage.contains("contains no non-null arrays"))
+  }
+
   test("every vector lands in exactly one inverted list") {
     assert(index.indexed.count() === emb.count())
     val nLists = index.indexed.select("cluster").distinct().count()
