@@ -296,16 +296,44 @@ object ScoringStream {
     * writer and batches are sequential — compact's quiesce contract
     * holds by construction. Replays remain safe: a replayed batch
     * whose dir was folded reuses its recorded stamp (see
-    * [[ResultStore.compactedStamps]]). */
+    * [[ResultStore.compactedStamps]]).
+    *
+    * Every trigger is instrumented into `metrics` with the reference
+    * worker's own metric names (xai_tasks.py:48-50,
+    * monitoring/alert_rules.yml): `xai_task_duration_seconds` (the
+    * micro-batch score+write latency histogram), `xai_task_success_total`
+    * / `xai_task_failures_total` (per-ATTEMPT — a replayed batch counts
+    * again; the store is idempotent, operational metrics deliberately
+    * are not), plus `scoring_rows_total{status}` row counts. Row counts
+    * ride the write action via [[org.apache.spark.sql.Observation]] —
+    * a separate counting job would double the per-trigger latency the
+    * histogram exists to watch. */
   def attach(stream: DataFrame, store: ResultStore, checkpointDir: String,
       featureNames: Seq[String], coefs: Seq[Double], mu: Seq[Double],
-      intercept: Double, compactEvery: Int = 0): StreamingQuery =
+      intercept: Double, compactEvery: Int = 0,
+      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.upsert(scoreBatch(batch, featureNames, coefs, mu, intercept), batchId)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          store.compact(batch.sparkSession)
+        try metrics.histogram("xai_task_duration_seconds").time {
+          val obs = org.apache.spark.sql.Observation()
+          val scored = scoreBatch(batch, featureNames, coefs, mu, intercept)
+            .observe(obs, count(lit(1)).as("rows"),
+              sum(when(col("status") === "FAILED", 1L).otherwise(0L)).as("failed"))
+          store.upsert(scored, batchId)
+          val m = obs.get
+          val rows = m("rows").asInstanceOf[Long]
+          val failed = Option(m("failed")).fold(0L)(_.asInstanceOf[Long])
+          metrics.counter("scoring_rows_total", "status").inc("COMPLETED", rows - failed)
+          if (failed > 0) metrics.counter("scoring_rows_total", "status").inc("FAILED", failed)
+          metrics.counter("xai_task_success_total").inc()
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            store.compact(batch.sparkSession)
+        } catch {
+          case e: Throwable =>
+            metrics.counter("xai_task_failures_total").inc()
+            throw e
+        }
       }
       .start()
 }

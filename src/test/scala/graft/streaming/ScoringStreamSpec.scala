@@ -294,4 +294,47 @@ class ScoringStreamSpec extends SparkSpec {
         .filter($"count" > 1).count() === 0)
     } finally q2.stop()
   }
+
+  test("per-trigger metrics: row counters, FAILED counts, and the duration histogram survive a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val registry = new graft.api.Metrics.Registry
+    val ckpt = tmp("graft-metrics-ckpt")
+    val store = new ScoringStream.ResultStore(tmp("graft-metrics-store"))
+    val input = MemoryStream[(String, Map[String, Double])]
+    val stream = input.toDF().toDF("transaction_id", "features")
+
+    val q1 = ScoringStream.attach(stream, store, ckpt, feats, coefs, mu, 0.0,
+      metrics = registry)
+    input.addData(("m1", Map("f0" -> 1.0)), ("m2", Map.empty[String, Double]))
+    q1.processAllAvailable()
+    q1.stop()
+    // worker death after the store write but before the commit log: the
+    // restarted query REPLAYS the batch (at-least-once) — delete the
+    // commit record so the replay actually happens
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.list(commits).forEach(p => java.nio.file.Files.delete(p))
+    val q2 = ScoringStream.attach(stream, store, ckpt, feats, coefs, mu, 0.0,
+      metrics = registry)
+    try {
+      q2.processAllAvailable()
+      val rows = registry.counter("scoring_rows_total", "status")
+      // per-ATTEMPT semantics: the replayed batch counts again (the store
+      // deduplicates, operational metrics must see the redelivery)
+      assert(rows.value("COMPLETED") === 2L)
+      assert(rows.value("FAILED") === 2L)
+      assert(registry.counter("xai_task_success_total").value === 2L)
+      assert(registry.counter("xai_task_failures_total").value === 0L)
+      val hist = registry.histogram("xai_task_duration_seconds")
+      assert(hist.count === 2L)
+      assert(!hist.percentile(0.95).isNaN)
+      // ...while the STORE stayed idempotent across the same replay
+      assert(store.snapshot(spark).count() === 2L)
+      // the DataFrame surface joins against batch rollups (A12)
+      val frame = registry.asDataFrame(spark)
+      val failedRow = frame
+        .filter($"metric" === "scoring_rows_total" && $"labels" === """status="FAILED"""")
+        .select("value").as[Double].head()
+      assert(failedRow === 2.0)
+    } finally q2.stop()
+  }
 }
