@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // local-FS deployment tuning: the checksummed LocalFileSystem writes
+      // a .crc sidecar per file, doubling creates/renames on every store
+      // write and checkpoint log append — pure overhead on the streaming
+      // latency path (HDFS/S3 carry their own integrity; this conf only
+      // affects file:// paths)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

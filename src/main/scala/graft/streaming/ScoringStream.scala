@@ -33,30 +33,27 @@ object ScoringStream {
     * COMPLETED with score + attributions. */
   def scoreBatch(batch: DataFrame, featureNames: Seq[String],
       coefs: Seq[Double], mu: Seq[Double], intercept: Double): DataFrame = {
-    // P3 map-alignment: ordered feature vector with 0.0 default. ONE
-    // select, not a per-feature withColumn fold — this plan is re-built
-    // and re-analyzed EVERY micro-batch (foreachBatch), and n nested
-    // Projects cost n analyzer passes per trigger on the latency path.
-    val aligned = batch.select(col("*") +: featureNames.zipWithIndex.map {
-      case (f, i) =>
-        coalesce(col("features").getItem(f).cast("double"), lit(0.0)).as(s"__f$i")
-    }: _*)
-    val attributed = graft.xai.LinearShap.attribute(
-      aligned, featureNames.indices.map(i => s"__f$i"), coefs, mu, intercept)
-    val validity = featureNames.indices
-      .map(i => when(col("features").getItem(featureNames(i)).isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    attributed
-      .withColumn("n_present", validity)
+    // P3 map-alignment + score + SHAP + validity in ONE fused kernel
+    // ([[graft.functions.LinearScoreAttr]]): this plan is re-built,
+    // re-analyzed, and re-executed EVERY micro-batch (foreachBatch) on
+    // the latency path, and the composable formulation (per-feature
+    // getItem probes, zip_with/aggregate HOF folds, per-row to_json)
+    // was the dominant per-trigger cost at 10k-row batches. Two selects
+    // keep the kernel evaluated ONCE (CollapseProject refuses to inline
+    // a non-cheap expression into multiple references).
+    val scored = call_function("linear_score_attr", col("features"),
+      typedLit(featureNames), typedLit(coefs), typedLit(mu), lit(intercept))
+    // a NULL features map yields a NULL struct: same FAILED outcome as an
+    // empty map (coalesce keeps the n_present predicate non-null)
+    val absent = coalesce(col("__s.n_present"), lit(0)) === 0
+    batch.select(col("transaction_id"), scored.as("__s"))
       .select(
         col("transaction_id"),
-        when(col("n_present") === 0, lit(null).cast("double"))
-          .otherwise(round(col("score"), 6)).as("prediction_score"),
-        when(col("n_present") === 0, lit(null).cast("string"))
-          .otherwise(to_json(map_from_arrays(
-            array(featureNames.map(lit): _*),
-            transform(col("phi"), p => round(p, 6))))).as("shap_values"),
-        when(col("n_present") === 0, lit("FAILED")).otherwise(lit("COMPLETED")).as("status"),
+        when(absent, lit(null).cast("double"))
+          .otherwise(col("__s.score")).as("prediction_score"),
+        when(absent, lit(null).cast("string"))
+          .otherwise(col("__s.shap_json")).as("shap_values"),
+        when(absent, lit("FAILED")).otherwise(lit("COMPLETED")).as("status"),
         current_timestamp().as("updated_at"))
   }
 
