@@ -64,11 +64,15 @@ object StreamOps {
   /** S8, Kafka-shaped: the same (transaction_id, features) queue
     * contract as [[fileQueueSource]], over a Kafka topic — config-only
     * wiring (`format("kafka")` resolves the spark-sql-kafka connector
-    * from the CLUSTER classpath; this container ships no broker or
-    * connector, so the specs drive [[kafkaQueueDecode]] behind the same
-    * interface instead of opening a socket). `maxOffsetsPerTrigger` is
-    * the ST6 backpressure knob — the per-trigger row cap playing the
-    * role maxFilesPerTrigger plays for the file queue. */
+    * from the CLUSTER classpath; this container ships no connector jar).
+    * The full socket round-trip — produce → micro-batch source → this
+    * decode → score → idempotent upsert, plus checkpointed offset resume
+    * and per-trigger admission — IS exercised end-to-end against a real
+    * broker socket by [[BrokerSource]]/[[MiniBroker]] (BrokerSourceSpec),
+    * which shares this decode and differs only in the wire protocol.
+    * `maxOffsetsPerTrigger` is the ST6 backpressure knob — the
+    * per-trigger row cap playing the role maxFilesPerTrigger plays for
+    * the file queue. */
   def kafkaQueueSource(spark: SparkSession, bootstrapServers: String, topic: String,
       maxOffsetsPerTrigger: Long): DataFrame =
     kafkaQueueDecode(
