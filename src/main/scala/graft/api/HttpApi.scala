@@ -56,8 +56,15 @@ final class HttpApi(service: ScoringService,
     server.createContext(path, (ex: HttpExchange) => {
       val corrId = java.util.UUID.randomUUID().toString
       val (status, body) =
-        try f(ex)
-        catch { case e: Throwable => (500, obj("detail" -> e.getMessage)) }
+        try {
+          // HttpServer contexts match by prefix: "/predict" would also
+          // claim "/predictfoo"; exact endpoints accept only their own
+          // path (prefix endpoints like /explain/{id} end in '/')
+          val p = ex.getRequestURI.getPath
+          if (!path.endsWith("/") && p != path)
+            (404, obj("detail" -> s"no route for $p"))
+          else f(ex)
+        } catch { case e: Throwable => (500, obj("detail" -> e.getMessage)) }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("X-Correlation-ID", corrId)
       ex.getResponseHeaders.set("Content-Type",

@@ -68,6 +68,11 @@ class HttpApiSpec extends SparkSpec {
     assert(post("/predict", """{"transaction_id":"x"}""").statusCode() === 422)
   }
 
+  test("exact endpoints reject prefix-extended paths (no /statusfoo route)") {
+    assert(get("/statusfoo").statusCode() === 404)
+    assert(get("/healthcheck").statusCode() === 404)
+  }
+
   test("every response carries the correlation-id middleware header") {
     val r = get("/status")
     val corr = r.headers().firstValue("X-Correlation-ID")
