@@ -111,6 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         PqAdcDist(children.head, children(1), children(2), children(3))))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("linear_score_attr"),
       new ExpressionInfo(classOf[LinearScoreAttr].getName, "linear_score_attr"),
       (children: Seq[Expression]) => LinearScoreAttr(children)))

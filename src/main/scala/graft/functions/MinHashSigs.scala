@@ -23,6 +23,55 @@ object MinHashParams {
   }
   val aArr: Array[Long] = ab.map(_._1).toArray
   val bArr: Array[Long] = ab.map(_._2).toArray
+
+  /** P(two docs with Jaccard `s` share at least one of `b` bands of `r`
+    * rows) — the LSH S-curve 1 − (1 − s^r)^b (MMDS §3.4.2). */
+  def candidateProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** The similarity where the S-curve rises steepest, ≈ (1/b)^(1/r) —
+    * the de-facto "threshold" of a banding. */
+  def bandingThreshold(bands: Int, rows: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rows)
+
+  /** Choose (bands, rowsPerBand) for a target Jaccard threshold: among
+    * the factorizations b·r = nSig, take the banding whose S-curve
+    * threshold is closest to the target WITHOUT exceeding it (MMDS
+    * §3.4.3: sit slightly below the target so true near-dups at the
+    * threshold are still likely candidates; false positives this
+    * admits are killed by the exact verify stage, false negatives are
+    * gone forever — the asymmetry that rules out thresholds above the
+    * target). Falls back to the most-selective banding below 1.0 when
+    * every threshold overshoots (tiny signatures + low targets). */
+  def planBands(nSig: Int, threshold: Double): (Int, Int) = {
+    require(nSig > 0, s"signature length must be positive, got $nSig")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val options = (1 to nSig).filter(nSig % _ == 0)
+      .map(b => (b, nSig / b))
+    val below = options.filter { case (b, r) => bandingThreshold(b, r) <= threshold }
+    if (below.nonEmpty) below.maxBy { case (b, r) => bandingThreshold(b, r) }
+    else options.filter { case (b, _) => b > 1 } // exclude the useless single-band id map
+      .minBy { case (b, r) => bandingThreshold(b, r) }
+  }
+
+  /** False-positive / false-negative areas of a banding against a
+    * target threshold (midpoint rule): FP = expected candidate mass
+    * below the threshold (wasted verify work), FN = expected missed
+    * mass above it (lost duplicates). Diagnostic for sizing nSig. */
+  def bandingProfile(bands: Int, rows: Int, threshold: Double,
+      steps: Int = 2000): (Double, Double) = {
+    var fp = 0.0
+    var fn = 0.0
+    var i = 0
+    while (i < steps) {
+      val s = (i + 0.5) / steps
+      val p = candidateProb(s, bands, rows)
+      if (s < threshold) fp += p else fn += 1.0 - p
+      i += 1
+    }
+    (fp / steps, fn / steps)
+  }
 }
 
 /** All 16 MinHash signature values in ONE pass over the hash array.

@@ -30,7 +30,13 @@ object LlmQueries {
   // ------------------------------------------------------------ constants
   private val P = 1000000007L // rolling-hash / permutation modulus
   private val NumSig = 16     // MinHash signature length
-  private val NumBands = 8    // LSH bands (2 rows per band)
+  private val NearDupTheta = 0.4 // exact-Jaccard gate for q37 near-dup
+  /** LSH bands, DERIVED from the verify threshold via the S-curve rule
+    * ([[graft.functions.MinHashParams.planBands]]): the steepest-rise
+    * point sits closest below θ=0.4 at 8 bands × 2 rows for a 16-long
+    * signature — the banding this query always used, now computed from
+    * the threshold it serves instead of asserted next to it. */
+  private val NumBands = graft.functions.MinHashParams.planBands(NumSig, NearDupTheta)._1
   private val SimBits = 16    // SimHash width
 
   /** Absolute document-frequency ceiling for the contamination sweep's
@@ -171,6 +177,76 @@ object LlmQueries {
       .select(col("doc_id"), TextOps.quality(col("tk")).as("quality"))
       .withColumn("low_quality", (col("quality") < TextOps.QualityGate).cast("int"))
 
+  /** Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    * Models", Appendix A1.1) — the standard pre-training document gate
+    * every large-corpus pipeline runs before dedup: word-count bounds,
+    * mean-word-length bounds, symbol-to-word and alpha-word ratios,
+    * bullet-/ellipsis-line ratios, and a minimum distinct-stop-word
+    * count. Emitted as per-rule flags plus the conjunction, with the
+    * underlying stats, so downstream mixtures can re-weight on
+    * individual rules instead of refiltering. Everything is one
+    * scan-shaped projection over codegen'd array lambdas — at 100 TB
+    * this is a single pass with no shuffle (the filter itself; the
+    * 60k-row oracle just pins the arithmetic).
+    *
+    * Zero-token and zero-line documents take explicit FALSE/TRUE flags
+    * (a ratio over an empty denominator decides nothing: word rules
+    * fail, line rules pass vacuously) rather than null-propagating. */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val q127GopherRules: Q = (s, dir) => {
+    val tk = toksCol(col("text"))
+    val lines = filter(split(col("text"), "\n"), l => trim(l) =!= lit(""))
+    val nWords = size(col("tk")).cast("double")
+    val nLines = size(col("lines")).cast("double")
+    val meanLen = aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double") / nWords
+    val fracSymbol = size(filter(col("tk"),
+      t => t.contains("#") || t.contains("..."))).cast("double") / nWords
+    val fracAlpha = size(filter(col("tk"), t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+    val fracBullet = size(filter(col("lines"),
+      l => trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nLines
+    val fracEllipsis = size(filter(col("lines"),
+      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("double") / nLines
+    val nStop = size(array_intersect(transform(col("tk"), t => lower(t)),
+      array(GopherStops.map(lit): _*)))
+    Tables.documents(s, dir)
+      .withColumn("tk", tk).withColumn("lines", lines)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        fpRound4(coalesce(meanLen, lit(0.0))).as("mean_word_len"),
+        fpRound4(coalesce(fracSymbol, lit(0.0))).as("frac_symbol"),
+        fpRound4(coalesce(fracAlpha, lit(0.0))).as("frac_alpha"),
+        fpRound4(coalesce(fracBullet, lit(0.0))).as("frac_bullet"),
+        fpRound4(coalesce(fracEllipsis, lit(0.0))).as("frac_ellipsis"),
+        nStop.cast("long").as("n_stop"))
+      .select(col("*"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int").as("r_words"),
+        (col("n_words") > 0 && col("mean_word_len") >= 3.0 &&
+          col("mean_word_len") <= 10.0).cast("int").as("r_mean_len"),
+        (col("n_words") > 0 && col("frac_symbol") <= 0.1).cast("int").as("r_symbol"),
+        (col("n_words") > 0 && col("frac_alpha") >= 0.8).cast("int").as("r_alpha"),
+        (col("frac_bullet") <= 0.9).cast("int").as("r_bullet"),
+        (col("frac_ellipsis") <= 0.3).cast("int").as("r_ellipsis"),
+        (col("n_stop") >= 2).cast("int").as("r_stop"))
+      .withColumn("gopher_pass",
+        (col("r_words") * col("r_mean_len") * col("r_symbol") * col("r_alpha") *
+          col("r_bullet") * col("r_ellipsis") * col("r_stop")).cast("int"))
+  }
+
+  /** Unicode NFC normalization audit ([[graft.functions.NfcNormalize]]):
+    * normalized text, changed flag, and post-normalization length per
+    * document — the tokenizer-contract step every corpus pass runs first
+    * (BPE merges learned on NFC text do not match NFD byte sequences).
+    * Cross-engine gate is real: the JDK Normalizer and DuckDB's
+    * nfc_normalize implement the same Unicode standard, so the
+    * normalized STRINGS hash-compare, not just the flags. */
+  private val q128NfcNormalize: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("nfc_normalize", col("text")).as("text_nfc"))
+      .select(col("doc_id"), col("text_nfc"),
+        length(col("text_nfc")).cast("long").as("n_chars_nfc"))
+
   /** Whole-document rolling-hash fingerprint (content-defined identity
     * that survives storage layout, unlike sha2 it is cheap to compute
     * incrementally at ingest). */
@@ -260,7 +336,7 @@ object LlmQueries {
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
           .cast("double") / lit(NumSig.toDouble)))
-      .filter(col("jaccard") >= 0.4)
+      .filter(col("jaccard") >= NearDupTheta)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }
 
@@ -1803,6 +1879,8 @@ object LlmQueries {
     "q31_text_stats"      -> q31TextStats,
     "q32_lang_id"         -> q32LangId,
     "q33_quality_score"   -> q33QualityScore,
+    "q127_gopher_rules"   -> q127GopherRules,
+    "q128_nfc_normalize"  -> q128NfcNormalize,
     "q34_fingerprint"     -> q34Fingerprint,
     "q35_minhash_sigs"    -> q35MinhashSigs,
     "q36_simhash"         -> q36Simhash,
@@ -2008,6 +2086,40 @@ object LlmQueries {
          |  $duckQuality AS quality,
          |  CASE WHEN $duckQuality < 0.55 THEN 1 ELSE 0 END AS low_quality
          |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
+    "q127_gopher_rules" -> {
+      val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    $duckToks AS tk,
+         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+         |  FROM documents
+         |), stats AS (
+         |  SELECT doc_id,
+         |    len(tk) AS n_words,
+         |    ${fpRound4Sql("COALESCE(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE))) / len(tk), 0.0)")} AS mean_word_len,
+         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(tk, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE) / len(tk), 0.0)")} AS frac_symbol,
+         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(tk), 0.0)")} AS frac_alpha,
+         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS DOUBLE) / len(lines), 0.0)")} AS frac_bullet,
+         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(lines, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS DOUBLE) / len(lines), 0.0)")} AS frac_ellipsis,
+         |    len(list_intersect(list_transform(tk, t -> lower(t)), [$stops])) AS n_stop
+         |  FROM base
+         |)
+         |SELECT doc_id, n_words, mean_word_len, frac_symbol, frac_alpha, frac_bullet,
+         |  frac_ellipsis, n_stop,
+         |  CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_words,
+         |  CAST(n_words > 0 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r_mean_len,
+         |  CAST(n_words > 0 AND frac_symbol <= 0.1 AS INT) AS r_symbol,
+         |  CAST(n_words > 0 AND frac_alpha >= 0.8 AS INT) AS r_alpha,
+         |  CAST(frac_bullet <= 0.9 AS INT) AS r_bullet,
+         |  CAST(frac_ellipsis <= 0.3 AS INT) AS r_ellipsis,
+         |  CAST(n_stop >= 2 AS INT) AS r_stop,
+         |  CAST(r_words * r_mean_len * r_symbol * r_alpha * r_bullet * r_ellipsis * r_stop AS INT) AS gopher_pass
+         |FROM stats""".stripMargin
+    },
+    "q128_nfc_normalize" ->
+      s"""SELECT doc_id, nfc_normalize(text) AS text_nfc,
+         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+         |FROM documents""".stripMargin,
     "q34_fingerprint" ->
       s"""SELECT doc_id, ${duckTokHash("text")} AS fingerprint FROM documents""",
     "q35_minhash_sigs" -> {
