@@ -641,6 +641,64 @@ object LlmQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Cross-document repeated-substring mining (the corpus-self-overlap
+    * half of Lee et al. 2021, arXiv:2107.06499 — q115 is the
+    * train-vs-eval half): every [[DecontamWindow]]-token window hashed
+    * at every position, windows shared by 2..[[SubstrDupDfCap]]
+    * documents joined into unordered doc pairs with shared-window
+    * counts ≥ [[SubstrDupMinShared]]. The df cap is the scale guard:
+    * boilerplate windows (licenses, headers) appear in thousands of
+    * docs and would otherwise fan out quadratically per hash; capped,
+    * per-hash work is ≤ C(cap,2) pairs and both shuffles stay
+    * hash-keyed — no all-pairs stage, the same contract as q37/q118. */
+  private val SubstrDupDfCap = 20
+  private val SubstrDupMinShared = 2
+  private val q129SubstrDup: Q = (s, dir) => {
+    val W = DecontamWindow
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - (W - 1)),
+        i => tokHash(array_join(slice(col("tk"), i, lit(W)), " "))))).as("h"))
+      .cache() // consumed twice (df gate + pair join); runner clearCache scopes it
+    // windows are distinct per doc, so count(*) per hash IS the doc freq
+    val shared = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SubstrDupDfCap)
+      .select(col("h"))
+    val hits = wins.join(shared, Seq("h"))
+    hits.as("x").join(hits.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= SubstrDupMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Deterministic per-source token-budget sampling — the mixture-
+    * construction step after filtering/dedup: each source contributes
+    * documents in a stable hash order (the q86 sampling key, so the
+    * sample is reproducible and extension-stable: a re-run over a GROWN
+    * corpus keeps every previously-kept doc whose cumulative position
+    * still fits) until the source's token budget is exhausted. One
+    * window over (source, hash) — partition-local cumulative sums, no
+    * driver-side loop, budget arithmetic identical on both engines. */
+  private val TokenBudgetPerSource = 800L // binds at sf0.01+ (~1.3k tokens/source)
+  private val q130TokenBudget: Q = (s, dir) => {
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(toksCol(col("text"))).cast("long").as("n_tokens"),
+        tokHash(concat(col("source"), lit("|"), col("doc_id").cast("string"))).as("rk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranked
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudgetPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion primitive
     * (split every document into fixed-size windows with overlap so no
     * retrieval-relevant span straddles a chunk boundary unseen). Pure
@@ -1892,6 +1950,8 @@ object LlmQueries {
     "q58_bpe_tokens"      -> q58BpeTokens,
     "q75_contamination"   -> q75Contamination,
     "q115_window_decontam" -> q115WindowDecontam,
+    "q129_substring_dup"  -> q129SubstrDup,
+    "q130_token_budget"   -> q130TokenBudget,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -1986,6 +2046,34 @@ object LlmQueries {
          |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_windows
          |FROM t2 JOIN e USING (h) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "q129_substring_dup" -> {
+      val W = DecontamWindow
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - ${W - 2}),
+         |    wi -> ${duckTokHash(s"array_to_string(tk[wi:wi+${W - 1}], ' ')")})) AS whs
+         |  FROM toks WHERE len(tk) >= $W),
+         |wins AS (SELECT doc_id, unnest(whs) AS h FROM w),
+         |shared AS (SELECT h FROM wins GROUP BY h
+         |           HAVING count(*) >= 2 AND count(*) <= $SubstrDupDfCap),
+         |hits AS (SELECT doc_id, h FROM wins JOIN shared USING (h))
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM hits x JOIN hits y ON x.h = y.h AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $SubstrDupMinShared ORDER BY 1, 2""".stripMargin
+    },
+    "q130_token_budget" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    ${duckTokHash("source || '|' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM documents
+         |), cum AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM ranked
+         |)
+         |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum WHERE cum_tokens <= $TokenBudgetPerSource ORDER BY source, cum_tokens""".stripMargin,
     // q117: outer lambda var `st` (duckTokHash binds `i` internally —
     // the q115 shadowing rule); DuckDB range excludes its stop, list
     // slicing clamps like Spark's slice
