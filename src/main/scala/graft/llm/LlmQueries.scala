@@ -192,46 +192,11 @@ object LlmQueries {
     * Zero-token and zero-line documents take explicit FALSE/TRUE flags
     * (a ratio over an empty denominator decides nothing: word rules
     * fail, line rules pass vacuously) rather than null-propagating. */
-  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-  private val q127GopherRules: Q = (s, dir) => {
-    val tk = toksCol(col("text"))
-    val lines = filter(split(col("text"), "\n"), l => trim(l) =!= lit(""))
-    val nWords = size(col("tk")).cast("double")
-    val nLines = size(col("lines")).cast("double")
-    val meanLen = aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double") / nWords
-    val fracSymbol = size(filter(col("tk"),
-      t => t.contains("#") || t.contains("..."))).cast("double") / nWords
-    val fracAlpha = size(filter(col("tk"), t => t.rlike("[A-Za-z]"))).cast("double") / nWords
-    val fracBullet = size(filter(col("lines"),
-      l => trim(l).startsWith("-") || trim(l).startsWith("*") ||
-        trim(l).startsWith("•"))).cast("double") / nLines
-    val fracEllipsis = size(filter(col("lines"),
-      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("double") / nLines
-    val nStop = size(array_intersect(transform(col("tk"), t => lower(t)),
-      array(GopherStops.map(lit): _*)))
-    Tables.documents(s, dir)
-      .withColumn("tk", tk).withColumn("lines", lines)
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_words"),
-        fpRound4(coalesce(meanLen, lit(0.0))).as("mean_word_len"),
-        fpRound4(coalesce(fracSymbol, lit(0.0))).as("frac_symbol"),
-        fpRound4(coalesce(fracAlpha, lit(0.0))).as("frac_alpha"),
-        fpRound4(coalesce(fracBullet, lit(0.0))).as("frac_bullet"),
-        fpRound4(coalesce(fracEllipsis, lit(0.0))).as("frac_ellipsis"),
-        nStop.cast("long").as("n_stop"))
-      .select(col("*"),
-        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int").as("r_words"),
-        (col("n_words") > 0 && col("mean_word_len") >= 3.0 &&
-          col("mean_word_len") <= 10.0).cast("int").as("r_mean_len"),
-        (col("n_words") > 0 && col("frac_symbol") <= 0.1).cast("int").as("r_symbol"),
-        (col("n_words") > 0 && col("frac_alpha") >= 0.8).cast("int").as("r_alpha"),
-        (col("frac_bullet") <= 0.9).cast("int").as("r_bullet"),
-        (col("frac_ellipsis") <= 0.3).cast("int").as("r_ellipsis"),
-        (col("n_stop") >= 2).cast("int").as("r_stop"))
-      .withColumn("gopher_pass",
-        (col("r_words") * col("r_mean_len") * col("r_symbol") * col("r_alpha") *
-          col("r_bullet") * col("r_ellipsis") * col("r_stop")).cast("int"))
-  }
+  private val q127GopherRules: Q = (s, dir) =>
+    TextOps.gopherRules(Tables.documents(s, dir), "text")
+      .select("doc_id", "n_words", "mean_word_len", "frac_symbol", "frac_alpha",
+        "frac_bullet", "frac_ellipsis", "n_stop", "r_words", "r_mean_len",
+        "r_symbol", "r_alpha", "r_bullet", "r_ellipsis", "r_stop", "gopher_pass")
 
   /** Unicode NFC normalization audit ([[graft.functions.NfcNormalize]]):
     * normalized text, changed flag, and post-normalization length per
@@ -2175,7 +2140,7 @@ object LlmQueries {
          |  CASE WHEN $duckQuality < 0.55 THEN 1 ELSE 0 END AS low_quality
          |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
     "q127_gopher_rules" -> {
-      val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+      val stops = TextOps.GopherStops.map(s => s"'$s'").mkString(", ")
       s"""WITH base AS (
          |  SELECT doc_id,
          |    $duckToks AS tk,

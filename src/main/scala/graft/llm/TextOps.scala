@@ -57,6 +57,57 @@ object TextOps {
     * corpus pipeline's filter. */
   val QualityGate = 0.55
 
+  /** Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1) — ONE
+    * definition shared by the batch gate (q127, DuckDB-oracled) and the
+    * streaming ingest gate ([[graft.streaming.StreamOps.gopherGate]]):
+    * appends the stats, the per-rule flags, and their conjunction
+    * `gopher_pass` to any frame with a text column. Scan-shaped column
+    * work only, so it plans identically in a micro-batch.
+    *
+    * Zero-token and zero-line documents take explicit FALSE/TRUE flags
+    * (word rules fail, line rules pass vacuously) — a ratio over an
+    * empty denominator decides nothing and must not null-propagate. */
+  val GopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+    val nWords = size(col("__gtk")).cast("double")
+    val nLines = size(col("__glines")).cast("double")
+    val meanLen = aggregate(col("__gtk"), lit(0L), (a, t) => a + length(t)).cast("double") / nWords
+    val fracSymbol = size(filter(col("__gtk"),
+      t => t.contains("#") || t.contains("..."))).cast("double") / nWords
+    val fracAlpha = size(filter(col("__gtk"), t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+    val fracBullet = size(filter(col("__glines"),
+      l => trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nLines
+    val fracEllipsis = size(filter(col("__glines"),
+      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("double") / nLines
+    val nStop = size(array_intersect(transform(col("__gtk"), t => lower(t)),
+      array(GopherStops.map(lit): _*)))
+    df.withColumn("__gtk", tokens(col(textCol)))
+      .withColumn("__glines", filter(split(col(textCol), "\n"), l => trim(l) =!= lit("")))
+      .withColumn("n_words", size(col("__gtk")).cast("long"))
+      .withColumn("mean_word_len", r4(coalesce(meanLen, lit(0.0))))
+      .withColumn("frac_symbol", r4(coalesce(fracSymbol, lit(0.0))))
+      .withColumn("frac_alpha", r4(coalesce(fracAlpha, lit(0.0))))
+      .withColumn("frac_bullet", r4(coalesce(fracBullet, lit(0.0))))
+      .withColumn("frac_ellipsis", r4(coalesce(fracEllipsis, lit(0.0))))
+      .withColumn("n_stop", nStop.cast("long"))
+      .drop("__gtk", "__glines")
+      .withColumn("r_words",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("r_mean_len",
+        (col("n_words") > 0 && col("mean_word_len") >= 3.0 &&
+          col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("r_symbol", (col("n_words") > 0 && col("frac_symbol") <= 0.1).cast("int"))
+      .withColumn("r_alpha", (col("n_words") > 0 && col("frac_alpha") >= 0.8).cast("int"))
+      .withColumn("r_bullet", (col("frac_bullet") <= 0.9).cast("int"))
+      .withColumn("r_ellipsis", (col("frac_ellipsis") <= 0.3).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("gopher_pass",
+        (col("r_words") * col("r_mean_len") * col("r_symbol") * col("r_alpha") *
+          col("r_bullet") * col("r_ellipsis") * col("r_stop")).cast("int"))
+  }
+
   /** Classic BPE merge training (Sennrich et al., 2016, arXiv:1508.07909)
     * re-expressed Spark-first. Input is the WORD-FREQUENCY table — the
     * standard reduction: the corpus collapses to (word, freq) in one

@@ -83,6 +83,18 @@ object StreamOps {
         .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
         .load())
 
+  /** In-stream Gopher quality gate: the q127 batch filter applied at
+    * ingest, SAME rule definition ([[graft.llm.TextOps.gopherRules]]) so
+    * a document admitted by the stream is exactly the document the
+    * batch sweep would keep — a gate that drifts from its batch twin
+    * quietly changes the corpus mixture. Scan-shaped column work, no
+    * state, no watermark: each micro-batch filters independently.
+    * Rejected docs are the caller's concern (compose with a quarantine
+    * sink on the inverse predicate if they must be kept). */
+  def gopherGate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.llm.TextOps.gopherRules(docs, textCol)
+      .filter(col("gopher_pass") === 1)
+
   /** ST3 in-stream variant: exactly-once-per-key emission via
     * dropDuplicates under a watermark — the streaming half of the LLM
     * exact-dedup operator (content fingerprint as the key). State for

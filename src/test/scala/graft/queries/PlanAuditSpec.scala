@@ -161,6 +161,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin"), s"expected hash equi-joins (candidates + verify):\n$p")
   }
 
+  test("q127/q128: quality rules and NFC normalization stay scan-shaped — zero shuffles") {
+    for (q <- Seq("q127_gopher_rules", "q128_nfc_normalize")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q introduced a shuffle:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian product")
+    }
+  }
+
+  test("q129: substring-dup mining is hash-keyed end to end, never all-pairs") {
+    val p = planOf("q129_substring_dup")
+    assert(!p.contains("CartesianProduct"), s"q129 degenerated to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q129 nested-loop join:\n$p")
+  }
+
+  test("q130: token budgeting is ONE partitioned window — no global sort before the cumsum") {
+    val opt = SparkEntry.queries("q130_token_budget")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the cumulative sum partitions by source; a window with no
+    // partition spec would collapse the corpus to one task
+    assert(opt.contains("Window"), s"q130 lost its window:\n$opt")
+    val winSpec = opt.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winSpec.contains("source"), s"q130 window is not partitioned by source:\n$winSpec")
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
     // the 100 TB shape for metadata-only questions: with pushdown on,
     // the scan node carries PushedAggregation and reads NO data pages.

@@ -94,6 +94,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream Gopher gate admits exactly the docs the batch q127 filter keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    // a passing doc needs >= 50 words, sane lengths, stop words, alpha text
+    val good = (("the quick brown fox and the lazy dog that have been with us " * 5) +
+      "of course this text is perfectly ordinary prose").trim
+    val tooShort = "the of and short"
+    val symbols = Seq.fill(60)("#tag").mkString(" ")
+    val bullets = (1 to 10).map(i => s"- item $i the of and that").mkString("\n")
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.gopherGate(input.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory").queryName("gopher_gate").start()
+    try {
+      input.addData((1L, good), (2L, tooShort), (3L, symbols), (4L, bullets))
+      q.processAllAvailable()
+      val admitted = spark.table("gopher_gate")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted === Set(1L))
+      // batch/stream parity: the same frame filtered in batch admits the
+      // same doc ids (ONE rule definition, not a drifting copy)
+      val batch = Seq((1L, good), (2L, tooShort), (3L, symbols), (4L, bullets))
+        .toDF("doc_id", "text")
+      val batchKept = graft.llm.TextOps.gopherRules(batch, "text")
+        .filter($"gopher_pass" === 1).select("doc_id").as[Long].collect().toSet
+      assert(batchKept === admitted)
+    } finally q.stop()
+  }
+
   test("in-stream contamination gate quarantines docs hitting the eval index") {
     implicit val sqlCtx = spark.sqlContext
     // static eval index: rare-shingle hashes 100-104
