@@ -324,25 +324,52 @@ object IvfSearch {
   def loadIngest(spark: SparkSession, dir: String): Option[DataFrame] =
     graft.sources.TieredParquet.loadIngest(spark, dir, "indexed")
 
+  /** Logical deletion from a persisted index — the takedown path
+    * (right-to-erasure, licensing retractions) a long-lived corpus
+    * index MUST have: `ids` is a one-column frame named for the
+    * corpus's id column, appended as an immutable label-keyed tombstone
+    * dir ([[graft.sources.TieredParquet.appendDeletes]]). Deleted
+    * vectors disappear from [[loadServable]] immediately (tombstone
+    * anti-join — broadcast, takedown-sized) and are physically erased
+    * when [[compactIngest]] next folds the tiers; a label already
+    * folded is refused, the ingest-replay discipline. The base tier
+    * stays immutable throughout: readers of the old corpus version are
+    * undisturbed until the fold commits. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame, label: String): Unit = {
+    val corpus = spark.read.parquet(s"$dir/${readTierState(spark, dir).baseDir}")
+    require(ids.columns.length == 1 && corpus.columns.contains(ids.columns.head),
+      s"tombstone frame must carry exactly the corpus id column; got " +
+        s"(${ids.columns.mkString(", ")}) vs corpus (${corpus.columns.mkString(", ")})")
+    graft.sources.TieredParquet.appendDeletes(spark, dir, ids, label)
+  }
+
   /** Reload a persisted index INCLUDING everything the ingest stream
-    * appended since [[save]] — the query-service view: centers from the
-    * artifact, corpus = base ∪ ingest tier (projected to the base
-    * schema, so PQ codes carried for the ADC tier don't widen the IVF
-    * view). Both sides keep `list_bucket` as a partition column, so a
-    * probe's equi-join prunes base AND ingest scans alike. The ingest
-    * tier never needs compaction for correctness (each batch dir is
-    * immutable once its replay window passes), but a long-lived index
-    * wants the [[graft.streaming.ScoringStream.ResultStore]]-style fold
-    * once batch-dir listings dominate — same trade, same fix. */
+    * appended since [[save]] and EXCLUDING every tombstoned id — the
+    * query-service view: centers from the artifact, corpus = (base ∪
+    * ingest tier) ⟕̸ deletes (projected to the base schema, so PQ codes
+    * carried for the ADC tier don't widen the IVF view). Both sides
+    * keep `list_bucket` as a partition column, so a probe's equi-join
+    * prunes base AND ingest scans alike; the tombstone anti-join is a
+    * broadcast against a takedown-sized id set and does not disturb
+    * that pruning. The ingest tier never needs compaction for
+    * correctness (each batch dir is immutable once its replay window
+    * passes), but a long-lived index wants the
+    * [[graft.streaming.ScoringStream.ResultStore]]-style fold once
+    * batch-dir listings dominate — same trade, same fix, and the fold
+    * turns logical deletes physical. */
   def loadServable(spark: SparkSession, dir: String): Index = {
     val base = load(spark, dir)
-    loadIngest(spark, dir) match {
+    val unioned = loadIngest(spark, dir) match {
       case Some(ing) =>
         val cols = base.indexed.columns.toIndexedSeq.map(col)
-        Index(base.centers, base.indexed.unionByName(ing.select(cols: _*)),
-          base.listBuckets)
-      case None => base
+        base.indexed.unionByName(ing.select(cols: _*))
+      case None => base.indexed
     }
+    val live = graft.sources.TieredParquet.loadDeletes(spark, dir) match {
+      case Some(dels) => graft.sources.TieredParquet.antiJoinDeletes(unioned, dels)
+      case None => unioned
+    }
+    Index(base.centers, live, base.listBuckets)
   }
 
   private def cosine(a: Column, b: Column): Column =

@@ -37,10 +37,14 @@ import org.apache.spark.sql.functions.col
 object TieredParquet {
 
   /** `baseDir` = current base tier directory name under the artifact
-    * root; `folded` = ingest batch dir names already folded into it. */
-  final case class TierState(baseDir: String, folded: Set[String])
+    * root; `folded` = ingest batch dir names already folded into it;
+    * `removed` = tombstone dir names whose deletions are already baked
+    * into the base (so a replayed delete cannot re-land after fold). */
+  final case class TierState(baseDir: String, folded: Set[String],
+      removed: Set[String] = Set.empty)
 
   def ingestRoot(dir: String): String = s"$dir/ingest"
+  def deletesRoot(dir: String): String = s"$dir/deletes"
 
   private def tierPath(dir: String) = new Path(s"$dir/_tier")
 
@@ -58,7 +62,9 @@ object TieredParquet {
         finally in.close()
       val base = lines.collectFirst { case s if s.startsWith("corpus ") => s.drop(7) }
         .getOrElse(defaultBase)
-      TierState(base, lines.collect { case s if s.startsWith("folded ") => s.drop(7) }.toSet)
+      TierState(base,
+        lines.collect { case s if s.startsWith("folded ") => s.drop(7) }.toSet,
+        lines.collect { case s if s.startsWith("removed ") => s.drop(8) }.toSet)
     }
   }
 
@@ -76,7 +82,8 @@ object TieredParquet {
     val fs = fsOf(spark, dst)
     val out = fs.create(tmp, true)
     try out.write(
-      (s"corpus ${st.baseDir}" +: st.folded.toSeq.sorted.map("folded " + _))
+      ((s"corpus ${st.baseDir}" +: st.folded.toSeq.sorted.map("folded " + _)) ++
+        st.removed.toSeq.sorted.map("removed " + _))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.delete(dst, false)
@@ -119,17 +126,73 @@ object TieredParquet {
       .drop("batch"))
   }
 
+  /** Idempotent tombstone append — the takedown/right-to-erasure path
+    * every long-lived training-data artifact needs: `ids` is a ONE-
+    * column frame of keys to remove, written as an immutable
+    * `deletes/del=<label>` dir (label-keyed overwrite, so a retried
+    * delete converges). Deletions are LOGICAL until [[compact]] folds
+    * them: every delete-aware read ([[loadTiered]] with the tombstone
+    * flag, [[graft.llm.IvfSearch.loadServable]]) anti-joins the live
+    * tombstones, so a deleted row disappears from serving immediately
+    * while the base tier stays immutable. A label already folded into
+    * the base ([[TierState.removed]]) is refused — re-landing it would
+    * tombstone FOREVER (its dir would never fold again) and mask the
+    * replay bug that produced it. */
+  def appendDeletes(spark: SparkSession, dir: String, ids: DataFrame,
+      label: String): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstone frame must have exactly the key column, got ${ids.columns.mkString(", ")}")
+    val st = readState(spark, dir, "") // default base irrelevant for the removed set
+    require(!st.removed(s"del=$label"),
+      s"delete batch 'del=$label' was already folded into the base — refusing replay")
+    ids.distinct().write.mode("overwrite").parquet(s"${deletesRoot(dir)}/del=$label")
+  }
+
+  /** Live (unfolded) tombstones as one distinct one-column frame, or
+    * None when nothing is pending. */
+  def loadDeletes(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = new Path(deletesRoot(dir))
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return None
+    val removed = readState(spark, dir, "").removed
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("del=")
+        && !removed(s.getPath.getName))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).distinct())
+  }
+
   /** Base ∪ live ingest, projected to the BASE schema (extra
     * ingest-tier columns drop loudly-recomputably; a missing base
-    * column fails the select, never silently nulls). */
+    * column fails the select, never silently nulls). With
+    * `applyDeletes`, live tombstones anti-join out — the key is the
+    * tombstone frame's own single column, which must exist in the base
+    * schema. */
   def loadTiered(spark: SparkSession, dir: String, defaultBase: String,
-      exclude: Set[String] = Set.empty): DataFrame = {
+      exclude: Set[String] = Set.empty, applyDeletes: Boolean = false): DataFrame = {
     val base = spark.read.parquet(s"$dir/${readState(spark, dir, defaultBase).baseDir}")
-    loadIngest(spark, dir, defaultBase, exclude) match {
+    val unioned = loadIngest(spark, dir, defaultBase, exclude) match {
       case Some(ing) =>
         base.unionByName(ing.select(base.columns.toIndexedSeq.map(col): _*))
       case None => base
     }
+    if (!applyDeletes) unioned
+    else loadDeletes(spark, dir) match {
+      case Some(dels) => antiJoinDeletes(unioned, dels)
+      case None => unioned
+    }
+  }
+
+  /** Anti-join a tombstone frame out of a tier view on the tombstone's
+    * own key column. Broadcast hint: a tombstone set is takedown-sized
+    * (ids, not rows) — shuffling a 100 TB corpus against it would
+    * invert the cost. */
+  private[graft] def antiJoinDeletes(tier: DataFrame, dels: DataFrame): DataFrame = {
+    val key = dels.columns.head
+    require(tier.columns.contains(key),
+      s"tombstone key '$key' is not a column of the tier (${tier.columns.mkString(", ")})")
+    tier.join(org.apache.spark.sql.functions.broadcast(dels), Seq(key), "left_anti")
   }
 
   /** Fold every unfolded ingest batch into a NEW versioned base dir.
@@ -148,19 +211,41 @@ object TieredParquet {
       partitionCols: Seq[String], sortBy: Seq[String]): Boolean = {
     val st = readState(spark, dir, defaultBase)
     val pending = pendingBatches(spark, dir, st.folded, Set.empty)
-    if (pending.isEmpty) return false
+    // live tombstones fold too: the new base is written WITHOUT the
+    // deleted rows (the physical erasure the logical delete promised),
+    // and their dirs join the `removed` record in the same atomic
+    // commit, so a crash never double-applies or resurrects them. The
+    // dir list is captured ONCE, here — a tombstone landing mid-compact
+    // must stay live for the next fold, not get recorded as folded
+    // without having been applied.
+    val fs = fsOf(spark, new Path(dir))
+    val delRoot = new Path(deletesRoot(dir))
+    val delDirs: Seq[Path] =
+      if (!fs.exists(delRoot)) Seq.empty
+      else fs.listStatus(delRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("del=")
+          && !st.removed(s.getPath.getName)).map(_.getPath)
+    if (pending.isEmpty && delDirs.isEmpty) return false
     val basePath = s"$dir/${st.baseDir}"
     val base = spark.read.parquet(basePath)
-    val ing = spark.read.option("basePath", ingestRoot(dir))
-      .parquet(pending.map(_.toString): _*)
-      .drop("batch").select(base.columns.toIndexedSeq.map(col): _*)
+    val unioned =
+      if (pending.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", ingestRoot(dir))
+          .parquet(pending.map(_.toString): _*)
+          .drop("batch").select(base.columns.toIndexedSeq.map(col): _*))
+    val live =
+      if (delDirs.isEmpty) unioned
+      else antiJoinDeletes(unioned,
+        spark.read.parquet(delDirs.map(_.toString): _*).distinct())
     val next = nextBaseDir(st.baseDir, defaultBase)
-    base.unionByName(ing)
-      .sortWithinPartitions(sortBy.map(col): _*)
+    live.sortWithinPartitions(sortBy.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(s"$dir/$next")
-    writeState(spark, dir, TierState(next, st.folded ++ pending.map(_.getName)))
-    val fs = fsOf(spark, new Path(dir))
+    writeState(spark, dir, TierState(next,
+      st.folded ++ pending.map(_.getName),
+      st.removed ++ delDirs.map(_.getName)))
     pending.foreach(p => fs.delete(p, true))
+    delDirs.foreach(p => fs.delete(p, true))
     fs.delete(new Path(basePath), true)
     true
   }

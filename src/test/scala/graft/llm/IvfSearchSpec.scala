@@ -241,6 +241,65 @@ class IvfSearchSpec extends SparkSpec {
     }
   }
 
+  test("tombstone deletes: logical immediately, physical at the fold, replay refused after") {
+    import spark.implicits._
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => if (d == i % 4) 1.0 else 0.001 * (i % 5)))
+    }.toDF("vec_id", "emb")
+    def newVec(id: Long) =
+      (id, Seq.tabulate(8)(d => if (d == 5) 1.0 else 0.001 * (id % 7)))
+    val idx = IvfSearch.build(base, "vec_id", "emb", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-delete").toString
+    try {
+      IvfSearch.save(idx, dir)
+      val buckets = IvfSearch.load(spark, dir).listBuckets.get
+      graft.streaming.StreamOps.ivfIngestBatch(
+        Seq(newVec(1000L)).toDF("vec_id", "emb"), 0L, dir,
+        idx.centers, buckets, "emb", None)
+      assert(IvfSearch.loadServable(spark, dir).indexed.count() === 61L)
+
+      // delete a base id AND the ingested id in one takedown batch
+      IvfSearch.deleteIds(spark, dir, Seq(7L, 1000L).toDF("vec_id"), "takedown-1")
+      val served = IvfSearch.loadServable(spark, dir)
+      assert(served.indexed.count() === 59L, "logical delete not applied to serving")
+      assert(served.indexed.filter($"vec_id".isin(7L, 1000L)).count() === 0L)
+      // the deleted ingest vector is unreachable by search too
+      val probe = Seq((9000L, Seq.tabulate(8)(d => if (d == 5) 1.0 else 0.0)))
+        .toDF("vec_id", "emb")
+      val hits = IvfSearch.search(served, probe, "vec_id", "emb", nProbe = 4, topK = 3)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(!hits.contains(1000L), s"deleted vector still served: $hits")
+      // the base tier itself is UNTOUCHED until the fold (readers of the
+      // current version are undisturbed)
+      assert(IvfSearch.load(spark, dir).indexed.filter($"vec_id" === 7L).count() === 1L)
+
+      // the fold makes it physical: rows gone from the new corpus
+      // version, tombstone dirs cleaned, record carried in _tier
+      assert(IvfSearch.compactIngest(spark, dir))
+      val folded = IvfSearch.load(spark, dir)
+      assert(folded.indexed.count() === 59L)
+      assert(folded.indexed.filter($"vec_id".isin(7L, 1000L)).count() === 0L)
+      assert(!new java.io.File(s"$dir/deletes/del=takedown-1").exists(),
+        "folded tombstone dir not cleaned up")
+      // a replayed (already-folded) delete label is refused loudly
+      val e = intercept[IllegalArgumentException](
+        IvfSearch.deleteIds(spark, dir, Seq(8L).toDF("vec_id"), "takedown-1"))
+      assert(e.getMessage.contains("refusing replay"))
+      // a deletes-only fold (no pending ingest) also works
+      IvfSearch.deleteIds(spark, dir, Seq(8L).toDF("vec_id"), "takedown-2")
+      assert(IvfSearch.loadServable(spark, dir).indexed.count() === 58L)
+      assert(IvfSearch.compactIngest(spark, dir), "deletes-only fold did not run")
+      assert(IvfSearch.load(spark, dir).indexed.count() === 58L)
+      // wrong-shaped tombstones are refused before touching the artifact
+      assert(intercept[IllegalArgumentException](
+        IvfSearch.deleteIds(spark, dir, Seq((1L, 2L)).toDF("vec_id", "extra"), "bad"))
+        .getMessage.contains("exactly the corpus id column"))
+    } finally {
+      idx.indexed.unpersist()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("recall against brute-force top-3 is useful and results are exact cosines") {
     val queries = emb.filter(col("vec_id") < 16)
     val ann = IvfSearch.search(index, queries, "vec_id", "emb", nProbe = 3, topK = 3)
