@@ -190,7 +190,23 @@ object StreamOps {
     * ([[embeddingDupGateBanded]]'s contract). */
   def loadDupGateIndex(spark: SparkSession, dir: String): (DataFrame, Int) = {
     val bits = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    (graft.sources.TieredParquet.loadTiered(spark, dir, "banded"), bits)
+    (graft.sources.TieredParquet.loadTiered(spark, dir, "banded",
+      applyDeletes = true), bits)
+  }
+
+  /** Takedown for the dup-gate index: tombstone `ids` (one `vec_id`
+    * column) so the deleted docs stop GATING — a removed document must
+    * not keep rejecting future copies of itself (the whole point of
+    * removal is that the content is gone; an arriving re-submission is
+    * a new editorial decision, not a duplicate of nothing). Logical
+    * immediately via [[loadDupGateIndex]]/[[dupGateIngestBatch]]'s
+    * delete-aware loads, physical at [[compactDupGateIndex]] — the
+    * [[graft.llm.IvfSearch.deleteIds]] discipline on this artifact. */
+  def dupGateDelete(spark: SparkSession, dir: String, ids: DataFrame,
+      label: String): Unit = {
+    require(ids.columns.sameElements(Array("vec_id")),
+      s"dup-gate tombstones carry exactly (vec_id), got (${ids.columns.mkString(", ")})")
+    graft.sources.TieredParquet.appendDeletes(spark, dir, ids, label)
   }
 
   /** Self-growing dup gate: admit-or-reject each arriving doc against
@@ -244,7 +260,7 @@ object StreamOps {
     if (TieredParquet.readState(spark, indexDir, "banded").folded.contains(label))
       return // folded into the base tier; a replay must not resurrect it
     val index = TieredParquet.loadTiered(spark, indexDir, "banded",
-      exclude = Set(label))
+      exclude = Set(label), applyDeletes = true)
     val arr = batch.select(col("vec_id"), col("emb"))
     // probe columns renamed up front: the banded index carries its own
     // vec_id/emb, and the within-batch check is a self-join
@@ -270,9 +286,20 @@ object StreamOps {
       .select(col("l_id").as("vec_id"))
     val admitted = arr.join(
       dupVsIndex.union(dupInBatch).distinct(), Seq("vec_id"), "left_anti")
-    graft.llm.EmbedLsh.bandKeys(admitted, bits)
+    val banded = graft.llm.EmbedLsh.bandKeys(admitted, bits)
       .join(admitted.select(col("vec_id"), col("emb").as("idx_emb")), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("band_id")
+    // an all-rejected (or empty) micro-batch must write NOTHING: a
+    // zero-row parquet dir has no footer, and every later load of the
+    // ingest tier would die on schema inference against it. Admission
+    // is deterministic, so a replay re-derives the same empty set —
+    // skipping the write loses nothing; a crashed earlier attempt's
+    // partial dir (if any) is removed so it cannot linger either.
+    if (banded.isEmpty) {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
+        s"${TieredParquet.ingestRoot(indexDir)}/$label"))
+      return
+    }
+    banded.write.mode("overwrite").partitionBy("band_id")
       .parquet(s"${TieredParquet.ingestRoot(indexDir)}/$label")
   }
 
@@ -393,6 +420,14 @@ object StreamOps {
         graft.llm.ProductQuant.encodeResidual(assigned, embCol, centers, m)
       case Some(m) => graft.llm.ProductQuant.encode(assigned, embCol, m)
       case None    => assigned
+    }
+    // an EMPTY micro-batch (idle trigger) must write nothing: a
+    // zero-row parquet dir has no footer and poisons every later
+    // schema inference over the ingest tier (the dup-gate sink's rule)
+    if (batch.isEmpty) {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
+        s"${graft.llm.IvfSearch.ingestRoot(indexDir)}/batch=$batchId"))
+      return
     }
     coded
       .withColumn("list_bucket", graft.llm.IvfSearch.bucketCol(col("cluster"), listBuckets))

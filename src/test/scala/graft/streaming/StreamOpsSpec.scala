@@ -537,6 +537,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("dup-gate takedown: a deleted doc stops gating, its re-submission is admitted") {
+    import spark.implicits._
+    def oneHot(d: Int, scale: Double) = Seq.tabulate(64)(i => if (i == d) scale else 0.0)
+    val index = Seq((10L, oneHot(0, 2.0)), (11L, oneHot(2, 1.0)))
+      .toDF("vec_id", "emb")
+    val dir = tmp("graft-gatedel")
+    StreamOps.saveDupGateIndex(index, bits = 4, dir)
+    try {
+      def gateIds = StreamOps.loadDupGateIndex(spark, dir)._1
+        .select("vec_id").distinct().as[Long].collect().toSet
+      // a copy of base doc 10 is rejected while 10 is in the gate
+      val dup = Seq((200L, oneHot(0, 5.0))).toDF("vec_id", "emb")
+      StreamOps.dupGateIngestBatch(dup, 0L, dir, bits = 4, threshold = 0.9)
+      assert(gateIds === Set(10L, 11L), "duplicate of a gated doc was admitted")
+      // takedown of 10: it stops gating IMMEDIATELY (logical delete)
+      StreamOps.dupGateDelete(spark, dir, Seq(10L).toDF("vec_id"), "takedown-10")
+      assert(gateIds === Set(11L))
+      // the re-submission is a new editorial decision, not a duplicate
+      // of removed content — admitted now
+      val resub = Seq((201L, oneHot(0, 5.0))).toDF("vec_id", "emb")
+      StreamOps.dupGateIngestBatch(resub, 1L, dir, bits = 4, threshold = 0.9)
+      assert(gateIds === Set(11L, 201L), "re-submission after takedown was rejected")
+      // the fold makes the erasure physical and cleans the tombstone dir
+      assert(StreamOps.compactDupGateIndex(spark, dir))
+      assert(gateIds === Set(11L, 201L))
+      assert(!new java.io.File(s"$dir/deletes/del=takedown-10").exists())
+      // wrong-shaped tombstones refused
+      assert(intercept[IllegalArgumentException](
+        StreamOps.dupGateDelete(spark, dir, Seq((1L, 2L)).toDF("a", "b"), "bad"))
+        .getMessage.contains("exactly (vec_id)"))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
