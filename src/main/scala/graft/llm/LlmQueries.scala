@@ -212,6 +212,27 @@ object LlmQueries {
       .select(col("doc_id"), col("text_nfc"),
         length(col("text_nfc")).cast("long").as("n_chars_nfc"))
 
+  /** Gopher repetition-removal rules (Rae et al. 2021, Appendix A1.2 —
+    * [[TextOps.repetitionRules]]): the within-document repetition
+    * battery complementing q127's A1.1 quality battery. Duplicate-line
+    * fraction + char fraction, top-{2,3,4}-gram char coverage, and
+    * duplicated-{5..10}-gram char fractions, each with its paper
+    * threshold flag and the conjunction. One scan-shaped projection —
+    * every stat is per-document array work (build, sort, run-length
+    * scan inside codegen'd HOFs), zero shuffle at any corpus size; the
+    * oracle recomputes the same stats relationally (unnest → count →
+    * window) and pins the arithmetic. */
+  private val q131RepetitionRules: Q = (s, dir) => {
+    val statCols = Seq("dup_line_frac", "dup_line_char_frac") ++
+      TextOps.TopNgramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac") ++
+      TextOps.DupNgramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac")
+    val flagCols = Seq("r_dup_line", "r_dup_line_char") ++
+      TextOps.TopNgramMax.keys.toSeq.sorted.map(n => s"r_top_${n}gram") ++
+      TextOps.DupNgramMax.keys.toSeq.sorted.map(n => s"r_dup_${n}gram")
+    TextOps.repetitionRules(Tables.documents(s, dir), "text")
+      .select((Seq("doc_id") ++ statCols ++ flagCols ++ Seq("rep_pass")).map(col): _*)
+  }
+
   /** Whole-document rolling-hash fingerprint (content-defined identity
     * that survives storage layout, unlike sha2 it is cheap to compute
     * incrementally at ingest). */
@@ -1904,6 +1925,7 @@ object LlmQueries {
     "q33_quality_score"   -> q33QualityScore,
     "q127_gopher_rules"   -> q127GopherRules,
     "q128_nfc_normalize"  -> q128NfcNormalize,
+    "q131_repetition_rules" -> q131RepetitionRules,
     "q34_fingerprint"     -> q34Fingerprint,
     "q35_minhash_sigs"    -> q35MinhashSigs,
     "q36_simhash"         -> q36Simhash,
@@ -2173,6 +2195,66 @@ object LlmQueries {
       s"""SELECT doc_id, nfc_normalize(text) AS text_nfc,
          |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
          |FROM documents""".stripMargin,
+    "q131_repetition_rules" -> {
+      // Relational recomputation of the sorted-array run-length stats:
+      // unnest grams -> per-(doc,gram) counts -> window max for the top
+      // gram (ties on count -> longest gram, so the fraction is
+      // determined), sum((c-1)*glen) for duplicated-gram chars.
+      val allNs = (TextOps.TopNgramMax.keys ++ TextOps.DupNgramMax.keys).toSeq.sorted
+      val gramCtes = allNs.map { n =>
+        s"""g$n AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, greatest(len(tk) - ${n - 1}, 0) + 1),
+           |    i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram FROM toks),
+           |c$n AS (SELECT doc_id, count(*) AS c, length(gram) - ${n - 1} AS glen
+           |        FROM g$n GROUP BY doc_id, gram),
+           |t$n AS (SELECT doc_id, max(c) AS mc,
+           |          max(CASE WHEN c = mcw THEN glen END) AS bl,
+           |          sum((c - 1) * glen) AS dupch
+           |        FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mcw FROM c$n) x
+           |        GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      def fracSql(num: String): String =
+        fpRound4Sql(s"CASE WHEN totchars > 0 THEN COALESCE($num, 0)::DOUBLE / totchars ELSE 0.0 END")
+      val topStats = TextOps.TopNgramMax.keys.toSeq.sorted.map { n =>
+        s"    ${fracSql(s"t$n.mc * t$n.bl")} AS top_${n}gram_frac"
+      }
+      val dupStats = TextOps.DupNgramMax.keys.toSeq.sorted.map { n =>
+        s"    ${fracSql(s"t$n.dupch")} AS dup_${n}gram_frac"
+      }
+      val joins = allNs.map(n => s"  LEFT JOIN t$n ON t$n.doc_id = toks.doc_id").mkString("\n")
+      val topFlags = TextOps.TopNgramMax.toSeq.sortBy(_._1).map { case (n, mx) =>
+        s"  CAST(top_${n}gram_frac <= $mx AS INT) AS r_top_${n}gram"
+      }
+      val dupFlags = TextOps.DupNgramMax.toSeq.sortBy(_._1).map { case (n, mx) =>
+        s"  CAST(dup_${n}gram_frac <= $mx AS INT) AS r_dup_${n}gram"
+      }
+      val allFlagNames = Seq("r_dup_line", "r_dup_line_char") ++
+        TextOps.TopNgramMax.keys.toSeq.sorted.map(n => s"r_top_${n}gram") ++
+        TextOps.DupNgramMax.keys.toSeq.sorted.map(n => s"r_dup_${n}gram")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS tk,
+         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         |    COALESCE(list_sum(list_transform($duckToks, t -> length(t))), 0) AS totchars
+         |  FROM documents
+         |),
+         |$gramCtes,
+         |stats AS (
+         |  SELECT toks.doc_id,
+         |    ${fpRound4Sql("CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END")} AS dup_line_frac,
+         |    ${fpRound4Sql("CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) > 0 THEN 1.0 - list_sum(list_transform(list_distinct(lines), l -> length(l)))::DOUBLE / list_sum(list_transform(lines, l -> length(l))) ELSE 0.0 END")} AS dup_line_char_frac,
+         |${(topStats ++ dupStats).mkString(",\n")}
+         |  FROM toks
+         |$joins
+         |)
+         |SELECT doc_id, dup_line_frac, dup_line_char_frac,
+         |  ${TextOps.TopNgramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac").mkString(", ")},
+         |  ${TextOps.DupNgramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac").mkString(", ")},
+         |  CAST(dup_line_frac <= 0.30 AS INT) AS r_dup_line,
+         |  CAST(dup_line_char_frac <= 0.20 AS INT) AS r_dup_line_char,
+         |${(topFlags ++ dupFlags).mkString(",\n")},
+         |  CAST(${allFlagNames.mkString(" * ")} AS INT) AS rep_pass
+         |FROM stats""".stripMargin
+    },
     "q34_fingerprint" ->
       s"""SELECT doc_id, ${duckTokHash("text")} AS fingerprint FROM documents""",
     "q35_minhash_sigs" -> {

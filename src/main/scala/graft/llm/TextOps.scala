@@ -108,6 +108,134 @@ object TextOps {
           col("r_bullet") * col("r_ellipsis") * col("r_stop")).cast("int"))
   }
 
+  /** Gopher repetition-removal rules (Rae et al. 2021, Appendix A1.2) —
+    * the OTHER half of the Gopher document gate: [[gopherRules]] is the
+    * A1.1 quality battery; this is the within-document repetition
+    * battery that catches boilerplate loops, scraped navigation, and
+    * degenerate generations. Appends per-document stats, per-rule
+    * flags, and the conjunction `rep_pass` to any frame with a text
+    * column:
+    *
+    *   - duplicate-line fraction (share of non-empty lines that are
+    *     repeats of an earlier line) and duplicate-line CHARACTER
+    *     fraction (share of line characters sitting in those repeats);
+    *   - for n ∈ {2,3,4}: fraction of word characters covered by the
+    *     most frequent word n-gram (count × gram chars / total word
+    *     chars — overlapping occurrences each count, the standard
+    *     published reading);
+    *   - for n ∈ {5..10}: fraction of word characters sitting in
+    *     occurrences-beyond-the-first of any duplicated word n-gram.
+    *
+    * Thresholds are the paper's (A1.2): dup-line ≤ 0.30, dup-line-char
+    * ≤ 0.20, top-{2,3,4}-gram ≤ {0.20, 0.18, 0.16}, dup-{5..10}-gram ≤
+    * {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}. Flags evaluate on the 4dp
+    * floor-rounded stats so both engines gate the same value.
+    *
+    * Shape: everything is per-document array work — n-grams are built,
+    * sorted, and run-length-scanned inside codegen'd higher-order
+    * functions, so the whole battery is ONE scan-shaped projection with
+    * zero shuffle regardless of corpus size (documents are bounded by
+    * the A1.1 word-count cap; per-doc O(G log G) sort beats shipping
+    * the corpus 9× through explode/groupBy exchanges). Docs shorter
+    * than n tokens have no n-grams: fractions 0, rules pass vacuously. */
+  val TopNgramMax: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupNgramMax: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+  def repetitionRules(df: DataFrame, textCol: String): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+    // total characters across word tokens — the shared denominator for
+    // every n-gram fraction (gram char length excludes the joiners).
+    val totChars = aggregate(col("__rtk"), lit(0L), (a, t) => a + length(t)).cast("double")
+    val lines = col("__rlines")
+    val nLines = size(lines).cast("double")
+    val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l)).cast("double")
+    val distinctLineChars =
+      aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l)).cast("double")
+    val dupLineFrac =
+      when(size(lines) > 0, lit(1.0) - size(array_distinct(lines)) / nLines).otherwise(0.0)
+    val dupLineCharFrac =
+      when(lineChars > 0, lit(1.0) - distinctLineChars / lineChars).otherwise(0.0)
+
+    /** Sorted n-gram array for n: space-joined token windows, so equal
+      * grams are adjacent and every repetition stat is a run-length
+      * scan. Empty when the doc has fewer than n tokens. */
+    def sortedGrams(n: Int): Column = {
+      val tk = col("__rtk")
+      when(size(tk) >= n,
+        array_sort(transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => array_join(slice(tk, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
+    /** Chars in beyond-first occurrences of duplicated n-grams: on the
+      * sorted array an occurrence is beyond-first iff it equals its
+      * left neighbor, so the numerator is one adjacent-pair sweep. */
+    def dupChars(sg: Column, n: Int): Column =
+      when(size(sg) >= 2,
+        aggregate(
+          zip_with(slice(sg, lit(1), size(sg) - 1), slice(sg, lit(2), size(sg) - 1),
+            (a, b) => when(a === b, length(b) - (n - 1)).otherwise(lit(0))),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+        .otherwise(lit(0.0))
+    /** count × charLen of the most frequent n-gram (ties on count break
+      * to the longer gram — the fraction depends only on (count, len),
+      * never on which tied gram is named). One aggregate pass over the
+      * sorted array with (prev, run, bestCount, bestLen) state; the
+      * finish lambda closes the final run. */
+    def topChars(sg: Column, n: Int): Column = {
+      def close(run: Column, len: Column, bc: Column, bl: Column): (Column, Column) = {
+        val better = run > lit(0L) && (run > bc || (run === bc && len > bl))
+        (when(better, run).otherwise(bc), when(better, len).otherwise(bl))
+      }
+      val res = aggregate(
+        sg,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("bc"), lit(0L).as("bl")),
+        (acc, x) => {
+          val prevLen = (length(acc("prev")) - (n - 1)).cast("long")
+          val (bc2, bl2) = close(acc("run"), prevLen, acc("bc"), acc("bl"))
+          when(x === acc("prev"),
+            struct(x.as("prev"), (acc("run") + 1L).as("run"),
+              acc("bc").as("bc"), acc("bl").as("bl")))
+            .otherwise(
+              struct(x.as("prev"), lit(1L).as("run"), bc2.as("bc"), bl2.as("bl")))
+        },
+        acc => {
+          val prevLen = (length(acc("prev")) - (n - 1)).cast("long")
+          val (bc2, bl2) = close(acc("run"), prevLen, acc("bc"), acc("bl"))
+          (bc2 * bl2).cast("double")
+        })
+      when(size(sg) > 0, res).otherwise(lit(0.0))
+    }
+    def frac(num: Column): Column = r4(when(totChars > 0, num / totChars).otherwise(0.0))
+
+    val withStats = df
+      .withColumn("__rtk", tokens(col(textCol)))
+      .withColumn("__rlines", filter(split(col(textCol), "\n"), l => trim(l) =!= lit("")))
+      .withColumn("dup_line_frac", r4(dupLineFrac))
+      .withColumn("dup_line_char_frac", r4(dupLineCharFrac))
+    val withTop = TopNgramMax.keys.toSeq.sorted.foldLeft(withStats) { (d, n) =>
+      d.withColumn(s"top_${n}gram_frac", frac(topChars(sortedGrams(n), n)))
+    }
+    val withDup = DupNgramMax.keys.toSeq.sorted.foldLeft(withTop) { (d, n) =>
+      d.withColumn(s"dup_${n}gram_frac", frac(dupChars(sortedGrams(n), n)))
+    }
+    val flagged = withDup
+      .drop("__rtk", "__rlines")
+      .withColumn("r_dup_line", (col("dup_line_frac") <= 0.30).cast("int"))
+      .withColumn("r_dup_line_char", (col("dup_line_char_frac") <= 0.20).cast("int"))
+    val withTopFlags = TopNgramMax.toSeq.sortBy(_._1).foldLeft(flagged) { case (d, (n, mx)) =>
+      d.withColumn(s"r_top_${n}gram", (col(s"top_${n}gram_frac") <= mx).cast("int"))
+    }
+    val withAllFlags = DupNgramMax.toSeq.sortBy(_._1).foldLeft(withTopFlags) { case (d, (n, mx)) =>
+      d.withColumn(s"r_dup_${n}gram", (col(s"dup_${n}gram_frac") <= mx).cast("int"))
+    }
+    val allFlags = Seq("r_dup_line", "r_dup_line_char") ++
+      TopNgramMax.keys.toSeq.sorted.map(n => s"r_top_${n}gram") ++
+      DupNgramMax.keys.toSeq.sorted.map(n => s"r_dup_${n}gram")
+    withAllFlags.withColumn("rep_pass",
+      allFlags.map(col).reduce(_ * _).cast("int"))
+  }
+
   /** Classic BPE merge training (Sennrich et al., 2016, arXiv:1508.07909)
     * re-expressed Spark-first. Input is the WORD-FREQUENCY table — the
     * standard reduction: the corpus collapses to (word, freq) in one
