@@ -685,6 +685,73 @@ object LlmQueries {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023, arXiv:2302.03169): score every raw document by how
+    * much more likely its hashed-n-gram profile is under a TARGET
+    * distribution (here the `lang='en'` slice, standing in for the
+    * paper's high-quality domain corpus) than under the raw-corpus
+    * distribution, then keep the top fraction by importance weight.
+    *
+    * The importance model is deliberately tiny — bigrams feature-hashed
+    * into [[DsirBuckets]] buckets — which is the whole scale story:
+    *   1. FIT: one explode → groupBy(bucket) pass produces the ≤B-row
+    *      target/raw occurrence table (map-side partial agg collapses
+    *      it before the exchange; B is a constant, so the artifact is
+    *      driver-safe like a PQ codebook).
+    *   2. SCORE: the per-bucket log-likelihood ratios ride back as ONE
+    *      broadcast array row; each doc's weight is a codegen'd
+    *      aggregate over its own bucket array — zero corpus shuffle.
+    * The LLRs are fixed-point-scaled to integer micro-nats before
+    * summation, so per-doc totals are EXACT longs in both engines —
+    * accumulation order (Spark array fold vs DuckDB group-sum) can
+    * never move a 4dp-rounded weight across a compare boundary.
+    *
+    * The final global rank is a window at the DOC grain (not tokens);
+    * at 100 TB the exact rank degrades to an approxQuantile threshold +
+    * filter — selection needs the cut point, not per-doc ranks. */
+  private val DsirBuckets = 256
+  private val DsirTargetLang = "en"
+  private val DsirKeepFrac = 0.25
+  private val q132DsirSelect: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .withColumn("bk",
+        when(size(col("tk")) >= 2,
+          transform(bigramsCol(col("tk")), g => tokHash(g) % DsirBuckets))
+          .otherwise(array().cast("array<bigint>")))
+    val counts = docs
+      .select(col("lang"), explode(col("bk")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_c"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tgt_c"))
+      .collect()
+    val nr = counts.map(_.getAs[Long]("raw_c")).sum
+    val nt = counts.map(_.getAs[Long]("tgt_c")).sum
+    // add-1-smoothed LLR per bucket, scaled to integer micro-nats.
+    // Buckets with no corpus occurrence can never be probed (every doc
+    // bucket IS a corpus occurrence), so their slots stay 0.
+    val llr = Array.fill(DsirBuckets)(0L)
+    counts.foreach { r =>
+      val w = math.log((r.getAs[Long]("tgt_c") + 1.0) / (nt + DsirBuckets)) -
+        math.log((r.getAs[Long]("raw_c") + 1.0) / (nr + DsirBuckets))
+      llr(r.getAs[Long]("b").toInt) = math.floor(w * 1e6 + 0.5).toLong
+    }
+    import s.implicits._
+    val llrDf = Seq(Tuple1(llr.toSeq)).toDF("llr")
+    val scored = docs.crossJoin(broadcast(llrDf))
+      .select(col("doc_id"), size(col("bk")).cast("long").as("n_grams"),
+        fpRound4(aggregate(col("bk"), lit(0L),
+          (a, b) => a + element_at(col("llr"), (b + 1).cast("int")))
+          .cast("double") / 1e6).as("log_w"))
+    val w = Window.orderBy(col("log_w").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("n_grams"), col("log_w"), col("rnk"),
+        (col("rnk") <= ceil(col("cnt") * DsirKeepFrac)).cast("int").as("selected"))
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion primitive
     * (split every document into fixed-size windows with overlap so no
     * retrieval-relevant span straddles a chunk boundary unseen). Pure
@@ -1939,6 +2006,7 @@ object LlmQueries {
     "q115_window_decontam" -> q115WindowDecontam,
     "q129_substring_dup"  -> q129SubstrDup,
     "q130_token_budget"   -> q130TokenBudget,
+    "q132_dsir_select"    -> q132DsirSelect,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2061,6 +2129,33 @@ object LlmQueries {
          |)
          |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM cum WHERE cum_tokens <= $TokenBudgetPerSource ORDER BY source, cum_tokens""".stripMargin,
+    // q132: same fit/score arithmetic relationally — bucket occurrence
+    // counts with a target-slice sum, add-1 LLRs scaled to integer
+    // micro-nats (floor(w·1e6 + 0.5)) so the per-doc sum is an exact
+    // BIGINT in both engines, then the same (log_w desc, doc_id) rank.
+    "q132_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+         |bks AS (SELECT doc_id, lang,
+         |    list_transform($duckBigrams, g -> (${duckTokHash("g")}) % $DsirBuckets) AS bk
+         |  FROM toks),
+         |occ AS (SELECT doc_id, lang, unnest(bk) AS b FROM bks),
+         |bc AS (SELECT b, count(*) AS raw_c,
+         |         sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tgt_c
+         |       FROM occ GROUP BY b),
+         |tot AS (SELECT sum(raw_c) AS nr, sum(tgt_c) AS nt FROM bc),
+         |llr AS (SELECT b, CAST(floor((ln((tgt_c + 1.0) / (nt + $DsirBuckets)) -
+         |           ln((raw_c + 1.0) / (nr + $DsirBuckets))) * 1000000.0 + 0.5) AS BIGINT) AS w
+         |        FROM bc, tot),
+         |ds AS (SELECT o.doc_id, sum(l.w) AS sw, count(*) AS ng
+         |       FROM occ o JOIN llr l ON o.b = l.b GROUP BY o.doc_id),
+         |scored AS (SELECT d.doc_id, CAST(COALESCE(ng, 0) AS BIGINT) AS n_grams,
+         |    ${fpRound4Sql("CAST(COALESCE(sw, 0) AS DOUBLE) / 1000000.0")} AS log_w
+         |  FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rnk,
+         |        count(*) OVER () AS cnt FROM scored)
+         |SELECT doc_id, n_grams, log_w, rnk,
+         |  CAST(rnk <= ceil(cnt * $DsirKeepFrac) AS INT) AS selected
+         |FROM r""".stripMargin,
     // q117: outer lambda var `st` (duckTokHash binds `i` internally —
     // the q115 shadowing rule); DuckDB range excludes its stop, list
     // slicing clamps like Spark's slice

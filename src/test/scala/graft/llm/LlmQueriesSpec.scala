@@ -119,6 +119,23 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("DSIR: target-language docs score higher and selection keeps exactly the top quarter") {
+    val out = LlmQueries.queries("q132_dsir_select")(spark, sfDir).cache()
+    val n = out.count()
+    // the selection size is exactly ceil(n/4), taken from the top ranks
+    val k = math.ceil(n * 0.25).toLong
+    assert(out.filter(col("selected") === 1).count() === k)
+    assert(out.filter(col("selected") === 1).agg(max("rnk")).head.getLong(0) === k)
+    // the importance weight must actually separate target from non-target:
+    // en docs (the fit's target slice) average strictly higher log_w
+    val byLang = out.join(graft.Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("log_w").as("w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false) + 0.1,
+      s"DSIR weights do not separate target from raw: $byLang")
+    out.unpersist()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
