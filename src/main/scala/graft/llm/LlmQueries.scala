@@ -752,6 +752,71 @@ object LlmQueries {
         (col("rnk") <= ceil(col("cnt") * DsirKeepFrac)).cast("int").as("selected"))
   }
 
+  /** CCNet-style n-gram LM perplexity filter (Wenzek et al. 2020,
+    * arXiv:1911.00359): train an add-1-smoothed bigram language model
+    * PER LANGUAGE on that language's own slice, score every document's
+    * per-token cross-entropy under its language's model, and cut each
+    * language into the paper's head/middle/tail thirds by fluency —
+    * the standard "keep head+middle, drop tail" pre-training gate.
+    *
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V); a head word never observed
+    * heading a bigram falls back to 1/V. Both log terms are fixed-point
+    * scaled to integer micro-nats BEFORE the per-doc sum (the q132
+    * trick), so doc totals are exact longs in both engines and the 4dp
+    * cross-entropy can never straddle a compare boundary by
+    * accumulation order.
+    *
+    * Scale shape: the five LMs train in the SAME two groupBy passes
+    * (key = (lang, gram)); model tables are vocabulary-bounded, ≪
+    * corpus, so the scoring joins hash-partition on bounded keys (AQE
+    * broadcasts them when small). The bucket cut is a window
+    * PARTITIONED BY lang — per-language parallel, never a global sort.
+    * CCNet prunes its KenLM; the add-1 bigram model is the same gate
+    * arithmetic without the binary model dependency. Docs with no
+    * bigrams take ce=0 (most-fluent edge, deterministic). */
+  private val q133NgramLmPpl: Q = (s, dir) => {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long") // micro-nats
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toksCol(col("text")).as("tk"))
+    val occ = toks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(concat(a, lit(" "), b).as("g"), a.as("h")))).as("s"))
+      .select(col("doc_id"), col("lang"), col("s.g").as("g"), col("s.h").as("h"))
+      .cache() // 3 consumers (c2 fit, c1 fit, scoring); runner clearCache scopes it
+    val vocab = toks.select(col("lang"), explode(col("tk")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
+      .select(col("lang"), col("v"), s6(log(col("v").cast("double"))).as("den_def"))
+    val c2 = occ.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c2"))
+      .select(col("lang"), col("g"), s6(log(col("c2") + lit(1.0))).as("num_s"))
+    val c1 = occ.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c1"))
+      .join(vocab.select(col("lang"), col("v")), Seq("lang"))
+      .select(col("lang"), col("h"), s6(log((col("c1") + col("v")).cast("double"))).as("den_s"))
+    val ds = occ
+      .join(c2, Seq("lang", "g"), "left")
+      .join(c1, Seq("lang", "h"), "left")
+      .join(vocab.select(col("lang"), col("den_def")), Seq("lang"))
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("num_s"), lit(0L)) - coalesce(col("den_s"), col("den_def"))).as("sw"),
+        count(lit(1)).as("m"))
+    val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("m"), lit(0L)).as("n_bigrams"),
+        fpRound4(when(col("m") > 0,
+          -(col("sw").cast("double") / 1e6 / col("m"))).otherwise(lit(0.0))).as("ce"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ce"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ce"),
+        when(col("rn") * 3 <= col("cnt"), "head")
+          .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion primitive
     * (split every document into fixed-size windows with overlap so no
     * retrieval-relevant span straddles a chunk boundary unseen). Pure
@@ -2007,6 +2072,7 @@ object LlmQueries {
     "q129_substring_dup"  -> q129SubstrDup,
     "q130_token_budget"   -> q130TokenBudget,
     "q132_dsir_select"    -> q132DsirSelect,
+    "q133_ngram_lm_ppl"   -> q133NgramLmPpl,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2156,6 +2222,42 @@ object LlmQueries {
          |SELECT doc_id, n_grams, log_w, rnk,
          |  CAST(rnk <= ceil(cnt * $DsirKeepFrac) AS INT) AS selected
          |FROM r""".stripMargin,
+    // q133: per-language add-1 bigram LM, both log terms scaled to
+    // integer micro-nats before the per-doc sum (exact BIGINT totals,
+    // like q132), head/middle/tail thirds per language.
+    "q133_ngram_lm_ppl" -> {
+      def s6(e: String) = s"CAST(floor(ln($e) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |    list_transform(range(1, len(tk)),
+         |      i -> struct_pack(g := tk[i] || ' ' || tk[i+1], h := tk[i])) AS lst
+         |  FROM toks WHERE len(tk) >= 2),
+         |occ AS (SELECT doc_id, lang, unnest(lst).g AS g, unnest(lst).h AS h FROM bg),
+         |voc AS (SELECT lang, count(DISTINCT w) AS v,
+         |          ${s6("count(DISTINCT w)")} AS den_def
+         |        FROM (SELECT lang, unnest(tk) AS w FROM toks) GROUP BY lang),
+         |c2 AS (SELECT lang, g, ${s6("count(*) + 1.0")} AS num_s
+         |       FROM occ GROUP BY lang, g),
+         |c1 AS (SELECT o.lang, o.h, ${s6("count(*) + any_value(voc.v)")} AS den_s
+         |       FROM occ o JOIN voc ON voc.lang = o.lang GROUP BY o.lang, o.h),
+         |ds AS (SELECT o.doc_id,
+         |         sum(COALESCE(c2.num_s, 0) - COALESCE(c1.den_s, voc.den_def)) AS sw,
+         |         count(*) AS m
+         |       FROM occ o
+         |       LEFT JOIN c2 ON c2.lang = o.lang AND c2.g = o.g
+         |       LEFT JOIN c1 ON c1.lang = o.lang AND c1.h = o.h
+         |       JOIN voc ON voc.lang = o.lang
+         |       GROUP BY o.doc_id),
+         |scored AS (SELECT d.doc_id, d.lang, CAST(COALESCE(m, 0) AS BIGINT) AS n_bigrams,
+         |    ${fpRound4Sql("CASE WHEN m > 0 THEN -(CAST(sw AS DOUBLE) / 1000000.0 / m) ELSE 0.0 END")} AS ce
+         |  FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ce, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS cnt FROM scored)
+         |SELECT doc_id, lang, n_bigrams, ce,
+         |  CASE WHEN rn * 3 <= cnt THEN 'head'
+         |       WHEN rn * 3 <= 2 * cnt THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM r""".stripMargin
+    },
     // q117: outer lambda var `st` (duckTokHash binds `i` internally —
     // the q115 shadowing rule); DuckDB range excludes its stop, list
     // slicing clamps like Spark's slice

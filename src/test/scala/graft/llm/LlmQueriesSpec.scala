@@ -136,6 +136,27 @@ class LlmQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("CCNet perplexity buckets: per-language thirds, positive cross-entropy") {
+    val out = LlmQueries.queries("q133_ngram_lm_ppl")(spark, sfDir).cache()
+    // every language is cut into thirds that differ by at most one doc
+    val sizes = out.groupBy("lang", "ppl_bucket").count()
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)))
+    sizes.foreach { case (lang, cs) =>
+      assert(cs.length === 3, s"$lang missing a bucket: ${cs.toSeq}")
+      assert(cs.max - cs.min <= 1, s"$lang thirds uneven: ${cs.toSeq}")
+    }
+    // a smoothed LM assigns every bigram probability < 1 → ce strictly > 0
+    assert(out.filter(col("n_bigrams") > 0 && col("ce") <= 0.0).count() === 0)
+    // head docs are at least as fluent as tail docs within each language
+    val hm = out.groupBy("lang").pivot("ppl_bucket", Seq("head", "tail"))
+      .agg(avg("ce")).collect()
+    hm.foreach { r =>
+      assert(r.getDouble(1) < r.getDouble(2),
+        s"${r.getString(0)}: head mean ce not below tail")
+    }
+    out.unpersist()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
