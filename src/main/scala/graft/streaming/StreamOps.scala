@@ -95,6 +95,25 @@ object StreamOps {
     graft.llm.TextOps.gopherRules(docs, textCol)
       .filter(col("gopher_pass") === 1)
 
+  /** In-stream repetition gate: the q131 batch filter (Gopher A1.2,
+    * [[graft.llm.TextOps.repetitionRules]]) applied at ingest — same
+    * single rule definition as the batch sweep, stateless scan-shaped
+    * per-document array work, so stream admission matches the batch
+    * repetition sweep exactly. */
+  def repetitionGate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.llm.TextOps.repetitionRules(docs, textCol)
+      .filter(col("rep_pass") === 1)
+
+  /** The COMPLETE Gopher document gate — A1.1 quality AND A1.2
+    * repetition — as one ingest filter (the composition every Gopher-
+    * lineage pipeline runs). Admitted documents carry both flag
+    * batteries, so a downstream mixture can still re-weight on
+    * individual rules without recomputing them. */
+  def documentGate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.llm.TextOps.repetitionRules(
+      graft.llm.TextOps.gopherRules(docs, textCol), textCol)
+      .filter(col("gopher_pass") === 1 && col("rep_pass") === 1)
+
   /** ST3 in-stream variant: exactly-once-per-key emission via
     * dropDuplicates under a watermark — the streaming half of the LLM
     * exact-dedup operator (content fingerprint as the key). State for

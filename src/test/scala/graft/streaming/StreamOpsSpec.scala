@@ -122,6 +122,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full document gate (quality AND repetition) admits exactly the batch-kept docs") {
+    implicit val sqlCtx = spark.sqlContext
+    // passes BOTH batteries: >=50 words, sane stats, no repeated phrases
+    val clean = "the quick brown fox jumps over the lazy dog while seven curious " +
+      "students read ancient maps beside a quiet river and two old sailors mend " +
+      "green nets under pale morning light before the village market opens with " +
+      "fresh bread ripe fruit warm tea and that have been plenty for everyone today"
+    // passes A1.1 quality (100 words, stops, alpha) but fails A1.2: one
+    // phrase repeated 25x dominates the 2-gram character mass
+    val loop = Seq.fill(25)("the of jump stone").mkString(" ")
+    // fails A1.1 (too short) but passes A1.2 vacuously (no 2-grams —
+    // any multi-word short doc would trip the top-gram coverage rule,
+    // whose count-1 numerator already dominates a tiny denominator)
+    val short = "short"
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.documentGate(input.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory").queryName("doc_gate").start()
+    try {
+      input.addData((1L, clean), (2L, loop), (3L, short))
+      q.processAllAvailable()
+      val admitted = spark.table("doc_gate").select("doc_id").as[Long].collect().toSet
+      assert(admitted === Set(1L))
+      // the repetition-only gate admits the short doc too (vacuous pass)
+      val repOnly = StreamOps.repetitionGate(
+        Seq((1L, clean), (2L, loop), (3L, short)).toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(repOnly === Set(1L, 3L))
+      // stream/batch parity on the composed gate: one rule definition
+      val batch = Seq((1L, clean), (2L, loop), (3L, short)).toDF("doc_id", "text")
+      val batchKept = graft.llm.TextOps.repetitionRules(
+          graft.llm.TextOps.gopherRules(batch, "text"), "text")
+        .filter($"gopher_pass" === 1 && $"rep_pass" === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchKept === admitted)
+    } finally q.stop()
+  }
+
   test("in-stream contamination gate quarantines docs hitting the eval index") {
     implicit val sqlCtx = spark.sqlContext
     // static eval index: rare-shingle hashes 100-104
