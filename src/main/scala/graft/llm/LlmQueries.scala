@@ -817,6 +817,33 @@ object LlmQueries {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** PII scrubbing gate ([[TextOps.scrubPii]]): mask emails, IPv4
+    * addresses, and dashed phone numbers before training — the
+    * anonymization step of CCNet-lineage pipelines. Scan-shaped: three
+    * codegen'd regexp passes plus per-class match counts, zero shuffle.
+    *
+    * The corpus testdata carries no natural PII, which would leave the
+    * regex engines untested by a pass-through compare — so the query
+    * first APPENDS deterministic doc_id-derived PII (an email, an IP
+    * octet keyed on doc_id, a phone) to every text. Both engines build
+    * the same augmented string from table data and must then scrub it
+    * identically: the oracle hash-compares the scrubbed TEXT, making
+    * this a real cross-dialect regex-semantics gate (Java regex vs
+    * RE2), not a vacuous equality of untouched strings. */
+  private val q134PiiScrub: Q = (s, dir) => {
+    val aug = concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.org or 10.0."), (col("doc_id") % 200).cast("string"),
+      lit(".7 call 555-123-4567"))
+    Tables.documents(s, dir)
+      .withColumn("aug", aug)
+      .select(col("doc_id"),
+        TextOps.piiCount(col("aug"), TextOps.PiiEmail).as("n_email"),
+        TextOps.piiCount(col("aug"), TextOps.PiiIpv4).as("n_ip"),
+        TextOps.piiCount(col("aug"), TextOps.PiiPhone).as("n_phone"),
+        TextOps.scrubPii(col("aug")).as("text_scrubbed"))
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion primitive
     * (split every document into fixed-size windows with overlap so no
     * retrieval-relevant span straddles a chunk boundary unseen). Pure
@@ -2073,6 +2100,7 @@ object LlmQueries {
     "q130_token_budget"   -> q130TokenBudget,
     "q132_dsir_select"    -> q132DsirSelect,
     "q133_ngram_lm_ppl"   -> q133NgramLmPpl,
+    "q134_pii_scrub"      -> q134PiiScrub,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2195,6 +2223,24 @@ object LlmQueries {
          |)
          |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM cum WHERE cum_tokens <= $TokenBudgetPerSource ORDER BY source, cum_tokens""".stripMargin,
+    // q134: same augmented string built from table data, then RE2 must
+    // scrub exactly what Java regex scrubbed (patterns live in the
+    // dialect intersection; 'g' flag = Spark's replace-all default).
+    "q134_pii_scrub" -> {
+      val (em, ip, ph) = (TextOps.PiiEmail, TextOps.PiiIpv4, TextOps.PiiPhone)
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+         |      '@mail.example.org or 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+         |      '.7 call 555-123-4567' AS a
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(a, '$em', 0)) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(a, '$ip', 0)) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(a, '$ph', 0)) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(a,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS text_scrubbed
+         |FROM aug""".stripMargin
+    },
     // q132: same fit/score arithmetic relationally — bucket occurrence
     // counts with a target-slice sum, add-1 LLRs scaled to integer
     // micro-nats (floor(w·1e6 + 0.5)) so the per-doc sum is an exact

@@ -236,6 +236,32 @@ object TextOps {
       allFlags.map(col).reduce(_ * _).cast("int"))
   }
 
+  /** PII scrubbing patterns — the anonymization pass (CCNet §3 /
+    * RefinedWeb-lineage pipelines) that masks contact identifiers
+    * before a corpus is trained on. Patterns stay inside the dialect
+    * intersection of Java regex (Spark codegen) and RE2 (DuckDB/cloud
+    * scanners): character classes, bounded repetition, `\b` on ASCII —
+    * no backreferences, no lookaround — so the SAME pattern text runs
+    * on both engines and on whatever scanner a 100 TB sweep uses.
+    * Order matters only in that replacement tokens must not re-match a
+    * later pattern; `<EMAIL>`/`<IP>`/`<PHONE>` contain neither digits
+    * nor `@`, so the three passes compose in any order. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Masked text: all three PII classes replaced by their tokens. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIpv4, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  /** Match count for one PII pattern (full-match group 0). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Classic BPE merge training (Sennrich et al., 2016, arXiv:1508.07909)
     * re-expressed Spark-first. Input is the WORD-FREQUENCY table — the
     * standard reduction: the corpus collapses to (word, freq) in one

@@ -157,6 +157,37 @@ class LlmQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PII scrub: masks every class, leaves clean text alone, and is idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@x.co and a.b+c@x.co from 10.20.30.40 call 555-867-5309"),
+      (2L, "no identifiers here just words and the number 42"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextOps.piiCount($"text", TextOps.PiiEmail).as("ne"),
+      TextOps.piiCount($"text", TextOps.PiiIpv4).as("ni"),
+      TextOps.piiCount($"text", TextOps.PiiPhone).as("np"),
+      TextOps.scrubPii($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("ne") == 2 && out(1L).getAs[Long]("ni") == 1 &&
+      out(1L).getAs[Long]("np") == 1)
+    assert(out(1L).getAs[String]("s") ===
+      "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>")
+    assert(out(2L).getAs[String]("s") === "no identifiers here just words and the number 42")
+    assert(out(3L).getAs[String]("s") === "")
+    // idempotent: a scrubbed corpus re-entering the pipeline is unchanged
+    val twice = df.select($"doc_id", TextOps.scrubPii(TextOps.scrubPii($"text")).as("s2"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("s2")).toMap
+    assert(twice(1L) === out(1L).getAs[String]("s"))
+    // and carries zero remaining matches
+    val resid = df.select(
+      (TextOps.piiCount(TextOps.scrubPii($"text"), TextOps.PiiEmail) +
+        TextOps.piiCount(TextOps.scrubPii($"text"), TextOps.PiiIpv4) +
+        TextOps.piiCount(TextOps.scrubPii($"text"), TextOps.PiiPhone)).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(resid === 0L)
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()

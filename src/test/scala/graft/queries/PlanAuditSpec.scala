@@ -161,8 +161,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin"), s"expected hash equi-joins (candidates + verify):\n$p")
   }
 
-  test("q127/q128/q131: quality, NFC, and repetition rules stay scan-shaped — zero shuffles") {
-    for (q <- Seq("q127_gopher_rules", "q128_nfc_normalize", "q131_repetition_rules")) {
+  test("q127/q128/q131/q134: quality, NFC, repetition, and PII scrub stay scan-shaped — zero shuffles") {
+    for (q <- Seq("q127_gopher_rules", "q128_nfc_normalize", "q131_repetition_rules",
+        "q134_pii_scrub")) {
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q introduced a shuffle:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q cartesian product")
