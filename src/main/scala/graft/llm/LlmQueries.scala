@@ -1169,6 +1169,66 @@ object LlmQueries {
     }
   }
 
+  /** ANN recall evaluation — the retrieval-quality harness an index
+    * deployment ships with (structure gates live in q65; this measures
+    * what retrieval actually returns). Brute-force cosine top-k under
+    * the SAME total order the IVF search uses (4dp-rounded cosine desc,
+    * then vec_id — one deterministic order shared by both sides makes
+    * every gate tie-robust) is the ground truth; the index is then
+    * searched at increasing probe widths and gated on:
+    *
+    *   - `full_probe_exact` / `mean_recall_full`: probing EVERY list
+    *     must reproduce brute force EXACTLY (recall 1.0 per query) —
+    *     an IVF search degrades only by skipping lists, so full probe
+    *     equals exhaustive search or the index machinery is wrong;
+    *   - `recall_monotone`: per-query recall never decreases with more
+    *     probes — rigorous under a shared total order (a non-truth
+    *     candidate cannot outrank a truth member without being in the
+    *     global top-k itself), so any violation is an implementation
+    *     bug, not noise.
+    *
+    * Scale: truth is one broadcast-queries×corpus scan (the q38 shape,
+    * fine for a bounded eval panel, never run corpus×corpus); searches
+    * are partition-pruned probes. Oracle pins the gate vector with the
+    * corpus-derived panel size (q91/q135 pattern). */
+  private val q136AnnRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = e.filter(col("vec_id") < 8)
+    val index = IvfSearch.build(e, "vec_id", "emb", k = 8)
+    try {
+      val wS = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(
+          queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 4))
+        .withColumn("rnk", row_number().over(wS))
+        .filter(col("rnk") <= 3)
+        .groupBy(col("q_id")).agg(collect_set(col("vec_id")).as("truth"))
+      def found(nProbe: Int, nm: String) =
+        IvfSearch.search(index, queries, "vec_id", "emb", nProbe, topK = 3)
+          .groupBy(col("q_id")).agg(collect_set(col("neighbor_id")).as(nm))
+      def recall(nm: String): Column =
+        size(array_intersect(col(nm), col("truth"))).cast("double") / size(col("truth"))
+      val per = truth
+        .join(found(2, "f2"), Seq("q_id"))
+        .join(found(4, "f4"), Seq("q_id"))
+        .join(found(8, "f8"), Seq("q_id"))
+        .select(col("q_id"), recall("f2").as("r2"), recall("f4").as("r4"),
+          recall("f8").as("r8"))
+      val st = per.agg(
+        count(lit(1)).as("n"),
+        min(when(col("r8") === 1.0, 1).otherwise(0)).as("fx"),
+        min(when(col("r2") <= col("r4") && col("r4") <= col("r8"), 1).otherwise(0)).as("mono"),
+        avg(col("r8")).as("mrf"))
+        .head()
+      Seq((st.getLong(0), st.getInt(1), st.getInt(2), st.getDouble(3)))
+        .toDF("n_queries", "full_probe_exact", "recall_monotone", "mean_recall_full")
+    } finally index.indexed.unpersist()
+  }
+
   /** Near-dup RESOLUTION: connected components over the q37 similarity
     * graph ([[Dedup.connectedComponents]] min-label propagation), so
     * transitive chains A~B~C collapse to one canonical document. The
@@ -2164,6 +2224,7 @@ object LlmQueries {
     "q133_ngram_lm_ppl"   -> q133NgramLmPpl,
     "q134_pii_scrub"      -> q134PiiScrub,
     "q135_quality_clf"    -> q135QualityClassifier,
+    "q136_ann_recall"     -> q136AnnRecall,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2312,6 +2373,13 @@ object LlmQueries {
         |  CAST(0 AS BIGINT) AS n_out_of_range,
         |  CAST(0 AS BIGINT) AS n_threshold_inconsistent,
         |  1 AS auc_gate, 1 AS sep_gate""".stripMargin,
+    // q136: gate-vector oracle — full-probe IVF must equal brute force
+    // exactly and recall must be probe-monotone; the panel size is
+    // corpus-derived.
+    "q136_ann_recall" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS n_queries,
+        |  1 AS full_probe_exact, 1 AS recall_monotone,
+        |  1.0 AS mean_recall_full""".stripMargin,
     // q132: same fit/score arithmetic relationally — bucket occurrence
     // counts with a target-slice sum, add-1 LLRs scaled to integer
     // micro-nats (floor(w·1e6 + 0.5)) so the per-doc sum is an exact
