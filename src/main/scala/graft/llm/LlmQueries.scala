@@ -110,6 +110,61 @@ object LlmQueries {
        |  CAST(unnest(cs).chunk_tokens AS INTEGER) AS chunk_tokens,
        |  unnest(cs).chunk_hash AS chunk_hash FROM c)""".stripMargin
 
+  /** Shared Gopher-A1.2 repetition CTE chain for q131/q137: reads
+    * `srcRel(doc_id, text)` and ends in `rep_stats(doc_id, <4dp stat
+    * columns>)` — the relational recomputation of the sorted-array
+    * run-length stats (unnest grams → per-(doc,gram) counts → window
+    * max for the top gram with ties-on-count → longest-gram, so the
+    * fraction is determined; sum((c-1)·glen) for duplicated chars). */
+  private def duckRepetitionCTEs(srcRel: String): String = {
+    val allNs = (TextOps.TopNgramMax.keys ++ TextOps.DupNgramMax.keys).toSeq.sorted
+    val gramCtes = allNs.map { n =>
+      s"""rg$n AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - ${n - 1}, 0) + 1),
+         |    i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram FROM rep_toks),
+         |rc$n AS (SELECT doc_id, count(*) AS c, length(gram) - ${n - 1} AS glen
+         |        FROM rg$n GROUP BY doc_id, gram),
+         |rt$n AS (SELECT doc_id, max(c) AS mc,
+         |          max(CASE WHEN c = mcw THEN glen END) AS bl,
+         |          sum((c - 1) * glen) AS dupch
+         |        FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mcw FROM rc$n) x
+         |        GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    def fracSql(num: String): String =
+      fpRound4Sql(s"CASE WHEN totchars > 0 THEN COALESCE($num, 0)::DOUBLE / totchars ELSE 0.0 END")
+    val topStats = TextOps.TopNgramMax.keys.toSeq.sorted.map { n =>
+      s"    ${fracSql(s"rt$n.mc * rt$n.bl")} AS top_${n}gram_frac"
+    }
+    val dupStats = TextOps.DupNgramMax.keys.toSeq.sorted.map { n =>
+      s"    ${fracSql(s"rt$n.dupch")} AS dup_${n}gram_frac"
+    }
+    val joins = allNs.map(n => s"  LEFT JOIN rt$n ON rt$n.doc_id = rep_toks.doc_id").mkString("\n")
+    s"""rep_toks AS (
+       |  SELECT doc_id, $duckToks AS tk,
+       |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+       |    COALESCE(list_sum(list_transform($duckToks, t -> length(t))), 0) AS totchars
+       |  FROM $srcRel
+       |),
+       |$gramCtes,
+       |rep_stats AS (
+       |  SELECT rep_toks.doc_id,
+       |    ${fpRound4Sql("CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END")} AS dup_line_frac,
+       |    ${fpRound4Sql("CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) > 0 THEN 1.0 - list_sum(list_transform(list_distinct(lines), l -> length(l)))::DOUBLE / list_sum(list_transform(lines, l -> length(l))) ELSE 0.0 END")} AS dup_line_char_frac,
+       |${(topStats ++ dupStats).mkString(",\n")}
+       |  FROM rep_toks
+       |$joins
+       |)""".stripMargin
+  }
+
+  /** The rep_pass conjunction as a WHERE condition over `rep_stats`
+    * columns — thresholds from the same [[TextOps]] maps the Spark
+    * flags use, evaluated on the 4dp-rounded stats like the flags. */
+  private def duckRepPassCond: String =
+    (Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20") ++
+      TextOps.TopNgramMax.toSeq.sortBy(_._1).map { case (n, mx) => s"top_${n}gram_frac <= $mx" } ++
+      TextOps.DupNgramMax.toSeq.sortBy(_._1).map { case (n, mx) => s"dup_${n}gram_frac <= $mx" })
+      .mkString(" AND ")
+
   /** Shared SimHash CTE chain (`sim(doc_id, simhash)`) for q36/q90. */
   private lazy val duckSimhashCTE: String = {
     val bits = (0 until SimBits).map(b =>
@@ -904,6 +959,42 @@ object LlmQueries {
         .toDF("n_scored", "n_out_of_range", "n_threshold_inconsistent",
           "auc_gate", "sep_gate")
     } finally feat.unpersist()
+  }
+
+  /** The round-9 curation pipeline composed end-to-end (q85 is the
+    * round-2-era composition; this chains the modern stages): Unicode
+    * NFC normalization → PII scrubbing → the Gopher A1.2 repetition
+    * gate → exact dedup on the CLEANED text (first doc_id wins per
+    * content hash — dedup after normalization, because two docs that
+    * differ only by encoding or a scrubbed email ARE duplicates) →
+    * per-source token budgeting in stable hash order. ONE lazy plan:
+    * three scan stages, a hash-keyed dedup window, and the
+    * source-partitioned budget window — no global sort, no all-pairs,
+    * nothing driver-side. The oracle chains the SAME five stages
+    * relationally (shared repetition CTEs, same hash arithmetic), so
+    * the composition — not just each stage — is hash-verified: a stage
+    * applied in the wrong order (scrub after hashing, budget before
+    * dedup) produces a different kept-set. */
+  private val q137CurationPipeline: Q = (s, dir) => {
+    val clean = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.scrubPii(call_function("nfc_normalize", col("text"))).as("text2"))
+    val gated = TextOps.repetitionRules(clean, "text2")
+      .filter(col("rep_pass") === 1)
+      .select(col("doc_id"), col("source"), col("text2"))
+    val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("h", tokHash(col("text2")))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") === 1)
+    val ranked = deduped.select(col("doc_id"), col("source"),
+      size(toksCol(col("text2"))).cast("long").as("n_tokens"),
+      tokHash(concat(col("source"), lit("|"), col("doc_id").cast("string"))).as("rk"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.withColumn("cum_tokens", sum(col("n_tokens")).over(wB))
+      .filter(col("cum_tokens") <= TokenBudgetPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
   /** Overlapping token-window chunking — the RAG-ingestion primitive
@@ -2225,6 +2316,7 @@ object LlmQueries {
     "q134_pii_scrub"      -> q134PiiScrub,
     "q135_quality_clf"    -> q135QualityClassifier,
     "q136_ann_recall"     -> q136AnnRecall,
+    "q137_curation_pipeline" -> q137CurationPipeline,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2373,6 +2465,33 @@ object LlmQueries {
         |  CAST(0 AS BIGINT) AS n_out_of_range,
         |  CAST(0 AS BIGINT) AS n_threshold_inconsistent,
         |  1 AS auc_gate, 1 AS sep_gate""".stripMargin,
+    // q137: the same five stages chained relationally — NFC+scrub into
+    // a `clean` relation, the shared repetition CTEs over it, the
+    // rep_pass conjunction as the gate, first-doc_id-wins dedup on the
+    // cleaned-text hash, then the q130 budget window.
+    "q137_curation_pipeline" -> {
+      val (em, ip, ph) = (TextOps.PiiEmail, TextOps.PiiIpv4, TextOps.PiiPhone)
+      s"""WITH clean AS (SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+         |      '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS text
+         |  FROM documents),
+         |${duckRepetitionCTEs("clean")},
+         |kept AS (SELECT c.doc_id, c.source, c.text
+         |  FROM clean c JOIN rep_stats rs ON rs.doc_id = c.doc_id
+         |  WHERE $duckRepPassCond),
+         |dd AS (SELECT *, row_number() OVER (
+         |    PARTITION BY ${duckTokHash("text")} ORDER BY doc_id) AS rn FROM kept),
+         |ranked AS (SELECT doc_id, source,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    ${duckTokHash("source || '|' || CAST(doc_id AS VARCHAR)")} AS rk
+         |  FROM dd WHERE rn = 1),
+         |cum AS (SELECT source, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM ranked)
+         |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum WHERE cum_tokens <= $TokenBudgetPerSource""".stripMargin
+    },
     // q136: gate-vector oracle — full-probe IVF must equal brute force
     // exactly and recall must be probe-monotone; the panel size is
     // corpus-derived.
@@ -2578,32 +2697,6 @@ object LlmQueries {
          |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
          |FROM documents""".stripMargin,
     "q131_repetition_rules" -> {
-      // Relational recomputation of the sorted-array run-length stats:
-      // unnest grams -> per-(doc,gram) counts -> window max for the top
-      // gram (ties on count -> longest gram, so the fraction is
-      // determined), sum((c-1)*glen) for duplicated-gram chars.
-      val allNs = (TextOps.TopNgramMax.keys ++ TextOps.DupNgramMax.keys).toSeq.sorted
-      val gramCtes = allNs.map { n =>
-        s"""g$n AS (SELECT doc_id, unnest(list_transform(
-           |    range(1, greatest(len(tk) - ${n - 1}, 0) + 1),
-           |    i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram FROM toks),
-           |c$n AS (SELECT doc_id, count(*) AS c, length(gram) - ${n - 1} AS glen
-           |        FROM g$n GROUP BY doc_id, gram),
-           |t$n AS (SELECT doc_id, max(c) AS mc,
-           |          max(CASE WHEN c = mcw THEN glen END) AS bl,
-           |          sum((c - 1) * glen) AS dupch
-           |        FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mcw FROM c$n) x
-           |        GROUP BY doc_id)""".stripMargin
-      }.mkString(",\n")
-      def fracSql(num: String): String =
-        fpRound4Sql(s"CASE WHEN totchars > 0 THEN COALESCE($num, 0)::DOUBLE / totchars ELSE 0.0 END")
-      val topStats = TextOps.TopNgramMax.keys.toSeq.sorted.map { n =>
-        s"    ${fracSql(s"t$n.mc * t$n.bl")} AS top_${n}gram_frac"
-      }
-      val dupStats = TextOps.DupNgramMax.keys.toSeq.sorted.map { n =>
-        s"    ${fracSql(s"t$n.dupch")} AS dup_${n}gram_frac"
-      }
-      val joins = allNs.map(n => s"  LEFT JOIN t$n ON t$n.doc_id = toks.doc_id").mkString("\n")
       val topFlags = TextOps.TopNgramMax.toSeq.sortBy(_._1).map { case (n, mx) =>
         s"  CAST(top_${n}gram_frac <= $mx AS INT) AS r_top_${n}gram"
       }
@@ -2613,21 +2706,7 @@ object LlmQueries {
       val allFlagNames = Seq("r_dup_line", "r_dup_line_char") ++
         TextOps.TopNgramMax.keys.toSeq.sorted.map(n => s"r_top_${n}gram") ++
         TextOps.DupNgramMax.keys.toSeq.sorted.map(n => s"r_dup_${n}gram")
-      s"""WITH toks AS (
-         |  SELECT doc_id, $duckToks AS tk,
-         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
-         |    COALESCE(list_sum(list_transform($duckToks, t -> length(t))), 0) AS totchars
-         |  FROM documents
-         |),
-         |$gramCtes,
-         |stats AS (
-         |  SELECT toks.doc_id,
-         |    ${fpRound4Sql("CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END")} AS dup_line_frac,
-         |    ${fpRound4Sql("CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) > 0 THEN 1.0 - list_sum(list_transform(list_distinct(lines), l -> length(l)))::DOUBLE / list_sum(list_transform(lines, l -> length(l))) ELSE 0.0 END")} AS dup_line_char_frac,
-         |${(topStats ++ dupStats).mkString(",\n")}
-         |  FROM toks
-         |$joins
-         |)
+      s"""WITH ${duckRepetitionCTEs("documents")}
          |SELECT doc_id, dup_line_frac, dup_line_char_frac,
          |  ${TextOps.TopNgramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac").mkString(", ")},
          |  ${TextOps.DupNgramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac").mkString(", ")},
@@ -2635,7 +2714,7 @@ object LlmQueries {
          |  CAST(dup_line_char_frac <= 0.20 AS INT) AS r_dup_line_char,
          |${(topFlags ++ dupFlags).mkString(",\n")},
          |  CAST(${allFlagNames.mkString(" * ")} AS INT) AS rep_pass
-         |FROM stats""".stripMargin
+         |FROM rep_stats""".stripMargin
     },
     "q34_fingerprint" ->
       s"""SELECT doc_id, ${duckTokHash("text")} AS fingerprint FROM documents""",

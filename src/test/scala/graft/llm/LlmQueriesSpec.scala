@@ -188,6 +188,21 @@ class LlmQueriesSpec extends SparkSpec {
     assert(resid === 0L)
   }
 
+  test("curation pipeline v2: every stage binds and the budget holds per source") {
+    val out = LlmQueries.queries("q137_curation_pipeline")(spark, sfDir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // the repetition gate alone keeps more than the full pipeline —
+    // dedup and the token budget must each remove something
+    val repKept = LlmQueries.queries("q131_repetition_rules")(spark, sfDir)
+      .filter(col("rep_pass") === 1).count()
+    assert(n < repKept, s"pipeline kept $n of $repKept repetition-passing docs — later stages did not bind")
+    // budget respected and cumulative within each source
+    assert(out.filter(col("cum_tokens") > 800L).count() === 0)
+    assert(out.filter(col("cum_tokens") < col("n_tokens")).count() === 0)
+    out.unpersist()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
