@@ -997,6 +997,148 @@ object LlmQueries {
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Link-graph centrality (PageRank, Page et al. 1999) — the web-graph
+    * quality-weighting signal large crawl curations rank sources by
+    * (OpenWebText's karma filter, Common Crawl's harmonic-centrality
+    * ranking are this family): documents with more incoming references
+    * from well-referenced documents weigh more in the mixture.
+    *
+    * The corpus tables carry no link column, so the graph is DERIVED
+    * deterministically: node u (dense doc index) attempts
+    * [[PrOutLinks]] out-links to `rollingHash(u # j) mod N` — a
+    * nonlinear map, so in-degrees vary (an affine map would make every
+    * in-degree equal and the stationary vector uniform, gating
+    * nothing). Self-loops dropped, duplicate targets collapsed. Both
+    * engines build the identical edge set from the same hash.
+    *
+    * Exactness: ranks live in integer micro-mass units ([[PrScale]]
+    * total) and every step is integer arithmetic — contribution =
+    * `rank div out_degree`, update = `base + (85·Σcontrib) div 100` —
+    * so after [[PrIters]] synchronous iterations both engines hold
+    * bit-identical longs; no float accumulation order to diverge on.
+    * Mass lost to floor-division (and to the measure-zero case of a
+    * node whose every attempted link is a self-loop) leaks identically
+    * on both sides.
+    *
+    * Scale shape: the rank vector is O(N) rows, edges O(3N); each
+    * iteration is one hash-join ranks⋈edges (both keyed on src — AQE
+    * reuses the partitioning) + one partial-aggregated groupBy(dst) +
+    * one left join back to nodes for zero-in-degree rows. Edges and
+    * the node frame are cached once and reused across all iterations.
+    * The dense index comes from a global row_number here (testdata ids
+    * are sparse); a production corpus brings its own link table with
+    * real node ids, and no global sort exists on that path. */
+  private val PrScale    = 1000000000000L // total mass, micro-units
+  private val PrIters    = 5
+  private val PrOutLinks = 3
+  private val q138PageRank: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
+      .cache()
+    val n = docs.count()
+    val edges = docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
+      .select(col("src"),
+        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    PageRank.run(docs, edges, PrScale, PrIters)
+      .join(docs, "idx")
+      .select(col("doc_id"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-balanced output sharding — the write-side step of corpus
+    * construction: assign every document to a training shard so each
+    * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
+    * order (reproducible across runs; NOT extension-stable — inserting
+    * a doc shifts every later cumulative position, which is the
+    * correct semantics for a versioned full rebuild; q130 is the
+    * extension-stable per-source sampler).
+    *
+    * Shard id = global-prefix-sum-before-me div budget. The scale
+    * story is HOW that global prefix sum is computed: a single global
+    * window would serialize the corpus through one partition, so this
+    * runs the classic two-level distributed prefix sum instead —
+    *   1. bucket by CONTIGUOUS hash range (bucket = rk div width, so
+    *      bucket order == global hash order across buckets);
+    *   2. per-bucket token totals (one partial-aggregated groupBy into
+    *      [[ShardBuckets]] rows), prefixed driver-side (bounded, like
+    *      a PQ codebook) into per-bucket offsets;
+    *   3. one partition-local cumsum window PER BUCKET plus the
+    *      broadcast offset.
+    * The oracle computes the same assignment with the sequential
+    * single-window spec, so the hash match IS the proof that the
+    * distributed decomposition equals the sequential semantics. */
+  private val ShardTokenBudget = 400L
+  private val ShardBuckets    = 16L
+  private val q139ShardAssign: Q = (s, dir) => {
+    import s.implicits._
+    val width = (P + ShardBuckets - 1) / ShardBuckets
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toksCol(col("text"))).cast("long").as("n_tokens"),
+        tokHash(col("doc_id").cast("string")).as("rk"))
+      .withColumn("bkt", expr(s"rk div $width"))
+      .cache()
+    val totals = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tot"))
+      .orderBy(col("bkt")).collect() // ≤ ShardBuckets rows — bounded
+    var acc = 0L
+    val offs = totals.map { r =>
+      val pair = (r.getLong(0), acc); acc += r.getLong(1); pair
+    }.toSeq
+    val w = Window.partitionBy(col("bkt")).orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.join(broadcast(offs.toDF("bkt", "off")), "bkt")
+      .withColumn("cb", col("off") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cb div $ShardTokenBudget").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Population-Stability-Index drift monitor — the corpus-health gate a
+    * continuously-rebuilt training set runs between versions (the same
+    * PSI credit-risk models monitor features with): how far has each
+    * source's token-length distribution drifted from the corpus-wide
+    * mixture? Per (source, bin): PSI term (p−q)·ln(p/q) with Laplace
+    * smoothing (+1 per bin) so empty bins stay finite; terms are
+    * mathematically ≥ 0 (sign(p−q) == sign(ln p/q)), and the per-source
+    * sum is the headline drift score (PSI > 0.25 = "significant shift"
+    * by the standard rule of thumb).
+    *
+    * Exactness: counts are exact ints in both engines; p and q are the
+    * same small-int ratios, so IEEE division agrees bit-for-bit, and
+    * the term is floored at micro-scale (the q132/q133 fixed-point
+    * discipline — ln's last-ulp differences cannot move a floor except
+    * on a measure-zero boundary). Scale: two bounded groupBys (bins ×
+    * sources cells) + broadcast-sized joins — one corpus scan total. */
+  private val PsiBins     = 8
+  private val PsiBinWidth = 16L
+  private val q140PsiDrift: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select(col("source"), size(toksCol(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bin", expr(s"least(n_tokens div $PsiBinWidth, ${PsiBins - 1})"))
+      .cache()
+    val nTot = d.count()
+    val grid = d.select(col("source")).distinct()
+      .crossJoin(s.range(0, PsiBins.toLong).select(col("id").as("bin")))
+    val sc = d.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("src_cnt"))
+    val rc = d.groupBy(col("bin")).agg(count(lit(1)).as("ref_cnt"))
+    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    grid.join(sc, Seq("source", "bin"), "left").na.fill(0L, Seq("src_cnt"))
+      .join(rc, Seq("bin"), "left").na.fill(0L, Seq("ref_cnt"))
+      .join(ns, Seq("source"))
+      .withColumn("p", (col("src_cnt") + 1).cast("double") / (col("n_src") + PsiBins))
+      .withColumn("q", (col("ref_cnt") + 1).cast("double") / (nTot + PsiBins))
+      .withColumn("psi_micro",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1000000.0).cast("long"))
+      .select(col("source"), col("bin"), col("src_cnt"), col("ref_cnt"), col("psi_micro"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** Overlapping token-window chunking — the RAG-ingestion primitive
     * (split every document into fixed-size windows with overlap so no
     * retrieval-relevant span straddles a chunk boundary unseen). Pure
@@ -2317,6 +2459,9 @@ object LlmQueries {
     "q135_quality_clf"    -> q135QualityClassifier,
     "q136_ann_recall"     -> q136AnnRecall,
     "q137_curation_pipeline" -> q137CurationPipeline,
+    "q138_pagerank"       -> q138PageRank,
+    "q139_shard_assign"   -> q139ShardAssign,
+    "q140_psi_drift"      -> q140PsiDrift,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2366,7 +2511,73 @@ object LlmQueries {
        |  JOIN sigs a ON a.doc_id = c.doc_a
        |  JOIN sigs b ON b.doc_id = c.doc_b)""".stripMargin
 
+  /** q138: the full fixed-point PageRank recomputed relationally — the
+    * synchronous iterations unroll into chained CTEs (c{t}/r{t}); every
+    * step is integer arithmetic (`//` here, `div` in Spark — equal on
+    * non-negatives), so the compare is an exact hash match on longs. */
+  private lazy val duckPageRankSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val per  = s"(SELECT $PrScale // n FROM nn)"
+    val base = s"(SELECT (15 * ($PrScale // n)) // 100 FROM nn)"
+    val iters = (1 to PrIters).map { t =>
+      s"""c$t AS (SELECT e.dst, SUM(r.pr // g.d) AS contrib
+         |  FROM r${t - 1} r JOIN edges e ON e.src = r.idx JOIN deg g ON g.src = r.idx
+         |  GROUP BY e.dst),
+         |r$t AS (SELECT d.idx, $base + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+         |  FROM docs d LEFT JOIN c$t c ON c.dst = d.idx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS (SELECT src, dst FROM links WHERE src <> dst),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |r0 AS (SELECT idx, $per AS pr FROM docs),
+       |$iters
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr
+       |FROM r$PrIters JOIN docs USING (idx) ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q138_pagerank" -> duckPageRankSql,
+    // q139: the SEQUENTIAL spec — one global window — against which the
+    // Spark side's two-level distributed prefix sum is hash-verified
+    "q139_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    ${duckTokHash("CAST(doc_id AS VARCHAR)")} AS rk FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+         |  FROM t)
+         |SELECT doc_id, n_tokens, CAST(cb // $ShardTokenBudget AS BIGINT) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q140_psi_drift" -> {
+      val (b, w) = (PsiBins, PsiBinWidth)
+      val p = s"(COALESCE(sc.src_cnt, 0) + 1)::DOUBLE / (ns.n_src + $b)"
+      val q = s"(COALESCE(rc.ref_cnt, 0) + 1)::DOUBLE / (nt.n + $b)"
+      s"""WITH d AS (SELECT source,
+         |    least(CAST(len($duckToks) AS BIGINT) // $w, ${b - 1}) AS bin
+         |  FROM documents),
+         |grid AS (SELECT s.source, b.bin
+         |  FROM (SELECT DISTINCT source FROM documents) s,
+         |       (SELECT unnest(range(0, $b)) AS bin) b),
+         |sc AS (SELECT source, bin, count(*) AS src_cnt FROM d GROUP BY 1, 2),
+         |rc AS (SELECT bin, count(*) AS ref_cnt FROM d GROUP BY 1),
+         |ns AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
+         |nt AS (SELECT count(*) AS n FROM d)
+         |SELECT g.source, CAST(g.bin AS BIGINT) AS bin,
+         |  CAST(COALESCE(sc.src_cnt, 0) AS BIGINT) AS src_cnt,
+         |  CAST(COALESCE(rc.ref_cnt, 0) AS BIGINT) AS ref_cnt,
+         |  CAST(floor((($p) - ($q)) * ln(($p) / ($q)) * 1000000.0) AS BIGINT) AS psi_micro
+         |FROM grid g
+         |LEFT JOIN sc ON sc.source = g.source AND sc.bin = g.bin
+         |LEFT JOIN rc ON rc.bin = g.bin
+         |JOIN ns ON ns.source = g.source
+         |CROSS JOIN nt
+         |ORDER BY g.source, g.bin""".stripMargin
+    },
     "q65_ivf_invariants" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_indexed,
         |  1 AS lists_plural, 1 AS topk_bounded, 1 AS probe_restricted""".stripMargin,

@@ -203,6 +203,42 @@ class LlmQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("shard assignment: two-level prefix sum equals the sequential single-window spec") {
+    import spark.implicits._
+    val out = LlmQueries.queries("q139_shard_assign")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // sequential reference: one global cumsum in plain Scala
+    val ordered = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"),
+        TextOps.rollingHash(col("doc_id").cast("string")).as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val want = ordered.map { case (id, n, _) =>
+      val shard = cum / 400L; cum += n; (id, n, shard)
+    }.sortBy(_._1)
+    assert(out.toSeq === want.toSeq)
+    // shards start at 0 and are contiguous
+    val shards = out.map(_._3).distinct.sorted
+    assert(shards.head === 0L && shards === (0L until shards.length).toArray)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("PSI drift: full grid, non-negative terms, and zero drift for an undrifted slice") {
+    val out = LlmQueries.queries("q140_psi_drift")(spark, sfDir).collect()
+    val nSources = graft.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(out.length === nSources * 8, "grid must cover every (source, bin) cell")
+    // (p-q)·ln(p/q) ≥ 0 mathematically; floor keeps it ≥ 0
+    assert(out.forall(_.getLong(4) >= 0L))
+    // some source must genuinely drift from the pooled mixture
+    val bySource = out.groupBy(_.getString(0)).map { case (s, rs) =>
+      s -> rs.map(_.getLong(4)).sum }
+    assert(bySource.values.max > 0L, "no source drifted at all — monitor is vacuous")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
