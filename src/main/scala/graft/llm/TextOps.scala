@@ -46,6 +46,39 @@ object TextOps {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** MinHash LSH band keys over a text column — the banding definition
+    * the streaming text dup gate shares with the batch detector family
+    * (q37's 16-long signature, [[graft.functions.MinHashParams]]
+    * permutations): an array of (band_id, bkey) structs, where `bkey`
+    * joins the band's signature rows with '|' (exact encoding at any
+    * rows-per-band, no combined-hash collisions). A doc with no
+    * shingles (fewer than 2 tokens) yields an EMPTY band array — it can
+    * never be a candidate, rather than colliding every degenerate doc
+    * into one null-keyed bucket whose candidate fan-out grows with the
+    * corpus. */
+  def minhashBands(text: Column, numBands: Int): Column = {
+    val nSig = graft.functions.MinHashParams.NumSig
+    require(numBands > 0 && nSig % numBands == 0,
+      s"numBands must divide the signature length $nSig, got $numBands")
+    val rows = nSig / numBands
+    val sig = call_function("minhash_sigs", shingleHashes(text))
+    val bands = array((0 until numBands).map { j =>
+      struct(lit(j).as("band_id"),
+        concat_ws("|", (0 until rows).map(r =>
+          sig.getItem(j * rows + r).cast("string")): _*).as("bkey"))
+    }: _*)
+    when(sig.isNotNull, bands)
+      .otherwise(array().cast("array<struct<band_id:int,bkey:string>>"))
+  }
+
+  /** Exact Jaccard over two distinct-hash-set columns; NaN when both
+    * sets are empty (0/0) — callers filter with an isnan guard, the
+    * [[graft.streaming.StreamOps]] cosine-gate discipline. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** The q33 quality score over a token array: length saturation +
     * type-token ratio, floor-form 4dp rounding (shared by the quality
     * query, the composed corpus pipeline, and the cross-modal join). */

@@ -331,6 +331,158 @@ object StreamOps {
     graft.sources.TieredParquet.compact(spark, dir, "banded",
       Seq("band_id"), Seq("band_id", "bkey"))
 
+  // ----------------------------------------------- text MinHash dup gate
+
+  /** TEXT near-dup gate index — the MinHash twin of [[dupGateIndex]]
+    * for corpora where the duplicate signal is the text itself (the
+    * q37 detector's banding, one definition via
+    * [[graft.llm.TextOps.minhashBands]]): each known doc's band keys
+    * plus its distinct shingle-hash set (`idx_hh`) so candidates
+    * verify by EXACT Jaccard, not just a band collision. Banding is
+    * planned from the gate's own verify threshold
+    * ([[graft.functions.MinHashParams.planBands]] — the S-curve
+    * closest-below rule), so the candidate recall matches the θ the
+    * gate enforces. */
+  def textDupGateIndex(docs: DataFrame, theta: Double): DataFrame = {
+    val (bands, _) = graft.functions.MinHashParams.planBands(
+      graft.functions.MinHashParams.NumSig, theta)
+    docs
+      .select(col("doc_id"),
+        graft.llm.TextOps.shingleHashes(col("text")).as("idx_hh"),
+        explode(graft.llm.TextOps.minhashBands(col("text"), bands)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.bkey"), col("idx_hh"))
+  }
+
+  /** Persist the text gate: banded frame partitioned by band_id + a
+    * 1-row meta artifact carrying (bands, theta) — probes must band at
+    * the same width and verify at the same threshold, so both travel
+    * with the data ([[saveDupGateIndex]] discipline). */
+  def saveTextDupGateIndex(docs: DataFrame, theta: Double, dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (bands, _) = graft.functions.MinHashParams.planBands(
+      graft.functions.MinHashParams.NumSig, theta)
+    textDupGateIndex(docs, theta).write.mode("overwrite")
+      .partitionBy("band_id").parquet(s"$dir/banded")
+    Seq((bands, theta)).toDF("bands", "theta").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a persisted text gate → (banded frame, bands, theta);
+    * tier-aware and delete-aware like [[loadDupGateIndex]]. */
+  def loadTextDupGateIndex(spark: SparkSession, dir: String): (DataFrame, Int, Double) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    (graft.sources.TieredParquet.loadTiered(spark, dir, "banded",
+      applyDeletes = true), meta.getInt(0), meta.getDouble(1))
+  }
+
+  /** Takedown for the text gate: tombstone doc ids so removed documents
+    * stop gating ([[dupGateDelete]] semantics on this artifact). */
+  def textDupGateDelete(spark: SparkSession, dir: String, ids: DataFrame,
+      label: String): Unit = {
+    require(ids.columns.sameElements(Array("doc_id")),
+      s"text-gate tombstones carry exactly (doc_id), got (${ids.columns.mkString(", ")})")
+    graft.sources.TieredParquet.appendDeletes(spark, dir, ids, label)
+  }
+
+  /** Self-growing TEXT dup gate at ingest — [[dupGateIngestSink]] for
+    * documents: admit-or-reject each arriving (doc_id, text) against
+    * the persisted gate AND lower-id arrivals in the same micro-batch,
+    * then append admitted docs' band keys to the ingest tier. Same
+    * replay story: deterministic recompute from frozen artifacts +
+    * earlier batch dirs, folded batches refused, all-rejected batches
+    * write nothing. */
+  def textDupGateIngestSink(arrivals: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val spark = arrivals.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val (bands, theta) = (meta.getInt(0), meta.getDouble(1))
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        textDupGateIngestBatch(batch, batchId, indexDir, bands, theta)
+      }
+      .start()
+  }
+
+  /** The per-batch admit-and-append behind [[textDupGateIngestSink]],
+    * visible so replay semantics are directly testable. */
+  def textDupGateIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      bands: Int, theta: Double): Unit = {
+    import graft.sources.TieredParquet
+    val spark = batch.sparkSession
+    val label = s"batch=$batchId"
+    if (TieredParquet.readState(spark, indexDir, "banded").folded.contains(label))
+      return
+    val index = TieredParquet.loadTiered(spark, indexDir, "banded",
+      exclude = Set(label), applyDeletes = true)
+    val arr = batch.select(col("doc_id"), col("text"))
+    val probes = textDupGateIndex(arr, theta)
+      .select(col("doc_id").as("p_id"), col("band_id"), col("bkey"),
+        col("idx_hh").as("p_hh"))
+    def verified(cand: DataFrame, leftHh: String, rightHh: String) = {
+      val j = graft.llm.TextOps.jaccard(col(leftHh), col(rightHh))
+      cand.filter(!isnan(j) && j >= theta)
+    }
+    val dupVsIndex = verified(
+      probes.join(index, Seq("band_id", "bkey")), "p_hh", "idx_hh")
+      .select(col("p_id").as("doc_id"))
+    val later = probes.select(col("p_id").as("l_id"), col("band_id"),
+      col("bkey"), col("p_hh").as("l_hh"))
+    val dupInBatch = verified(
+      later.join(probes, Seq("band_id", "bkey"))
+        .filter(col("l_id") > col("p_id")),
+      "l_hh", "p_hh")
+      .select(col("l_id").as("doc_id"))
+    val admitted = arr.join(
+      dupVsIndex.union(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
+    val banded = textDupGateIndex(admitted, theta)
+    if (banded.isEmpty) {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
+        s"${TieredParquet.ingestRoot(indexDir)}/$label"))
+      return
+    }
+    banded.write.mode("overwrite").partitionBy("band_id")
+      .parquet(s"${TieredParquet.ingestRoot(indexDir)}/$label")
+  }
+
+  /** Fold the text gate's ingest tier into its base —
+    * [[compactDupGateIndex]] on this artifact's layout. */
+  def compactTextDupGateIndex(spark: SparkSession, dir: String): Boolean =
+    graft.sources.TieredParquet.compact(spark, dir, "banded",
+      Seq("band_id"), Seq("band_id", "bkey"))
+
+  /** Streaming TEXT near-dup monitor over a prebuilt banded side —
+    * [[embeddingDupGateBanded]] with band keys from text MinHash and
+    * exact-Jaccard verification: one stream-static equi-join on
+    * (band_id, bkey), a windowed per-doc aggregate the watermark
+    * evicts, emitting (doc_id, n_band_hits, max_jaccard). Both-empty
+    * shingle sets surface NaN from 0/0 and are dropped by the guard —
+    * NaN compares GREATER than any threshold under Spark's ordering,
+    * so unguarded ≥ would flag every degenerate doc. */
+  def textDupGateBanded(docs: DataFrame, banded: DataFrame, bands: Int,
+      theta: Double, lateness: String,
+      windowLen: String = "10 minutes"): DataFrame = {
+    val probes = docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        graft.llm.TextOps.shingleHashes(col("text")).as("hh"),
+        explode(graft.llm.TextOps.minhashBands(col("text"), bands)).as("b"))
+      .select(col("doc_id"), col("ts"), col("hh"), col("b.band_id"), col("b.bkey"))
+    val j = graft.llm.TextOps.jaccard(col("hh"), col("idx_hh"))
+    // the index side carries its own doc_id — renamed so the probe's
+    // doc_id survives the join unambiguously
+    val idx = banded.select(col("band_id"), col("bkey"), col("idx_hh"),
+      col("doc_id").as("idx_doc_id"))
+    probes.join(idx, Seq("band_id", "bkey")) // stream-static equi-join
+      .withColumn("jac", j)
+      .filter(!isnan(col("jac")) && col("jac") >= theta)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_band_hits"), max(col("jac")).as("max_jaccard"))
+      .select(col("doc_id"), col("n_band_hits"),
+        round(col("max_jaccard"), 4).as("max_jaccard"))
+  }
+
   /** The gate over a prebuilt static side ([[dupGateIndex]] /
     * [[loadDupGateIndex]]). Candidate verification is the native
     * codegen'd `cosine_sim` kernel — one fused pass per candidate row;

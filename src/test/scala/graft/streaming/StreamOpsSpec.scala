@@ -608,6 +608,116 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("self-growing TEXT dup gate: lifecycle admit/reject/replay/compact/takedown") {
+    import spark.implicits._
+    val theta = 0.5 // planBands(16, 0.5) → 8 bands × 2 rows
+    val index = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-textgate")
+    StreamOps.saveTextDupGateIndex(index, theta, dir)
+    try {
+      val (_, bands, th) = StreamOps.loadTextDupGateIndex(spark, dir)
+      assert(bands === 8 && th === 0.5)
+      def gateIds = StreamOps.loadTextDupGateIndex(spark, dir)._1
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(gateIds === Set(10L, 11L))
+      // batch 0: 100 fresh; 101 near-copy of 100 (J=4/6 ≥ θ, first-wins
+      // rejects the higher id); 102 exact copy of base doc 10 (J=1)
+      val b0 = Seq(
+        (100L, "red green blue yellow purple orange"),
+        (101L, "red green blue yellow purple pink"),
+        (102L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      StreamOps.textDupGateIngestBatch(b0, 0L, dir, bands, theta)
+      assert(gateIds === Set(10L, 11L, 100L), "batch 0 should admit exactly doc 100")
+      // batch 1: 103 near-dups the JUST-ADMITTED 100 → rejected
+      // (self-growing); 104 fresh
+      val b1 = Seq(
+        (103L, "red green blue yellow purple orange extra"),
+        (104L, "seven eight nine ten eleven twelve"))
+        .toDF("doc_id", "text")
+      StreamOps.textDupGateIngestBatch(b1, 1L, dir, bands, theta)
+      assert(gateIds === Set(10L, 11L, 100L, 104L))
+      // replay recomputes identical content
+      StreamOps.textDupGateIngestBatch(b1, 1L, dir, bands, theta)
+      assert(gateIds === Set(10L, 11L, 100L, 104L))
+      // compaction folds; folded replay refused; gate view unchanged
+      assert(StreamOps.compactTextDupGateIndex(spark, dir))
+      assert(graft.sources.TieredParquet.loadIngest(spark, dir, "banded").isEmpty)
+      StreamOps.textDupGateIngestBatch(b1, 1L, dir, bands, theta)
+      assert(graft.sources.TieredParquet.loadIngest(spark, dir, "banded").isEmpty,
+        "replay of a folded batch resurrected its directory")
+      assert(gateIds === Set(10L, 11L, 100L, 104L))
+      // takedown of 10: its re-submission is a fresh decision
+      StreamOps.textDupGateDelete(spark, dir, Seq(10L).toDF("doc_id"), "takedown-10")
+      assert(gateIds === Set(11L, 100L, 104L))
+      val resub = Seq((200L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      StreamOps.textDupGateIngestBatch(resub, 2L, dir, bands, theta)
+      assert(gateIds === Set(11L, 100L, 104L, 200L),
+        "re-submission after takedown was rejected")
+      // wrong-shaped tombstones refused
+      assert(intercept[IllegalArgumentException](
+        StreamOps.textDupGateDelete(spark, dir, Seq((1L, 2L)).toDF("a", "b"), "bad"))
+        .getMessage.contains("exactly (doc_id)"))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("TEXT dup gate: degenerate docs are admitted, never candidates") {
+    import spark.implicits._
+    val dir = tmp("graft-textgate-deg")
+    StreamOps.saveTextDupGateIndex(
+      Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text"), 0.5, dir)
+    try {
+      // one-token and empty docs have no shingles → no band keys → both
+      // admitted (they cannot near-dup by a shingle detector), and two
+      // identical degenerate docs do NOT collide into a null bucket
+      val b0 = Seq((300L, "solo"), (301L, "solo"), (302L, ""))
+        .toDF("doc_id", "text")
+      StreamOps.textDupGateIngestBatch(b0, 0L, dir, 8, 0.5)
+      val banded = StreamOps.loadTextDupGateIndex(spark, dir)._1
+      // admitted but bandless docs write no band rows — the gate index
+      // only ever carries docs that can actually gate
+      assert(banded.select("doc_id").distinct().as[Long].collect().toSet === Set(10L))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("streaming TEXT near-dup monitor flags near-copies with exact jaccard") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("graft-textgate-mon")
+    StreamOps.saveTextDupGateIndex(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six"))
+      .toDF("doc_id", "text"), 0.5, dir)
+    try {
+      val (banded, bands, theta) = StreamOps.loadTextDupGateIndex(spark, dir)
+      val cached = banded.cache()
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val docs = input.toDF().toDF("ts", "doc_id", "text")
+      val q = StreamOps.textDupGateBanded(docs, cached, bands, theta, "10 minutes")
+        .writeStream.format("memory").queryName("textgate_mon")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          (ts(1), 1L, "alpha beta gamma delta epsilon zeta"), // exact copy, J=1
+          (ts(2), 2L, "totally different words here entirely"),
+          (ts(3), 3L, "solo")) // degenerate: no bands, never flagged
+        q.processAllAvailable()
+        val flagged = spark.table("textgate_mon")
+          .select("doc_id", "max_jaccard").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(flagged.keySet === Set(1L), s"monitor flagged $flagged")
+        assert(flagged(1L) === 1.0)
+      } finally q.stop()
+    } finally {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
