@@ -1476,6 +1476,34 @@ object LlmQueries {
         (col("node") === col("component")).cast("int").as("is_canonical"))
   }
 
+  /** Leakage-safe train/test split — eval hygiene for a deduplicated
+    * corpus (Lee et al. 2021's train-test overlap findings are exactly
+    * the failure this prevents): near-duplicate documents must never
+    * straddle the split boundary, or the eval set silently restates
+    * training data. Every doc joins its q37/q71 near-dup CLUSTER
+    * (connected component; singleton docs are their own cluster), and
+    * the split is decided by hashing the CLUSTER id, not the doc id —
+    * so an entire duplicate cluster lands on one side by construction,
+    * 80/20 in expectation. The oracle recomputes the components with
+    * the q71 recursive CTE and applies the same hash cut, so the
+    * leakage-safety property itself is hash-verified. Scale: the CC is
+    * the bounded-round q71 propagation over LSH-banded edges; the join
+    * back is component-sized; the split is pure column work. */
+  private val q141LeakageSplit: Q = (s, dir) => {
+    val pairs = q37NeardupMinhash(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(tokHash(col("cluster").cast("string")) % 10 < 8, lit("train"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL image decode on the oracle-checked surface (q40 proves the
     * binary-column plumbing with stub arithmetic the oracle can restate;
     * this proves the CODEC): generate one losslessly-encoded PNG per row
@@ -2462,6 +2490,7 @@ object LlmQueries {
     "q138_pagerank"       -> q138PageRank,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
+    "q141_leakage_split"  -> q141LeakageSplit,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2955,6 +2984,23 @@ object LlmQueries {
     "q37_neardup_minhash" ->
       s"""WITH $duckNeardupCTEs
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
+    // q141: q71's recursive components + the cluster-hash cut — the
+    // oracle proves the SPLIT respects the clusters, not just the CC
+    "q141_leakage_split" ->
+      s"""WITH RECURSIVE $duckNeardupCTEs,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= $NearDupTheta),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM sym
+         |  UNION SELECT a, b FROM sym
+         |  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+         |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+         |  CASE WHEN ${duckTokHash("CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)")} % 10 < 8
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q71_dedup_components" ->
       s"""WITH RECURSIVE $duckNeardupCTEs,
          |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.4),

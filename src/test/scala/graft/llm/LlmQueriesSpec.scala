@@ -239,6 +239,27 @@ class LlmQueriesSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("leakage-safe split: near-dup pairs never straddle the train/test boundary") {
+    val sf = "/root/testdata/sf0.01" // sf with planted near-dups
+    val out = LlmQueries.queries("q141_leakage_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === graft.Tables.documents(spark, sf).count())
+    // the leakage property against the detector itself: both endpoints
+    // of every verified near-dup pair share cluster AND split
+    val pairs = LlmQueries.queries("q37_neardup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "expected planted near-dups at sf0.01")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"pair ($a,$b) split across clusters")
+      assert(out(a)._2 === out(b)._2, s"pair ($a,$b) LEAKS across the split")
+    }
+    // hash cut lands near 80/20 at the cluster grain
+    val frac = out.values.count(_._2 == "train").toDouble / out.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac far from 0.8")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()

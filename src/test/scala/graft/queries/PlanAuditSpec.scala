@@ -186,6 +186,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(winSpec.contains("source"), s"q130 window is not partitioned by source:\n$winSpec")
   }
 
+  test("q138: PageRank iterations stay hash-keyed — no cartesian, no nested loop") {
+    val p = planOf("q138_pagerank")
+    assert(!p.contains("CartesianProduct"), s"q138 degenerated to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q138 nested-loop join:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash joins for rank⋈edges:\n$p")
+  }
+
+  test("q139: shard cumsum windows partition by hash bucket — never one global window") {
+    val opt = SparkEntry.queries("q139_shard_assign")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val winSpec = opt.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    // an empty partition spec would serialize the corpus through one
+    // task — the exact failure mode the two-level prefix sum exists to
+    // avoid (the sequential form lives only in the ORACLE)
+    assert(winSpec.contains("bkt"), s"q139 window is not bucket-partitioned:\n$winSpec")
+  }
+
+  test("q140: PSI joins are broadcast-sized — no sort-merge shuffle join") {
+    val p = planOf("q140_psi_drift")
+    assert(!p.contains("SortMergeJoin"),
+      s"q140 shuffled bounded cell/total frames through a sort-merge join:\n$p")
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
     // the 100 TB shape for metadata-only questions: with pushdown on,
     // the scan node carries PushedAggregation and reads NO data pages.
