@@ -1504,6 +1504,49 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Robust per-source length profile — median + MAD (median absolute
+    * deviation), the outlier-resistant location/spread pair a corpus
+    * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
+    * one boilerplate 100k-token doc moves a source's mean by orders of
+    * magnitude but its median by at most one rank. Exact interpolated
+    * percentiles here (both engines: (a+b)/2 halves — exact doubles);
+    * the 100 TB path swaps in approx_percentile (the q64 sketch) since
+    * an exact median needs a per-group sort, and the MAD pass reuses
+    * the same one-row-per-source broadcast join this plan uses. */
+  private val q142RobustStats: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), size(toksCol(col("text"))).cast("long").as("n"))
+      .cache()
+    val med = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), expr("percentile(n, 0.5)").as("med"))
+    val mad = d.join(broadcast(med.select(col("source"), col("med"))), "source")
+      .select(col("source"), abs(col("n") - col("med")).as("dv"))
+      .groupBy(col("source")).agg(expr("percentile(dv, 0.5)").as("mad"))
+    med.join(mad, "source")
+      .select(col("source"), col("n_docs"),
+        fpRound4(col("med")).as("med_tokens"), fpRound4(col("mad")).as("mad_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** The distribution-rank window battery (ntile / percent_rank /
+    * cume_dist) — the q08/q24/q74 family's remaining members, ranking
+    * each doc's length within its source: quartile assignment, the
+    * exact (rank−1)/(n−1) percentile, and the ≤-mass. Ties broken by
+    * doc_id so both engines walk one total order; the rank ratios are
+    * small-int quotients (exact doubles), 4dp-floored on both sides.
+    * One partitioned window — the q130 scale shape, no global sort. */
+  private val q143WindowRanks: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(toksCol(col("text"))).cast("long").as("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        fpRound4(percent_rank().over(w)).as("pct_rank"),
+        fpRound4(cume_dist().over(w)).as("cum_dist"))
+      .orderBy(col("source"), col("n_tokens"), col("doc_id"))
+  }
+
   /** REAL image decode on the oracle-checked surface (q40 proves the
     * binary-column plumbing with stub arithmetic the oracle can restate;
     * this proves the CODEC): generate one losslessly-encoded PNG per row
@@ -2491,6 +2534,8 @@ object LlmQueries {
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
+    "q142_robust_stats"   -> q142RobustStats,
+    "q143_window_ranks"   -> q143WindowRanks,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -2984,6 +3029,29 @@ object LlmQueries {
     "q37_neardup_minhash" ->
       s"""WITH $duckNeardupCTEs
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
+    // q142: DuckDB median == quantile_cont(0.5) == Spark's interpolated
+    // exact percentile; halves are exact doubles, 4dp-floored anyway
+    "q142_robust_stats" ->
+      s"""WITH d AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+         |m AS (SELECT source, count(*) AS n_docs, median(n) AS med
+         |      FROM d GROUP BY source),
+         |dev AS (SELECT d.source, abs(d.n - m.med) AS dv
+         |        FROM d JOIN m USING (source)),
+         |md AS (SELECT source, median(dv) AS mad FROM dev GROUP BY source)
+         |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+         |  ${fpRound4Sql("m.med")} AS med_tokens,
+         |  ${fpRound4Sql("md.mad")} AS mad_tokens
+         |FROM m JOIN md USING (source) ORDER BY m.source""".stripMargin,
+    "q143_window_ranks" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT source, doc_id, n_tokens,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  ${fpRound4Sql("percent_rank() OVER w")} AS pct_rank,
+         |  ${fpRound4Sql("cume_dist() OVER w")} AS cum_dist
+         |FROM d
+         |WINDOW w AS (PARTITION BY source ORDER BY n_tokens, doc_id)
+         |ORDER BY source, n_tokens, doc_id""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

@@ -260,6 +260,42 @@ class LlmQueriesSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("robust stats: median/MAD bounded by the data and outlier-resistant vs the mean") {
+    val out = LlmQueries.queries("q142_robust_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(min("n").as("lo"), max("n").as("hi"),
+        count(lit(1)).as("c"), avg("n").as("mean"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet === ref.keySet)
+    for ((s, (nDocs, med, mad)) <- out) {
+      val (lo, hi, c, _) = ref(s)
+      assert(nDocs === c)
+      assert(med >= lo && med <= hi, s"$s median $med outside [$lo,$hi]")
+      assert(mad >= 0.0 && mad <= (hi - lo), s"$s MAD $mad out of range")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("window ranks: quartiles balanced, pct_rank/cume_dist hit their endpoints") {
+    val rows = LlmQueries.queries("q143_window_ranks")(spark, sfDir).collect()
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val quartCounts = rs.groupBy(_.getLong(3)).view.mapValues(_.length).toMap
+      assert(quartCounts.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+      assert(quartCounts.values.max - quartCounts.values.min <= 1,
+        s"ntile buckets unbalanced: $quartCounts")
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(1)))
+      assert(sorted.head.getDouble(4) === 0.0, "first pct_rank must be 0")
+      assert(sorted.last.getDouble(4) === 1.0, "last pct_rank must be 1")
+      assert(sorted.last.getDouble(5) === 1.0, "last cume_dist must be 1")
+      // strict total order (doc_id tiebreak) → cume_dist strictly increases
+      assert(sorted.map(_.getDouble(5)).toSeq === sorted.map(_.getDouble(5)).sorted.toSeq)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
