@@ -1114,13 +1114,13 @@ object LlmQueries {
     * discipline — ln's last-ulp differences cannot move a floor except
     * on a measure-zero boundary). Scale: two bounded groupBys (bins ×
     * sources cells) + broadcast-sized joins — one corpus scan total. */
-  private val PsiBins     = 8
-  private val PsiBinWidth = 16L
+  private val PsiBins     = TextOps.PsiBins
+  private val PsiBinWidth = TextOps.PsiBinWidth
   private val q140PsiDrift: Q = (s, dir) => {
     import s.implicits._
     val d = Tables.documents(s, dir)
-      .select(col("source"), size(toksCol(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("bin", expr(s"least(n_tokens div $PsiBinWidth, ${PsiBins - 1})"))
+      .select(col("source"), size(toksCol(col("text"))).cast("long").as("n_tokens"),
+        TextOps.lengthBin(col("text")).as("bin"))
       .cache()
     val nTot = d.count()
     val grid = d.select(col("source")).distinct()

@@ -79,6 +79,16 @@ object TextOps {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Token-length histogram binning shared by the batch PSI drift
+    * monitor (q140, DuckDB-oracled) and the streaming
+    * [[graft.streaming.StreamOps.psiDriftMonitor]] — one definition, so
+    * a stream-side drift alarm fires on exactly the distribution the
+    * batch monitor reports. */
+  val PsiBins = 8
+  val PsiBinWidth = 16L
+  def lengthBin(text: Column): Column =
+    least(floor(size(tokens(text)).cast("long") / PsiBinWidth), lit(PsiBins - 1L))
+
   /** The q33 quality score over a token array: length saturation +
     * type-token ratio, floor-form 4dp rounding (shared by the quality
     * query, the composed corpus pipeline, and the cross-modal join). */

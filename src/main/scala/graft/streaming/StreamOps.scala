@@ -483,6 +483,54 @@ object StreamOps {
         round(col("max_jaccard"), 4).as("max_jaccard"))
   }
 
+  // ------------------------------------------------ streaming PSI drift
+
+  /** Persist the PSI reference distribution: a known-good corpus's
+    * token-length histogram over the [[graft.llm.TextOps.lengthBin]]
+    * bins — one bounded ([[graft.llm.TextOps.PsiBins]]-row) artifact
+    * the streaming monitor loads once at start. The batch monitor
+    * (q140) and this stream share the ONE binning definition, so a
+    * stream-side alarm fires on exactly the distribution the batch
+    * report shows. */
+  def savePsiReference(docs: DataFrame, dir: String): Unit =
+    docs.select(graft.llm.TextOps.lengthBin(col("text")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Streaming PSI drift alarm — q140's metric where drift is actually
+    * watched: per event-time window, the arriving docs' token-length
+    * histogram against the persisted reference, emitted as
+    * (win_start, n_docs, psi_micro). ONE stateful windowed aggregate:
+    * chained streaming aggregations are restricted, but the bin count
+    * is a constant, so the per-bin counts ride as conditional sums
+    * inside the single groupBy(window) and the PSI closes in column
+    * arithmetic on the emitted row; the reference rides as literals
+    * from the bounded artifact (never a stream-side join). Laplace
+    * smoothing and micro-nat flooring match the batch monitor; terms
+    * are mathematically ≥ 0, so `psi_micro` ≥ 0. */
+  def psiDriftMonitor(docs: DataFrame, refDir: String, lateness: String,
+      windowLen: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    val nBins = graft.llm.TextOps.PsiBins
+    val ref = spark.read.parquet(refDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refN = ref.values.sum
+    require(refN > 0, "PSI reference histogram is empty")
+    val binned = docs.withWatermark("ts", lateness)
+      .select(col("ts"), graft.llm.TextOps.lengthBin(col("text")).as("bin"))
+    val counts = (0 until nBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = binned.groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"), counts: _*)
+    val terms = (0 until nBins).map { b =>
+      val p = (col(s"c$b") + 1).cast("double") / (col("n_docs") + nBins)
+      val q = lit((ref.getOrElse(b.toLong, 0L) + 1).toDouble / (refN + nBins))
+      (p - q) * log(p / q)
+    }
+    agg.select(col("window.start").as("win_start"), col("n_docs"),
+      floor(terms.reduce(_ + _) * 1000000.0).cast("long").as("psi_micro"))
+  }
+
   /** The gate over a prebuilt static side ([[dupGateIndex]] /
     * [[loadDupGateIndex]]). Candidate verification is the native
     * codegen'd `cosine_sim` kernel — one fused pass per candidate row;

@@ -718,6 +718,39 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming PSI drift: a shifted window alarms, a matching window stays quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def doc(words: Int) = Seq.fill(words)("w").mkString(" ")
+    // reference: 10 docs in each of bins 0..3 (word counts 8/24/40/56)
+    val ref = (0 until 4).flatMap(b => Seq.fill(10)(doc(8 + 16 * b))).toDF("text")
+    val dir = tmp("graft-psiref")
+    StreamOps.savePsiReference(ref, dir)
+    try {
+      val input = MemoryStream[(Timestamp, String)]
+      val docs = input.toDF().toDF("ts", "text")
+      val q = StreamOps.psiDriftMonitor(docs, dir, "10 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("psi_mon")
+        .outputMode("update").start()
+      try {
+        // window 1 (10:00): the reference mix — 2 docs per bin 0..3
+        input.addData((0 until 4).flatMap(b =>
+          Seq((ts(1), doc(8 + 16 * b)), (ts(2), doc(8 + 16 * b)))): _*)
+        // window 2 (10:20): all mass in the top bin — drifted
+        input.addData(Seq.fill(8)((ts(21), doc(200))): _*)
+        q.processAllAvailable()
+        val psi = spark.table("psi_mon")
+          .select("win_start", "psi_micro").collect()
+          .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+        assert(psi.size === 2, s"expected two windows, got $psi")
+        val Seq(quiet, drifted) = psi.toSeq.sortBy(_._1.getTime).map(_._2)
+        assert(quiet >= 0L && drifted >= 0L, "PSI terms must be non-negative")
+        assert(drifted > 4 * quiet && drifted > 1000000L,
+          s"drifted window PSI $drifted should dwarf the matching window's $quiet")
+      } finally q.stop()
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
