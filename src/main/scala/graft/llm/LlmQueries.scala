@@ -716,6 +716,72 @@ object LlmQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source duplication matrix — q129's shared-window signal
+    * rolled up to the SOURCE grain: how much verbatim text does each
+    * pair of sources share? This is the dedup-planning diagnostic a
+    * multi-source corpus build runs first (two crawls of the same web
+    * with heavy overlap should be deduped against each other before
+    * mixture weighting; two disjoint sources need no cross-pass). Same
+    * window hashes, same 2..df-cap gate bounding per-hash fan-out, doc
+    * pairs counted once (doc_a < doc_b) then aggregated per unordered
+    * source pair (src_a ≤ src_b lexicographically; the diagonal is the
+    * intra-source duplication mass). Scale contract identical to q129:
+    * every stage hash-keyed, no all-pairs product. */
+  private val q144SourceOverlap: Q = (s, dir) => {
+    val W = DecontamWindow
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), toksCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), col("source"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - (W - 1)),
+        i => tokHash(array_join(slice(col("tk"), i, lit(W)), " "))))).as("h"))
+      .cache() // consumed twice (df gate + pair join); runner clearCache scopes it
+    val shared = wins.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SubstrDupDfCap)
+      .select(col("h"))
+    val hits = wins.join(shared, Seq("h"))
+    hits.as("x").join(hits.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(
+        least(col("x.source"), col("y.source")).as("src_a"),
+        greatest(col("x.source"), col("y.source")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Corpus snapshot diff — the incremental-maintenance primitive a
+    * versioned corpus store runs between builds: which documents were
+    * added, removed, or changed since the last snapshot? The testdata
+    * carries one snapshot, so v2 is DERIVED deterministically (the
+    * q134 synthetic-input discipline, identical in both engines):
+    * docs with doc_id % 11 == 0 are dropped, docs with doc_id % 7 == 0
+    * get an appended marker token (content change), and every doc with
+    * doc_id % 13 == 0 re-enters as a NEW doc at doc_id + 100000. The
+    * diff itself is the real operator: a full outer join on doc_id
+    * comparing content hashes — one hash-keyed shuffle, no text
+    * comparison (hashes travel, not documents), which is what makes a
+    * 100 TB diff an 8-byte-per-doc problem. */
+  private val q145VersionDiff: Q = (s, dir) => {
+    val v1 = Tables.documents(s, dir)
+      .select(col("doc_id"), tokHash(col("text")).as("h1"))
+    val base = Tables.documents(s, dir)
+    val v2 = base.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2marker")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), tokHash(col("text")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic per-source token-budget sampling — the mixture-
     * construction step after filtering/dedup: each source contributes
     * documents in a stable hash order (the q86 sampling key, so the
@@ -976,10 +1042,23 @@ object LlmQueries {
     * applied in the wrong order (scrub after hashing, budget before
     * dedup) produces a different kept-set. */
   private val q137CurationPipeline: Q = (s, dir) => {
+    // MATERIALIZE the cleaned text AND the stat battery (runner-scoped
+    // caches, the q129 discipline) before filtering: predicate pushdown
+    // rewrites a filter-on-derived-flag through every projection it
+    // crosses regardless of expression cost, so an uncached
+    // filter(rep_pass) inlines all nine interpreted gram pipelines —
+    // AND the NFC+3-regex text2 chain under them — into one
+    // single-partition scan predicate. At sf0.1 that turned this stage
+    // into a ~30-minute single task; with the stats frame cached the
+    // filter reads a stored column and the battery is computed once
+    // per row (the q131 projection cost).
     val clean = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextOps.scrubPii(call_function("nfc_normalize", col("text"))).as("text2"))
+      .cache()
     val gated = TextOps.repetitionRules(clean, "text2")
+      .select(col("doc_id"), col("source"), col("text2"), col("rep_pass"))
+      .cache()
       .filter(col("rep_pass") === 1)
       .select(col("doc_id"), col("source"), col("text2"))
     val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -2536,6 +2615,8 @@ object LlmQueries {
     "q141_leakage_split"  -> q141LeakageSplit,
     "q142_robust_stats"   -> q142RobustStats,
     "q143_window_ranks"   -> q143WindowRanks,
+    "q144_source_overlap" -> q144SourceOverlap,
+    "q145_version_diff"   -> q145VersionDiff,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3052,6 +3133,42 @@ object LlmQueries {
          |FROM d
          |WINDOW w AS (PARTITION BY source ORDER BY n_tokens, doc_id)
          |ORDER BY source, n_tokens, doc_id""".stripMargin,
+    // q144: q129's CTE chain aggregated per unordered source pair
+    "q144_source_overlap" -> {
+      val W = DecontamWindow
+      s"""WITH toks AS (SELECT doc_id, source, $duckToks AS tk FROM documents),
+         |w AS (SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(tk) - ${W - 2}),
+         |    wi -> ${duckTokHash(s"array_to_string(tk[wi:wi+${W - 1}], ' ')")})) AS whs
+         |  FROM toks WHERE len(tk) >= $W),
+         |wins AS (SELECT doc_id, source, unnest(whs) AS h FROM w),
+         |shared AS (SELECT h FROM wins GROUP BY h
+         |           HAVING count(*) >= 2 AND count(*) <= $SubstrDupDfCap),
+         |hits AS (SELECT doc_id, source, h FROM wins JOIN shared USING (h))
+         |SELECT least(x.source, y.source) AS src_a,
+         |  greatest(x.source, y.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM hits x JOIN hits y ON x.h = y.h AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // q145: the same deterministic v2 derivation, diffed relationally
+    "q145_version_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, ${duckTokHash("text")} AS h1 FROM documents),
+         |v2base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2marker' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |v2 AS (SELECT doc_id, ${duckTokHash("text")} AS h2 FROM v2base)
+         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+         |       WHEN v2.doc_id IS NULL THEN 'removed'
+         |       WHEN h1 <> h2 THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

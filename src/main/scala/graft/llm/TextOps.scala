@@ -18,6 +18,20 @@ object TextOps {
   /** Rolling-hash modulus shared with the DuckDB oracle arithmetic. */
   val HashModulus = 1000000007L
 
+  /** Let-binding for column expressions: evaluate `bound` ONCE and make
+    * it available to `body` as a lambda VARIABLE —
+    * `transform(array(bound), v => body(v))[0]`. The point is optimizer
+    * robustness, not style: predicate pushdown and project collapse
+    * substitute aliases transitively into every reference, and an alias
+    * referenced inside a higher-order function's lambda BODY substitutes
+    * to a re-evaluation per ELEMENT (quadratic for expressions that
+    * build arrays from arrays). A lambda variable is not an alias;
+    * substitution stops at the binder, so `bound` is evaluated exactly
+    * once per evaluation of the whole expression no matter what plan
+    * rewrites inline it. */
+  def letBound(bound: Column)(body: Column => Column): Column =
+    transform(array(bound), v => body(v)).getItem(0)
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
@@ -187,29 +201,17 @@ object TextOps {
     Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
   def repetitionRules(df: DataFrame, textCol: String): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
-    // total characters across word tokens — the shared denominator for
-    // every n-gram fraction (gram char length excludes the joiners).
-    val totChars = aggregate(col("__rtk"), lit(0L), (a, t) => a + length(t)).cast("double")
-    val lines = col("__rlines")
-    val nLines = size(lines).cast("double")
-    val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l)).cast("double")
-    val distinctLineChars =
-      aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l)).cast("double")
-    val dupLineFrac =
-      when(size(lines) > 0, lit(1.0) - size(array_distinct(lines)) / nLines).otherwise(0.0)
-    val dupLineCharFrac =
-      when(lineChars > 0, lit(1.0) - distinctLineChars / lineChars).otherwise(0.0)
 
-    /** Sorted n-gram array for n: space-joined token windows, so equal
-      * grams are adjacent and every repetition stat is a run-length
-      * scan. Empty when the doc has fewer than n tokens. */
-    def sortedGrams(n: Int): Column = {
-      val tk = col("__rtk")
+    /** Sorted n-gram array for n over a LET-BOUND token array: space-
+      * joined token windows, so equal grams are adjacent and every
+      * repetition stat is a run-length scan. Empty when the doc has
+      * fewer than n tokens. `tk` must be a lambda variable, never an
+      * alias — see the battery note below. */
+    def sortedGrams(tk: Column, n: Int): Column =
       when(size(tk) >= n,
         array_sort(transform(sequence(lit(1), size(tk) - (n - 1)),
           i => array_join(slice(tk, i, lit(n)), " "))))
         .otherwise(array().cast("array<string>"))
-    }
     /** Chars in beyond-first occurrences of duplicated n-grams: on the
       * sorted array an occurrence is beyond-first iff it equals its
       * left neighbor, so the numerator is one adjacent-pair sweep. */
@@ -249,34 +251,77 @@ object TextOps {
         })
       when(size(sg) > 0, res).otherwise(lit(0.0))
     }
-    def frac(num: Column): Column = r4(when(totChars > 0, num / totChars).otherwise(0.0))
+    /** The WHOLE stat battery as ONE let-bound struct expression —
+      * optimizer-robustness, not style ([[letBound]]): predicate
+      * pushdown substitutes a filter-on-`rep_pass` transitively through
+      * every projection it crosses, regardless of expression cost. With
+      * stats as independent alias chains over a `__rtk` tokens column,
+      * the substituted predicate re-embedded the tokenizer inside the
+      * per-gram lambda bodies — O(tokens²) per document per pipeline;
+      * measured 146 s vs 0.6 s for the gate shape at sf0.1. Here tokens
+      * and lines bind ONCE as lambda variables and every stat is a
+      * field of one struct, so however a plan rewrite inlines `__rep`,
+      * each evaluation tokenizes once and builds each gram family once.
+      * The field-extraction projection below survives CollapseProject's
+      * cost guard (many references to one non-cheap alias), so the
+      * normal projection path evaluates the battery once per row. */
+    val battery: Column = letBound(struct(
+        tokens(col(textCol)).as("tk"),
+        filter(split(col(textCol), "\n"), l => trim(l) =!= lit("")).as("ln"))) { b =>
+      val tk = b("tk")
+      val lines = b("ln")
+      // total characters across word tokens — the shared denominator
+      // for every n-gram fraction (gram char length excludes joiners)
+      val totChars = aggregate(tk, lit(0L), (a, t) => a + length(t)).cast("double")
+      val nLines = size(lines).cast("double")
+      val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l)).cast("double")
+      val distinctLineChars =
+        aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l)).cast("double")
+      val dupLineFrac =
+        when(size(lines) > 0, lit(1.0) - size(array_distinct(lines)) / nLines).otherwise(0.0)
+      val dupLineCharFrac =
+        when(lineChars > 0, lit(1.0) - distinctLineChars / lineChars).otherwise(0.0)
+      def frac(num: Column): Column = r4(when(totChars > 0, num / totChars).otherwise(0.0))
+      val stats = struct(
+        Seq(r4(dupLineFrac).as("dup_line_frac"),
+            r4(dupLineCharFrac).as("dup_line_char_frac")) ++
+        TopNgramMax.keys.toSeq.sorted.map(n =>
+          frac(letBound(sortedGrams(tk, n))(sg => topChars(sg, n)))
+            .as(s"top_${n}gram_frac")) ++
+        DupNgramMax.keys.toSeq.sorted.map(n =>
+          frac(letBound(sortedGrams(tk, n))(sg => dupChars(sg, n)))
+            .as(s"dup_${n}gram_frac")): _*)
+      // flags and their conjunction bind over the ONE stats evaluation
+      // (inner let), so a filter on `rep_pass` — which inlines exactly
+      // one `__rep.rep_pass` reference — costs ONE battery evaluation,
+      // not one per flag
+      letBound(stats) { st =>
+        val flags =
+          Seq((st("dup_line_frac") <= 0.30).cast("int").as("r_dup_line"),
+              (st("dup_line_char_frac") <= 0.20).cast("int").as("r_dup_line_char")) ++
+          TopNgramMax.toSeq.sortBy(_._1).map { case (n, mx) =>
+            (st(s"top_${n}gram_frac") <= mx).cast("int").as(s"r_top_${n}gram") } ++
+          DupNgramMax.toSeq.sortBy(_._1).map { case (n, mx) =>
+            (st(s"dup_${n}gram_frac") <= mx).cast("int").as(s"r_dup_${n}gram") }
+        val statFields = Seq("dup_line_frac", "dup_line_char_frac") ++
+          TopNgramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac") ++
+          DupNgramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac")
+        struct(
+          statFields.map(nm => st(nm).as(nm)) ++ flags :+
+            flags.map(f => f.cast("int")).reduce(_ * _).cast("int").as("rep_pass"): _*)
+      }
+    }
 
-    val withStats = df
-      .withColumn("__rtk", tokens(col(textCol)))
-      .withColumn("__rlines", filter(split(col(textCol), "\n"), l => trim(l) =!= lit("")))
-      .withColumn("dup_line_frac", r4(dupLineFrac))
-      .withColumn("dup_line_char_frac", r4(dupLineCharFrac))
-    val withTop = TopNgramMax.keys.toSeq.sorted.foldLeft(withStats) { (d, n) =>
-      d.withColumn(s"top_${n}gram_frac", frac(topChars(sortedGrams(n), n)))
-    }
-    val withDup = DupNgramMax.keys.toSeq.sorted.foldLeft(withTop) { (d, n) =>
-      d.withColumn(s"dup_${n}gram_frac", frac(dupChars(sortedGrams(n), n)))
-    }
-    val flagged = withDup
-      .drop("__rtk", "__rlines")
-      .withColumn("r_dup_line", (col("dup_line_frac") <= 0.30).cast("int"))
-      .withColumn("r_dup_line_char", (col("dup_line_char_frac") <= 0.20).cast("int"))
-    val withTopFlags = TopNgramMax.toSeq.sortBy(_._1).foldLeft(flagged) { case (d, (n, mx)) =>
-      d.withColumn(s"r_top_${n}gram", (col(s"top_${n}gram_frac") <= mx).cast("int"))
-    }
-    val withAllFlags = DupNgramMax.toSeq.sortBy(_._1).foldLeft(withTopFlags) { case (d, (n, mx)) =>
-      d.withColumn(s"r_dup_${n}gram", (col(s"dup_${n}gram_frac") <= mx).cast("int"))
-    }
-    val allFlags = Seq("r_dup_line", "r_dup_line_char") ++
+    val outNames = Seq("dup_line_frac", "dup_line_char_frac") ++
+      TopNgramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac") ++
+      DupNgramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac") ++
+      Seq("r_dup_line", "r_dup_line_char") ++
       TopNgramMax.keys.toSeq.sorted.map(n => s"r_top_${n}gram") ++
-      DupNgramMax.keys.toSeq.sorted.map(n => s"r_dup_${n}gram")
-    withAllFlags.withColumn("rep_pass",
-      allFlags.map(col).reduce(_ * _).cast("int"))
+      DupNgramMax.keys.toSeq.sorted.map(n => s"r_dup_${n}gram") :+
+      "rep_pass"
+    outNames.foldLeft(df.withColumn("__rep", battery)) { (d, nm) =>
+      d.withColumn(nm, col("__rep").getField(nm))
+    }.drop("__rep")
   }
 
   /** PII scrubbing patterns — the anonymization pass (CCNet §3 /

@@ -296,6 +296,35 @@ class LlmQueriesSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("source overlap: unordered pairs, positive mass, bounds the q129 pair signal") {
+    val out = LlmQueries.queries("q144_source_overlap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, n) => a <= b && n > 0L })
+    // q129 keeps only doc pairs sharing >= 2 windows; q144 counts every
+    // shared-window instance, so its total mass dominates q129's
+    val q129Mass = LlmQueries.queries("q129_substring_dup")(spark, sfDir)
+      .agg(sum("n_shared")).head().getLong(0)
+    assert(out.map(_._3).sum >= q129Mass)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("version diff: every doc takes exactly the status its id-derived edit implies") {
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = LlmQueries.queries("q145_version_diff")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = ids.map { id =>
+      id -> (if (id % 11 == 0) "removed"
+             else if (id % 7 == 0) "changed"
+             else "unchanged")
+    }.toMap ++ ids.filter(_ % 13 == 0).map(id => (id + 100000L) -> "added").toMap
+    assert(got === want)
+    // all four statuses genuinely occur
+    assert(got.values.toSet === Set("added", "removed", "changed", "unchanged"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("corpus pipeline output is quality-gated, deduped, decontaminated, and packed") {
     val sf = "/root/testdata/sf0.01"
     val out = LlmQueries.queries("q85_corpus_pipeline")(spark, sf).cache()
