@@ -127,42 +127,61 @@ object TextOps {
   val GopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
   def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
     def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
-    val nWords = size(col("__gtk")).cast("double")
-    val nLines = size(col("__glines")).cast("double")
-    val meanLen = aggregate(col("__gtk"), lit(0L), (a, t) => a + length(t)).cast("double") / nWords
-    val fracSymbol = size(filter(col("__gtk"),
-      t => t.contains("#") || t.contains("..."))).cast("double") / nWords
-    val fracAlpha = size(filter(col("__gtk"), t => t.rlike("[A-Za-z]"))).cast("double") / nWords
-    val fracBullet = size(filter(col("__glines"),
-      l => trim(l).startsWith("-") || trim(l).startsWith("*") ||
-        trim(l).startsWith("•"))).cast("double") / nLines
-    val fracEllipsis = size(filter(col("__glines"),
-      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("double") / nLines
-    val nStop = size(array_intersect(transform(col("__gtk"), t => lower(t)),
-      array(GopherStops.map(lit): _*)))
-    df.withColumn("__gtk", tokens(col(textCol)))
-      .withColumn("__glines", filter(split(col(textCol), "\n"), l => trim(l) =!= lit("")))
-      .withColumn("n_words", size(col("__gtk")).cast("long"))
-      .withColumn("mean_word_len", r4(coalesce(meanLen, lit(0.0))))
-      .withColumn("frac_symbol", r4(coalesce(fracSymbol, lit(0.0))))
-      .withColumn("frac_alpha", r4(coalesce(fracAlpha, lit(0.0))))
-      .withColumn("frac_bullet", r4(coalesce(fracBullet, lit(0.0))))
-      .withColumn("frac_ellipsis", r4(coalesce(fracEllipsis, lit(0.0))))
-      .withColumn("n_stop", nStop.cast("long"))
-      .drop("__gtk", "__glines")
-      .withColumn("r_words",
-        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
-      .withColumn("r_mean_len",
-        (col("n_words") > 0 && col("mean_word_len") >= 3.0 &&
-          col("mean_word_len") <= 10.0).cast("int"))
-      .withColumn("r_symbol", (col("n_words") > 0 && col("frac_symbol") <= 0.1).cast("int"))
-      .withColumn("r_alpha", (col("n_words") > 0 && col("frac_alpha") >= 0.8).cast("int"))
-      .withColumn("r_bullet", (col("frac_bullet") <= 0.9).cast("int"))
-      .withColumn("r_ellipsis", (col("frac_ellipsis") <= 0.3).cast("int"))
-      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
-      .withColumn("gopher_pass",
-        (col("r_words") * col("r_mean_len") * col("r_symbol") * col("r_alpha") *
-          col("r_bullet") * col("r_ellipsis") * col("r_stop")).cast("int"))
+    // ONE nested-let battery (the [[repetitionRules]] structure, same
+    // rationale): a filter on `gopher_pass` at ingest inlines exactly
+    // one battery evaluation — tokenize once, walk each token/line
+    // array once per stat — instead of re-tokenizing per substituted
+    // stat occurrence after predicate pushdown.
+    val battery: Column = letBound(struct(
+        tokens(col(textCol)).as("tk"),
+        filter(split(col(textCol), "\n"), l => trim(l) =!= lit("")).as("ln"))) { b =>
+      val tk = b("tk")
+      val lines = b("ln")
+      val nWords = size(tk).cast("double")
+      val nLines = size(lines).cast("double")
+      val meanLen = aggregate(tk, lit(0L), (a, t) => a + length(t)).cast("double") / nWords
+      val fracSymbol = size(filter(tk,
+        t => t.contains("#") || t.contains("..."))).cast("double") / nWords
+      val fracAlpha = size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+      val fracBullet = size(filter(lines,
+        l => trim(l).startsWith("-") || trim(l).startsWith("*") ||
+          trim(l).startsWith("•"))).cast("double") / nLines
+      val fracEllipsis = size(filter(lines,
+        l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("double") / nLines
+      val nStop = size(array_intersect(transform(tk, t => lower(t)),
+        array(GopherStops.map(lit): _*)))
+      val stats = struct(
+        size(tk).cast("long").as("n_words"),
+        r4(coalesce(meanLen, lit(0.0))).as("mean_word_len"),
+        r4(coalesce(fracSymbol, lit(0.0))).as("frac_symbol"),
+        r4(coalesce(fracAlpha, lit(0.0))).as("frac_alpha"),
+        r4(coalesce(fracBullet, lit(0.0))).as("frac_bullet"),
+        r4(coalesce(fracEllipsis, lit(0.0))).as("frac_ellipsis"),
+        nStop.cast("long").as("n_stop"))
+      letBound(stats) { st =>
+        val flags = Seq(
+          (st("n_words") >= 50 && st("n_words") <= 100000).cast("int").as("r_words"),
+          (st("n_words") > 0 && st("mean_word_len") >= 3.0 &&
+            st("mean_word_len") <= 10.0).cast("int").as("r_mean_len"),
+          (st("n_words") > 0 && st("frac_symbol") <= 0.1).cast("int").as("r_symbol"),
+          (st("n_words") > 0 && st("frac_alpha") >= 0.8).cast("int").as("r_alpha"),
+          (st("frac_bullet") <= 0.9).cast("int").as("r_bullet"),
+          (st("frac_ellipsis") <= 0.3).cast("int").as("r_ellipsis"),
+          (st("n_stop") >= 2).cast("int").as("r_stop"))
+        val statFields = Seq("n_words", "mean_word_len", "frac_symbol",
+          "frac_alpha", "frac_bullet", "frac_ellipsis", "n_stop")
+        struct(
+          statFields.map(nm => st(nm).as(nm)) ++ flags :+
+            flags.map(f => f.cast("int")).reduce(_ * _).cast("int").as("gopher_pass"): _*)
+      }
+    }
+    val outNames = Seq("n_words", "mean_word_len", "frac_symbol", "frac_alpha",
+      "frac_bullet", "frac_ellipsis", "n_stop",
+      "r_words", "r_mean_len", "r_symbol", "r_alpha", "r_bullet", "r_ellipsis",
+      "r_stop", "gopher_pass")
+    outNames.foldLeft(df.withColumn("__gop", battery)) { (d, nm) =>
+      d.withColumn(nm, col("__gop").getField(nm))
+    }.drop("__gop")
   }
 
   /** Gopher repetition-removal rules (Rae et al. 2021, Appendix A1.2) —
