@@ -782,6 +782,24 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Mergeable two-level corpus profile ([[MergeProfile]]) — per
+    * (source, content-hash shard) algebraic statistics merged to the
+    * source grain, while the oracle computes each source's profile
+    * DIRECTLY from the documents: the hash match proves the
+    * distributed decomposition (profile per shard, merge without
+    * re-scan — how a 100 TB build monitors corpus quality) equals
+    * single-pass semantics, the q139 discipline applied to
+    * aggregation. Exact distinct merges only because shards key on
+    * the content hash itself; see [[MergeProfile]] for the contract. */
+  private val MergeShardCount = 16L
+  private val q146MergeableProfile: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"),
+        size(toksCol(col("text"))).cast("long").as("n_tokens"),
+        tokHash(col("text")).as("h"))
+    MergeProfile.profile(docs, MergeShardCount).orderBy(col("source"))
+  }
+
   /** Deterministic per-source token-budget sampling — the mixture-
     * construction step after filtering/dedup: each source contributes
     * documents in a stable hash order (the q86 sampling key, so the
@@ -2617,6 +2635,7 @@ object LlmQueries {
     "q143_window_ranks"   -> q143WindowRanks,
     "q144_source_overlap" -> q144SourceOverlap,
     "q145_version_diff"   -> q145VersionDiff,
+    "q146_mergeable_profile" -> q146MergeableProfile,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3169,6 +3188,24 @@ object LlmQueries {
          |       ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // q146: the oracle computes each source's profile in ONE direct
+    // pass — no shards — so the hash match proves the two-level
+    // shard-then-merge decomposition equals single-pass semantics.
+    // Same closed forms: mean = Σx/n, var = (n·Σx² − (Σx)²)/n², both
+    // from exact integer sums, one final double division, 4dp floor.
+    "q146_mergeable_profile" ->
+      s"""WITH t AS (SELECT source, len($duckToks)::BIGINT AS n,
+         |    ${duckTokHash("text")} AS h FROM documents)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         |  CAST(min(n) AS BIGINT) AS min_tokens,
+         |  CAST(max(n) AS BIGINT) AS max_tokens,
+         |  ${fpRound4Sql("CAST(sum(n) AS DOUBLE) / count(*)")} AS mean_tokens,
+         |  ${fpRound4Sql(
+           "CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) / (count(*) * count(*))")}
+         |    AS var_tokens
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

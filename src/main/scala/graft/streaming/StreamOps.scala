@@ -754,6 +754,44 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-source token-budget admission — the ingest twin of
+    * the batch q130 sampler: each source admits arriving documents into
+    * its mixture until the source's token budget is exhausted, then
+    * closes. Semantics are PREFIX-budget, exactly like q130: the
+    * running position advances over EVERY arriving doc (admitted or
+    * not), and a doc is admitted iff its own cumulative position still
+    * fits — so admission is stable under later arrivals (a doc's
+    * verdict never changes because something arrived after it) and the
+    * stream's admitted set equals the batch sampler's over the same
+    * order. Order within a trigger is doc_id (deterministic across
+    * retries); across triggers it is arrival, the streaming analogue
+    * of q130's hash order.
+    *
+    * Scale: state is ONE long per source (bounded by source
+    * cardinality, not corpus size), the per-trigger sort is per
+    * (source, trigger) micro-batch, and nothing shuffles except the
+    * groupByKey on the bounded source key. */
+  final case class BudgetDoc(source: String, docId: Long, nTokens: Long)
+  final case class BudgetPos(cum: Long)
+  final case class AdmittedDoc(source: String, docId: Long, nTokens: Long, cumTokens: Long)
+
+  def budgetGate(docs: Dataset[BudgetDoc], budgetPerSource: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetPos, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[BudgetDoc], state: GroupState[BudgetPos]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = Seq.newBuilder[AdmittedDoc]
+          batch.toSeq.sortBy(_.docId).foreach { d =>
+            cum += d.nTokens
+            if (cum <= budgetPerSource) out += AdmittedDoc(src, d.docId, d.nTokens, cum)
+          }
+          state.update(BudgetPos(cum))
+          out.result().iterator
+      }
+  }
+
   /** ST4: bounded-retry wrapper around a sink action. Retries transient
     * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
     * backoff + terminal give-up); returns the number of attempts used or

@@ -766,4 +766,46 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("after 2 attempts"))
   }
+
+  test("budgetGate admits per-source prefix budgets across triggers, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.BudgetDoc
+    val input = MemoryStream[BudgetDoc]
+    val gated = StreamOps.budgetGate(input.toDS(), budgetPerSource = 100L)
+    val q = gated.toDF("source", "doc_id", "n_tokens", "cum_tokens")
+      .writeStream.format("memory").queryName("budget_test")
+      .outputMode("append").start()
+    try {
+      input.addData(BudgetDoc("a", 1L, 40L), BudgetDoc("a", 2L, 40L),
+        BudgetDoc("b", 10L, 90L))
+      q.processAllAvailable()
+      // a position: 80; b position: 90 — all three admitted
+      input.addData(
+        BudgetDoc("a", 3L, 30L),  // position 110 > 100 — rejected
+        BudgetDoc("a", 4L, 15L),  // position 125 — ALSO rejected: prefix
+                                  // semantics advance the position over
+                                  // rejected docs (80+15 would fit, but
+                                  // best-fit would make verdicts depend
+                                  // on later arrivals)
+        BudgetDoc("b", 11L, 10L)) // position exactly 100 — admitted
+      q.processAllAvailable()
+      val got = spark.table("budget_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got === Set(("a", 1L, 40L), ("a", 2L, 80L), ("b", 10L, 90L), ("b", 11L, 100L)))
+
+      // batch parity: the q130-style prefix-budget window over the same
+      // docs in the same order admits exactly the same set
+      val allDocs = Seq(("a", 1L, 40L), ("a", 2L, 40L), ("b", 10L, 90L),
+        ("a", 3L, 30L), ("a", 4L, 15L), ("b", 11L, 10L))
+        .toDF("source", "doc_id", "n_tokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val batchAdmitted = allDocs
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 100L)
+        .select("source", "doc_id", "cum_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batchAdmitted === got, "stream admission diverged from the batch sampler")
+    } finally q.stop()
+  }
 }
