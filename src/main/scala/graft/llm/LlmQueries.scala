@@ -800,6 +800,36 @@ object LlmQueries {
     MergeProfile.profile(docs, MergeShardCount).orderBy(col("source"))
   }
 
+  /** Corpus vocabulary coverage export — the tokenizer-planning
+    * diagnostic (how much of the token stream do the top-K types
+    * cover? where does coverage flatten?) and the classic Zipf profile
+    * in one table: global token frequencies, rank under a total order
+    * (freq desc, token asc — deterministic across engines), and
+    * cumulative stream coverage per rank. Scale shape: the wordcount
+    * groupBy partial-aggregates map-side onto the vocabulary key space
+    * (bounded, ≪ corpus), the top-K is a bounded TakeOrdered (never a
+    * full global sort materialized), and the only window runs over the
+    * K retained rows — a K-row single partition is a constant, not a
+    * corpus-shaped serialization point (contrast q139's bucketed
+    * windows, which exist precisely because THAT window was
+    * corpus-sized). The stream total rides in as a one-row broadcast. */
+  private val VocabTopK = 100
+  private val q147VocabCoverage: Q = (s, dir) => {
+    val cnt = Tables.documents(s, dir)
+      .select(explode(toksCol(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+    val totalDf = cnt.agg(sum(col("freq")).as("tot"))
+    val w = Window.orderBy(col("freq").desc, col("t"))
+    cnt.orderBy(col("freq").desc, col("t")).limit(VocabTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(totalDf))
+      .select(col("rank"), col("t").as("token"), col("freq"),
+        fpRound4(col("cum").cast("double") / col("tot")).as("cum_coverage"))
+      .orderBy(col("rank"))
+  }
+
   /** Deterministic per-source token-budget sampling — the mixture-
     * construction step after filtering/dedup: each source contributes
     * documents in a stable hash order (the q86 sampling key, so the
@@ -2636,6 +2666,7 @@ object LlmQueries {
     "q144_source_overlap" -> q144SourceOverlap,
     "q145_version_diff"   -> q145VersionDiff,
     "q146_mergeable_profile" -> q146MergeableProfile,
+    "q147_vocab_coverage" -> q147VocabCoverage,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3206,6 +3237,22 @@ object LlmQueries {
            "CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) / (count(*) * count(*))")}
          |    AS var_tokens
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // q147: same total order (freq desc, token asc) on both engines,
+    // cumulative coverage from exact integer sums, one division, 4dp
+    // floor. The subquery total is the corpus token-stream size.
+    "q147_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest($duckToks) AS t FROM documents),
+         |cnt AS (SELECT t, count(*) AS freq FROM toks GROUP BY t),
+         |ranked AS (SELECT t, freq,
+         |    row_number() OVER (ORDER BY freq DESC, t) AS rank,
+         |    sum(freq) OVER (ORDER BY freq DESC, t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cnt)
+         |SELECT CAST(rank AS BIGINT) AS rank, t AS token,
+         |  CAST(freq AS BIGINT) AS freq,
+         |  ${fpRound4Sql(
+           "CAST(cum AS DOUBLE) / (SELECT sum(freq) FROM cnt)")} AS cum_coverage
+         |FROM ranked WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

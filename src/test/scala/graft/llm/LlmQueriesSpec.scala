@@ -443,4 +443,20 @@ class LlmQueriesSpec extends SparkSpec {
     // the quantizer actually uses the range: some vector hits ±127
     assert(out.filter(col("q_max_abs") === 127).count() > 0)
   }
+
+  test("vocab coverage: contiguous ranks, monotone coverage, full-vocab coverage = 1") {
+    val rows = LlmQueries.queries("q147_vocab_coverage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // ranks are 1..n contiguous in output order
+    assert(rows.map(_._1).toSeq === (1L to rows.length.toLong))
+    // frequencies non-increasing under the rank order
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
+    // cumulative coverage strictly increasing, bounded by 1
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 < b._3; case _ => true })
+    assert(rows.last._3 <= 1.0)
+    // the synthetic corpus vocabulary is smaller than K, so the last
+    // row covers the whole stream (coverage closes at exactly 1.0)
+    assert(rows.last._3 === 1.0)
+  }
 }
