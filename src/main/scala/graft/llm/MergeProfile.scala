@@ -67,4 +67,81 @@ object MergeProfile {
     * MergeProfileSpec pins and the q146 oracle hash-verifies. */
   def profile(docs: DataFrame, shards: Long): DataFrame =
     merge(shardProfiles(docs, shards))
+
+  // ------------------------------------------- persisted ingest artifact
+
+  /** The persisted profile keeps the CONTENT-HASH grain, not the shard
+    * grain: across micro-batches the same text can arrive again, so
+    * additive per-batch distinct counts would double-count it — the
+    * cross-batch failure mode of the in-plan shard profile, where
+    * disjointness holds only WITHIN one pass. A (source, shard, h) row
+    * per distinct arriving text (8-byte hash — hashes travel, never
+    * text, the q145 discipline) keeps every statistic exactly
+    * mergeable over any number of batches: counts and sums add at any
+    * grain, and distinct closes at read as count(DISTINCT h) within
+    * (source, shard) — still shard-parallel, still exact. Artifact
+    * size is O(distinct texts per batch), 3–4 orders below the corpus;
+    * at 10⁹ docs the hash rows are tens of GB against 100 TB of text. */
+  def hashGrainProfile(docs: DataFrame, shards: Long): DataFrame =
+    docs.groupBy(col("source"), pmod(col("h"), lit(shards)).as("shard"), col("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("s1"),
+        sum(col("n_tokens") * col("n_tokens")).as("s2"),
+        min(col("n_tokens")).as("mn"),
+        max(col("n_tokens")).as("mx"))
+
+  /** Append one micro-batch's hash-grain profile under
+    * `dir/batch=<id>`. Idempotent under replay: the profile is a
+    * deterministic function of the batch, so an overwrite of the same
+    * dir converges; an empty batch writes NOTHING (zero-row parquet
+    * dirs poison later schema inference) and clears any partial dir a
+    * crashed attempt left. The shard count is pinned in `dir/_meta` on
+    * first use and validated after — batches sharded under different
+    * moduli would break per-(source, shard) hash disjointness, turning
+    * the read-side distinct into a double count. Expects (`source`,
+    * `n_tokens`, `h`) rows (see [[hashGrainProfile]]). */
+  def appendBatch(batch: DataFrame, batchId: Long, dir: String, shards: Long): Unit = {
+    val spark = batch.sparkSession
+    val metaPath = java.nio.file.Paths.get(s"$dir/_meta")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val pinned = spark.read.parquet(s"$dir/_meta").head().getLong(0)
+      require(pinned == shards,
+        s"profile artifact at $dir is sharded mod $pinned; refusing to append mod $shards")
+    } else {
+      import spark.implicits._
+      Seq(shards).toDF("shards").coalesce(1).write.mode("overwrite").parquet(s"$dir/_meta")
+    }
+    val rows = hashGrainProfile(batch, shards)
+    val batchDir = s"$dir/batch=$batchId"
+    if (rows.isEmpty) {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(batchDir))
+      return
+    }
+    rows.coalesce(1).write.mode("overwrite").parquet(batchDir)
+  }
+
+  /** Merge every appended batch into the current corpus profile — one
+    * aggregation over the tiny hash-grain rows, never a re-scan of
+    * ingested text. Distinct is exact across batches because it closes
+    * HERE, over the union of hash rows, not by adding per-batch
+    * counts. */
+  def loadProfile(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val batchDirs =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq
+      finally listing.close()
+    require(batchDirs.nonEmpty, s"no profile batches at $dir")
+    val rows = spark.read.parquet(batchDirs.map(b => s"$dir/$b"): _*)
+    merge(rows.groupBy(col("source"), col("shard"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx")))
+  }
 }

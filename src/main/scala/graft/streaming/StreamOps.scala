@@ -754,6 +754,29 @@ object StreamOps {
       }
   }
 
+  /** Streaming corpus-profile maintenance — the ingest half of the
+    * q146 artifact ([[graft.llm.MergeProfile]]): every micro-batch
+    * appends its own hash-grain profile rows (tiny, 8-byte hashes —
+    * never text), and the corpus profile at any moment is ONE
+    * aggregation over those rows via `MergeProfile.loadProfile` —
+    * which is how a 100 TB ingest pipeline answers "what does the
+    * corpus look like now" at interactive cost instead of a re-scan.
+    * Expects (`source`, `text`) arrivals; replay-idempotent (the
+    * profile is a deterministic function of the batch); empty batches
+    * write nothing. */
+  def profileSink(docs: DataFrame, dir: String, checkpointDir: String,
+      shards: Long, textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.MergeProfile.appendBatch(
+          batch.select(col("source"),
+            size(graft.llm.TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+            graft.llm.TextOps.rollingHash(col(textCol)).as("h")),
+          batchId, dir, shards)
+      }
+      .start()
+
   /** Streaming per-source token-budget admission — the ingest twin of
     * the batch q130 sampler: each source admits arriving documents into
     * its mixture until the source's token budget is exhausted, then

@@ -60,4 +60,35 @@ class MergeProfileSpec extends SparkSpec {
     val remerged = rows(MergeProfile.merge(half2.unionByName(half1)))
     assert(remerged === rows(MergeProfile.profile(docs, 16L)))
   }
+
+  test("persisted artifact: cross-batch repeated hashes stay exact, replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("profile_art").toString
+    val b0 = Seq(("a", 10L, 101L), ("a", 20L, 102L), ("b", 5L, 201L))
+      .toDF("source", "n_tokens", "h")
+    // h=102 arrives AGAIN in batch 1 — additive per-batch distinct
+    // counts would say 4 distinct for source a; the truth is 3
+    val b1 = Seq(("a", 20L, 102L), ("a", 30L, 103L), ("b", 9L, 202L))
+      .toDF("source", "n_tokens", "h")
+    MergeProfile.appendBatch(b0, 0L, dir, 16L)
+    MergeProfile.appendBatch(b1, 1L, dir, 16L)
+    val merged = rows(MergeProfile.loadProfile(spark, dir))
+    val direct = rows(MergeProfile.profile(b0.unionByName(b1), 16L))
+    assert(merged === direct)
+    assert(direct.find(_._1 == "a").get._3 === 3L, "distinct must not double-count")
+
+    // replay of batch 1 converges to the same artifact
+    MergeProfile.appendBatch(b1, 1L, dir, 16L)
+    assert(rows(MergeProfile.loadProfile(spark, dir)) === direct)
+
+    // a different shard modulus is refused (would break disjointness)
+    val ex = intercept[IllegalArgumentException] {
+      MergeProfile.appendBatch(b1, 2L, dir, 8L)
+    }
+    assert(ex.getMessage.contains("sharded mod 16"))
+
+    // an empty batch writes nothing
+    MergeProfile.appendBatch(b0.filter(col("source") === "zzz"), 3L, dir, 16L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/batch=3")))
+    assert(rows(MergeProfile.loadProfile(spark, dir)) === direct)
+  }
 }

@@ -767,6 +767,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("after 2 attempts"))
   }
 
+  test("profileSink maintains the corpus profile across triggers without re-scan") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{MergeProfile, TextOps}
+    val dir = tmp("profile_sink")
+    val input = MemoryStream[(String, String)]
+    val q = StreamOps.profileSink(
+      input.toDF().toDF("source", "text"), dir, tmp("profile_ck"), shards = 16L)
+    try {
+      input.addData(("web", "alpha beta gamma"), ("web", "alpha beta"), ("books", "x y"))
+      q.processAllAvailable()
+      input.addData(("web", "alpha beta gamma"), ("books", "p q r s")) // exact repeat arrives
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = MergeProfile.loadProfile(spark, dir)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // direct profile over ALL five docs with the sink's own derivation
+    val all = Seq(("web", "alpha beta gamma"), ("web", "alpha beta"), ("books", "x y"),
+      ("web", "alpha beta gamma"), ("books", "p q r s"))
+      .toDF("source", "text")
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.rollingHash(col("text")).as("h"))
+    val direct = MergeProfile.profile(all, 16L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(merged.toSeq === direct.toSeq)
+    // the repeated web doc counts as a doc but NOT as a new distinct
+    val web = merged.find(_._1 == "web").get
+    assert(web._2 === 3L && web._3 === 2L)
+  }
+
   test("budgetGate admits per-source prefix budgets across triggers, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.BudgetDoc
