@@ -209,6 +209,28 @@ class PlanAuditSpec extends SparkSpec {
       s"q140 shuffled bounded cell/total frames through a sort-merge join:\n$p")
   }
 
+  test("q146: two-level profile is pure aggregation — no joins, two shuffles") {
+    val p = planOf("q146_mergeable_profile")
+    assert(!p.contains("Join"), s"q146 grew a join:\n$p")
+    // three hash shuffles is the honest floor: Spark expands
+    // count(DISTINCT h) into its own (…, h)-grain dedup stage, then
+    // the shard-level merge, then the source-level merge — each stage
+    // with map-side partial aggregation. More would mean the merge
+    // stopped being a reduction over the tiny shard-profile rows.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"q146 shuffles $shuffles times:\n$p")
+    assert(p.contains("partial_count(distinct h"),
+      s"q146 lost map-side partial aggregation on the distinct:\n$p")
+  }
+
+  test("q147: top-K vocab is a bounded TakeOrdered; the stream total joins as a one-row broadcast") {
+    val p = planOf("q147_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q147 materialized a full global sort instead of a bounded top-K:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q147 shuffled the one-row total through a sort-merge join:\n$p")
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
     // the 100 TB shape for metadata-only questions: with pushdown on,
     // the scan node carries PushedAggregation and reads NO data pages.
