@@ -1631,6 +1631,32 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster size distribution — the dedup-savings report a
+    * corpus build reads before committing to a fuzzy-dedup pass: how
+    * many documents sit in clusters of size k, and how many rows
+    * evaporate if each cluster keeps one canonical doc. Clusters are
+    * the q71/q141 connected components (singletons cluster with
+    * themselves); past the component computation the rollup is two
+    * hash-keyed aggregations whose output is bounded by the largest
+    * cluster size, and the removable mass closes in exact integer
+    * arithmetic — so the whole report, including the iterative CC
+    * underneath, hash-matches the recursive-CTE oracle. */
+  private val q148ClusterSizes: Q = (s, dir) => {
+    val pairs = q37NeardupMinhash(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        ((col("sz") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Robust per-source length profile — median + MAD (median absolute
     * deviation), the outlier-resistant location/spread pair a corpus
     * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
@@ -2667,6 +2693,7 @@ object LlmQueries {
     "q145_version_diff"   -> q145VersionDiff,
     "q146_mergeable_profile" -> q146MergeableProfile,
     "q147_vocab_coverage" -> q147VocabCoverage,
+    "q148_cluster_sizes"  -> q148ClusterSizes,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3253,6 +3280,26 @@ object LlmQueries {
          |  ${fpRound4Sql(
            "CAST(cum AS DOUBLE) / (SELECT sum(freq) FROM cnt)")} AS cum_coverage
          |FROM ranked WHERE rank <= $VocabTopK ORDER BY rank""".stripMargin,
+    // q148: q141's recursive components rolled up to the size grain —
+    // the iterative CC result is what's being hash-verified, again
+    "q148_cluster_sizes" ->
+      s"""WITH RECURSIVE $duckNeardupCTEs,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= $NearDupTheta),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM sym
+         |  UNION SELECT a, b FROM sym
+         |  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+         |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+         |cl AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |sizes AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY cluster)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+         |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

@@ -459,4 +459,20 @@ class LlmQueriesSpec extends SparkSpec {
     // row covers the whole stream (coverage closes at exactly 1.0)
     assert(rows.last._3 === 1.0)
   }
+
+  test("cluster sizes: mass accounting closes against the corpus and q141's clusters") {
+    val rows = LlmQueries.queries("q148_cluster_sizes")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = graft.Tables.documents(spark, sfDir).count()
+    // every doc is in exactly one cluster
+    assert(rows.map(_._3).sum === corpus)
+    // removable = docs minus one canonical per cluster, per size row
+    assert(rows.forall { case (_, nc, nd, nr) => nr === nd - nc })
+    // the same clusters q141 assigns: per-size doc mass must agree
+    val q141Sizes = LlmQueries.queries("q141_leakage_split")(spark, sfDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap === q141Sizes)
+  }
 }
