@@ -159,6 +159,42 @@ object LlmQueries {
   /** The rep_pass conjunction as a WHERE condition over `rep_stats`
     * columns — thresholds from the same [[TextOps]] maps the Spark
     * flags use, evaluated on the 4dp-rounded stats like the flags. */
+  /** Shared Gopher-A1.1 CTE chain for q127/q149: reads
+    * `srcRel(doc_id, text)` and ends in `gop(doc_id, <stats>, <flags>,
+    * gopher_pass)` — the relational recomputation of
+    * [[TextOps.gopherRules]], generated from the same thresholds. */
+  private def duckGopherCTEs(srcRel: String): String = {
+    val stops = TextOps.GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""gbase AS (
+       |  SELECT doc_id,
+       |    $duckToks AS tk,
+       |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+       |  FROM $srcRel
+       |), gstats AS (
+       |  SELECT doc_id,
+       |    len(tk) AS n_words,
+       |    ${fpRound4Sql("COALESCE(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE))) / len(tk), 0.0)")} AS mean_word_len,
+       |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(tk, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE) / len(tk), 0.0)")} AS frac_symbol,
+       |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(tk), 0.0)")} AS frac_alpha,
+       |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS DOUBLE) / len(lines), 0.0)")} AS frac_bullet,
+       |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(lines, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS DOUBLE) / len(lines), 0.0)")} AS frac_ellipsis,
+       |    len(list_intersect(list_transform(tk, t -> lower(t)), [$stops])) AS n_stop
+       |  FROM gbase
+       |), gop AS (
+       |  SELECT doc_id, n_words, mean_word_len, frac_symbol, frac_alpha, frac_bullet,
+       |    frac_ellipsis, n_stop,
+       |    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_words,
+       |    CAST(n_words > 0 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r_mean_len,
+       |    CAST(n_words > 0 AND frac_symbol <= 0.1 AS INT) AS r_symbol,
+       |    CAST(n_words > 0 AND frac_alpha >= 0.8 AS INT) AS r_alpha,
+       |    CAST(frac_bullet <= 0.9 AS INT) AS r_bullet,
+       |    CAST(frac_ellipsis <= 0.3 AS INT) AS r_ellipsis,
+       |    CAST(n_stop >= 2 AS INT) AS r_stop,
+       |    CAST(r_words * r_mean_len * r_symbol * r_alpha * r_bullet * r_ellipsis * r_stop AS INT) AS gopher_pass
+       |  FROM gstats
+       |)""".stripMargin
+  }
+
   private def duckRepPassCond: String =
     (Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20") ++
       TextOps.TopNgramMax.toSeq.sortBy(_._1).map { case (n, mx) => s"top_${n}gram_frac <= $mx" } ++
@@ -1657,6 +1693,42 @@ object LlmQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** Per-source gate funnel — the pipeline-yield report every corpus
+    * build publishes: of each source's documents, how many pass the
+    * Gopher quality battery (A1.1), the repetition battery (A1.2),
+    * both, and how many remain after exact dedup among the gate
+    * survivors (corpus-wide first-doc_id-wins on the content hash, so
+    * a duplicate pair straddling two sources is kept once, in the
+    * source that holds its canonical copy). Both flag batteries ride
+    * the shared nested-let definitions ([[TextOps.gopherRules]] /
+    * [[TextOps.repetitionRules]]) in ONE cached scan; the funnel
+    * closes in conditional sums plus a hash-partitioned dedup window —
+    * no global sort, no all-pairs, and the oracle recomputes the whole
+    * composition relationally, so the REPORT (not just each gate) is
+    * hash-verified. */
+  private val q149GateFunnel: Q = (s, dir) => {
+    val flags = TextOps.repetitionRules(
+        TextOps.gopherRules(Tables.documents(s, dir), "text"), "text")
+      .select(col("doc_id"), col("source"),
+        tokHash(col("text")).as("h"),
+        col("gopher_pass").cast("long").as("gp"),
+        col("rep_pass").cast("long").as("rp"))
+      .withColumn("both", col("gp") * col("rp"))
+      .cache() // 2 consumers (funnel sums + dedup window); runner clearCache scopes it
+    val uniq = flags.filter(col("both") === 1)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("gp")).as("n_gopher"),
+        sum(col("rp")).as("n_rep"), sum(col("both")).as("n_gate"))
+      .join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("n_gopher"), col("n_rep"),
+        col("n_gate"), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .orderBy(col("source"))
+  }
+
   /** Robust per-source length profile — median + MAD (median absolute
     * deviation), the outlier-resistant location/spread pair a corpus
     * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
@@ -2694,6 +2766,7 @@ object LlmQueries {
     "q146_mergeable_profile" -> q146MergeableProfile,
     "q147_vocab_coverage" -> q147VocabCoverage,
     "q148_cluster_sizes"  -> q148ClusterSizes,
+    "q149_gate_funnel"    -> q149GateFunnel,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3105,36 +3178,12 @@ object LlmQueries {
          |  $duckQuality AS quality,
          |  CASE WHEN $duckQuality < 0.55 THEN 1 ELSE 0 END AS low_quality
          |FROM (SELECT doc_id, $duckToks AS tk FROM documents) t""".stripMargin,
-    "q127_gopher_rules" -> {
-      val stops = TextOps.GopherStops.map(s => s"'$s'").mkString(", ")
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |    $duckToks AS tk,
-         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
-         |  FROM documents
-         |), stats AS (
-         |  SELECT doc_id,
-         |    len(tk) AS n_words,
-         |    ${fpRound4Sql("COALESCE(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE))) / len(tk), 0.0)")} AS mean_word_len,
-         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(tk, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE) / len(tk), 0.0)")} AS frac_symbol,
-         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(tk), 0.0)")} AS frac_alpha,
-         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS DOUBLE) / len(lines), 0.0)")} AS frac_bullet,
-         |    ${fpRound4Sql("COALESCE(CAST(len(list_filter(lines, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS DOUBLE) / len(lines), 0.0)")} AS frac_ellipsis,
-         |    len(list_intersect(list_transform(tk, t -> lower(t)), [$stops])) AS n_stop
-         |  FROM base
-         |)
+    "q127_gopher_rules" ->
+      s"""WITH ${duckGopherCTEs("documents")}
          |SELECT doc_id, n_words, mean_word_len, frac_symbol, frac_alpha, frac_bullet,
-         |  frac_ellipsis, n_stop,
-         |  CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_words,
-         |  CAST(n_words > 0 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r_mean_len,
-         |  CAST(n_words > 0 AND frac_symbol <= 0.1 AS INT) AS r_symbol,
-         |  CAST(n_words > 0 AND frac_alpha >= 0.8 AS INT) AS r_alpha,
-         |  CAST(frac_bullet <= 0.9 AS INT) AS r_bullet,
-         |  CAST(frac_ellipsis <= 0.3 AS INT) AS r_ellipsis,
-         |  CAST(n_stop >= 2 AS INT) AS r_stop,
-         |  CAST(r_words * r_mean_len * r_symbol * r_alpha * r_bullet * r_ellipsis * r_stop AS INT) AS gopher_pass
-         |FROM stats""".stripMargin
-    },
+         |  frac_ellipsis, n_stop, r_words, r_mean_len, r_symbol, r_alpha, r_bullet,
+         |  r_ellipsis, r_stop, gopher_pass
+         |FROM gop""".stripMargin,
     "q128_nfc_normalize" ->
       s"""SELECT doc_id, nfc_normalize(text) AS text_nfc,
          |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
@@ -3300,6 +3349,32 @@ object LlmQueries {
          |  CAST(sz * count(*) AS BIGINT) AS n_docs,
          |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
          |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
+    // q149: both shared battery CTE chains composed relationally, the
+    // same funnel sums, the same corpus-wide first-wins dedup window
+    "q149_gate_funnel" ->
+      s"""WITH ${duckGopherCTEs("documents")},
+         |${duckRepetitionCTEs("documents")},
+         |flags AS (
+         |  SELECT d.doc_id, d.source, ${duckTokHash("d.text")} AS h,
+         |    g.gopher_pass AS gp,
+         |    CASE WHEN $duckRepPassCond THEN 1 ELSE 0 END AS rp
+         |  FROM documents d
+         |  JOIN gop g ON g.doc_id = d.doc_id
+         |  JOIN rep_stats rs ON rs.doc_id = d.doc_id),
+         |surv AS (
+         |  SELECT source, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         |  FROM flags WHERE gp = 1 AND rp = 1),
+         |base AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(gp) AS BIGINT) AS n_gopher,
+         |    CAST(sum(rp) AS BIGINT) AS n_rep,
+         |    CAST(sum(gp * rp) AS BIGINT) AS n_gate
+         |  FROM flags GROUP BY source),
+         |uniq AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+         |  FROM surv WHERE rn = 1 GROUP BY source)
+         |SELECT b.source, n_total, n_gopher, n_rep, n_gate,
+         |  COALESCE(n_unique, 0) AS n_unique
+         |FROM base b LEFT JOIN uniq USING (source) ORDER BY b.source""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

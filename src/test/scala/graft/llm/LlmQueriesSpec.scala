@@ -475,4 +475,25 @@ class LlmQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.map(t => t._1 -> t._2).toMap === q141Sizes)
   }
+
+  test("gate funnel: monotone stages and agreement with the per-doc gate queries") {
+    val rows = LlmQueries.queries("q149_gate_funnel")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // funnel stages can only narrow
+    assert(rows.forall { case (_, total, gop, rep, gate, uniq) =>
+      gop <= total && rep <= total && gate <= math.min(gop, rep) && uniq <= gate
+    })
+    // totals agree with the per-doc gate queries' own pass counts
+    val gopherPassed = LlmQueries.queries("q127_gopher_rules")(spark, sfDir)
+      .filter(col("gopher_pass") === 1).count()
+    val repPassed = LlmQueries.queries("q131_repetition_rules")(spark, sfDir)
+      .filter(col("rep_pass") === 1).count()
+    assert(rows.map(_._3).sum === gopherPassed)
+    assert(rows.map(_._4).sum === repPassed)
+    // the corpus has enough structure that every stage binds somewhere
+    assert(rows.map(_._2).sum > rows.map(_._5).sum, "the composed gate never rejected anything")
+  }
 }
