@@ -1729,6 +1729,48 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** Embedding-space outlier pruning — the prototypicality filter of
+    * data-pruning pipelines (Sorscher et al. 2022, arXiv:2206.14486:
+    * drop the examples farthest from their class prototype): each
+    * vector's squared distance to its label centroid, ranked per
+    * label, with the farthest 10% (at least one) flagged pruned.
+    * EXACT cross-engine gate on float-embedding geometry via the
+    * q132/q133 fixed-point discipline: coordinates quantize to
+    * integer milli-units on read (float→double is exact, one shared
+    * half-up floor), the centroid is floor(Σ/n) of exact long sums,
+    * and every distance is then pure long arithmetic — no float
+    * aggregate whose summation ORDER could split the engines, which
+    * is what keeps an iterative-free geometry query hash-matchable.
+    * Scale: the dim explode is a ×64 scan projection; the centroid
+    * table is labels×dims rows broadcast back; per-vector distances
+    * hash-aggregate on vec_id; the per-label rank window is the one
+    * corpus-sized stage, and the 100 TB degrade path — a distance
+    * THRESHOLD from an approx_percentile sketch instead of an exact
+    * rank — is the q142 trade documented there. */
+  private val q150EmbedPrune: Q = (s, dir) => {
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .toDF("vec_id", "label", "dim", "v")
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v").cast("double") * 1000.0 + 0.5).cast("long").as("vm"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        floor(col("sv").cast("double") / col("n")).cast("long").as("cent"))
+    val d2 = dims.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("vm") - col("cent")) * (col("vm") - col("cent"))).as("sq"))
+      .groupBy(col("vec_id"), col("label")).agg(sum(col("sq")).as("d2"))
+    val wRank = Window.partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id"))
+    val wLab = Window.partitionBy(col("label"))
+    d2.withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("nl", count(lit(1)).over(wLab))
+      .select(col("vec_id"), col("label"), col("d2"),
+        (col("rk") <= greatest(lit(1L), col("nl") * 10L / lit(100L))).cast("int").as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Robust per-source length profile — median + MAD (median absolute
     * deviation), the outlier-resistant location/spread pair a corpus
     * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
@@ -2767,6 +2809,7 @@ object LlmQueries {
     "q147_vocab_coverage" -> q147VocabCoverage,
     "q148_cluster_sizes"  -> q148ClusterSizes,
     "q149_gate_funnel"    -> q149GateFunnel,
+    "q150_embed_prune"    -> q150EmbedPrune,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3375,6 +3418,30 @@ object LlmQueries {
          |SELECT b.source, n_total, n_gopher, n_rep, n_gate,
          |  COALESCE(n_unique, 0) AS n_unique
          |FROM base b LEFT JOIN uniq USING (source) ORDER BY b.source""".stripMargin,
+    // q150: identical milli-quantization, floor-centroid, and long
+    // distance arithmetic — dim indexes differ (0- vs 1-based) but are
+    // only join keys WITHIN each engine, so alignment is unaffected.
+    // The CAST AS DOUBLE before the multiply is load-bearing: DuckDB
+    // keeps FLOAT * 1000.0 in FLOAT (the literal demotes), which
+    // rounds half-milli values the double product resolves.
+    "q150_embed_prune" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS vm
+         |  FROM embeddings),
+         |cent AS (SELECT label, dim,
+         |    CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS cent
+         |  FROM dims GROUP BY label, dim),
+         |d2 AS (SELECT vec_id, d.label, sum((vm - cent) * (vm - cent)) AS d2
+         |  FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+         |  GROUP BY vec_id, d.label),
+         |rk AS (SELECT vec_id, label, d2,
+         |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk,
+         |    count(*) OVER (PARTITION BY label) AS nl
+         |  FROM d2)
+         |SELECT vec_id, label, CAST(d2 AS BIGINT) AS d2,
+         |  CAST(rk <= greatest(1, nl * 10 // 100) AS INT) AS pruned
+         |FROM rk ORDER BY vec_id""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

@@ -496,4 +496,22 @@ class LlmQueriesSpec extends SparkSpec {
     // the corpus has enough structure that every stage binds somewhere
     assert(rows.map(_._2).sum > rows.map(_._5).sum, "the composed gate never rejected anything")
   }
+
+  test("embed prune: exact 10% per label, pruned strictly dominate kept distances") {
+    val rows = LlmQueries.queries("q150_embed_prune")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val byLabel = rows.groupBy(_._2)
+    byLabel.foreach { case (label, vs) =>
+      val expected = math.max(1L, vs.length * 10L / 100L)
+      assert(vs.count(_._4 == 1).toLong === expected,
+        s"label $label pruned ${vs.count(_._4 == 1)} of ${vs.length}, expected $expected")
+      val prunedMin = vs.filter(_._4 == 1).map(_._3).min
+      val keptMax = if (vs.exists(_._4 == 0)) vs.filter(_._4 == 0).map(_._3).max else Long.MinValue
+      // ties broken by vec_id can place equal distances on both sides;
+      // distances themselves must never INVERT across the cut
+      assert(prunedMin >= keptMax,
+        s"label $label kept a vector farther than a pruned one")
+    }
+    assert(rows.forall(_._3 >= 0L))
+  }
 }
