@@ -1771,6 +1771,42 @@ object LlmQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Regex pretokenization — the BPE input-boundary contract (GPT-2
+    * lineage: merges never cross pretoken boundaries, so the
+    * pretokenizer DEFINES what the tokenizer can learn). The pattern
+    * is the classic letter-run / digit-run / punctuation-run split
+    * with the leading-space convention, restricted to the
+    * Java-regex∩RE2 dialect intersection (no lookahead — the original
+    * GPT-2 `\\s+(?!\\S)` tail needs it; the q134 discipline): the SAME
+    * pattern text drives both engines, and the oracle hash-compares
+    * the rolling hash of the ENTIRE joined pretoken sequence, so token
+    * BOUNDARIES are verified, not just counts. Fertility
+    * (pretokens per whitespace token) is the tokenizer-cost metric
+    * mixture planning reads. One zero-shuffle scan.
+    *
+    * The corpus is plain lowercase words, which would leave the digit
+    * and punctuation branches of the pattern untested — so the query
+    * APPENDS a deterministic doc_id-derived tail mixing attached
+    * digits, a decimal, punctuation runs, and an apostroph-ized word
+    * (the q134 synthetic-input discipline; both engines build the same
+    * augmented string from table data and must split it identically). */
+  private val PretokRe = raw" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+  private val q151Pretokenize: Q = (s, dir) => {
+    val aug = concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+      lit(".25 don't stop!! a1b2 --ok"))
+    val pt = regexp_extract_all(aug, lit(PretokRe), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pt.as("pt"), toksCol(aug).as("ws"))
+      .select(col("doc_id"),
+        size(col("pt")).cast("long").as("n_pretok"),
+        size(col("ws")).cast("long").as("n_ws"),
+        fpRound4(when(size(col("ws")) > 0,
+          size(col("pt")).cast("double") / size(col("ws"))).otherwise(lit(0.0)))
+          .as("fertility"),
+        tokHash(array_join(col("pt"), "|")).as("boundary_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust per-source length profile — median + MAD (median absolute
     * deviation), the outlier-resistant location/spread pair a corpus
     * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
@@ -2810,6 +2846,7 @@ object LlmQueries {
     "q148_cluster_sizes"  -> q148ClusterSizes,
     "q149_gate_funnel"    -> q149GateFunnel,
     "q150_embed_prune"    -> q150EmbedPrune,
+    "q151_pretokenize"    -> q151Pretokenize,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3442,6 +3479,27 @@ object LlmQueries {
          |SELECT vec_id, label, CAST(d2 AS BIGINT) AS d2,
          |  CAST(rk <= greatest(1, nl * 10 // 100) AS INT) AS pruned
          |FROM rk ORDER BY vec_id""".stripMargin,
+    // q151: same pattern text (dialect intersection), same join-and-
+    // hash over the whole pretoken sequence — boundary-exact compare
+    "q151_pretokenize" -> {
+      // DuckDB single-quoted strings keep backslashes literal — embed
+      // the shared pattern verbatim, no re-escaping
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' v' || CAST(doc_id AS VARCHAR) ||
+         |      '.25 don''t stop!! a1b2 --ok' AS text
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    regexp_extract_all(text, '$PretokRe') AS pt,
+         |    $duckToks AS ws
+         |  FROM a)
+         |SELECT doc_id,
+         |  CAST(len(pt) AS BIGINT) AS n_pretok,
+         |  CAST(len(ws) AS BIGINT) AS n_ws,
+         |  ${fpRound4Sql(
+           "CASE WHEN len(ws) > 0 THEN CAST(len(pt) AS DOUBLE) / len(ws) ELSE 0.0 END")} AS fertility,
+         |  ${duckTokHash("array_to_string(pt, '|')")} AS boundary_hash
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

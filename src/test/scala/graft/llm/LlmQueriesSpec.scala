@@ -514,4 +514,20 @@ class LlmQueriesSpec extends SparkSpec {
     }
     assert(rows.forall(_._3 >= 0L))
   }
+
+  test("pretokenize: hand-computed boundaries; fertility exceeds 1 under the mixed tail") {
+    import spark.implicits._
+    // the same dialect-intersection pattern the query embeds
+    val re = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    val got = Seq("v7.25 don't stop!! a1b2 --ok").toDF("text")
+      .select(regexp_extract_all(col("text"), lit(re), lit(0)))
+      .head().getSeq[String](0)
+    assert(got === Seq("v", "7", ".", "25", " don", "'", "t", " stop", "!!",
+      " a", "1", "b", "2", " --", "ok"))
+    // corpus-level: a pretoken never spans whitespace, so every doc has
+    // n_pretok >= n_ws; the appended tail guarantees strict excess
+    val rows = LlmQueries.queries("q151_pretokenize")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (np, nws, f) => np > nws && f > 1.0 })
+  }
 }

@@ -231,6 +231,29 @@ class PlanAuditSpec extends SparkSpec {
       s"q147 shuffled the one-row total through a sort-merge join:\n$p")
   }
 
+  test("q149: dedup window partitions by content hash; no all-pairs anywhere") {
+    val df = SparkEntry.queries("q149_gate_funnel")(spark, sfDir)
+    try {
+      val opt = df.queryExecution.optimizedPlan.toString
+      val winSpec = opt.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+      assert(winSpec.contains("h#") || winSpec.contains("h "),
+        s"q149 dedup window is not hash-partitioned:\n$winSpec")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"q149 cartesian product:\n$p")
+    } finally spark.catalog.clearCache() // q149 caches its flag scan
+  }
+
+  test("q150: centroid table joins back as broadcast; rank window partitions by label") {
+    val p = planOf("q150_embed_prune")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q150 shuffled the labels×dims centroid table instead of broadcasting:\n$p")
+    val opt = SparkEntry.queries("q150_embed_prune")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val winSpec = opt.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winSpec.contains("label"),
+      s"q150 rank window is not label-partitioned:\n$winSpec")
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
     // the 100 TB shape for metadata-only questions: with pushdown on,
     // the scan node carries PushedAggregation and reads NO data pages.
