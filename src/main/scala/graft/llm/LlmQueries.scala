@@ -1807,6 +1807,66 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * 2009) — the standard RAG retrieval pattern: a lexical ranking
+    * (the q96 BM25, over the indexed subset = docs holding an
+    * embedding) and a vector ranking (4dp cosine against a fixed
+    * query vector, the q38 discipline) each truncated at depth 50,
+    * fused by RRF score Σ 1/(60 + rank) — computed as
+    * floor(10⁶/(60+rank)): ranks are exact small ints under shared
+    * total orders (score desc, doc_id), so the fused score is pure
+    * integer arithmetic and the whole hybrid ranking hash-matches.
+    * Scale: BM25 stats fold to driver constants over one cached scan
+    * of the universe; both top-depth lists are bounded TakeOrdereds;
+    * the only windows run over the 50 retained rows; fusion is a
+    * 50×50 full outer join. */
+  private val RrfK = 60L
+  private val RrfDepth = 50
+  private val q152HybridRrf: Q = (s, dir) => {
+    val qTerms = Seq("join", "vector", "stream")
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("emb"))
+    val u = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .join(emb, Seq("doc_id"))
+      .select(col("doc_id") +: col("emb") +: size(col("tk")).cast("double").as("dl") +:
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).cast("double").as(s"tf$i") }: _*)
+      .cache() // 3 consumers (stats fold, lex ranking, vec ranking)
+    val stAggs = count(lit(1)).cast("double").as("n_docs") +:
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+      qTerms.indices.map(i =>
+        coalesce(sum(when(col(s"tf$i") > 0.0, 1L)), lit(0L)).cast("double").as(s"df$i"))
+    val st = u.agg(stAggs.head, stAggs.tail: _*).head()
+    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val contribs = qTerms.indices.map { i =>
+      val idf = (nDocs - st.getDouble(2 + i) + 0.5) / (st.getDouble(2 + i) + 0.5)
+      lit(idf) * (col(s"tf$i") * lit(2.2) / (col(s"tf$i") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+    }
+    val lexTop = u.filter(qTerms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0.0)
+      .select(col("doc_id"), fpRound4(contribs.reduce(_ + _)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("q_emb"))
+    val vecTop = u.crossJoin(broadcast(qv))
+      .select(col("doc_id"), round(cosine(col("emb"), col("q_emb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+    def rrfTerm(rank: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(RrfK.toDouble) + rank)).cast("long"), lit(0L))
+    lexTop.select(col("doc_id"), col("rank_lex"))
+      .join(vecTop.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrfTerm(col("rank_lex")) + rrfTerm(col("rank_vec")))
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
   /** Robust per-source length profile — median + MAD (median absolute
     * deviation), the outlier-resistant location/spread pair a corpus
     * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
@@ -2847,6 +2907,7 @@ object LlmQueries {
     "q149_gate_funnel"    -> q149GateFunnel,
     "q150_embed_prune"    -> q150EmbedPrune,
     "q151_pretokenize"    -> q151Pretokenize,
+    "q152_hybrid_rrf"     -> q152HybridRrf,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3500,6 +3561,44 @@ object LlmQueries {
          |  ${duckTokHash("array_to_string(pt, '|')")} AS boundary_hash
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // q152: the q96 BM25 chain over the indexed subset, the q38 cosine
+    // ranking, both truncated at depth 50, fused by integer-floored
+    // reciprocal ranks — the double division 10⁶/(60+rank) is the same
+    // IEEE operation on the same operands in both engines
+    "q152_hybrid_rrf" ->
+      s"""WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |u AS (SELECT d.doc_id, tk, len(tk)::DOUBLE AS dl, emb
+         |      FROM d JOIN e ON e.doc_id = d.doc_id),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*) AS avgdl FROM u),
+         |t AS (SELECT doc_id, dl, unnest(tk) AS tok FROM u),
+         |tf AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM t
+         |  WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+         |dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |c AS (SELECT doc_id, tok,
+         |    ((n_docs - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+         |  FROM tf JOIN dfx USING (tok) CROSS JOIN stats),
+         |p AS (SELECT doc_id,
+         |    coalesce(sum(CASE WHEN tok = 'join' THEN contrib END), 0.0) AS c0,
+         |    coalesce(sum(CASE WHEN tok = 'vector' THEN contrib END), 0.0) AS c1,
+         |    coalesce(sum(CASE WHEN tok = 'stream' THEN contrib END), 0.0) AS c2
+         |  FROM c GROUP BY doc_id),
+         |lex AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY floor((c0 + c1 + c2) * 10000.0 + 0.5) / 10000.0 DESC, doc_id) AS rank_lex
+         |  FROM p QUALIFY rank_lex <= $RrfDepth),
+         |qv AS (SELECT emb AS q_emb FROM e WHERE doc_id = 0),
+         |vec AS (SELECT u.doc_id, row_number() OVER (
+         |    ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, u.doc_id) AS rank_vec
+         |  FROM u CROSS JOIN qv QUALIFY rank_vec <= $RrfDepth),
+         |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(rank_lex, 0) AS rank_lex, COALESCE(rank_vec, 0) AS rank_vec,
+         |    COALESCE(CAST(floor(1000000.0 / ($RrfK + rank_lex)) AS BIGINT), 0) +
+         |      COALESCE(CAST(floor(1000000.0 / ($RrfK + rank_vec)) AS BIGINT), 0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
+         |  CAST(rank_vec AS BIGINT) AS rank_vec, CAST(rrf AS BIGINT) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->

@@ -530,4 +530,18 @@ class LlmQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.forall { case (np, nws, f) => np > nws && f > 1.0 })
   }
+
+  test("hybrid RRF: fused scores close from the ranks; both rankers contribute") {
+    val rows = LlmQueries.queries("q152_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    def term(r: Long) = if (r == 0L) 0L else 1000000L / (60L + r)
+    assert(rows.forall { case (_, rl, rv, rrf) => rrf === term(rl) + term(rv) })
+    // output is ordered by fused score
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 >= b._4; case _ => true })
+    // fusion is real: at least one doc is ranked by both lists, and the
+    // two rankers disagree somewhere (otherwise the fusion is vacuous)
+    assert(rows.exists { case (_, rl, rv, _) => rl > 0 && rv > 0 })
+    assert(rows.exists { case (_, rl, rv, _) => rl != rv })
+  }
 }
