@@ -1867,6 +1867,35 @@ object LlmQueries {
       .orderBy(col("rrf").desc, col("doc_id")).limit(20)
   }
 
+  /** Compression-ratio quality signal
+    * ([[graft.functions.DeflateRatio]]) — the Dolma/Gopher-lineage
+    * repetition proxy: one cheap scalar per document, no n-gram
+    * tables, highly repetitive text sinking far below prose. Zero
+    * shuffle; the per-thread-reused zlib stream keeps the scan
+    * allocation-flat at corpus scale. zlib has no relational twin, so
+    * the oracle is a GATE VECTOR (q65/q135 pattern) over invariants a
+    * correct implementation guarantees: every nonempty ratio is
+    * positive and respects zlib's worst-case size bound (stored blocks
+    * + stream wrapper: compressed ≤ raw·1.001 + 64 — the CONSTANT term
+    * matters: on this corpus's shortest docs the ~11-byte wrapper
+    * alone pushes the ratio past 1, so a pure ratio ceiling would
+    * misfire), doubling a text never raises its ratio (the second copy
+    * is one long back-reference), and the signal has real spread. */
+  private val q153CompressRatio: Q = (s, dir) => {
+    val r = call_function("deflate_ratio", col("text"))
+    val r2 = call_function("deflate_ratio", concat(col("text"), col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        r.as("ratio"), r2.as("ratio2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("len") > 0 && (col("ratio") <= 0.0 ||
+            col("ratio") * col("len") > col("len") * 1.001 + 64.0), 1L)
+          .otherwise(0L)).as("n_invalid"),
+        sum(when(col("ratio2") > col("ratio") + 1e-9, 1L).otherwise(0L)).as("n_double_worse"),
+        (min(col("ratio")) < max(col("ratio"))).cast("int").as("spread_gate"))
+  }
+
   /** Robust per-source length profile — median + MAD (median absolute
     * deviation), the outlier-resistant location/spread pair a corpus
     * dashboard wants where mean/σ (q31/q41 family) are skew-fragile:
@@ -2908,6 +2937,7 @@ object LlmQueries {
     "q150_embed_prune"    -> q150EmbedPrune,
     "q151_pretokenize"    -> q151Pretokenize,
     "q152_hybrid_rrf"     -> q152HybridRrf,
+    "q153_compress_ratio" -> q153CompressRatio,
     "q116_temp_mixture"   -> q116TemperatureMixture,
     "q117_chunk_overlap"  -> q117ChunkOverlap,
     "q120_rag_pipeline"   -> q120RagPipeline,
@@ -3599,6 +3629,13 @@ object LlmQueries {
          |SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
          |  CAST(rank_vec AS BIGINT) AS rank_vec, CAST(rrf AS BIGINT) AS rrf
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // q153: gate vector — zlib has no relational twin; the corpus-
+    // derived count keeps the row honest, the zeros pin the invariants
+    "q153_compress_ratio" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_invalid,
+        |  CAST(0 AS BIGINT) AS n_double_worse,
+        |  1 AS spread_gate""".stripMargin,
     // q141: q71's recursive components + the cluster-hash cut — the
     // oracle proves the SPLIT respects the clusters, not just the CC
     "q141_leakage_split" ->
