@@ -524,6 +524,74 @@ object ExtQueries {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** Floor-form half-up 4dp round (the LlmQueries fpRound4 discipline:
+    * integer-ratio outputs can land exactly on round()'s half-way
+    * points where Spark and DuckDB disagree; floor of identical
+    * doubles never does). */
+  private def fpRound4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Cohort retention matrix — the product-analytics classic: users
+    * grouped by first-seen week (ISO Monday truncation, identical in
+    * both engines), activity counted per week offset, retention as the
+    * share of the cohort still active. Scale shape: first-seen is a
+    * user-grain aggregate (one shuffle on user_id), the activity set
+    * dedups at (user, cohort, offset) grain — bounded by users × the
+    * time span, never by event volume — and the cohort-size join is
+    * |weeks| rows, broadcast-sized at any scale. Week offsets divide
+    * exactly (both sides are Monday-truncated dates, so the day diff
+    * is a multiple of 7). Activity = PURCHASE events (the paying-user
+    * retention cut): the synthetic event stream is dense enough that
+    * any-event retention is a flat 1.0 matrix, while purchases churn —
+    * the ratio arithmetic gets real values to disagree on. */
+  private val q154Retention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    val active = ev.join(firstSeen, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("first_d")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("d")).cast("date"),
+          date_trunc("week", col("first_d")).cast("date")) / 7).cast("long").as("week_offset"))
+      .distinct()
+    val cells = active.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      // timestamp output (q108 convention): a DATE column round-trips
+      // through parquet as date32, which the driver compare reads as
+      // python objects — the compare sees dtype, not just value
+      .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+        col("week_offset"), col("n_users"),
+        fpRound4(col("n_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Rolling active users — DAU and trailing-7-day AU per day with the
+    * DAU/WAU stickiness ratio. The exact form: the (user, day)
+    * activity set (event volume collapses at this grain first) range-
+    * joins a day spine that grows with the TIME SPAN, not the data —
+    * each activity row fans to at most 7 spine days, then distinct
+    * users count per day. At 100 TB the same plan holds while
+    * users × days fits; past that the degrade path is a per-day HLL
+    * sketch union (q64 family) — documented, not silently swapped. */
+  private val q155RollingActive: Q = (s, dir) => {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val spine = ud.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    spine.join(ud, datediff(col("day"), col("d")).between(0, 6))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("d") === col("day"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau7"))
+      .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau7"),
+        fpRound4(col("dau").cast("double") / col("wau7")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -564,6 +632,8 @@ object ExtQueries {
     "q107_jsonl_roundtrip" -> q107JsonlRoundtrip,
     "q108_gap_fill" -> q108GapFill,
     "q109_unpivot" -> q109Unpivot,
+    "q154_retention" -> q154Retention,
+    "q155_rolling_active" -> q155RollingActive,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -625,6 +695,40 @@ object ExtQueries {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
         |ORDER BY t.event_type, s.d""".stripMargin,
+    // q154: ISO Monday week truncation in both engines; offsets divide
+    // exactly (both sides Monday-truncated); 4dp floor on the ratio
+    "q154_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |    WHERE event_type = 'purchase'),
+        |fs AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id,
+        |    CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+        |    CAST(date_diff('day', CAST(date_trunc('week', first_d) AS DATE),
+        |      CAST(date_trunc('week', d) AS DATE)) // 7 AS BIGINT) AS week_offset
+        |  FROM ev e JOIN fs ON fs.user_id = e.user_id),
+        |cells AS (SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM act GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, n_users AS cohort_size FROM cells
+        |  WHERE week_offset = 0)
+        |SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week, c.week_offset, c.n_users,
+        |  floor((CAST(c.n_users AS DOUBLE) / cohort_size) * 10000.0 + 0.5) / 10000.0
+        |    AS retention
+        |FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
+    // q155: the same (user, day) grain, day spine from the observed
+    // span, trailing-7 range join, conditional distinct for DAU
+    "q155_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(d) FROM ud), (SELECT max(d) FROM ud),
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(count(DISTINCT CASE WHEN d = day THEN user_id END) AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau7,
+        |  floor((CAST(count(DISTINCT CASE WHEN d = day THEN user_id END) AS DOUBLE)
+        |    / count(DISTINCT user_id)) * 10000.0 + 0.5) / 10000.0 AS stickiness
+        |FROM spine JOIN ud ON date_diff('day', d, day) BETWEEN 0 AND 6
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q109_unpivot" ->
       """SELECT 'p_retailprice' AS metric, count(*) AS n,
         |  round(sum(p_retailprice), 2) AS sum_val FROM part

@@ -45,4 +45,23 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
       s"columns not pruned:\n$plan")
   }
+
+  test("q154 retention: offset-0 anchors at 1.0, later offsets bounded and churning") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.ExtQueries.queries("q154_retention")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.filter(_._2 == 0L).forall(_._4 === 1.0), "cohort week 0 must be 100%")
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    // purchases churn in this stream: some cell is below full retention
+    assert(rows.exists(_._4 < 1.0), "retention matrix is degenerate (all 1.0)")
+  }
+
+  test("q155 rolling active: trailing window dominates the day; spine covers the span") {
+    val rows = graft.queries.ExtQueries.queries("q155_rolling_active")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (_, dau, wau, s) => wau >= dau && dau >= 0 && s <= 1.0 })
+    // the 30-day synthetic stream has activity every day
+    assert(rows.length === 30, s"expected a 30-day spine, got ${rows.length}")
+  }
 }
