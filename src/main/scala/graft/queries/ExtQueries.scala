@@ -592,6 +592,41 @@ object ExtQueries {
       .orderBy(col("day"))
   }
 
+  /** RFM user segmentation — the marketing-analytics classic: per user,
+    * recency (days from last purchase to the stream's end), frequency
+    * (purchase count), monetary (2dp-rounded spend), each cut into
+    * quartiles under deterministic orders (metric, then user_id — ties
+    * must land identically in both engines), composed into the
+    * three-digit RFM segment code. The window input is USER-grain —
+    * event volume collapses in the first aggregate — but the ntile
+    * ranking is inherently global; the q142-style 100 TB degrade is
+    * quantile thresholds from approx_percentile instead of exact
+    * ntile. Recency quartile 1 = most recent (standard RFM polarity:
+    * higher digit = weaker), frequency/monetary quartile 1 = highest. */
+  private val q156Rfm: Q = (s, dir) => {
+    val maxD = Tables.events(s, dir)
+      .agg(max(to_date(col("ts"))).as("d1"))
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .select(col("user_id"),
+        datediff(col("d1"), col("last_d")).cast("long").as("r_days"),
+        col("freq"), col("monetary"))
+    perUser
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("r_days"), col("user_id"))).cast("long"))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+      .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy(col("user_id"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -634,6 +669,7 @@ object ExtQueries {
     "q109_unpivot" -> q109Unpivot,
     "q154_retention" -> q154Retention,
     "q155_rolling_active" -> q155RollingActive,
+    "q156_rfm" -> q156Rfm,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -729,6 +765,24 @@ object ExtQueries {
         |    / count(DISTINCT user_id)) * 10000.0 + 0.5) / 10000.0 AS stickiness
         |FROM spine JOIN ud ON date_diff('day', d, day) BETWEEN 0 AND 6
         |GROUP BY day ORDER BY day""".stripMargin,
+    // q156: same deterministic (metric, user_id) orders; monetary is
+    // 2dp-rounded BEFORE ranking so both engines rank the same values
+    "q156_rfm" ->
+      """WITH md AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+        |pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS freq, round(sum(value), 2) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |base AS (SELECT user_id,
+        |    CAST(date_diff('day', last_d, d1) AS BIGINT) AS r_days, freq, monetary
+        |  FROM pu CROSS JOIN md)
+        |SELECT user_id, r_days, freq, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_q,
+        |  CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q,
+        |  CAST(ntile(4) OVER (ORDER BY r_days, user_id) * 100 +
+        |    ntile(4) OVER (ORDER BY freq DESC, user_id) * 10 +
+        |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS rfm
+        |FROM base ORDER BY user_id""".stripMargin,
     "q109_unpivot" ->
       """SELECT 'p_retailprice' AS metric, count(*) AS n,
         |  round(sum(p_retailprice), 2) AS sum_val FROM part

@@ -64,4 +64,20 @@ class RelationalQueriesSpec extends SparkSpec {
     // the 30-day synthetic stream has activity every day
     assert(rows.length === 30, s"expected a 30-day spine, got ${rows.length}")
   }
+
+  test("q156 RFM: balanced quartiles, digit bounds, code composition") {
+    val rows = graft.queries.ExtQueries.queries("q156_rfm")(spark, sfDir)
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (r, f, m, code) =>
+      Seq(r, f, m).forall(q => q >= 1 && q <= 4) && code === r * 100 + f * 10 + m
+    })
+    // ntile balance: bucket sizes differ by at most one per dimension
+    for (dim <- 0 to 2) {
+      val sizes = rows.groupBy(t => dim match {
+        case 0 => t._1; case 1 => t._2; case _ => t._3
+      }).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"dimension $dim unbalanced: $sizes")
+    }
+  }
 }
