@@ -117,6 +117,24 @@ object MlQueries {
           .as("accuracy"))
   }
 
+  /** Calibration table (reliability diagram) — the standard companion
+    * to q46's AUC: discrimination says the model RANKS positives above
+    * negatives, calibration says the probabilities MEAN what they say
+    * (a 0.8 bucket should be ~80% positive), which is what the q91
+    * alert threshold P(fraud) > 0.8 actually assumes. Ten fixed score
+    * deciles (floor(score·10), top edge clamped), per-bin count, mean
+    * score, and positive fraction, plus each bin's |gap| — the ECE
+    * summands. One aggregation pass; the bin id is the identical
+    * double expression in both engines, so boundary floors agree. */
+  private val q157Calibration: Q = (s, dir) =>
+    scored(s, dir)
+      .groupBy(least(floor(col("score") * 10.0), lit(9.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        fpRound4(avg(col("score"))).as("mean_score"),
+        fpRound4(avg(col("label").cast("double"))).as("frac_pos"))
+      .withColumn("abs_gap", fpRound4(abs(col("mean_score") - col("frac_pos"))))
+      .orderBy(col("bin"))
+
   /** A9/W1/M11: full ROC sweep + trapezoid AUC. Pre-aggregates to one row
     * per distinct threshold BEFORE the cumulative window, so the window
     * processes |thresholds| (≤1000) rows however large lineitem is. */
@@ -488,6 +506,7 @@ object MlQueries {
     "q44_confusion"    -> q44Confusion,
     "q45_class_report" -> q45ClassReport,
     "q46_roc_auc"      -> q46RocAuc,
+    "q157_calibration" -> q157Calibration,
     "q61_auc_sketch"   -> q61AucSketch,
     "q47_shap_linear"  -> q47ShapLinear,
     "q48_shap_topk"    -> q48ShapTopk,
@@ -549,6 +568,18 @@ object MlQueries {
          |  tp + fn AS support_1, tn + fp AS support_0,
          |  ${fpRound4Sql("(tp + tn) / (tp + tn + fp + fn)")} AS accuracy
          |FROM c""".stripMargin,
+    // q157: the identical bin expression (same doubles → same floors),
+    // averages 4dp-floored on both sides
+    "q157_calibration" ->
+      s"""WITH s AS ($scoredSql)
+         |SELECT CAST(least(floor(score * 10.0), 9.0) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${fpRound4Sql("avg(score)")} AS mean_score,
+         |  ${fpRound4Sql("avg(CAST(label AS DOUBLE))")} AS frac_pos,
+         |  ${fpRound4Sql(
+           s"abs(${fpRound4Sql("avg(score)")} - ${fpRound4Sql("avg(CAST(label AS DOUBLE))")})")}
+         |    AS abs_gap
+         |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
     "q46_roc_auc" ->
       s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
          |    CAST(sum(1 - label) AS BIGINT) AS fp_at FROM ($scoredSql) s GROUP BY score),

@@ -80,4 +80,20 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"dimension $dim unbalanced: $sizes")
     }
   }
+
+  test("q157 calibration: bins partition the rows, means stay inside their bin") {
+    val rows = graft.ml.MlQueries.queries("q157_calibration")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val total = graft.Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._2).sum === total)
+    assert(rows.forall { case (bin, _, ms, fp, gap) =>
+      bin >= 0 && bin <= 9 &&
+        ms >= bin / 10.0 - 1e-4 && ms < (bin + 1) / 10.0 + 1e-4 &&
+        fp >= 0.0 && fp <= 1.0 &&
+        math.abs(gap - math.abs(ms - fp)) < 1e-3
+    })
+    // the deterministic score design separates classes: the top bin is
+    // all-positive (score ≥ 0.9 only reachable from the label-1 branch)
+    assert(rows.find(_._1 == 9L).forall(_._4 === 1.0))
+  }
 }
