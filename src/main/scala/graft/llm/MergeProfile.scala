@@ -103,8 +103,12 @@ object MergeProfile {
     * `n_tokens`, `h`) rows (see [[hashGrainProfile]]). */
   def appendBatch(batch: DataFrame, batchId: Long, dir: String, shards: Long): Unit = {
     val spark = batch.sparkSession
-    val metaPath = java.nio.file.Paths.get(s"$dir/_meta")
-    if (java.nio.file.Files.exists(metaPath)) {
+    // Hadoop FS, not java.nio: the artifact lives next to the corpus
+    // (HDFS/S3 in production), and the TieredParquet FS discipline
+    // keeps every artifact reachable through the same configuration
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
       val pinned = spark.read.parquet(s"$dir/_meta").head().getLong(0)
       require(pinned == shards,
         s"profile artifact at $dir is sharded mod $pinned; refusing to append mod $shards")
@@ -113,12 +117,12 @@ object MergeProfile {
       Seq(shards).toDF("shards").coalesce(1).write.mode("overwrite").parquet(s"$dir/_meta")
     }
     val rows = hashGrainProfile(batch, shards)
-    val batchDir = s"$dir/batch=$batchId"
+    val batchDir = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
     if (rows.isEmpty) {
-      graft.Fs.deleteRecursively(java.nio.file.Paths.get(batchDir))
+      fs.delete(batchDir, true)
       return
     }
-    rows.coalesce(1).write.mode("overwrite").parquet(batchDir)
+    rows.coalesce(1).write.mode("overwrite").parquet(batchDir.toString)
   }
 
   /** Merge every appended batch into the current corpus profile — one
@@ -127,14 +131,12 @@ object MergeProfile {
     * HERE, over the union of hash rows, not by adding per-batch
     * counts. */
   def loadProfile(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val batchDirs =
-      try listing.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("batch=")).toSeq
-      finally listing.close()
-    require(batchDirs.nonEmpty, s"no profile batches at $dir")
-    val rows = spark.read.parquet(batchDirs.map(b => s"$dir/$b"): _*)
+    // one read over the artifact root: Spark's partition discovery
+    // enumerates the batch=<id> dirs (the id becomes a pruned-away
+    // partition column) and skips `_meta` — underscore-prefixed paths
+    // are hidden by the FileIndex — so this works unchanged on any
+    // Hadoop-visible filesystem, no client-side listing
+    val rows = spark.read.parquet(dir).drop("batch")
     merge(rows.groupBy(col("source"), col("shard"))
       .agg(
         sum(col("n_docs")).as("n_docs"),
