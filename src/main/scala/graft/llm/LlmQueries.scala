@@ -1213,6 +1213,70 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Triangle counting + local clustering coefficient over the q138
+    * link graph — the other standard graph-shape signal corpus curation
+    * reads (clustering separates hub-spam link farms from organically
+    * interlinked clusters; triangles are also the kernel of community
+    * detection). The Spark side runs the DEGREE-ORDERED orientation
+    * (compact-forward, Latapy 2008 / Schank-Wagner node-iterator): rank
+    * every vertex by (degree, id), orient each undirected edge from the
+    * lower- to the higher-ranked endpoint, and close wedges
+    * lo→mid→hi with the lo→hi edge. That bounds the wedge join's
+    * per-vertex fan-out by the max ORIENTED out-degree (O(√m) on any
+    * graph) instead of the max raw degree — the difference between a
+    * plan that survives a power-law web graph and one whose hub vertex
+    * materializes a quadratic wedge set. The oracle enumerates the same
+    * triangles under the naive id-orientation; per-node triangle counts
+    * are orientation-invariant, so the hash match proves the
+    * degree-ordered decomposition computes the textbook spec (the q139
+    * discipline applied to graphs). Clustering = 2T/(d(d−1)) on the
+    * floor-form 4dp grid; degree-0/1 vertices pin 0. */
+  private val q161Triangles: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
+      .cache()
+    val n = docs.count()
+    val und = docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
+      .select(col("src"),
+        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .cache()
+    val oriented = und
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .cache()
+    val tris = oriented.toDF("x", "y")
+      .join(oriented.toDF("y", "z"), "y")
+      .join(oriented.toDF("x", "z"), Seq("x", "z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    docs
+      .join(deg.toDF("idx", "degree"), Seq("idx"), "left")
+      .join(perNode.toDF("idx", "n_tri"), Seq("idx"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          fpRound4(col("n_tri").cast("double") * 2.0 /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+        .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -1279,6 +1343,38 @@ object LlmQueries {
     * sources cells) + broadcast-sized joins — one corpus scan total. */
   private val PsiBins     = TextOps.PsiBins
   private val PsiBinWidth = TextOps.PsiBinWidth
+  /** Mutual-information / chi-square association matrix between two
+    * categorical columns (source × lang) — the feature-relevance /
+    * contingency-analysis primitive (feature selection's MI filter,
+    * the χ² independence test, and corpus-composition drift all read
+    * this table). ONE groupBy builds the contingency cells; marginals
+    * and the grand total ride window sums over the BOUNDED cell grid
+    * (|sources|·|langs| rows — never a second corpus scan), so the
+    * whole query is one shuffle at cell grain no matter the corpus
+    * size. Exactness: every input to the transcendental is an exact
+    * integer ratio widened to double (products widen BEFORE
+    * multiplying — n_x·n_y overflows a long at cluster-scale counts),
+    * terms land on the q132/q133 micro-nat fixed-point grid, so both
+    * engines hold identical longs; Σ mi_micro / 1e6 is the plug-in
+    * MI estimate in nats, Σ chi2_micro / 1e6 the χ² statistic. */
+  private val q162MutualInfo: Q = (s, dir) => {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_xy"))
+    val g = cells
+      .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy(col("source"))))
+      .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy(col("lang"))))
+      .withColumn("n", sum(col("n_xy")).over(Window.partitionBy()))
+    val nxyD = col("n_xy").cast("double")
+    val e = col("n_x").cast("double") * col("n_y").cast("double") / col("n").cast("double")
+    g.select(col("source"), col("lang"), col("n_xy"), col("n_x"), col("n_y"),
+        s6((nxyD / col("n").cast("double")) *
+          log((col("n").cast("double") * nxyD) /
+            (col("n_x").cast("double") * col("n_y").cast("double")))).as("mi_micro"),
+        s6((nxyD - e) * (nxyD - e) / e).as("chi2_micro"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   private val q140PsiDrift: Q = (s, dir) => {
     import s.implicits._
     val d = Tables.documents(s, dir)
@@ -2923,6 +3019,8 @@ object LlmQueries {
     "q136_ann_recall"     -> q136AnnRecall,
     "q137_curation_pipeline" -> q137CurationPipeline,
     "q138_pagerank"       -> q138PageRank,
+    "q161_triangles"      -> q161Triangles,
+    "q162_mutual_info"    -> q162MutualInfo,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3016,8 +3114,57 @@ object LlmQueries {
        |FROM r$PrIters JOIN docs USING (idx) ORDER BY doc_id""".stripMargin
   }
 
+  /** q161: the naive id-orientation spec (a<b) — per-node triangle
+    * counts are orientation-invariant, so matching this proves the
+    * Spark side's degree-ordered enumeration. */
+  private lazy val duckTrianglesSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM links WHERE src <> dst),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+       |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+       |        UNION ALL SELECT z FROM tri) GROUP BY v)
+       |SELECT doc_id, COALESCE(g.d, 0) AS degree, COALESCE(pn.t, 0) AS n_tri,
+       |  CASE WHEN COALESCE(g.d, 0) >= 2
+       |    THEN ${fpRound4Sql("COALESCE(pn.t, 0)::DOUBLE * 2.0 / (g.d * (g.d - 1))")}
+       |    ELSE 0.0 END AS clustering
+       |FROM docs LEFT JOIN deg g ON g.v = docs.idx LEFT JOIN pn ON pn.v = docs.idx
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q138_pagerank" -> duckPageRankSql,
+    "q161_triangles" -> duckTrianglesSql,
+    // q162: identical integer-ratio inputs to ln, micro-nat floors; the
+    // expected count widens factors to DOUBLE before multiplying
+    "q162_mutual_info" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, lang, n_xy,
+        |    CAST(sum(n_xy) OVER (PARTITION BY source) AS BIGINT) AS n_x,
+        |    CAST(sum(n_xy) OVER (PARTITION BY lang) AS BIGINT) AS n_y,
+        |    CAST(sum(n_xy) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT source, lang, n_xy, n_x, n_y,
+        |  CAST(floor((n_xy::DOUBLE / n::DOUBLE) *
+        |    ln((n::DOUBLE * n_xy::DOUBLE) / (n_x::DOUBLE * n_y::DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS mi_micro,
+        |  CAST(floor(((n_xy::DOUBLE - n_x::DOUBLE * n_y::DOUBLE / n::DOUBLE)
+        |    * (n_xy::DOUBLE - n_x::DOUBLE * n_y::DOUBLE / n::DOUBLE)
+        |    / (n_x::DOUBLE * n_y::DOUBLE / n::DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+        |FROM g ORDER BY source, lang""".stripMargin,
     // q139: the SEQUENTIAL spec — one global window — against which the
     // Spark side's two-level distributed prefix sum is hash-verified
     "q139_shard_assign" ->

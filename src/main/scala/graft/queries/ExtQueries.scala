@@ -627,6 +627,101 @@ object ExtQueries {
       .orderBy(col("user_id"))
   }
 
+  /** First-order Markov transition matrix over the event stream — the
+    * user-journey / clickstream-path analysis classic (the model behind
+    * sankey flow charts and next-action prediction baselines): for every
+    * consecutive event pair within a user's timeline, count
+    * (from_type → to_type) transitions and close each row's conditional
+    * probability P(to | from). Scale shape: ONE window shuffle keyed on
+    * user_id (the same grain sessionization already pays), then the
+    * transition matrix is |event_types|² rows — a bounded aggregate at
+    * any corpus size — so the per-from totals ride a window over the
+    * tiny matrix, never a second pass over events. Ordering inside a
+    * user is (ts, event_id): ts alone can tie, the id breaks the tie
+    * identically in both engines. */
+  private val q158MarkovTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val m = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("p", fpRound4(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Slowly-changing-dimension type-2 build — the warehouse-history
+    * classic: collapse an append-only change log (here each user's
+    * event_type sequence as the tracked attribute) into versioned
+    * validity intervals [valid_from, valid_to) with an is_current flag,
+    * keeping one row per RUN of equal consecutive values. Two windows,
+    * both keyed on user_id: lag() marks change points, lead() over the
+    * surviving change rows closes each interval with the next version's
+    * start. Per-entity sequential work only — the standard SCD2
+    * merge shape that holds at any entity count because no state ever
+    * crosses a user boundary. event_id rides along as the version row's
+    * surrogate key: valid_from timestamps can collide inside a user, the
+    * id makes both the lead() order and the output order deterministic. */
+  private val q159Scd2: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chg = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    chg.select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Declarative data-quality constraint suite — the Deequ architecture
+    * (Schelter et al. 2018, "Automating large-scale data quality
+    * verification"): a set of named constraints compiled into metric
+    * aggregates, evaluated BATCHED so one table pays ONE scan no matter
+    * how many checks it carries, reported as (check, metric, passed)
+    * rows. Here: completeness + accepted-values + range + key-uniqueness
+    * over lineitem (all four ride a single aggregation; uniqueness adds
+    * one countDistinct at composite-key grain — l_linenumber ≤ 7, so
+    * key*8+line is injective and the distinct is over longs, not
+    * structs), and referential integrity events.user_id ⊆
+    * customer.c_custkey as one left join against the key-grain dim (at
+    * production scale the dim side is the broadcast/bloom side — the
+    * q103 pattern). The quantity range check is deliberately tight
+    * enough to FAIL so the report's pass/fail logic is exercised, and
+    * the RI threshold rides the floored metric so both engines compare
+    * identical doubles. */
+  private val q160DqSuite: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("l_shipdate")).as("n_comment"),
+      countDistinct(col("l_orderkey") * 8 + col("l_linenumber")).as("n_key"),
+      sum(when(col("l_quantity") <= 30, 1L).otherwise(0L)).as("n_qty"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("n_flag"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey")).distinct()
+    val ri = Tables.events(s, dir).select(col("user_id"))
+      .join(cust, col("user_id") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("ri_n"), count(col("c_custkey")).as("ri_ok"))
+    def check(name: String, ok: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column, thr: Double) = {
+      val m = fpRound4(ok.cast("double") / n.cast("double"))
+      struct(lit(name).as("check_name"), n.as("n_checked"), ok.as("n_ok"),
+        m.as("metric"), (m >= thr).as("passed"))
+    }
+    li.crossJoin(ri)
+      .select(explode(array(
+        check("accepted_values(l_returnflag)", col("n_flag"), col("n"), 1.0),
+        check("completeness(l_shipdate)", col("n_comment"), col("n"), 1.0),
+        check("range(l_quantity<=30)", col("n_qty"), col("n"), 1.0),
+        check("referential(events.user_id)", col("ri_ok"), col("ri_n"), 0.5),
+        check("uniqueness(l_orderkey,l_linenumber)", col("n_key"), col("n"), 1.0)
+      )).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("check_name"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -691,6 +786,9 @@ object ExtQueries {
     "q56_generators"    -> q56Generators,
     "q88_attribution"   -> q88Attribution,
     "q89_event_props"   -> q89EventProps,
+    "q158_markov_transitions" -> q158MarkovTransitions,
+    "q159_scd2"         -> q159Scd2,
+    "q160_dq_suite"     -> q160DqSuite,
   )
 
   private val q98ZorderSql: String = {
@@ -964,5 +1062,61 @@ object ExtQueries {
         |  CAST(500 AS BIGINT) AS n_rand_in_range, CAST(500 AS BIGINT) AS n_ts_nonnull,
         |  1 AS time_sorted, 1 AS seed_deterministic, 1 AS fraud_ratio_plausible,
         |  CAST(0 AS BIGINT) AS n_nonpos_amount""".stripMargin,
+    // q158: same (ts, event_id) in-user order; the per-from total is a
+    // window over the bounded transition matrix, never a second event pass
+    "q158_markov_transitions" ->
+      """WITH pairs AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor((CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // q159: lag marks change points, lead over the surviving change rows
+    // closes the interval; event_id is the deterministic surrogate key
+    "q159_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, ts, event_type FROM e
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |    AS is_current
+        |FROM chg ORDER BY user_id, event_id""".stripMargin,
+    // q160: each table pays ONE scan for its whole constraint batch;
+    // passed compares the FLOORED metric so both engines see identical doubles
+    "q160_dq_suite" ->
+      """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(l_shipdate) AS BIGINT) AS n_comment,
+        |    CAST(count(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT) AS n_key,
+        |    CAST(sum(CASE WHEN l_quantity <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty,
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_flag
+        |  FROM lineitem),
+        |ri AS (SELECT CAST(count(*) AS BIGINT) AS ri_n,
+        |    CAST(count(c.c_custkey) AS BIGINT) AS ri_ok
+        |  FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON e.user_id = c.c_custkey),
+        |rep AS (
+        |  SELECT 'accepted_values(l_returnflag)' AS check_name, n AS n_checked,
+        |    n_flag AS n_ok, 1.0 AS thr FROM li
+        |  UNION ALL SELECT 'completeness(l_shipdate)', n, n_comment, 1.0 FROM li
+        |  UNION ALL SELECT 'range(l_quantity<=30)', n, n_qty, 1.0 FROM li
+        |  UNION ALL SELECT 'referential(events.user_id)', ri_n, ri_ok, 0.5 FROM ri
+        |  UNION ALL SELECT 'uniqueness(l_orderkey,l_linenumber)', n, n_key, 1.0
+        |    FROM li)
+        |SELECT check_name, n_checked, n_ok,
+        |  floor((CAST(n_ok AS DOUBLE) / CAST(n_checked AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS metric,
+        |  (floor((CAST(n_ok AS DOUBLE) / CAST(n_checked AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 >= thr) AS passed
+        |FROM rep ORDER BY check_name""".stripMargin,
   )
 }

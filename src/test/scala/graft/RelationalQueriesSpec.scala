@@ -96,4 +96,89 @@ class RelationalQueriesSpec extends SparkSpec {
     // all-positive (score ≥ 0.9 only reachable from the label-1 branch)
     assert(rows.find(_._1 == 9L).forall(_._4 === 1.0))
   }
+
+  test("q158 markov: rows close a stochastic matrix and account for every transition") {
+    val rows = graft.queries.ExtQueries.queries("q158_markov_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // conditional rows sum to 1 per from_type (4dp grid slack: one half-ulp per cell)
+    rows.groupBy(_._1).foreach { case (from, cells) =>
+      val p = cells.map(_._4).sum
+      assert(math.abs(p - 1.0) <= cells.length * 1e-4, s"P(·|$from) sums to $p")
+    }
+    // every consecutive pair is accounted: Σn = |events| − |users with ≥1 event|
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === expected)
+  }
+
+  test("q159 scd2: per-entity versions are contiguous, one current, no zero-length intervals") {
+    val rows = graft.queries.ExtQueries.queries("q159_scd2")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), if (r.isNullAt(4)) null else r.getTimestamp(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.count(_._6) === 1, s"user $user: expected exactly one current version")
+      assert(sorted.last._6 && sorted.last._5 == null, s"user $user: last version must be open")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"user $user: interval gap between versions ${a._2} and ${b._2}")
+          assert(a._4.compareTo(a._5) <= 0, s"user $user: negative interval")
+          assert(a._3 != b._3, s"user $user: consecutive versions share state — run not collapsed")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q160 dq suite: pass/fail logic is live and thresholds bind") {
+    val rows = graft.queries.ExtQueries.queries("q160_dq_suite")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length === 5)
+    val byName = rows.map(r => r._1 -> r).toMap
+    // metrics are fractions of checked rows and passed mirrors the metric
+    assert(rows.forall { case (_, n, ok, m, _) => ok <= n && m >= 0.0 && m <= 1.0 })
+    // the synthetic lineitem REALLY carries duplicate (orderkey, line)
+    // pairs — the uniqueness check catches a genuine defect, not a
+    // fixture artifact (4599 distinct of 6000 at sf0.001)
+    val uq = byName("uniqueness(l_orderkey,l_linenumber)")
+    assert(!uq._5 && uq._4 < 1.0, "uniqueness check should catch the duplicated keys")
+    assert(byName("completeness(l_shipdate)")._5)
+    assert(byName("accepted_values(l_returnflag)")._5)
+    // the quantity range check is deliberately tight enough to fail
+    val rq = byName("range(l_quantity<=30)")
+    assert(!rq._5 && rq._3 < rq._2, "range check should fail on real violations")
+  }
+
+  test("q161 triangles: 3-fold counting closes, clustering bounded, handshake parity") {
+    val rows = graft.llm.LlmQueries.queries("q161_triangles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every triangle contributes to exactly 3 nodes
+    assert(rows.map(_._3).sum % 3 === 0, "per-node triangle mass not divisible by 3")
+    assert(rows.map(_._3).sum > 0, "derived graph has no triangles — gate is vacuous")
+    // handshake lemma on the undirected edge set
+    assert(rows.map(_._2).sum % 2 === 0)
+    assert(rows.forall { case (_, d, t, c) =>
+      c >= 0.0 && c <= 1.0 && (d >= 2 || (t == 0 && c == 0.0)) &&
+        t <= d * (d - 1) / 2
+    })
+  }
+
+  test("q162 mutual info: marginals close, chi2 non-negative, plug-in MI non-negative") {
+    val rows = graft.llm.LlmQueries.queries("q162_mutual_info")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum === Tables.documents(spark, sfDir).count())
+    rows.groupBy(_._1).foreach { case (src, cells) =>
+      assert(cells.map(_._3).sum === cells.head._4, s"n_x marginal broken for $src")
+    }
+    rows.groupBy(_._2).foreach { case (lang, cells) =>
+      assert(cells.map(_._3).sum === cells.head._5, s"n_y marginal broken for $lang")
+    }
+    assert(rows.forall(_._7 >= 0L), "chi-square terms must be non-negative")
+    // plug-in MI ≥ 0 up to one half-ulp of the micro grid per cell
+    assert(rows.map(_._6).sum >= -rows.length)
+  }
 }

@@ -317,4 +317,31 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q158: one events scan — the per-from totals ride the bounded matrix") {
+    val p = planOf("q158_markov_transitions")
+    assert("events\\.parquet".r.findAllIn(p).size === 1,
+      s"q158 rescanned events for the marginals:\n$p")
+  }
+
+  test("q160: each table pays one scan for its whole constraint batch; RI dim is broadcast") {
+    val p = planOf("q160_dq_suite")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1,
+      s"q160 scanned lineitem more than once for the batched constraints:\n$p")
+    assert("events\\.parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q160 RI join shuffled events against the key-grain dim:\n$p")
+  }
+
+  test("q161: wedge enumeration is hash-keyed, never cartesian") {
+    val p = planOf("q161_triangles")
+    assert(!p.contains("CartesianProduct"), s"q161 degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q161 nested-loop join:\n$p")
+  }
+
+  test("q162: one documents scan; marginals are windows over the cell grid") {
+    val p = planOf("q162_mutual_info")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1,
+      s"q162 rescanned documents for marginals:\n$p")
+  }
 }
