@@ -1375,6 +1375,51 @@ object LlmQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** PMI collocation mining — the corpus-linguistics classic (Church &
+    * Hanks 1990): adjacent token pairs whose co-occurrence mass exceeds
+    * what their unigram frequencies predict under independence,
+    * PMI = ln(p(x,y) / (p(x)·p(y))), reported for every bigram above a
+    * support floor. The support gate ([[PmiMinCount]]) runs BEFORE the
+    * unigram joins — the standard sparsity cut that also kills PMI's
+    * low-count noise — so the join input is the heavy-bigram set, not
+    * the full bigram vocabulary. Scale shape: unigram and bigram counts
+    * are partial-aggregated groupBys at token grain; the two count
+    * joins key on the token (vocab-sized build sides); the corpus
+    * totals fold to one broadcast row. Exactness: all counts are exact
+    * longs, the PMI input is one identical double ratio, and the term
+    * lands on the micro-nat grid (q132/q133 discipline). */
+  private val PmiMinCount = 5L
+  private val q163PmiCollocations: Q = (s, dir) => {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    // the tokenized projection feeds three aggregates (unigram counts,
+    // bigram counts, bigram total) — cache it so the corpus pays ONE
+    // tokenization scan; at production scale this is the checkpointed
+    // tokens table every downstream pass reads
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .cache()
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(explode(bigramsCol(col("tk"))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    val nBi = toks.filter(size(col("tk")) >= 2)
+      .agg(sum(size(col("tk")) - 1).as("n_bi"))
+    val sp = bi
+      .withColumn("x", substring_index(col("g"), " ", 1))
+      .withColumn("y", substring_index(col("g"), " ", -1))
+    sp.join(uni.toDF("x", "c_x"), "x")
+      .join(uni.toDF("y", "c_y"), "y")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        s6(log((col("c_xy").cast("double") / col("n_bi").cast("double")) /
+          ((col("c_x").cast("double") / col("n_uni").cast("double")) *
+           (col("c_y").cast("double") / col("n_uni").cast("double"))))).as("pmi_micro"))
+      .orderBy(col("x"), col("y"))
+  }
+
   private val q140PsiDrift: Q = (s, dir) => {
     import s.implicits._
     val d = Tables.documents(s, dir)
@@ -3021,6 +3066,7 @@ object LlmQueries {
     "q138_pagerank"       -> q138PageRank,
     "q161_triangles"      -> q161Triangles,
     "q162_mutual_info"    -> q162MutualInfo,
+    "q163_pmi_collocations" -> q163PmiCollocations,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3165,6 +3211,26 @@ object LlmQueries {
         |    / (n_x::DOUBLE * n_y::DOUBLE / n::DOUBLE))
         |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
         |FROM g ORDER BY source, lang""".stripMargin,
+    // q163: support gate before the joins; ONE double ratio into ln on
+    // both sides, micro-nat floor
+    "q163_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+         |big AS (SELECT g, CAST(count(*) AS BIGINT) AS c_xy
+         |  FROM (SELECT unnest($duckBigrams) AS g FROM toks WHERE len(tk) >= 2)
+         |  GROUP BY g HAVING count(*) >= $PmiMinCount),
+         |nb AS (SELECT CAST(sum(len(tk) - 1) AS BIGINT) AS n_bi
+         |  FROM toks WHERE len(tk) >= 2),
+         |sp AS (SELECT c_xy, string_split(g, ' ')[1] AS x,
+         |    string_split(g, ' ')[2] AS y FROM big)
+         |SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+         |  CAST(floor(ln((c_xy::DOUBLE / n_bi::DOUBLE) /
+         |    ((ux.c::DOUBLE / n_uni::DOUBLE) * (uy.c::DOUBLE / n_uni::DOUBLE)))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+         |FROM sp JOIN uni ux ON ux.t = sp.x JOIN uni uy ON uy.t = sp.y, nu, nb
+         |ORDER BY x, y""".stripMargin,
     // q139: the SEQUENTIAL spec — one global window — against which the
     // Spark side's two-level distributed prefix sum is hash-verified
     "q139_shard_assign" ->

@@ -722,6 +722,105 @@ object ExtQueries {
       .orderBy(col("check_name"))
   }
 
+  /** Seasonality profile with independence residuals — the time-series
+    * EDA classic: activity counts on the day-of-week × hour-of-day
+    * grid, each cell scored by its Pearson residual (obs − exp)/√exp
+    * against the independence model exp = row·col/N — the same
+    * contingency machinery as q162 pointed at the time axes, which is
+    * how "traffic peaks Monday 9am beyond what Monday-ness and 9am-ness
+    * separately explain" is detected. One event-grain groupBy; the
+    * marginals ride windows over the bounded 7×24 grid. √ is
+    * IEEE-correctly-rounded (unlike ln, it's exact by spec in BOTH
+    * engines), inputs are exact integer ratios, so residuals land
+    * bit-identically on the micro grid. Spark's dayofweek is
+    * Sunday=1, DuckDB's Sunday=0 — the Spark side shifts by one. */
+  private val q164Seasonality: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val cells = Tables.events(s, dir)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+    val g = cells
+      .withColumn("n_dow", sum(col("n")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n_hr", sum(col("n")).over(Window.partitionBy(col("hr"))))
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+    val e = col("n_dow").cast("double") * col("n_hr").cast("double") / col("nt").cast("double")
+    g.select(col("dow"), col("hr"), col("n"), col("n_dow"), col("n_hr"),
+        s6((col("n").cast("double") - e) / sqrt(e)).as("resid_micro"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  /** A/B experiment readout — the two-proportion z-test over a
+    * deterministic hash split: every user lands in arm
+    * rolling_hash(user_id) mod 2 (stable, uniform, uncorrelated with
+    * the id sequence — the assignment discipline real experimentation
+    * platforms use), conversion = made ≥1 purchase, and the readout is
+    * conversion-rate per arm, uplift, and the pooled two-proportion
+    * z-statistic. Scale shape: events collapse to user grain in ONE
+    * aggregate (max-flag conversion), arms collapse to a 2-row frame,
+    * and the z arithmetic runs on driver-sized data. Exactness: counts
+    * are exact longs; √ is IEEE-exact; z and uplift land on the micro
+    * fixed-point grid so both engines hold identical longs. */
+  private val q165AbTest: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    // conversion = "ever made a single purchase over 250" — the dense
+    // synthetic stream has EVERY user purchasing, so plain did-purchase
+    // conversion is 100% in both arms, the pooled variance collapses to
+    // zero, and z is undefined; the big-ticket cut leaves ~8% converting
+    // at every SF. max() of doubles has no accumulation order, so the
+    // threshold compare is exact cross-engine.
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", col("value"))).as("mx"))
+      .select(pmod(graft.llm.TextOps.rollingHash(col("user_id").cast("string")), lit(2L)).as("arm"),
+        when(col("mx") > 250.0, 1L).otherwise(0L).as("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n0"),
+      sum(when(col("arm") === 0, col("c"))).as("c0"),
+      sum(when(col("arm") === 1, col("n"))).as("n1"),
+      sum(when(col("arm") === 1, col("c"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+    wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      fpRound4(p0).as("cr0"), fpRound4(p1).as("cr1"),
+      s6(p1 - p0).as("uplift_micro"), s6((p1 - p0) / se).as("z_micro"))
+  }
+
+  /** Exponentially-weighted moving average (α = 1/2) of per-user daily
+    * spend — the time-series smoothing primitive behind burn-rate
+    * monitors and spend forecasting, in EXACT integer arithmetic:
+    * daily totals land on the cent grid (2dp-round then scale — the
+    * only float op, already proven stable cross-engine by q156), and
+    * the recurrence s ← (s + x) div 2 runs in longs, so the
+    * inherently sequential fold is bit-identical in both engines (the
+    * q138 fixed-point-iteration discipline applied to a per-entity
+    * scan). Scale shape: events collapse to (user, day) grain first —
+    * the array each user folds is bounded by the CALENDAR SPAN, not
+    * event volume — and the fold itself is a codegen'd higher-order
+    * `aggregate`, no UDF. A floor-division EWMA cannot be re-windowed
+    * (the nonlinearity breaks the 1/2^k closed form), which is why the
+    * fold is per-entity sequential by design, exactly like production
+    * EWMA state in a keyed stream. */
+  private val q166Ewma: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) * 100.0 + 0.5).cast("long").as("cents"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_days"),
+        element_at(col("arr"), -1).getField("d").cast("timestamp").as("last_day"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].cents, " +
+          "(acc, x) -> (acc + x.cents) div 2)").as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -789,6 +888,9 @@ object ExtQueries {
     "q158_markov_transitions" -> q158MarkovTransitions,
     "q159_scd2"         -> q159Scd2,
     "q160_dq_suite"     -> q160DqSuite,
+    "q164_seasonality"  -> q164Seasonality,
+    "q165_ab_test"      -> q165AbTest,
+    "q166_ewma"         -> q166Ewma,
   )
 
   private val q98ZorderSql: String = {
@@ -1118,5 +1220,62 @@ object ExtQueries {
         |  (floor((CAST(n_ok AS DOUBLE) / CAST(n_checked AS DOUBLE)) * 10000.0 + 0.5)
         |    / 10000.0 >= thr) AS passed
         |FROM rep ORDER BY check_name""".stripMargin,
+    // q164: DuckDB dayofweek is already Sunday=0; sqrt is IEEE-exact
+    "q164_seasonality" ->
+      """WITH cells AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT dow, hr, n,
+        |    CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS n_dow,
+        |    CAST(sum(n) OVER (PARTITION BY hr) AS BIGINT) AS n_hr,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt
+        |  FROM cells)
+        |SELECT dow, hr, n, n_dow, n_hr,
+        |  CAST(floor((n::DOUBLE - n_dow::DOUBLE * n_hr::DOUBLE / nt::DOUBLE)
+        |    / sqrt(n_dow::DOUBLE * n_hr::DOUBLE / nt::DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS resid_micro
+        |FROM g ORDER BY dow, hr""".stripMargin,
+    // q165: the same rolling hash drives the arm split in both engines;
+    // counts are exact, sqrt IEEE-exact, z on the micro grid
+    "q165_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN value END) > 250.0
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |armed AS (SELECT
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(user_id AS VARCHAR), i, 1))::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 2 AS arm, conv
+        |  FROM pu),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM armed)
+        |SELECT n0, c0, n1, c1,
+        |  floor((c0::DOUBLE / n0::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cr0,
+        |  floor((c1::DOUBLE / n1::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cr1,
+        |  CAST(floor((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS uplift_micro,
+        |  CAST(floor((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE) /
+        |    sqrt(((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |      * (1.0 - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |      * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        |FROM w""".stripMargin,
+    // q166: identical integer recurrence — DuckDB's // and Spark's div
+    // agree on non-negative cents; list(ORDER BY d) == sort_array(struct)
+    "q166_ewma" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    max(d) AS last_d, list(cents ORDER BY d) AS xs
+        |  FROM daily GROUP BY user_id)
+        |SELECT user_id, n_days, CAST(last_d AS TIMESTAMP) AS last_day,
+        |  CAST(list_reduce(xs, (a, b) -> (a + b) // 2) AS BIGINT) AS ewma_cents
+        |FROM agg ORDER BY user_id""".stripMargin,
   )
 }

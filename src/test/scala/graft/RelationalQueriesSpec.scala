@@ -181,4 +181,71 @@ class RelationalQueriesSpec extends SparkSpec {
     // plug-in MI ≥ 0 up to one half-ulp of the micro grid per cell
     assert(rows.map(_._6).sum >= -rows.length)
   }
+
+  test("q163 pmi: support floor binds, pair mass bounded by unigram mass, real collocations") {
+    val rows = graft.llm.LlmQueries.queries("q163_pmi_collocations")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 5L), "support floor not applied")
+    assert(rows.forall { case (_, _, cxy, cx, cy, _) => cxy <= cx && cxy <= cy },
+      "a bigram occurred more often than one of its tokens")
+    // a corpus of real sentences has positively-associated pairs
+    assert(rows.exists(_._6 > 0L), "no positive PMI anywhere — matrix is degenerate")
+    assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
+  }
+
+  test("q164 seasonality: cells partition events, marginals close, residual sign matches") {
+    val rows = graft.queries.ExtQueries.queries("q164_seasonality")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum === total)
+    rows.groupBy(_._1).foreach { case (dow, cells) =>
+      assert(cells.map(_._3).sum === cells.head._4, s"dow $dow marginal broken")
+    }
+    rows.groupBy(_._2).foreach { case (hr, cells) =>
+      assert(cells.map(_._3).sum === cells.head._5, s"hour $hr marginal broken")
+    }
+    // residual sign agrees with observed-vs-expected (up to the micro grid)
+    assert(rows.forall { case (_, _, n, nd, nh, res) =>
+      val e = nd.toDouble * nh.toDouble / total.toDouble
+      (n > e && res >= 0) || (n < e && res <= 0) || n == e
+    })
+  }
+
+  test("q165 ab test: arms partition the users, z sign follows uplift") {
+    val r = graft.queries.ExtQueries.queries("q165_ab_test")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (n0, c0, n1, c1) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(n0 + n1 === users, "arms must partition the user set")
+    assert(n0 > 0 && n1 > 0, "hash split left an arm empty")
+    assert(c0 <= n0 && c1 <= n1)
+    val (cr0, cr1) = (row.getDouble(4), row.getDouble(5))
+    assert(cr0 >= 0.0 && cr0 <= 1.0 && cr1 >= 0.0 && cr1 <= 1.0)
+    val (uplift, z) = (row.getLong(6), row.getLong(7))
+    assert(uplift.signum * z.signum >= 0, "z and uplift disagree in sign")
+  }
+
+  test("q166 ewma: fold recomputes exactly from the daily series and stays in its hull") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q166_ewma")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) * 100.0 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
+    val byUser = daily.groupBy(_._1)
+    assert(out.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val xs = rows.sortBy(_._2.toLocalDate.toEpochDay).map(_._3)
+      val expected = xs.tail.foldLeft(xs.head)((acc, x) => (acc + x) / 2)
+      assert(out(u)._1 === xs.length.toLong, s"user $u n_days")
+      assert(out(u)._2 === expected, s"user $u ewma mismatch")
+      assert(out(u)._2 >= xs.min && out(u)._2 <= xs.max, s"user $u ewma left the hull")
+    }
+  }
 }

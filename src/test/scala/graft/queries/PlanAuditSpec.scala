@@ -344,4 +344,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("documents\\.parquet".r.findAllIn(p).size === 1,
       s"q162 rescanned documents for marginals:\n$p")
   }
+
+  test("q163: support gate filters the bigram aggregate BEFORE the unigram joins") {
+    val opt = SparkEntry.queries("q163_pmi_collocations")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the c_xy >= floor filter must sit below the join with unigram counts
+    val joinIdx = opt.indexOf("Join")
+    val filterIdx = opt.indexOf("c_xy", opt.indexOf("Filter", joinIdx))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"support gate did not stay below the count joins:\n$opt")
+    spark.catalog.clearCache()
+  }
+
+  test("q164/q165/q166: one events scan each — user/cell grain collapses first") {
+    for (q <- Seq("q164_seasonality", "q165_ab_test", "q166_ewma")) {
+      val p = planOf(q)
+      assert("events\\.parquet".r.findAllIn(p).size === 1,
+        s"$q scanned events more than once:\n$p")
+    }
+  }
 }
