@@ -821,6 +821,44 @@ object ExtQueries {
       .orderBy(col("user_id"))
   }
 
+  /** OLS trend fit per event type — the trend-detection primitive of
+    * revenue dashboards and alerting (is spend growing, how fast, and
+    * does a line explain it): slope, intercept, and r² of daily revenue
+    * against the day index, closed-form from the five classic sums
+    * (n, Σx, Σy, Σx², Σxy, Σy²) — ONE aggregation pass per series, the
+    * textbook single-pass regression. Exactness: daily totals land on
+    * the whole-dollar grid (nearest-dollar round of the stable 2dp sum)
+    * so every sum is an exact long, the closed-form ratios are single
+    * double divisions of identical integers, and the metrics land on
+    * the micro grid. Dollar grain (not cents) keeps Σy² far from long
+    * overflow; at revenue scales where Σy² outgrows a long the widen
+    * path is Spark DECIMAL(38) / DuckDB HUGEINT — documented, not
+    * silently lossy. Degenerate series (one day, or constant y) emit
+    * NULL via nullif instead of dividing by zero. */
+  private val q167TrendFit: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("y"))
+    val idx = daily
+      .withColumn("x", datediff(col("d"),
+        min(col("d")).over(Window.partitionBy(col("event_type")))).cast("long"))
+    val g = idx.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den  = nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), lit(0.0))
+    val deny = nullif((col("n") * col("syy") - col("sy") * col("sy")).cast("double"), lit(0.0))
+    val slope = num / den
+    g.select(col("event_type"), col("n"),
+        s6(slope).as("slope_micro"),
+        s6((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept_micro"),
+        s6(num * num / (den * deny)).as("r2_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -891,6 +929,7 @@ object ExtQueries {
     "q164_seasonality"  -> q164Seasonality,
     "q165_ab_test"      -> q165AbTest,
     "q166_ewma"         -> q166Ewma,
+    "q167_trend_fit"    -> q167TrendFit,
   )
 
   private val q98ZorderSql: String = {
@@ -1277,5 +1316,33 @@ object ExtQueries {
         |SELECT user_id, n_days, CAST(last_d AS TIMESTAMP) AS last_day,
         |  CAST(list_reduce(xs, (a, b) -> (a + b) // 2) AS BIGINT) AS ewma_cents
         |FROM agg ORDER BY user_id""".stripMargin,
+    // q167: the five classic sums as exact BIGINTs; each metric is one
+    // double ratio of identical integers, micro-floored; nullif guards
+    // the degenerate single-day / constant-y series on both sides
+    "q167_trend_fit" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, y,
+        |    CAST(date_diff('day', min(d) OVER (PARTITION BY event_type), d)
+        |      AS BIGINT) AS x
+        |  FROM daily),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM ix GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(floor((n * sxy - sx * sy)::DOUBLE /
+        |    nullif((n * sxx - sx * sx)::DOUBLE, 0.0) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS slope_micro,
+        |  CAST(floor((sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE /
+        |      nullif((n * sxx - sx * sx)::DOUBLE, 0.0) * sx::DOUBLE) / n::DOUBLE
+        |    * 1000000.0 + 0.5) AS BIGINT) AS intercept_micro,
+        |  CAST(floor((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE /
+        |    (nullif((n * sxx - sx * sx)::DOUBLE, 0.0) *
+        |     nullif((n * syy - sy * sy)::DOUBLE, 0.0))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
+        |FROM g ORDER BY event_type""".stripMargin,
   )
 }

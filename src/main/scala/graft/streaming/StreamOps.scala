@@ -531,6 +531,38 @@ object StreamOps {
       floor(terms.reduce(_ + _) * 1000000.0).cast("long").as("psi_micro"))
   }
 
+  /** Per-window declarative data-quality metrics — the streaming half
+    * of q160's Deequ-style suite (Schelter et al. 2018 run it exactly
+    * this way over Kinesis): every check is a row-level predicate; the
+    * WHOLE battery rides ONE windowed stateful aggregate as conditional
+    * sums (the [[psiDriftMonitor]] discipline — chained streaming
+    * aggregates are restricted, a bounded check list makes the long
+    * pivot a free post-aggregation projection). Output is one row per
+    * (window, check): n_rows, n_ok, and the 4dp metric — the same
+    * report shape the batch suite emits, so a completeness drop or a
+    * range violation shows up per window instead of per corpus. State
+    * is one row per window holding |checks|+1 longs — bounded by the
+    * watermark horizon, never by row volume. Checks are named by
+    * position internally (`ok_$i`) so display names stay free-form. */
+  def dqMonitor(rows: DataFrame, checks: Seq[(String, Column)], lateness: String,
+      windowLen: String = "10 minutes"): DataFrame = {
+    require(checks.nonEmpty, "dqMonitor needs at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"ok_$i")
+    }
+    val agg = rows.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), col(s"ok_$i").as("n_ok"))
+    }
+    agg.select(col("window.start").as("win_start"), col("n_rows"),
+        explode(array(entries: _*)).as("c"))
+      .select(col("win_start"), col("c.check_name"), col("n_rows"), col("c.n_ok"),
+        (floor(col("c.n_ok").cast("double") / col("n_rows").cast("double")
+          * 10000.0 + 0.5) / 10000.0).as("metric"))
+  }
+
   /** The gate over a prebuilt static side ([[dupGateIndex]] /
     * [[loadDupGateIndex]]). Candidate verification is the native
     * codegen'd `cosine_sim` kernel — one fused pass per candidate row;
@@ -811,6 +843,42 @@ object StreamOps {
             if (cum <= budgetPerSource) out += AdmittedDoc(src, d.docId, d.nTokens, cum)
           }
           state.update(BudgetPos(cum))
+          out.result().iterator
+      }
+  }
+
+  final case class DailySpend(userId: Long, day: Long, cents: Long)
+  final case class EwmaState(s: Long, lastDay: Long)
+  final case class EwmaPoint(userId: Long, day: Long, cents: Long, ewmaCents: Long)
+
+  /** Keyed EWMA state at ingest — q166's streaming twin: one
+    * (smoothed value, last day) pair of state per user, the α = 1/2
+    * integer recurrence s ← (s + x) div 2 applied day by day, so the
+    * stream's running smoothed spend is BIT-IDENTICAL to the batch
+    * fold over the same daily series (the [[budgetGate]] discipline:
+    * in-batch arrival order is not a contract, so each micro-batch
+    * sorts its group by day before folding; days at or before the
+    * already-folded frontier are dropped rather than silently
+    * reordered — a late daily rollup cannot rewrite a fold that
+    * downstream consumers already saw). State is two longs per user —
+    * bounded by the entity count, never event volume. */
+  def ewmaSpendState(daily: Dataset[DailySpend]): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.userId)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[DailySpend], state: GroupState[EwmaState]) =>
+          var cur = state.getOption.getOrElse(EwmaState(Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[EwmaPoint]
+          batch.toSeq.sortBy(_.day).foreach { d =>
+            if (d.day > cur.lastDay) {
+              val s = if (cur.lastDay == Long.MinValue) d.cents
+                      else (cur.s + d.cents) / 2
+              cur = EwmaState(s, d.day)
+              out += EwmaPoint(user, d.day, d.cents, s)
+            }
+          }
+          state.update(cur)
           out.result().iterator
       }
   }

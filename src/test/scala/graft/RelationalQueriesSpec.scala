@@ -248,4 +248,34 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(out(u)._2 >= xs.min && out(u)._2 <= xs.max, s"user $u ewma left the hull")
     }
   }
+
+  test("q167 trend fit: closed form recomputes exactly from the daily series") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q167_trend_fit")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val d0 = rows.map(_._2).min
+      val xy = rows.map(t => (t._2 - d0, t._3))
+      val n = xy.length.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val (sxx, sxy2, syy) = (xy.map(t => t._1 * t._1).sum,
+        xy.map(t => t._1 * t._2).sum, xy.map(t => t._2 * t._2).sum)
+      val num = (n * sxy2 - sx * sy).toDouble
+      val den = (n * sxx - sx * sx).toDouble
+      val slope = num / den
+      def s6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+      val (on, oSlope, oInt, oR2) = out(et)
+      assert(on === n, s"$et n")
+      assert(oSlope === s6(slope), s"$et slope")
+      assert(oInt === s6((sy.toDouble - slope * sx.toDouble) / n.toDouble), s"$et intercept")
+      assert(oR2 === s6(num * num / (den * (n * syy - sy * sy).toDouble)), s"$et r2")
+      assert(oR2 >= 0L && oR2 <= 1000001L, s"$et r2 out of [0,1]")
+    }
+  }
 }

@@ -357,7 +357,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q164/q165/q166: one events scan each — user/cell grain collapses first") {
-    for (q <- Seq("q164_seasonality", "q165_ab_test", "q166_ewma")) {
+    for (q <- Seq("q164_seasonality", "q165_ab_test", "q166_ewma", "q167_trend_fit")) {
       val p = planOf(q)
       assert("events\\.parquet".r.findAllIn(p).size === 1,
         s"$q scanned events more than once:\n$p")

@@ -751,6 +751,61 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("dq monitor: per-window constraint metrics match the hand-computed batch battery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val rows = input.toDF().toDF("ts", "event_type", "value")
+    val checks = Seq(
+      "value_nonneg" -> (col("value") >= 0.0),
+      "known_type" -> col("event_type").isin("view", "purchase"),
+      "value_under_100" -> (col("value") < 100.0))
+    val q = StreamOps.dqMonitor(rows, checks, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("dq_mon")
+      .outputMode("update").start()
+    try {
+      // window 10:00: exactly one violating row per check
+      input.addData((ts(1), "view", 5.0), (ts(2), "purchase", 150.0), (ts(3), "weird", -1.0))
+      // window 10:20: fully clean
+      input.addData((ts(21), "view", 1.0), (ts(22), "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("dq_mon").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(out.size === 6, s"expected 2 windows x 3 checks, got ${out.keySet}")
+      val (w1, w2) = (ts(0), ts(20))
+      for (c <- checks.map(_._1)) {
+        assert(out((w1, c)) === ((3L, 2L, 0.6667)), s"dirty window, $c: ${out((w1, c))}")
+        assert(out((w2, c)) === ((2L, 2L, 1.0)), s"clean window, $c: ${out((w2, c))}")
+      }
+    } finally q.stop()
+  }
+
+  test("keyed EWMA state: stream fold equals the batch recurrence; late days are refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.DailySpend]
+    val q = StreamOps.ewmaSpendState(input.toDS())
+      .writeStream.format("memory").queryName("ewma_state")
+      .outputMode("append").start()
+    try {
+      // trigger 1: user 7 gets days 2,1 OUT of order — the in-batch sort fixes it
+      input.addData(StreamOps.DailySpend(7L, 2L, 50L), StreamOps.DailySpend(7L, 1L, 100L))
+      q.processAllAvailable()
+      // trigger 2: day 3 advances the fold; a re-sent day 2 must be dropped,
+      // and user 8 starts fresh
+      input.addData(StreamOps.DailySpend(7L, 3L, 25L),
+        StreamOps.DailySpend(7L, 2L, 999L), StreamOps.DailySpend(8L, 1L, 40L))
+      q.processAllAvailable()
+      val out = spark.table("ewma_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      // batch recurrence over [100, 50, 25]: 100, (100+50)/2=75, (75+25)/2=50
+      assert(out === Map((7L, 1L) -> 100L, (7L, 2L) -> 75L, (7L, 3L) -> 50L,
+        (8L, 1L) -> 40L), s"stream fold diverged: $out")
+    } finally q.stop()
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
