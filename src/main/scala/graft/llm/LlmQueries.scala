@@ -1277,6 +1277,104 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-source BFS reachability over the q138 link graph — the
+    * frontier expansion behind crawl-depth analysis and seed-set
+    * coverage audits (how much of the corpus is within k hops of the
+    * trusted seeds — OpenWebText-style seed filtering reads exactly
+    * this). The Spark side runs the textbook distributed BFS: a cached
+    * visited set, and per round ONE hash-join frontier⋈edges + distinct
+    * + anti-join against visited — work proportional to the FRONTIER,
+    * never the graph, and the hop count (not the diameter estimate) is
+    * the fixed [[BfsHops]] bound, so the plan is a bounded chain of
+    * joins over materialized layers. The anti-join IS the min-hop
+    * guarantee: a node enters the visited set the first round it is
+    * seen. Iteration discipline (the Dedup.components pattern): each
+    * layer is cached and materialized by ONE count per round — a layer
+    * feeds BOTH the next frontier join and the visited anti-join, so
+    * left lazy the plan tree doubles per round (exponential analysis/
+    * codegen blowup — observed as a driver OOM at 6 hops); materialized,
+    * every downstream round reads bounded in-memory relations, and the
+    * count doubles as the empty-frontier early exit. The oracle restates
+    * the search as a recursive CTE whose UNION dedups (v, hop) states
+    * and takes min(hop) per node — matching hash proves the iterative
+    * frontier algorithm computes the declarative fixpoint spec. Output
+    * is the per-hop reachability profile (bounded rows) with an idx-sum
+    * checksum per layer. */
+  private val BfsHops = 6
+  private val q169BfsReach: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
+      .cache()
+    val n = docs.count()
+    val edges = docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
+      .select(col("src"),
+        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    val seeds = docs.filter(col("idx") % 97 === 0)
+      .select(col("idx").as("v"), lit(0L).as("hop")).cache()
+    seeds.count()
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
+    var visited = seeds.select(col("v"))
+    var frontier = seeds
+    var h = 1
+    var growing = true
+    while (h <= BfsHops && growing) {
+      val nxt = frontier.join(edges, frontier("v") === edges("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .select(col("v"), lit(h.toLong).as("hop"))
+        .cache()
+      if (nxt.count() == 0) { nxt.unpersist(); growing = false }
+      else {
+        layers += nxt
+        visited = visited.union(nxt.select(col("v")))
+        frontier = nxt
+      }
+      h += 1
+    }
+    layers.reduce(_ union _).groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("idx_checksum"))
+      .orderBy(col("hop"))
+  }
+
+  /** Inverted-index build — the IR-side artifact of a corpus pipeline
+    * (the structure behind q96's BM25 and q152's lexical leg, here
+    * materialized as the index itself): per token, document frequency,
+    * collection frequency, the top-scoring posting (max tf, doc_id
+    * tie-break — the head of an impact-ordered posting list), and the
+    * first five doc_ids of the id-ordered posting list serialized as
+    * the postings head. Scale shape: one explode + one (token, doc)
+    * aggregate (map-side combinable), then per-token windows over
+    * posting lists — partitioned by token like every sharded index
+    * build; the serialized head is a BOUNDED slice, never the full
+    * posting list as one array row. */
+  private val q174InvertedIndex: Q = (s, dir) => {
+    // cached at the collapsed (token, doc) grain — far smaller than the
+    // corpus — because it feeds both the impact head and the stats side
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toksCol(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val top = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("token"), col("doc_id").as("top_doc"), col("tf").as("top_tf"))
+    val st = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5),
+          x => x.cast("string"))).as("postings_head"))
+    st.join(top, "token")
+      .select(col("token"), col("df"), col("cf"), col("top_doc"), col("top_tf"),
+        col("postings_head"))
+      .orderBy(col("token"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3067,6 +3165,8 @@ object LlmQueries {
     "q161_triangles"      -> q161Triangles,
     "q162_mutual_info"    -> q162MutualInfo,
     "q163_pmi_collocations" -> q163PmiCollocations,
+    "q169_bfs_reach"      -> q169BfsReach,
+    "q174_inverted_index" -> q174InvertedIndex,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3189,9 +3289,52 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q169: the declarative fixpoint spec — the recursive CTE's UNION
+    * dedups (v, hop) states, min(hop) per node is the BFS distance. */
+  private lazy val duckBfsSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS (SELECT src, dst FROM links WHERE src <> dst),
+       |bfs(v, hop) AS (
+       |  SELECT idx, CAST(0 AS BIGINT) FROM docs WHERE idx % 97 = 0
+       |  UNION
+       |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.v
+       |  WHERE b.hop < $BfsHops),
+       |md AS (SELECT v, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY v)
+       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(v) AS BIGINT) AS idx_checksum
+       |FROM md GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
+    "q169_bfs_reach" -> duckBfsSql,
+    // q174: same (token, doc) grain; the top posting row_number uses the
+    // identical (tf DESC, doc_id) order; postings head is the same
+    // 5-element id-ordered slice serialized the same way
+    "q174_inverted_index" ->
+      s"""WITH tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT token, doc_id AS top_doc, tf AS top_tf,
+         |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id)
+         |      AS rn
+         |  FROM tf),
+         |st AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS cf,
+         |    array_to_string(list_transform(
+         |      list_slice(list(doc_id ORDER BY doc_id), 1, 5),
+         |      x -> CAST(x AS VARCHAR)), ',') AS postings_head
+         |  FROM tf GROUP BY token)
+         |SELECT st.token, df, cf, top_doc, top_tf, postings_head
+         |FROM st JOIN top ON top.token = st.token AND top.rn = 1
+         |ORDER BY st.token""".stripMargin,
     // q162: identical integer-ratio inputs to ln, micro-nat floors; the
     // expected count widens factors to DOUBLE before multiplying
     "q162_mutual_info" ->

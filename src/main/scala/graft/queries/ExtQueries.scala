@@ -859,6 +859,165 @@ object ExtQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Correlated scalar subquery — TPC-H Q17's shape (small-quantity
+    * revenue: lines whose quantity sits below half their part's average)
+    * expressed as SQL TEXT with the correlation left in, so Catalyst's
+    * decorrelation does the rewrite a hand plan would: the per-part
+    * average becomes ONE aggregate at p_partkey grain joined back to the
+    * fact — never the naive re-scan-per-row plan the SQL literally
+    * describes. That rewrite is the whole point at 100 TB: a correlated
+    * re-scan is O(rows²) I/O, the decorrelated join is two scans.
+    * Exactness: l_quantity is whole units stored as double, so the sum
+    * entering avg is exact and sum/count is one IEEE division — the
+    * half-average threshold compares identically in both engines. */
+  private val q168CorrelatedSubq: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM v_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  /** Market-basket association rules over order contents — the retail
+    * co-occurrence classic (Agrawal & Srikant 1994's support/confidence
+    * frame): which part brands are bought together beyond chance. Scale
+    * shape: lineitems collapse to DISTINCT (order, brand) first — the
+    * only pass over the fact — then the pair space is a self-join keyed
+    * on orderkey whose per-order fan-out is bounded by the BOUNDED brand
+    * vocabulary (≤|brands|² pairs per order, |brands|²/2 total rows in
+    * the aggregate). An item-grain variant (partkey baskets, unbounded
+    * vocabulary) must prune items below the support floor BEFORE the
+    * pair join — the floor here lands after only because brands are
+    * bounded. Confidence/support land on the 4dp floor grid; lift
+    * widens each factor to double BEFORE multiplying (q162's overflow
+    * discipline: n_ab·N exceeds a long at cluster row counts). */
+  private val q170AssocRules: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    // cached: the basket frame feeds the order total, the item counts,
+    // and BOTH sides of the pair join — uncached, the fact table would
+    // pay four scans (the q169 materialization discipline, batch form)
+    val ob = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .cache()
+    val nOrders = ob.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val items = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_item"))
+    val pairs = ob.toDF("ok", "brand_a")
+      .join(ob.toDF("ok", "brand_b"), "ok")
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("n_ab"))
+    val floorN = col("n_orders") / lit(100L) // support floor: 1% of baskets
+    pairs.crossJoin(broadcast(nOrders))
+      .filter(col("n_ab").cast("double") >= floorN.cast("double"))
+      .join(broadcast(items.toDF("brand_a", "n_a")), "brand_a")
+      .join(broadcast(items.toDF("brand_b", "n_b")), "brand_b")
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        fpRound4(col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),
+        fpRound4(col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_ab"),
+        fpRound4(col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_ba"),
+        s6(col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift_micro"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** Benford's-law first-digit audit — the forensic-accounting screen
+    * fraud analytics runs on monetary columns (Nigrini 2012): the first
+    * significant digit of naturally-occurring amounts follows
+    * P(d) = log₁₀(1 + 1/d); fabricated numbers don't. The digit comes
+    * from the DECIMAL STRING of the floored amount — both engines print
+    * a BIGINT identically, where a log10-based extraction would hang
+    * exactness on transcendental rounding at power-of-ten boundaries.
+    * The nine expected probabilities are fixed micro-integer LITERALS
+    * (they are universal constants, not data), so the only float work
+    * is the χ² term on exact integer inputs — identical cross-engine,
+    * micro-floored. One scan, 9-row output: scan-shaped at any SF. */
+  private val q171Benford: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    // floor(log10(1+1/d)·1e6 + 0.5), d = 1..9 — Benford's constants
+    val expMicro = array(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L).map(lit): _*)
+    val obs = Tables.lineitem(s, dir)
+      .filter(col("l_extendedprice") >= 1.0)
+      .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_total", sum(col("n_obs")).over(Window.partitionBy()))
+    val expP = element_at(expMicro, col("digit").cast("int")).cast("double") / 1e6
+    val e = col("n_total").cast("double") * expP
+    obs.select(col("digit"), col("n_obs"), col("n_total"),
+        fpRound4(col("n_obs").cast("double") / col("n_total").cast("double")).as("p_obs"),
+        element_at(expMicro, col("digit").cast("int")).as("p_exp_micro"),
+        s6((col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e)
+          .as("chi2_term_micro"))
+      .orderBy(col("digit"))
+  }
+
+  /** Correlated EXISTS / NOT EXISTS — TPC-H Q21's shape (the
+    * sole-at-fault supplier: orders this supplier returned where other
+    * suppliers participated but none of THEM returned), again as SQL
+    * text with both correlations left in. Catalyst rewrites EXISTS into
+    * a left-semi and NOT EXISTS into a left-anti join on l_orderkey with
+    * the supplier inequality as a residual condition — the two
+    * decorrelation shapes q168's scalar case doesn't cover, and both
+    * hash-join (never the per-row re-scan the text describes). */
+  private val q172ExistsSubq: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l1.l_suppkey AS suppkey,
+        |  CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_sole_fault
+        |FROM v_lineitem l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM v_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey
+        |ORDER BY n_sole_fault DESC, suppkey""".stripMargin)
+  }
+
+  /** CUSUM changepoint detection on daily revenue per event type — the
+    * sequential drift alarm (Page 1954) behind spend-anomaly monitors:
+    * S_i = max(0, S_{i-1} + (y_i − target)) accumulates sustained
+    * upward excursions and alarms when it crosses h. The recurrence
+    * looks sequential, but has the exact closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) over prefix sums P of the
+    * deviations — so the whole detector is TWO ordered windows per
+    * series (cumsum + running min), no fold, no state, and it
+    * parallelizes per-series like any window at 100 TB. Daily totals
+    * land on q167's whole-dollar long grid; target = mean daily revenue
+    * (integer div) and h = target, so everything through the alarm flag
+    * is exact integer arithmetic in both engines. */
+  private val q173Cusum: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("y"))
+    val byType = Window.partitionBy(col("event_type"))
+    val pre = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("target", expr("sum(y) over (partition by event_type) div " +
+        "count(*) over (partition by event_type)"))
+      .withColumn("p", sum(col("y") - col("target")).over(pre))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(pre)))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("target")).as("target"),
+        max(col("s")).as("max_cusum"),
+        sum(when(col("s") > col("target"), 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(col("s") > col("target"), col("d"))).cast("timestamp").as("first_alarm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -930,6 +1089,11 @@ object ExtQueries {
     "q165_ab_test"      -> q165AbTest,
     "q166_ewma"         -> q166Ewma,
     "q167_trend_fit"    -> q167TrendFit,
+    "q168_correlated_subq" -> q168CorrelatedSubq,
+    "q170_assoc_rules"  -> q170AssocRules,
+    "q171_benford"      -> q171Benford,
+    "q172_exists_subq"  -> q172ExistsSubq,
+    "q173_cusum"        -> q173Cusum,
   )
 
   private val q98ZorderSql: String = {
@@ -1344,5 +1508,109 @@ object ExtQueries {
         |     nullif((n * syy - sy * sy)::DOUBLE, 0.0))
         |    * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
         |FROM g ORDER BY event_type""".stripMargin,
+    // q168: identical correlated text — DuckDB decorrelates it the same
+    // way; quantity sums are exact integral doubles so the half-average
+    // threshold compares identically
+    "q168_correlated_subq" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    // q170: same distinct-basket grain, same 1%-of-baskets support
+    // floor, lift factors widened to DOUBLE before multiplying
+    "q170_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+        |items AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM ob GROUP BY p_brand),
+        |pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ob a JOIN ob b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  floor((n_ab::DOUBLE / n_orders::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS support,
+        |  floor((n_ab::DOUBLE / ia.n_item::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS conf_ab,
+        |  floor((n_ab::DOUBLE / ib.n_item::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS conf_ba,
+        |  CAST(floor(n_ab::DOUBLE * n_orders::DOUBLE /
+        |    (ia.n_item::DOUBLE * ib.n_item::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS lift_micro
+        |FROM pairs CROSS JOIN nn
+        |JOIN items ia ON ia.p_brand = brand_a
+        |JOIN items ib ON ib.p_brand = brand_b
+        |WHERE n_ab::DOUBLE >= n_orders::DOUBLE / 100.0
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    // q171: first digit from the BIGINT's decimal string (both engines
+    // print longs identically); expected probs are the same micro literals
+    "q171_benford" ->
+      """WITH obs AS (SELECT
+        |    CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM lineitem WHERE l_extendedprice >= 1.0 GROUP BY 1),
+        |w AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
+        |  FROM obs),
+        |exps(d, pm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757))
+        |SELECT digit, n_obs, n_total,
+        |  floor((n_obs::DOUBLE / n_total::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS p_obs,
+        |  CAST(pm AS BIGINT) AS p_exp_micro,
+        |  CAST(floor((n_obs::DOUBLE - n_total::DOUBLE * pm / 1000000.0)
+        |    * (n_obs::DOUBLE - n_total::DOUBLE * pm / 1000000.0)
+        |    / (n_total::DOUBLE * pm / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS chi2_term_micro
+        |FROM w JOIN exps ON d = digit ORDER BY digit""".stripMargin,
+    // q172: identical EXISTS/NOT EXISTS text — both engines decorrelate
+    // to semi/anti joins on l_orderkey
+    "q172_exists_subq" ->
+      """SELECT l1.l_suppkey AS suppkey,
+        |  CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_sole_fault
+        |FROM lineitem l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey
+        |ORDER BY n_sole_fault DESC, suppkey""".stripMargin,
+    // q173: same closed form S_i = P_i - min(0, running min P); all
+    // integer arithmetic (// == div on the non-negative target)
+    "q173_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, d, y,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) //
+        |      count(*) OVER (PARTITION BY event_type) AS BIGINT) AS target
+        |  FROM daily),
+        |p AS (SELECT event_type, d, target,
+        |    CAST(sum(y - target) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pv
+        |  FROM t),
+        |s AS (SELECT event_type, d, target,
+        |    pv - least(0, min(pv) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING)) AS sv
+        |  FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(target) AS BIGINT) AS target,
+        |  CAST(max(sv) AS BIGINT) AS max_cusum,
+        |  CAST(sum(CASE WHEN sv > target THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days,
+        |  CAST(min(CASE WHEN sv > target THEN d END) AS TIMESTAMP)
+        |    AS first_alarm
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

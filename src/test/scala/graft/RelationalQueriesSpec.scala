@@ -278,4 +278,147 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(oR2 >= 0L && oR2 <= 1000001L, s"$et r2 out of [0,1]")
     }
   }
+
+  test("q168 correlated subquery: matches an explicit aggregate-join rewrite") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q168_correlated_subq")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+    val thr = li.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    val exp = li.join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .join(thr, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === exp, "decorrelated result diverged from the manual rewrite")
+  }
+
+  test("q169 BFS: layers equal a driver-side reference search over the same graph") {
+    val out = graft.llm.LlmQueries.queries("q169_bfs_reach")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val n = Tables.documents(spark, sfDir).count()
+    def rh(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val adj = (0L until n).map(i =>
+      i -> (1 to 3).map(j => rh(s"$i#$j") % n).filter(_ != i).distinct).toMap
+    val dist = scala.collection.mutable.Map[Long, Long](
+      (0L until n).filter(_ % 97 == 0).map(_ -> 0L): _*)
+    var frontier = dist.keys.toSet
+    for (h <- 1 to 6) {
+      val nxt = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      nxt.foreach(v => dist(v) = h.toLong)
+      frontier = nxt
+    }
+    val exp = dist.toSeq.groupBy(_._2).toSeq
+      .map { case (h, vs) => (h, vs.size.toLong, vs.map(_._1).sum) }
+      .sortBy(_._1)
+    assert(out === exp, "distributed BFS diverged from the sequential reference")
+    assert(out.head._1 === 0L && out.length >= 2, "search never left the seed layer")
+  }
+
+  test("q170 association rules: count consistency, support floor, lift recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.ExtQueries.queries("q170_assoc_rules")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getLong(8)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val nOrders = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct().count()
+    rows.foreach { case (a, b, nab, na, nb, supp, cab, cba, lift) =>
+      assert(a < b, "pair not canonically ordered")
+      assert(nab <= math.min(na, nb), s"($a,$b): pair count exceeds item count")
+      assert(nab.toDouble >= nOrders / 100.0, s"($a,$b): support floor violated")
+      def f4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(supp === f4(nab.toDouble / nOrders), s"($a,$b) support")
+      assert(cab === f4(nab.toDouble / na) && cba === f4(nab.toDouble / nb), s"($a,$b) conf")
+      assert(lift === math.floor(nab.toDouble * nOrders / (na.toDouble * nb) * 1e6 + 0.5).toLong,
+        s"($a,$b) lift")
+    }
+  }
+
+  test("q171 Benford: digits partition the rows and the expected law sums to one") {
+    val rows = graft.queries.ExtQueries.queries("q171_benford")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (1L to 9L), "all nine leading digits must appear")
+    assert(rows.map(_._2).sum === rows.head._3, "digit counts must partition the total")
+    // the nine micro literals are an exact partition of probability 1
+    assert(rows.map(_._5).sum === 1000000L, "Benford constants drifted")
+    rows.foreach { case (d, nObs, nTot, _, pExp, term) =>
+      val e = nTot.toDouble * pExp / 1e6
+      assert(term === math.floor((nObs - e) * (nObs - e) / e * 1e6 + 0.5).toLong,
+        s"digit $d chi-square term")
+    }
+  }
+
+  test("q172 exists subquery: matches a driver-side brute-force evaluation") {
+    val out = graft.queries.ExtQueries.queries("q172_exists_subq")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = li.groupBy(_._1)
+    val exp = li.filter(_._3 == "R").map(t => (t._1, t._2)).distinct
+      .filter { case (ok, sk) =>
+        val lines = byOrder(ok)
+        lines.exists(_._2 != sk) &&
+          !lines.exists(l => l._2 != sk && l._3 == "R")
+      }
+      .groupBy(_._2).map { case (sk, os) => sk -> os.map(_._1).distinct.length.toLong }
+    assert(out === exp, "semi/anti decorrelation diverged from brute force")
+    assert(out.nonEmpty)
+  }
+
+  test("q173 CUSUM: closed form equals the sequential recurrence") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q173_cusum")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getTimestamp(5))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2.toLocalDate.toEpochDay)
+      val target = ys.map(_._3).sum / ys.length // integer div, same as the query
+      var s = 0L; var mx = 0L; var alarms = 0L
+      var first: java.sql.Date = null
+      ys.foreach { case (_, d, y) =>
+        s = math.max(0L, s + (y - target))
+        mx = math.max(mx, s)
+        if (s > target) { alarms += 1; if (first == null) first = d }
+      }
+      val (oN, oT, oMax, oAl, oFirst) = out(et)
+      assert(oN === ys.length.toLong && oT === target, s"$et grain/target")
+      assert(oMax === mx, s"$et max cusum: recurrence $mx vs closed form $oMax")
+      assert(oAl === alarms, s"$et alarm days")
+      // session TZ is UTC, so the timestamp's UTC instant prefix is the date
+      assert(Option(oFirst).map(t =>
+          java.time.Instant.ofEpochMilli(t.getTime).toString.take(10)) ===
+        Option(first).map(_.toString), s"$et first alarm day")
+    }
+  }
+
+  test("q174 inverted index: postings heads are ordered prefixes and masses close") {
+    val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("t")).count()
+    assert(rows.map(_._3).sum === totalTokens, "collection frequency mass leaked")
+    rows.foreach { case (tok, df, cf, _, topTf, head) =>
+      assert(df >= 1 && cf >= df, s"$tok: df/cf inconsistent")
+      assert(topTf >= 1 && topTf <= cf, s"$tok: top posting out of range")
+      val ids = head.split(',').map(_.toLong)
+      assert(ids.length === math.min(df, 5L).toInt, s"$tok: postings head length")
+      assert(ids.sameElements(ids.sorted), s"$tok: postings head not id-ordered")
+    }
+  }
 }

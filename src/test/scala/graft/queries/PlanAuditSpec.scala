@@ -363,4 +363,53 @@ class PlanAuditSpec extends SparkSpec {
         s"$q scanned events more than once:\n$p")
     }
   }
+
+  test("q168/q172: correlated subqueries decorrelate to joins — no per-row re-scan") {
+    // scalar subquery → aggregate joined back; EXISTS/NOT EXISTS →
+    // semi/anti. A surviving subquery node or nested-loop join means the
+    // O(rows²) plan the SQL literally describes shipped.
+    val p168 = planOf("q168_correlated_subq")
+    assert(!p168.contains("CartesianProduct") && !p168.contains("BroadcastNestedLoopJoin"),
+      s"q168 kept a nested-loop shape:\n$p168")
+    val p172 = planOf("q172_exists_subq")
+    assert(p172.contains("LeftSemi") && p172.contains("LeftAnti"),
+      s"q172 EXISTS/NOT EXISTS did not decorrelate to semi/anti joins:\n$p172")
+    assert(!p172.contains("CartesianProduct") && !p172.contains("BroadcastNestedLoopJoin"),
+      s"q172 nested-loop join:\n$p172")
+  }
+
+  test("q170: pair join rides the cached basket frame; count joins are broadcast") {
+    val p = planOf("q170_assoc_rules")
+    assert(p.contains("InMemoryTableScan"),
+      s"q170 re-derived the basket frame instead of reading its cache:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q170 all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q170 shuffled the bounded item-count side:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q169: every BFS round reads materialized layers, never recomputes lineage") {
+    val p = planOf("q169_bfs_reach")
+    assert(p.contains("InMemoryTableScan"),
+      s"q169 final aggregate recomputes the layer lineage:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q169 frontier expansion degenerated:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q171/q173/q174: scan-shaped — one pass over their fact table") {
+    val p171 = planOf("q171_benford")
+    assert("lineitem\\.parquet".r.findAllIn(p171).size === 1,
+      s"q171 rescanned lineitem:\n$p171")
+    val p173 = planOf("q173_cusum")
+    assert("events\\.parquet".r.findAllIn(p173).size === 1,
+      s"q173 rescanned events:\n$p173")
+    // q174's (token, doc) frame is cached and read by BOTH consumers —
+    // the parquet text appears inside the printed cached plan, so the
+    // pin is on the two InMemoryTableScans, not the scan count
+    val p174 = planOf("q174_inverted_index")
+    assert("InMemoryTableScan".r.findAllIn(p174).size === 2,
+      s"q174 stats/top sides do not both read the cached tf frame:\n$p174")
+    spark.catalog.clearCache()
+  }
 }
