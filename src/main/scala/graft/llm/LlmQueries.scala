@@ -1375,6 +1375,48 @@ object LlmQueries {
       .orderBy(col("token"))
   }
 
+  /** Degree assortativity (Newman 2002) over the q138 link graph — the
+    * third standard graph-shape signal next to q138's centrality and
+    * q161's clustering: do well-connected documents link to other
+    * well-connected documents (assortative, organic communities) or to
+    * leaves (disassortative, hub-spam shape)? Pearson correlation of
+    * endpoint degrees over the symmetrized edge list, computed from ONE
+    * aggregate over the edge⋈degree join: each undirected edge
+    * contributes (da,db) and (db,da), so Σx = Σ(da+db),
+    * Σx² = Σ(da²+db²), Σxy = 2Σda·db — exact longs, one double ratio,
+    * micro-floored (the q167 closed-form discipline on a graph).
+    * nullif guards the regular-graph degenerate (zero variance). */
+  private val q180Assortativity: Q = (s, dir) => {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
+      .cache()
+    val n = docs.count()
+    val und = docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
+      .select(col("src"),
+        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val g = und
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .agg((count(lit(1)) * 2L).as("m2"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+        (sum(col("da") * col("db")) * 2L).as("sxy"))
+    g.select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+      s6((col("m2").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+        nullif(col("m2").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"), lit(0.0)))
+        .as("r_micro"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3167,6 +3209,7 @@ object LlmQueries {
     "q163_pmi_collocations" -> q163PmiCollocations,
     "q169_bfs_reach"      -> q169BfsReach,
     "q174_inverted_index" -> q174InvertedIndex,
+    "q180_assortativity"  -> q180Assortativity,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3311,10 +3354,36 @@ object LlmQueries {
        |FROM md GROUP BY hop ORDER BY hop""".stripMargin
   }
 
+  /** q180: same symmetrized closed form from the same edge/degree CTEs. */
+  private lazy val duckAssortativitySql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM links WHERE src <> dst),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |g AS (SELECT CAST(count(*) * 2 AS BIGINT) AS m2,
+       |    CAST(sum(da.d + db.d) AS BIGINT) AS sx,
+       |    CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS sxx,
+       |    CAST(sum(da.d * db.d) * 2 AS BIGINT) AS sxy
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b)
+       |SELECT m2, sx, sxx, sxy,
+       |  CAST(floor((m2::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sx::DOUBLE) /
+       |    nullif(m2::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE, 0.0)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+       |FROM g""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
+    "q180_assortativity" -> duckAssortativitySql,
     // q174: same (token, doc) grain; the top posting row_number uses the
     // identical (tf DESC, doc_id) order; postings head is the same
     // 5-element id-ordered slice serialized the same way

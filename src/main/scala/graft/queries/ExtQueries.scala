@@ -1018,6 +1018,165 @@ object ExtQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Weight-of-evidence / information-value feature screening — the
+    * credit-risk scorecard classic (Siddiqi 2006) the reference's fraud
+    * domain would run before model fit: bin the candidate feature
+    * (price deciles under a deterministic total order), and per bin
+    * measure WOE = ln(dist_good/dist_bad) and the IV summand
+    * (dist_g − dist_b)·WOE. Same formula family as q140's PSI but
+    * SUPERVISED — the two distributions are the label classes, so IV
+    * ranks features by separation power. One lineitem scan; class
+    * totals and marginals ride windows over the bounded 10-row grid;
+    * the odds ratio widens each factor to double BEFORE multiplying
+    * (q162 discipline) and lands on the micro-nat grid. The global
+    * ntile carries q156's documented 100 TB degrade
+    * (approx-quantile thresholds instead of exact ranking). */
+  private val q175WoeIv: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val binned = Tables.lineitem(s, dir)
+      .select(when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"),
+        ntile(10).over(Window.orderBy(
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long").as("bin"))
+    val cells = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+      .withColumn("t_bad", sum(col("n_bad")).over(Window.partitionBy()))
+      .withColumn("t_good", sum(col("n_good")).over(Window.partitionBy()))
+    val dg = col("n_good").cast("double") / col("t_good").cast("double")
+    val db = col("n_bad").cast("double") / col("t_bad").cast("double")
+    val woe = log((col("n_good").cast("double") * col("t_bad").cast("double")) /
+      (col("n_bad").cast("double") * col("t_good").cast("double")))
+    cells.select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+        s6(woe).as("woe_micro"), s6((dg - db) * woe).as("iv_term_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** Skyline / Pareto frontier — the preference query (Börzsönyi et al.
+    * 2001): parts no other part dominates (cheaper-or-equal AND
+    * larger-or-equal, strict somewhere) on (price ↓, size ↑). At the
+    * deduped (price, size) grain the 2-D skyline is ONE ordered window:
+    * sort by (price asc, size desc) and keep a point iff its size
+    * strictly exceeds the running max size of everything sorted before
+    * it — every earlier point is cheaper, or same-price-larger, so
+    * runmax ≥ size ⇔ dominated. No pair join at all, which is the 2-D
+    * scale story; higher dimensions need the block-nested/partitioned
+    * algorithms and are out of this operator's declared scope. Raw
+    * stored doubles compare without arithmetic — exact cross-engine. */
+  private val q176Skyline: Q = (s, dir) => {
+    val pts = Tables.part(s, dir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val before = Window.orderBy(col("price"), col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("run_max", max(col("size")).over(before))
+      .filter(col("run_max").isNull || col("size") > col("run_max"))
+      .select(col("price"), col("size"), col("n_parts"))
+      .orderBy(col("price"))
+  }
+
+  /** Peak concurrency via the boundary-sweep — the interval-analytics
+    * classic (max simultaneous sessions, the capacity-planning number):
+    * each event opens an interval [ts, ts + ⌊value⌋ seconds]; emit a +1
+    * at the start and a −1 at the end, order boundaries by
+    * (time, delta, event_id) — ends sort BEFORE starts at the same
+    * instant, so touching intervals never double-count — and the
+    * running sum's maximum is the peak. Interval endpoints live as
+    * epoch-micro LONGS (one integer multiply), so the sweep is exact
+    * integer arithmetic; the running sum is a per-type ordered window —
+    * parallel across series like q173, and the peak instant is the
+    * window's first argmax. */
+  private val q177PeakConcurrency: Q = (s, dir) => {
+    // both boundaries explode out of ONE scan — a union of two reads of
+    // the same fact would pay the corpus twice
+    val bounds = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        explode(array(
+          struct(unix_micros(col("ts")).as("t"), lit(1L).as("delta")),
+          struct((unix_micros(col("ts")) +
+            floor(col("value")).cast("long") * 1000000L).as("t"),
+            lit(-1L).as("delta")))).as("b"))
+      .select(col("event_type"), col("event_id"),
+        col("b.t").as("t"), col("b.delta").as("delta"))
+    val sweep = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = bounds.withColumn("load", sum(col("delta")).over(sweep))
+      .withColumn("peak", max(col("load")).over(Window.partitionBy(col("event_type"))))
+    scored.filter(col("load") === col("peak"))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak")).as("max_concurrent"),
+        timestamp_micros(min(col("t"))).as("first_peak"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Ratio-to-parent rollup over the region → nation hierarchy — the
+    * OLAP "share" navigation (every BI drill-down's percent-of-parent
+    * column): order revenue attributed through customer → nation →
+    * region, each nation's share of its region and each region's share
+    * of the total, plus the nation's revenue rank within its region.
+    * The fact collapses to nation grain in ONE aggregate (cent-exact
+    * longs via the q166 grid, so every downstream ratio divides
+    * identical integers); shares and ranks are windows over the
+    * BOUNDED nation grid, and the dimension joins are broadcast. */
+  private val q178ShareOfParent: Q = (s, dir) => {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("cents"))
+    rev
+      .withColumn("region_cents", sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+      .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        fpRound4(col("cents").cast("double") / col("region_cents").cast("double"))
+          .as("share_of_region"),
+        fpRound4(col("region_cents").cast("double") / col("total_cents").cast("double"))
+          .as("region_share_of_total"),
+        rank().over(Window.partitionBy(col("r_name"))
+          .orderBy(col("cents").desc, col("n_name"))).cast("long").as("rank_in_region"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Revenue concentration — Lorenz curve deciles + Gini coefficient
+    * (the inequality readout behind "what share of customers drives 80%
+    * of revenue", whale analysis, and fairness audits): customers sorted
+    * by spend ascending under a deterministic (cents, custkey) order;
+    * decile d's row reports the cumulative spend share of the bottom
+    * d/10, and Gini closes from the exact rank-weighted sum
+    * G = (2·Σi·xᵢ − (n+1)·T) / (n·T). Every sum is an exact long on the
+    * cent grid (Σi·xᵢ stays < 2⁶³ until ~10¹⁸ cent-ranks — the widen
+    * path is DECIMAL38/HUGEINT, documented not silent), so G is one
+    * double division of identical integers, micro-floored. The global
+    * sort rides q156's documented 100 TB degrade (approx-quantile
+    * boundaries); the per-decile aggregate is bounded at 10 rows. */
+  private val q179GiniLorenz: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("cents"))
+    val ord = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = perCust
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("dec", ntile(10).over(ord).cast("long"))
+    val deciles = ranked.groupBy(col("dec"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("dec_cents"),
+        sum(col("i") * col("cents")).as("dec_ix"))
+      .withColumn("cum_cents", sum(col("dec_cents")).over(
+        Window.orderBy(col("dec")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", sum(col("dec_cents")).over(Window.partitionBy()))
+      .withColumn("n", sum(col("n_cust")).over(Window.partitionBy()))
+      .withColumn("six", sum(col("dec_ix")).over(Window.partitionBy()))
+    deciles.select(col("dec"), col("n_cust"),
+        fpRound4(col("cum_cents").cast("double") / col("t").cast("double"))
+          .as("cum_share"),
+        s6((lit(2.0) * col("six").cast("double") -
+            (col("n") + 1L).cast("double") * col("t").cast("double")) /
+          (col("n").cast("double") * col("t").cast("double"))).as("gini_micro"))
+      .orderBy(col("dec"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1094,6 +1253,11 @@ object ExtQueries {
     "q171_benford"      -> q171Benford,
     "q172_exists_subq"  -> q172ExistsSubq,
     "q173_cusum"        -> q173Cusum,
+    "q175_woe_iv"       -> q175WoeIv,
+    "q176_skyline"      -> q176Skyline,
+    "q177_peak_concurrency" -> q177PeakConcurrency,
+    "q178_share_of_parent" -> q178ShareOfParent,
+    "q179_gini_lorenz"  -> q179GiniLorenz,
   )
 
   private val q98ZorderSql: String = {
@@ -1612,5 +1776,115 @@ object ExtQueries {
         |  CAST(min(CASE WHEN sv > target THEN d END) AS TIMESTAMP)
         |    AS first_alarm
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q175: same deterministic decile order; odds-ratio factors widened
+    // to DOUBLE before multiplying, WOE/IV on the micro-nat grid
+    "q175_woe_iv" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
+        |    CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS BIGINT) AS bin
+        |  FROM lineitem),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(bad) AS BIGINT) AS n_bad
+        |  FROM b GROUP BY bin),
+        |g AS (SELECT bin, n, n - n_bad AS n_good, n_bad,
+        |    CAST(sum(n_bad) OVER () AS BIGINT) AS t_bad,
+        |    CAST(sum(n - n_bad) OVER () AS BIGINT) AS t_good
+        |  FROM c)
+        |SELECT bin, n, n_good, n_bad,
+        |  CAST(floor(ln((n_good::DOUBLE * t_bad::DOUBLE) /
+        |    (n_bad::DOUBLE * t_good::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS woe_micro,
+        |  CAST(floor((n_good::DOUBLE / t_good::DOUBLE -
+        |      n_bad::DOUBLE / t_bad::DOUBLE) *
+        |    ln((n_good::DOUBLE * t_bad::DOUBLE) /
+        |      (n_bad::DOUBLE * t_good::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS iv_term_micro
+        |FROM g ORDER BY bin""".stripMargin,
+    // q176: identical one-window skyline at the deduped point grain
+    "q176_skyline" ->
+      """WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |w AS (SELECT price, size, n_parts,
+        |    max(size) OVER (ORDER BY price, size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM pts)
+        |SELECT price, size, n_parts FROM w
+        |WHERE run_max IS NULL OR size > run_max
+        |ORDER BY price""".stripMargin,
+    // q177: same epoch-micro longs, same (t, delta, event_id) sweep
+    // order — ends before starts at the same instant
+    "q177_peak_concurrency" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    epoch_us(ts) AS t0,
+        |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS t1
+        |  FROM events),
+        |bounds AS (
+        |  SELECT event_type, event_id, t0 AS t, CAST(1 AS BIGINT) AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_type, event_id, t1, CAST(-1 AS BIGINT) FROM ev),
+        |run AS (SELECT event_type, t,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS load
+        |  FROM bounds),
+        |sw AS (SELECT event_type, t, load,
+        |    CAST(max(load) OVER (PARTITION BY event_type) AS BIGINT) AS peak
+        |  FROM run)
+        |SELECT event_type, CAST(max(peak) AS BIGINT) AS max_concurrent,
+        |  make_timestamp(min(t)) AS first_peak
+        |FROM sw WHERE load = peak
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q178: cent-exact nation revenue; shares divide identical integers
+    "q178_share_of_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT r_name, n_name, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        |  FROM rev)
+        |SELECT r_name, n_name, cents,
+        |  floor((cents::DOUBLE / region_cents::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS share_of_region,
+        |  floor((region_cents::DOUBLE / total_cents::DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS region_share_of_total,
+        |  CAST(rank() OVER (PARTITION BY r_name ORDER BY cents DESC, n_name)
+        |    AS BIGINT) AS rank_in_region
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
+    // q179: same (cents, custkey) total order; every sum an exact long,
+    // Gini is one double division of identical integers
+    "q179_gini_lorenz" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+        |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS dec
+        |  FROM pc),
+        |d AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS dec_cents,
+        |    CAST(sum(i * cents) AS BIGINT) AS dec_ix
+        |  FROM r GROUP BY dec),
+        |w AS (SELECT dec, n_cust,
+        |    CAST(sum(dec_cents) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_cents,
+        |    CAST(sum(dec_cents) OVER () AS BIGINT) AS t,
+        |    CAST(sum(n_cust) OVER () AS BIGINT) AS n,
+        |    CAST(sum(dec_ix) OVER () AS BIGINT) AS six
+        |  FROM d)
+        |SELECT dec, n_cust,
+        |  floor((cum_cents::DOUBLE / t::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS cum_share,
+        |  CAST(floor((2.0 * six::DOUBLE - (n + 1)::DOUBLE * t::DOUBLE) /
+        |    (n::DOUBLE * t::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+        |FROM w ORDER BY dec""".stripMargin,
   )
 }

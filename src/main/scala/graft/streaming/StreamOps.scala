@@ -883,6 +883,53 @@ object StreamOps {
       }
   }
 
+  final case class DailyRevenue(eventType: String, day: Long, y: Long)
+  final case class CusumState(p: Long, minP: Long, lastDay: Long)
+  final case class CusumPoint(eventType: String, day: Long, y: Long,
+    s: Long, alarm: Boolean)
+
+  /** q173's keyed streaming twin: CUSUM drift detection over per-series
+    * daily totals, with the batch-fit (target, threshold) pair passed in
+    * as a bounded reference map — a streaming detector cannot know the
+    * full-series mean, so production CUSUM runs against a trained
+    * baseline exactly like the PSI monitor runs against its persisted
+    * reference. State per series is THREE longs (prefix sum, running
+    * prefix min, day frontier) maintained by the same closed form the
+    * batch windows compute — S = P − min(0, min prefix P) — so a day's
+    * emitted S is bit-identical to the batch column when the targets
+    * match. Arrival order is not a contract: each micro-batch sorts its
+    * group by day, and days at or before the folded frontier are refused
+    * (the ewmaSpendState discipline) rather than silently reordered —
+    * CUSUM is order-sensitive, a late day would rewrite history
+    * downstream consumers already alarmed on. Series with no entry in
+    * the reference map are refused loudly: scoring against a default
+    * target would silently mask drift. */
+  def cusumState(daily: Dataset[DailyRevenue], targets: Map[String, (Long, Long)])
+      : Dataset[CusumPoint] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.eventType)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (et: String, batch: Iterator[DailyRevenue], state: GroupState[CusumState]) =>
+          val (target, h) = targets.getOrElse(et,
+            throw new IllegalArgumentException(
+              s"no CUSUM reference (target, threshold) for series '$et'"))
+          var cur = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[CusumPoint]
+          batch.toSeq.sortBy(_.day).foreach { d =>
+            if (d.day > cur.lastDay) {
+              val p = cur.p + (d.y - target)
+              val minP = math.min(cur.minP, p)
+              cur = CusumState(p, minP, d.day)
+              val s = p - math.min(0L, minP)
+              out += CusumPoint(et, d.day, d.y, s, s > h)
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** ST4: bounded-retry wrapper around a sink action. Retries transient
     * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
     * backoff + terminal give-up); returns the number of attempts used or

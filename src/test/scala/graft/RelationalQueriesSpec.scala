@@ -403,6 +403,117 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q175 WOE/IV: bins partition the table, terms recompute, IV non-negative") {
+    val rows = graft.queries.ExtQueries.queries("q175_woe_iv")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (1L to 10L), "ten deciles expected")
+    assert(rows.map(_._2).sum === Tables.lineitem(spark, sfDir).count())
+    val tGood = rows.map(_._3).sum.toDouble
+    val tBad = rows.map(_._4).sum.toDouble
+    rows.foreach { case (bin, n, g, b, woe, iv) =>
+      assert(g + b === n, s"bin $bin class split")
+      val w = math.log((g * tBad) / (b * tGood))
+      assert(woe === math.floor(w * 1e6 + 0.5).toLong, s"bin $bin woe")
+      assert(iv === math.floor((g / tGood - b / tBad) * w * 1e6 + 0.5).toLong, s"bin $bin iv")
+      // (x−y)·ln(x/y) ≥ 0 always — a negative summand means a math slip
+      assert(iv >= -1L, s"bin $bin negative IV term")
+    }
+  }
+
+  test("q176 skyline: output is exactly the non-dominated point set") {
+    val out = graft.queries.ExtQueries.queries("q176_skyline")(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSet
+    val pts = Tables.part(spark, sfDir)
+      .select("p_retailprice", "p_size").distinct()
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val frontier = pts.filter { case (p, s) =>
+      !pts.exists { case (p2, s2) =>
+        (p2 <= p && s2 >= s) && (p2 < p || s2 > s)
+      }
+    }.toSet
+    assert(out === frontier, "window skyline diverged from the dominance definition")
+    assert(out.nonEmpty && out.size < pts.length, "frontier should prune something")
+  }
+
+  test("q177 peak concurrency: sweep equals a driver-side interval scan") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q177_peak_concurrency")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getTimestamp(2).getTime))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("t0"),
+        floor(col("value")).cast("long").as("dur"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(2) + r.getLong(3) * 1000000L))
+    evs.groupBy(_._1).foreach { case (et, is) =>
+      val bounds = (is.map(e => (e._3, 1L, e._2)) ++ is.map(e => (e._4, -1L, e._2)))
+        .sortBy(b => (b._1, b._2, b._3))
+      var load = 0L; var peak = 0L; var first = Long.MinValue
+      bounds.foreach { case (t, d, _) =>
+        load += d
+        if (load > peak) { peak = load; first = t }
+      }
+      assert(out(et)._1 === peak, s"$et peak")
+      assert(out(et)._2 === first / 1000L, s"$et first peak instant")
+    }
+  }
+
+  test("q178 share of parent: shares close to one within each level") {
+    val rows = graft.queries.ExtQueries.queries("q178_share_of_parent")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val s = ns.map(_._4).sum
+      assert(math.abs(s - 1.0) <= ns.length * 1e-4, s"$region shares sum to $s")
+      assert(ns.map(_._6).sorted.toSeq === (1L to ns.length), s"$region ranks not a permutation")
+      // a region's share-of-total is constant across its nations
+      assert(ns.map(_._5).distinct.length === 1, s"$region inconsistent parent share")
+    }
+    val regionShares = rows.groupBy(_._1).map(_._2.head._5).sum
+    assert(math.abs(regionShares - 1.0) <= rows.length * 1e-4)
+  }
+
+  test("q179 Gini/Lorenz: curve is convex-increasing to 1.0 and Gini recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.ExtQueries.queries("q179_gini_lorenz")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted, "Lorenz curve must be increasing")
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9, "cumulative share must close at 1.0")
+    assert(rows.map(_._4).distinct.length === 1, "Gini must be one number")
+    // sequential recomputation from the sorted per-customer series
+    val cents = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = cents.length.toLong
+    val t = cents.sum
+    val six = cents.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val g = (2.0 * six - (n + 1) * t) / (n.toDouble * t)
+    assert(rows.head._4 === math.floor(g * 1e6 + 0.5).toLong, "Gini diverged")
+    assert(rows.head._4 >= 0L && rows.head._4 <= 1000000L)
+  }
+
+  test("q180 assortativity: closed form recomputes from a driver-side graph build") {
+    val row = graft.llm.LlmQueries.queries("q180_assortativity")(spark, sfDir).head()
+    spark.catalog.clearCache()
+    val n = Tables.documents(spark, sfDir).count()
+    def rh(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val und = (0L until n).flatMap(i => (1 to 3).map(j => rh(s"$i#$j") % n).filter(_ != i)
+      .map(d => (math.min(i, d), math.max(i, d)))).distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val m2 = und.size * 2L
+    val sx = und.map(e => deg(e._1) + deg(e._2)).sum
+    val sxx = und.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+    val sxy = und.map(e => deg(e._1) * deg(e._2)).sum * 2L
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((m2, sx, sxx, sxy)), "edge/degree sums diverged")
+    val r = (m2.toDouble * sxy - sx.toDouble * sx) / (m2.toDouble * sxx - sx.toDouble * sx)
+    assert(row.getLong(4) === math.floor(r * 1e6 + 0.5).toLong, "assortativity diverged")
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -397,13 +397,32 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q171/q173/q174: scan-shaped — one pass over their fact table") {
+  test("q171/q173-q178: scan-shaped — one pass over their fact table") {
     val p171 = planOf("q171_benford")
     assert("lineitem\\.parquet".r.findAllIn(p171).size === 1,
       s"q171 rescanned lineitem:\n$p171")
     val p173 = planOf("q173_cusum")
     assert("events\\.parquet".r.findAllIn(p173).size === 1,
       s"q173 rescanned events:\n$p173")
+    val p175 = planOf("q175_woe_iv")
+    assert("lineitem\\.parquet".r.findAllIn(p175).size === 1,
+      s"q175 rescanned lineitem for the class totals:\n$p175")
+    val p176 = planOf("q176_skyline")
+    assert(!p176.contains("Join"),
+      s"q176 skyline must be one window, never a pair join:\n$p176")
+    val p177 = planOf("q177_peak_concurrency")
+    assert("events\\.parquet".r.findAllIn(p177).size === 1,
+      s"q177 boundary union paid the fact twice instead of exploding one scan:\n$p177")
+    val p178 = planOf("q178_share_of_parent")
+    assert("BroadcastHashJoin".r.findAllIn(p178).size >= 2,
+      s"q178 shuffled the bounded dimension joins:\n$p178")
+    val p179 = planOf("q179_gini_lorenz")
+    assert("orders\\.parquet".r.findAllIn(p179).size === 1,
+      s"q179 rescanned orders:\n$p179")
+    val p180 = planOf("q180_assortativity")
+    assert(!p180.contains("CartesianProduct") && !p180.contains("BroadcastNestedLoopJoin"),
+      s"q180 degree join degenerated:\n$p180")
+    spark.catalog.clearCache()
     // q174's (token, doc) frame is cached and read by BOTH consumers —
     // the parquet text appears inside the printed cached plan, so the
     // pin is on the two InMemoryTableScans, not the scan count

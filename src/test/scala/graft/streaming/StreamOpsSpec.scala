@@ -806,6 +806,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed CUSUM state: stream closed form equals the batch recurrence; late days refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.DailyRevenue]
+    val q = StreamOps.cusumState(input.toDS(), Map("buy" -> ((10L, 10L))))
+      .writeStream.format("memory").queryName("cusum_state")
+      .outputMode("append").start()
+    try {
+      // trigger 1: days 2,1 arrive OUT of order — the in-batch sort fixes it
+      input.addData(StreamOps.DailyRevenue("buy", 2L, 25L),
+        StreamOps.DailyRevenue("buy", 1L, 5L))
+      q.processAllAvailable()
+      // trigger 2: day 3 advances the fold; a re-sent day 2 must be dropped
+      input.addData(StreamOps.DailyRevenue("buy", 3L, 2L),
+        StreamOps.DailyRevenue("buy", 2L, 999L))
+      q.processAllAvailable()
+      val out = spark.table("cusum_state").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      // recurrence, target 10: S₁=max(0,5−10)=0; S₂=0+15=15 (alarm >10);
+      // S₃=max(0,15−8)=7 — the stream's closed form must reproduce it
+      assert(out === Map(1L -> ((0L, false)), 2L -> ((15L, true)), 3L -> ((7L, false))),
+        s"stream CUSUM diverged: $out")
+    } finally q.stop()
+    // a series with no reference entry is refused, not defaulted
+    val orphan = MemoryStream[StreamOps.DailyRevenue]
+    val q2 = StreamOps.cusumState(orphan.toDS(), Map("buy" -> ((10L, 10L))))
+      .writeStream.format("memory").queryName("cusum_orphan")
+      .outputMode("append").start()
+    try {
+      orphan.addData(StreamOps.DailyRevenue("mystery", 1L, 5L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("no CUSUM reference"), s"wrong failure: $chain")
+    } finally q2.stop()
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
