@@ -1288,14 +1288,18 @@ object LlmQueries {
     * the fixed [[BfsHops]] bound, so the plan is a bounded chain of
     * joins over materialized layers. The anti-join IS the min-hop
     * guarantee: a node enters the visited set the first round it is
-    * seen. Iteration discipline (the Dedup.components pattern): each
-    * layer is cached and materialized by ONE count per round — a layer
-    * feeds BOTH the next frontier join and the visited anti-join, so
-    * left lazy the plan tree doubles per round (exponential analysis/
-    * codegen blowup — observed as a driver OOM at 6 hops); materialized,
-    * every downstream round reads bounded in-memory relations, and the
-    * count doubles as the empty-frontier early exit. The oracle restates
-    * the search as a recursive CTE whose UNION dedups (v, hop) states
+    * seen. Iteration discipline: each layer is cached, materialized by
+    * ONE count per round, and then REBUILT as a flat LogicalRDD over its
+    * cached rows — a layer feeds BOTH the next frontier join and the
+    * visited anti-join, so with lazy lineage the LOGICAL plan grows
+    * ~2.4× per round (exponential: observed first as a driver OOM, and
+    * after cache-only materialization as ~4.6 s/run of pure
+    * analyzer/optimizer time on a 5k-node graph — caching stops
+    * re-execution, not plan growth). The RDD-backed rebuild is the
+    * standard iterative-graph truncation (what GraphX checkpointing
+    * exists for): every round then plans against bounded flat scans,
+    * and the count doubles as the empty-frontier early exit. The oracle
+    * restates the search as a recursive CTE whose UNION dedups (v, hop) states
     * and takes min(hop) per node — matching hash proves the iterative
     * frontier algorithm computes the declarative fixpoint spec. Output
     * is the per-hop reachability profile (bounded rows) with an idx-sum
@@ -1314,9 +1318,15 @@ object LlmQueries {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .cache()
-    val seeds = docs.filter(col("idx") % 97 === 0)
-      .select(col("idx").as("v"), lit(0L).as("hop")).cache()
-    seeds.count()
+    // materialize the cache, then detach the lineage: downstream rounds
+    // see a flat scan of the cached rows, not the growing plan tree
+    def pinned(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      s.createDataFrame(c.rdd, c.schema)
+    }
+    val seeds = pinned(docs.filter(col("idx") % 97 === 0)
+      .select(col("idx").as("v"), lit(0L).as("hop")))
     val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
     var visited = seeds.select(col("v"))
     var frontier = seeds
@@ -1330,9 +1340,10 @@ object LlmQueries {
         .cache()
       if (nxt.count() == 0) { nxt.unpersist(); growing = false }
       else {
-        layers += nxt
-        visited = visited.union(nxt.select(col("v")))
-        frontier = nxt
+        val flat = s.createDataFrame(nxt.rdd, nxt.schema)
+        layers += flat
+        visited = visited.union(flat.select(col("v")))
+        frontier = flat
       }
       h += 1
     }

@@ -388,12 +388,16 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q169: every BFS round reads materialized layers, never recomputes lineage") {
+  test("q169: every BFS round reads flat pinned layers, never recomputes lineage") {
     val p = planOf("q169_bfs_reach")
-    assert(p.contains("InMemoryTableScan"),
+    // layers are lineage-truncated to RDD scans over their cached rows —
+    // the final aggregate must read those flat scans, not a re-derivation
+    assert(p.contains("Scan ExistingRDD"),
       s"q169 final aggregate recomputes the layer lineage:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q169 frontier expansion degenerated:\n$p")
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext,
+      s"q169 final plan re-reads the corpus instead of the pinned layers:\n$p")
     spark.catalog.clearCache()
   }
 
