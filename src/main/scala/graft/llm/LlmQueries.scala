@@ -1428,6 +1428,37 @@ object LlmQueries {
         .as("r_micro"))
   }
 
+  /** Flesch–Kincaid readability profile — the classic text-difficulty
+    * score (Kincaid et al. 1975) education-quality corpus filters read
+    * (the FineWeb-Edu family gates on exactly this kind of signal):
+    * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59,
+    * with syllables approximated by VOWEL RUNS per word (min 1 — every
+    * word has a nucleus) and sentences by terminator runs (min 1 — a
+    * fragment is one sentence). All three counts are exact integers
+    * from codegen'd higher-order folds over the token array — ONE
+    * zero-shuffle scan, no UDF — so the grade is one double expression
+    * over identical longs in both engines, micro-floored. The regexes
+    * stay in the Java∩RE2 dialect intersection (q134 discipline). */
+  private val q181Readability: Q = (s, dir) => {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val tk = toksCol(col("text"))
+    val words = size(tk).cast("long")
+    val sents = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+"), p => trim(p) =!= lit(""))).cast("long"))
+    val sylls = expr(
+      "aggregate(filter(split(text, '\\\\s+'), t -> t <> ''), 0L, " +
+        "(acc, w) -> acc + greatest(1L, size(regexp_extract_all(lower(w), '[aeiouy]+', 0))))")
+    val base = Tables.documents(s, dir)
+      .filter(size(tk) > 0)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        s6(lit(0.39) * col("n_words").cast("double") / col("n_sentences").cast("double") +
+          lit(11.8) * col("n_syllables").cast("double") / col("n_words").cast("double") -
+          lit(15.59)).as("fk_grade_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3221,6 +3252,7 @@ object LlmQueries {
     "q169_bfs_reach"      -> q169BfsReach,
     "q174_inverted_index" -> q174InvertedIndex,
     "q180_assortativity"  -> q180Assortativity,
+    "q181_readability"    -> q181Readability,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3395,6 +3427,25 @@ object LlmQueries {
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
     "q180_assortativity" -> duckAssortativitySql,
+    // q181: same three exact counts (vowel-run syllables floored at 1,
+    // terminator-run sentences floored at 1), same double expression
+    "q181_readability" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk,
+         |    greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+         |      p -> trim(p) <> ''))) AS n_sentences
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(n_sentences AS BIGINT) AS n_sentences,
+         |    CAST(list_sum(list_transform(tk,
+         |      w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))))
+         |      AS BIGINT) AS n_syllables
+         |  FROM t WHERE len(tk) > 0)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CAST(floor((0.39 * n_words::DOUBLE / n_sentences::DOUBLE +
+         |    11.8 * n_syllables::DOUBLE / n_words::DOUBLE - 15.59)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS fk_grade_micro
+         |FROM c ORDER BY doc_id""".stripMargin,
     // q174: same (token, doc) grain; the top posting row_number uses the
     // identical (tf DESC, doc_id) order; postings head is the same
     // 5-element id-ordered slice serialized the same way

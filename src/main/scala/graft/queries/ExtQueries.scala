@@ -1177,6 +1177,30 @@ object ExtQueries {
       .orderBy(col("dec"))
   }
 
+  /** Equi-depth histogram construction — the ANALYZE-statistics artifact
+    * a cost-based optimizer consumes (the q123/TableStats story's data
+    * half: selectivity estimates come from exactly this structure):
+    * 16 equal-population buckets over l_extendedprice under a
+    * deterministic total order, each bucket reporting count, min/max
+    * boundary, and NDV — equi-DEPTH (not equi-width q18) because skewed
+    * columns put all the resolution where the data is. The build is one
+    * ntile pass + one bounded 16-row aggregate; the global rank rides
+    * q156's documented approx-quantile 100 TB degrade (which is exactly
+    * how production ANALYZE computes it — approx boundaries, exact
+    * per-bucket stats). */
+  private val q182EquidepthHist: Q = (s, dir) => {
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(16).over(
+        Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
+    ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"),
+        max(col("v")).as("hi"),
+        countDistinct(col("v")).as("ndv"))
+      .orderBy(col("bucket"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1258,6 +1282,7 @@ object ExtQueries {
     "q177_peak_concurrency" -> q177PeakConcurrency,
     "q178_share_of_parent" -> q178ShareOfParent,
     "q179_gini_lorenz"  -> q179GiniLorenz,
+    "q182_equidepth_hist" -> q182EquidepthHist,
   )
 
   private val q98ZorderSql: String = {
@@ -1886,5 +1911,15 @@ object ExtQueries {
         |  CAST(floor((2.0 * six::DOUBLE - (n + 1)::DOUBLE * t::DOUBLE) /
         |    (n::DOUBLE * t::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
         |FROM w ORDER BY dec""".stripMargin,
+    // q182: same deterministic total order; per-bucket stats exact
+    "q182_equidepth_hist" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    CAST(ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(v) AS lo, max(v) AS hi,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS ndv
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -514,6 +514,47 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(row.getLong(4) === math.floor(r * 1e6 + 0.5).toLong, "assortativity diverged")
   }
 
+  test("q181 readability: hand-computed grade on known text; counts stay positive") {
+    val rows = graft.llm.LlmQueries.queries("q181_readability")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, s, y, _) =>
+      assert(w >= 1 && s >= 1 && y >= w, s"doc $id: every word has >= 1 syllable")
+    }
+    // recompute the grade formula from the emitted counts
+    rows.foreach { case (id, w, s, y, g) =>
+      val exp = 0.39 * w / s + 11.8 * y.toDouble / w - 15.59
+      assert(g === math.floor(exp * 1e6 + 0.5).toLong, s"doc $id grade")
+    }
+    // hand example: "hello world. it works" → 4 words, 2 sentences,
+    // syllables: hel-lo=2 (e,o), world=1 (o), it=1 (i), works=1 (o) = 5
+    import spark.implicits._
+    val tiny = Seq((1L, "hello world. it works")).toDF("doc_id", "text")
+    tiny.createOrReplaceTempView("tiny_doc")
+    val t = spark.sql(
+      """SELECT aggregate(filter(split(text, '\\s+'), t -> t <> ''), 0L,
+        |  (acc, w) -> acc + greatest(1L, size(regexp_extract_all(lower(w), '[aeiouy]+', 0))))
+        |FROM tiny_doc""".stripMargin).head.getLong(0)
+    assert(t === 5L, s"syllable fold broke on the hand example: $t")
+  }
+
+  test("q182 equi-depth histogram: buckets balance, boundaries chain, ndv bounded") {
+    val rows = graft.queries.ExtQueries.queries("q182_equidepth_hist")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1L to 16L))
+    assert(rows.map(_._2).sum === Tables.lineitem(spark, sfDir).count())
+    // equi-depth: bucket sizes differ by at most one
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "buckets not depth-balanced")
+    rows.foreach { case (b, n, lo, hi, ndv) =>
+      assert(lo <= hi && ndv >= 1 && ndv <= n, s"bucket $b stats inconsistent")
+    }
+    // ranks follow the value order, so bucket k's max never exceeds k+1's min
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"boundary inversion at ${b._1}")
+      case _ => ()
+    }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

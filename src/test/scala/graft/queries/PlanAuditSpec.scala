@@ -426,6 +426,14 @@ class PlanAuditSpec extends SparkSpec {
     val p180 = planOf("q180_assortativity")
     assert(!p180.contains("CartesianProduct") && !p180.contains("BroadcastNestedLoopJoin"),
       s"q180 degree join degenerated:\n$p180")
+    // q181 is the zero-shuffle scan shape: the readability folds run in
+    // the projection, the only exchange is the output sort
+    val p181 = planOf("q181_readability")
+    assert("Exchange".r.findAllIn(p181).size <= 1,
+      s"q181 shuffled beyond the output sort:\n$p181")
+    val p182 = planOf("q182_equidepth_hist")
+    assert("lineitem\\.parquet".r.findAllIn(p182).size === 1,
+      s"q182 rescanned lineitem:\n$p182")
     spark.catalog.clearCache()
     // q174's (token, doc) frame is cached and read by BOTH consumers —
     // the parquet text appears inside the printed cached plan, so the
