@@ -1459,6 +1459,44 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Misra–Gries heavy hitters with the guarantee-gate oracle — the
+    * sketch alternative to q147's exact top-K for vocabularies too
+    * large to aggregate exactly: one [[graft.functions.MisraGries]]
+    * summary (k bounded counters, mergeable under any combine tree —
+    * Agarwal et al. 2013) over the token stream, then the EXACT
+    * frequency table (same cached scan) is used to verify the two
+    * theorems the sketch ships with: every token with true frequency
+    * > n/(k+1) has a counter, and its estimate undercounts by at most
+    * n/(k+1). Counter VALUES depend on merge order — not reproducible
+    * across partitionings — so the output is the gate vector over the
+    * deterministic heavy-hitter set (the q56/q153 oracle discipline for
+    * order-dependent results), never the raw estimates. The k-entry
+    * sketch is a bounded driver artifact (the PQ-codebook pattern). */
+  private val MgCounters = 32
+  private val q183HeavyHitters: Q = (s, dir) => {
+    import org.apache.spark.sql.Row
+    val toks = Tables.documents(s, dir)
+      .select(explode(toksCol(col("text"))).as("token")).cache()
+    val mg = udaf(new graft.functions.MisraGries(MgCounters),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch: Map[String, Long] = toks.agg(mg(col("token")).as("sk")).head()
+      .getAs[scala.collection.Seq[Row]]("sk")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(sketch.nonEmpty, "Misra-Gries summary came back empty on a non-empty stream")
+    val est = map(sketch.toSeq.sortBy(_._1)
+      .flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("n", sum(col("freq")).over(Window.partitionBy()))
+    val bound = col("n").cast("double") / lit((MgCounters + 1).toDouble)
+    counts.filter(col("freq").cast("double") > bound)
+      .select(col("token"), col("freq"),
+        element_at(est, col("token")).isNotNull.as("found"),
+        (element_at(est, col("token")).isNotNull &&
+          (col("freq") - coalesce(element_at(est, col("token")), lit(0L)))
+            .cast("double").between(0.0, bound)).as("within_bound"))
+      .orderBy(col("token"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3253,6 +3291,7 @@ object LlmQueries {
     "q174_inverted_index" -> q174InvertedIndex,
     "q180_assortativity"  -> q180Assortativity,
     "q181_readability"    -> q181Readability,
+    "q183_heavy_hitters"  -> q183HeavyHitters,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3446,6 +3485,16 @@ object LlmQueries {
          |    11.8 * n_syllables::DOUBLE / n_words::DOUBLE - 15.59)
          |    * 1000000.0 + 0.5) AS BIGINT) AS fk_grade_micro
          |FROM c ORDER BY doc_id""".stripMargin,
+    // q183: the gate-vector spec — the heavy-hitter SET is exact and
+    // deterministic, and the MG theorems guarantee both booleans true;
+    // raw estimates are merge-order-dependent and never leave the query
+    "q183_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
+         |SELECT token, freq, true AS found, true AS within_bound
+         |FROM c, n WHERE freq::DOUBLE > n::DOUBLE / ${MgCounters + 1}.0
+         |ORDER BY token""".stripMargin,
     // q174: same (token, doc) grain; the top posting row_number uses the
     // identical (tf DESC, doc_id) order; postings head is the same
     // 5-element id-ordered slice serialized the same way

@@ -1201,6 +1201,41 @@ object ExtQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Peer-group anomaly screen — the segmentation-aware outlier detector
+    * fraud review queues run (a balance can be normal globally but
+    * anomalous FOR ITS PEER GROUP): per nation, population z-scores of
+    * customer balances, flag |z| > 2, report the group's outlier count
+    * and extremes. One customer scan; the group moments ride a window
+    * over the bounded nation grid, so no second pass and no join.
+    * Exactness: balances land on the cent grid as longs, the moment
+    * sums are exact integers, and the variance numerator n·Σx² − (Σx)²
+    * widens each factor to double BEFORE multiplying (q162 discipline —
+    * n·Σx² overflows a long at ~10⁶ customers with 10⁶-cent balances);
+    * the z expression is then the identical double computation on both
+    * engines. nullif guards a constant-balance peer group. */
+  private val q184PeerAnomaly: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val byNation = Window.partitionBy(col("c_nationkey"))
+    val cents = floor(round(col("c_acctbal"), 2) * 100.0 + 0.5).cast("long")
+    val scored = Tables.customer(s, dir)
+      .select(col("c_nationkey"), cents.as("x"))
+      .withColumn("n", count(lit(1)).over(byNation))
+      .withColumn("sx", sum(col("x")).over(byNation))
+      .withColumn("sxx", sum(col("x") * col("x")).over(byNation))
+    val mu = col("sx").cast("double") / col("n").cast("double")
+    val sigma = sqrt(nullif(
+      col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"), lit(0.0))) /
+      col("n").cast("double")
+    val z = (col("x").cast("double") - mu) / sigma
+    scored.withColumn("z", z)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+        s6(max(abs(col("z")))).as("max_abs_z_micro"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1283,6 +1318,7 @@ object ExtQueries {
     "q178_share_of_parent" -> q178ShareOfParent,
     "q179_gini_lorenz"  -> q179GiniLorenz,
     "q182_equidepth_hist" -> q182EquidepthHist,
+    "q184_peer_anomaly" -> q184PeerAnomaly,
   )
 
   private val q98ZorderSql: String = {
@@ -1921,5 +1957,27 @@ object ExtQueries {
         |  min(v) AS lo, max(v) AS hi,
         |  CAST(count(DISTINCT v) AS BIGINT) AS ndv
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q184: same cent-grid moments, variance factors widened to DOUBLE
+    // before multiplying, identical z expression
+    "q184_peer_anomaly" ->
+      """WITH x AS (SELECT c_nationkey,
+        |    CAST(floor(round(c_acctbal, 2) * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM customer),
+        |m AS (SELECT c_nationkey, x,
+        |    CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY c_nationkey) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) OVER (PARTITION BY c_nationkey) AS BIGINT) AS sxx
+        |  FROM x),
+        |z AS (SELECT c_nationkey, n,
+        |    (x::DOUBLE - sx::DOUBLE / n::DOUBLE) /
+        |      (sqrt(nullif(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE,
+        |        0.0)) / n::DOUBLE) AS z
+        |  FROM m)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(floor(max(abs(z)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS max_abs_z_micro
+        |FROM z GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

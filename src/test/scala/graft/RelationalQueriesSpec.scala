@@ -555,6 +555,47 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q183 heavy hitters: gate booleans all true and the set matches exact counts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.llm.LlmQueries.queries("q183_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty, "heavy-hitter gate is vacuous")
+    assert(rows.forall(_._3), "MG containment theorem violated in the engine")
+    assert(rows.forall(_._4), "MG undercount bound violated in the engine")
+    // the heavy set itself is exact and deterministic
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("t"))
+    val n = toks.count()
+    val exp = toks.groupBy(col("t")).count()
+      .filter(col("count").cast("double") > n / 33.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === exp)
+  }
+
+  test("q184 peer anomaly: moments recompute per nation; outliers respect the cut") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q184_peer_anomaly")(spark, sfDir)
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"),
+        floor(round(col("c_acctbal"), 2) * 100.0 + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cust.groupBy(_._1).foreach { case (nk, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toLong
+      val (sx, sxx) = (v.sum, v.map(x => x * x).sum)
+      val sigma = math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) / n
+      val zs = v.map(x => (x - sx.toDouble / n) / sigma)
+      val (oN, oOut, oMax) = out(nk)
+      assert(oN === n, s"nation $nk count")
+      assert(oOut === zs.count(z => math.abs(z) > 2.0).toLong, s"nation $nk outliers")
+      assert(oMax === math.floor(zs.map(math.abs).max * 1e6 + 0.5).toLong, s"nation $nk max z")
+      assert(oOut < n, s"nation $nk: everyone an outlier — z-cut degenerate")
+    }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

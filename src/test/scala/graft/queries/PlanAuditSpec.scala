@@ -434,6 +434,11 @@ class PlanAuditSpec extends SparkSpec {
     val p182 = planOf("q182_equidepth_hist")
     assert("lineitem\\.parquet".r.findAllIn(p182).size === 1,
       s"q182 rescanned lineitem:\n$p182")
+    // q184: one customer scan — the peer moments ride nation windows
+    val p184 = planOf("q184_peer_anomaly")
+    assert("customer\\.parquet".r.findAllIn(p184).size === 1,
+      s"q184 rescanned customer for the moments:\n$p184")
+    assert(!p184.contains("Join"), s"q184 joined where a window suffices:\n$p184")
     spark.catalog.clearCache()
     // q174's (token, doc) frame is cached and read by BOTH consumers —
     // the parquet text appears inside the printed cached plan, so the
