@@ -1236,6 +1236,74 @@ object ExtQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Autocorrelation function (ACF, lags 1–7) of daily revenue per event
+    * type — the time-series diagnostic read before any ARIMA/seasonal
+    * model (q167 fits the trend; this measures what memory the residual
+    * process has). EXACT integer form: with T = Σx and n the series
+    * length, the centered value scales to y_t = n·x_t − T (an exact
+    * long), and n² cancels in the ratio, so
+    * r_k = Σ y_t·y_{t+k} / Σ y_t² is a single double division of exact
+    * integer sums — no float means anywhere (widen path at extreme
+    * revenue scales is DECIMAL38, documented not silent). Lags are ROW
+    * lags over the day-ordered series (the synthetic stream is dense;
+    * on gappy series resample via q108's gap-fill first — documented
+    * contract). One scan; seven lead() columns in ONE window pass,
+    * stacked to (lag, product) pairs; the denominator rides the same
+    * per-type window. */
+  private val q185Autocorrelation: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val y = daily
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("t", sum(col("x")).over(byType))
+      .withColumn("y", col("n") * col("x") - col("t"))
+    val withLeads = (1 to 7).foldLeft(y) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(ordered))
+    }.withColumn("syy", sum(col("y") * col("y")).over(byType))
+    val stacked = withLeads.select(col("event_type"), col("y"), col("syy"),
+        expr("stack(7, " + (1 to 7).map(k => s"${k}L, y$k").mkString(", ") + ") AS (lag, ylead)"))
+      .filter(col("ylead").isNotNull)
+    stacked.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        s6(sum(col("y") * col("ylead")).cast("double") /
+          max(col("syy")).cast("double")).as("acf_micro"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Largest-remainder apportionment (Hamilton's method — the budget /
+    * seat / shard allocation classic): split a fixed integer budget of
+    * [[ApportionUnits]] units across nations proportional to revenue,
+    * exactly: each nation takes ⌊budget·cents/total⌋, and the leftover
+    * units (< |nations|) go one each to the largest remainders under a
+    * deterministic (remainder desc, nation) order. Every quantity is
+    * exact integer arithmetic — budget·cents needs the double widen
+    * documented at cluster revenue, here it is an exact long — and the
+    * allocation provably sums to the budget (spec-pinned), which is the
+    * property naive per-row rounding loses. Fact collapses to nation
+    * grain once; ranks ride the bounded grid. */
+  private val ApportionUnits = 1000L
+  private val q186Apportionment: Q = (s, dir) => {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("cents"))
+    val g = rev
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      .withColumn("base", expr(s"($ApportionUnits * cents) div total"))
+      .withColumn("rem", lit(ApportionUnits) * col("cents") - col("base") * col("total"))
+    val leftover = lit(ApportionUnits) - sum(col("base")).over(Window.partitionBy())
+    g.withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("n_name"))).cast("long"))
+      .withColumn("units", col("base") + when(col("rk") <= leftover, 1L).otherwise(0L))
+      .select(col("n_name"), col("cents"), col("base"), col("rk"), col("units"))
+      .orderBy(col("n_name"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1319,6 +1387,8 @@ object ExtQueries {
     "q179_gini_lorenz"  -> q179GiniLorenz,
     "q182_equidepth_hist" -> q182EquidepthHist,
     "q184_peer_anomaly" -> q184PeerAnomaly,
+    "q185_autocorrelation" -> q185Autocorrelation,
+    "q186_apportionment" -> q186Apportionment,
   )
 
   private val q98ZorderSql: String = {
@@ -1979,5 +2049,56 @@ object ExtQueries {
         |  CAST(floor(max(abs(z)) * 1000000.0 + 0.5) AS BIGINT)
         |    AS max_abs_z_micro
         |FROM z GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q185: same y = n·x − T scaling (n² cancels), same row-lag leads
+    "q185_autocorrelation" -> {
+      val leads = (1 to 7).map(k =>
+        s"lead(y, $k) OVER (PARTITION BY event_type ORDER BY d) AS y$k").mkString(",\n        |    ")
+      val unions = (1 to 7).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, y, y$k AS ylead, syy FROM wl WHERE y$k IS NOT NULL")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |y AS (SELECT event_type, d,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x -
+        |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS y
+        |  FROM daily),
+        |wl AS (SELECT event_type, d, y,
+        |    CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS syy,
+        |    $leads
+        |  FROM y),
+        |st AS ($unions)
+        |SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(floor(CAST(sum(y * ylead) AS DOUBLE) / CAST(max(syy) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS acf_micro
+        |FROM st GROUP BY event_type, lag
+        |ORDER BY event_type, lag""".stripMargin
+    },
+    // q186: identical integer apportionment; leftover < |nations| goes to
+    // the largest remainders under (rem DESC, n_name)
+    "q186_apportionment" ->
+      """WITH rev AS (SELECT n_name,
+        |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |g AS (SELECT n_name, cents,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM rev),
+        |b AS (SELECT n_name, cents,
+        |    (1000 * cents) // total AS base,
+        |    1000 * cents - ((1000 * cents) // total) * total AS rem,
+        |    total
+        |  FROM g),
+        |r AS (SELECT n_name, cents, base, rem,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, n_name) AS BIGINT) AS rk,
+        |    CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover
+        |  FROM b)
+        |SELECT n_name, cents, CAST(base AS BIGINT) AS base, rk,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS units
+        |FROM r ORDER BY n_name""".stripMargin,
   )
 }

@@ -596,6 +596,56 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q185 ACF: integer-scaled form equals the textbook estimator, driver-recomputed") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q185_autocorrelation")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      val t = xs.sum
+      val ys = xs.map(x => n * x - t)
+      val syy = ys.map(y => y * y).sum
+      for (k <- 1 to 7; if n - k > 0) {
+        val pairs = ys.dropRight(k).zip(ys.drop(k))
+        val r = pairs.map { case (a, b) => a * b }.sum.toDouble / syy.toDouble
+        val (oN, oAcf) = out((et, k.toLong))
+        assert(oN === (n - k), s"$et lag $k pair count")
+        assert(oAcf === math.floor(r * 1e6 + 0.5).toLong, s"$et lag $k acf")
+        assert(math.abs(oAcf) <= 1000001L, s"$et lag $k acf out of [-1,1]")
+      }
+    }
+  }
+
+  test("q186 apportionment: units sum exactly to the budget and track proportionality") {
+    val rows = graft.queries.ExtQueries.queries("q186_apportionment")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sum === 1000L, "allocation must exhaust the budget exactly")
+    assert(rows.forall(r => r._5 - r._3 == 0L || r._5 - r._3 == 1L),
+      "largest-remainder gives base or base+1, never more")
+    // full driver-side recomputation of Hamilton's method
+    val total = rows.map(_._2).sum
+    val base = rows.map(r => (r._1, r._2, 1000L * r._2 / total,
+      1000L * r._2 - (1000L * r._2 / total) * total))
+    val leftover = 1000L - base.map(_._3).sum
+    val topped = base.sortBy(b => (-b._4, b._1)).zipWithIndex
+      .map { case ((nm, _, b, _), i) => nm -> (if (i < leftover) b + 1 else b) }.toMap
+    rows.foreach { case (nm, _, _, _, units) =>
+      assert(units === topped(nm), s"$nm allocation diverged from Hamilton's method")
+    }
+    // monotonicity: more revenue never means fewer units
+    rows.sortBy(_._2).map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1, "allocation wildly non-monotone")
+      case _ => ()
+    }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -439,6 +439,13 @@ class PlanAuditSpec extends SparkSpec {
     assert("customer\\.parquet".r.findAllIn(p184).size === 1,
       s"q184 rescanned customer for the moments:\n$p184")
     assert(!p184.contains("Join"), s"q184 joined where a window suffices:\n$p184")
+    // q185: all seven lags ride ONE events scan and one ordered window pass
+    val p185 = planOf("q185_autocorrelation")
+    assert("events\\.parquet".r.findAllIn(p185).size === 1,
+      s"q185 rescanned events per lag:\n$p185")
+    val p186 = planOf("q186_apportionment")
+    assert("orders\\.parquet".r.findAllIn(p186).size === 1,
+      s"q186 rescanned orders:\n$p186")
     spark.catalog.clearCache()
     // q174's (token, doc) frame is cached and read by BOTH consumers —
     // the parquet text appears inside the printed cached plan, so the
