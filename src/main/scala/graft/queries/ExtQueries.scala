@@ -1304,6 +1304,63 @@ object ExtQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Exact distributed order statistics WITHOUT a global sort — the
+    * [[graft.operators.DistributedSelect]] two-phase histogram method
+    * selecting p50/p90/p99 of price in TWO passes total for all three
+    * ranks. This is the exact 100 TB path that q142's documented
+    * approx_percentile degrade alludes to: a global sort ranks every
+    * row to answer three order statistics; the two-phase method ranks
+    * nothing and its driver artifacts are bounded (bucket histogram +
+    * in-bucket value counts). percentile_disc semantics: rank
+    * k = ⌈q·n⌉, the k-th smallest cent value. The oracle recomputes
+    * the same ranks with the full-sort spec — matching proves the
+    * histogram decomposition equals the order-statistic definition
+    * (the q139/q146 shard-vs-direct discipline applied to selection). */
+  private val q187DistributedSelect: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    val cents = Tables.lineitem(s, dir)
+      .select(floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .cache()
+    val n = cents.count()
+    val pcts = Seq(50L, 90L, 99L)
+    val ks = pcts.map(p => p -> math.ceil(p / 100.0 * n).toLong).toMap
+    val sel = DistributedSelect.kth(cents, ks.values.toSeq, width = 1000L)
+    // scalar-result query: the output is a bounded literal frame, so the
+    // scan cache must be released in-closure (CacheContract discipline)
+    cents.unpersist()
+    import s.implicits._
+    pcts.map(p => (p, ks(p), sel(ks(p)))).toDF("pct", "k", "cents")
+      .orderBy(col("pct"))
+  }
+
+  /** Systematic probability-proportional-to-size sampling (Madow 1949)
+    * — the survey-sampling / data-pruning selection that picks units
+    * with probability proportional to weight DETERMINISTICALLY: walk
+    * the cumulative weight line, select a unit once per multiple of
+    * total/k its span crosses. Exact integer crossing count
+    * ⌊k·cum_i/total⌋ − ⌊k·cum_{i−1}/total⌋ (no fractional interval
+    * drift), so Σhits = k EXACTLY and any unit with weight ≥ total/k
+    * is guaranteed ≥ 1 hit — the two properties Bernoulli/hash
+    * sampling (q86) cannot give. One window pass under a deterministic
+    * (custkey) order; k·cum widens per the q162 discipline at cluster
+    * scale (documented; exact long here). */
+  private val PpsSamples = 20L
+  private val q188PpsSample: Q = (s, dir) => {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("w"))
+    val ord = Window.orderBy(col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = spend
+      .withColumn("cum", sum(col("w")).over(ord))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("hits",
+        expr(s"($PpsSamples * cum) div total - ($PpsSamples * (cum - w)) div total"))
+    g.filter(col("hits") > 0)
+      .select(col("o_custkey"), col("w"), col("cum"), col("hits"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1389,6 +1446,8 @@ object ExtQueries {
     "q184_peer_anomaly" -> q184PeerAnomaly,
     "q185_autocorrelation" -> q185Autocorrelation,
     "q186_apportionment" -> q186Apportionment,
+    "q187_distributed_select" -> q187DistributedSelect,
+    "q188_pps_sample"   -> q188PpsSample,
   )
 
   private val q98ZorderSql: String = {
@@ -2100,5 +2159,37 @@ object ExtQueries {
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS units
         |FROM r ORDER BY n_name""".stripMargin,
+    // q187: the full-sort order-statistic SPEC — matching the two-phase
+    // histogram answer proves the decomposition (q139/q146 discipline)
+    "q187_distributed_select" ->
+      """WITH c AS (SELECT CAST(floor(round(l_extendedprice, 2) * 100.0 + 0.5)
+        |    AS BIGINT) AS v
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        |q(p) AS (VALUES (50), (90), (99))
+        |SELECT CAST(p AS BIGINT) AS pct,
+        |  CAST(ceil(p / 100.0 * nn.n) AS BIGINT) AS k,
+        |  r.v AS cents
+        |FROM q CROSS JOIN nn
+        |JOIN r ON r.rn = CAST(ceil(p / 100.0 * nn.n) AS BIGINT)
+        |ORDER BY pct""".stripMargin,
+    // q188: identical integer crossing counts under the same unit order
+    "q188_pps_sample" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT)
+        |      AS w
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT o_custkey, w,
+        |    CAST(sum(w) OVER (ORDER BY o_custkey ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER () AS BIGINT) AS total
+        |  FROM spend)
+        |SELECT o_custkey, w, cum,
+        |  CAST((20 * cum) // total - (20 * (cum - w)) // total AS BIGINT)
+        |    AS hits
+        |FROM g
+        |WHERE (20 * cum) // total - (20 * (cum - w)) // total > 0
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

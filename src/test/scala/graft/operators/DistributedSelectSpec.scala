@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The two-phase histogram selection against the sorted-reference spec:
+  * exact k-th smallest for every rank, for any bucket width (the width
+  * is a performance knob, never a semantics knob), duplicates included.
+  */
+class DistributedSelectSpec extends SparkSpec {
+
+  private def frame(vs: Seq[Long]) = {
+    import spark.implicits._
+    vs.toDF("v")
+  }
+
+  test("known values with duplicates: every rank matches the sorted reference") {
+    val vs = Seq(5L, 1L, 9L, 5L, 5L, 2L, 9L, 0L, 7L, 3L)
+    val sorted = vs.sorted
+    val ranks = (1L to vs.length.toLong)
+    for (w <- Seq(1L, 3L, 100L)) {
+      val got = DistributedSelect.kth(frame(vs), ranks, width = w)
+      ranks.foreach { k =>
+        assert(got(k) === sorted((k - 1).toInt), s"rank $k at width $w")
+      }
+    }
+  }
+
+  test("width never changes answers on a pseudo-random stream") {
+    // deterministic LCG stream — no Math.random in specs
+    val vs = Iterator.iterate(12345L)(x => (x * 1103515245L + 12345L) % 100000L)
+      .take(500).map(math.abs).toSeq
+    val sorted = vs.sorted
+    val ranks = Seq(1L, 13L, 250L, 499L, 500L)
+    for (w <- Seq(7L, 1000L, 100000L)) {
+      val got = DistributedSelect.kth(frame(vs), ranks, width = w)
+      ranks.foreach(k => assert(got(k) === sorted((k - 1).toInt), s"rank $k width $w"))
+    }
+  }
+
+  test("out-of-range ranks and bad widths are refused") {
+    intercept[IllegalArgumentException] {
+      DistributedSelect.kth(frame(Seq(1L, 2L)), Seq(3L), width = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      DistributedSelect.kth(frame(Seq(1L)), Seq(1L), width = 0L)
+    }
+  }
+
+  test("q187: two-phase answers equal the full-sort reference on real data") {
+    val out = graft.queries.ExtQueries.queries("q187_distributed_select")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cents = graft.Tables.lineitem(spark, sfDir)
+      .select(floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .orderBy(col("v")).collect().map(_.getLong(0))
+    for (p <- Seq(50L, 90L, 99L)) {
+      val k = math.ceil(p / 100.0 * cents.length).toLong
+      assert(out(p) === ((k, cents((k - 1).toInt))), s"p$p")
+    }
+    // scalar-result query released its scan cache in-closure
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q187 leaked its scan cache past the builder")
+  }
+
+  test("q188: PPS hits sum to k exactly and heavy units are guaranteed in") {
+    val rows = graft.queries.ExtQueries.queries("q188_pps_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum === 20L, "systematic PPS must allocate exactly k hits")
+    val spend = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = spend.map(_._2).sum
+    val heavy = spend.filter(_._2 >= total / 20L).map(_._1).toSet
+    val sampled = rows.map(_._1).toSet
+    assert(heavy.subsetOf(sampled), "a unit with weight >= total/k missed selection")
+    // crossing-count recomputation
+    var cum = 0L
+    val exp = spend.flatMap { case (ck, w) =>
+      val before = 20L * cum / total
+      cum += w
+      val after = 20L * cum / total
+      if (after > before) Some((ck, w, cum, after - before)) else None
+    }
+    assert(rows.toSeq === exp.toSeq, "crossing counts diverged")
+  }
+}
