@@ -1361,6 +1361,76 @@ object ExtQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Cross-correlation (lags −3..+3) between the view and purchase
+    * daily-revenue series — the lead-lag diagnostic behind "does
+    * browsing traffic predict next-day purchases" marketing questions
+    * (q185's ACF asks what a series knows about itself; this asks what
+    * one series knows about another). Same integer-exact centering
+    * (ỹ = n·x − T per series, computed on each series' OWN moments),
+    * matched by calendar day via one day-shift join — lag k pairs
+    * view(d) with purchase(d+k) — so the numerator is an exact long
+    * sum; the denominator √(Σx̃²·Σỹ²) widens each factor to double
+    * BEFORE multiplying (their product overflows a long even at these
+    * SFs — the q162 discipline), and √ is IEEE-exact. */
+  private val q189CrossCorrelation: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    def series(t: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+      .select(col("d"),
+        (count(lit(1)).over(Window.partitionBy()) * col("x") -
+          sum(col("x")).over(Window.partitionBy())).as("y"),
+        sum(col("x") * col("x")).over(Window.partitionBy()).as("raw_sxx"))
+    // sums of squares of the CENTERED series, exact longs
+    def cent(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("d"), col("y"),
+        sum(col("y") * col("y")).over(Window.partitionBy()).as("syy"))
+    val vx = cent(series("view")).toDF("d", "xv", "sxx")
+    val py = cent(series("purchase")).toDF("pd", "yp", "syy")
+    val lags = vx.select(col("d"), col("xv"), col("sxx"),
+      explode(sequence(lit(-3), lit(3))).as("lag"))
+    lags.join(py, expr("date_add(d, lag)") === col("pd"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        s6(sum(col("xv") * col("yp")).cast("double") /
+          sqrt(max(col("sxx")).cast("double") * max(col("syy")).cast("double")))
+          .as("ccf_micro"))
+      .orderBy(col("lag"))
+  }
+
+  /** Additive seasonal decomposition (the moving-average half of
+    * classical decompose / STL-lite): per event type, a centered 7-day
+    * trend window over daily revenue, detrended values, and the
+    * day-of-week seasonal index as the mean detrended value per dow.
+    * Exactness: the trend stays a 7-day SUM (no division — the
+    * detrended value scales to 7·x − trend₇, an exact long, the q185
+    * cancellation trick applied to moving averages), only FULL windows
+    * enter (edge effects excluded by the count guard, identically in
+    * both engines), and the seasonal index is one double division of
+    * exact integer sums, micro-floored. Windows per series + a bounded
+    * (type × dow) aggregate; one events scan. */
+  private val q190SeasonalDecompose: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("t7", sum(col("x")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("det7", lit(7L) * col("x") - col("t7"))
+      // Spark dayofweek is Sunday=1; shift to DuckDB's Sunday=0 (q164)
+      .withColumn("dow", (dayofweek(col("d")) - 1).cast("long"))
+    det.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        s6(sum(col("det7")).cast("double") /
+          (lit(7.0) * count(lit(1)).cast("double"))).as("seasonal_micro"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1448,6 +1518,8 @@ object ExtQueries {
     "q186_apportionment" -> q186Apportionment,
     "q187_distributed_select" -> q187DistributedSelect,
     "q188_pps_sample"   -> q188PpsSample,
+    "q189_cross_correlation" -> q189CrossCorrelation,
+    "q190_seasonal_decompose" -> q190SeasonalDecompose,
   )
 
   private val q98ZorderSql: String = {
@@ -2191,5 +2263,53 @@ object ExtQueries {
         |FROM g
         |WHERE (20 * cum) // total - (20 * (cum - w)) // total > 0
         |ORDER BY o_custkey""".stripMargin,
+    // q189: per-series own-moment centering, day-shift join, factors
+    // widened to DOUBLE before the denominator product
+    "q189_cross_correlation" ->
+      """WITH dv AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |dp AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cv AS (SELECT d,
+        |    CAST(count(*) OVER () AS BIGINT) * x -
+        |      CAST(sum(x) OVER () AS BIGINT) AS xv
+        |  FROM dv),
+        |cp AS (SELECT d,
+        |    CAST(count(*) OVER () AS BIGINT) * x -
+        |      CAST(sum(x) OVER () AS BIGINT) AS yp
+        |  FROM dp),
+        |sx AS (SELECT CAST(sum(xv * xv) AS BIGINT) AS sxx FROM cv),
+        |sy AS (SELECT CAST(sum(yp * yp) AS BIGINT) AS syy FROM cp),
+        |k(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(floor(CAST(sum(cv.xv * cp.yp) AS DOUBLE) /
+        |    sqrt((SELECT sxx FROM sx)::DOUBLE * (SELECT syy FROM sy)::DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS ccf_micro
+        |FROM k JOIN cv ON true
+        |JOIN cp ON cp.d = cv.d + CAST(lag AS INTEGER)
+        |GROUP BY lag ORDER BY lag""".stripMargin,
+    // q190: 7·x − trend₇ keeps the detrended value integral; only full
+    // windows enter; DuckDB dayofweek is already Sunday=0
+    "q190_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, x,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+        |  FROM daily),
+        |det AS (SELECT event_type,
+        |    CAST(dayofweek(d) AS BIGINT) AS dow,
+        |    7 * x - t7 AS det7
+        |  FROM w WHERE n7 = 7)
+        |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(floor(CAST(sum(det7) AS DOUBLE) / (7.0 * count(*))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS seasonal_micro
+        |FROM det GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
   )
 }

@@ -930,6 +930,40 @@ object StreamOps {
       }
   }
 
+  final case class TokenArrival(source: String, token: String)
+  final case class MgSnapshot(source: String, nSeen: Long, counters: String)
+
+  /** q183's keyed streaming twin: a per-source Misra–Gries heavy-hitter
+    * monitor. State per source is the ≤k-counter MG buffer plus the
+    * stream length — O(k) regardless of volume, the whole point of the
+    * sketch as STREAM state (an exact top-K would grow with the
+    * vocabulary). Each micro-batch folds its tokens through the same
+    * [[graft.functions.MisraGries]] reduce the batch aggregate uses, so
+    * the theorems (containment of items with freq > n/(k+1), undercount
+    * ≤ n/(k+1)) hold for the whole PREFIX of the stream at every
+    * trigger — MG is order-robust, which is why no in-batch sort is
+    * needed (contrast [[ewmaSpendState]]/[[cusumState]], whose folds are
+    * order-SENSITIVE and must refuse disorder). Counter values remain
+    * arrival-dependent: consumers gate on the guarantees (the q183
+    * oracle discipline), and the snapshot serializes counters in a
+    * canonical (count desc, token) order for stable downstream diffs. */
+  def heavyHittersState(toks: Dataset[TokenArrival], k: Int): Dataset[MgSnapshot] = {
+    import toks.sparkSession.implicits._
+    val agg = new graft.functions.MisraGries(k)
+    toks.groupByKey(_.source)
+      .flatMapGroupsWithState[(Array[(String, Long)], Long), MgSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[TokenArrival],
+         state: GroupState[(Array[(String, Long)], Long)]) =>
+          var (buf, n) = state.getOption.getOrElse((agg.zero, 0L))
+          batch.foreach { t => buf = agg.reduce(buf, t.token); n += 1 }
+          state.update((buf, n))
+          val canonical = agg.finish(buf)
+            .map { case (t, c) => s"$t:$c" }.mkString(",")
+          Iterator(MgSnapshot(src, n, canonical))
+      }
+  }
+
   /** ST4: bounded-retry wrapper around a sink action. Retries transient
     * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
     * backoff + terminal give-up); returns the number of attempts used or

@@ -646,6 +646,58 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q189 cross-correlation: driver recomputation matches; lag 0 is the day intersection") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q189_cross_correlation")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === (-3L to 3L).toSet)
+    def series(t: String) = Tables.events(spark, sfDir)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1))).sortBy(_._1)
+    val (v, p) = (series("view"), series("purchase"))
+    def centered(s: Array[(Long, Long)]) = {
+      val n = s.length.toLong; val t = s.map(_._2).sum
+      s.map { case (d, x) => (d, n * x - t) }.toMap
+    }
+    val (cv, cp) = (centered(v), centered(p))
+    val sxx = cv.values.map(y => y * y).sum
+    val syy = cp.values.map(y => y * y).sum
+    for (k <- -3L to 3L) {
+      val pairs = cv.toSeq.flatMap { case (d, xv) => cp.get(d + k).map(yp => xv * yp) }
+      val r = pairs.sum.toDouble / math.sqrt(sxx.toDouble * syy.toDouble)
+      assert(out(k)._1 === pairs.length.toLong, s"lag $k pair count")
+      assert(out(k)._2 === math.floor(r * 1e6 + 0.5).toLong, s"lag $k ccf")
+    }
+  }
+
+  test("q190 seasonal decomposition: indices recompute and detrended mass closes") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q190_seasonal_decompose")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.sortBy(_._2.toEpochDay)
+      val det = (3 until xs.length - 3).map { i =>
+        val t7 = (i - 3 to i + 3).map(j => xs(j)._3).sum
+        // java DayOfWeek: Monday=1..Sunday=7 → Sunday=0 convention
+        val dow = xs(i)._2.getDayOfWeek.getValue % 7
+        (dow.toLong, 7L * xs(i)._3 - t7)
+      }
+      det.groupBy(_._1).foreach { case (dow, cells) =>
+        val (oN, oS) = out((et, dow))
+        assert(oN === cells.length.toLong, s"$et dow $dow count")
+        val exp = cells.map(_._2).sum.toDouble / (7.0 * cells.length)
+        assert(oS === math.floor(exp * 1e6 + 0.5).toLong, s"$et dow $dow seasonal")
+      }
+    }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -446,6 +446,14 @@ class PlanAuditSpec extends SparkSpec {
     val p186 = planOf("q186_apportionment")
     assert("orders\\.parquet".r.findAllIn(p186).size === 1,
       s"q186 rescanned orders:\n$p186")
+    val p190 = planOf("q190_seasonal_decompose")
+    assert("events\\.parquet".r.findAllIn(p190).size === 1,
+      s"q190 rescanned events:\n$p190")
+    // q189 reads two filtered series: both scans must push their
+    // event_type filter into the parquet reader
+    val p189 = planOf("q189_cross_correlation")
+    assert("EqualTo\\(event_type".r.findAllIn(p189).size >= 2,
+      s"q189 series filters not pushed to the scans:\n$p189")
     spark.catalog.clearCache()
     // q174's (token, doc) frame is cached and read by BOTH consumers —
     // the parquet text appears inside the printed cached plan, so the

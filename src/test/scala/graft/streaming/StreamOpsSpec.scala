@@ -845,6 +845,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("keyed MG heavy-hitter state: theorems hold on every prefix across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.TokenArrival]
+    val q = StreamOps.heavyHittersState(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("mg_state")
+      .outputMode("append").start()
+    def parse(s: String): Map[String, Long] =
+      if (s.isEmpty) Map.empty
+      else s.split(',').map { kv => val Array(t, c) = kv.split(':'); t -> c.toLong }.toMap
+    try {
+      val t1 = Seq.fill(20)("hot") ++ Seq.fill(8)("warm") ++ Seq("a", "b", "c", "d")
+      input.addData(t1.map(StreamOps.TokenArrival("web", _)): _*)
+      q.processAllAvailable()
+      val t2 = Seq.fill(15)("hot") ++ Seq("e", "f")
+      input.addData(t2.map(StreamOps.TokenArrival("web", _)): _*)
+      q.processAllAvailable()
+      val snaps = spark.table("mg_state").collect()
+        .map(r => r.getLong(1) -> parse(r.getString(2))).sortBy(_._1)
+      assert(snaps.map(_._1).toSeq === Seq(t1.length.toLong, (t1.length + t2.length).toLong))
+      // at every snapshot: the prefix's true heavies present, undercount bounded
+      val prefixes = Seq(t1, t1 ++ t2)
+      snaps.zip(prefixes).foreach { case ((n, est), prefix) =>
+        val truth = prefix.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val slack = n.toDouble / 4 // k + 1 = 4
+        truth.foreach { case (t, f) =>
+          if (f > slack) assert(est.contains(t), s"prefix n=$n: heavy '$t' evicted")
+          val e = est.getOrElse(t, 0L)
+          assert(e <= f && f - e <= slack, s"prefix n=$n: '$t' est $e vs true $f")
+        }
+        assert(est.size <= 3)
+      }
+    } finally q.stop()
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
