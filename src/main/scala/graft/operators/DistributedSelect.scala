@@ -72,4 +72,53 @@ object DistributedSelect {
       k -> answer
     }.toMap
   }
+
+  /** Weighted selection: smallest value whose CUMULATIVE WEIGHT (in
+    * value order) reaches each rank — the weighted-median/-quantile
+    * primitive (rank = ⌈q·W⌉ for total weight W). Same two-phase shape
+    * as [[kth]] with weight sums in place of counts: one bucketing pass
+    * aggregating Σw per bucket, one in-candidate-bucket pass
+    * aggregating Σw per exact value. Weights must be positive longs —
+    * zero-weight rows would make the answer depend on tie order, and
+    * negative weights break cumulative monotonicity (refused, not
+    * absorbed). */
+  def kthWeighted(vals: DataFrame, ranks: Seq[Long], width: Long): Map[Long, Long] = {
+    require(ranks.nonEmpty && width >= 1, "need ranks and a positive bucket width")
+    val hist = vals.groupBy((col("v") / width).cast("long").as("b"))
+      .agg(sum(col("w")).as("n"), min(col("w")).as("minw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    require(hist.forall(_._3 > 0), "weights must be strictly positive")
+    val total = hist.map(_._2).sum
+    require(ranks.forall(k => k >= 1 && k <= total),
+      s"weighted ranks must lie in [1, $total]")
+    var acc = 0L
+    val located = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val sortedRanks = ranks.distinct.sorted
+    var ri = 0
+    hist.foreach { case (b, n, _) =>
+      while (ri < sortedRanks.length && sortedRanks(ri) <= acc + n) {
+        located(sortedRanks(ri)) = (b, sortedRanks(ri) - acc)
+        ri += 1
+      }
+      acc += n
+    }
+    val buckets = located.values.map(_._1).toSeq.distinct
+    val inBucket = vals
+      .filter((col("v") / width).cast("long").isin(buckets: _*))
+      .groupBy((col("v") / width).cast("long").as("b"), col("v"))
+      .agg(sum(col("w")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    located.map { case (k, (b, residual)) =>
+      var cum = 0L
+      var answer = -1L
+      val it = inBucket(b).iterator
+      while (cum < residual && it.hasNext) {
+        val (v, n) = it.next()
+        cum += n
+        answer = v
+      }
+      k -> answer
+    }.toMap
+  }
 }

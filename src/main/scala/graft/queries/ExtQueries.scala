@@ -1431,6 +1431,50 @@ object ExtQueries {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Weighted exact quantiles via the two-phase selection — the
+    * weighted-median primitive (robust price-level statistics where
+    * each line counts by its QUANTITY, not once): smallest price whose
+    * cumulative quantity share reaches q ∈ {0.5, 0.9}, rank = ⌈q·W⌉
+    * over total weight W. Same two passes and bounded driver artifacts
+    * as q187, with weight sums in place of counts ([[graft.operators
+    * .DistributedSelect.kthWeighted]]); the oracle recomputes with the
+    * full-sort cumulative-weight spec. */
+  private val q191WeightedSelect: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    val vw = Tables.lineitem(s, dir)
+      .select(floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .cache()
+    val totalW = vw.agg(sum(col("w"))).head.getLong(0)
+    val pcts = Seq(50L, 90L)
+    val ks = pcts.map(p => p -> math.ceil(p / 100.0 * totalW).toLong).toMap
+    val sel = DistributedSelect.kthWeighted(vw, ks.values.toSeq, width = 1000L)
+    vw.unpersist() // scalar-result query: release the scan cache in-closure
+    import s.implicits._
+    pcts.map(p => (p, ks(p), sel(ks(p)))).toDF("pct", "k", "cents")
+      .orderBy(col("pct"))
+  }
+
+  /** Multiset set operations — EXCEPT ALL / INTERSECT ALL (bag
+    * semantics: multiplicities subtract and min, where q13's DISTINCT
+    * forms collapse them): returned line order-keys vs high-discount
+    * line order-keys at occurrence grain. Catalyst plans both as
+    * aggregate+join (count multiplicities, then generate), never a
+    * row-pairing loop; the output folds each result to exact
+    * (count, checksum) so the compare is multiplicity-sensitive. */
+  private val q192MultisetOps: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val returned = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val discounted = li.filter(col("l_discount") >= 0.05).select(col("l_orderkey"))
+    val ex = returned.exceptAll(discounted)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("l_orderkey")), lit(0L)).as("checksum"))
+      .select(lit("except_all").as("op"), col("n"), col("checksum"))
+    val in = returned.intersectAll(discounted)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("l_orderkey")), lit(0L)).as("checksum"))
+      .select(lit("intersect_all").as("op"), col("n"), col("checksum"))
+    ex.unionAll(in).orderBy(col("op"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1520,6 +1564,8 @@ object ExtQueries {
     "q188_pps_sample"   -> q188PpsSample,
     "q189_cross_correlation" -> q189CrossCorrelation,
     "q190_seasonal_decompose" -> q190SeasonalDecompose,
+    "q191_weighted_select" -> q191WeightedSelect,
+    "q192_multiset_ops" -> q192MultisetOps,
   )
 
   private val q98ZorderSql: String = {
@@ -2311,5 +2357,35 @@ object ExtQueries {
         |  CAST(floor(CAST(sum(det7) AS DOUBLE) / (7.0 * count(*))
         |    * 1000000.0 + 0.5) AS BIGINT) AS seasonal_micro
         |FROM det GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+    // q191: the full-sort cumulative-weight spec for the two-phase answer
+    "q191_weighted_select" ->
+      """WITH c AS (SELECT
+        |    CAST(floor(round(l_extendedprice, 2) * 100.0 + 0.5) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM c),
+        |r AS (SELECT v,
+        |    CAST(sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum
+        |  FROM c),
+        |q(p) AS (VALUES (50), (90)),
+        |kx AS (SELECT p, CAST(ceil(p / 100.0 * tw.total) AS BIGINT) AS k
+        |  FROM q CROSS JOIN tw)
+        |SELECT CAST(p AS BIGINT) AS pct, k,
+        |  (SELECT min(v) FROM r WHERE cum >= kx.k) AS cents
+        |FROM kx ORDER BY pct""".stripMargin,
+    // q192: bag-semantics EXCEPT ALL / INTERSECT ALL folded to
+    // multiplicity-sensitive (count, checksum)
+    "q192_multiset_ops" ->
+      """WITH ret AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |disc AS (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05),
+        |ex AS (SELECT * FROM ret EXCEPT ALL SELECT * FROM disc),
+        |ia AS (SELECT * FROM ret INTERSECT ALL SELECT * FROM disc)
+        |SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS checksum FROM ex
+        |UNION ALL
+        |SELECT 'intersect_all', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) FROM ia
+        |ORDER BY op""".stripMargin,
   )
 }

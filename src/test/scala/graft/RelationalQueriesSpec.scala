@@ -698,6 +698,26 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q192 multiset ops: bag identities close against exact multiplicity maps") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.ExtQueries.queries("q192_multiset_ops")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_discount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def bag(xs: Seq[Long]) = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val a = bag(li.filter(_._2 == "R").map(_._1))
+    val b = bag(li.filter(_._3 >= 0.05).map(_._1))
+    val exN = a.map { case (k, n) => math.max(0L, n - b.getOrElse(k, 0L)) }.sum
+    val exSum = a.map { case (k, n) => k * math.max(0L, n - b.getOrElse(k, 0L)) }.sum
+    val inN = a.map { case (k, n) => math.min(n, b.getOrElse(k, 0L)) }.sum
+    val inSum = a.map { case (k, n) => k * math.min(n, b.getOrElse(k, 0L)) }.sum
+    assert(out("except_all") === ((exN, exSum)), "EXCEPT ALL multiplicities")
+    assert(out("intersect_all") === ((inN, inSum)), "INTERSECT ALL multiplicities")
+    // bag identity: |A| = |A \\ B| + |A ∩ B|
+    assert(a.values.sum === exN + inN, "bag partition identity broken")
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

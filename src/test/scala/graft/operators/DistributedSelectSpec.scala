@@ -62,6 +62,43 @@ class DistributedSelectSpec extends SparkSpec {
       "q187 leaked its scan cache past the builder")
   }
 
+  test("weighted selection: cumulative-weight reference equality; refusals") {
+    import spark.implicits._
+    val rows = Seq((5L, 2L), (1L, 3L), (9L, 1L), (5L, 4L), (2L, 2L))
+    val df = rows.toDF("v", "w")
+    // expanded multiset reference: v repeated w times
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    for (w <- Seq(1L, 4L, 100L)) {
+      val got = DistributedSelect.kthWeighted(df, (1L to expanded.length.toLong), width = w)
+      (1L to expanded.length.toLong).foreach { k =>
+        assert(got(k) === expanded((k - 1).toInt), s"weighted rank $k width $w")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      DistributedSelect.kthWeighted(Seq((1L, 0L)).toDF("v", "w"), Seq(1L), 10L)
+    }
+  }
+
+  test("q191: weighted two-phase answers equal the full-sort reference") {
+    val out = graft.queries.ExtQueries.queries("q191_weighted_select")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vw = graft.Tables.lineitem(spark, sfDir)
+      .select(floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = vw.map(_._2).sum
+    for (p <- Seq(50L, 90L)) {
+      val k = math.ceil(p / 100.0 * total).toLong
+      var cum = 0L
+      var answer = -1L
+      val it = vw.iterator
+      while (cum < k && it.hasNext) { val (v, w) = it.next(); cum += w; answer = v }
+      assert(out(p) === ((k, answer)), s"p$p")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q191 leaked its scan cache past the builder")
+  }
+
   test("q188: PPS hits sum to k exactly and heavy units are guaranteed in") {
     val rows = graft.queries.ExtQueries.queries("q188_pps_sample")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
