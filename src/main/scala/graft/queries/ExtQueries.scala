@@ -1475,6 +1475,78 @@ object ExtQueries {
     ex.unionAll(in).orderBy(col("op"))
   }
 
+  /** Composed time-series profile — the session's primitives as ONE
+    * pipeline (the q85/q120/q137 composition discipline applied to the
+    * time-series suite): per event type, from a single cached daily
+    * aggregate, emit the OLS slope (q167's closed form), the CUSUM
+    * peak and alarm count (q173's two windows), the lag-1
+    * autocorrelation (q185's integer scaling), and the peak seasonal
+    * day-of-week with its index (q190's detrended means, argmax by
+    * (index desc, dow)). Every branch reads the SAME cached daily
+    * frame — the fact pays one scan for the whole dashboard row — and
+    * the four bounded per-type frames meet in broadcast joins. Each
+    * metric is individually hash-exact (their component queries prove
+    * it); this gate proves they stay exact COMPOSED. */
+  private val q193TimeseriesProfile: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("y"))
+      .cache()
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val pre = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // q167 branch: slope
+    val idx = daily.withColumn("x",
+      datediff(col("d"), min(col("d")).over(byType)).cast("long"))
+    val trend = idx.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        s6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0))).as("slope_micro"))
+    // q173 branch: CUSUM peak + alarms
+    val cu = daily
+      .withColumn("target", expr("sum(y) over (partition by event_type) div " +
+        "count(*) over (partition by event_type)"))
+      .withColumn("p", sum(col("y") - col("target")).over(pre))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(pre)))
+      .groupBy(col("event_type"))
+      .agg(max(col("s")).as("max_cusum"),
+        sum(when(col("s") > col("target"), 1L).otherwise(0L)).as("n_alarm_days"))
+    // q185 branch: lag-1 ACF
+    val cent = daily
+      .withColumn("yc", count(lit(1)).over(byType) * col("y") - sum(col("y")).over(byType))
+      .withColumn("y1", lead(col("yc"), 1).over(ordered))
+      .withColumn("syy", sum(col("yc") * col("yc")).over(byType))
+    val acf = cent.filter(col("y1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(s6(sum(col("yc") * col("y1")).cast("double") /
+        max(col("syy")).cast("double")).as("acf1_micro"))
+    // q190 branch: peak seasonal dow
+    val w7 = ordered.rowsBetween(-3, 3)
+    val season = daily
+      .withColumn("t7", sum(col("y")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("dow", (dayofweek(col("d")) - 1).cast("long"))
+      .withColumn("det7", lit(7L) * col("y") - col("t7"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(s6(sum(col("det7")).cast("double") /
+        (lit(7.0) * count(lit(1)).cast("double"))).as("sdow"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("sdow").desc, col("dow"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").as("peak_dow"),
+        col("sdow").as("peak_seasonal_micro"))
+    trend
+      .join(broadcast(cu), "event_type")
+      .join(broadcast(acf), "event_type")
+      .join(broadcast(season), "event_type")
+      .orderBy(col("event_type"))
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1566,6 +1638,7 @@ object ExtQueries {
     "q190_seasonal_decompose" -> q190SeasonalDecompose,
     "q191_weighted_select" -> q191WeightedSelect,
     "q192_multiset_ops" -> q192MultisetOps,
+    "q193_timeseries_profile" -> q193TimeseriesProfile,
   )
 
   private val q98ZorderSql: String = {
@@ -2387,5 +2460,69 @@ object ExtQueries {
         |SELECT 'intersect_all', CAST(count(*) AS BIGINT),
         |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) FROM ia
         |ORDER BY op""".stripMargin,
+    // q193: the four component formulas verbatim over one shared daily
+    // CTE — composition must not change any metric
+    "q193_timeseries_profile" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, y,
+        |    CAST(date_diff('day', min(d) OVER (PARTITION BY event_type), d)
+        |      AS BIGINT) AS x
+        |  FROM daily),
+        |trend AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(floor((count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE /
+        |      nullif((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE, 0.0)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS slope_micro
+        |  FROM ix GROUP BY 1),
+        |t AS (SELECT event_type, d, y,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) //
+        |      count(*) OVER (PARTITION BY event_type) AS BIGINT) AS target
+        |  FROM daily),
+        |pp AS (SELECT event_type, d, target,
+        |    CAST(sum(y - target) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pv
+        |  FROM t),
+        |sv AS (SELECT event_type, target,
+        |    pv - least(0, min(pv) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING)) AS s
+        |  FROM pp),
+        |cu AS (SELECT event_type, CAST(max(s) AS BIGINT) AS max_cusum,
+        |    CAST(sum(CASE WHEN s > target THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_alarm_days
+        |  FROM sv GROUP BY 1),
+        |cent AS (SELECT event_type, d,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * y -
+        |      CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS yc
+        |  FROM daily),
+        |cl AS (SELECT event_type, yc,
+        |    lead(yc) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+        |    CAST(sum(yc * yc) OVER (PARTITION BY event_type) AS BIGINT) AS syy
+        |  FROM cent),
+        |acf AS (SELECT event_type,
+        |    CAST(floor(CAST(sum(yc * y1) AS DOUBLE) / CAST(max(syy) AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS acf1_micro
+        |  FROM cl WHERE y1 IS NOT NULL GROUP BY 1),
+        |w7 AS (SELECT event_type, d, y,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+        |  FROM daily),
+        |sd AS (SELECT event_type, CAST(dayofweek(d) AS BIGINT) AS dow,
+        |    CAST(floor(CAST(sum(7 * y - t7) AS DOUBLE) / (7.0 * count(*))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS sdow
+        |  FROM w7 WHERE n7 = 7 GROUP BY 1, 2),
+        |pk AS (SELECT event_type, dow AS peak_dow, sdow AS peak_seasonal_micro,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY sdow DESC, dow) AS rn
+        |  FROM sd)
+        |SELECT trend.event_type, n, slope_micro, max_cusum, n_alarm_days,
+        |  acf1_micro, peak_dow, peak_seasonal_micro
+        |FROM trend
+        |JOIN cu ON cu.event_type = trend.event_type
+        |JOIN acf ON acf.event_type = trend.event_type
+        |JOIN pk ON pk.event_type = trend.event_type AND pk.rn = 1
+        |ORDER BY trend.event_type""".stripMargin,
   )
 }

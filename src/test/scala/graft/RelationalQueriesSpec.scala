@@ -718,6 +718,30 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(a.values.sum === exN + inN, "bag partition identity broken")
   }
 
+  test("q193 composed profile: every metric equals its standalone component query") {
+    val prof = graft.queries.ExtQueries.queries("q193_timeseries_profile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    spark.catalog.clearCache()
+    assert(prof.nonEmpty)
+    val trend = graft.queries.ExtQueries.queries("q167_trend_fit")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cusum = graft.queries.ExtQueries.queries("q173_cusum")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val acf = graft.queries.ExtQueries.queries("q185_autocorrelation")(spark, sfDir)
+      .collect().filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val season = graft.queries.ExtQueries.queries("q190_seasonal_decompose")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    prof.foreach { case (et, (n, slope, mx, al, a1, pdow, pseason)) =>
+      assert((n, slope) === trend(et), s"$et trend branch diverged composed")
+      assert((mx, al) === cusum(et), s"$et CUSUM branch diverged composed")
+      assert(a1 === acf(et), s"$et ACF branch diverged composed")
+      val best = season.filter(_._1 == et).sortBy(t => (-t._3, t._2)).head
+      assert((pdow, pseason) === ((best._2, best._3)), s"$et seasonal argmax diverged")
+    }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -454,6 +454,15 @@ class PlanAuditSpec extends SparkSpec {
     val p189 = planOf("q189_cross_correlation")
     assert("EqualTo\\(event_type".r.findAllIn(p189).size >= 2,
       s"q189 series filters not pushed to the scans:\n$p189")
+    // q193: four analysis branches over ONE cached daily frame (the
+    // parquet path prints once inside EACH InMemoryTableScan's cached
+    // plan — the q174 printing caveat — so the pin is on the four
+    // cache reads), bounded per-type frames broadcast
+    val p193 = planOf("q193_timeseries_profile")
+    assert("InMemoryTableScan".r.findAllIn(p193).size === 4,
+      s"q193 branches do not all read the shared cached daily frame:\n$p193")
+    assert("BroadcastHashJoin".r.findAllIn(p193).size >= 3,
+      s"q193 shuffled the bounded per-type joins:\n$p193")
     spark.catalog.clearCache()
     // q174's (token, doc) frame is cached and read by BOTH consumers —
     // the parquet text appears inside the printed cached plan, so the
