@@ -1497,6 +1497,57 @@ object LlmQueries {
       .orderBy(col("token"))
   }
 
+  /** k-core peeling over the q138 link graph — the density-filter
+    * graph-mining classic (Seidman 1983; community-detection prefilter,
+    * spam-farm triage): synchronously remove every vertex whose degree
+    * among SURVIVORS falls below k, for a FIXED [[KcoreRounds]] rounds
+    * (the q138 fixed-iteration discipline — both engines run the same
+    * bounded unrolled computation, so the gate is exact without a
+    * convergence read; a production degeneracy ordering iterates to
+    * fixpoint with the same per-round plan). Each round is one
+    * edge-filter + degree aggregate + semi-join — frontier-free peeling
+    * whose per-round cost tracks the SURVIVING graph — with layers
+    * pinned via the q169 LogicalRDD truncation (two consumers per
+    * round: the next round AND the trace row; left lazy, the plan tree
+    * compounds). Output is the per-round convergence trace
+    * (n_alive, n_edges, idx checksum). */
+  private val KcoreK = 3
+  private val KcoreRounds = 4
+  private val q194Kcore: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
+      .cache()
+    val n = docs.count()
+    val und = docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
+      .select(col("src"),
+        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    def pinned(df: DataFrame): DataFrame = {
+      val c = df.cache(); c.count()
+      s.createDataFrame(c.rdd, c.schema)
+    }
+    var alive = pinned(und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct())
+    val trace = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to KcoreRounds) {
+      val e = und
+        .join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      alive = pinned(deg.filter(col("d") >= KcoreK).select(col("v")))
+      val eAfter = und.join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
+      trace += alive.agg(count(lit(1)).as("n_alive"), coalesce(sum(col("v")), lit(0L)).as("checksum"))
+        .crossJoin(eAfter.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_alive"), col("n_edges"), col("checksum"))
+    }
+    trace.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3305,6 +3356,7 @@ object LlmQueries {
     "q180_assortativity"  -> q180Assortativity,
     "q181_readability"    -> q181Readability,
     "q183_heavy_hitters"  -> q183HeavyHitters,
+    "q194_kcore"          -> q194Kcore,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3474,11 +3526,51 @@ object LlmQueries {
        |FROM g""".stripMargin
   }
 
+  /** q194: the same fixed peeling rounds unrolled into CTE chains (the
+    * q138 discipline — no recursion, no convergence read). Every
+    * multi-referenced CTE is forced MATERIALIZED: DuckDB's default
+    * INLINES CTE references, so the unrolled round chain would
+    * re-expand combinatorially (each a_r reference re-derives the whole
+    * peeling prefix — the oracle-side twin of the q169 lineage blowup,
+    * observed as a hung oracle run). */
+  private lazy val duckKcoreSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT e.a, e.b FROM und e
+         |  JOIN a${r - 1} x ON x.v = e.a JOIN a${r - 1} y ON y.v = e.b),
+         |d$r AS (SELECT v, count(*) AS d FROM
+         |  (SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY v),
+         |a$r AS MATERIALIZED (SELECT v FROM d$r WHERE d >= $KcoreK),
+         |s$r AS MATERIALIZED (SELECT e.a, e.b FROM und e
+         |  JOIN a$r x ON x.v = e.a JOIN a$r y ON y.v = e.b)""".stripMargin
+    }.mkString(",\n")
+    val trace = (1 to KcoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT count(*) FROM a$r) AS BIGINT) AS n_alive,
+         |  CAST((SELECT count(*) FROM s$r) AS BIGINT) AS n_edges,
+         |  CAST((SELECT coalesce(sum(v), 0) FROM a$r) AS BIGINT) AS checksum""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM links WHERE src <> dst),
+       |a0 AS MATERIALIZED (SELECT DISTINCT v FROM
+       |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
+       |$rounds
+       |$trace
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
     "q180_assortativity" -> duckAssortativitySql,
+    "q194_kcore" -> duckKcoreSql,
     // q181: same three exact counts (vowel-run syllables floored at 1,
     // terminator-run sentences floored at 1), same double expression
     "q181_readability" ->

@@ -1547,6 +1547,30 @@ object ExtQueries {
       .orderBy(col("event_type"))
   }
 
+  /** LATERAL correlated subquery — the remaining ANSI SQL-surface
+    * decorrelation shape after q168's scalar and q172's EXISTS: a
+    * per-row dependent TABLE subquery (top-2 orders per BUILDING
+    * customer by price). Catalyst plans LATERAL + correlated LIMIT via
+    * its lateral-join rewrite; the spec pins the result against the
+    * window-function formulation (rank ≤ 2 per customer), which is the
+    * hand rewrite a user would reach for — proving the two front doors
+    * agree. Deterministic (price desc, orderkey) order inside the
+    * lateral body keeps ties identical across engines. */
+  private val q195Lateral: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM v_customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM v_orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** Unpivot/melt — the inverse of q62's pivot: wide metric columns to
     * long (metric, value) rows via the native `Dataset.unpivot` (a
     * Generate-free Expand, one output row per metric per input row,
@@ -1639,6 +1663,7 @@ object ExtQueries {
     "q191_weighted_select" -> q191WeightedSelect,
     "q192_multiset_ops" -> q192MultisetOps,
     "q193_timeseries_profile" -> q193TimeseriesProfile,
+    "q195_lateral"      -> q195Lateral,
   )
 
   private val q98ZorderSql: String = {
@@ -2524,5 +2549,17 @@ object ExtQueries {
         |JOIN acf ON acf.event_type = trend.event_type
         |JOIN pk ON pk.event_type = trend.event_type AND pk.rn = 1
         |ORDER BY trend.event_type""".stripMargin,
+    // q195: identical LATERAL text — DuckDB executes the dependent
+    // subquery with the same (price DESC, orderkey) tie order
+    "q195_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
   )
 }

@@ -742,6 +742,47 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q194 k-core: driver-side peeling recomputes every trace row") {
+    val out = graft.llm.LlmQueries.queries("q194_kcore")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    spark.catalog.clearCache()
+    assert(out.map(_._1) === (1L to 4L))
+    // n_alive never increases across peeling rounds
+    assert(out.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+    val n = Tables.documents(spark, sfDir).count()
+    def rh(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val und = (0L until n).flatMap(i => (1 to 3).map(j => rh(s"$i#$j") % n).filter(_ != i)
+      .map(d => (math.min(i, d), math.max(i, d)))).distinct
+    var alive = und.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+    (1 to 4).foreach { r =>
+      val e = und.filter(x => alive(x._1) && alive(x._2))
+      val deg = e.flatMap(x => Seq(x._1, x._2)).groupBy(identity).map { case (v, xs) => v -> xs.size }
+      alive = alive.filter(v => deg.getOrElse(v, 0) >= 3)
+      val eAfter = und.filter(x => alive(x._1) && alive(x._2))
+      assert(out(r - 1) === ((r.toLong, alive.size.toLong, eAfter.size.toLong, alive.sum)),
+        s"round $r trace diverged")
+    }
+  }
+
+  test("q195 lateral: agrees with the window-function hand rewrite") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q195_lateral")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val exp = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(Tables.orders(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === exp, "LATERAL and window formulations disagree")
+    assert(out.nonEmpty)
+    // at most two orders per customer
+    out.groupBy(_._1).foreach { case (c, os) => assert(os.size <= 2, s"customer $c over-limit") }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -454,6 +454,14 @@ class PlanAuditSpec extends SparkSpec {
     val p189 = planOf("q189_cross_correlation")
     assert("EqualTo\\(event_type".r.findAllIn(p189).size >= 2,
       s"q189 series filters not pushed to the scans:\n$p189")
+    // q195: the LATERAL limit must rewrite to WindowGroupLimit (map-side
+    // top-k pruning before the shuffle) + a hash join — never the
+    // per-customer re-scan the SQL literally describes
+    val p195 = planOf("q195_lateral")
+    assert(p195.contains("WindowGroupLimit"),
+      s"q195 lateral limit did not rewrite to the group-limit window:\n$p195")
+    assert(!p195.contains("BroadcastNestedLoopJoin") && !p195.contains("CartesianProduct"),
+      s"q195 degenerated to a nested loop:\n$p195")
     // q193: four analysis branches over ONE cached daily frame (the
     // parquet path prints once inside EACH InMemoryTableScan's cached
     // plan — the q174 printing caveat — so the pin is on the four
