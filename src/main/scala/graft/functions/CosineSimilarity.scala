@@ -130,6 +130,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinHashSigsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("set_sig256"),
+      new ExpressionInfo(classOf[SetSig256].getName, "set_sig256"),
+      (children: Seq[Expression]) => SetSig256(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xor_popcount"),
+      new ExpressionInfo(classOf[XorPopcount].getName, "xor_popcount"),
+      (children: Seq[Expression]) => XorPopcount(children.head, children(1))))
     // Catalyst ships bloom_filter_agg/might_contain for its own runtime
     // filters but does not register them in the SQL FunctionRegistry;
     // exposing them here lets graft.operators.BloomPrune build the same

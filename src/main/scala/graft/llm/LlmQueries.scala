@@ -1805,6 +1805,12 @@ object LlmQueries {
       .groupBy(col("doc_id")).agg(array_sort(collect_list(col("k"))).as("ks"))
       .withColumn("len", size(col("ks")))
       .withColumn("plen", col("len") - expr("(len * 4 + 4) div 5") + 1)
+      // 256-bit set signature for the xor-popcount candidate filter
+      // below: sound (popcount(sigA ⊕ sigB) ≤ |A Δ B| always — see
+      // SetSig256's scaladoc), so it can reject candidates BEFORE the
+      // distinct shuffle without losing any true pair.
+      .withColumn("sig",
+        call_function("set_sig256", transform(col("ks"), k => call_function("rolling_hash", k))))
       .cache() // two consumers: prefix explode + verify join (runner clears)
     // posexplode keeps each prefix token's POSITION for PPJoin's
     // positional filter (Xiao et al. WWW'08): a match at 1-based
@@ -1815,16 +1821,28 @@ object LlmQueries {
     // alone barely discriminates — the 2026-08-14 regenerated testdata
     // has 931 distinct shingles over 5000 docs — and this filter cuts
     // the candidate space a further 2.2× before the distinct+verify.
-    val pref = keyed.select(col("doc_id"), col("len"),
+    val pref = keyed.select(col("doc_id"), col("len"), col("sig"),
       posexplode(slice(col("ks"), lit(1), col("plen").cast("int"))).as(Seq("p0", "k")))
+    // The xor-popcount signature filter (sound — SetSig256 scaladoc):
+    // Jaccard ≥ θ forces overlap t ≥ ⌈θ/(1+θ)·(la+lb)⌉ = (4·(la+lb)+8)
+    // div 9, hence |A Δ B| = la+lb−2·t_actual ≤ la+lb−2·t; any candidate
+    // whose 256-bit signatures differ in MORE bits than that bound
+    // cannot reach θ. On the low-vocabulary 2026-08-14 corpus (931
+    // near-uniform-df shingles) the prefix+positional filters leave
+    // 667 k of 5000² candidate pairs; dissimilar pairs differ in ~90
+    // set elements, so their xor-popcount (~50–90 of 256 bits) fails
+    // the ≤ ~10-bit budget and dies HERE — before the distinct shuffle
+    // and the array-intersect verify, which were 80 % of q118's cost.
     val cand = pref.select(col("doc_id").as("a"), col("len").as("la"),
-        (col("p0") + 1).as("pa"), col("k"))
+        (col("p0") + 1).as("pa"), col("sig").as("sa"), col("k"))
       .join(pref.select(col("doc_id").as("b"), col("len").as("lb"),
-        (col("p0") + 1).as("pb"), col("k")), "k")
+        (col("p0") + 1).as("pb"), col("sig").as("sb"), col("k")), "k")
       .filter(col("a") < col("b") &&
         col("la") * 4 <= col("lb") * 5 && col("lb") * 4 <= col("la") * 5 &&
         least(col("la") - col("pa"), col("lb") - col("pb")) + 1 >=
-          expr("(4 * (la + lb) + 8) div 9"))
+          expr("(4 * (la + lb) + 8) div 9") &&
+        call_function("xor_popcount", col("sa"), col("sb")) <=
+          col("la") + col("lb") - lit(2) * expr("(4 * (la + lb) + 8) div 9"))
       .select("a", "b").distinct()
     cand
       .join(keyed.select(col("doc_id").as("a"), col("ks").as("ksa"), col("len").as("la")), "a")
