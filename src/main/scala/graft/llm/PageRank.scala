@@ -22,32 +22,80 @@ import org.apache.spark.sql.functions._
   * hash-join ranks⋈edges keyed on src, one partially-aggregated
   * groupBy(dst), and one left join back to the node frame so
   * zero-in-degree nodes keep their base rank. The caller should cache
-  * `nodes` and `edges` (both are reused every iteration); the returned
-  * frame is lazy with the iterations unrolled into the plan.
+  * `nodes` and `edges` (both are reused every iteration).
+  *
+  * Every iteration is PINNED — cache + materialize + rebuild as a
+  * LogicalRDD over the cached partitions (the q169/q194 idiom). Caching
+  * alone stops re-execution but NOT logical-plan growth: with the
+  * iterations unrolled lazily, the analyzed tree compounds per round
+  * and a 50-iteration convergence run hits minutes of pure optimizer
+  * time before a single task runs. Pinning keeps the per-iteration plan
+  * CONSTANT-size, so `iters` is bounded by compute, not by the
+  * analyzer; each superseded iteration's cache is released as soon as
+  * the next is materialized, so peak storage is two rank vectors.
   */
 object PageRank {
-  /** @param nodes one row per node, column `idx` (long, any sparse ids)
+  /** Fixed-iteration mode (the oracle-matched q138 shape: both engines
+    * run the same bounded computation, no convergence read).
+    *
+    * @param nodes one row per node, column `idx` (long, any sparse ids)
     * @param edges  columns `src`, `dst` referencing `idx`; duplicates
     *               and self-loops are the caller's semantics to fix
     * @return one row per node: (idx, pr) with Σpr ≤ scale */
-  def run(nodes: DataFrame, edges: DataFrame, scale: Long, iters: Int): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, scale: Long, iters: Int): DataFrame =
+    iterate(nodes, edges, scale, iters, tolMass = None)._1
+
+  /** Convergence mode: iterate until the L1 rank delta Σ|pr′ − pr| is
+    * ≤ `tolMass` (integer mass units — tol 0 is the exact fixed point,
+    * which integer arithmetic genuinely reaches), bounded by `maxIters`
+    * as the runaway stop. Costs one extra join+agg job per iteration
+    * for the delta read, which is why the oracle-matched fixed mode
+    * skips it. @return (ranks, iterations actually run) */
+  def runConverged(nodes: DataFrame, edges: DataFrame, scale: Long,
+      maxIters: Int, tolMass: Long): (DataFrame, Int) =
+    iterate(nodes, edges, scale, maxIters, Some(tolMass))
+
+  private def iterate(nodes: DataFrame, edges: DataFrame, scale: Long,
+      maxIters: Int, tolMass: Option[Long]): (DataFrame, Int) = {
+    val spark = nodes.sparkSession
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty node frame")
     val perNode = scale / n
     val base    = 15L * perNode / 100L
+    // cached for the duration of the loop only — the final frame is a
+    // LogicalRDD and carries no reference to it, so it releases here
     val withDeg = edges.join(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
-    var ranks = nodes.select(col("idx"), lit(perNode).as("pr"))
-    for (_ <- 1 to iters) {
+      edges.groupBy(col("src")).agg(count(lit(1)).as("d")), "src").cache()
+    // pin: materialized cache + LogicalRDD truncation; returns the
+    // truncated frame AND the cached handle (for release)
+    def pin(df: DataFrame): (DataFrame, DataFrame) = {
+      val c = df.cache()
+      c.count()
+      (spark.createDataFrame(c.rdd, c.schema), c)
+    }
+    var (ranks, ranksCached) = pin(nodes.select(col("idx"), lit(perNode).as("pr")))
+    var itersRun = 0
+    var done = false
+    while (itersRun < maxIters && !done) {
       val contribs = ranks
         .join(withDeg, ranks("idx") === withDeg("src"))
         .select(col("dst"), expr("pr div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.select(col("idx"))
+      val (next, nextCached) = pin(nodes.select(col("idx"))
         .join(contribs, col("idx") === col("dst"), "left")
         .select(col("idx"),
-          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
+          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr")))
+      itersRun += 1
+      tolMass.foreach { tol =>
+        val delta = next.join(ranks.select(col("idx"), col("pr").as("pr0")), "idx")
+          .agg(sum(abs(col("pr") - col("pr0"))).as("d")).head().getLong(0)
+        if (delta <= tol) done = true
+      }
+      ranksCached.unpersist()
+      ranks = next
+      ranksCached = nextCached
     }
-    ranks
+    withDeg.unpersist()
+    (ranks, itersRun)
   }
 }

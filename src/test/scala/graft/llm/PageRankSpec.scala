@@ -51,6 +51,48 @@ class PageRankSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("50 iterations on the q138 graph stay in bounded analyzer time (pinned lineage)") {
+    // Before pinning, the lazily-unrolled plan compounded per round and
+    // 50 iterations died in the analyzer; pinned, the returned frame is
+    // a constant-size LogicalRDD join regardless of depth.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select((row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
+        .cast("long").as("idx")).cache()
+    val n = docs.count()
+    val edges = docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("src"),
+        (TextOps.rollingHash(concat(col("src"), lit("#"), col("j"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val t0 = System.nanoTime()
+    val ranks = PageRank.run(docs, edges, scale = 1000000000000L, iters = 50)
+    val planLines = ranks.queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(planLines < 20, s"analyzed plan should be a flat LogicalRDD, got $planLines lines")
+    assert(ranks.count() === n)
+    assert((System.nanoTime() - t0) / 1e9 < 120.0, "50 pinned iterations must not blow up")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("convergence mode reaches the integer fixed point and matches fixed mode") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("idx")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val (conv, itersRun) = PageRank.runConverged(nodes, edges,
+      scale = 1000L, maxIters = 100, tolMass = 0L)
+    assert(itersRun < 100, "integer arithmetic must reach an exact fixed point")
+    val convMap = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fixed-iteration run at the same depth lands on the same vector
+    val fixedMap = PageRank.run(nodes, edges, scale = 1000L, iters = itersRun)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(convMap === fixedMap)
+    // and one more iteration no longer moves it
+    val more = PageRank.run(nodes, edges, scale = 1000L, iters = itersRun + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === convMap)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ranks are non-uniform: the hash-derived graph has real structure") {
     val q = LlmQueries.queries("q138_pagerank")
     val prs = q(spark, sfDir).select("pr").as[Long].collect()
