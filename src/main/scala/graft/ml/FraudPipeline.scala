@@ -120,6 +120,33 @@ object FraudPipeline {
   def aucGate(aucValue: Double, threshold: Double = 0.95): Boolean =
     aucValue >= threshold
 
+  /** The full tracked training run (train_model.py:117-151): fit →
+    * evaluate → persist the model → append ONE row to the
+    * [[graft.sources.RunLog]] history table carrying params, metrics,
+    * and the model path. Extra params/metrics (cv_auc_mean, …) ride
+    * along; the M11 promotion ([[graft.sources.RunLog.promoteLatest]])
+    * later reads the gate metric FROM THE LOG, not from this return —
+    * the history table is the source of truth, as with a tracking
+    * server. Returns (model, test AUC, run seq). */
+  def fitLogged(train: DataFrame, test: DataFrame, features: Seq[String],
+      runLogDir: String, modelDir: String, runId: String,
+      experiment: String = "fraud-detection-ci", lrMaxIter: Int = 50,
+      extraParams: Map[String, String] = Map.empty,
+      extraMetrics: Map[String, Double] = Map.empty): (PipelineModel, Double, Long) = {
+    val model = logisticPipeline(features, maxIter = lrMaxIter).fit(train)
+    val testAuc = auc(model, test)
+    val modelPath = s"$modelDir/$runId"
+    model.write.overwrite().save(modelPath)
+    val seq = graft.sources.RunLog.logRun(train.sparkSession, runLogDir, experiment, runId,
+      params = Map(
+        "model_type" -> "LogisticRegression",
+        "max_iter" -> lrMaxIter.toString,
+        "n_features" -> features.size.toString) ++ extraParams,
+      metrics = Map("test_auc" -> testAuc) ++ extraMetrics,
+      modelPath = modelPath)
+    (model, testAuc, seq)
+  }
+
   /** M6: stratified k-fold CV with IN-FOLD SMOTE — resampling happens on
     * the train folds only, after the split, exactly the leakage
     * discipline of train_model.py:49-87. Returns per-fold AUCs. */

@@ -113,4 +113,45 @@ class FraudPipelineSpec extends SparkSpec {
     val (m, band) = FraudPipeline.cvSummary(aucs)
     assert(m >= 0.0 && m <= 1.0 && band >= 0.0)
   }
+
+  test("fitLogged appends ordered run-history rows and promoteLatest gates from the log") {
+    import graft.sources.{ModelRegistry, RunLog}
+    val tmp = Files.createTempDirectory("graft-runlog").toString
+    val runDir = s"$tmp/runs"
+    val modelDir = s"$tmp/models"
+    val (train, testSet) = FraudPipeline.stratifiedSplit(cc, Seq("Time", "V1"))
+    val (_, auc1, seq1) = FraudPipeline.fitLogged(train, testSet,
+      FraudPipeline.featureNames, runDir, modelDir, runId = "run-a", lrMaxIter = 5)
+    val (_, auc2, seq2) = FraudPipeline.fitLogged(train, testSet,
+      FraudPipeline.featureNames, runDir, modelDir, runId = "run-b", lrMaxIter = 10,
+      extraParams = Map("cv_folds" -> "5"),
+      extraMetrics = Map("cv_auc_mean" -> 0.91, "cv_auc_std" -> 0.01))
+    // two fits → two rows, strictly ordered by the single-writer seq
+    assert(seq1 === 0L && seq2 === 1L)
+    val hist = RunLog.runs(spark, runDir, "fraud-detection-ci").collect()
+    assert(hist.map(_.getString(1)).toSeq === Seq("run-a", "run-b"))
+    val p2 = hist(1).getMap[String, String](3)
+    assert(p2("model_type") === "LogisticRegression" && p2("max_iter") === "10"
+      && p2("cv_folds") === "5")
+    val m1 = hist(0).getMap[String, Double](4)
+    val m2 = hist(1).getMap[String, Double](4)
+    assert(m1("test_auc") === auc1 && m2("test_auc") === auc2
+      && m2("cv_auc_mean") === 0.91)
+    // promotion reads the LATEST run from the log: pass → alias bound
+    // to run-b's model path, which must load (the S6 registry alias)
+    val alias = "models:/fraud@production"
+    val (reg, promoted) = RunLog.promoteLatest(spark, runDir, "fraud-detection-ci",
+      Map.empty, alias, threshold = 0.0)
+    assert(promoted && reg(alias) === s"$modelDir/run-b")
+    assert(ModelRegistry.load(alias, reg, fallbackPath = "/nonexistent")
+      .stages.nonEmpty)
+    // a threshold the logged metric can't clear refuses and leaves the
+    // registry untouched (train_model.py's "not registered" branch)
+    val (reg2, promoted2) = RunLog.promoteLatest(spark, runDir, "fraud-detection-ci",
+      Map.empty, alias, threshold = 1.01)
+    assert(!promoted2 && reg2.isEmpty)
+    // unknown experiment → no run, no promotion
+    assert(!RunLog.promoteLatest(spark, runDir, "no-such-exp",
+      Map.empty, alias, threshold = 0.0)._2)
+  }
 }
