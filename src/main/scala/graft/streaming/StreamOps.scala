@@ -964,6 +964,52 @@ object StreamOps {
       }
   }
 
+  final case class AlertTick(alert: String, ts: Long, pred: Boolean)
+  final case class AlertRunState(runStart: Long, firing: Boolean, frontier: Long)
+  final case class AlertEvent(alert: String, ts: Long, event: String)
+
+  /** Streaming twin of [[graft.api.AlertRules.withState]] +
+    * `transitions`: evaluation ticks (alert, epoch-second ts, predicate)
+    * arrive as a stream, and per alert the state machine tracks the
+    * current predicate run — a run held ≥ its `for:` duration emits ONE
+    * `fired` event, the first false tick of a firing alert emits ONE
+    * `resolved` (the Alertmanager webhook contract). State is three
+    * values per ALERT (run start, firing flag, fold frontier) — bounded
+    * by rule count, never by series length. The fold is order-sensitive,
+    * so each micro-batch sorts its group by ts and ticks at or before
+    * the already-folded frontier are dropped, the
+    * [[ewmaSpendState]]/[[cusumState]] disorder discipline: a late or
+    * replayed tick cannot re-fire an alert downstream already saw. */
+  def alertState(ticks: Dataset[AlertTick], forSeconds: Map[String, Long]):
+      Dataset[AlertEvent] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.alert)
+      .flatMapGroupsWithState[AlertRunState, AlertEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (alert: String, batch: Iterator[AlertTick], state: GroupState[AlertRunState]) =>
+          val forSec = forSeconds.getOrElse(alert, 0L)
+          var st = state.getOption.getOrElse(
+            AlertRunState(runStart = -1L, firing = false, frontier = Long.MinValue))
+          val out = Seq.newBuilder[AlertEvent]
+          batch.toSeq.sortBy(_.ts).foreach { t =>
+            if (t.ts > st.frontier) {
+              if (t.pred) {
+                val start = if (st.runStart < 0) t.ts else st.runStart
+                if (!st.firing && t.ts - start >= forSec) {
+                  out += AlertEvent(alert, t.ts, "fired")
+                  st = st.copy(runStart = start, firing = true, frontier = t.ts)
+                } else st = st.copy(runStart = start, frontier = t.ts)
+              } else {
+                if (st.firing) out += AlertEvent(alert, t.ts, "resolved")
+                st = AlertRunState(runStart = -1L, firing = false, frontier = t.ts)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** ST4: bounded-retry wrapper around a sink action. Retries transient
     * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
     * backoff + terminal give-up); returns the number of attempts used or

@@ -1,0 +1,137 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Fires and resolves each reference alert rule from synthetic scrape
+  * series — thresholds, lookback windows, and for: durations are the
+  * reference's own (alert_rules.yml, fraud-detection-alerts.yml). Every
+  * expected event time is hand-computed from the Prometheus semantics
+  * (trailing increase window, for:-held islands). 60 s scrape ticks. */
+class AlertRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: Seq[(Long, String, String, Double)]): DataFrame =
+    rows.map { case (t, m, l, v) => (new Timestamp(t * 1000L), m, l, v) }
+      .toDF("ts", "metric", "labels", "value")
+
+  private def events(df: DataFrame): Seq[(String, Long)] =
+    df.orderBy("ts").collect()
+      .map(r => (r.getString(3), r.getTimestamp(2).getTime / 1000L)).toSeq
+
+  test("HighErrorRate: 5m error increase > 10 held 5m fires, drain resolves") {
+    // 200s: +100/tick forever. 500s: flat 0 through t=300, +5/tick
+    // t=360..900, flat after. err_inc crosses 10 at t=480 (3 deltas in
+    // window), stays >10 through t=1020, falls to 10 at t=1080.
+    val ticks = (0L to 1140L by 60L)
+    val s = series(
+      ticks.map(t => (t, "http_requests_total", "status=\"200\"", (t / 60 * 100).toDouble)) ++
+      ticks.map { t =>
+        val v = math.max(0L, math.min(900L, t) / 60 - 5) * 5 // 0 @300, 5 @360 … 50 @900
+        (t, "http_requests_total", "status=\"500\"", v.toDouble)
+      })
+    val got = events(AlertRules.referenceRules(s)("HighErrorRate"))
+    assert(got === Seq(("fired", 780L), ("resolved", 1080L)))
+  }
+
+  test("CeleryTaskFailures: any failure in 5m held 2m fires, window drain resolves") {
+    val ticks = (0L to 960L by 60L)
+    val s = series(ticks.map(t =>
+      (t, "xai_task_failures_total", "", if (t >= 600L) 1.0 else 0.0)))
+    val got = events(AlertRules.referenceRules(s)("CeleryTaskFailures"))
+    // failure lands t=600 → pred true through t=840 (5-tick window),
+    // for: 2m → fired at t=720; window drains at t=900 → resolved
+    assert(got === Seq(("fired", 720L), ("resolved", 900L)))
+  }
+
+  test("WorkerQueueBacklog: gauge > 100 held 10m fires, drop resolves") {
+    val ticks = (0L to 1020L by 60L)
+    val s = series(ticks.map { t =>
+      val v = if (t >= 180L && t <= 900L) 150.0 else 50.0
+      (t, "redis_list_length", "key=\"celery\"", v)
+    })
+    val got = events(AlertRules.referenceRules(s)("WorkerQueueBacklog"))
+    // true island t=180..900, held 600 s at t=780 → fired; false at 960
+    assert(got === Seq(("fired", 780L), ("resolved", 960L)))
+  }
+
+  test("MLflowUnavailable: up == 0 held 5m fires, recovery resolves") {
+    val ticks = (0L to 780L by 60L)
+    val s = series(ticks.map { t =>
+      val v = if (t >= 300L && t <= 660L) 0.0 else 1.0
+      (t, "up", "job=\"mlflow\"", v)
+    })
+    val got = events(AlertRules.referenceRules(s)("MLflowUnavailable"))
+    assert(got === Seq(("fired", 600L), ("resolved", 720L)))
+  }
+
+  test("HighAPILatency: p95 over 5m bucket increases > 500ms held 5m fires") {
+    // fast phase: +10/tick in le=0.25; slow phase t=360..900: +10/tick
+    // landing in (0.5, 1.0]. p95 jumps to 1.0 the first slow tick
+    // (20% > 5% of the window) and stays until the window is all-fast.
+    val ticks = (0L to 1260L by 60L)
+    def cum(t: Long, fast: Boolean): Double = {
+      val fastTicks = (0L to t by 60L).count(x => x <= 300L || x >= 960L)
+      val slowTicks = (0L to t by 60L).count(x => x >= 360L && x <= 900L)
+      if (fast) fastTicks * 10.0 else slowTicks * 10.0
+    }
+    val s = series(ticks.flatMap { t =>
+      val fast = cum(t, fast = true); val slow = cum(t, fast = false)
+      Seq( // cumulative-in-le bucket counts, handler label present
+        (t, "http_request_duration_seconds_bucket", "handler=\"/predict\",le=\"0.25\"", fast),
+        (t, "http_request_duration_seconds_bucket", "handler=\"/predict\",le=\"0.5\"", fast),
+        (t, "http_request_duration_seconds_bucket", "handler=\"/predict\",le=\"1.0\"", fast + slow),
+        (t, "http_request_duration_seconds_bucket", "handler=\"/predict\",le=\"+Inf\"", fast + slow))
+    })
+    val got = events(AlertRules.referenceRules(s)("HighAPILatency"))
+    // pred true t=360..1140 (the trailing window keeps p95 at 1.0 until
+    // it is ≥95% fast again), held 300 s at t=660 → fired; false at 1200
+    assert(got === Seq(("fired", 660L), ("resolved", 1200L)))
+  }
+
+  test("/metrics handler label is excluded from the latency rule (reference expr)") {
+    // all slow traffic, but ONLY on the /metrics handler → never fires
+    val ticks = (0L to 900L by 60L)
+    val s = series(ticks.flatMap { t =>
+      val n = (t / 60 * 10).toDouble
+      Seq(
+        (t, "http_request_duration_seconds_bucket", "handler=\"/metrics\",le=\"0.25\"", 0.0),
+        (t, "http_request_duration_seconds_bucket", "handler=\"/metrics\",le=\"0.5\"", 0.0),
+        (t, "http_request_duration_seconds_bucket", "handler=\"/metrics\",le=\"1.0\"", n),
+        (t, "http_request_duration_seconds_bucket", "handler=\"/metrics\",le=\"+Inf\"", n))
+    })
+    assert(AlertRules.referenceRules(s)("HighAPILatency").isEmpty)
+  }
+
+  test("streaming alertState emits the same fired/resolved edges as batch, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.AlertTick
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AlertTick]
+    val out = StreamOps.alertState(input.toDS(),
+      forSeconds = Map("WorkerQueueBacklog" -> 600L))
+    val q = out.toDF("alert", "ts", "event")
+      .writeStream.format("memory").queryName("alert_events")
+      .outputMode("append").start()
+    try {
+      def tick(t: Long): AlertTick =
+        AlertTick("WorkerQueueBacklog", t, t >= 180L && t <= 900L)
+      // same predicate series as the batch backlog test, split across
+      // triggers at awkward boundaries
+      input.addData((0L to 420L by 60L).map(tick): _*)
+      q.processAllAvailable()
+      input.addData((480L to 780L by 60L).map(tick): _*)
+      q.processAllAvailable()
+      // replayed + stale ticks: must not re-fire or double-emit
+      input.addData(tick(600L), tick(780L))
+      q.processAllAvailable()
+      input.addData((840L to 1020L by 60L).map(tick): _*)
+      q.processAllAvailable()
+      val got = spark.table("alert_events").orderBy("ts").collect()
+        .map(r => (r.getString(2), r.getLong(1))).toSeq
+      assert(got === Seq(("fired", 780L), ("resolved", 960L)))
+    } finally q.stop()
+  }
+}
