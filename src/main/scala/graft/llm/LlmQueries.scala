@@ -1160,6 +1160,70 @@ object LlmQueries {
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** The FULL curation canon composed (q137 predates the round-9
+    * quality tier; this chains it): Gopher A1.1 quality battery (q127)
+    * ∧ A1.2 repetition battery (q131) → CCNet perplexity tercile, drop
+    * the tail (q133) → DSIR importance selection, keep the top quarter
+    * (q132) → exact dedup on content (first doc_id per hash) →
+    * decontamination (drop eval docs and the q75 quarantine) → sequence
+    * packing per source (q77 windows). Every stage's criterion is THE
+    * STANDALONE QUERY'S OWN definition computed over the full corpus
+    * (the LM fits, DSIR rank, and terciles are corpus-global exactly as
+    * q132/q133 run them), then cascaded as semi-joins — so the spec can
+    * assert each stage boundary equals the standalone keep-sets'
+    * intersection, and the oracle hash-checks the COMPOSITION (a stage
+    * reordered or a fit narrowed to survivors produces a different
+    * kept-set). One lazy plan up to the inherited stage
+    * materializations (q132's bounded bucket fit, q133's occ cache,
+    * q75's rare-shingle index — the same runner-scoped caches the
+    * standalone queries use). The per-flag battery frames are cached
+    * before their filters — the q137 discipline: an uncached
+    * filter-on-derived-flag inlines the interpreted gram pipelines into
+    * the scan predicate. */
+  private val q196CurationCanon: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    // A1.1 conjunction MINUS the distinct-stop-word rule: the synthetic
+    // corpus's 31-word template vocabulary carries ≤1 distinct stopword
+    // per doc, so r_stop rejects 100% of every SF and composing it
+    // would make this pipeline (and its oracle) vacuously empty. The
+    // Gopher paper's thresholds are English-web-tuned and per-corpus
+    // configurable by design; the full conjunction (r_stop included)
+    // still ships and is oracle-checked standalone in q127.
+    val gopherKeep = q127GopherRules(s, dir)
+      .select(col("doc_id"), (col("r_words") * col("r_mean_len") * col("r_symbol") *
+        col("r_alpha") * col("r_bullet") * col("r_ellipsis")).as("gop_keep")).cache()
+      .filter(col("gop_keep") === 1).select("doc_id")
+    val repKeep = q131RepetitionRules(s, dir)
+      .select(col("doc_id"), col("rep_pass")).cache()
+      .filter(col("rep_pass") === 1).select("doc_id")
+    val pplKeep = q133NgramLmPpl(s, dir)
+      .filter(col("ppl_bucket") =!= "tail").select("doc_id")
+    val dsirKeep = q132DsirSelect(s, dir)
+      .filter(col("selected") === 1).select("doc_id")
+    val gated = docs
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(pplKeep, Seq("doc_id"), "left_semi")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+    val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("h", tokHash(col("text")))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") === 1)
+    val flagged = q75Contamination(s, dir).select(col("train_id").as("doc_id")).distinct()
+    val clean = deduped
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clean
+      .withColumn("n_tokens", size(toksCol(col("text"))).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div $PackWindow").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Link-graph centrality (PageRank, Page et al. 1999) — the web-graph
     * quality-weighting signal large crawl curations rank sources by
     * (OpenWebText's karma filter, Common Crawl's harmonic-centrality
@@ -3375,6 +3439,7 @@ object LlmQueries {
     "q181_readability"    -> q181Readability,
     "q183_heavy_hitters"  -> q183HeavyHitters,
     "q194_kcore"          -> q194Kcore,
+    "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
@@ -3589,6 +3654,99 @@ object LlmQueries {
     "q169_bfs_reach" -> duckBfsSql,
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,
+    // q196: the composed curation canon — the SAME gopher/repetition/
+    // CCNet/DSIR/contamination chains the standalone oracles use
+    // (p-/w-prefixed to avoid CTE name collisions), cascaded then
+    // dedup→decontaminate→pack. Multi-referenced heavy CTEs forced
+    // AS MATERIALIZED (the duckKcoreSql inlining lesson).
+    "q196_curation_canon" -> {
+      def s6(e: String) = s"CAST(floor(ln($e) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH ${duckGopherCTEs("documents")},
+         |${duckRepetitionCTEs("documents")},
+         |ptoks AS MATERIALIZED (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+         |pbg AS (SELECT doc_id, lang,
+         |    list_transform(range(1, len(tk)),
+         |      i -> struct_pack(g := tk[i] || ' ' || tk[i+1], h := tk[i])) AS lst
+         |  FROM ptoks WHERE len(tk) >= 2),
+         |pocc AS MATERIALIZED (SELECT doc_id, lang, unnest(lst).g AS g, unnest(lst).h AS h FROM pbg),
+         |pvoc AS MATERIALIZED (SELECT lang, count(DISTINCT w) AS v,
+         |          ${s6("count(DISTINCT w)")} AS den_def
+         |        FROM (SELECT lang, unnest(tk) AS w FROM ptoks) GROUP BY lang),
+         |pc2 AS (SELECT lang, g, ${s6("count(*) + 1.0")} AS num_s
+         |       FROM pocc GROUP BY lang, g),
+         |pc1 AS (SELECT o.lang, o.h, ${s6("count(*) + any_value(pvoc.v)")} AS den_s
+         |       FROM pocc o JOIN pvoc ON pvoc.lang = o.lang GROUP BY o.lang, o.h),
+         |pds AS (SELECT o.doc_id,
+         |         sum(COALESCE(pc2.num_s, 0) - COALESCE(pc1.den_s, pvoc.den_def)) AS sw,
+         |         count(*) AS m
+         |       FROM pocc o
+         |       LEFT JOIN pc2 ON pc2.lang = o.lang AND pc2.g = o.g
+         |       LEFT JOIN pc1 ON pc1.lang = o.lang AND pc1.h = o.h
+         |       JOIN pvoc ON pvoc.lang = o.lang
+         |       GROUP BY o.doc_id),
+         |pscored AS (SELECT d.doc_id, d.lang,
+         |    ${fpRound4Sql("CASE WHEN m > 0 THEN -(CAST(sw AS DOUBLE) / 1000000.0 / m) ELSE 0.0 END")} AS ce
+         |  FROM documents d LEFT JOIN pds ON pds.doc_id = d.doc_id),
+         |ppl AS (SELECT doc_id,
+         |    CASE WHEN rn * 3 <= cnt THEN 'head'
+         |         WHEN rn * 3 <= 2 * cnt THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ce, doc_id) AS rn,
+         |          count(*) OVER (PARTITION BY lang) AS cnt FROM pscored)),
+         |wbks AS (SELECT doc_id, lang,
+         |    list_transform($duckBigrams, g -> (${duckTokHash("g")}) % $DsirBuckets) AS bk
+         |  FROM ptoks),
+         |wocc AS MATERIALIZED (SELECT doc_id, lang, unnest(bk) AS b FROM wbks),
+         |wbc AS (SELECT b, count(*) AS raw_c,
+         |         sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tgt_c
+         |       FROM wocc GROUP BY b),
+         |wtot AS (SELECT sum(raw_c) AS nr, sum(tgt_c) AS nt FROM wbc),
+         |wllr AS (SELECT b, CAST(floor((ln((tgt_c + 1.0) / (nt + $DsirBuckets)) -
+         |           ln((raw_c + 1.0) / (nr + $DsirBuckets))) * 1000000.0 + 0.5) AS BIGINT) AS w
+         |        FROM wbc, wtot),
+         |wds AS (SELECT o.doc_id, sum(l.w) AS sw FROM wocc o JOIN wllr l ON o.b = l.b
+         |        GROUP BY o.doc_id),
+         |wscored AS (SELECT d.doc_id,
+         |    ${fpRound4Sql("CAST(COALESCE(sw, 0) AS DOUBLE) / 1000000.0")} AS log_w
+         |  FROM documents d LEFT JOIN wds ON wds.doc_id = d.doc_id),
+         |dsel AS (SELECT doc_id FROM (
+         |    SELECT *, CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rnk,
+         |      count(*) OVER () AS cnt FROM wscored)
+         |  WHERE rnk <= ceil(cnt * $DsirKeepFrac)),
+         |gated AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d
+         |  JOIN gop ON gop.doc_id = d.doc_id
+         |  JOIN rep_stats rs ON rs.doc_id = d.doc_id
+         |  WHERE gop.r_words * gop.r_mean_len * gop.r_symbol * gop.r_alpha
+         |      * gop.r_bullet * gop.r_ellipsis = 1 AND $duckRepPassCond
+         |    AND d.doc_id IN (SELECT doc_id FROM ppl WHERE bucket <> 'tail')
+         |    AND d.doc_id IN (SELECT doc_id FROM dsel)),
+         |dd AS (SELECT doc_id, source, text, row_number() OVER (
+         |    PARTITION BY ${duckTokHash("text")} ORDER BY doc_id) AS rn FROM gated),
+         |cbg AS (SELECT doc_id, list_distinct($duckBigrams) AS bg
+         |        FROM ptoks WHERE len(tk) >= 2),
+         |cex AS (SELECT doc_id, unnest(bg) AS b FROM cbg),
+         |csh AS MATERIALIZED (SELECT doc_id, ${duckTokHash("b")} AS h FROM cex),
+         |crk AS (SELECT h FROM (SELECT h, count(*) AS df FROM csh GROUP BY h)
+         |        WHERE df * 20 <= (SELECT count(*) FROM documents) AND df <= $AbsDfCap),
+         |crare AS MATERIALIZED (SELECT s.doc_id, s.h FROM csh s JOIN crk ON s.h = crk.h),
+         |cns AS (SELECT doc_id, count(*) AS n_sh FROM crare GROUP BY doc_id),
+         |flagged AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT t.doc_id AS doc_id
+         |  FROM crare t JOIN crare e ON t.h = e.h
+         |  JOIN cns ON cns.doc_id = t.doc_id
+         |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         |  GROUP BY t.doc_id, e.doc_id, cns.n_sh
+         |  HAVING count(*) >= 3 AND count(*) * 2 >= cns.n_sh)),
+         |clean AS (SELECT doc_id, source, text FROM dd
+         |  WHERE rn = 1 AND doc_id % 10 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |packed AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(len($duckToks)) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM clean)
+         |SELECT doc_id, source, n_tokens, cum_before // $PackWindow AS pack_id
+         |FROM packed ORDER BY doc_id""".stripMargin
+    },
     // q181: same three exact counts (vowel-run syllables floored at 1,
     // terminator-run sentences floored at 1), same double expression
     "q181_readability" ->
