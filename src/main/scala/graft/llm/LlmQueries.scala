@@ -2925,6 +2925,123 @@ object LlmQueries {
       "opq_not_worse", "roundtrip_ok", "search_complete")
   }
 
+  /** Recall gate for the COMPOSED serving stack — q136 pins plain IVF;
+    * this pins OPQ rotation → IVF on the rotated space → residual PQ →
+    * ADC shortlist → exact re-rank (ivfAdcRefine, IVFADC+R), i.e. the
+    * pieces q126/q125/q114 verify separately, composed the way a
+    * deployment actually serves. Everything runs in the ROTATED space
+    * (distances are isometric — q126's pinned isometry gate — so L2
+    * truth there IS L2 truth in the original space, and one space keeps
+    * the 4dp tie structure consistent between truth and search).
+    *
+    * Gates (the oracle pins the vector, q136 pattern):
+    *   - `refine_not_worse`: per query, refine recall ≥ raw-ADC recall
+    *     at the same probes — a THEOREM, not an empirical bound: the
+    *     ADC top-k is a subset of the refine shortlist, and a global
+    *     top-k member in the shortlist cannot be displaced by exact
+    *     distance (at most k−1 vectors beat it);
+    *   - `shortlist_monotone`: per query, recall never decreases as the
+    *     refine factor grows (×4 → ×16 → ×48) — also a theorem
+    *     (shortlists nest, same displacement argument). This is the
+    *     recall KNOB of IVFADC+R: shortlist size, not probe width;
+    *   - `ivf_floor_exact`: plain IVF (probe + exact distance, no
+    *     quantization) at full probe reproduces brute force — recall
+    *     1.0, q136's pinned floor re-verified on the rotated index this
+    *     stack actually serves;
+    *   - `recall_floor_ok`: the full stack at full probe, shortlist ×48
+    *     holds mean recall ≥ 0.85. The corpus is near-isotropic random
+    *     64-d vectors — PQ's adversarial case (no low-dim structure for
+    *     the codebooks to spend bits on; measured 0.96–1.0 here) — so
+    *     the floor is deliberately a bound, not an exactness pin:
+    *     quantized shortlists on structureless data lose tail ranks,
+    *     and the honest contract is floor + the monotone knob above.
+    * Truth includes the query's own vector (dist 0) — the corpus is
+    * searched as stored; the gate's teeth are the remaining k−1 ranks. */
+  private val q197Memo = new java.util.concurrent.ConcurrentHashMap[
+    String, (IvfSearch.Index, ProductQuant.Model, DataFrame)]()
+
+  private def q197Artifacts(s: SparkSession, dir: String) =
+    q197Memo.computeIfAbsent(dir, _ => {
+      val (opq, _, _) = q126Artifacts(s, dir)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val rot = Opq.rotate(e, "emb", opq, "rot").select(col("vec_id"), col("rot"))
+      val index = IvfSearch.build(rot, "vec_id", "rot", k = 8)
+      val rpq = ProductQuant.fitResidual(index, "rot", m = 8, k = 16, maxIter = 8)
+      val rcoded = ProductQuant.encodeResidual(index.indexed, "rot", index.centers, rpq)
+      (index, rpq, rcoded)
+    })
+
+  private val q197StackRecall: Q = (s, dir) => {
+    import s.implicits._
+    val (index, rpq, rcoded) = q197Artifacts(s, dir)
+    val queries = rcoded.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("rot"))
+    val nQ = queries.count()
+    def sq(a: Column, b: Column): Column = call_function("sq_dist", a, b)
+    // L2 ground truth in the rotated space, the search's own 4dp order
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val truth = rcoded.select(col("vec_id"), col("rot"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("rot").as("q_rot"))))
+      .withColumn("dist", round(sq(col("rot"), col("q_rot")), 4))
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= 3)
+      .groupBy(col("q_id")).agg(collect_set(col("vec_id")).as("truth"))
+    def refined(nProbe: Int, nm: String, refine: Int = 4) =
+      ProductQuant.ivfAdcRefine(index, rcoded, "vec_id", "rot", "codes",
+        queries, "vec_id", "rot", rpq, nProbe, topK = 3, refine = refine,
+        numQueries = Some(nQ), residual = true)
+        .groupBy(col("q_id")).agg(collect_set(col("neighbor_id")).as(nm))
+    def adcOnly(nProbe: Int, nm: String) =
+      ProductQuant.ivfAdcSearch(index, rcoded, "vec_id", "codes",
+        queries, "vec_id", "rot", rpq, nProbe, topK = 3,
+        numQueries = Some(nQ), residual = true)
+        .groupBy(col("q_id")).agg(collect_set(col("neighbor_id")).as(nm))
+    // plain IVF on the same rotated index: probe + exact distance only
+    def plainIvf(nProbe: Int, nm: String) = {
+      val wC = Window.partitionBy(col("q_id")).orderBy(col("c_dist"), col("cluster"))
+      val wX = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+      val centroids = index.centers.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+      val probes = queries.select(col("vec_id").as("q_id"), col("rot").as("q_rot"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_dist", sq(col("q_rot"), col("centroid")))
+        .withColumn("c_rank", row_number().over(wC))
+        .filter(col("c_rank") <= nProbe)
+        .select(col("q_id"), col("q_rot"), col("cluster"))
+      rcoded.select(col("vec_id"), col("rot"), col("cluster"))
+        .join(broadcast(probes), Seq("cluster"))
+        .withColumn("dist", round(sq(col("rot"), col("q_rot")), 4))
+        .withColumn("rnk", row_number().over(wX))
+        .filter(col("rnk") <= 3)
+        .groupBy(col("q_id")).agg(collect_set(col("vec_id")).as(nm))
+    }
+    def recall(nm: String): Column =
+      size(array_intersect(col(nm), col("truth"))).cast("double") / size(col("truth"))
+    val per = truth
+      .join(refined(2, "rf2"), Seq("q_id"))
+      .join(refined(8, "m4"), Seq("q_id"))
+      .join(refined(8, "m16", refine = 16), Seq("q_id"))
+      .join(refined(8, "m48", refine = 48), Seq("q_id"))
+      .join(adcOnly(2, "ad2"), Seq("q_id"))
+      .join(plainIvf(8, "iv8"), Seq("q_id"))
+      .select(col("q_id"), recall("rf2").as("r_rf2"), recall("m4").as("r_m4"),
+        recall("m16").as("r_m16"), recall("m48").as("r_m48"),
+        recall("ad2").as("r_ad2"), recall("iv8").as("r_iv8"))
+    val st = per.agg(
+      count(lit(1)).as("n"),
+      min(when(col("r_rf2") >= col("r_ad2"), 1).otherwise(0)).as("nw"),
+      min(when(col("r_m4") <= col("r_m16") && col("r_m16") <= col("r_m48"), 1)
+        .otherwise(0)).as("mono"),
+      min(when(col("r_iv8") === 1.0, 1).otherwise(0)).as("ivfx"),
+      avg(col("r_m48")).as("mr48"))
+      .head()
+    Seq((st.getLong(0), st.getInt(1), st.getInt(2), st.getInt(3),
+      if (st.getDouble(4) >= 0.85) 1 else 0))
+      .toDF("n_queries", "refine_not_worse", "shortlist_monotone",
+        "ivf_floor_exact", "recall_floor_ok")
+  }
+
   /** Int8 scalar quantization of the embedding column — at 100 TB the
     * ANN working set is dominated by float embeddings, and symmetric
     * max-abs int8 cuts memory/shuffle 4× (with ~0.5% cosine error at
@@ -3428,6 +3545,7 @@ object LlmQueries {
     "q134_pii_scrub"      -> q134PiiScrub,
     "q135_quality_clf"    -> q135QualityClassifier,
     "q136_ann_recall"     -> q136AnnRecall,
+    "q197_stack_recall"   -> q197StackRecall,
     "q137_curation_pipeline" -> q137CurationPipeline,
     "q138_pagerank"       -> q138PageRank,
     "q161_triangles"      -> q161Triangles,
@@ -4003,6 +4121,14 @@ object LlmQueries {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS n_queries,
         |  1 AS full_probe_exact, 1 AS recall_monotone,
         |  1.0 AS mean_recall_full""".stripMargin,
+    // q197: gate-vector oracle for the composed OPQ+residual+refine
+    // stack — refine ≥ raw ADC and shortlist-monotone recall (both
+    // theorems), the plain-IVF full-probe floor re-verified on the
+    // rotated index, and the ≥0.85 stack recall floor.
+    "q197_stack_recall" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS n_queries,
+        |  1 AS refine_not_worse, 1 AS shortlist_monotone,
+        |  1 AS ivf_floor_exact, 1 AS recall_floor_ok""".stripMargin,
     // q132: same fit/score arithmetic relationally — bucket occurrence
     // counts with a target-slice sum, add-1 LLRs scaled to integer
     // micro-nats (floor(w·1e6 + 0.5)) so the per-doc sum is an exact
