@@ -201,6 +201,20 @@ object LlmQueries {
       TextOps.DupNgramMax.toSeq.sortBy(_._1).map { case (n, mx) => s"dup_${n}gram_frac <= $mx" })
       .mkString(" AND ")
 
+  /** Shared robust-stats oracle (q142 and its q198 two-phase twin —
+    * identical output rows by construction, one SQL). */
+  private lazy val duckRobustStatsSql: String =
+    s"""WITH d AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+       |m AS (SELECT source, count(*) AS n_docs, median(n) AS med
+       |      FROM d GROUP BY source),
+       |dev AS (SELECT d.source, abs(d.n - m.med) AS dv
+       |        FROM d JOIN m USING (source)),
+       |md AS (SELECT source, median(dv) AS mad FROM dev GROUP BY source)
+       |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+       |  ${fpRound4Sql("m.med")} AS med_tokens,
+       |  ${fpRound4Sql("md.mad")} AS mad_tokens
+       |FROM m JOIN md USING (source) ORDER BY m.source""".stripMargin
+
   /** Shared SimHash CTE chain (`sim(doc_id, simhash)`) for q36/q90. */
   private lazy val duckSimhashCTE: String = {
     val bits = (0 until SimBits).map(b =>
@@ -2427,6 +2441,55 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** q142's documented 100 TB degrade, EXERCISED — and exact: the same
+    * per-source median+MAD profile through
+    * [[graft.operators.DistributedSelect.kthByGroup]] (two-phase
+    * histogram selection, two jobs per statistic for every source at
+    * once, no per-group sort and no sketch error — the reason the
+    * documented `approx_percentile` fallback is retired). Arithmetic
+    * rides a DOUBLED integer grid so the interpolated semantics of
+    * `percentile(.., 0.5)` stay exact: token counts double to even
+    * longs (even-count median = (a+b)/2 = exact integer there), the
+    * deviations |v − med2| are integer, and the MAD's own even-count
+    * average lands on exact binary halves — so the 4dp outputs equal
+    * q142's bit-for-bit, which the SHARED oracle SQL and the parity
+    * spec both pin. */
+  private val q198RobustTwophase: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.DistributedSelect
+    val d = Tables.documents(s, dir)
+      .select(col("source").as("g"),
+        (size(toksCol(col("text"))) * 2).cast("long").as("v"))
+      .cache()
+    try {
+      val counts = d.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def medRanks(n: Long): Seq[Long] =
+        if (n % 2 == 1) Seq((n + 1) / 2) else Seq(n / 2, n / 2 + 1)
+      val ranks = counts.map { case (g, n) => g -> medRanks(n) }
+      val medSel = DistributedSelect.kthByGroup(d, ranks, width = 64L)
+      // doubled-grid median: even-count average of two EVEN values —
+      // exact integer division
+      val med2 = counts.map { case (g, n) =>
+        val ks = medRanks(n)
+        g -> ks.map(k => medSel((g, k))).sum / ks.size
+      }
+      val medDf = broadcast(med2.toSeq.toDF("g", "med2"))
+      val dv = d.join(medDf, Seq("g"))
+        .select(col("g"), abs(col("v") - col("med2")).as("v"))
+      val madSel = DistributedSelect.kthByGroup(dv, ranks, width = 64L)
+      counts.toSeq.map { case (g, n) =>
+        val ks = medRanks(n)
+        val mad2 = ks.map(k => madSel((g, k))).sum.toDouble / ks.size
+        (g, n, med2(g) / 2.0, mad2 / 2.0)
+      }.toDF("source", "n_docs", "med_raw", "mad_raw")
+        .select(col("source"), col("n_docs"),
+          fpRound4(col("med_raw")).as("med_tokens"),
+          fpRound4(col("mad_raw")).as("mad_tokens"))
+        .orderBy(col("source"))
+    } finally d.unpersist() // output is driver-built — no lineage on d
+  }
+
   /** The distribution-rank window battery (ntile / percent_rank /
     * cume_dist) — the q08/q24/q74 family's remaining members, ranking
     * each doc's length within its source: quartile assignment, the
@@ -3562,6 +3625,7 @@ object LlmQueries {
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
     "q142_robust_stats"   -> q142RobustStats,
+    "q198_robust_twophase" -> q198RobustTwophase,
     "q143_window_ranks"   -> q143WindowRanks,
     "q144_source_overlap" -> q144SourceOverlap,
     "q145_version_diff"   -> q145VersionDiff,
@@ -4352,17 +4416,10 @@ object LlmQueries {
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
     // q142: DuckDB median == quantile_cont(0.5) == Spark's interpolated
     // exact percentile; halves are exact doubles, 4dp-floored anyway
-    "q142_robust_stats" ->
-      s"""WITH d AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
-         |m AS (SELECT source, count(*) AS n_docs, median(n) AS med
-         |      FROM d GROUP BY source),
-         |dev AS (SELECT d.source, abs(d.n - m.med) AS dv
-         |        FROM d JOIN m USING (source)),
-         |md AS (SELECT source, median(dv) AS mad FROM dev GROUP BY source)
-         |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
-         |  ${fpRound4Sql("m.med")} AS med_tokens,
-         |  ${fpRound4Sql("md.mad")} AS mad_tokens
-         |FROM m JOIN md USING (source) ORDER BY m.source""".stripMargin,
+    "q142_robust_stats" -> duckRobustStatsSql,
+    // q198: the two-phase selection twin returns IDENTICAL rows — the
+    // same oracle pins that exactness claim from the DuckDB side too.
+    "q198_robust_twophase" -> duckRobustStatsSql,
     "q143_window_ranks" ->
       s"""WITH d AS (SELECT source, doc_id,
          |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)

@@ -121,4 +121,110 @@ object DistributedSelect {
       k -> answer
     }.toMap
   }
+
+  /** Grouped [[kth]]: exact k-th smallest PER GROUP, same two jobs for
+    * every (group, rank) at once — the q142 robust-stats scale path
+    * (per-source medians without a per-group sort). The phase-1
+    * histogram is (groups × occupied buckets) rows and phase 2 is
+    * bounded by width · |located buckets| per group — both
+    * driver-bounded under the same contract as [[kth]]. Input is
+    * (`g` string, `v` non-negative long); `ranks` maps each group to
+    * its 1-based ranks (callers derive them from per-group counts —
+    * median, quartiles, …). */
+  def kthByGroup(vals: DataFrame, ranks: Map[String, Seq[Long]],
+      width: Long): Map[(String, Long), Long] = {
+    require(ranks.nonEmpty && width >= 1, "need ranks and a positive bucket width")
+    val hist: Map[String, Seq[(Long, Long)]] = vals
+      .groupBy(col("g"), (col("v") / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val located = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+    ranks.foreach { case (g, ks) =>
+      val h = hist.getOrElse(g, Seq.empty[(Long, Long)])
+      val total = h.map(_._2).sum
+      require(ks.forall(k => k >= 1 && k <= total),
+        s"ranks for group '$g' must lie in [1, $total]")
+      var acc = 0L
+      val sorted = ks.distinct.sorted
+      var ri = 0
+      h.foreach { case (b, n) =>
+        while (ri < sorted.length && sorted(ri) <= acc + n) {
+          located((g, sorted(ri))) = (b, sorted(ri) - acc)
+          ri += 1
+        }
+        acc += n
+      }
+    }
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val cand = located.toSeq.map { case ((g, _), (b, _)) => (g, b) }.distinct
+    val candDf = broadcast(cand.toDF("g", "b"))
+    val inBucket = vals
+      .withColumn("b", (col("v") / width).cast("long"))
+      .join(candDf, Seq("g", "b"), "left_semi")
+      .groupBy(col("g"), col("b"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(t => (t._3, t._4)).sortBy(_._1)).toMap
+    located.map { case ((g, k), (b, residual)) =>
+      var cum = 0L
+      var answer = -1L
+      val it = inBucket((g, b)).iterator
+      while (cum < residual && it.hasNext) {
+        val (v, n) = it.next()
+        cum += n
+        answer = v
+      }
+      (g, k) -> answer
+    }.toMap
+  }
+
+  /** Exact global row_number WITHOUT a global sort — the two-level
+    * prefix sum: one bucketing pass collects the (bounded) occupied-
+    * bucket histogram, the driver prefix-sums it into per-bucket rank
+    * offsets, and each row's rank is offset(bucket) + its rank INSIDE
+    * the bucket (a window partitioned by bucket — parallel partitions
+    * whose size the caller bounds via `width`). This is what replaces
+    * `Window.orderBy(...)` (one single-task sort partition) for
+    * q156/q179/q182-style global ranking at corpus scale; an ntile /
+    * decile is then pure arithmetic on the rank ([[ntileFromRank]]).
+    * `keyCol` must hold UNIQUE non-negative longs — callers compose
+    * (metric, tiebreak-id) into one key, which is also what makes the
+    * rank deterministic. */
+  def globalRowNumber(df: DataFrame, keyCol: String, rankCol: String,
+      width: Long): DataFrame = {
+    require(width >= 1, "need a positive bucket width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df.withColumn("__gr_b", (col(keyCol) / width).cast("long"))
+    val hist = withB.groupBy(col("__gr_b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = hist.map { case (b, n) => val o = (b, acc); acc += n; o }.toSeq
+    val offDf = broadcast(offsets.toDF("__gr_b", "__gr_off"))
+    withB.join(offDf, Seq("__gr_b"))
+      .withColumn(rankCol, col("__gr_off") +
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__gr_b")).orderBy(col(keyCol))).cast("long"))
+      .drop("__gr_b", "__gr_off")
+  }
+
+  /** ntile(buckets) as pure arithmetic over a 1-based global rank of n
+    * rows — SQL ntile semantics: the first (n mod buckets) tiles take
+    * ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋. With ranks from
+    * [[globalRowNumber]] this reproduces `ntile(b) OVER (ORDER BY …)`
+    * exactly, with no global-sort window anywhere. */
+  def ntileFromRank(rank: org.apache.spark.sql.Column, n: Long, buckets: Int):
+      org.apache.spark.sql.Column = {
+    require(n >= 1 && buckets >= 1, "need rows and a positive bucket count")
+    val base = n / buckets
+    val extra = n % buckets
+    val cums = (1 to (buckets - 1)).map(q => q * base + math.min(q.toLong, extra))
+    cums.zipWithIndex.foldRight(lit(buckets): org.apache.spark.sql.Column) {
+      case ((cum, i), alt) => when(rank <= cum, lit(i + 1)).otherwise(alt)
+    }
+  }
 }

@@ -1177,6 +1177,111 @@ object ExtQueries {
       .orderBy(col("dec"))
   }
 
+  /** q156's documented 100 TB degrade, EXERCISED — and exact: the same
+    * RFM quartiles with every global-sort window replaced by
+    * [[graft.operators.DistributedSelect.globalRowNumber]] (two-level
+    * prefix sums — bounded bucket histogram + per-bucket windows) and
+    * ntile as pure rank arithmetic
+    * ([[graft.operators.DistributedSelect.ntileFromRank]]). Ties are
+    * handled by CONSTRUCTION, not by value thresholds: each ordering's
+    * (metric, user_id) pair packs into one unique long key (descending
+    * metrics negate against a cap; caps asserted against overflow and
+    * collision), so the two-phase rank is the window rank, and the
+    * quartile assignment — including which side of a boundary each tied
+    * user lands on — is bit-identical to q156's, which the shared
+    * oracle and the parity spec both pin. Bucket widths put the
+    * histogram on the METRIC domain (days / purchase counts / ~2M-cent
+    * spend bands) — bounded by the domain, not the user count. */
+  private val q199RfmTwophase: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    val maxD = Tables.events(s, dir)
+      .agg(max(to_date(col("ts"))).as("d1"))
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .select(col("user_id").cast("long").as("user_id"),
+        datediff(col("d1"), col("last_d")).cast("long").as("r_days"),
+        col("freq"), col("monetary"))
+      .cache()
+    val M = 1L << 20
+    val CapF = 1L << 20
+    val CapM = 1L << 31
+    val g = perUser.agg(
+      max(col("user_id")).as("mu"), max(col("r_days")).as("mr"),
+      max(col("freq")).as("mf"),
+      max(floor(col("monetary") * 100.0 + 0.5).cast("long")).as("mc"),
+      count(lit(1)).as("n")).head()
+    require(g.getLong(0) < M && g.getLong(1) < (1L << 40) / M &&
+      g.getLong(2) < CapF && g.getLong(3) < CapM,
+      "composed-key caps exceeded — widen the key packing")
+    val n = g.getLong(4)
+    val keyed = perUser
+      .withColumn("cents", floor(col("monetary") * 100.0 + 0.5).cast("long"))
+      .withColumn("k_r", col("r_days") * M + col("user_id"))
+      .withColumn("k_f", (lit(CapF) - col("freq")) * M + col("user_id"))
+      .withColumn("k_m", (lit(CapM) - col("cents")) * M + col("user_id"))
+    val ranked = DistributedSelect.globalRowNumber(
+      DistributedSelect.globalRowNumber(
+        DistributedSelect.globalRowNumber(keyed, "k_r", "rk_r", M),
+        "k_f", "rk_f", M),
+      "k_m", "rk_m", 1L << 41)
+    ranked
+      .withColumn("r_q", DistributedSelect.ntileFromRank(col("rk_r"), n, 4).cast("long"))
+      .withColumn("f_q", DistributedSelect.ntileFromRank(col("rk_f"), n, 4).cast("long"))
+      .withColumn("m_q", DistributedSelect.ntileFromRank(col("rk_m"), n, 4).cast("long"))
+      .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .select(col("user_id"), col("r_days"), col("freq"), col("monetary"),
+        col("r_q"), col("f_q"), col("m_q"), col("rfm"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q179's documented 100 TB degrade, EXERCISED — and exact: the
+    * Lorenz/Gini global rank through
+    * [[graft.operators.DistributedSelect.globalRowNumber]] over the
+    * unique (cents, custkey) packed key, deciles as rank arithmetic.
+    * The rank-weighted sum Σi·xᵢ — the term that LOOKS like it needs a
+    * global sort — needs only the per-row rank, so the whole statistic
+    * closes with one bounded histogram pass + per-bucket windows;
+    * outputs are bit-identical to q179's (shared oracle + parity
+    * spec). */
+  private val q200GiniTwophase: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val M = 1L << 24
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("cents"))
+      .select(col("o_custkey").cast("long").as("o_custkey"), col("cents"))
+      .cache()
+    val g = perCust.agg(max(col("o_custkey")), max(col("cents")), count(lit(1))).head()
+    require(g.getLong(0) < M && g.getLong(1) < (1L << 38),
+      "composed-key caps exceeded — widen the key packing")
+    val n = g.getLong(2)
+    val ranked = DistributedSelect.globalRowNumber(
+        perCust.withColumn("k", col("cents") * M + col("o_custkey")),
+        "k", "i", 1L << 44) // ~2M-cent bands: histogram bounded by domain
+      .withColumn("dec", DistributedSelect.ntileFromRank(col("i"), n, 10).cast("long"))
+    val deciles = ranked.groupBy(col("dec"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("dec_cents"),
+        sum(col("i") * col("cents")).as("dec_ix"))
+      .withColumn("cum_cents", sum(col("dec_cents")).over(
+        Window.orderBy(col("dec")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", sum(col("dec_cents")).over(Window.partitionBy()))
+      .withColumn("n", sum(col("n_cust")).over(Window.partitionBy()))
+      .withColumn("six", sum(col("dec_ix")).over(Window.partitionBy()))
+    deciles.select(col("dec"), col("n_cust"),
+        fpRound4(col("cum_cents").cast("double") / col("t").cast("double"))
+          .as("cum_share"),
+        s6((lit(2.0) * col("six").cast("double") -
+            (col("n") + 1L).cast("double") * col("t").cast("double")) /
+          (col("n").cast("double") * col("t").cast("double"))).as("gini_micro"))
+      .orderBy(col("dec"))
+  }
+
   /** Equi-depth histogram construction — the ANALYZE-statistics artifact
     * a cost-based optimizer consumes (the q123/TableStats story's data
     * half: selectivity estimates come from exactly this structure):
@@ -1614,6 +1719,8 @@ object ExtQueries {
     "q154_retention" -> q154Retention,
     "q155_rolling_active" -> q155RollingActive,
     "q156_rfm" -> q156Rfm,
+    "q199_rfm_twophase" -> q199RfmTwophase,
+    "q200_gini_twophase" -> q200GiniTwophase,
     "q59_coercion"      -> q59Coercion,
     "q73_grouping_sets" -> q73GroupingSets,
     "q74_range_frame"   -> q74RangeFrame,
@@ -1678,6 +1785,53 @@ object ExtQueries {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Shared RFM oracle (q156 and its q199 two-phase twin — identical
+    * output rows by construction, one SQL). */
+  private lazy val duckRfmSql: String =
+    """WITH md AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+      |pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+      |    CAST(count(*) AS BIGINT) AS freq, round(sum(value), 2) AS monetary
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |base AS (SELECT user_id,
+      |    CAST(date_diff('day', last_d, d1) AS BIGINT) AS r_days, freq, monetary
+      |  FROM pu CROSS JOIN md)
+      |SELECT user_id, r_days, freq, monetary,
+      |  CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_q,
+      |  CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
+      |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q,
+      |  CAST(ntile(4) OVER (ORDER BY r_days, user_id) * 100 +
+      |    ntile(4) OVER (ORDER BY freq DESC, user_id) * 10 +
+      |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS rfm
+      |FROM base ORDER BY user_id""".stripMargin
+
+  /** Shared Lorenz/Gini oracle (q179 and its q200 two-phase twin). */
+  private lazy val duckGiniSql: String =
+    """WITH pc AS (SELECT o_custkey,
+        |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+        |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS dec
+        |  FROM pc),
+        |d AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS dec_cents,
+        |    CAST(sum(i * cents) AS BIGINT) AS dec_ix
+        |  FROM r GROUP BY dec),
+        |w AS (SELECT dec, n_cust,
+        |    CAST(sum(dec_cents) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_cents,
+        |    CAST(sum(dec_cents) OVER () AS BIGINT) AS t,
+        |    CAST(sum(n_cust) OVER () AS BIGINT) AS n,
+        |    CAST(sum(dec_ix) OVER () AS BIGINT) AS six
+        |  FROM d)
+        |SELECT dec, n_cust,
+        |  floor((cum_cents::DOUBLE / t::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS cum_share,
+        |  CAST(floor((2.0 * six::DOUBLE - (n + 1)::DOUBLE * t::DOUBLE) /
+        |    (n::DOUBLE * t::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+        |FROM w ORDER BY dec""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q98_zorder" -> q98ZorderSql,
     "q99_orc_roundtrip" ->
@@ -1740,22 +1894,11 @@ object ExtQueries {
         |GROUP BY day ORDER BY day""".stripMargin,
     // q156: same deterministic (metric, user_id) orders; monetary is
     // 2dp-rounded BEFORE ranking so both engines rank the same values
-    "q156_rfm" ->
-      """WITH md AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
-        |pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
-        |    CAST(count(*) AS BIGINT) AS freq, round(sum(value), 2) AS monetary
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-        |base AS (SELECT user_id,
-        |    CAST(date_diff('day', last_d, d1) AS BIGINT) AS r_days, freq, monetary
-        |  FROM pu CROSS JOIN md)
-        |SELECT user_id, r_days, freq, monetary,
-        |  CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_q,
-        |  CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
-        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q,
-        |  CAST(ntile(4) OVER (ORDER BY r_days, user_id) * 100 +
-        |    ntile(4) OVER (ORDER BY freq DESC, user_id) * 10 +
-        |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS rfm
-        |FROM base ORDER BY user_id""".stripMargin,
+    "q156_rfm" -> duckRfmSql,
+    // twins: the two-phase rank paths return IDENTICAL rows — same
+    // oracle SQL pins the exactness claim from the DuckDB side too
+    "q199_rfm_twophase" -> duckRfmSql,
+    "q200_gini_twophase" -> duckGiniSql,
     "q109_unpivot" ->
       """SELECT 'p_retailprice' AS metric, count(*) AS n,
         |  round(sum(p_retailprice), 2) AS sum_val FROM part
@@ -2266,32 +2409,7 @@ object ExtQueries {
         |FROM w ORDER BY r_name, n_name""".stripMargin,
     // q179: same (cents, custkey) total order; every sum an exact long,
     // Gini is one double division of identical integers
-    "q179_gini_lorenz" ->
-      """WITH pc AS (SELECT o_custkey,
-        |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT)
-        |      AS cents
-        |  FROM orders GROUP BY o_custkey),
-        |r AS (SELECT cents,
-        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
-        |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS dec
-        |  FROM pc),
-        |d AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_cust,
-        |    CAST(sum(cents) AS BIGINT) AS dec_cents,
-        |    CAST(sum(i * cents) AS BIGINT) AS dec_ix
-        |  FROM r GROUP BY dec),
-        |w AS (SELECT dec, n_cust,
-        |    CAST(sum(dec_cents) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cum_cents,
-        |    CAST(sum(dec_cents) OVER () AS BIGINT) AS t,
-        |    CAST(sum(n_cust) OVER () AS BIGINT) AS n,
-        |    CAST(sum(dec_ix) OVER () AS BIGINT) AS six
-        |  FROM d)
-        |SELECT dec, n_cust,
-        |  floor((cum_cents::DOUBLE / t::DOUBLE) * 10000.0 + 0.5) / 10000.0
-        |    AS cum_share,
-        |  CAST(floor((2.0 * six::DOUBLE - (n + 1)::DOUBLE * t::DOUBLE) /
-        |    (n::DOUBLE * t::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
-        |FROM w ORDER BY dec""".stripMargin,
+    "q179_gini_lorenz" -> duckGiniSql,
     // q182: same deterministic total order; per-bucket stats exact
     "q182_equidepth_hist" ->
       """WITH r AS (SELECT l_extendedprice AS v,
