@@ -1,0 +1,190 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import java.util.concurrent.atomic.AtomicInteger
+
+/** ScalaCheck properties for the stateful streaming gates: the
+  * load-bearing claim is TRIGGER-BOUNDARY INVARIANCE — the same ordered
+  * arrivals produce the same admissions/emissions no matter where the
+  * micro-batch boundaries fall (a checkpoint restart, a backpressure
+  * re-chunking, or a replay must never change what downstream saw).
+  * Each case drives a real MemoryStream query per split, so case counts
+  * stay small (the PackingProps budget); the reference semantics are
+  * driver-side folds of the documented contracts. */
+object StreamGateProps extends Properties("graft.streamgates") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Run `f` over the batches through a memory-sink streaming query. */
+  private def runStream[T: Encoder, U: Encoder](
+      batches: Seq[Seq[T]], f: Dataset[T] => Dataset[U]): Seq[U] = {
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"gateprops_${nameCounter.incrementAndGet()}"
+    val input = MemoryStream[T]
+    val q = f(input.toDS()).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      spark.table(name).as[U].collect().toSeq
+    } finally q.stop()
+  }
+
+  /** Contiguous split of an ordered list at the given cut points. */
+  private def splitAt[T](xs: List[T], cuts: List[Int]): Seq[Seq[T]] = {
+    val cs = (cuts.map(c => math.min(math.max(c, 0), xs.size)).distinct.sorted :+ xs.size).distinct
+    val (parts, rest, _) = cs.foldLeft((Vector.empty[Seq[T]], xs, 0)) {
+      case ((acc, remaining, off), c) =>
+        val (h, t) = remaining.splitAt(c - off)
+        (acc :+ h, t, c)
+    }
+    (parts :+ rest).filter(_.nonEmpty)
+  }
+
+  private def cutsGen(n: Int): Gen[List[Int]] =
+    Gen.listOfN(3, Gen.choose(0, n))
+
+  // ---- budgetGate: admissions invariant + fold-exact ----
+  private val budgetDocs: Gen[List[StreamOps.BudgetDoc]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      src <- Gen.oneOf("a", "b")
+      tok <- Gen.choose(1L, 60L)
+    } yield (src, tok))
+  } yield rows.zipWithIndex.map { case ((s, t), i) => StreamOps.BudgetDoc(s, i.toLong, t) }
+
+  property("budgetGate admissions are split-invariant and equal the prefix fold") =
+    Prop.forAll(budgetDocs, Gen.choose(20L, 120L)) { (docs, budget) =>
+      Prop.forAll(cutsGen(docs.size)) { cuts =>
+        val whole = runStream(Seq(docs), (d: Dataset[StreamOps.BudgetDoc]) =>
+          StreamOps.budgetGate(d, budget))
+        val split = runStream(splitAt(docs, cuts), (d: Dataset[StreamOps.BudgetDoc]) =>
+          StreamOps.budgetGate(d, budget))
+        // driver fold of the documented contract: per-source docId-order
+        // prefix positions, position advances over rejected docs
+        val ref = docs.groupBy(_.source).toSeq.flatMap { case (src, ds) =>
+          var cum = 0L
+          ds.sortBy(_.docId).flatMap { d =>
+            cum += d.nTokens
+            if (cum <= budget) Some(StreamOps.AdmittedDoc(src, d.docId, d.nTokens, cum))
+            else None
+          }
+        }.toSet
+        (whole.toSet == ref) :| s"whole-batch run != fold" &&
+          (split.toSet == ref) :| s"split run != fold (cuts $cuts)"
+      }
+    }
+
+  // ---- cusumState: emissions invariant under splits AND stale replays ----
+  private val revenueDays: Gen[List[StreamOps.DailyRevenue]] = for {
+    n <- Gen.choose(1, 20)
+    ys <- Gen.listOfN(n, Gen.choose(0L, 40L))
+  } yield ys.zipWithIndex.map { case (y, d) => StreamOps.DailyRevenue("purchase", d.toLong, y) }
+
+  property("cusumState emissions are split-invariant, replay-proof, fold-exact") =
+    Prop.forAll(revenueDays, Gen.choose(5L, 25L), Gen.choose(5L, 40L)) { (days, target, h) =>
+      Prop.forAll(cutsGen(days.size)) { cuts =>
+        val targets = Map("purchase" -> (target, h))
+        val batches = splitAt(days, cuts)
+        // inject stale replays: each batch after the first re-sends the
+        // previous batch's last day — must be refused, not re-emitted
+        val withReplays = batches.zipWithIndex.map { case (b, i) =>
+          if (i == 0) b else batches(i - 1).lastOption.toSeq ++ b
+        }
+        val whole = runStream(Seq(days), (d: Dataset[StreamOps.DailyRevenue]) =>
+          StreamOps.cusumState(d, targets))
+        val split = runStream(withReplays, (d: Dataset[StreamOps.DailyRevenue]) =>
+          StreamOps.cusumState(d, targets))
+        // closed-form reference: S = P − min(0, running min P)
+        var p = 0L; var minP = 0L
+        val ref = days.map { d =>
+          p += d.y - target
+          minP = math.min(minP, p)
+          val s = p - math.min(0L, minP)
+          StreamOps.CusumPoint("purchase", d.day, d.y, s, s > h)
+        }
+        (whole == ref) :| "whole-batch run != closed form" &&
+          (split == ref) :| s"split+replay run != closed form (cuts $cuts)"
+      }
+    }
+
+  // ---- heavyHittersState: MG theorems hold at every split ----
+  private val tokenStreams: Gen[List[StreamOps.TokenArrival]] = for {
+    n <- Gen.choose(10, 80)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      (6, Gen.const("hot")), (3, Gen.const("warm")),
+      (1, Gen.oneOf("c1", "c2", "c3", "c4", "c5", "c6"))))
+  } yield toks.map(StreamOps.TokenArrival("s", _))
+
+  property("heavyHittersState holds the MG containment+undercount theorems for any split") =
+    Prop.forAll(tokenStreams, Gen.choose(2, 5)) { (toks, k) =>
+      Prop.forAll(cutsGen(toks.size)) { cuts =>
+        val snaps = runStream(splitAt(toks, cuts), (d: Dataset[StreamOps.TokenArrival]) =>
+          StreamOps.heavyHittersState(d, k))
+        val last = snaps.maxBy(_.nSeen)
+        val counters = last.counters.split(",").filter(_.nonEmpty)
+          .map { s => val Array(t, c) = s.split(":"); t -> c.toLong }.toMap
+        val n = toks.size.toLong
+        val freq = toks.groupBy(_.token).view.mapValues(_.size.toLong).toMap
+        val bound = n / (k + 1)
+        val contained = freq.filter(_._2 > bound).keys
+          .forall(counters.contains) // freq > n/(k+1) ⇒ surfaced
+        val undercount = counters.forall { case (t, c) =>
+          c <= freq.getOrElse(t, 0L) && freq.getOrElse(t, 0L) - c <= bound
+        }
+        (last.nSeen == n) :| "final snapshot must cover the whole stream" &&
+          contained :| "a guaranteed heavy hitter was dropped" &&
+          undercount :| "counter exceeded true frequency or undercount bound"
+      }
+    }
+
+  // ---- alertState: fired/resolved edges invariant, replay-proof ----
+  private val predRuns: Gen[List[Boolean]] = for {
+    n <- Gen.choose(3, 25)
+    ps <- Gen.listOfN(n, Gen.oneOf(true, false))
+  } yield ps
+
+  property("alertState edges are split-invariant, replay-proof, island-exact") =
+    Prop.forAll(predRuns, Gen.choose(0L, 4L)) { (preds, forTicks) =>
+      Prop.forAll(cutsGen(preds.size)) { cuts =>
+        val forSec = forTicks * 60L
+        val ticks = preds.zipWithIndex.map { case (p, i) =>
+          StreamOps.AlertTick("r", i * 60L, p)
+        }.toList
+        val batches = splitAt(ticks, cuts)
+        val withReplays = batches.zipWithIndex.map { case (b, i) =>
+          if (i == 0) b else batches(i - 1).takeRight(1) ++ b
+        }
+        val got = runStream(withReplays, (d: Dataset[StreamOps.AlertTick]) =>
+          StreamOps.alertState(d, Map("r" -> forSec)))
+          .map(e => (e.ts, e.event))
+        // island fold: fire once a true-run holds forSec, resolve on the
+        // first false tick while firing
+        var runStart = -1L; var firing = false
+        val ref = ticks.flatMap { t =>
+          if (t.pred) {
+            if (runStart < 0) runStart = t.ts
+            if (!firing && t.ts - runStart >= forSec) {
+              firing = true; Some((t.ts, "fired"))
+            } else None
+          } else {
+            val out = if (firing) Some((t.ts, "resolved")) else None
+            runStart = -1L; firing = false
+            out
+          }
+        }
+        (got == ref) :| s"edges diverged from island fold (cuts $cuts): got $got want $ref"
+      }
+    }
+}
