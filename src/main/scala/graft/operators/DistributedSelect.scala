@@ -212,6 +212,39 @@ object DistributedSelect {
       .drop("__gr_b", "__gr_off")
   }
 
+  /** Exact global cumulative WEIGHT sum without a global sort — the
+    * weighted sibling of [[globalRowNumber]] (same two-level prefix sum,
+    * Σw in place of counts): one bucketing pass collects the bounded
+    * occupied-bucket weight histogram, the driver prefix-sums it into
+    * per-bucket offsets, and each row's cumulative weight is
+    * offset(bucket) + the in-bucket running Σw (a window partitioned by
+    * bucket). This is the running-total primitive behind systematic /
+    * proportional-to-size sampling (q202), weighted packing, and Lorenz
+    * prefix shares at corpus scale — the places `sum(w) OVER (ORDER BY
+    * key)` would otherwise force a single-task sort. `keyCol` must hold
+    * UNIQUE non-negative longs (ties would make the prefix order — and
+    * therefore every downstream threshold crossing — nondeterministic);
+    * weights must be non-negative longs. Output: input columns plus
+    * `cumCol` = Σ w over all rows with key ≤ this row's key. */
+  def globalPrefixSum(df: DataFrame, keyCol: String, wCol: String,
+      cumCol: String, width: Long): DataFrame = {
+    require(width >= 1, "need a positive bucket width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df.withColumn("__ps_b", (col(keyCol) / width).cast("long"))
+    val hist = withB.groupBy(col("__ps_b")).agg(sum(col(wCol)).as("sw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = hist.map { case (b, sw) => val o = (b, acc); acc += sw; o }.toSeq
+    val offDf = broadcast(offsets.toDF("__ps_b", "__ps_off"))
+    withB.join(offDf, Seq("__ps_b"))
+      .withColumn(cumCol, col("__ps_off") +
+        sum(col(wCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__ps_b")).orderBy(col(keyCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop("__ps_b", "__ps_off")
+  }
+
   /** ntile(buckets) as pure arithmetic over a 1-based global rank of n
     * rows — SQL ntile semantics: the first (n mod buckets) tiles take
     * ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋. With ranks from

@@ -1706,7 +1706,101 @@ object ExtQueries {
       .orderBy(col("z_bucket"))
   }
 
+  /** The co-located join q201 aggregates over — exposed (package-level)
+    * so BucketedJoinSpec can pin the plan of the JOIN itself: both scans
+    * bucketed, sort-merge join, ZERO Exchange below the join. The
+    * aggregate above it legitimately shuffles on its own grouping key. */
+  private[graft] def bucketedJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode & 0x7fffffff).toString
+    val oT = s"graft_bkt_orders_$tag"
+    val lT = s"graft_bkt_lineitem_$tag"
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-bucketed-$tag")
+    def ensure(name: String, df: DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        val path = base.resolve(name)
+        // fresh session: clear files a previous session's table left behind
+        if (java.nio.file.Files.exists(path)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete(_))
+        }
+        // repartition on the bucket key first so every bucket lands in ONE
+        // file — which is also what lets the reader trust sortBy order
+        df.repartition(8, col(key))
+          .write.mode("overwrite")
+          .option("path", path.toString)
+          .bucketBy(8, key).sortBy(key)
+          .saveAsTable(name)
+      }
+    ensure(oT, Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey")
+    ensure(lT, Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+    // merge hint: the point is the co-located sort-merge join, not a
+    // broadcast that would hide the bucketing (orders fits under the
+    // broadcast threshold at small SFs — at 100 TB neither side does)
+    s.table(lT).join(s.table(oT).hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** Bucketed warehouse tables + shuffle-free co-located join — the
+    * pre-partitioning answer to "this fact-fact join shuffles 100 TB
+    * every night": pay the orderkey shuffle ONCE at write time
+    * (`bucketBy` persists the hash partitioning into the table layout),
+    * and every subsequent join on the bucket key reads both sides
+    * already co-located — the scans satisfy the join's required
+    * distribution, so Catalyst plans the sort-merge join with ZERO
+    * Exchange (BucketedJoinSpec pins the executed plan). Tables are
+    * external under java.io.tmpdir, memoized per sfDir via the catalog,
+    * so Bench reps and spec reruns pay the write once. Revenue lands on
+    * an exact integer grid per line (cents × residual percent) BEFORE
+    * the sum, so the aggregate is an exact long both engines reproduce
+    * bit-for-bit — and bucketing-invariance of the result is exactly
+    * what the raw-parquet DuckDB oracle checks. */
+  private val q201BucketedJoin: Q = (s, dir) => {
+    val cents = floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long")
+    val dPct = floor(round(col("l_discount"), 2) * 100.0 + 0.5).cast("long")
+    bucketedJoinFrame(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents * (lit(100L) - dPct)).as("rev_c4"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Weighted systematic sampling at corpus scale — q188's Madow PPS
+    * selector re-hosted for mixture construction ("sample k documents
+    * proportional to size") with the global-sort window replaced by the
+    * two-phase machinery, the q199/q200 twin discipline applied to
+    * sampling: thresholds t_j = j·W/k for j = 1..k over the cumulative
+    * weight in a fixed doc order; row i is drawn with multiplicity
+    * ⌊cum_i·k/W⌋ − ⌊(cum_i−w_i)·k/W⌋ — every comparison is integer
+    * floor-division, so the draw is exact and replayable on any engine
+    * (no RNG, no float thresholds), Σmult = k exactly, and any doc with
+    * w ≥ W/k is guaranteed in. The cumulative weight comes from
+    * [[graft.operators.DistributedSelect.globalPrefixSum]] — the
+    * two-level prefix sum, NOT `sum() OVER (ORDER BY …)`'s single-task
+    * global sort (q188 documents that degrade; this exercises the scale
+    * path): one bounded histogram pass + per-bucket windows, driver
+    * artifacts limited to the bucket offsets and the 1-row total. */
+  private val q202WeightedSample: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    val k = 500L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("n_chars") + lit(1L)).as("w"))
+    // bounded driver artifact: the 1-row total weight
+    val tot = docs.agg(sum(col("w"))).head().getLong(0)
+    DistributedSelect.globalPrefixSum(docs, "doc_id", "w", "cum", 4096L)
+      .withColumn("mult",
+        expr(s"(cum * $k) div $tot - ((cum - w) * $k) div $tot"))
+      .filter(col("mult") > 0L)
+      .select(col("doc_id"), col("w"), col("mult"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q201_bucketed_join" -> q201BucketedJoin,
+    "q202_weighted_sample" -> q202WeightedSample,
     "q98_zorder"     -> q98Zorder,
     "q99_orc_roundtrip" -> q99OrcRoundtrip,
     "q100_union_by_name" -> q100UnionByName,
@@ -1833,6 +1927,28 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q201: the oracle reads the RAW parquet with no buckets — the result
+    // being layout-invariant is the point; revenue is exact integer
+    // cents × residual percent per line, summed as integers both sides
+    "q201_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(round(l_extendedprice, 2) * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(round(l_discount, 2) * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS rev_c4
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q202: DuckDB computes the same integer threshold crossings over a
+    // plain ordered window; // is DuckDB floor division (HUGEINT-safe)
+    "q202_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars + 1 AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        sum(w) OVER (ORDER BY doc_id) AS cum,
+        |        sum(w) OVER () AS tot FROM t)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |  CAST((cum * 500) // tot - ((cum - w) * 500) // tot AS BIGINT) AS mult
+        |FROM c WHERE (cum * 500) // tot > ((cum - w) * 500) // tot
+        |ORDER BY doc_id""".stripMargin,
     "q98_zorder" -> q98ZorderSql,
     "q99_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -120,4 +120,44 @@ class DistributedSelectSpec extends SparkSpec {
     }
     assert(rows.toSeq === exp.toSeq, "crossing counts diverged")
   }
+
+  test("globalPrefixSum equals the ordered-window cumulative sum at any width") {
+    import spark.implicits._
+    // deterministic LCG weights over sparse, shuffled keys
+    val rows = Iterator.iterate(987654321L)(x => (x * 6364136223846793005L + 1442695040888963407L))
+      .take(400).zipWithIndex
+      .map { case (x, i) => (i * 37L + (math.abs(x) % 11L), math.abs(x) % 100L) }
+      .toSeq
+    val df = rows.toDF("k", "w")
+    val expect = rows.sortBy(_._1).scanLeft((-1L, 0L)) {
+      case ((_, cum), (k, w)) => (k, cum + w)
+    }.drop(1).toMap
+    for (width <- Seq(1L, 64L, 5000L, 1000000L)) {
+      val got = DistributedSelect.globalPrefixSum(df, "k", "w", "cum", width)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got === expect, s"prefix sums diverged at width $width")
+    }
+  }
+
+  test("q202: multiplicities sum to k, heavy docs guaranteed, fold parity") {
+    val rows = graft.queries.ExtQueries.queries("q202_weighted_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === 500L, "systematic draw must allocate exactly k")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("n_chars") + lit(1L)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val heavy = docs.filter(_._2 >= total / 500L).map(_._1).toSet
+    assert(heavy.subsetOf(rows.map(_._1).toSet),
+      "a doc with weight >= W/k missed selection")
+    // driver-side fold of the documented crossing-count contract
+    var cum = 0L
+    val exp = docs.flatMap { case (id, w) =>
+      val before = cum * 500L / total
+      cum += w
+      val after = cum * 500L / total
+      if (after > before) Some((id, w, after - before)) else None
+    }
+    assert(rows.toSeq === exp.toSeq, "crossing counts diverged from the fold")
+  }
 }
