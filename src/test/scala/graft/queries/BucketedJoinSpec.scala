@@ -70,6 +70,29 @@ class BucketedJoinSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("q201: point lookups on the bucket key prune to 1 of 8 buckets") {
+    // the other half of the pay-once layout: equality filters on the
+    // bucket key read ONE bucket's files, not the table
+    ExtQueries.queries("q201_bucketed_join")(spark, sfDir).collect()
+    val lT = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_bkt_lineitem_")).head
+    val key = spark.table(lT).select("l_orderkey").head().getLong(0)
+    // the planner's autoBucketedScan heuristic turns OFF bucketed reading
+    // when no join/aggregate exploits the layout, which also forfeits
+    // bucket-filter pruning on a bare point lookup — pin the behavior
+    // WITH the bucketed scan forced, the configuration a lookup-heavy
+    // deployment would run
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val lookup = spark.table(lT).filter(col("l_orderkey") === key)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"no bucket pruning in plan:\n$plan")
+      assert(lookup.count() > 0)
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("q201: memoized tables survive a rerun (Bench reps pay the write once)") {
     ExtQueries.queries("q201_bucketed_join")(spark, sfDir).collect()
     val before = spark.catalog.listTables().collect().map(_.name)
