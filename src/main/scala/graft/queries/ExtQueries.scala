@@ -1739,7 +1739,12 @@ object ExtQueries {
       .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
     // merge hint: the point is the co-located sort-merge join, not a
     // broadcast that would hide the bucketing (orders fits under the
-    // broadcast threshold at small SFs — at 100 TB neither side does)
+    // broadcast threshold at small SFs — at 100 TB neither side does).
+    // The defensive per-bucket Sort the planner still inserts is cheap
+    // (already-sorted runs) and disappears entirely under
+    // spark.sql.legacy.bucketedTableScan.outputOrdering=true — the write
+    // path keeps the one-file-per-bucket precondition that conf needs
+    // (BucketedJoinSpec pins the sort-free plan)
     s.table(lT).join(s.table(oT).hint("merge"),
       col("l_orderkey") === col("o_orderkey"))
   }

@@ -70,6 +70,22 @@ class BucketedJoinSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("q201: with sorted-bucket ordering trusted, the join also drops its sorts") {
+    // Spark 3+ ignores sortBy order on read by default (the one-file-per-
+    // bucket precondition became opt-in: SPARK-28632); the write path
+    // guarantees one file per bucket, so under the legacy conf the SMJ
+    // needs neither exchanges NOR sorts — the fully pre-organized join
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val plan = ExtQueries.bucketedJoinFrame(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"still shuffles:\n$plan")
+      assert(!plan.contains("Sort "), s"still sorts:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+  }
+
   test("q201: point lookups on the bucket key prune to 1 of 8 buckets") {
     // the other half of the pay-once layout: equality filters on the
     // bucket key read ONE bucket's files, not the table
