@@ -1803,7 +1803,56 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-reweighted hierarchical mixture draw — the data-recipe
+    * sampler behind "sample sources proportional to |D_s|^α" (the
+    * mixture-weight convention of the large-LM corpus recipes; α < 1
+    * upweights small sources so the head corpus doesn't drown them),
+    * here α = 0.5 over k = 1000 draws. Stage 1 on the BOUNDED source
+    * grid: per-source weights W_s, temperature scaling
+    * w̃_s = ⌊√W_s·10⁶ + 0.5⌋ — IEEE-754 sqrt is correctly rounded, so
+    * the micro-grid long is the identical integer on both engines —
+    * then exact Hamilton allocation of the k draws over w̃ (the q186
+    * apportionment: integer base ⌊k·w̃/T⌋, leftovers to largest
+    * remainders under a deterministic order; Σk_s = k provably).
+    * Stage 2 inside each source: Madow systematic selection of its k_s
+    * docs proportional to size (the q188/q202 integer crossing counts)
+    * over the per-source cumulative weight — a window PARTITIONED by
+    * source, so the parallel axis IS the mixture axis; a monster
+    * source's slice rides [[graft.operators.DistributedSelect
+    * .globalPrefixSum]] (q202's machinery) before this window would
+    * bottleneck. Every stage is integer-exact, so the full hierarchical
+    * draw — which sources, which docs, what multiplicities — is
+    * replayable bit-for-bit on any engine with no RNG anywhere. */
+  private val MixtureDraws = 1000L
+  private val q203TempMixture: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), (col("n_chars") + lit(1L)).as("w"))
+    val srcW = d.groupBy(col("source")).agg(sum(col("w")).as("ws"))
+      .withColumn("wt",
+        floor(sqrt(col("ws").cast("double")) * 1e6 + 0.5).cast("long"))
+    // deliberate global windows over the bounded source grid (the q186
+    // discipline: |sources| rows, not data-sized)
+    val g = srcW
+      .withColumn("t", sum(col("wt")).over(Window.partitionBy()))
+      .withColumn("base", expr(s"($MixtureDraws * wt) div t"))
+      .withColumn("rem", lit(MixtureDraws) * col("wt") - col("base") * col("t"))
+    val leftover = lit(MixtureDraws) - sum(col("base")).over(Window.partitionBy())
+    val alloc = g.withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("ks", col("base") + when(col("rk") <= leftover, 1L).otherwise(0L))
+      .select(col("source").as("a_source"), col("ks"), col("ws"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(alloc), col("source") === col("a_source"))
+      .withColumn("cum", sum(col("w")).over(bySrc))
+      .withColumn("mult", expr("(cum * ks) div ws - ((cum - w) * ks) div ws"))
+      .filter(col("mult") > 0L)
+      .select(col("source"), col("doc_id"), col("w"), col("mult"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_temp_mixture" -> q203TempMixture,
     "q201_bucketed_join" -> q201BucketedJoin,
     "q202_weighted_sample" -> q202WeightedSample,
     "q98_zorder"     -> q98Zorder,
@@ -1943,6 +1992,30 @@ object ExtQueries {
         |    AS BIGINT) AS rev_c4
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q203: same temperature scaling (IEEE sqrt -> micro grid), same
+    // Hamilton allocation, same crossing counts — per-source windows
+    "q203_temp_mixture" ->
+      """WITH d AS (SELECT source, doc_id, n_chars + 1 AS w FROM documents),
+        |sw AS (SELECT source, sum(w) AS ws FROM d GROUP BY source),
+        |tw AS (SELECT source, ws,
+        |         CAST(floor(sqrt(CAST(ws AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wt
+        |       FROM sw),
+        |tot AS (SELECT sum(wt) AS t FROM tw),
+        |base AS (SELECT source, ws, wt, t, (wt * 1000) // t AS b,
+        |           wt * 1000 - ((wt * 1000) // t) * t AS rem
+        |         FROM tw, tot),
+        |lo AS (SELECT 1000 - sum(b) AS leftover FROM base),
+        |alloc AS (SELECT source, ws,
+        |            b + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |                       <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS ks
+        |          FROM base),
+        |c AS (SELECT d.source, d.doc_id, d.w, a.ks, a.ws,
+        |        sum(d.w) OVER (PARTITION BY d.source ORDER BY d.doc_id) AS cum
+        |      FROM d JOIN alloc a ON d.source = a.source)
+        |SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+        |  CAST((cum * ks) // ws - ((cum - w) * ks) // ws AS BIGINT) AS mult
+        |FROM c WHERE (cum * ks) // ws > ((cum - w) * ks) // ws
+        |ORDER BY source, doc_id""".stripMargin,
     // q202: DuckDB computes the same integer threshold crossings over a
     // plain ordered window; // is DuckDB floor division (HUGEINT-safe)
     "q202_weighted_sample" ->

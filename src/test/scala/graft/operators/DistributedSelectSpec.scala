@@ -160,4 +160,40 @@ class DistributedSelectSpec extends SparkSpec {
     }
     assert(rows.toSeq === exp.toSeq, "crossing counts diverged from the fold")
   }
+
+  test("q203: hierarchical draw = Hamilton over sqrt-weights, then Madow per source") {
+    val rows = graft.queries.ExtQueries.queries("q203_temp_mixture")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum === 1000L, "mixture must allocate exactly k draws")
+    // driver recomputation of both stages
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), (col("n_chars") + lit(1L)).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val wt = bySrc.view.mapValues(ds =>
+      math.floor(math.sqrt(ds.map(_._3).sum.toDouble) * 1e6 + 0.5).toLong).toMap
+    val t = wt.values.sum
+    val base = wt.view.mapValues(w => 1000L * w / t).toMap
+    val leftover = 1000L - base.values.sum
+    val order = wt.toSeq.map { case (s0, w) => (s0, 1000L * w - base(s0) * t) }
+      .sortBy { case (s0, rem) => (-rem, s0) }.map(_._1)
+    val ks = base ++ order.take(leftover.toInt).map(s0 => s0 -> (base(s0) + 1L))
+    assert(ks.values.sum === 1000L, "Hamilton must exhaust the draw budget")
+    val exp = bySrc.toSeq.sortBy(_._1).flatMap { case (s0, ds) =>
+      val ws = ds.map(_._3).sum
+      var cum = 0L
+      ds.flatMap { case (_, id, w) =>
+        val before = cum * ks(s0) / ws
+        cum += w
+        val after = cum * ks(s0) / ws
+        if (after > before) Some((s0, id, w, after - before)) else None
+      }
+    }
+    assert(rows.toSeq === exp, "hierarchical draw diverged from the recomputation")
+    // per-source closure: each source receives exactly its allocation
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    ks.filter(_._2 > 0).foreach { case (s0, k) =>
+      assert(got.getOrElse(s0, 0L) === k, s"source $s0 draw count != allocation")
+    }
+  }
 }
