@@ -136,6 +136,31 @@ object AlertRules {
         col("ts"), col("event"), col("v"))
   }
 
+  /** The reference's Grafana dashboard
+    * (monitoring/grafana_dashboard.json: "Fraud Detection
+    * Observability") as DataFrame rollups over the same scrape series
+    * the alert rules read — panel name → panel frame:
+    *
+    *  - "API Request Rate" (`expr: http_requests_total`): an instant
+    *    vector — the raw cumulative counter per (ts, labels), exactly
+    *    what the panel plots per series.
+    *  - "XAI Task Duration (s)" (`expr: histogram_quantile(0.95,
+    *    sum(rate(xai_task_duration_seconds_bucket[5m])) by (le))`):
+    *    rate() = increase()/window, and the window factor CANCELS
+    *    inside histogram_quantile (every bucket divides by the same
+    *    constant, and the quantile compares buckets to q·total), so
+    *    [[quantileSignal]] over bucket increases is the identical
+    *    readout — the cancellation the spec pins.
+    */
+  def dashboardPanels(series: DataFrame): Map[String, DataFrame] = Map(
+    "api_request_rate" ->
+      series.filter(col("metric") === "http_requests_total")
+        .select(col("ts"), col("labels"), col("value"))
+        .orderBy(col("ts"), col("labels")),
+    "xai_task_duration_p95" ->
+      quantileSignal(series, "xai_task_duration_seconds_bucket", 0.95, 300L)
+        .orderBy(col("ts")))
+
   /** The five reference rules, wired — alert name → fired/resolved
     * event frame over the given scrape series. Thresholds, windows,
     * and `for:` durations are the reference's own

@@ -134,4 +134,34 @@ class AlertRulesSpec extends SparkSpec {
       assert(got === Seq(("fired", 780L), ("resolved", 960L)))
     } finally q.stop()
   }
+
+  test("Grafana panels: raw request-rate vector and the p95 duration readout") {
+    // 25 XAI observations per tick: 20 land <=0.1s, 24 <=0.5s, all <=+Inf
+    // — p95 needs the smallest bucket whose 5m increase covers
+    // 0.95 * 25m = 23.75m, i.e. le=0.5 at every tick with traffic
+    val ticks = (0L to 300L by 60L)
+    val buckets = Seq(("0.1", 20L), ("0.5", 24L), ("+Inf", 25L))
+    val s = series(
+      ticks.flatMap(t => buckets.map { case (le, per) =>
+        (t, "xai_task_duration_seconds_bucket", s"""le="$le"""", (per * t / 60).toDouble)
+      }) ++
+      ticks.map(t => (t, "http_requests_total", "status=\"200\"", (3 * t / 60).toDouble)))
+    val panels = AlertRules.dashboardPanels(s)
+    val p95 = panels("xai_task_duration_p95").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getDouble(1))).toSeq
+    // tick 0 is the first scrape (no delta -> no traffic in window -> no
+    // row, the PromQL-NaN outcome); every later tick reads 0.5
+    assert(p95 === (60L to 300L by 60L).map(t => (t, 0.5)))
+    val rate = panels("api_request_rate").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getString(1), r.getDouble(2))).toSeq
+    assert(rate === ticks.map(t => (t, "status=\"200\"", (3 * t / 60).toDouble)),
+      "the request-rate panel must return the raw instant vector")
+    // the rate()-vs-increase() cancellation: scaling every counter by a
+    // constant (what dividing by the window does uniformly to the bucket
+    // family) cannot move the quantile readout
+    val scaled = s.withColumn("value", col("value") * 7.0)
+    val p95s = AlertRules.dashboardPanels(scaled)("xai_task_duration_p95").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getDouble(1))).toSeq
+    assert(p95s === p95, "histogram_quantile must be scale-invariant in the bucket family")
+  }
 }
