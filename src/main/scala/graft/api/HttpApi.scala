@@ -36,7 +36,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the HTTP layer is transport only and holds no state of its own.
   */
 final class HttpApi(service: ScoringService,
-    metrics: Metrics.Registry = Metrics.global, port: Int = 0) {
+    metrics: Metrics.Registry = Metrics.global, port: Int = 0,
+    val tracer: Tracing.Recorder = new Tracing.Recorder) {
 
   private val mapper = new ObjectMapper
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -55,16 +56,21 @@ final class HttpApi(service: ScoringService,
   private def handle(path: String)(f: HttpExchange => (Int, String)): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       val corrId = java.util.UUID.randomUUID().toString
+      // the correlation id IS the trace id (the logs-to-traces join the
+      // reference's middleware + OTel provider set up): one root span
+      // per request, children opened by handlers via tracer.child
       val (status, body) =
-        try {
-          // HttpServer contexts match by prefix: "/predict" would also
-          // claim "/predictfoo"; exact endpoints accept only their own
-          // path (prefix endpoints like /explain/{id} end in '/')
-          val p = ex.getRequestURI.getPath
-          if (!path.endsWith("/") && p != path)
-            (404, obj("detail" -> s"no route for $p"))
-          else f(ex)
-        } catch { case e: Throwable => (500, obj("detail" -> e.getMessage)) }
+        tracer.root(corrId, s"${ex.getRequestMethod} $path") {
+          try {
+            // HttpServer contexts match by prefix: "/predict" would also
+            // claim "/predictfoo"; exact endpoints accept only their own
+            // path (prefix endpoints like /explain/{id} end in '/')
+            val p = ex.getRequestURI.getPath
+            if (!path.endsWith("/") && p != path)
+              (404, obj("detail" -> s"no route for $p"))
+            else f(ex)
+          } catch { case e: Throwable => (500, obj("detail" -> e.getMessage)) }
+        }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("X-Correlation-ID", corrId)
       ex.getResponseHeaders.set("Content-Type",
@@ -125,7 +131,7 @@ final class HttpApi(service: ScoringService,
             else java.util.UUID.randomUUID().toString
           metrics.counter("predictions_submitted_total").inc()
           metrics.histogram("api_inference_duration_seconds").time {
-            service.predict(txId, feats)
+            tracer.child("score") { service.predict(txId, feats) }
           } match {
             case Left(err) => (422, obj("detail" -> err))
             case Right(p) => (200, obj(
@@ -143,7 +149,9 @@ final class HttpApi(service: ScoringService,
     val id = ex.getRequestURI.getPath.stripPrefix("/explain/")
     if (id.isEmpty || id.contains('/'))
       (404, obj("detail" -> "explain requires /explain/{transaction_id}"))
-    else service.explainJson(java.net.URLDecoder.decode(id, "UTF-8")) match {
+    else tracer.child("store_read") {
+      service.explainJson(java.net.URLDecoder.decode(id, "UTF-8"))
+    } match {
       case None =>
         (404, obj("detail" ->
           "SHAP explanation not found. Calculation may still be pending."))
