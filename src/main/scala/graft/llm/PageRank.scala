@@ -24,15 +24,26 @@ import org.apache.spark.sql.functions._
   * zero-in-degree nodes keep their base rank. The caller should cache
   * `nodes` and `edges` (both are reused every iteration).
   *
-  * Every iteration is PINNED — cache + materialize + rebuild as a
+  * Iterations are PINNED — cache + materialize + rebuild as a
   * LogicalRDD over the cached partitions (the q169/q194 idiom). Caching
   * alone stops re-execution but NOT logical-plan growth: with the
   * iterations unrolled lazily, the analyzed tree compounds per round
   * and a 50-iteration convergence run hits minutes of pure optimizer
   * time before a single task runs. Pinning keeps the per-iteration plan
-  * CONSTANT-size, so `iters` is bounded by compute, not by the
-  * analyzer; each superseded iteration's cache is released as soon as
-  * the next is materialized, so peak storage is two rank vectors.
+  * bounded, so `iters` is limited by compute, not by the analyzer.
+  *
+  * Pin CADENCE is mode-dependent, because each pin is a full
+  * materialization job (~fixed scheduler overhead that tripled q138's
+  * wall time when paid every round): fixed mode has ONE consumer per
+  * iteration (the next iteration), so a lazy chain executes exactly
+  * once regardless — only the analyzer depth needs bounding, and a pin
+  * every 8 rounds plus on the final frame does that while a 5-iteration
+  * run pays a single materialization. Convergence mode reads each
+  * vector TWICE (the delta probe + the next round), so it pins every
+  * iteration — there the cache is what stops re-execution. Either way
+  * the RETURNED frame is a pinned LogicalRDD carrying no reference to
+  * the loop-scoped caches, and each superseded pin releases as soon as
+  * the next lands (peak storage: two rank vectors).
   */
 object PageRank {
   /** Fixed-iteration mode (the oracle-matched q138 shape: both engines
@@ -73,7 +84,8 @@ object PageRank {
       c.count()
       (spark.createDataFrame(c.rdd, c.schema), c)
     }
-    var (ranks, ranksCached) = pin(nodes.select(col("idx"), lit(perNode).as("pr")))
+    var ranks: DataFrame = nodes.select(col("idx"), lit(perNode).as("pr"))
+    var ranksCached: Option[DataFrame] = None
     var itersRun = 0
     var done = false
     while (itersRun < maxIters && !done) {
@@ -81,21 +93,38 @@ object PageRank {
         .join(withDeg, ranks("idx") === withDeg("src"))
         .select(col("dst"), expr("pr div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      val (next, nextCached) = pin(nodes.select(col("idx"))
+      val lazyNext = nodes.select(col("idx"))
         .join(contribs, col("idx") === col("dst"), "left")
         .select(col("idx"),
-          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr")))
+          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
+      // pin cadence (scaladoc above): every round in convergence mode
+      // (two consumers), every 8th + the final frame in fixed mode
+      val shouldPin = tolMass.isDefined ||
+        itersRun + 1 == maxIters || (itersRun + 1) % 8 == 0
+      val (next, nextCached) =
+        if (shouldPin) { val (f, c) = pin(lazyNext); (f, Some(c)) }
+        else (lazyNext, None)
       itersRun += 1
       tolMass.foreach { tol =>
         val delta = next.join(ranks.select(col("idx"), col("pr").as("pr0")), "idx")
           .agg(sum(abs(col("pr") - col("pr0"))).as("d")).head().getLong(0)
         if (delta <= tol) done = true
       }
-      ranksCached.unpersist()
+      if (nextCached.isDefined) {
+        // a new pin supersedes the previous one; between pins (lazy
+        // rounds) the old cache must STAY live — the lazy chain reads it
+        ranksCached.foreach(_.unpersist())
+        ranksCached = nextCached
+      }
       ranks = next
-      ranksCached = nextCached
     }
     withDeg.unpersist()
+    // every path that ran an iteration returns a pinned frame: fixed
+    // mode pins the final round explicitly, convergence mode pins every
+    // round. Its backing cache stays live — the returned LogicalRDD
+    // reads those partitions; the runner's clearCache releases it
+    // (query-scoped cache contract). itersRun == 0 returns the initial
+    // vector, whose only reference is the caller's own `nodes`.
     (ranks, itersRun)
   }
 }
