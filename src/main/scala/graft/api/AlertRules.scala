@@ -85,8 +85,10 @@ object AlertRules {
 
   /** increase per (ts, labels) — the per-series half of
     * [[increaseSignal]], exposed for bucket-labeled families where the
-    * label IS the dimension. Returns (ts, labels, inc). */
-  private def increaseSignalPerSeries(series: DataFrame, metric: String,
+    * label IS the dimension (and for q204's oracle gate, which
+    * cross-checks THIS code path against DuckDB). Returns
+    * (ts, labels, inc). */
+  private[graft] def increaseSignalPerSeries(series: DataFrame, metric: String,
       windowSec: Long, labelPred: Column): DataFrame = {
     val perSeries = Window.partitionBy(col("labels")).orderBy(col("ts"))
     val trailing = Window.partitionBy(col("labels"))

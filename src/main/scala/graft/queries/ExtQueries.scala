@@ -1851,7 +1851,55 @@ object ExtQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** PromQL evaluation semantics under the DuckDB oracle — the
+    * monitoring tier's windows cross-checked engine-to-engine, not just
+    * spec'd: a per-(event_type, day) COUNTER series derived from the
+    * events table (cumulative daily counts = one scrape per day), run
+    * through [[graft.api.AlertRules.increaseSignalPerSeries]] — the
+    * SAME code path the alert rules and dashboard serve — with a 3-day
+    * trailing increase window, a data-derived integer threshold
+    * (3·total_type div n_days: ≈3× the mean daily rate, so the
+    * predicate flips on real traffic variation at every SF), and the
+    * `for:` 2-day island machinery ([[graft.api.AlertRules.withState]])
+    * per series. Output is every tick's (signal, state) — the full
+    * evaluation surface, not just edges, so the hash pins pending vs
+    * firing boundaries and the absent-sample (gap day) behavior too.
+    * All arithmetic is integer counts; the only doubles are exact
+    * integer-valued sums. Per-series axes partition every window; the
+    * per-type threshold collect is bounded by |event types|. */
+  private val q204PromqlEval: Q = (s, dir) => {
+    import graft.api.AlertRules
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val series = daily
+      .withColumn("value", sum(col("n")).over(wCum).cast("double"))
+      .select(col("d").cast("timestamp").as("ts"),
+        lit("events_total").as("metric"),
+        col("event_type").as("labels"), col("value"))
+    val inc = AlertRules.increaseSignalPerSeries(series, "events_total",
+      windowSec = 3L * 86400L, labelPred = lit(true))
+    // bounded driver artifacts: one threshold per event type + n_days
+    val nDays = ev.select(countDistinct(to_date(col("ts")))).head().getLong(0)
+    val thresholds = daily.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+      .collect().map(r => (r.getString(0), 3L * r.getLong(1) / nDays)).sortBy(_._1)
+    thresholds.map { case (tpe, thr) =>
+      AlertRules.withState(
+          inc.filter(col("labels") === tpe).select(col("ts"), col("inc").as("v")),
+          col("v") > thr, forSeconds = 2L * 86400L)
+        // day boundary as a TIMESTAMP: a DATE column round-trips as a
+        // python object in the comparator while DuckDB hands back
+        // datetime64 — the established timestamp form compares cleanly
+        .select(lit(tpe).as("event_type"), col("ts").as("day"),
+          col("v").cast("long").as("v"), col("state"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_promql_eval" -> q204PromqlEval,
     "q203_temp_mixture" -> q203TempMixture,
     "q201_bucketed_join" -> q201BucketedJoin,
     "q202_weighted_sample" -> q202WeightedSample,
@@ -1992,6 +2040,47 @@ object ExtQueries {
         |    AS BIGINT) AS rev_c4
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q204: the PromQL window semantics replicated in SQL — reset-aware
+    // per-series deltas, trailing RANGE increase window, gaps-and-islands
+    // for: states; all-integer counts so the hash is exact
+    "q204_promql_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |cum AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cv
+        |  FROM daily),
+        |del AS (
+        |  SELECT event_type, d, cv,
+        |    coalesce(cv - lag(cv) OVER (PARTITION BY event_type ORDER BY d), 0) AS dl
+        |  FROM cum),
+        |inc AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(dl) OVER (PARTITION BY event_type
+        |      ORDER BY CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT)
+        |      RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW) AS BIGINT) AS v
+        |  FROM del),
+        |nd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days FROM events),
+        |thr AS (
+        |  SELECT event_type, (3 * sum(n)) // (SELECT n_days FROM nd) AS t
+        |  FROM daily GROUP BY event_type),
+        |p AS (
+        |  SELECT i.event_type, i.d, i.v, (i.v > t.t) AS pr
+        |  FROM inc i JOIN thr t ON i.event_type = t.event_type),
+        |isl AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |    - row_number() OVER (PARTITION BY event_type, pr ORDER BY d) AS island
+        |  FROM p),
+        |held AS (
+        |  SELECT *, CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT)
+        |    - min(CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT))
+        |        OVER (PARTITION BY event_type, pr, island) AS h
+        |  FROM isl)
+        |SELECT event_type, CAST(d AS TIMESTAMP) AS day, v,
+        |  CASE WHEN NOT pr THEN 'inactive' WHEN h >= 172800 THEN 'firing'
+        |       ELSE 'pending' END AS state
+        |FROM held ORDER BY event_type, day""".stripMargin,
     // q203: same temperature scaling (IEEE sqrt -> micro grid), same
     // Hamilton allocation, same crossing counts — per-source windows
     "q203_temp_mixture" ->

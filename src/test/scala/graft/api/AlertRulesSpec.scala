@@ -164,4 +164,51 @@ class AlertRulesSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).getTime / 1000L, r.getDouble(1))).toSeq
     assert(p95s === p95, "histogram_quantile must be scale-invariant in the bucket family")
   }
+
+  test("q204: the oracle-gated PromQL evaluation is non-vacuous and folds correctly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.ExtQueries.queries("q204_promql_eval")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000L,
+        r.getLong(2), r.getString(3)))
+    // the gate must exercise all three states, or the hash pins nothing
+    val states = rows.map(_._4).toSet
+    assert(states === Set("inactive", "pending", "firing"),
+      s"state space not exercised: $states")
+    // driver fold of the full machinery for every series: daily counts ->
+    // cumulative -> deltas -> 3-day trailing sum -> threshold -> islands
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      // epoch seconds derived IN the session (UTC) — java.sql.Date
+      // .getTime would re-anchor midnight to the JVM-default zone
+      .select(col("event_type"), col("d").cast("timestamp").cast("long"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDays = daily.map(_._2).distinct.size
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (tpe, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val thr = 3L * sorted.map(_._3).sum / nDays
+      // deltas of the cumulative series = the daily counts themselves,
+      // except the FIRST scrape contributes zero (no lookback)
+      val deltas = sorted.zipWithIndex.map { case ((_, t, n), i) =>
+        (t, if (i == 0) 0L else n)
+      }
+      val sig = deltas.map { case (t, _) =>
+        (t, deltas.filter { case (t2, _) => t2 > t - 259200L && t2 <= t }.map(_._2).sum)
+      }
+      // islands over the predicate series, held time from the island start
+      var islandStart = -1L
+      var prevPred = false
+      sig.map { case (t, v) =>
+        val pred = v > thr
+        if (pred != prevPred) islandStart = t
+        prevPred = pred
+        val state =
+          if (!pred) "inactive"
+          else if (t - islandStart >= 172800L) "firing" else "pending"
+        (tpe, t, v, state)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq === expected, "PromQL fold diverged from the query")
+  }
 }
