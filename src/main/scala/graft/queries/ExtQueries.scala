@@ -1898,7 +1898,50 @@ object ExtQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q182's documented degrade, EXERCISED exactly — the steepest scaling
+    * entry in the round-10 curve (5.1× on 10× data: its global ntile(16)
+    * window funnels every row through one sort task) replaced by the
+    * two-phase rank, the q199/q200 twin discipline: pack (price cents,
+    * orderkey, linenumber) into ONE unique long key — the cent grid is
+    * a faithful order embedding because prices sit on exact cents (the
+    * distinct-price gap ≥ 1 cent dwarfs float noise ~1e-9), and the
+    * (orderkey, linenumber) tiebreak matches q182's ORDER BY exactly —
+    * rank via [[graft.operators.DistributedSelect.globalRowNumber]],
+    * bucket via [[graft.operators.DistributedSelect.ntileFromRank]],
+    * then the same bounded 16-row aggregate. Caps require()-guarded;
+    * boundary-straddling ties land exactly where the window put them,
+    * by construction. Output bit-identical to q182 (shared oracle +
+    * TwoPhaseParitySpec). */
+  private val q205EquidepthTwophase: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    val li = Tables.lineitem(s, dir)
+      .select(
+        floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("cents"),
+        col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+      .cache() // query-scoped: released by the runner's clearCache (q37 contract)
+    val g = li.agg(max(col("cents")), max(col("l_orderkey")), max(col("ln")),
+      count(lit(1))).head()
+    val (mc, mo, ml, n) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    val L = ml + 1L
+    val tieMax = mo * L + ml
+    val M = java.lang.Long.highestOneBit(tieMax) * 2L
+    require(M > tieMax && mc < Long.MaxValue / M,
+      "packed-key caps exceeded — widen the key packing")
+    val keyed = li.withColumn("k", col("cents") * M + col("l_orderkey") * L + col("ln"))
+    val ranked = DistributedSelect.globalRowNumber(keyed, "k", "rnk", M * 1000L)
+    ranked
+      .withColumn("bucket", DistributedSelect.ntileFromRank(col("rnk"), n, 16).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"),
+        max(col("v")).as("hi"),
+        countDistinct(col("v")).as("ndv"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_equidepth_twophase" -> q205EquidepthTwophase,
     "q204_promql_eval" -> q204PromqlEval,
     "q203_temp_mixture" -> q203TempMixture,
     "q201_bucketed_join" -> q201BucketedJoin,
@@ -1999,6 +2042,18 @@ object ExtQueries {
       |    ntile(4) OVER (ORDER BY freq DESC, user_id) * 10 +
       |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS rfm
       |FROM base ORDER BY user_id""".stripMargin
+
+  /** Shared equi-depth histogram oracle (q182 and its q205 two-phase
+    * twin — identical deterministic total order, so identical buckets). */
+  private lazy val duckEquidepthSql: String =
+    """WITH r AS (SELECT l_extendedprice AS v,
+      |    CAST(ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey,
+      |      l_linenumber) AS BIGINT) AS bucket
+      |  FROM lineitem)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(v) AS lo, max(v) AS hi,
+      |  CAST(count(DISTINCT v) AS BIGINT) AS ndv
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Shared Lorenz/Gini oracle (q179 and its q200 two-phase twin). */
   private lazy val duckGiniSql: String =
@@ -2693,16 +2748,10 @@ object ExtQueries {
     // q179: same (cents, custkey) total order; every sum an exact long,
     // Gini is one double division of identical integers
     "q179_gini_lorenz" -> duckGiniSql,
-    // q182: same deterministic total order; per-bucket stats exact
-    "q182_equidepth_hist" ->
-      """WITH r AS (SELECT l_extendedprice AS v,
-        |    CAST(ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey,
-        |      l_linenumber) AS BIGINT) AS bucket
-        |  FROM lineitem)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-        |  min(v) AS lo, max(v) AS hi,
-        |  CAST(count(DISTINCT v) AS BIGINT) AS ndv
-        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q182: same deterministic total order; per-bucket stats exact.
+    // Shared with its q205 two-phase twin (bit-identical by construction)
+    "q182_equidepth_hist" -> duckEquidepthSql,
+    "q205_equidepth_twophase" -> duckEquidepthSql,
     // q184: same cent-grid moments, variance factors widened to DOUBLE
     // before multiplying, identical z expression
     "q184_peer_anomaly" ->

@@ -33,6 +33,10 @@ class TwoPhaseParitySpec extends SparkSpec {
     parity("q156_rfm", "q199_rfm_twophase")
   }
 
+  test("q205 two-phase equi-depth histogram equals q182 exactly") {
+    parity("q182_equidepth_hist", "q205_equidepth_twophase")
+  }
+
   test("q200 two-phase Lorenz/Gini equals q179 exactly") {
     parity("q179_gini_lorenz", "q200_gini_twophase")
   }
