@@ -1940,7 +1940,45 @@ object ExtQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Trace analytics under the DuckDB oracle — the
+    * [[graft.api.Tracing.selfTimeBreakdown]] join+aggregate semantics
+    * cross-checked engine-to-engine on a deterministic span forest
+    * derived from the events table: each (user, day) is one TRACE whose
+    * root "session" span covers [first event, last event + 1 h] and
+    * whose children are the events themselves, one span per event named
+    * by its type with duration `value` seconds on the exact micro grid.
+    * Self time = duration − Σ direct children (async children may
+    * overlap, so a root's self time can legitimately go negative — the
+    * oracle pins that too, not just the friendly case). All longs, no
+    * floats: starts/ends are epoch micros, durations integer micros.
+    * Scale shape: one child-sum join + one aggregate keyed on the trace
+    * axis — the span table is an ordinary event fact table. */
+  private val q206TraceBreakdown: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), to_date(col("ts")).as("d"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("dur_us"))
+    val roots = ev.groupBy(col("user_id"), col("d"))
+      .agg(min(col("sec")).as("t0"), max(col("sec")).as("t1"))
+      .select(
+        concat_ws(":", col("user_id"), col("d")).as("trace_id"),
+        concat_ws(":", lit("root"), col("user_id"), col("d")).as("span_id"),
+        lit("").as("parent_id"), lit("session").as("name"),
+        (col("t0") * 1000000L).as("start_us"),
+        ((col("t1") + 3600L) * 1000000L).as("end_us"))
+    val children = ev.select(
+      concat_ws(":", col("user_id"), col("d")).as("trace_id"),
+      concat_ws(":", lit("e"), col("event_id")).as("span_id"),
+      concat_ws(":", lit("root"), col("user_id"), col("d")).as("parent_id"),
+      col("event_type").as("name"),
+      (col("sec") * 1000000L).as("start_us"),
+      (col("sec") * 1000000L + col("dur_us")).as("end_us"))
+    graft.api.Tracing.selfTimeBreakdown(roots.unionByName(children))
+      .orderBy(col("name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_trace_breakdown" -> q206TraceBreakdown,
     "q205_equidepth_twophase" -> q205EquidepthTwophase,
     "q204_promql_eval" -> q204PromqlEval,
     "q203_temp_mixture" -> q203TempMixture,
@@ -2095,6 +2133,40 @@ object ExtQueries {
         |    AS BIGINT) AS rev_c4
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q206: the same span forest + child-sum join + rollup; floor(epoch)
+    // matches Spark's floor-division timestamp->long cast (a bare BIGINT
+    // cast of DuckDB's fractional epoch would round-to-nearest)
+    "q206_trace_breakdown" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS dur_us
+        |  FROM events),
+        |roots AS (
+        |  SELECT user_id || ':' || d AS trace_id,
+        |    'root:' || user_id || ':' || d AS span_id,
+        |    '' AS parent_id, 'session' AS name,
+        |    min(sec) * 1000000 AS start_us,
+        |    (max(sec) + 3600) * 1000000 AS end_us
+        |  FROM ev GROUP BY user_id, d),
+        |children AS (
+        |  SELECT user_id || ':' || d AS trace_id, 'e:' || event_id AS span_id,
+        |    'root:' || user_id || ':' || d AS parent_id, event_type AS name,
+        |    sec * 1000000 AS start_us, sec * 1000000 + dur_us AS end_us
+        |  FROM ev),
+        |spans AS (SELECT * FROM roots UNION ALL SELECT * FROM children),
+        |dur AS (SELECT *, end_us - start_us AS dur_us FROM spans),
+        |cs AS (SELECT trace_id AS c_trace, parent_id AS c_parent,
+        |         sum(dur_us) AS child_us
+        |       FROM dur WHERE parent_id <> '' GROUP BY trace_id, parent_id),
+        |j AS (SELECT d.name, d.dur_us,
+        |        d.dur_us - coalesce(c.child_us, 0) AS self_us
+        |      FROM dur d LEFT JOIN cs c
+        |        ON d.trace_id = c.c_trace AND d.span_id = c.c_parent)
+        |SELECT name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_us,
+        |  CAST(sum(self_us) AS BIGINT) AS self_us
+        |FROM j GROUP BY name ORDER BY name""".stripMargin,
     // q204: the PromQL window semantics replicated in SQL — reset-aware
     // per-series deltas, trailing RANGE increase window, gaps-and-islands
     // for: states; all-integer counts so the hash is exact
