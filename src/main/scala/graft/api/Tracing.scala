@@ -82,6 +82,42 @@ object Tracing {
     }
 
     def clear(): Unit = spans.clear()
+
+    /** Drain the buffer into a parquet span sink — the exporter seam the
+      * reference delegates to the OTel BatchSpanProcessor + collector
+      * (api/app.py:15-94 wires the OTLP exporter; the collector batches
+      * toward the backend). `poll()` REMOVES as it reads, so a span
+      * recorded concurrently with a drain lands in this batch or the
+      * next, never both and never nowhere — repeated cadenced drains
+      * yield a complete, duplicate-free span table. Each drain is one
+      * appended parquet batch (at cluster scale: one file set per
+      * cadence tick, compacted like any event fact table). Returns the
+      * number of spans exported. */
+    def drainTo(spark: SparkSession, dir: String): Long = {
+      import spark.implicits._
+      val batch = Iterator.continually(spans.poll()).takeWhile(_ != null)
+        .map(s => (s.traceId, s.spanId, s.parentId, s.name,
+          s.startNanos / 1000L, s.endNanos / 1000L))
+        .toSeq
+      if (batch.nonEmpty)
+        batch.toDF("trace_id", "span_id", "parent_id", "name",
+            "start_us", "end_us")
+          .write.mode("append").parquet(dir)
+      batch.size.toLong
+    }
+  }
+
+  /** Read a drained span sink back for analytics; an absent or empty
+    * sink is an empty span table, not an error (a fresh deployment has
+    * no traces yet). */
+  def loadSpans(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "trace_id string, span_id string, parent_id string, " +
+      "name string, start_us long, end_us long"
+    if (new java.io.File(dir).exists())
+      spark.read.schema(schema).parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
 
   /** Per-operation latency breakdown — the Jaeger "where did the time

@@ -431,6 +431,72 @@ object LlmQueries {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }
 
+  /** Incremental near-dup ingestion — dedup an incoming batch against a
+    * PERSISTED MinHash index of the historical corpus (doc_id % 5 == 0
+    * plays the incoming batch; the rest is history). The index is two
+    * parquet tables written once from ONE scan of history: the band
+    * table (band_id, k0, k1, doc_id) for candidate generation and the
+    * doc store (doc_id, hh, sig) for exact-Jaccard verification — after
+    * the build, history TEXT is never read again. Ingest cost is then
+    * O(batch × bucket hit rate): incoming bands equi-join the loaded
+    * index (new×old only — no new×new, no history re-pairing), and the
+    * verify joins read the doc store, pruned to candidate docs before
+    * any array payload crosses a shuffle. This is what turns q37's
+    * whole-corpus dedup into a per-ingest operation at 100 TB: the
+    * corpus-sized work happened once at index build; each batch pays
+    * only for itself. Same band planning, θ gate, and arithmetic as
+    * q37, so the DuckDB twin is the q37 CTE chain restricted to
+    * cross-split pairs. */
+  private val q207IncrementalDedup: Q = (s, dir) => {
+    def bandsOf(df: DataFrame): DataFrame = {
+      val bandArr = array((0 until NumBands).map { j =>
+        struct(lit(j).as("band_id"),
+          col("sig").getItem(2 * j).as("k0"),
+          col("sig").getItem(2 * j + 1).as("k1"))
+      }: _*)
+      df.select(col("doc_id"), explode(bandArr).as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.k0"), col("b.k1"))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    val isNew = col("doc_id") % 5 === 0
+    // index build: one scan of history → doc store; bands derive from
+    // the STORE (not a second corpus scan)
+    sigsDF(s, dir).filter(isNew === false)
+      .select(col("doc_id"), col("hh"), col("sig"))
+      .write.parquet(s"$out/docs")
+    val docStore = s.read.parquet(s"$out/docs")
+    bandsOf(docStore).write.parquet(s"$out/bands")
+    val index = s.read.parquet(s"$out/bands")
+    // ingest: the incoming batch is read twice (banding + verify)
+    val incoming = sigsDF(s, dir).filter(isNew)
+      .select(col("doc_id"), col("hh"), col("sig")).cache()
+    val cand = bandsOf(incoming).as("x")
+      .join(index.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    // prune the doc store to candidate history docs BEFORE its array
+    // payloads join (candidate-sized, not history-sized, shuffles)
+    val oldNeeded = docStore.join(
+      cand.select(col("old_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val sa = incoming.select(col("doc_id").as("new_id"),
+      col("hh").as("set_a"), col("sig").as("sig_a"))
+    val sb = oldNeeded.select(col("doc_id").as("old_id"),
+      col("hh").as("set_b"), col("sig").as("sig_b"))
+    cand.join(sa, "new_id").join(sb, "old_id")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", fpRound4(col("n_inter").cast("double")
+        / (size(col("set_a")) + size(col("set_b")) - col("n_inter"))))
+      .withColumn("est_jaccard", fpRound4(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+          .cast("double") / lit(NumSig.toDouble)))
+      .filter(col("jaccard") >= NearDupTheta)
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
+        col("est_jaccard"), col("jaccard"))
+  }
+
   /** Brute-force cosine top-k (the correctness baseline for ANN): a small
     * broadcast query set against the full corpus; rank on the ROUNDED
     * similarity so Spark/DuckDB float noise cannot flip ranks. */
@@ -3594,6 +3660,7 @@ object LlmQueries {
     "q35_minhash_sigs"    -> q35MinhashSigs,
     "q36_simhash"         -> q36Simhash,
     "q37_neardup_minhash" -> q37NeardupMinhash,
+    "q207_incremental_dedup" -> q207IncrementalDedup,
     "q38_cosine_topk"     -> q38CosineTopk,
     "q39_ann_lsh"         -> q39AnnLsh,
     "q40_multimodal_stub" -> q40MultimodalStub,
@@ -4414,6 +4481,32 @@ object LlmQueries {
     "q37_neardup_minhash" ->
       s"""WITH $duckNeardupCTEs
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
+    // q207: the q37 chain restricted to cross-split (history × incoming)
+    // pairs — the oracle recomputes everything from the corpus; the hash
+    // match proves the persisted-index ingest path returns exactly the
+    // pairs a from-scratch run would.
+    "q207_incremental_dedup" ->
+      s"""WITH $duckSigsCTE,
+         |hist AS (SELECT * FROM sigs WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT * FROM sigs WHERE doc_id % 5 = 0),
+         |hb AS (SELECT doc_id, i.j AS band_id, sig[2*i.j + 1] AS k0, sig[2*i.j + 2] AS k1
+         |       FROM hist, (SELECT unnest(range(0, $NumBands)) AS j) i),
+         |ib AS (SELECT doc_id, i.j AS band_id, sig[2*i.j + 1] AS k0, sig[2*i.j + 2] AS k1
+         |       FROM inc, (SELECT unnest(range(0, $NumBands)) AS j) i),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |         FROM ib x JOIN hb y
+         |           ON x.band_id = y.band_id AND x.k0 = y.k0 AND x.k1 = y.k1),
+         |scored AS (
+         |  SELECT c.new_id, c.old_id,
+         |    ${fpRound4Sql(s"list_sum(list_transform(range(1, ${NumSig + 1}), " +
+                  s"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::DOUBLE / $NumSig")} AS est_jaccard,
+         |    ${fpRound4Sql("len(list_intersect(a.hh, b.hh))::DOUBLE / " +
+                  "(len(a.hh) + len(b.hh) - len(list_intersect(a.hh, b.hh)))")} AS jaccard
+         |  FROM cand c
+         |  JOIN inc a ON a.doc_id = c.new_id
+         |  JOIN hist b ON b.doc_id = c.old_id)
+         |SELECT new_id AS doc_id, old_id AS dup_of, est_jaccard, jaccard
+         |FROM scored WHERE jaccard >= 0.4""".stripMargin,
     // q142: DuckDB median == quantile_cont(0.5) == Spark's interpolated
     // exact percentile; halves are exact doubles, 4dp-floored anyway
     "q142_robust_stats" -> duckRobustStatsSql,

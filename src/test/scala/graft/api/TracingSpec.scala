@@ -85,4 +85,55 @@ class TracingSpec extends SparkSpec {
       } finally spans.unpersist()
     } finally api.stop()
   }
+
+  test("drainTo: cadenced drains partition the spans — no loss, no dupes") {
+    val rec = new Tracing.Recorder
+    val dir = Files.createTempDirectory("graft-span-sink").toString + "/spans"
+
+    // an absent sink is an empty table, not an error
+    assert(Tracing.loadSpans(spark, dir).count() === 0L)
+
+    rec.root("t1", "req") { rec.child("score") { () } }
+    rec.root("t2", "req") { () }
+    assert(rec.drainTo(spark, dir) === 3L)
+    // drained spans left the buffer: a second immediate drain is empty
+    assert(rec.drainTo(spark, dir) === 0L)
+
+    rec.root("t3", "req") { () }
+    assert(rec.drainTo(spark, dir) === 1L)
+
+    val sunk = Tracing.loadSpans(spark, dir).cache()
+    try {
+      assert(sunk.count() === 4L)
+      assert(sunk.select(col("span_id")).distinct().count() === 4L)
+      assert(sunk.select(col("trace_id")).distinct().count() === 3L)
+      // the drained table drives the same analytics as a live snapshot
+      val byName = Tracing.selfTimeBreakdown(sunk).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(byName === Map("req" -> 3L, "score" -> 1L))
+    } finally sunk.unpersist()
+  }
+
+  test("drainTo: concurrent recording across drains loses nothing") {
+    val rec = new Tracing.Recorder
+    val dir = Files.createTempDirectory("graft-span-race").toString + "/spans"
+    val nThreads = 8
+    val perThread = 50
+    val workers = (0 until nThreads).map { t =>
+      new Thread(() =>
+        (0 until perThread).foreach(i => rec.root(s"t$t-$i", "req") { () }))
+    }
+    workers.foreach(_.start())
+    // drain repeatedly WHILE producers are live — poll() hands each span
+    // to exactly one batch
+    var drained = 0L
+    while (workers.exists(_.isAlive)) drained += rec.drainTo(spark, dir)
+    workers.foreach(_.join())
+    drained += rec.drainTo(spark, dir) // final sweep after quiescence
+    assert(drained === (nThreads * perThread).toLong)
+    val sunk = Tracing.loadSpans(spark, dir)
+    assert(sunk.count() === (nThreads * perThread).toLong)
+    assert(sunk.select(col("span_id")).distinct().count() ===
+      (nThreads * perThread).toLong)
+  }
 }

@@ -49,6 +49,33 @@ class DedupInjectionSpec extends SparkSpec {
     nearPairs.foreach { case (_, _, j) => assert(j >= 0.8 && j < 1.0) }
   }
 
+  test("incremental dedup vs persisted index == from-scratch dedup on the cross split") {
+    val q207 = LlmQueries.queries("q207_incremental_dedup")(spark, sfDir)
+    // the verify path reads the persisted index tables (bands + doc
+    // store), not a second corpus scan — the index paths must appear as
+    // parquet scans in the executed plan, at least twice (band table,
+    // doc store)
+    val plan = q207.queryExecution.executedPlan.toString
+    assert("graft-dedup-idx".r.findAllIn(plan).size >= 2,
+      "expected parquet scans of the persisted index in the ingest plan")
+    val got = q207.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // ground truth: the from-scratch whole-corpus dedup, restricted to
+    // pairs that cross the history/incoming split and re-oriented
+    // (new, old)
+    val expected = LlmQueries.queries("q37_neardup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .flatMap { case (a, b, j) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((a, b, j))
+          case (false, true) => Some((b, a, j))
+          case _             => None
+        }
+      }.toSet
+    assert(got.nonEmpty, "vacuous: no near-dup pairs cross the split")
+    assert(got === expected)
+  }
+
   test("connectedComponents throws rather than return unconverged labels") {
     import spark.implicits._
     // a 6-node path graph has diameter 5: one min-label round cannot finish
