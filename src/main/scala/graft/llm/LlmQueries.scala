@@ -38,6 +38,10 @@ object LlmQueries {
     * the threshold it serves instead of asserted next to it. */
   private val NumBands = graft.functions.MinHashParams.planBands(NumSig, NearDupTheta)._1
   private val SimBits = 16    // SimHash width
+  /** Round bound for the q208 greedy-MIS dedup — the SAME number unrolls
+    * in the DuckDB twin, so the Spark side throwing past it can never
+    * silently disagree with an oracle that stopped iterating. */
+  private val MisRounds = 12
 
   /** Absolute document-frequency ceiling for the contamination sweep's
     * rare-shingle index. The RELATIVE cap (df ≤ 5% of corpus) is the
@@ -495,6 +499,27 @@ object LlmQueries {
       .filter(col("jaccard") >= NearDupTheta)
       .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
         col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Spec access to the shared signature builder (the
+    * [[IncrementalDedup]] specs feed batches of real corpus signatures
+    * through the stateful ingest path). */
+  private[graft] def docSignatures(s: SparkSession, dir: String): DataFrame =
+    sigsDF(s, dir)
+
+  /** Greedy order-respecting dedup canon over the whole corpus — the
+    * single-batch run of [[IncrementalDedup.ingest]] (empty index): a doc
+    * is admitted iff it has no verified near-dup neighbor among
+    * already-admitted smaller doc_ids; a rejected doc names its smallest
+    * admitted neighbor as dup_of. Unlike the q71 connected-component
+    * canon (min label per component, order-free), this is the semantics
+    * an INCREMENTAL pipeline necessarily has — first occurrence survives
+    * — and the hash match here pins the parallel-rounds MIS against a
+    * DuckDB twin that unrolls the same rounds in SQL. */
+  private val q208GreedyDedupCanon: Q = (s, dir) => {
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-mis").toString
+    IncrementalDedup.ingest(s, idx, sigsDF(s, dir), NumBands, NearDupTheta,
+      maxRounds = MisRounds)
   }
 
   /** Brute-force cosine top-k (the correctness baseline for ANN): a small
@@ -3661,6 +3686,7 @@ object LlmQueries {
     "q36_simhash"         -> q36Simhash,
     "q37_neardup_minhash" -> q37NeardupMinhash,
     "q207_incremental_dedup" -> q207IncrementalDedup,
+    "q208_greedy_dedup_canon" -> q208GreedyDedupCanon,
     "q38_cosine_topk"     -> q38CosineTopk,
     "q39_ann_lsh"         -> q39AnnLsh,
     "q40_multimodal_stub" -> q40MultimodalStub,
@@ -4507,6 +4533,42 @@ object LlmQueries {
          |  JOIN hist b ON b.doc_id = c.old_id)
          |SELECT new_id AS doc_id, old_id AS dup_of, est_jaccard, jaccard
          |FROM scored WHERE jaccard >= 0.4""".stripMargin,
+    // q208: the parallel-rounds greedy MIS unrolled in SQL — each round
+    // admits the local minima of the remaining verified-pair graph
+    // (lm = lo's never appearing as hi), rejects their neighbors (rj),
+    // and drops decided docs from the pair set; rounds past convergence
+    // are no-ops on an empty pair set, so the fixed unroll equals the
+    // data-dependent loop whenever the Spark side converged (and the
+    // Spark side THROWS past MisRounds, so the two can never silently
+    // disagree). dup_of is the same post-pass as Spark's: min admitted
+    // smaller neighbor over the full pair set.
+    "q208_greedy_dedup_canon" -> {
+      val rounds = (1 to MisRounds).map { r =>
+        s"""lm$r AS MATERIALIZED (SELECT DISTINCT lo AS v FROM p${r - 1}
+           |  WHERE lo NOT IN (SELECT hi FROM p${r - 1})),
+           |rj$r AS MATERIALIZED (SELECT DISTINCT p.hi AS v FROM p${r - 1} p
+           |  WHERE p.lo IN (SELECT v FROM lm$r)),
+           |p$r AS MATERIALIZED (SELECT lo, hi FROM p${r - 1}
+           |  WHERE lo NOT IN (SELECT v FROM lm$r) AND lo NOT IN (SELECT v FROM rj$r)
+           |    AND hi NOT IN (SELECT v FROM lm$r) AND hi NOT IN (SELECT v FROM rj$r))""".stripMargin
+      }.mkString(",\n")
+      val rejUnion = (1 to MisRounds).map(r => s"SELECT v FROM rj$r").mkString(" UNION ALL ")
+      s"""WITH $duckNeardupCTEs,
+         |p0 AS MATERIALIZED (SELECT doc_a AS lo, doc_b AS hi FROM scored
+         |  WHERE jaccard >= $NearDupTheta),
+         |$rounds,
+         |rejected AS MATERIALIZED (SELECT DISTINCT v AS doc_id FROM ($rejUnion)),
+         |dup AS (SELECT p.hi AS doc_id, min(p.lo) AS dup_of FROM p0 p
+         |  WHERE p.hi IN (SELECT doc_id FROM rejected)
+         |    AND p.lo NOT IN (SELECT doc_id FROM rejected)
+         |  GROUP BY p.hi)
+         |SELECT s.doc_id,
+         |  CAST(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+         |  d.dup_of
+         |FROM sigs s
+         |LEFT JOIN rejected r ON r.doc_id = s.doc_id
+         |LEFT JOIN dup d ON d.doc_id = s.doc_id""".stripMargin
+    },
     // q142: DuckDB median == quantile_cont(0.5) == Spark's interpolated
     // exact percentile; halves are exact doubles, 4dp-floored anyway
     "q142_robust_stats" -> duckRobustStatsSql,

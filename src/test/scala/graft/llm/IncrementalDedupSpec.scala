@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins the [[IncrementalDedup]] contract: (1) the parallel-rounds MIS
+  * equals the SEQUENTIAL greedy-by-id dedup, recomputed driver-side from
+  * the oracle-checked q37 verified-pair set; (2) batch-split invariance —
+  * chopping the id-ordered corpus into ingests against the growing index
+  * changes nothing; (3) the streaming twin reproduces the same canon
+  * across micro-batch boundaries; (4) the persisted index holds exactly
+  * the admissions. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val Bands = graft.functions.MinHashParams.planBands(16, 0.4)._1
+  private val Theta = 0.4
+
+  private def decisionsMap(df: DataFrame): Map[Long, (Long, Option[Long])] =
+    df.collect().map { r =>
+      r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toMap
+
+  private lazy val corpus = LlmQueries.docSignatures(spark, sfDir).cache()
+  private lazy val allIds =
+    corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+
+  /** Smaller verified neighbors per doc, from q37 (banding candidate AND
+    * exact Jaccard ≥ θ — the exact neighbor relation ingest uses, and
+    * itself hash-matched against DuckDB at 3 SFs). */
+  private lazy val smallerNbrs: Map[Long, Set[Long]] =
+    LlmQueries.queries("q37_neardup_minhash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (hi, ps) => hi -> ps.map(_._1).toSet }
+
+  /** The definitional semantics: one doc at a time in id order. */
+  private lazy val seqReference: Map[Long, (Long, Option[Long])] = {
+    val admitted = scala.collection.mutable.Set[Long]()
+    allIds.map { id =>
+      val adm = smallerNbrs.getOrElse(id, Set.empty).filter(admitted)
+      if (adm.isEmpty) { admitted += id; id -> ((1L, None)) }
+      else id -> ((0L, Some(adm.min)))
+    }.toMap
+  }
+
+  override def afterAll(): Unit = {
+    corpus.unpersist()
+    super.afterAll()
+  }
+
+  test("single-batch ingest == the sequential greedy-by-id reference") {
+    assert(seqReference.values.count(_._1 == 0L) > 0,
+      "vacuous: corpus has no near-dups")
+    val got = decisionsMap(
+      IncrementalDedup.ingest(spark, tmp("graft-inc-single"), corpus, Bands, Theta))
+    assert(got === seqReference)
+  }
+
+  test("batch-split invariance: 4 uneven id-range ingests == one ingest; index == admissions") {
+    val idx = tmp("graft-inc-multi")
+    val bounds = Seq(allIds(allIds.length / 5), allIds(allIds.length / 2),
+      allIds(allIds.length * 9 / 10))
+    val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
+    val got = ranges.flatMap { case (lo, hi) =>
+      decisionsMap(IncrementalDedup.ingest(spark, idx,
+        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi), Bands, Theta))
+    }.toMap
+    assert(got === seqReference)
+    val stored = IncrementalDedup.loadDocs(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored === seqReference.filter(_._2._1 == 1L).keySet)
+  }
+
+  test("streaming twin: micro-batched stream through ingestTo reproduces the canon") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("graft-inc-stream")
+    val out = tmp("graft-inc-stream-dec") + "/decisions"
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Long], Seq[Long])]
+    val q = input.toDF().toDF("doc_id", "hh", "sig").writeStream
+      .foreachBatch((df: DataFrame, _: Long) =>
+        IncrementalDedup.ingestTo(spark, idx, df, Bands, Theta, out))
+      .start()
+    try {
+      val (g1, rest) = rows.splitAt(rows.length * 2 / 5)
+      val (g2, g3) = rest.splitAt(rest.length / 3)
+      for (g <- Seq(g1, g2, g3)) { input.addData(g.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = decisionsMap(spark.read
+      .schema("doc_id long, admitted long, dup_of long").parquet(out))
+    assert(got === seqReference)
+  }
+}
