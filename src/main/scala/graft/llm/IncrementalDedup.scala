@@ -79,18 +79,65 @@ object IncrementalDedup {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL(ddl))
 
+  /** Index tables live under a GENERATION directory resolved through the
+    * one-line `_gen` pointer file (absent pointer = generation `g0`, the
+    * fresh-index case). Every reader and every ingest append resolves
+    * through the pointer, which is what lets [[compact]] cut over to a
+    * rewritten generation with ONE atomic rename while readers always
+    * see a complete index — never a half-swapped one. */
+  private def genOf(indexDir: String): String = {
+    val f = new java.io.File(s"$indexDir/_gen")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else "g0"
+  }
+
+  private def readOrEmpty(s: SparkSession, dir: String, ddl: String): DataFrame =
+    if (new java.io.File(dir).exists()) s.read.schema(ddl).parquet(dir)
+    else emptyDF(s, ddl)
+
   /** The admitted-doc store (doc_id, hh, sig); an absent index is an
     * empty corpus, not an error. */
   def loadDocs(s: SparkSession, indexDir: String): DataFrame =
-    if (new java.io.File(s"$indexDir/docs").exists())
-      s.read.schema(DocSchema).parquet(s"$indexDir/docs")
-    else emptyDF(s, DocSchema)
+    readOrEmpty(s, s"$indexDir/${genOf(indexDir)}/docs", DocSchema)
+
+  private val BandSchema = "doc_id long, band_id int, k0 long, k1 long"
 
   private def loadBands(s: SparkSession, indexDir: String): DataFrame =
-    if (new java.io.File(s"$indexDir/bands").exists())
-      s.read.schema("doc_id long, band_id int, k0 long, k1 long")
-        .parquet(s"$indexDir/bands")
-    else emptyDF(s, "doc_id long, band_id int, k0 long, k1 long")
+    readOrEmpty(s, s"$indexDir/${genOf(indexDir)}/bands", BandSchema)
+
+  /** Compact the index: every ingest appends one small file set per
+    * table, so a long-running pipeline accretes files exactly like any
+    * streamed fact table — this folds the current generation into
+    * `filesPerTable` files per table and cuts over atomically.
+    * Single-writer (like ingest); the decision audit trail under
+    * `_decisions/` is untouched. Crash-safety comes from the pointer:
+    * the rewritten generation is fully written BEFORE the one atomic
+    * `_gen` rename, so a crash before the rename leaves the old
+    * generation live (the orphaned rewrite is re-runnable garbage) and a
+    * crash after leaves only the old generation's dirs to sweep —
+    * readers resolve a complete index in every interleaving. */
+  def compact(s: SparkSession, indexDir: String, filesPerTable: Int = 1): Unit = {
+    val cur = genOf(indexDir)
+    val next = "g" + (cur.drop(1).toLong + 1)
+    loadDocs(s, indexDir).repartition(filesPerTable)
+      .write.parquet(s"$indexDir/$next/docs")
+    loadBands(s, indexDir).repartition(filesPerTable)
+      .write.parquet(s"$indexDir/$next/bands")
+    val tmp = java.nio.file.Paths.get(s"$indexDir/_gen.tmp")
+    java.nio.file.Files.write(tmp,
+      next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$indexDir/_gen"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(new java.io.File(s"$indexDir/$cur"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 
   /** Dedup `batchIn` (doc_id, hh, sig — unique ids, all larger than any
     * previously ingested id for the order-invariance contract) against
@@ -144,10 +191,12 @@ object IncrementalDedup {
     def tracked(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
     // materialize, then detach lineage: rounds see a flat scan of cached
     // rows, not a plan tree that compounds 3x per round (pairs feeds
-    // local-minima, rejection, AND the next pair set)
-    def pinned(df: DataFrame): DataFrame = {
-      val c = tracked(df); c.count()
-      s.createDataFrame(c.rdd, c.schema)
+    // local-minima, rejection, AND the next pair set). The row count
+    // rides along so the round loop never pays a second job to ask
+    // "is it empty yet".
+    def pinned(df: DataFrame): (DataFrame, Long) = {
+      val c = tracked(df); val n = c.count()
+      (s.createDataFrame(c.rdd, c.schema), n)
     }
 
     val batch = tracked(batchIn.select(col("doc_id"), col("hh"), col("sig")))
@@ -187,7 +236,7 @@ object IncrementalDedup {
     val candDocs = candPairs
       .select(explode(array(col("lo"), col("hi"))).as("doc_id")).distinct()
     val needed = surv.join(candDocs, Seq("doc_id"), "left_semi")
-    val vp = pinned(candPairs
+    val (vp, vpCount) = pinned(candPairs
       .join(needed.select(col("doc_id").as("lo"), col("hh").as("set_a")), "lo")
       .join(needed.select(col("doc_id").as("hi"), col("hh").as("set_b")), "hi")
       .filter(jaccardPass(theta))
@@ -199,9 +248,10 @@ object IncrementalDedup {
     // pairs is admitted (every neighbor that could have rejected it was
     // itself rejected first).
     var pairs = vp
+    var pairCount = vpCount
     var rejected = emptyDF(s, "doc_id long")
     var rounds = 0
-    while (!pairs.isEmpty && rounds < maxRounds) {
+    while (pairCount > 0 && rounds < maxRounds) {
       val lm = pairs.select(col("lo")).distinct()
         .join(pairs.select(col("hi")).distinct(),
           col("lo") === col("hi"), "left_anti")
@@ -212,18 +262,20 @@ object IncrementalDedup {
       // small subtrees) — no pinning needed; the caches stay live until
       // the decisions frame materializes through them below
       rejected = rejected.union(rj.select(col("hi").as("doc_id")))
-      pairs = pinned(pairs
+      val (nextPairs, n) = pinned(pairs
         .join(rm.select(col("v").as("lo")), Seq("lo"), "left_anti")
         .join(rm.select(col("v").as("hi")), Seq("hi"), "left_anti"))
+      pairs = nextPairs
+      pairCount = n
       rounds += 1
     }
-    if (!pairs.isEmpty) {
+    if (pairCount > 0) {
       caches.foreach(_.unpersist())
       throw new IllegalStateException(
         s"incremental dedup MIS did not converge in $maxRounds rounds " +
           "(smaller-id dependency chain too long); raise maxRounds")
     }
-    val rejMis = pinned(rejected.distinct())
+    val (rejMis, _) = pinned(rejected.distinct())
 
     // ---- dup_of post-pass: min admitted smaller neighbor over the FULL
     // verified pair set (the round of rejection may have seen only part
@@ -244,10 +296,11 @@ object IncrementalDedup {
     // ---- grow the index — ONLY after the decisions landed (see the
     // ordering note above): admissions (and their bands, derived from
     // the cached survivor store, not a re-scan) become history for the
-    // next batch. Each ingest appends one file set per table; at cluster
-    // scale these compact like any fact table.
-    admittedDocs.write.mode("append").parquet(s"$indexDir/docs")
-    bandsOf(admittedDocs, numBands).write.mode("append").parquet(s"$indexDir/bands")
+    // next batch. Each ingest appends one file set per table into the
+    // current generation; [[compact]] folds the accretion.
+    val gen = genOf(indexDir)
+    admittedDocs.write.mode("append").parquet(s"$indexDir/$gen/docs")
+    bandsOf(admittedDocs, numBands).write.mode("append").parquet(s"$indexDir/$gen/bands")
 
     caches.foreach(_.unpersist())
   }

@@ -76,6 +76,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(stored === seqReference.filter(_._2._1 == 1L).keySet)
   }
 
+  test("compaction between ingests changes decisions not at all, and file counts a lot") {
+    val idx = tmp("graft-inc-compact")
+    val bounds = Seq(allIds(allIds.length / 4), allIds(allIds.length / 2),
+      allIds(allIds.length * 3 / 4))
+    val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
+    def ingestRange(r: (Long, Long)) = decisionsMap(IncrementalDedup.ingest(
+      spark, idx,
+      corpus.filter(col("doc_id") >= r._1 && col("doc_id") < r._2), Bands, Theta))
+    def partFiles(dir: String): Int = Option(new java.io.File(dir).listFiles())
+      .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+
+    val firstHalf = ranges.take(2).flatMap(ingestRange).toMap
+    val before = partFiles(s"$idx/g0/docs")
+    assert(before >= 2, "two ingests should have appended two file sets")
+    IncrementalDedup.compact(spark, idx)
+    assert(partFiles(s"$idx/g1/docs") === 1)
+    assert(!new java.io.File(s"$idx/g0").exists(), "old generation swept")
+    // the compacted index carries exactly the pre-compaction admissions
+    assert(IncrementalDedup.loadDocs(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      firstHalf.filter(_._2._1 == 1L).keySet)
+    val got = firstHalf ++ ranges.drop(2).flatMap(ingestRange).toMap
+    assert(got === seqReference)
+  }
+
   test("streaming twin: micro-batched stream through ingestTo reproduces the canon") {
     implicit val sqlCtx = spark.sqlContext
     val idx = tmp("graft-inc-stream")
