@@ -204,24 +204,30 @@ object IncrementalDedup {
     // ---- cross check: incoming docs vs the admitted index (new × old
     // only; history is admitted-by-construction, so any verified index
     // neighbor rejects the newcomer). The doc store is semi-join-pruned
-    // to candidate docs before its array payloads shuffle.
-    val idxDocs = loadDocs(s, indexDir)
-    val crossCand = bandsOf(batch, numBands).as("x")
-      .join(loadBands(s, indexDir).as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1"))
-      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
-      .distinct()
-    val oldNeeded = idxDocs.join(
-      crossCand.select(col("old_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val crossRej = tracked(crossCand
-      .join(batch.select(col("doc_id").as("new_id"), col("hh").as("set_a")), "new_id")
-      .join(oldNeeded.select(col("doc_id").as("old_id"), col("hh").as("set_b")), "old_id")
-      .filter(jaccardPass(theta))
-      // index ids all precede batch ids, so the min index neighbor IS
-      // the doc's globally smallest admitted neighbor
-      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of")))
+    // to candidate docs before its array payloads shuffle. A fresh index
+    // (no docs dir yet) skips the whole stage instead of planning five
+    // joins against empty relations.
+    val freshIndex = !new java.io.File(
+      s"$indexDir/${genOf(indexDir)}/docs").exists()
+    val crossRej = tracked(if (freshIndex) emptyDF(s, "new_id long, dup_of long")
+    else {
+      val crossCand = bandsOf(batch, numBands).as("x")
+        .join(loadBands(s, indexDir).as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1"))
+        .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+        .distinct()
+      val oldNeeded = loadDocs(s, indexDir).join(
+        crossCand.select(col("old_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      crossCand
+        .join(batch.select(col("doc_id").as("new_id"), col("hh").as("set_a")), "new_id")
+        .join(oldNeeded.select(col("doc_id").as("old_id"), col("hh").as("set_b")), "old_id")
+        .filter(jaccardPass(theta))
+        // index ids all precede batch ids, so the min index neighbor IS
+        // the doc's globally smallest admitted neighbor
+        .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+    })
     val surv = tracked(batch.join(
       crossRej.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti"))
 

@@ -101,6 +101,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === seqReference)
   }
 
+  test("worst-case chain graph: alternating admissions, and the round bound throws rather than guess") {
+    // 30 docs on a similarity PATH: hh_i = {i..i+3} gives J=0.6 with the
+    // next doc and 1/3 (< θ) with the one after; identical sigs make
+    // every pair a banding candidate, so verification alone must carve
+    // the chain out of the 435-pair candidate set. Sequential greedy on
+    // a path admits the evens and points each odd at its predecessor —
+    // and the parallel MIS needs one round per chain link (the
+    // documented worst case), so a 30-node chain must REFUSE at
+    // maxRounds=12 instead of returning half-decided docs.
+    val n = 30
+    val chain = (0 until n).map { i =>
+      (i.toLong, (i until i + 4).map(_.toLong), Seq.fill(16)(7L))
+    }.toDF("doc_id", "hh", "sig")
+    intercept[IllegalStateException] {
+      IncrementalDedup.ingest(spark, tmp("graft-inc-chain-short"), chain, Bands, Theta)
+    }
+    val got = decisionsMap(IncrementalDedup.ingest(
+      spark, tmp("graft-inc-chain"), chain, Bands, Theta, maxRounds = n))
+    val expected = (0 until n).map { i =>
+      i.toLong -> (if (i % 2 == 0) (1L, None) else (0L, Some((i - 1).toLong)))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("streaming twin: micro-batched stream through ingestTo reproduces the canon") {
     implicit val sqlCtx = spark.sqlContext
     val idx = tmp("graft-inc-stream")
