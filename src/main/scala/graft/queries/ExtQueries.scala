@@ -1977,7 +1977,52 @@ object ExtQueries {
       .orderBy(col("name"))
   }
 
+  /** Kernel density estimate of the order-amount distribution — the
+    * curve the reference's EDA overlays on its amount histogram
+    * (eda.py:31-35, `sns.histplot(df['Amount'], kde=True)` →
+    * amount_distribution.png); q18's histogram is the bars, this is the
+    * smooth density. Epanechnikov kernel K(z) = 0.75·(1−z²) on |z| ≤ 1 —
+    * the MSE-optimal kernel, and (the cross-engine point) a POLYNOMIAL:
+    * given bit-identical z both engines produce bit-identical K, where a
+    * Gaussian kernel's exp() differs by ulps across libms. Everything
+    * upstream of K is integer: prices on the cent grid, a 64-point grid
+    * and bandwidth h = range/8 derived by integer division, z one IEEE
+    * division of identical longs. Each kernel term floors onto a 1e−12
+    * grid and sums as exact longs (the q133 fixed-point discipline), so
+    * the mass column hash-matches exactly; the normalized density is one
+    * division of identical integers. Scale shape: two aggregates for the
+    * stats, then a 64-row BROADCAST grid range-joined to the fact (each
+    * row meets ~17 grid points inside the kernel support) collapsing
+    * map-side into ≤64 groups — no shuffle wider than the grid. */
+  private val q209KdeAmount: Q = (s, dir) => {
+    import s.implicits._
+    val cents = Tables.orders(s, dir)
+      .select(floor(round(col("o_totalprice"), 2) * 100.0 + 0.5)
+        .cast("long").as("c"))
+    val st = cents.agg(count(lit(1)).as("n"),
+      min(col("c")).as("lo"), max(col("c")).as("hi")).collect()(0)
+    val (n, lo, hi) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val h = math.max(1L, (hi - lo) / 8)
+    val grid = (0L until 64L).map(j => (j, lo + (hi - lo) * j / 63L))
+      .toDF("j", "grid_cents")
+    val z = (col("c") - col("grid_cents")).cast("double") / lit(h.toDouble)
+    cents.join(broadcast(grid), abs(col("c") - col("grid_cents")) <= h)
+      .select(col("j"), col("grid_cents"),
+        floor(lit(0.75) * (lit(1.0) - z * z) * lit(1e12)).cast("long").as("t"))
+      .groupBy(col("j"), col("grid_cents"))
+      .agg(sum(col("t")).as("kde_mass"))
+      // empty-support grid points (a gap in the distribution wider than
+      // h) still emit a zero row — join back to the full spine
+      .join(grid, Seq("j", "grid_cents"), "right")
+      .select(col("j"), col("grid_cents"),
+        coalesce(col("kde_mass"), lit(0L)).as("kde_mass"),
+        (coalesce(col("kde_mass"), lit(0L)).cast("double")
+          / lit(n.toDouble * h.toDouble * 1e12)).as("density"))
+      .orderBy(col("j"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q209_kde_amount" -> q209KdeAmount,
     "q206_trace_breakdown" -> q206TraceBreakdown,
     "q205_equidepth_twophase" -> q205EquidepthTwophase,
     "q204_promql_eval" -> q204PromqlEval,
@@ -2122,6 +2167,31 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q209: same integer grid/bandwidth derivation, same IEEE division
+    // for z, same polynomial kernel (bit-identical on identical doubles
+    // — the reason it's Epanechnikov, not Gaussian), every term floored
+    // to a 1e-12-grid long BEFORE summing so the mass is an exact
+    // integer on both engines; DuckDB sum(BIGINT) is HUGEINT, cast back
+    "q209_kde_amount" ->
+      """WITH cents AS (SELECT CAST(floor(round(o_totalprice, 2) * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |st AS (SELECT count(*) AS n, min(c) AS lo, max(c) AS hi FROM cents),
+        |p AS (SELECT n, lo, hi, greatest(1, (hi - lo) // 8) AS h FROM st),
+        |grid AS (SELECT j.j AS j, p.lo + ((p.hi - p.lo) * j.j) // 63 AS g, p.n, p.h
+        |  FROM p, (SELECT unnest(range(0, 64)) AS j) j),
+        |terms AS (
+        |  SELECT g.j,
+        |    SUM(CAST(floor(0.75 * (1.0 -
+        |      (CAST(c.c - g.g AS DOUBLE) / CAST(g.h AS DOUBLE)) *
+        |      (CAST(c.c - g.g AS DOUBLE) / CAST(g.h AS DOUBLE))) * 1000000000000.0) AS BIGINT)) AS m
+        |  FROM grid g JOIN cents c ON abs(c.c - g.g) <= g.h
+        |  GROUP BY g.j)
+        |SELECT g.j, g.g AS grid_cents,
+        |  CAST(coalesce(t.m, 0) AS BIGINT) AS kde_mass,
+        |  CAST(coalesce(t.m, 0) AS DOUBLE)
+        |    / (CAST(g.n AS DOUBLE) * CAST(g.h AS DOUBLE) * 1000000000000.0) AS density
+        |FROM grid g LEFT JOIN terms t ON t.j = g.j
+        |ORDER BY g.j""".stripMargin,
     // q201: the oracle reads the RAW parquet with no buckets — the result
     // being layout-invariant is the point; revenue is exact integer
     // cents × residual percent per line, summed as integers both sides

@@ -783,6 +783,32 @@ class RelationalQueriesSpec extends SparkSpec {
     out.groupBy(_._1).foreach { case (c, os) => assert(os.size <= 2, s"customer $c over-limit") }
   }
 
+  test("q209 KDE: every grid point's kernel mass recomputes exactly; the curve integrates to ~1") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtQueries.queries("q209_kde_amount")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 64)
+    val cents = Tables.orders(spark, sfDir)
+      .select(floor(round(col("o_totalprice"), 2) * 100.0 + 0.5).cast("long").as("c"))
+      .collect().map(_.getLong(0))
+    val (n, lo, hi) = (cents.length.toLong, cents.min, cents.max)
+    val h = math.max(1L, (hi - lo) / 8)
+    out.foreach { case (j, g, mass, density) =>
+      assert(g === lo + (hi - lo) * j / 63L, s"grid point $j off the integer grid")
+      val exp = cents.filter(c => math.abs(c - g) <= h).map { c =>
+        val z = (c - g).toDouble / h.toDouble
+        math.floor(0.75 * (1.0 - z * z) * 1e12).toLong
+      }.sum
+      assert(mass === exp, s"grid point $j kernel mass drifted")
+      assert(density === mass.toDouble / (n.toDouble * h.toDouble * 1e12))
+    }
+    // Riemann sum over the grid ≈ 1 (short of 1 by the boundary truncation
+    // and the coarse step; far from 0 unless the kernel went missing)
+    val step = math.max(1L, (hi - lo) / 63)
+    val integral = out.map(_._4).sum * step
+    assert(integral > 0.5 && integral < 1.1, s"density integral off: $integral")
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
