@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.StructType
   * the band table for candidate generation, the doc store for exact
   * verification) holds every doc ADMITTED so far; each `ingest` call
   * dedups one incoming batch against that index AND within itself, then
-  * appends the batch's admissions so later batches dedup against them
+  * adds the batch's admissions so later batches dedup against them
   * too. Corpus text is never re-read: each batch pays only for itself
   * plus its LSH bucket collisions, which is the property that turns
   * dedup from a corpus-sized job into a per-ingest operation at 100 TB.
@@ -43,6 +43,26 @@ import org.apache.spark.sql.types.StructType
   * where it matches the sequential definition even when a doc's
   * round-of-rejection saw only part of its neighborhood.
   *
+  * == Durability layout (replay-safe under at-least-once delivery) ==
+  *
+  * {{{
+  *   indexDir/_gen                      one-line pointer: current generation
+  *   indexDir/<gen>/docs/<batchId>/     one ingest's admitted (doc_id, hh, sig)
+  *   indexDir/<gen>/bands/<batchId>/    its band table
+  *   indexDir/<gen>/_committed/<batchId>   empty marker, created LAST
+  *   indexDir/_decisions/<batchId>/     its decision rows (the audit trail)
+  * }}}
+  *
+  * Readers see ONLY batches with a commit marker, every per-batch write
+  * is `overwrite` (re-running it is harmless), and the marker is the
+  * final step — so under foreachBatch's at-least-once contract a
+  * replayed micro-batch either short-circuits on its marker (returning
+  * the RECORDED decisions) or recomputes against exactly the index state
+  * the original attempt saw, because its own partial writes were never
+  * visible. Without this, a replay would find the batch's own admissions
+  * in history and reject every doc as a duplicate of itself.
+  * Single-writer, like the repo's other persisted ingest artifacts.
+  *
   * Reference behavior: the reference deduplicates per training load
   * (pandas `drop_duplicates`, train_model.py); this operator is the
   * standing-index form that survives data too large to re-scan per load.
@@ -50,6 +70,7 @@ import org.apache.spark.sql.types.StructType
 object IncrementalDedup {
 
   private val DocSchema = "doc_id long, hh array<bigint>, sig array<bigint>"
+  private val BandSchema = "doc_id long, band_id int, k0 long, k1 long"
   private val DecSchema = "doc_id long, admitted long, dup_of long"
 
   /** Same 4dp floor as q37/q207 and their DuckDB twins — the gate must
@@ -79,12 +100,9 @@ object IncrementalDedup {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL(ddl))
 
-  /** Index tables live under a GENERATION directory resolved through the
-    * one-line `_gen` pointer file (absent pointer = generation `g0`, the
-    * fresh-index case). Every reader and every ingest append resolves
-    * through the pointer, which is what lets [[compact]] cut over to a
-    * rewritten generation with ONE atomic rename while readers always
-    * see a complete index — never a half-swapped one. */
+  /** Current generation via the `_gen` pointer (absent = `g0`, the
+    * fresh-index case). The pointer is what lets [[compact]] cut over to
+    * a rewritten generation with ONE atomic rename. */
   private def genOf(indexDir: String): String = {
     val f = new java.io.File(s"$indexDir/_gen")
     if (f.exists())
@@ -93,38 +111,71 @@ object IncrementalDedup {
     else "g0"
   }
 
-  private def readOrEmpty(s: SparkSession, dir: String, ddl: String): DataFrame =
-    if (new java.io.File(dir).exists()) s.read.schema(ddl).parquet(dir)
-    else emptyDF(s, ddl)
+  /** Batch ids with a commit marker in this generation — the ONLY
+    * batches any reader sees. Sorted for deterministic path lists. */
+  private def committed(indexDir: String, gen: String): Seq[String] = {
+    val d = new java.io.File(s"$indexDir/$gen/_committed")
+    Option(d.listFiles()).map(_.map(_.getName).toSeq.sorted).getOrElse(Seq.empty)
+  }
 
-  /** The admitted-doc store (doc_id, hh, sig); an absent index is an
-    * empty corpus, not an error. */
+  private def commitMarker(indexDir: String, gen: String, batchId: String): Unit = {
+    val dir = java.nio.file.Paths.get(s"$indexDir/$gen/_committed")
+    java.nio.file.Files.createDirectories(dir)
+    try java.nio.file.Files.createFile(dir.resolve(batchId))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  private def loadTable(s: SparkSession, indexDir: String, table: String,
+                        ddl: String): DataFrame = {
+    val gen = genOf(indexDir)
+    val parts = committed(indexDir, gen)
+      .map(b => s"$indexDir/$gen/$table/$b")
+      .filter(p => new java.io.File(p).exists())
+    if (parts.isEmpty) emptyDF(s, ddl)
+    else s.read.schema(ddl).parquet(parts: _*)
+  }
+
+  /** The admitted-doc store (doc_id, hh, sig) over all committed
+    * ingests; an absent index is an empty corpus, not an error. */
   def loadDocs(s: SparkSession, indexDir: String): DataFrame =
-    readOrEmpty(s, s"$indexDir/${genOf(indexDir)}/docs", DocSchema)
-
-  private val BandSchema = "doc_id long, band_id int, k0 long, k1 long"
+    loadTable(s, indexDir, "docs", DocSchema)
 
   private def loadBands(s: SparkSession, indexDir: String): DataFrame =
-    readOrEmpty(s, s"$indexDir/${genOf(indexDir)}/bands", BandSchema)
+    loadTable(s, indexDir, "bands", BandSchema)
 
-  /** Compact the index: every ingest appends one small file set per
-    * table, so a long-running pipeline accretes files exactly like any
-    * streamed fact table — this folds the current generation into
-    * `filesPerTable` files per table and cuts over atomically.
-    * Single-writer (like ingest); the decision audit trail under
-    * `_decisions/` is untouched. Crash-safety comes from the pointer:
-    * the rewritten generation is fully written BEFORE the one atomic
-    * `_gen` rename, so a crash before the rename leaves the old
-    * generation live (the orphaned rewrite is re-runnable garbage) and a
-    * crash after leaves only the old generation's dirs to sweep —
-    * readers resolve a complete index in every interleaving. */
+  /** The decision audit trail — every committed ingest's (doc_id,
+    * admitted, dup_of) rows, i.e. the full dedup history of everything
+    * the index reflects. */
+  def loadDecisions(s: SparkSession, indexDir: String): DataFrame = {
+    val gen = genOf(indexDir)
+    val parts = committed(indexDir, gen)
+      .map(b => s"$indexDir/_decisions/$b")
+      .filter(p => new java.io.File(p).exists())
+    if (parts.isEmpty) emptyDF(s, DecSchema)
+    else s.read.schema(DecSchema).parquet(parts: _*)
+  }
+
+  /** Compact the index: every ingest adds one batch dir per table, so a
+    * long-running pipeline accretes files exactly like any streamed fact
+    * table — this folds all committed batches of the current generation
+    * into one `filesPerTable`-file batch per table and cuts over with the
+    * atomic `_gen` rename. Commit markers (names only) carry forward so a
+    * micro-batch replayed from before the compaction still
+    * short-circuits instead of re-ingesting against its own folded
+    * admissions; the decision audit under `_decisions/` is untouched.
+    * Crash-safe at every step: before the rename the old generation is
+    * live and the half-built rewrite is invisible, re-runnable garbage
+    * (every write is overwrite); after it, only dead dirs remain to
+    * sweep. Single-writer, like ingest. */
   def compact(s: SparkSession, indexDir: String, filesPerTable: Int = 1): Unit = {
     val cur = genOf(indexDir)
     val next = "g" + (cur.drop(1).toLong + 1)
     loadDocs(s, indexDir).repartition(filesPerTable)
-      .write.parquet(s"$indexDir/$next/docs")
+      .write.mode("overwrite").parquet(s"$indexDir/$next/docs/compacted")
     loadBands(s, indexDir).repartition(filesPerTable)
-      .write.parquet(s"$indexDir/$next/bands")
+      .write.mode("overwrite").parquet(s"$indexDir/$next/bands/compacted")
+    committed(indexDir, cur).foreach(b => commitMarker(indexDir, next, b))
+    commitMarker(indexDir, next, "compacted")
     val tmp = java.nio.file.Paths.get(s"$indexDir/_gen.tmp")
     java.nio.file.Files.write(tmp,
       next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -141,52 +192,50 @@ object IncrementalDedup {
 
   /** Dedup `batchIn` (doc_id, hh, sig — unique ids, all larger than any
     * previously ingested id for the order-invariance contract) against
-    * the index at `indexDir`, append its admissions to the index, and
+    * the index at `indexDir`, commit its admissions to the index, and
     * return one decision row per batch doc: (doc_id, admitted 1|0,
     * dup_of — the smallest admitted verified neighbor, null when
     * admitted).
+    *
+    * Idempotent per (indexDir, batchId): re-invoking with an
+    * already-committed id — a foreachBatch replay after a crash — does
+    * no work and returns the recorded decisions (pass the micro-batch id
+    * as `batchId` from streaming; the default fresh UUID gives plain
+    * batch calls no replay semantics). Ids must be filesystem-safe.
     *
     * Throws `IllegalStateException` if the within-batch MIS needs more
     * than `maxRounds` rounds (a smaller-id dependency chain longer than
     * maxRounds) — a partial answer would silently admit docs whose fate
     * is undecided, and the caller could not tell.
     *
-    * The decision rows land in a scratch parquet under the index
-    * (`_decisions/<uuid>` — the per-ingest audit trail) and the returned
-    * frame READS that: durable output with no live caches behind it (all
+    * The decision rows land durably under `_decisions/<batchId>` and the
+    * returned frame READS that: no live caches behind it (all
     * intermediates are dropped before return). */
   def ingest(s: SparkSession, indexDir: String, batchIn: DataFrame,
-             numBands: Int, theta: Double, maxRounds: Int = 12): DataFrame = {
-    val out = s"$indexDir/_decisions/${java.util.UUID.randomUUID}"
-    run(s, indexDir, batchIn, numBands, theta, maxRounds, out)
-    s.read.schema(DecSchema).parquet(out)
+             numBands: Int, theta: Double, maxRounds: Int = 12,
+             batchId: String = java.util.UUID.randomUUID.toString): DataFrame = {
+    val decPath = s"$indexDir/_decisions/$batchId"
+    val gen = genOf(indexDir)
+    if (!committed(indexDir, gen).contains(batchId))
+      run(s, indexDir, gen, batchIn, numBands, theta, maxRounds, batchId, decPath)
+    s.read.schema(DecSchema).parquet(decPath)
   }
 
-  /** Streaming form: ingest one micro-batch and APPEND its decision rows
-    * to `decisionsDir` instead of returning a frame — the foreachBatch
-    * host for [[ingest]] (the index is cross-batch state that outlives
-    * any single micro-batch, exactly what foreachBatch exists for).
-    * Releases every cache it created, so a long-running stream holds no
-    * storage between ticks. Micro-batch boundaries don't matter: the
-    * batch-split invariance [[ingest]] guarantees (and
-    * IncrementalDedupSpec pins) means any chopping of an id-ordered
-    * stream admits the same docs. */
-  def ingestTo(s: SparkSession, indexDir: String, batchIn: DataFrame,
-               numBands: Int, theta: Double, decisionsDir: String,
-               maxRounds: Int = 12): Unit =
-    run(s, indexDir, batchIn, numBands, theta, maxRounds, decisionsDir)
-
-  /** Shared core. Ordering is load-bearing: the decision rows are
-    * WRITTEN to parquet BEFORE the index append. Decisions derive from
-    * the pre-append index state, and Spark may re-execute a plan after
-    * the action that first materialized it (a dependent cache rebuilt on
-    * unpersist, a retried task) — re-executed against the APPENDED index
-    * the cross-join would find each admitted doc in history and reject
-    * it as a duplicate of itself. Durable files, not a cache entry, are
-    * the only recompute-proof carrier for read-then-mutate output. */
-  private def run(s: SparkSession, indexDir: String, batchIn: DataFrame,
-                  numBands: Int, theta: Double, maxRounds: Int,
-                  decisionsOut: String): Unit = {
+  /** Shared core. Two orderings are load-bearing. (1) The decision rows
+    * are WRITTEN to parquet BEFORE the index gains this batch: decisions
+    * derive from the pre-ingest index state, and Spark may re-execute a
+    * plan after the action that first materialized it (a dependent cache
+    * rebuilt on unpersist, a retried task) — re-executed against an
+    * index containing this batch, the cross-join would find each
+    * admitted doc in history and reject it as a duplicate of itself.
+    * Durable files, not a cache entry, are the only recompute-proof
+    * carrier for read-then-mutate output. (2) The commit marker is
+    * written LAST: a crash anywhere earlier leaves only overwrite-able,
+    * reader-invisible partials, so the replay recomputes from exactly
+    * the original index state. */
+  private def run(s: SparkSession, indexDir: String, gen: String,
+                  batchIn: DataFrame, numBands: Int, theta: Double,
+                  maxRounds: Int, batchId: String, decisionsOut: String): Unit = {
     val caches = ArrayBuffer[DataFrame]()
     def tracked(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
     // materialize, then detach lineage: rounds see a flat scan of cached
@@ -205,11 +254,10 @@ object IncrementalDedup {
     // only; history is admitted-by-construction, so any verified index
     // neighbor rejects the newcomer). The doc store is semi-join-pruned
     // to candidate docs before its array payloads shuffle. A fresh index
-    // (no docs dir yet) skips the whole stage instead of planning five
-    // joins against empty relations.
-    val freshIndex = !new java.io.File(
-      s"$indexDir/${genOf(indexDir)}/docs").exists()
-    val crossRej = tracked(if (freshIndex) emptyDF(s, "new_id long, dup_of long")
+    // (no committed batches) skips the whole stage instead of planning
+    // five joins against empty relations.
+    val crossRej = tracked(if (committed(indexDir, gen).isEmpty)
+      emptyDF(s, "new_id long, dup_of long")
     else {
       val crossCand = bandsOf(batch, numBands).as("x")
         .join(loadBands(s, indexDir).as("y"),
@@ -297,16 +345,18 @@ object IncrementalDedup {
       .unionAll(dupMis.select(col("doc_id"), lit(0L).as("admitted"), col("dup_of")))
       .unionAll(admittedDocs.select(col("doc_id"), lit(1L).as("admitted"),
         lit(null).cast("long").as("dup_of")))
-      .write.mode("append").parquet(decisionsOut)
+      .write.mode("overwrite").parquet(decisionsOut)
 
-    // ---- grow the index — ONLY after the decisions landed (see the
-    // ordering note above): admissions (and their bands, derived from
-    // the cached survivor store, not a re-scan) become history for the
-    // next batch. Each ingest appends one file set per table into the
-    // current generation; [[compact]] folds the accretion.
-    val gen = genOf(indexDir)
-    admittedDocs.write.mode("append").parquet(s"$indexDir/$gen/docs")
-    bandsOf(admittedDocs, numBands).write.mode("append").parquet(s"$indexDir/$gen/bands")
+    // ---- grow the index — ONLY after the decisions landed, and only
+    // made visible by the marker (see the ordering notes above):
+    // admissions (and their bands, derived from the cached survivor
+    // store, not a re-scan) become history for the next batch;
+    // [[compact]] folds the batch-dir accretion.
+    admittedDocs.write.mode("overwrite")
+      .parquet(s"$indexDir/$gen/docs/$batchId")
+    bandsOf(admittedDocs, numBands).write.mode("overwrite")
+      .parquet(s"$indexDir/$gen/bands/$batchId")
+    commitMarker(indexDir, gen, batchId)
 
     caches.foreach(_.unpersist())
   }

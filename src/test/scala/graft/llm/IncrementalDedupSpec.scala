@@ -88,10 +88,11 @@ class IncrementalDedupSpec extends SparkSpec {
       .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
 
     val firstHalf = ranges.take(2).flatMap(ingestRange).toMap
-    val before = partFiles(s"$idx/g0/docs")
-    assert(before >= 2, "two ingests should have appended two file sets")
+    val batchDirs = Option(new java.io.File(s"$idx/g0/docs").listFiles())
+      .map(_.count(_.isDirectory)).getOrElse(0)
+    assert(batchDirs === 2, "two ingests should have added two batch dirs")
     IncrementalDedup.compact(spark, idx)
-    assert(partFiles(s"$idx/g1/docs") === 1)
+    assert(partFiles(s"$idx/g1/docs/compacted") === 1)
     assert(!new java.io.File(s"$idx/g0").exists(), "old generation swept")
     // the compacted index carries exactly the pre-compaction admissions
     assert(IncrementalDedup.loadDocs(spark, idx)
@@ -125,25 +126,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("streaming twin: micro-batched stream through ingestTo reproduces the canon") {
+  test("streaming twin: micro-batched stream through foreachBatch ingest reproduces the canon") {
     implicit val sqlCtx = spark.sqlContext
     val idx = tmp("graft-inc-stream")
-    val out = tmp("graft-inc-stream-dec") + "/decisions"
     val rows = corpus.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
       .sortBy(_._1)
     val input = MemoryStream[(Long, Seq[Long], Seq[Long])]
     val q = input.toDF().toDF("doc_id", "hh", "sig").writeStream
-      .foreachBatch((df: DataFrame, _: Long) =>
-        IncrementalDedup.ingestTo(spark, idx, df, Bands, Theta, out))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        IncrementalDedup.ingest(spark, idx, df, Bands, Theta, batchId = s"mb_$id")
+        ()
+      }
       .start()
     try {
       val (g1, rest) = rows.splitAt(rows.length * 2 / 5)
       val (g2, g3) = rest.splitAt(rest.length / 3)
       for (g <- Seq(g1, g2, g3)) { input.addData(g.toIndexedSeq); q.processAllAvailable() }
     } finally q.stop()
-    val got = decisionsMap(spark.read
-      .schema("doc_id long, admitted long, dup_of long").parquet(out))
+    assert(decisionsMap(IncrementalDedup.loadDecisions(spark, idx)) === seqReference)
+  }
+
+  test("at-least-once replay: a re-delivered batch short-circuits; uncommitted partials are invisible") {
+    import spark.implicits._
+    val idx = tmp("graft-inc-replay")
+    val cut = allIds(allIds.length / 2)
+    val b1 = corpus.filter(col("doc_id") < cut)
+    val b2 = corpus.filter(col("doc_id") >= cut)
+    val d1 = decisionsMap(IncrementalDedup.ingest(spark, idx, b1, Bands, Theta,
+      batchId = "b1"))
+    val stored1 = IncrementalDedup.loadDocs(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay before anything else happened: recorded decisions, index unmoved
+    assert(decisionsMap(IncrementalDedup.ingest(spark, idx, b1, Bands, Theta,
+      batchId = "b1")) === d1)
+    assert(IncrementalDedup.loadDocs(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === stored1)
+    // a crashed attempt's partial batch dir (data written, NO commit
+    // marker) must be invisible to every reader
+    Seq((999999L, Seq(1L, 2L), Seq.fill(16)(7L)))
+      .toDF("doc_id", "hh", "sig")
+      .write.parquet(s"$idx/g0/docs/zz_crashed")
+    assert(IncrementalDedup.loadDocs(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === stored1)
+    // replay from before a COMPACTION (markers carry forward): still the
+    // recorded decisions, still no index growth
+    IncrementalDedup.compact(spark, idx)
+    assert(decisionsMap(IncrementalDedup.ingest(spark, idx, b1, Bands, Theta,
+      batchId = "b1")) === d1)
+    val got = d1 ++ decisionsMap(IncrementalDedup.ingest(spark, idx, b2, Bands, Theta,
+      batchId = "b2"))
     assert(got === seqReference)
   }
 }
