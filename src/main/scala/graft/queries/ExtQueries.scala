@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2021,7 +2021,91 @@ object ExtQueries {
       .orderBy(col("j"))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA 1969; Newcombe et al., Science 1959) with multi-pass blocking
+    * (Hernández & Stolfo's merge/purge discipline) — the entity-
+    * resolution canon the reference's fraud domain lives on (is this
+    * cardholder the same person as that account?), and equally the
+    * author/entity-dedup step of a training-data pipeline. Two "source
+    * systems" are derived deterministically from customer: file A is the
+    * clean roster; file B drops every 7th entity (never entered) and
+    * degrades the rest keyed on `id % 10` — a name typo (<2), a 7-cent
+    * balance drift (2,3), a lost segment (4), a miskeyed nation (5).
+    * Blocking: candidate pairs must share (nation, $10-balance-band) in
+    * EITHER of two half-band-offset passes — the standard two-pass OR
+    * that keeps the band-boundary straddle (a drifted balance crossing a
+    * band edge) from being lost, while bounding the pair space to
+    * block-sized equi-joins (never all-pairs; each pass is a plain
+    * shuffle join on its compound key, and a hot block would salt like
+    * any skewed join key). Agreement vector per candidate: name exact,
+    * balance within ±10 cents, segment exact. Field weights are the FS
+    * log-likelihood ratios log2(m/u) / log2((1-m)/(1-u)) for published-
+    * style priors (name m=.95 u=.001 → +9.892/−4.320; balance m=.90
+    * u=.01 → +6.492/−3.307; segment m=.98 u=.20 → +2.293/−5.322),
+    * milli-scaled to EXACT LONGS so every score is integer arithmetic —
+    * the cross-engine contract. Three-way decision at the classic two
+    * thresholds (≥10000 match, ≥0 possible/clerical-review, else
+    * nonmatch): a name typo demotes its true pair to `possible`, the
+    * balance drift stays `match` (inside tolerance), the lost segment
+    * stays `match` (outweighed), the miskeyed nation is lost by
+    * blocking — the honest blocking-recall cost, visible as missing
+    * n_true. Ground truth rides along (ids are preserved), so the
+    * output is the per-decision confusion: pairs, true-entity pairs,
+    * score range. Scale shape: two equi-joins + one dedup + one
+    * map-side-combinable aggregate; weights are literals; nothing
+    * driver-side. */
+  private val q210EntityResolution: Q = (s, dir) => {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("id"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      floor(round(col("c_acctbal"), 2) * 100.0 + 0.5).cast("long").as("cents"),
+      col("c_mktsegment").as("seg"))
+    def band(cents: Column, off: Long): Column =
+      floor((cents + lit(100000L + off)).cast("double") / 1000.0).cast("long")
+    val a = base.select(
+      col("id").as("a_id"), col("name").as("a_name"),
+      col("nation").as("a_nation"), col("cents").as("a_cents"),
+      col("seg").as("a_seg"),
+      band(col("cents"), 0L).as("a_b1"), band(col("cents"), 500L).as("a_b2"))
+    val pct = col("id") % 10
+    val b = base
+      .filter(col("id") % 7 =!= 0)
+      .select(
+        col("id").as("b_id"),
+        when(pct < 2, concat(col("name"), lit("X"))).otherwise(col("name")).as("b_name"),
+        when(pct === 5, (col("nation") + 1) % 25).otherwise(col("nation")).as("b_nation"),
+        when(pct.isin(2L, 3L), col("cents") + 7L).otherwise(col("cents")).as("b_cents"),
+        when(pct === 4, lit("UNKNOWN")).otherwise(col("seg")).as("b_seg"))
+      .withColumn("b_b1", band(col("b_cents"), 0L))
+      .withColumn("b_b2", band(col("b_cents"), 500L))
+    // the OR-of-passes as two equi-joins + dedup: each pass shuffles on
+    // its own compound key instead of degrading to a nested-loop OR-join
+    val keep = Seq("a_id", "b_id", "a_name", "b_name", "a_cents", "b_cents",
+      "a_seg", "b_seg").map(col)
+    val p1 = a.join(b, col("a_nation") === col("b_nation") &&
+      col("a_b1") === col("b_b1")).select(keep: _*)
+    val p2 = a.join(b, col("a_nation") === col("b_nation") &&
+      col("a_b2") === col("b_b2")).select(keep: _*)
+    val cand = p1.unionByName(p2).dropDuplicates("a_id", "b_id")
+    val score =
+      when(col("a_name") === col("b_name"), 9892L).otherwise(-4320L) +
+      when(abs(col("a_cents") - col("b_cents")) <= 10L, 6492L).otherwise(-3307L) +
+      when(col("a_seg") === col("b_seg"), 2293L).otherwise(-5322L)
+    cand.withColumn("score", score)
+      .withColumn("decision",
+        when(col("score") >= 10000L, "match")
+          .when(col("score") >= 0L, "possible").otherwise("nonmatch"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L)).as("n_true"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("decision"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_entity_resolution" -> q210EntityResolution,
     "q209_kde_amount" -> q209KdeAmount,
     "q206_trace_breakdown" -> q206TraceBreakdown,
     "q205_equidepth_twophase" -> q205EquidepthTwophase,
@@ -2167,6 +2251,54 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q210: identical deterministic file-B degradation, the same two
+    // half-offset blocking passes (stated as the OR they implement), the
+    // same integer milli-bit FS weights; every score is exact long
+    // arithmetic so the per-decision rollup hash-matches bit-for-bit
+    "q210_entity_resolution" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(floor(round(c_acctbal, 2) * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |a AS (
+        |  SELECT id AS a_id, name AS a_name, nation AS a_nation,
+        |    cents AS a_cents, seg AS a_seg,
+        |    CAST(floor((cents + 100000)::DOUBLE / 1000.0) AS BIGINT) AS a_b1,
+        |    CAST(floor((cents + 100500)::DOUBLE / 1000.0) AS BIGINT) AS a_b2
+        |  FROM base),
+        |b AS (
+        |  SELECT id AS b_id,
+        |    CASE WHEN id % 10 < 2 THEN name || 'X' ELSE name END AS b_name,
+        |    CASE WHEN id % 10 = 5 THEN (nation + 1) % 25 ELSE nation END AS b_nation,
+        |    CASE WHEN id % 10 IN (2, 3) THEN cents + 7 ELSE cents END AS b_cents,
+        |    CASE WHEN id % 10 = 4 THEN 'UNKNOWN' ELSE seg END AS b_seg
+        |  FROM base WHERE id % 7 <> 0),
+        |b2 AS (
+        |  SELECT *,
+        |    CAST(floor((b_cents + 100000)::DOUBLE / 1000.0) AS BIGINT) AS b_b1,
+        |    CAST(floor((b_cents + 100500)::DOUBLE / 1000.0) AS BIGINT) AS b_b2
+        |  FROM b),
+        |cand AS (
+        |  SELECT DISTINCT a_id, b_id, a_name, b_name, a_cents, b_cents,
+        |    a_seg, b_seg
+        |  FROM a JOIN b2 ON a_nation = b_nation
+        |    AND (a_b1 = b_b1 OR a_b2 = b_b2)),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    (CASE WHEN a_name = b_name THEN 9892 ELSE -4320 END
+        |     + CASE WHEN abs(a_cents - b_cents) <= 10 THEN 6492 ELSE -3307 END
+        |     + CASE WHEN a_seg = b_seg THEN 2293 ELSE -5322 END) AS score
+        |  FROM cand)
+        |SELECT
+        |  CASE WHEN score >= 10000 THEN 'match'
+        |       WHEN score >= 0 THEN 'possible' ELSE 'nonmatch' END AS decision,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN a_id = b_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     // q209: same integer grid/bandwidth derivation, same IEEE division
     // for z, same polynomial kernel (bit-identical on identical doubles
     // — the reason it's Epanechnikov, not Gaussian), every term floored

@@ -809,6 +809,62 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(integral > 0.5 && integral < 1.1, s"density integral off: $integral")
   }
 
+  test("q210 entity resolution equals an all-pairs FS reference; blocking loses exactly the miskeyed nations") {
+    import org.apache.spark.sql.functions._
+    case class Rec(id: Long, name: String, nation: Long, cents: Long, seg: String)
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_nationkey").cast("long"),
+        floor(round(col("c_acctbal"), 2) * 100.0 + 0.5).cast("long"),
+        col("c_mktsegment"))
+      .collect().map(r => Rec(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val bFile = base.filter(_.id % 7 != 0).map { r =>
+      val p = r.id % 10
+      Rec(r.id,
+        if (p < 2) r.name + "X" else r.name,
+        if (p == 5) (r.nation + 1) % 25 else r.nation,
+        if (p == 2 || p == 3) r.cents + 7 else r.cents,
+        if (p == 4) "UNKNOWN" else r.seg)
+    }
+    def band(c: Long, off: Long) = math.floor((c + 100000 + off).toDouble / 1000.0).toLong
+    def score(a: Rec, b: Rec): Long =
+      (if (a.name == b.name) 9892L else -4320L) +
+        (if (math.abs(a.cents - b.cents) <= 10) 6492L else -3307L) +
+        (if (a.seg == b.seg) 2293L else -5322L)
+    def decide(s: Long) = if (s >= 10000) "match" else if (s >= 0) "possible" else "nonmatch"
+    // the reference: brute-force all-pairs, then apply the blocking predicate
+    val blocked = for {
+      a <- base; b <- bFile
+      if a.nation == b.nation &&
+        (band(a.cents, 0) == band(b.cents, 0) || band(a.cents, 500) == band(b.cents, 500))
+    } yield (a, b)
+    val exp = blocked.map { case (a, b) => (decide(score(a, b)), a.id == b.id, score(a, b)) }
+      .groupBy(_._1).map { case (d, g) =>
+        (d, g.size.toLong, g.count(_._2).toLong, g.map(_._3).min, g.map(_._3).max)
+      }.toSet
+    val out = graft.queries.ExtQueries.queries("q210_entity_resolution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === exp, "engine disagrees with the all-pairs FS reference under the same blocking")
+    // blocking recall: the ONLY true pairs absent from the candidate set
+    // are the nation-miskeyed entities — the balance drift never escapes
+    // the two half-offset band passes (that's what pass 2 is for)
+    val candTrue = blocked.collect { case (a, b) if a.id == b.id => a.id }.toSet
+    bFile.foreach { b =>
+      if (!candTrue.contains(b.id))
+        assert(b.id % 10 == 5, s"entity ${b.id} lost by blocking without a miskeyed nation")
+      if (b.id % 10 == 5) assert(!candTrue.contains(b.id), s"miskeyed nation ${b.id} should block apart")
+    }
+    // decision semantics on the true pairs that survive blocking: name
+    // typos -> clerical review, everything else (incl. the 7c drift and
+    // the lost segment) -> match
+    blocked.filter { case (a, b) => a.id == b.id }.foreach { case (a, b) =>
+      val d = decide(score(a, b))
+      if (a.id % 10 < 2) assert(d === "possible", s"${a.id}: name typo should demote to review")
+      else assert(d === "match", s"${a.id}: expected match, got $d")
+    }
+  }
+
   test("q174 inverted index: postings heads are ordered prefixes and masses close") {
     val rows = graft.llm.LlmQueries.queries("q174_inverted_index")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
