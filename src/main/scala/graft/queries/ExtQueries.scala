@@ -2104,7 +2104,81 @@ object ExtQueries {
       .orderBy(col("decision"))
   }
 
+  /** HyperLogLog cardinality sketch (Flajolet et al., AofA 2007) with
+    * EXACT cross-engine registers — the mergeable distinct-count
+    * machinery every 100 TB profile needs (unique users per day, unique
+    * cards per merchant) where exact `count(DISTINCT)` means a full
+    * shuffle of every key. The whole sketch is integer arithmetic both
+    * engines reproduce bit-for-bit: h = rolling_hash(key) ∈ [0, 1e9+7),
+    * then the published 31-bit avalanche finalizer (Wang-style
+    * xor-shift-multiply: x ^= x»16; x = x·0x45d9f3b mod 2^31, twice,
+    * final x ^= x»16 — every op exact int64 in both engines; without it
+    * the polynomial hash of short sequential keys is a lattice mod 256
+    * and the sketch reads 40%+ high). Register j = h mod 256 (p=8,
+    * m=256); the remaining w = h div 256 < 2^23 yields rank
+    * ρ = 24 − bitlen(w) (24 when w=0) via `length(bin(w))` — identical
+    * minimal-binary semantics in Spark (Hive `bin`) and DuckDB.
+    * Register vector M[j] = max ρ; the harmonic
+    * denominator is EXACT LONGS: Σ 2^(30−M[j]) + empties·2^30 (every
+    * term a long power of two, sum < 2^38). Only the final estimate
+    * α₂₅₆·m²·2^30/denom touches doubles — one constant-folded chain of
+    * correctly-rounded IEEE ops, floored to the micro grid. Two scopes
+    * exercise both regimes: unique line ids (dense, every register hit)
+    * and part keys (duplicate-heavy; sparse at sf0.001 → empty-register
+    * path live). Mergeability is structural: the impl computes registers
+    * per shard (w mod 4) then max-merges — the exact shape of a
+    * partial-aggregate shard merge across 1000 executors — and max's
+    * associativity makes it equal the oracle's direct max. Scale shape:
+    * one map-side-combinable max aggregate to ≤ m·shards rows, then a
+    * 256-row rollup; the exact `n_exact`/`count(DISTINCT)` column rides
+    * along as the accuracy witness (it is the thing the sketch replaces
+    * at scale). Raw estimator only — the linear-counting small-range
+    * correction needs ln(), which is not correctly-rounded-guaranteed
+    * cross-engine; the spec applies it driver-side and checks accuracy. */
+  private val q211HllCardinality: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val keys = li.select(lit("line_ids").as("scope"),
+        concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string")).as("k"))
+      .unionByName(li.select(lit("part_keys").as("scope"),
+        col("l_partkey").cast("string").as("k")))
+    val ranked = keys
+      .select(col("scope"), col("k"),
+        graft.llm.TextOps.rollingHash(col("k")).as("h0"))
+      .withColumn("h1", expr("(h0 ^ shiftright(h0, 16)) * 73244475 % 2147483648"))
+      .withColumn("h2", expr("(h1 ^ shiftright(h1, 13)) * 73244475 % 2147483648"))
+      .withColumn("h", expr("h2 ^ shiftright(h2, 16)"))
+      .select(col("scope"), col("k"),
+        pmod(col("h"), lit(256L)).as("reg"), expr("h div 256").as("w"))
+      .withColumn("rnk", when(col("w") === 0L, lit(24L))
+        .otherwise(lit(24L) - length(bin(col("w"))).cast("long")))
+    // shard-merge shape: per-shard registers, then max-merge — what a
+    // 1000-executor partial aggregate does; max associativity = oracle's
+    // direct max over the same rows
+    val regs = ranked
+      .groupBy(col("scope"), pmod(col("w"), lit(4L)).as("shard"), col("reg"))
+      .agg(max(col("rnk")).as("m"))
+      .groupBy(col("scope"), col("reg")).agg(max(col("m")).as("m"))
+    val perScope = regs.groupBy(col("scope")).agg(
+      count(lit(1)).as("regs_used"),
+      sum(col("m")).as("sum_rank"),
+      max(col("m")).as("max_rank"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(30 - m as int))")).as("denom_present"))
+    val nx = ranked.groupBy(col("scope"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    perScope.join(nx, "scope")
+      .withColumn("denom",
+        col("denom_present") + (lit(256L) - col("regs_used")) * lit(1073741824L))
+      .select(col("scope"), col("n_exact"), col("regs_used"), col("sum_rank"),
+        col("max_rank"), col("denom"),
+        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(1073741824.0) / col("denom").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("est_micro"))
+      .orderBy(col("scope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q211_hll_cardinality" -> q211HllCardinality,
     "q210_entity_resolution" -> q210EntityResolution,
     "q209_kde_amount" -> q209KdeAmount,
     "q206_trace_breakdown" -> q206TraceBreakdown,
@@ -2251,6 +2325,48 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q211: the same rolling hash, the same Wang 31-bit avalanche
+    // finalizer in exact int64 ops, the same reg/w split, the same
+    // 24−bitlen rank via minimal-binary bin(), the same exact-long
+    // harmonic denominator; the only doubles are the final constant-
+    // folded estimate chain, floored to the micro grid on both engines
+    "q211_hll_cardinality" ->
+      """WITH keys AS (
+        |  SELECT 'line_ids' AS scope,
+        |    CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR) AS k
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'part_keys' AS scope, CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |h0 AS (SELECT scope, k,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(k) + 1),
+        |        i -> ord(substr(k, i, 1))::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h0
+        |  FROM keys),
+        |h1 AS (SELECT scope, k,
+        |    xor(h0, h0 >> 16) * 73244475::BIGINT % 2147483648::BIGINT AS h1 FROM h0),
+        |h2 AS (SELECT scope, k,
+        |    xor(h1, h1 >> 13) * 73244475::BIGINT % 2147483648::BIGINT AS h2 FROM h1),
+        |h AS (SELECT scope, k, xor(h2, h2 >> 16) AS h FROM h2),
+        |r AS (SELECT scope, k, h % 256 AS reg, h // 256 AS w FROM h),
+        |rr AS (SELECT scope, reg,
+        |    max(CASE WHEN w = 0 THEN 24 ELSE 24 - length(bin(w)) END) AS m
+        |  FROM r GROUP BY scope, reg),
+        |ps AS (SELECT scope,
+        |    CAST(count(*) AS BIGINT) AS regs_used,
+        |    CAST(sum(m) AS BIGINT) AS sum_rank,
+        |    CAST(max(m) AS BIGINT) AS max_rank,
+        |    CAST(sum(1::BIGINT << (30 - m)) AS BIGINT) AS denom_present
+        |  FROM rr GROUP BY scope),
+        |nx AS (SELECT scope, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+        |  FROM r GROUP BY scope)
+        |SELECT ps.scope, n_exact, regs_used, sum_rank, max_rank,
+        |  CAST(denom_present + (256 - regs_used) * 1073741824 AS BIGINT) AS denom,
+        |  CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 1073741824.0
+        |    / (denom_present + (256 - regs_used) * 1073741824)::DOUBLE
+        |    * 1000000.0 + 0.5) AS BIGINT) AS est_micro
+        |FROM ps JOIN nx ON ps.scope = nx.scope
+        |ORDER BY ps.scope""".stripMargin,
     // q210: identical deterministic file-B degradation, the same two
     // half-offset blocking passes (stated as the OR they implement), the
     // same integer milli-bit FS weights; every score is exact long
