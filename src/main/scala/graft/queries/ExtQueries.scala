@@ -2177,7 +2177,54 @@ object ExtQueries {
       .orderBy(col("scope"))
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) point
+    * queries with EXACT cross-engine counters — q211's frequency twin
+    * and the sketch side of q191's Misra–Gries heavy hitters: per-key
+    * event counts estimated from a d=4 × w=512 counter array whose size
+    * never depends on N. Everything is integer arithmetic shared by
+    * both engines: row j's hash is the q211 Wang-mixed rolling hash of
+    * "j:uid" (the seed-prefix trick gives 4 independent rows from one
+    * hash family) bucketed mod 512; counters are plain sums — which is
+    * exactly why CMS is the distributed/streaming canon: sum-mergeable
+    * across executors and micro-batches with no order sensitivity
+    * (conservative update, the non-mergeable variant, is deliberately
+    * NOT used). Point query = min over the 4 row counters; the query
+    * set is deterministic (every 7th uid, plus three absent ids whose
+    * true count is 0) and the output carries exact_n alongside est_n so
+    * the one-sided error contract (est ≥ exact, overshoot ≤ e/w·N with
+    * the usual probability) is visible in the result itself. Scale
+    * shape: events collapse to key grain in one map-side-combinable
+    * aggregate, the sketch build is a second tiny aggregate to ≤ 2048
+    * rows, and the probe is a broadcast-sized join — nothing driver-
+    * side, nothing proportional to N but the first scan. */
+  private val q212CountMin: Q = (s, dir) => {
+    import s.implicits._
+    def cms(df: DataFrame, key: Column): DataFrame = df
+      .withColumn("cm0", graft.llm.TextOps.rollingHash(
+        concat(col("j").cast("string"), lit(":"), key.cast("string"))))
+      .withColumn("cm1", expr("(cm0 ^ shiftright(cm0, 16)) * 73244475 % 2147483648"))
+      .withColumn("cm2", expr("(cm1 ^ shiftright(cm1, 13)) * 73244475 % 2147483648"))
+      .withColumn("bkt", expr("(cm2 ^ shiftright(cm2, 16)) % 512"))
+      .drop("cm0", "cm1", "cm2")
+    val js = array((0 until 4).map(j => lit(j.toLong)): _*)
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id").cast("long").as("uid"))
+      .agg(count(lit(1)).as("n"))
+    val sketch = cms(counts.select(col("uid"), col("n"), explode(js).as("j")), col("uid"))
+      .groupBy(col("j"), col("bkt")).agg(sum(col("n")).as("c"))
+    val qk = counts.filter(col("uid") % 7 === 0)
+      .select(col("uid"), col("n").as("exact_n"))
+      .unionByName(Seq((-1L, 0L), (-2L, 0L), (1000000007L, 0L)).toDF("uid", "exact_n"))
+    cms(qk.select(col("uid"), col("exact_n"), explode(js).as("j")), col("uid"))
+      .join(sketch, Seq("j", "bkt"), "left")
+      .groupBy(col("uid"), col("exact_n"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy(col("uid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q212_countmin" -> q212CountMin,
     "q211_hll_cardinality" -> q211HllCardinality,
     "q210_entity_resolution" -> q210EntityResolution,
     "q209_kde_amount" -> q209KdeAmount,
@@ -2325,6 +2372,45 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q212: same seed-prefixed rolling hash + Wang mixer, same mod-512
+    // buckets, plain-sum counters, min-of-4 probe — all exact longs
+    "q212_countmin" ->
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS uid, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |ex AS (SELECT uid, n, j FROM counts, (SELECT unnest(range(0, 4)) AS j)),
+        |sh0 AS (SELECT uid, n, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(CAST(j AS VARCHAR) || ':' || CAST(uid AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(j AS VARCHAR) || ':' || CAST(uid AS VARCHAR), i, 1))::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h0
+        |  FROM ex),
+        |sh1 AS (SELECT uid, n, j,
+        |    xor(h0, h0 >> 16) * 73244475::BIGINT % 2147483648::BIGINT AS h1 FROM sh0),
+        |sh2 AS (SELECT uid, n, j,
+        |    xor(h1, h1 >> 13) * 73244475::BIGINT % 2147483648::BIGINT AS h2 FROM sh1),
+        |sk AS (SELECT j, xor(h2, h2 >> 16) % 512 AS bkt, CAST(sum(n) AS BIGINT) AS c
+        |  FROM sh2 GROUP BY 1, 2),
+        |qk AS (SELECT uid, n AS exact_n FROM counts WHERE uid % 7 = 0
+        |  UNION ALL SELECT * FROM (VALUES (-1::BIGINT, 0::BIGINT),
+        |    (-2::BIGINT, 0::BIGINT), (1000000007::BIGINT, 0::BIGINT)) v(uid, exact_n)),
+        |qx AS (SELECT uid, exact_n, j FROM qk, (SELECT unnest(range(0, 4)) AS j)),
+        |qh0 AS (SELECT uid, exact_n, j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(CAST(j AS VARCHAR) || ':' || CAST(uid AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(j AS VARCHAR) || ':' || CAST(uid AS VARCHAR), i, 1))::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h0
+        |  FROM qx),
+        |qh1 AS (SELECT uid, exact_n, j,
+        |    xor(h0, h0 >> 16) * 73244475::BIGINT % 2147483648::BIGINT AS h1 FROM qh0),
+        |qh2 AS (SELECT uid, exact_n, j,
+        |    xor(h1, h1 >> 13) * 73244475::BIGINT % 2147483648::BIGINT AS h2 FROM qh1),
+        |qb AS (SELECT uid, exact_n, j, xor(h2, h2 >> 16) % 512 AS bkt FROM qh2),
+        |est AS (SELECT uid, exact_n,
+        |    CAST(min(coalesce(c, 0)) AS BIGINT) AS est_n
+        |  FROM qb LEFT JOIN sk USING (j, bkt) GROUP BY uid, exact_n)
+        |SELECT uid, exact_n, est_n, est_n - exact_n AS overcount
+        |FROM est ORDER BY uid""".stripMargin,
     // q211: the same rolling hash, the same Wang 31-bit avalanche
     // finalizer in exact int64 ops, the same reg/w split, the same
     // 24−bitlen rank via minimal-binary bin(), the same exact-long

@@ -877,6 +877,45 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q212 count-min equals a driver reference, never undercounts, respects e/w·N, and sum-merges") {
+    import org.apache.spark.sql.functions._
+    def hash(s: String): Long = {
+      val h0 = s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31L + (b & 0xff)) % 1000000007L)
+      val h1 = (h0 ^ (h0 >> 16)) * 73244475L % 2147483648L
+      val h2 = (h1 ^ (h1 >> 13)) * 73244475L % 2147483648L
+      h2 ^ (h2 >> 16)
+    }
+    def bucket(j: Long, uid: Long): Int = (hash(s"$j:$uid") % 512L).toInt
+    def build(counts: Map[Long, Long]): Array[Array[Long]] = {
+      val sk = Array.fill(4, 512)(0L)
+      for ((uid, n) <- counts; j <- 0 until 4) sk(j)(bucket(j, uid)) += n
+      sk
+    }
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").cast("long").as("uid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = build(exact)
+    def est(uid: Long): Long = (0 until 4).map(j => sk(j)(bucket(j, uid))).min
+    val out = graft.queries.ExtQueries.queries("q212_countmin")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expKeys = (exact.keySet.filter(_ % 7 == 0) ++ Set(-1L, -2L, 1000000007L)).toSeq.sorted
+    assert(out.map(_._1).toSeq === expKeys, "query-key set drifted")
+    val n = exact.values.sum
+    out.foreach { case (uid, ex, e, over) =>
+      assert(ex === exact.getOrElse(uid, 0L), s"uid $uid exact_n")
+      assert(e === est(uid), s"uid $uid engine estimate != driver CMS")
+      assert(over === e - ex)
+      assert(e >= ex, s"uid $uid CMS undercounted — impossible by construction")
+      assert(e - ex <= math.ceil(math.E / 512.0 * n).toLong,
+        s"uid $uid overshoot ${e - ex} beyond e/w·N")
+    }
+    // mergeability: CMS of arbitrary halves of the key space sums to the
+    // whole sketch — the partial-aggregate / micro-batch merge algebra
+    val (l, r) = exact.partition(_._1 % 2 == 0)
+    val merged = build(l).zip(build(r)).map { case (a, b) => a.zip(b).map(t => t._1 + t._2) }
+    assert(merged.map(_.toSeq).toSeq === sk.map(_.toSeq).toSeq, "shard sum-merge drifted")
+  }
+
   test("q210 entity resolution equals an all-pairs FS reference; blocking loses exactly the miskeyed nations") {
     import org.apache.spark.sql.functions._
     case class Rec(id: Long, name: String, nation: Long, cents: Long, seg: String)
