@@ -2223,7 +2223,49 @@ object ExtQueries {
       .orderBy(col("uid"))
   }
 
+  /** Bitmap-index retention — the groupBitmap/roaring canon of the
+    * OLAP warehouses: day-over-day retained users computed EXACTLY via
+    * word-aligned bitmap AND, never by joining raw events. Each (day,
+    * word) row packs up to 63 users into one long (w = uid div 63, bit
+    * = uid mod 63 — 63-bit words because a shift into the sign bit is
+    * an overflow error in DuckDB, and staying positive keeps bit_count
+    * semantics trivially identical cross-engine); the per-day bitmap is
+    * a `bit_or` aggregate, which is what makes it DISTRIBUTED: OR is
+    * idempotent-mergeable, so executors build partial bitmaps map-side
+    * and the shuffle carries |uids|/63 words per day instead of event
+    * rows, and duplicate events cost nothing. Retention joins day d's
+    * words with day d+1's on (day, word) — a join whose size is words,
+    * not users — and popcounts the AND; actives are popcount sums. At
+    * 100 TB this is the difference between a user-level self-join of
+    * two daily scans and a ~16M-row word join for a billion users.
+    * Output: per consecutive-day pair, actives, next-day actives,
+    * retained, and the floored-micro retention rate — all exact longs
+    * (popcounts of identical words) plus one floor-form division. */
+  private val q213BitmapRetention: Q = (s, dir) => {
+    val dw = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("d"),
+        expr("cast(user_id as bigint) div 63").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(cast(user_id as bigint) % 63 as int))").as("bit"))
+      .groupBy(col("d"), col("w")).agg(expr("bit_or(bit)").as("bm"))
+    val tot = dw.groupBy(col("d")).agg(sum(bit_count(col("bm"))).as("n_active"))
+    val nxt = dw.select((col("d") - expr("INTERVAL 1 DAY")).as("d"),
+      col("w"), col("bm").as("bm_next"))
+    val ret = dw.join(nxt, Seq("d", "w"))
+      .groupBy(col("d"))
+      .agg(sum(bit_count(expr("bm & bm_next"))).as("n_retained"))
+    val totNext = tot.select((col("d") - expr("INTERVAL 1 DAY")).as("d"),
+      col("n_active").as("n_next"))
+    tot.join(totNext, Seq("d"))
+      .join(ret, Seq("d"), "left")
+      .select(col("d"), col("n_active"), col("n_next"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        floor(coalesce(col("n_retained"), lit(0L)).cast("double")
+          / col("n_active").cast("double") * 1e6 + 0.5).cast("long").as("ret_micro"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_bitmap_retention" -> q213BitmapRetention,
     "q212_countmin" -> q212CountMin,
     "q211_hll_cardinality" -> q211HllCardinality,
     "q210_entity_resolution" -> q210EntityResolution,
@@ -2372,6 +2414,27 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q213: identical 63-bit word packing, bit_or bitmaps, AND+popcount
+    // retention; day boundaries stay TIMESTAMP on both sides
+    "q213_bitmap_retention" ->
+      """WITH dw AS (
+        |  SELECT date_trunc('day', ts) AS d,
+        |    CAST(user_id AS BIGINT) // 63 AS w,
+        |    bit_or(1::BIGINT << CAST(CAST(user_id AS BIGINT) % 63 AS INT)) AS bm
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT d, CAST(sum(bit_count(bm)) AS BIGINT) AS n_active
+        |  FROM dw GROUP BY d),
+        |ret AS (SELECT a.d, CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT) AS n_retained
+        |  FROM dw a JOIN dw b ON b.d = a.d + INTERVAL 1 DAY AND b.w = a.w
+        |  GROUP BY a.d)
+        |SELECT t.d, t.n_active, tn.n_active AS n_next,
+        |  coalesce(r.n_retained, 0) AS n_retained,
+        |  CAST(floor(coalesce(r.n_retained, 0)::DOUBLE / t.n_active::DOUBLE
+        |    * 1000000.0 + 0.5) AS BIGINT) AS ret_micro
+        |FROM tot t
+        |JOIN tot tn ON tn.d = t.d + INTERVAL 1 DAY
+        |LEFT JOIN ret r ON r.d = t.d
+        |ORDER BY t.d""".stripMargin,
     // q212: same seed-prefixed rolling hash + Wang mixer, same mod-512
     // buckets, plain-sum counters, min-of-4 probe — all exact longs
     "q212_countmin" ->

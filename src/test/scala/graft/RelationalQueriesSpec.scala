@@ -877,6 +877,49 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q213 bitmap retention equals a set-intersection reference and bitmaps OR-merge") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).cast("long").as("d"),
+        col("user_id").cast("long").as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay: Map[Long, Set[Long]] =
+      ev.groupBy(_._1).map { case (d, g) => d -> g.map(_._2).toSet }
+    val days = byDay.keys.toSeq.sorted
+    val out = graft.queries.ExtQueries.queries("q213_bitmap_retention")(spark, sfDir)
+      .select(col("d").cast("long"), col("n_active"), col("n_next"),
+        col("n_retained"), col("ret_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expPairs = days.filter(d => byDay.contains(d + 86400L))
+    assert(out.map(_._1).toSeq === expPairs, "day-pair set drifted")
+    out.foreach { case (d, act, nxt, ret, micro) =>
+      val s0 = byDay(d); val s1 = byDay(d + 86400L)
+      assert(act === s0.size.toLong, s"day $d actives")
+      assert(nxt === s1.size.toLong, s"day $d next-day actives")
+      assert(ret === (s0 & s1).size.toLong, s"day $d retained != exact set intersection")
+      assert(micro === math.floor(ret.toDouble / act.toDouble * 1e6 + 0.5).toLong)
+    }
+    // the bitmap algebra the distributed partial aggregate relies on:
+    // OR of word-bitmaps built from arbitrary event subsets equals the
+    // whole-day bitmap, and popcount(AND) equals the set intersection
+    def bitmaps(us: Iterable[Long]): Map[Long, Long] =
+      us.groupBy(_ / 63).map { case (w, g) =>
+        w -> g.foldLeft(0L)((b, u) => b | (1L << (u % 63).toInt))
+      }
+    val d0 = days.head
+    val (ea, eb) = byDay(d0).partition(_ % 2 == 0)
+    val merged = (bitmaps(ea).keySet ++ bitmaps(eb).keySet).map { w =>
+      w -> (bitmaps(ea).getOrElse(w, 0L) | bitmaps(eb).getOrElse(w, 0L))
+    }.toMap
+    assert(merged === bitmaps(byDay(d0)), "OR-merge of subset bitmaps drifted")
+    if (days.size > 1) {
+      val b0 = bitmaps(byDay(d0)); val b1 = bitmaps(byDay(days(1)))
+      val inter = b0.keySet.intersect(b1.keySet).toSeq
+        .map(w => java.lang.Long.bitCount(b0(w) & b1(w)).toLong).sum
+      assert(inter === (byDay(d0) & byDay(days(1))).size.toLong, "popcount(AND) != |intersection|")
+    }
+  }
+
   test("q212 count-min equals a driver reference, never undercounts, respects e/w·N, and sum-merges") {
     import org.apache.spark.sql.functions._
     def hash(s: String): Long = {
