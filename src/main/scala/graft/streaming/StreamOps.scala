@@ -964,6 +964,40 @@ object StreamOps {
       }
   }
 
+  final case class KeyArrival(scope: String, key: String)
+  final case class HllSnapshot(scope: String, nSeen: Long, regsUsed: Long,
+      sumRank: Long, maxRank: Long, denom: Long, estMicro: Long)
+
+  /** q211's keyed streaming twin: a per-scope HyperLogLog distinct-count
+    * monitor (unique users per source, unique cards per merchant — the
+    * cardinality half of the [[heavyHittersState]] pair). State per
+    * scope is the 256-register vector plus the arrival count — O(m)
+    * forever, the whole point of the sketch as STREAM state (exact
+    * distinct state grows with the key universe). Each micro-batch
+    * folds its keys through the same [[graft.functions.Hll]] arithmetic
+    * the batch query's engines share, so every trigger's snapshot is
+    * the exact sketch of the whole stream PREFIX. Max-merge register
+    * algebra makes the fold order-robust AND replay-idempotent: unlike
+    * [[ewmaSpendState]]/[[cusumState]] (order-sensitive, must refuse
+    * disorder) and like [[heavyHittersState]], no in-batch sort or
+    * frontier is needed — a re-delivered key max-merges to a no-op, so
+    * at-least-once delivery is safe by algebra, not by bookkeeping
+    * (nSeen counts arrivals, not distincts, and is diagnostic only). */
+  def distinctSketchState(keys: Dataset[KeyArrival]): Dataset[HllSnapshot] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(_.scope)
+      .flatMapGroupsWithState[(Array[Long], Long), HllSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[KeyArrival],
+         state: GroupState[(Array[Long], Long)]) =>
+          var (regs, n) = state.getOption.getOrElse((graft.functions.Hll.zero, 0L))
+          batch.foreach { k => regs = graft.functions.Hll.add(regs, k.key); n += 1 }
+          state.update((regs, n))
+          val (used, sumRank, maxRank, d, est) = graft.functions.Hll.summary(regs)
+          Iterator(HllSnapshot(scope, n, used, sumRank, maxRank, d, est))
+      }
+  }
+
   final case class AlertTick(alert: String, ts: Long, pred: Boolean)
   final case class AlertRunState(runStart: Long, firing: Boolean, frontier: Long)
   final case class AlertEvent(alert: String, ts: Long, event: String)

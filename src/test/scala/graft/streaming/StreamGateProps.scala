@@ -149,6 +149,37 @@ object StreamGateProps extends Properties("graft.streamgates") {
       }
     }
 
+  // ---- distinctSketchState: registers invariant under splits, order,
+  // and replays — max-merge makes the WHOLE state (not just emissions)
+  // trigger-boundary-invariant, a stronger claim than the gates above
+  private val keyStreams: Gen[List[StreamOps.KeyArrival]] = for {
+    n <- Gen.choose(1, 60)
+    ks <- Gen.listOfN(n, Gen.choose(0L, 40L))
+  } yield ks.map(k => StreamOps.KeyArrival("s", s"k$k"))
+
+  property("distinctSketchState registers are split-, order-, and replay-invariant and prefix-exact") =
+    Prop.forAll(keyStreams) { keys =>
+      Prop.forAll(cutsGen(keys.size), Gen.choose(0L, Long.MaxValue)) { (cuts, seed) =>
+        val batches = splitAt(keys, cuts)
+        // each batch re-sends the previous batch's tail, shuffled by a
+        // deterministic seed: at-least-once AND reorder, together
+        val rnd = new scala.util.Random(seed)
+        val withReplays = batches.zipWithIndex.map { case (b, i) =>
+          val merged = (if (i == 0) b else batches(i - 1).takeRight(3) ++ b)
+          rnd.shuffle(merged)
+        }
+        val snaps = runStream(withReplays, (d: Dataset[StreamOps.KeyArrival]) =>
+          StreamOps.distinctSketchState(d))
+        val last = snaps.maxBy(_.nSeen)
+        val regs = keys.foldLeft(graft.functions.Hll.zero)((r, k) =>
+          graft.functions.Hll.add(r, k.key))
+        val (used, sumRank, maxRank, d, est) = graft.functions.Hll.summary(regs)
+        ((last.regsUsed, last.sumRank, last.maxRank, last.denom, last.estMicro)
+          == ((used, sumRank, maxRank, d, est))) :|
+          s"final registers diverged from the clean fold (cuts $cuts)"
+      }
+    }
+
   // ---- alertState: fired/resolved edges invariant, replay-proof ----
   private val predRuns: Gen[List[Boolean]] = for {
     n <- Gen.choose(3, 25)

@@ -880,6 +880,62 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed HLL distinct state: prefix-exact snapshots, replay-idempotent, equals the q211 batch engine") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the q211 dense scope's exact key set, streamed in three triggers
+    // with the middle batch fully REPLAYED in the third — max-merge must
+    // make the duplicates a no-op, and the final snapshot must equal the
+    // batch engine's q211 row for the same scope (one rule, two tiers)
+    val lineKeys = graft.Tables.lineitem(spark, sfDir)
+      .select(concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    val (b1, rest) = lineKeys.splitAt(lineKeys.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    val input = MemoryStream[StreamOps.KeyArrival]
+    val q = StreamOps.distinctSketchState(input.toDS())
+      .writeStream.format("memory").queryName("hll_state")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.map(StreamOps.KeyArrival("line_ids", _)): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(StreamOps.KeyArrival("line_ids", _)): _*)
+      q.processAllAvailable()
+      input.addData((b2 ++ b3).map(StreamOps.KeyArrival("line_ids", _)): _*)
+      q.processAllAvailable()
+      val snaps = spark.table("hll_state").as[StreamOps.HllSnapshot]
+        .collect().sortBy(_.nSeen)
+      assert(snaps.length === 3)
+      // every trigger's snapshot is the exact sketch of the prefix
+      val prefixes = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b2 ++ b3)
+      snaps.zip(prefixes).foreach { case (snap, prefix) =>
+        val regs = prefix.foldLeft(graft.functions.Hll.zero)(graft.functions.Hll.add)
+        val (used, sumRank, maxRank, d, est) = graft.functions.Hll.summary(regs)
+        assert(snap.nSeen === prefix.size.toLong)
+        assert((snap.regsUsed, snap.sumRank, snap.maxRank, snap.denom, snap.estMicro)
+          === ((used, sumRank, maxRank, d, est)), s"prefix n=${prefix.size} sketch drifted")
+      }
+      // the replayed b2 changed nothing but nSeen: snapshots 2 and 3
+      // differ only by b3's genuinely-new keys (b2's re-delivery is
+      // absorbed by max-merge idempotence)
+      val cleanFinal = (b1 ++ b2 ++ b3).foldLeft(graft.functions.Hll.zero)(graft.functions.Hll.add)
+      val (u, sr, mr, d, est) = graft.functions.Hll.summary(cleanFinal)
+      val last = snaps.last
+      assert((last.regsUsed, last.sumRank, last.maxRank, last.denom, last.estMicro)
+        === ((u, sr, mr, d, est)), "replay was not idempotent")
+      // bridge to the batch tier: the q211 engine row for this scope
+      val batch = graft.queries.ExtQueries.queries("q211_hll_cardinality")(spark, sfDir)
+        .filter(col("scope") === "line_ids").collect().head
+      assert(batch.getLong(2) === last.regsUsed, "batch regs_used != stream")
+      assert(batch.getLong(3) === last.sumRank, "batch sum_rank != stream")
+      assert(batch.getLong(4) === last.maxRank, "batch max_rank != stream")
+      assert(batch.getLong(5) === last.denom, "batch denom != stream")
+      assert(batch.getLong(6) === last.estMicro, "batch est_micro != stream")
+    } finally q.stop()
+  }
+
   test("bounded retry: transient failures recover, persistent ones give up (ST4)") {
     var calls = 0
     val (_, attempts) = StreamOps.withBoundedRetry(maxAttempts = 5) { () =>
