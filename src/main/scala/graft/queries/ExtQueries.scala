@@ -2264,7 +2264,53 @@ object ExtQueries {
       .orderBy(col("d"))
   }
 
+  /** HDR (log-scale) histogram quantiles — the latency-observability
+    * canon (HdrHistogram, Gil Tene; what P95-SLO dashboards actually
+    * store) as an exact cross-engine query. Values land on the cent
+    * grid, then bucket geometry is pure integer arithmetic: e =
+    * max(0, bitlen(v) − 5) via minimal-binary `bin()`, mantissa m =
+    * v >> e ∈ [16, 31] (v itself below 32), bucket id = 32e + m with
+    * range [m·2^e, (m+1)·2^e) — so every bucket's relative width is
+    * ≤ 1/16 BY CONSTRUCTION, the sketch's whole guarantee, and bucket
+    * counts are plain sums (mergeable across executors/shards exactly
+    * like q212's CMS rows — a fixed ≤ 32·log(max) counters per shard
+    * regardless of N). Nearest-rank quantiles (P50/90/95/99, k =
+    * ⌈p·N/100⌉ in exact ceil-division longs) come from a cumulative
+    * walk of the AGGREGATED bucket table — the unpartitioned window
+    * runs over ≤ a few hundred bucket rows, never raw events, which is
+    * the reason HDR beats exact selection at 100 TB: the full-data pass
+    * is one map-side-combinable count per bucket. Output per quantile:
+    * rank and the containing bucket's [lo, hi) — the exact nearest-rank
+    * value provably lies inside (bucketing is monotone), which the spec
+    * pins against a driver-side exact sort. */
+  private val q214HdrQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    val cents = Tables.events(s, dir)
+      .select(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+    val hist = cents
+      .withColumn("e", greatest(lit(0L), (length(bin(col("v"))) - 5).cast("long")))
+      .withColumn("m", expr("shiftright(v, cast(e as int))"))
+      .select((col("e") * 32 + col("m")).as("bucket"),
+        expr("shiftleft(m, cast(e as int))").as("lo"),
+        expr("shiftleft(m + 1, cast(e as int))").as("hi"))
+      .groupBy(col("bucket"))
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"), count(lit(1)).as("n"))
+    val cum = hist.withColumn("cumn",
+      sum(col("n")).over(Window.orderBy(col("bucket"))))
+    val total = hist.agg(sum(col("n")).as("n_total"))
+    val qs = Seq(50L, 90L, 95L, 99L).toDF("p")
+      .crossJoin(total) // 4×1 rows — the documented broadcast-literal join
+      .withColumn("k", expr("(p * n_total + 99) div 100"))
+    qs.join(cum, col("cumn") >= col("k"))
+      .groupBy(col("p"), col("n_total"), col("k"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum.select(col("bucket"), col("lo"), col("hi")), Seq("bucket"))
+      .select(col("p"), col("n_total"), col("k"), col("bucket"), col("lo"), col("hi"))
+      .orderBy(col("p"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_hdr_quantiles" -> q214HdrQuantiles,
     "q213_bitmap_retention" -> q213BitmapRetention,
     "q212_countmin" -> q212CountMin,
     "q211_hll_cardinality" -> q211HllCardinality,
@@ -2414,6 +2460,31 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q214: identical cent grid, bitlen-derived bucket geometry,
+    // ceil-division nearest ranks, cumulative walk over buckets
+    "q214_hdr_quantiles" ->
+      """WITH cents AS (
+        |  SELECT CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (SELECT v, greatest(0, length(bin(v)) - 5)::BIGINT AS e FROM cents),
+        |bk AS (SELECT (e * 32 + (v >> e)) AS bucket,
+        |    ((v >> e) << e) AS lo, (((v >> e) + 1) << e) AS hi
+        |  FROM g),
+        |hist AS (SELECT bucket, CAST(min(lo) AS BIGINT) AS lo,
+        |    CAST(min(hi) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n
+        |  FROM bk GROUP BY bucket),
+        |cum AS (SELECT *, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cumn
+        |  FROM hist),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist),
+        |qs AS (SELECT p::BIGINT AS p, n_total,
+        |    (p * n_total + 99) // 100 AS k
+        |  FROM (SELECT unnest([50, 90, 95, 99]) AS p), tot),
+        |sel AS (SELECT q.p, q.n_total, q.k, min(c.bucket) AS bucket
+        |  FROM qs q JOIN cum c ON c.cumn >= q.k
+        |  GROUP BY q.p, q.n_total, q.k)
+        |SELECT s.p, s.n_total, s.k, s.bucket, c.lo, c.hi
+        |FROM sel s JOIN cum c ON c.bucket = s.bucket
+        |ORDER BY s.p""".stripMargin,
     // q213: identical 63-bit word packing, bit_or bitmaps, AND+popcount
     // retention; day boundaries stay TIMESTAMP on both sides
     "q213_bitmap_retention" ->

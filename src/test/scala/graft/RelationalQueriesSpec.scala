@@ -877,6 +877,44 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q214 HDR quantile buckets contain the exact nearest-rank values within 1/16 relative width") {
+    import org.apache.spark.sql.functions._
+    val cents = Tables.events(spark, sfDir)
+      .select(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    def bucketOf(v: Long): (Long, Long, Long) = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val e = math.max(0L, bl - 5L)
+      val m = v >> e.toInt
+      (e * 32 + m, m << e.toInt, (m + 1) << e.toInt)
+    }
+    val out = graft.queries.ExtQueries.queries("q214_hdr_quantiles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq === Seq(50L, 90L, 95L, 99L))
+    out.foreach { case (p, nTotal, k, bucket, lo, hi) =>
+      assert(nTotal === n)
+      assert(k === (p * n + 99) / 100, s"p$p ceil-division rank")
+      val exact = cents((k - 1).toInt) // k-th smallest, 1-indexed
+      val (eb, elo, ehi) = bucketOf(exact)
+      assert(bucket === eb, s"p$p: engine bucket $bucket != exact value's bucket $eb")
+      assert(lo === elo && hi === ehi, s"p$p bucket bounds")
+      assert(exact >= lo && exact < hi, s"p$p: exact $exact outside [$lo, $hi)")
+      // the HDR guarantee: ≤ 1/16 relative width (exact below 32)
+      assert(hi - lo <= math.max(1L, lo / 16L), s"p$p: bucket too wide for the contract")
+    }
+    // bucket counts sum-merge across arbitrary shards (the distributed
+    // partial-aggregate algebra, same as the q212 CMS counters)
+    def hist(vs: Seq[Long]): Map[Long, Long] =
+      vs.groupBy(v => bucketOf(v)._1).view.mapValues(_.size.toLong).toMap
+    val (ha, hb) = cents.toSeq.zipWithIndex.partition(_._2 % 2 == 0)
+    val merged = (hist(ha.map(_._1)).keySet ++ hist(hb.map(_._1)).keySet).map { b =>
+      b -> (hist(ha.map(_._1)).getOrElse(b, 0L) + hist(hb.map(_._1)).getOrElse(b, 0L))
+    }.toMap
+    assert(merged === hist(cents.toSeq), "shard sum-merge of bucket counts drifted")
+  }
+
   test("q213 bitmap retention equals a set-intersection reference and bitmaps OR-merge") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
