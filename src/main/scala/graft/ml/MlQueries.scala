@@ -135,6 +135,56 @@ object MlQueries {
       .withColumn("abs_gap", fpRound4(abs(col("mean_score") - col("frac_pos"))))
       .orderBy(col("bin"))
 
+  /** Isotonic-regression calibration (the sklearn `IsotonicRegression` /
+    * Zadrozny-Elkan 2002 canon): the monotone-nondecreasing step
+    * function closest (L2) to the per-bin positive rates — what you fit
+    * when Platt's sigmoid is the wrong shape. Computed via the MINIMAX
+    * characterization of the isotonic fit (Barlow et al. 1972, §1.2):
+    * fit(i) = max_{j≤i} min_{k≥i} avg(pos rate over bins j..k) — a
+    * closed form over segment averages, so no sequential
+    * pool-adjacent-violators loop crosses the engine boundary. The
+    * whole computation is EXACT integer arithmetic: bins are score
+    * ventiles (one map-side-combinable scan collapses lineitem to ≤ 20
+    * (cnt, pos) rows), segment averages are micro-floored longs
+    * (1e6·pos div cnt), and because floor is monotone it commutes with
+    * the min/max lattice — the floored minimax IS the floor of the
+    * exact minimax, so both engines walk identical longs and the spec's
+    * driver-side PAVA (exact rational pools) must agree bit-for-bit.
+    * Scale shape: everything after the first scan is O(B³/6) ≈ 1.5k
+    * rows of bounded-grid joins — the data-sized pass is ONE aggregate,
+    * the fit never touches raw rows (the q157/q46 discipline). */
+  private val q218Isotonic: Q = (s, dir) => {
+    val bins = scored(s, dir)
+      .groupBy(least(floor(col("score") * 20.0), lit(19.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label").cast("long")).as("pos"))
+    // dense positions over the PRESENT bins (absent ventiles — impossible
+    // on this score law, but the grid must not assume it) + prefix sums
+    val p = bins
+      .withColumn("i", row_number().over(Window.orderBy(col("bin"))).cast("long") - 1)
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_pos", sum(col("pos")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("i"), col("bin"), col("n"), col("pos"), col("cum_n"), col("cum_pos"))
+    val lo = p.select(col("i").as("j"), (col("cum_n") - col("n")).as("n_lo"),
+      (col("cum_pos") - col("pos")).as("p_lo"))
+    val hi = p.select(col("i").as("k"), col("cum_n").as("n_hi"), col("cum_pos").as("p_hi"))
+    // segment averages on the micro grid: (1e6 * pos[j..k]) div cnt[j..k]
+    val segs = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(1000000 * (p_hi - p_lo)) div (n_hi - n_lo)").as("av"))
+    // minimax: explode each segment to the positions it covers, inner
+    // min over k >= i per (i, j), outer max over j <= i
+    val fit = segs
+      .select(explode(sequence(col("j"), col("k"))).as("i"), col("j"), col("av"))
+      .groupBy(col("i"), col("j")).agg(min(col("av")).as("m"))
+      .groupBy(col("i")).agg(max(col("m")).as("iso_micro"))
+    p.join(fit, "i")
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(1000000 * pos) div n").as("raw_micro"), col("iso_micro"))
+      .orderBy(col("bin"))
+  }
+
   /** A9/W1/M11: full ROC sweep + trapezoid AUC. Pre-aggregates to one row
     * per distinct threshold BEFORE the cumulative window, so the window
     * processes |thresholds| (≤1000) rows however large lineitem is. */
@@ -507,6 +557,7 @@ object MlQueries {
     "q45_class_report" -> q45ClassReport,
     "q46_roc_auc"      -> q46RocAuc,
     "q157_calibration" -> q157Calibration,
+    "q218_isotonic"    -> q218Isotonic,
     "q61_auc_sketch"   -> q61AucSketch,
     "q47_shap_linear"  -> q47ShapLinear,
     "q48_shap_topk"    -> q48ShapTopk,
@@ -570,6 +621,30 @@ object MlQueries {
          |FROM c""".stripMargin,
     // q157: the identical bin expression (same doubles → same floors),
     // averages 4dp-floored on both sides
+    // q218: identical ventile grid, identical micro-floored segment
+    // averages — floor commutes with the minimax lattice, so both
+    // engines' integer walks equal the floored exact isotonic fit
+    "q218_isotonic" ->
+      s"""WITH s AS ($scoredSql),
+         |b AS (SELECT CAST(least(floor(score * 20.0), 19.0) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+         |  FROM s GROUP BY 1),
+         |p AS (SELECT bin, n, pos,
+         |    CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS i,
+         |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+         |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos
+         |  FROM b),
+         |seg AS (SELECT lo.i AS j, hi.i AS k,
+         |    (1000000 * (hi.cum_pos - (lo.cum_pos - lo.pos)))
+         |      // (hi.cum_n - (lo.cum_n - lo.n)) AS av
+         |  FROM p lo JOIN p hi ON lo.i <= hi.i),
+         |e AS (SELECT unnest(range(j, k + 1)) AS i, j, av FROM seg),
+         |inner_min AS (SELECT i, j, min(av) AS m FROM e GROUP BY i, j),
+         |fit AS (SELECT i, CAST(max(m) AS BIGINT) AS iso_micro
+         |  FROM inner_min GROUP BY i)
+         |SELECT p.bin, p.n, p.pos, (1000000 * p.pos) // p.n AS raw_micro,
+         |  fit.iso_micro
+         |FROM p JOIN fit ON fit.i = p.i ORDER BY p.bin""".stripMargin,
     "q157_calibration" ->
       s"""WITH s AS ($scoredSql)
          |SELECT CAST(least(floor(score * 10.0), 9.0) AS BIGINT) AS bin,

@@ -954,6 +954,40 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(math.abs(r0.getLong(6)) <= 1000000L)
   }
 
+  test("q218 isotonic minimax fit equals a driver PAVA with exact rational pools") {
+    val out = graft.ml.MlQueries.queries("q218_isotonic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // driver PAVA: pool adjacent violators with EXACT rational compares
+    // (p1/c1 > p2/c2 iff p1*c2 > p2*c1 — no floats anywhere)
+    case class Pool(var pos: Long, var n: Long, var span: Int)
+    val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+    out.foreach { case (_, n, pos, _, _) =>
+      pools += Pool(pos, n, 1)
+      while (pools.length >= 2 && {
+        val a = pools(pools.length - 2); val b = pools.last
+        a.pos * b.n > b.pos * a.n // prev avg strictly above current: violator
+      }) {
+        val b = pools.remove(pools.length - 1)
+        val a = pools.last
+        a.pos += b.pos; a.n += b.n; a.span += b.span
+      }
+    }
+    val ref = pools.flatMap(p => Seq.fill(p.span)(1000000L * p.pos / p.n)).toSeq
+    assert(out.map(_._5).toSeq === ref, "minimax fit != PAVA fit")
+    // structural contracts: fit is monotone nondecreasing, stays in
+    // [0, 1e6], and raw_micro is the floored per-bin positive rate
+    assert(out.map(_._5).toSeq === out.map(_._5).toSeq.sorted, "isotonic fit not monotone")
+    assert(out.forall(r => r._5 >= 0L && r._5 <= 1000000L))
+    out.foreach { case (_, n, pos, raw, _) => assert(raw === 1000000L * pos / n) }
+    // the raw rates must NOT already be monotone somewhere (otherwise
+    // the test is vacuous) OR the fit equals raw — accept either, but
+    // record that pooling actually happened when it should
+    val rawSeq = out.map(_._4).toSeq
+    if (rawSeq != rawSeq.sorted)
+      assert(out.exists(r => r._4 != r._5), "raw rates non-monotone but fit untouched")
+  }
+
   test("q215 Kaplan-Meier equals a driver product-limit fold; censoring semantics pinned") {
     import org.apache.spark.sql.functions._
     val users = Tables.events(spark, sfDir)
