@@ -50,6 +50,17 @@ object Bench {
       }
     }
 
+    // Cumulative stop-the-world GC milliseconds across all collectors —
+    // the delta around a query separates "the plan got slower" from "the
+    // JVM was collecting while the plan ran" (round 10's driver run
+    // inflated a contiguous tail band 7-9× that the same-tree sidecar
+    // never showed; best-of-3 minima hid it until the official run).
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
     // Per query: one untimed PRIMING run (codegen, JIT, parquet footer
     // cache, and the query's own scoped caches), then `reps` timed runs
     // sharing those warm caches (CacheManager dedups identical plans, so
@@ -57,12 +68,23 @@ object Bench {
     // runner half of the query-scoped-cache contract — so nothing
     // accumulates across the sweep and storage memory stays flat instead
     // of filling until LRU eviction makes later queries unpredictable.
+    // ALL rep times are kept (not just the min): a tail-degradation band
+    // is visible as max/min variance in the sidecar, per-run, instead of
+    // surfacing only when the official run's minima themselves degrade.
+    var repsDetail = Vector.empty[(String, Seq[Double], Long)]
     val timed: Map[String, Double] = names.flatMap { n =>
       once(n) // prime
+      val g0 = gcMs()
       val ts = (1 to reps).flatMap(_ => once(n))
+      val g1 = gcMs()
       spark.catalog.clearCache()
-      if (ts.isEmpty) None else Some(n -> ts.min)
+      if (ts.isEmpty) None
+      else { repsDetail :+= ((n, ts, g1 - g0)); Some(n -> ts.min) }
     }.toMap
+    // variance flag: any query whose slowest rep ran > 3× its fastest —
+    // a per-query plan is deterministic at fixed SF, so spread that wide
+    // is environmental (GC wave, CPU contention), not a plan property
+    val flagged = repsDetail.filter { case (_, ts, _) => ts.max > 3.0 * ts.min }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -76,14 +98,30 @@ object Bench {
     // results — but the record must keep the exception detail or the
     // failure can't be triaged from the sidecar
     // a subset run (BENCH_ONLY) is per-query iteration — skip the
-    // minutes of micro-batch sweeps; the full sweep keeps them
+    // minutes of micro-batch sweeps; the full sweep keeps them.
+    // Before the latency section: drain the batch sweep's garbage
+    // deterministically (standard inter-section bench hygiene — JMH
+    // does the same between iterations) so hundreds of completed batch
+    // queries pay their collection debt HERE, in untimed space, instead
+    // of as multi-hundred-ms pauses inside a 500 ms-SLO micro-batch.
     val streaming =
       if (only.isDefined) "null"
-      else scala.util.Try(StreamBench.run(spark))
-        .recover { case e => s"""{"error":${jstr(e.toString.take(200))}}""" }
-        .get
+      else {
+        spark.catalog.clearCache()
+        System.gc()
+        scala.util.Try(StreamBench.run(spark))
+          .recover { case e => s"""{"error":${jstr(e.toString.take(200))}}""" }
+          .get
+      }
+    // per-rep detail + GC attribution (arrays are [rep1, rep2, ...] in
+    // run order; gc_ms is the stop-the-world delta across the reps)
+    val detailJson = repsDetail
+      .map { case (n, ts, g) => s"""${jstr(n)}:{"t":[${ts.mkString(",")}],"gc_ms":$g}""" }
+      .mkString("{", ",", "}")
+    val varianceJson = flagged.map { case (n, ts, _) =>
+      s"""${jstr(n)}:{"min":${ts.min},"max":${ts.max}}""" }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's
     // stdout tail window, which truncates the head of the line and breaks
     // its JSON parse (rounds 3-4 both ended "parsed": null). So the full

@@ -59,16 +59,26 @@ object StreamBench {
     spark.stop()
   }
 
-  /** All four configs as one JSON object (the bench sidecar entry). */
+  /** All four configs as one JSON object (the bench sidecar entry).
+    * Each config starts from a force-collected heap: the SLO measures
+    * the scoring path, not whichever earlier section's garbage happens
+    * to come due mid-batch (round 10's official run breached rows1k at
+    * 1372 ms P95 while baseline before it and rows10k after were both
+    * <400 ms — the signature of a collection wave, not of the path;
+    * per-config gc_ms in the record now makes that distinction data). */
   def run(spark: SparkSession): String = {
+    System.gc()
     val baseline = runConfig(spark)
+    System.gc()
     val rows1k = runConfig(spark, rowsPerBatch = 1000)
     // the second decade of the batch-rate sweep: rows1k cost only
     // ~+19 ms P95 over baseline in r6/r7, so one more 10× tells whether
     // the write path stays batch-size-flat or where it starts bending
     // (score + attribution are scan-shaped; the keyed upsert writes one
     // dir per batch regardless of rows, so flat is the design claim)
+    System.gc()
     val rows10k = runConfig(spark, rowsPerBatch = 10000)
+    System.gc()
     val aged = runConfig(spark, historyBatches = 50, compactEvery = 25)
     s"""{"baseline":$baseline,"rows1k":$rows1k,"rows10k":$rows10k,"aged":$aged}"""
   }
@@ -99,6 +109,12 @@ object StreamBench {
       (System.nanoTime() - t0) / 1e6
     }
 
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    var gcDelta = 0L
     val lat =
       try {
         // history first (untimed): ages the store so the timed batches
@@ -106,7 +122,10 @@ object StreamBench {
         (0 until historyBatches).foreach(oneBatch)
         (historyBatches until historyBatches + warmBatches).foreach(oneBatch)
         val start = historyBatches + warmBatches
-        (start until start + timedBatches).map(oneBatch)
+        val g0 = gcMs()
+        val timed = (start until start + timedBatches).map(oneBatch)
+        gcDelta = gcMs() - g0
+        timed
       } finally {
         q.stop()
         Fs.deleteRecursively(java.nio.file.Paths.get(dir))
@@ -118,6 +137,10 @@ object StreamBench {
     // tenth-of-ms rounding via Double.toString: locale-independent, unlike
     // the f"" interpolator (comma-decimal locales would break the JSON)
     def ms(v: Double): String = (math.round(v * 10.0) / 10.0).toString
-    s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"slo_ms":500}"""
+    // lat_ms keeps every timed batch in trigger order: a single 1.5 s
+    // stall (a collection pause, an FS hiccup) is then distinguishable
+    // from a level shift — p50/p95/max alone can't tell those apart
+    val latJson = lat.map(ms).mkString("[", ",", "]")
+    s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"lat_ms":$latJson,"slo_ms":500}"""
   }
 }

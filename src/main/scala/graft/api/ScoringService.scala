@@ -45,7 +45,6 @@ final class ScoringService(
     * streaming worker uses, and upserted idempotently. */
   private def enqueueExplain(transactionId: String, features: Seq[Double]): Unit = {
     import spark.implicits._
-    val (coefs, mu, intercept) = linearForm
     val batch = Seq((transactionId, featureNames.zip(features).toMap))
       .toDF("transaction_id", "features")
     // label = transaction id: unique per logical write, idempotent under
@@ -53,10 +52,27 @@ final class ScoringService(
     // order comes from the store's shared monotonic clock so API and
     // streaming writes resolve last-writer-wins in one time domain
     store.upsertLabeled(
-      ScoringStream.scoreBatch(batch, featureNames, coefs, mu, intercept),
+      explainScorer(batch),
       label = java.net.URLEncoder.encode(transactionId, "UTF-8"),
       order = ScoringStream.nextWriteStamp())
   }
+
+  /** The explain kernel bound to the PROMOTED model's family — the
+    * dispatch that closes the reference's train/explain asymmetry
+    * (train_model.py:69-80 trains XGBoost; api/worker.py:52-53 can only
+    * explain the linear model): a promoted weighted GBT gets exact
+    * Saabas path attribution ([[graft.xai.GbtAttr]]), anything else the
+    * closed-form linear kernel. Both emit the same payload shape, so
+    * `/explain` readers never see which family served them. */
+  private lazy val explainScorer: DataFrame => DataFrame =
+    model.stages.last match {
+      case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
+        val trees = graft.xai.GbtAttr.flatten(gbt)
+        ScoringStream.scoreBatchGbt(_, featureNames, trees)
+      case _ =>
+        val (coefs, mu, intercept) = linearForm
+        ScoringStream.scoreBatch(_, featureNames, coefs, mu, intercept)
+    }
 
   /** The served model's closed linear form on raw features — scaler μ/σ
     * folded into coefficients/intercept (the LinearShapSpec parity). */

@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LinearScoreAttr].getName, "linear_score_attr"),
       (children: Seq[Expression]) => LinearScoreAttr(children)))
     ext.injectFunction((
+      FunctionIdentifier("gbt_score_attr"),
+      new ExpressionInfo(classOf[GbtScoreAttr].getName, "gbt_score_attr"),
+      (children: Seq[Expression]) => GbtScoreAttr(children)))
+    ext.injectFunction((
       FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (children: Seq[Expression]) => DeflateRatio(children.head)))

@@ -1357,23 +1357,52 @@ object LlmQueries {
     * reuses the partitioning) + one partial-aggregated groupBy(dst) +
     * one left join back to nodes for zero-in-degree rows. Edges and
     * the node frame are cached once and reused across all iterations.
-    * The dense index comes from a global row_number here (testdata ids
-    * are sparse); a production corpus brings its own link table with
-    * real node ids, and no global sort exists on that path. */
+    * The dense index comes from [[linkGraphDocs]] — the two-level
+    * prefix-sum global rank, NOT a single-task window sort; a
+    * production corpus brings its own link table with real node ids,
+    * and no global ranking exists on that path at all. */
   private val PrScale    = 1000000000000L // total mass, micro-units
   private val PrIters    = 5
   private val PrOutLinks = 3
-  private val q138PageRank: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
-      .cache()
-    val n = docs.count()
-    val edges = docs.select(col("idx").as("src"),
+
+  /** Shared node-index derivation for the link-graph family (q138
+    * PageRank, q161 triangles, q169 BFS, q180 assortativity, q194
+    * k-core, q217 SSSP). The dense index comes from
+    * [[graft.operators.DistributedSelect.globalRowNumber]] — a two-level
+    * prefix sum (bounded bucket histogram + per-bucket parallel sorts) —
+    * NOT from `row_number().over(Window.orderBy(...))`, whose
+    * unpartitioned window funnels the whole corpus through ONE task
+    * (this repo's named scale-killer; DistributedSelectProps proves the
+    * two derivations assign identical ranks). doc_ids are unique
+    * nonnegative longs, so the rank is deterministic and the oracle's
+    * `row_number() OVER (ORDER BY doc_id)` still hash-matches. */
+  private[llm] def linkGraphDocs(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    // width sized off the id range: ≤ ~1k histogram buckets driver-side
+    val mx = ids.agg(max(col("doc_id"))).first().getLong(0)
+    graft.operators.DistributedSelect
+      .globalRowNumber(ids, "doc_id", "rk", math.max(1L, mx / 1024 + 1))
+      .select(col("doc_id"), (col("rk") - 1L).cast("long").as("idx"))
+  }
+
+  /** Directed hash-derived out-links of the shared link graph, BEFORE
+    * dedup: u → rollingHash(u#j) mod n for j ∈ 1..[[PrOutLinks]],
+    * self-loops dropped (see q138's scaladoc for why the map must be
+    * nonlinear). Callers finish the derivation — `.distinct()` for the
+    * directed graph, least/greatest+distinct to symmetrize, or a
+    * weight column — so no query pays an extra shuffle over what its
+    * own edge shape needs. */
+  private[llm] def linkGraphRawEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("idx").as("src"),
         explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
       .select(col("src"),
         (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
       .filter(col("src") =!= col("dst"))
+
+  private val q138PageRank: Q = (s, dir) => {
+    val docs = linkGraphDocs(s, dir).cache()
+    val n = docs.count()
+    val edges = linkGraphRawEdges(docs, n)
       .distinct()
       .cache()
     PageRank.run(docs, edges, PrScale, PrIters)
@@ -1401,16 +1430,9 @@ object LlmQueries {
     * discipline applied to graphs). Clustering = 2T/(d(d−1)) on the
     * floor-form 4dp grid; degree-0/1 vertices pin 0. */
   private val q161Triangles: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
-      .cache()
+    val docs = linkGraphDocs(s, dir).cache()
     val n = docs.count()
-    val und = docs.select(col("idx").as("src"),
-        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
-      .select(col("src"),
-        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val und = linkGraphRawEdges(docs, n)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .cache()
@@ -1475,16 +1497,9 @@ object LlmQueries {
     * checksum per layer. */
   private val BfsHops = 6
   private val q169BfsReach: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
-      .cache()
+    val docs = linkGraphDocs(s, dir).cache()
     val n = docs.count()
-    val edges = docs.select(col("idx").as("src"),
-        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
-      .select(col("src"),
-        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val edges = linkGraphRawEdges(docs, n)
       .distinct()
       .cache()
     // materialize the cache, then detach the lineage: downstream rounds
@@ -1543,32 +1558,49 @@ object LlmQueries {
     * idx-sum checksum per distance. */
   private val SsspRounds = 6
   private val q217WeightedSssp: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
-      .cache()
-    val n = docs.count()
+    // cache discipline: each pinned round is released as soon as the
+    // NEXT round is materialized (its rows were consumed by that
+    // round's count), and docs/edges are released once the loop no
+    // longer reads them — so live storage is O(1) rounds, not
+    // O(SsspRounds), across a bench's repeated invocations. Only the
+    // LAST dist stays cached: the returned lineage reads it (the
+    // runner's clearCache releases it — the query-scoped contract).
+    val docsC = linkGraphDocs(s, dir).cache()
+    val docs = s.createDataFrame(docsC.rdd, docsC.schema)
+    val n = docsC.count()
+    var lastPinned: DataFrame = null
     def pinned(df: DataFrame): DataFrame = {
       val c = df.cache()
       c.count()
       s.createDataFrame(c.rdd, c.schema)
     }
-    val edges = pinned(docs.select(col("idx").as("src"),
+    val edgesC = docs.select(col("idx").as("src"),
         explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
       .select(col("src"),
         (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .withColumn("w", tokHash(concat(col("src").cast("string"), lit("#"),
-        col("dst").cast("string"), lit("#w"))) % 9 + lit(1L)))
-    var dist = pinned(docs.filter(col("idx") % 97 === 0)
-      .select(col("idx").as("v"), lit(0L).as("d")))
+        col("dst").cast("string"), lit("#w"))) % 9 + lit(1L))
+      .cache()
+    val edges = s.createDataFrame(edgesC.rdd, edgesC.schema)
+    edgesC.count()
+    var distC = docs.filter(col("idx") % 97 === 0)
+      .select(col("idx").as("v"), lit(0L).as("d")).cache()
+    var dist = s.createDataFrame(distC.rdd, distC.schema)
+    distC.count()
+    docsC.unpersist() // edges + seed set are materialized; docs is done
     for (_ <- 1 to SsspRounds) {
       val relax = dist.join(edges, dist("v") === edges("src"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
-      dist = pinned(dist.select(col("v"), col("d")).union(relax)
-        .groupBy(col("v")).agg(min(col("d")).as("d")))
+      val prev = distC
+      distC = dist.select(col("v"), col("d")).union(relax)
+        .groupBy(col("v")).agg(min(col("d")).as("d")).cache()
+      dist = s.createDataFrame(distC.rdd, distC.schema)
+      distC.count()
+      prev.unpersist() // consumed by the round just materialized
     }
+    edgesC.unpersist() // all relax joins done; only the final dist remains
     dist.groupBy(col("d").as("dist"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("idx_checksum"))
       .orderBy(col("dist"))
@@ -1621,16 +1653,9 @@ object LlmQueries {
     * nullif guards the regular-graph degenerate (zero variance). */
   private val q180Assortativity: Q = (s, dir) => {
     def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
-      .cache()
+    val docs = linkGraphDocs(s, dir).cache()
     val n = docs.count()
-    val und = docs.select(col("idx").as("src"),
-        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
-      .select(col("src"),
-        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val und = linkGraphRawEdges(docs, n)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
@@ -1736,16 +1761,9 @@ object LlmQueries {
   private val KcoreK = 3
   private val KcoreRounds = 4
   private val q194Kcore: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long").as("idx"))
-      .cache()
+    val docs = linkGraphDocs(s, dir).cache()
     val n = docs.count()
-    val und = docs.select(col("idx").as("src"),
-        explode(sequence(lit(1), lit(PrOutLinks))).as("j"))
-      .select(col("src"),
-        (tokHash(concat(col("src").cast("string"), lit("#"), col("j").cast("string"))) % n).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val und = linkGraphRawEdges(docs, n)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .cache()

@@ -147,6 +147,35 @@ object FraudPipeline {
     (model, testAuc, seq)
   }
 
+  /** [[fitLogged]] for the weighted-GBT family (M4, the XGBoost
+    * analogue the reference actually trains — train_model.py:69-80):
+    * the same tracked-run contract with `model_type=GBTClassifier`, so
+    * a promotion that reads the history table can bind the champion
+    * alias to a tree ensemble — which the serving path now explains
+    * exactly via [[graft.xai.GbtAttr]] (Saabas path attribution)
+    * instead of refusing or silently mis-attributing. */
+  def fitLoggedGbt(train: DataFrame, test: DataFrame, features: Seq[String],
+      runLogDir: String, modelDir: String, runId: String,
+      experiment: String = "fraud-detection-ci", gbtMaxIter: Int = 20,
+      maxDepth: Int = 5,
+      extraParams: Map[String, String] = Map.empty,
+      extraMetrics: Map[String, Double] = Map.empty): (PipelineModel, Double, Long) = {
+    val model = weightedGbtPipeline(features, maxIter = gbtMaxIter, maxDepth = maxDepth)
+      .fit(withClassWeight(train))
+    val testAuc = auc(model, test)
+    val modelPath = s"$modelDir/$runId"
+    model.write.overwrite().save(modelPath)
+    val seq = graft.sources.RunLog.logRun(train.sparkSession, runLogDir, experiment, runId,
+      params = Map(
+        "model_type" -> "GBTClassifier",
+        "max_iter" -> gbtMaxIter.toString,
+        "max_depth" -> maxDepth.toString,
+        "n_features" -> features.size.toString) ++ extraParams,
+      metrics = Map("test_auc" -> testAuc) ++ extraMetrics,
+      modelPath = modelPath)
+    (model, testAuc, seq)
+  }
+
   /** M6: stratified k-fold CV with IN-FOLD SMOTE — resampling happens on
     * the train folds only, after the split, exactly the leakage
     * discipline of train_model.py:49-87. Returns per-fold AUCs. */

@@ -2242,7 +2242,13 @@ object ExtQueries {
     * retained, and the floored-micro retention rate — all exact longs
     * (popcounts of identical words) plus one floor-form division. */
   private val q213BitmapRetention: Q = (s, dir) => {
+    // word packing shifts user_id into bit position uid % 63: a negative
+    // id would shift into/through the sign bit (silent two's-complement
+    // in Spark, overflow error in DuckDB). Filter — matched in the
+    // oracle — so the bucket/word parity contract is explicit instead of
+    // an undocumented precondition (the q211 h >= 0 discipline).
     val dw = Tables.events(s, dir)
+      .filter(col("user_id") >= 0)
       .select(date_trunc("day", col("ts")).as("d"),
         expr("cast(user_id as bigint) div 63").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(cast(user_id as bigint) % 63 as int))").as("bit"))
@@ -2285,8 +2291,13 @@ object ExtQueries {
     * pins against a driver-side exact sort. */
   private val q214HdrQuantiles: Q = (s, dir) => {
     import s.implicits._
+    // bin()'s minimal-binary length (the exponent source) only matches
+    // cross-engine for NONNEGATIVE longs — a negative cent value is 64
+    // two's-complement bits in Spark but a different shape in DuckDB.
+    // Filter — matched in the oracle — instead of assuming value >= 0.
     val cents = Tables.events(s, dir)
       .select(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .filter(col("v") >= 0)
     val hist = cents
       .withColumn("e", greatest(lit(0L), (length(bin(col("v"))) - 5).cast("long")))
       .withColumn("m", expr("shiftright(v, cast(e as int))"))
@@ -2325,7 +2336,12 @@ object ExtQueries {
     * with the Σ(t³−t) tie correction in the variance) and the
     * rank-biserial effect size touch doubles — identical operation
     * order both sides, every input exactly representable (products
-    * ≤ 4·10¹⁰ ≪ 2⁵³), floored to the micro grid. */
+    * ≤ 4·10¹⁰ ≪ 2⁵³), floored to the micro grid. Documented int64
+    * bound: tie_t sums t³−t per grid value, exact while every single
+    * quantity's count stays below 2²¹ (~2.09M rows ≈ TPC-H sf25);
+    * beyond that non-ANSI Spark wraps silently where DuckDB raises, so
+    * the spec pins the bound (RelationalQueriesSpec q216) and a larger
+    * SF must move the tie term to the driver-side ≤50-row grid. */
   private val q216MannWhitney: Q = (s, dir) => {
     def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
     val grid = Tables.lineitem(s, dir)
@@ -2364,7 +2380,7 @@ object ExtQueries {
     * otherwise they are right-censored
     * — the fundamental thing KM handles that a naive churn-rate query
     * gets wrong (censored users contribute risk time but no death).
-    * The product-limit estimator is a stepwise fold on the milli grid:
+    * The product-limit estimator is a stepwise fold on the micro grid:
     * S ← S·(nᵢ−dᵢ) div nᵢ — integer floor at every step, so both
     * engines walk identical longs (d=0 rows multiply by n div n and
     * pass S through exactly, no branch needed); the true rational
@@ -2617,8 +2633,9 @@ object ExtQueries {
     // ceil-division nearest ranks, cumulative walk over buckets
     "q214_hdr_quantiles" ->
       """WITH cents AS (
-        |  SELECT CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT) AS v
-        |  FROM events),
+        |  SELECT v FROM (
+        |    SELECT CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT) AS v
+        |    FROM events) WHERE v >= 0),
         |g AS (SELECT v, greatest(0, length(bin(v)) - 5)::BIGINT AS e FROM cents),
         |bk AS (SELECT (e * 32 + (v >> e)) AS bucket,
         |    ((v >> e) << e) AS lo, (((v >> e) + 1) << e) AS hi
@@ -2645,7 +2662,7 @@ object ExtQueries {
         |  SELECT date_trunc('day', ts) AS d,
         |    CAST(user_id AS BIGINT) // 63 AS w,
         |    bit_or(1::BIGINT << CAST(CAST(user_id AS BIGINT) % 63 AS INT)) AS bm
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE user_id >= 0 GROUP BY 1, 2),
         |tot AS (SELECT d, CAST(sum(bit_count(bm)) AS BIGINT) AS n_active
         |  FROM dw GROUP BY d),
         |ret AS (SELECT a.d, CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT) AS n_retained

@@ -43,6 +43,28 @@ object ScoringStream {
     // a non-cheap expression into multiple references).
     val scored = call_function("linear_score_attr", col("features"),
       typedLit(featureNames), typedLit(coefs), typedLit(mu), lit(intercept))
+    shapeScored(batch, scored)
+  }
+
+  /** [[scoreBatch]] for a promoted GRADIENT-BOOSTED model: identical
+    * alignment/validity/lifecycle semantics and an identical output
+    * shape (the store and every reader stay model-family-agnostic), but
+    * score + attribution come from the fused tree-walk kernel
+    * ([[graft.functions.GbtScoreAttr]], Saabas path attribution — exact
+    * for a sum of trees). This is the serving path for the model family
+    * the reference trains (train_model.py:69-80) but could never
+    * explain; with it, [[graft.sources.RunLog.promoteLatest]] can bind
+    * the champion alias to q92's weighted GBT and `/explain` still
+    * holds its contract. */
+  def scoreBatchGbt(batch: DataFrame, featureNames: Seq[String],
+      trees: graft.xai.GbtAttr.FlatTrees): DataFrame =
+    shapeScored(batch,
+      graft.xai.GbtAttr.column(col("features"), featureNames, trees))
+
+  /** Shared output shaping: NULL-map/empty-map rows FAILED (the 422
+    * arity analogue), others COMPLETED with score + attribution JSON. */
+  private def shapeScored(batch: DataFrame,
+      scored: org.apache.spark.sql.Column): DataFrame = {
     // a NULL features map yields a NULL struct: same FAILED outcome as an
     // empty map (coalesce keeps the n_present predicate non-null)
     val absent = coalesce(col("__s.n_present"), lit(0)) === 0
@@ -309,12 +331,32 @@ object ScoringStream {
       featureNames: Seq[String], coefs: Seq[Double], mu: Seq[Double],
       intercept: Double, compactEvery: Int = 0,
       metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
+    attachScorer(stream, store, checkpointDir,
+      scoreBatch(_, featureNames, coefs, mu, intercept), compactEvery, metrics)
+
+  /** [[attach]] serving a promoted gradient-boosted model: the same
+    * lifecycle/metrics/store wiring with the tree-walk kernel
+    * ([[scoreBatchGbt]]) in place of the linear one. */
+  def attachGbt(stream: DataFrame, store: ResultStore, checkpointDir: String,
+      featureNames: Seq[String], trees: graft.xai.GbtAttr.FlatTrees,
+      compactEvery: Int = 0,
+      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
+    attachScorer(stream, store, checkpointDir,
+      scoreBatchGbt(_, featureNames, trees), compactEvery, metrics)
+
+  /** The model-family-agnostic worker loop: any scorer producing the
+    * shared (transaction_id, prediction_score, shap_values, status,
+    * updated_at) shape rides the same checkpointed, idempotent,
+    * metric-instrumented micro-batch path. */
+  def attachScorer(stream: DataFrame, store: ResultStore, checkpointDir: String,
+      scorer: DataFrame => DataFrame, compactEvery: Int = 0,
+      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         try metrics.histogram("xai_task_duration_seconds").time {
           val obs = org.apache.spark.sql.Observation()
-          val scored = scoreBatch(batch, featureNames, coefs, mu, intercept)
+          val scored = scorer(batch)
             .observe(obs, count(lit(1)).as("rows"),
               sum(when(col("status") === "FAILED", 1L).otherwise(0L)).as("failed"))
           store.upsert(scored, batchId)

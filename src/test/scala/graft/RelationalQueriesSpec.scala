@@ -952,6 +952,14 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(twoU1 + twoU0 === 2 * n1 * n0, "U1 + U0 != n1*n0")
     // rank-biserial is bounded in [-1, 1] on the micro grid
     assert(math.abs(r0.getLong(6)) <= 1000000L)
+    // int64 headroom pin: tie_t sums t³−t per grid value, which wraps
+    // silently in non-ANSI Spark (and raises in DuckDB) once any single
+    // quantity's count exceeds 2²¹ ≈ 2.09M rows (~TPC-H sf25). Trip the
+    // documented bound HERE on a scale-up instead of diverging silently.
+    val maxTie = byVal.map { case (_, g) => g.length.toLong }.max
+    assert(maxTie < (1L << 21),
+      s"q216 tie-group count $maxTie exceeds the int64-safe 2^21 bound — " +
+        "recompute tie_t on the driver grid before running at this SF")
   }
 
   test("q218 isotonic minimax fit equals a driver PAVA with exact rational pools") {
