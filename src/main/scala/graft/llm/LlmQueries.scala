@@ -715,7 +715,7 @@ object LlmQueries {
     * fall out of a cumulative token sum — a partitioned window, so no
     * global sort exists anywhere in the plan; each shard packs
     * independently, which is exactly how a 100 TB corpus is packed. */
-  private val PackWindow = 256L
+  private[graft] val PackWindow = 256L
   private val q77PackSequences: Q = (s, dir) => {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1019,17 +1019,24 @@ object LlmQueries {
     * The final global rank is a window at the DOC grain (not tokens);
     * at 100 TB the exact rank degrades to an approxQuantile threshold +
     * filter — selection needs the cut point, not per-doc ranks. */
-  private val DsirBuckets = 256
-  private val DsirTargetLang = "en"
+  private[graft] val DsirBuckets = 256
+  private[graft] val DsirTargetLang = "en"
   private val DsirKeepFrac = 0.25
-  private val q132DsirSelect: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-      .withColumn("tk", toksCol(col("text")))
-      .withColumn("bk",
-        when(size(col("tk")) >= 2,
-          transform(bigramsCol(col("tk")), g => tokHash(g) % DsirBuckets))
-          .otherwise(array().cast("array<bigint>")))
-    val counts = docs
+  /** The DSIR bucketed-bigram column (q132's feature map) — shared with
+    * the streaming ingest scorer so one expression defines the feature
+    * space on both tiers. */
+  private[graft] def dsirBuckets(df: DataFrame): DataFrame = df
+    .withColumn("tk", toksCol(col("text")))
+    .withColumn("bk",
+      when(size(col("tk")) >= 2,
+        transform(bigramsCol(col("tk")), g => tokHash(g) % DsirBuckets))
+        .otherwise(array().cast("array<bigint>")))
+
+  /** q132's corpus-global importance fit: add-1-smoothed LLR per hash
+    * bucket in integer micro-nats. Exposed for the reference freeze the
+    * streaming ingest scores against ([[graft.streaming.CurationIngest]]). */
+  private[graft] def dsirLlrFit(s: SparkSession, dir: String): Array[Long] = {
+    val counts = dsirBuckets(Tables.documents(s, dir))
       .select(col("lang"), explode(col("bk")).as("b"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("raw_c"),
@@ -1046,13 +1053,23 @@ object LlmQueries {
         math.log((r.getAs[Long]("raw_c") + 1.0) / (nr + DsirBuckets))
       llr(r.getAs[Long]("b").toInt) = math.floor(w * 1e6 + 0.5).toLong
     }
-    import s.implicits._
+    llr
+  }
+
+  /** Per-doc DSIR log-weight against a (frozen or fresh) llr array —
+    * the scoring half of q132, shared with the streaming ingest. */
+  private[graft] def dsirScore(docs: DataFrame, llr: Array[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
     val llrDf = Seq(Tuple1(llr.toSeq)).toDF("llr")
-    val scored = docs.crossJoin(broadcast(llrDf))
+    dsirBuckets(docs).crossJoin(broadcast(llrDf))
       .select(col("doc_id"), size(col("bk")).cast("long").as("n_grams"),
         fpRound4(aggregate(col("bk"), lit(0L),
           (a, b) => a + element_at(col("llr"), (b + 1).cast("int")))
           .cast("double") / 1e6).as("log_w"))
+  }
+
+  private val q132DsirSelect: Q = (s, dir) => {
+    val scored = dsirScore(Tables.documents(s, dir), dsirLlrFit(s, dir))
     val w = Window.orderBy(col("log_w").desc, col("doc_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -1084,18 +1101,27 @@ object LlmQueries {
     * CCNet prunes its KenLM; the add-1 bigram model is the same gate
     * arithmetic without the binary model dependency. Docs with no
     * bigrams take ce=0 (most-fluent edge, deterministic). */
-  private val q133NgramLmPpl: Q = (s, dir) => {
-    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long") // micro-nats
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), toksCol(col("text")).as("tk"))
-    val occ = toks.filter(size(col("tk")) >= 2)
+  /** Per-(doc, lang) labeled bigram occurrences — q133's feature
+    * explode, shared with the streaming ingest scorer. */
+  private[graft] def lmOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), toksCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(zip_with(
           slice(col("tk"), lit(1), size(col("tk")) - 1),
           slice(col("tk"), lit(2), size(col("tk")) - 1),
           (a, b) => struct(concat(a, lit(" "), b).as("g"), a.as("h")))).as("s"))
       .select(col("doc_id"), col("lang"), col("s.g").as("g"), col("s.h").as("h"))
-      .cache() // 3 consumers (c2 fit, c1 fit, scoring); runner clearCache scopes it
+
+  /** q133's corpus-global per-language LM fit: (bigram numerators,
+    * head-word denominators, vocab defaults), every log fixed-point
+    * scaled to integer micro-nats. Exposed for the reference freeze the
+    * streaming ingest scores against ([[graft.streaming.CurationIngest]]);
+    * `occ` is the (cached) [[lmOccurrences]] frame. */
+  private[graft] def lmFit(docs: DataFrame, occ: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long") // micro-nats
+    val toks = docs.select(col("lang"), toksCol(col("text")).as("tk"))
     val vocab = toks.select(col("lang"), explode(col("tk")).as("w"))
       .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
       .select(col("lang"), col("v"), s6(log(col("v").cast("double"))).as("den_def"))
@@ -1104,19 +1130,34 @@ object LlmQueries {
     val c1 = occ.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c1"))
       .join(vocab.select(col("lang"), col("v")), Seq("lang"))
       .select(col("lang"), col("h"), s6(log((col("c1") + col("v")).cast("double"))).as("den_s"))
-    val ds = occ
+    (c2, c1, vocab.select(col("lang"), col("den_def")))
+  }
+
+  /** Per-doc cross-entropy of `docs` under a (frozen or fresh) LM fit —
+    * the scoring half of q133, shared with the streaming ingest. */
+  private[graft] def lmScore(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+      vocabDef: DataFrame): DataFrame = {
+    val ds = lmOccurrences(docs)
       .join(c2, Seq("lang", "g"), "left")
       .join(c1, Seq("lang", "h"), "left")
-      .join(vocab.select(col("lang"), col("den_def")), Seq("lang"))
+      .join(vocabDef, Seq("lang"))
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("num_s"), lit(0L)) - coalesce(col("den_s"), col("den_def"))).as("sw"),
         count(lit(1)).as("m"))
-    val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    docs.select(col("doc_id"), col("lang"))
       .join(ds, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("m"), lit(0L)).as("n_bigrams"),
         fpRound4(when(col("m") > 0,
           -(col("sw").cast("double") / 1e6 / col("m"))).otherwise(lit(0.0))).as("ce"))
+  }
+
+  private val q133NgramLmPpl: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val occ = lmOccurrences(docs)
+      .cache() // 3 consumers (c2 fit, c1 fit, scoring); runner clearCache scopes it
+    val (c2, c1, vocabDef) = lmFit(docs, occ)
+    val scored = lmScore(docs, c2, c1, vocabDef)
     val w = Window.partitionBy(col("lang")).orderBy(col("ce"), col("doc_id"))
     scored
       .withColumn("rn", row_number().over(w).cast("long"))

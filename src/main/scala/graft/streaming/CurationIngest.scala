@@ -1,0 +1,258 @@
+package graft.streaming
+
+import graft.Tables
+import graft.llm.{LlmQueries, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The q196 curation canon as ONE streaming ingest pipeline — the
+  * round-10 verdict's directive #6. q196 proves the batch composition
+  * (Gopher A1.1 ∧ A1.2 → CCNet perplexity cut → DSIR selection → exact
+  * dedup → eval holdout → decontamination → packing); the single-gate
+  * streaming twins existed separately. This chains them so a CHOPPED
+  * STREAM through the composed gates admits exactly q196's survivor
+  * set, with each stage in its production-shaped streaming form:
+  *
+  *  - per-document batteries (Gopher quality + repetition) evaluate
+  *    inline on each micro-batch — the SAME `TextOps` rules the batch
+  *    tier runs, one rule shared across tiers;
+  *  - corpus-global criteria score against a FROZEN REFERENCE FIT
+  *    ([[saveReference]]): the per-language LM tables + tercile cut
+  *    pair, the DSIR llr array + selection cut pair, and the
+  *    rare-shingle/eval contamination index. This is how production
+  *    ingest works (CCNet ships a pretrained KenLM; DSIR weights come
+  *    from a reference corpus) — and it is what makes the gate
+  *    GENERALIZING: an unseen document gets a real score, not a
+  *    doc_id lookup. Cuts are (value, doc_id) PAIRS, not thresholds,
+  *    so rank-boundary ties resolve exactly as the batch tercile/
+  *    quantile windows resolved them;
+  *  - exact dedup and packing are STATEFUL: admitted content hashes
+  *    append to a durable per-batch index (decisions derive only from
+  *    the frozen reference + EARLIER batch dirs, the
+  *    [[StreamOps.textDupGateIngestBatch]] replay discipline — a
+  *    re-delivered batch recomputes the identical decision and
+  *    rewrites the identical dir), and pack ids come from per-source
+  *    cumulative token totals over previously admitted docs.
+  *
+  * Keep-set parity with q196 (CurationIngestSpec) holds for an
+  * id-ordered ingest (contiguous doc_id chops): exact dedup keeps the
+  * FIRST arrival per hash, which equals q196's min-doc_id
+  * representative exactly when duplicates arrive in id order — the
+  * same precondition q139 documents for stable sharding. Out-of-order
+  * ingest admits the same COUNT per hash group but a different
+  * representative (IncrementalDedupProps covers that invariance).
+  *
+  * Scale shape per batch: every gate is scan-shaped or a broadcast-
+  * sized join against bounded frozen artifacts (LM tables are
+  * vocabulary-bounded, llr is one 256-slot array, the contamination
+  * index is df-capped); the dedup probe is one anti-join on content
+  * hash; state reads scan only ADMITTED batch dirs (a production
+  * deployment compacts them like the TieredParquet gates — totals are
+  * one aggregate over admitted rows, never the text). */
+object CurationIngest {
+
+  // ---------------------------------------------------------- reference
+
+  /** Freeze the corpus-global fits the ingest gates score against.
+    * Everything derives from the standalone queries' OWN definitions
+    * (the q196 discipline): the LM fit via [[LlmQueries.lmFit]], cut
+    * pairs read off q133/q132's outputs, the contamination index via
+    * [[LlmQueries.rareShingleIndex]]. */
+  def saveReference(spark: SparkSession, corpusDir: String, refDir: String): Unit = {
+    val docs = Tables.documents(spark, corpusDir)
+    val occ = LlmQueries.lmOccurrences(docs).cache()
+    try {
+      val (c2, c1, vocabDef) = LlmQueries.lmFit(docs, occ)
+      c2.write.mode("overwrite").parquet(s"$refDir/lm_c2")
+      c1.write.mode("overwrite").parquet(s"$refDir/lm_c1")
+      vocabDef.write.mode("overwrite").parquet(s"$refDir/lm_vocab")
+      // tercile cut = the LAST KEPT (ce, doc_id) per language in the
+      // batch ranking order (ce asc, doc_id asc): kept is a rank prefix,
+      // so "≤ cut pair" reproduces the rank cut including boundary ties
+      LlmQueries.queries("q133_ngram_lm_ppl")(spark, corpusDir)
+        .filter(col("ppl_bucket") =!= "tail")
+        .groupBy(col("lang"))
+        .agg(max(struct(col("ce"), col("doc_id"))).as("cut"))
+        .select(col("lang"), col("cut.ce").as("cut_ce"), col("cut.doc_id").as("cut_id"))
+        .write.mode("overwrite").parquet(s"$refDir/lm_cut")
+    } finally occ.unpersist()
+
+    import spark.implicits._
+    LlmQueries.dsirLlrFit(spark, corpusDir).toSeq.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }.toDF("b", "llr")
+      .write.mode("overwrite").parquet(s"$refDir/dsir_llr")
+    // selection cut = last kept (log_w, doc_id) in (log_w desc, doc_id
+    // asc) order — min log_w, max doc_id among its ties
+    LlmQueries.queries("q132_dsir_select")(spark, corpusDir)
+      .filter(col("selected") === 1)
+      .agg(min(struct(col("log_w"), (-col("doc_id")).as("nid"))).as("cut"))
+      .select(col("cut.log_w").as("cut_w"), (-col("cut.nid")).as("cut_id"))
+      .write.mode("overwrite").parquet(s"$refDir/dsir_cut")
+
+    val rare = LlmQueries.rareShingleIndex(docs, docs.count()).cache()
+    try {
+      rare.select(col("h")).distinct()
+        .write.mode("overwrite").parquet(s"$refDir/rare_keys")
+      rare.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("h"))
+        .write.mode("overwrite").parquet(s"$refDir/eval_sh")
+    } finally rare.unpersist()
+  }
+
+  // ------------------------------------------------------------- ingest
+
+  /** Attach the composed gate to a stream of
+    * (doc_id, source, lang, text) arrivals. */
+  def ingestSink(arrivals: DataFrame, refDir: String, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, refDir, stateDir)
+      }
+      .start()
+
+  private def exists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+
+  /** Batch dirs under `root` EXCLUDING the given label — the
+    * replay-safety read shape. */
+  private def priorLabels(root: String, label: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq
+        .filter(d => java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("batch=") &&
+          d.getFileName.toString != label)
+        .map(_.toString)
+      finally s.close()
+    }
+  }
+
+  /** The per-batch composed admit-and-append, visible so replay
+    * semantics are directly testable. */
+  def ingestBatch(batch: DataFrame, batchId: Long, refDir: String,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val label = s"batch=$batchId"
+    if (exists(s"$stateDir/admitted/$label")) return // replay: identical recompute, skip
+
+    val arr = batch.select(col("doc_id"), col("source"), col("lang"), col("text"))
+
+    // ---- per-doc batteries (one rule shared with the batch tier).
+    // q196 composes the A1.1 conjunction MINUS the distinct-stop-word
+    // rule (corpus-hostile on the synthetic vocabulary — documented
+    // there); the stream composes the identical conjunction.
+    val gopherKeep = TextOps.gopherRules(arr, "text")
+      .filter(col("r_words") * col("r_mean_len") * col("r_symbol") *
+        col("r_alpha") * col("r_bullet") * col("r_ellipsis") === 1)
+      .select("doc_id")
+    val repKeep = TextOps.repetitionRules(arr, "text")
+      .filter(col("rep_pass") === 1).select("doc_id")
+
+    // ---- frozen-reference scores with exact rank-boundary cut pairs
+    val lmCut = spark.read.parquet(s"$refDir/lm_cut")
+    val pplKeep = LlmQueries.lmScore(arr,
+        spark.read.parquet(s"$refDir/lm_c2"),
+        spark.read.parquet(s"$refDir/lm_c1"),
+        spark.read.parquet(s"$refDir/lm_vocab"))
+      .join(lmCut, Seq("lang")) // unknown language ⇒ no cut ⇒ rejected
+      .filter(struct(col("ce"), col("doc_id")) <=
+        struct(col("cut_ce"), col("cut_id")))
+      .select("doc_id")
+    val llr = {
+      val rows = spark.read.parquet(s"$refDir/dsir_llr").collect()
+      val a = Array.fill(LlmQueries.DsirBuckets)(0L)
+      rows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      a
+    }
+    val dsirCutRow = spark.read.parquet(s"$refDir/dsir_cut").head()
+    val (cutW, cutId) = (dsirCutRow.getDouble(0), dsirCutRow.getLong(1))
+    val dsirKeep = LlmQueries.dsirScore(arr, llr)
+      .filter(col("log_w") > cutW ||
+        (col("log_w") === cutW && col("doc_id") <= cutId))
+      .select("doc_id")
+
+    val gated = arr
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(pplKeep, Seq("doc_id"), "left_semi")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+
+    // ---- stateful exact dedup: first arrival per content hash wins
+    // (== q196's min-doc_id representative under id-ordered ingest).
+    // Decisions read only EARLIER batch dirs — a replayed batch that
+    // somehow reaches here (its admitted dir lost mid-write) recomputes
+    // against the same prefix and rewrites identically.
+    val hashed = gated.withColumn("h", TextOps.rollingHash(col("text")))
+    val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val firstInBatch = hashed
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1).drop("rn")
+    // the index read EXCLUDES this batch's own label: a crash between
+    // the hashes write and the admitted write replays into a recompute,
+    // and reading its own prior hash append would make every admitted
+    // doc "a duplicate of itself" (the IncrementalDedup hazard)
+    val idxDirs = priorLabels(s"$stateDir/hashes", label)
+    val survivors =
+      if (idxDirs.nonEmpty) {
+        val idx = spark.read.parquet(idxDirs: _*).select(col("h"))
+        firstInBatch.join(idx, Seq("h"), "left_anti")
+      } else firstInBatch
+    survivors.select(col("h"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/$label")
+
+    // ---- eval holdout + decontamination against the frozen index
+    val held = survivors.filter(col("doc_id") % 10 =!= 0)
+    val rareKeys = spark.read.parquet(s"$refDir/rare_keys")
+    val evalSh = spark.read.parquet(s"$refDir/eval_sh")
+    val docSh = held
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.bigrams(col("tk")))).as("b"))
+      .select(col("doc_id"), TextOps.rollingHash(col("b")).as("h"))
+      .join(rareKeys, Seq("h"))
+    val nSh = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val contaminated = docSh.join(nSh, Seq("doc_id"))
+      .join(evalSh, Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3 && col("n_shared") * 2 >= col("n_sh"))
+      .select("doc_id").distinct()
+    val clean = held.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // ---- packing: per-source cumulative tokens over previously
+    // admitted docs (derived from durable state, not driver memory)
+    val admittedDirs = priorLabels(s"$stateDir/admitted", label)
+    val priorTotals: DataFrame =
+      if (admittedDirs.nonEmpty)
+        spark.read.parquet(admittedDirs: _*)
+          .groupBy(col("source")).agg(sum(col("n_tokens")).as("prior"))
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("source", "prior")
+      }
+    val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = clean
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .join(priorTotals, Seq("source"), "left")
+      .withColumn("cum_before",
+        coalesce(col("prior"), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div ${LlmQueries.PackWindow}").as("pack_id"))
+    out.write.mode("overwrite").parquet(s"$stateDir/admitted/$label")
+  }
+
+  /** The admitted set so far: (doc_id, source, n_tokens, pack_id) —
+    * q196's output shape, for the parity bridge. */
+  def admitted(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/admitted")
+      .select("doc_id", "source", "n_tokens", "pack_id")
+}

@@ -998,6 +998,76 @@ object StreamOps {
       }
   }
 
+  final case class ValueArrival(scope: String, cents: Long)
+  final case class HdrSnapshot(scope: String, nSeen: Long, nBuckets: Long,
+      quantiles: String, buckets: String)
+
+  /** q214's keyed streaming twin and the sketch tier's last missing
+    * stream gate: a per-scope HDR (log-scale histogram) quantile monitor
+    * — the P95-latency panel the reference's dashboard actually shows
+    * (ST9 `histogram_quantile`; fraud-detection-alerts.yml's latency
+    * SLO). State per scope is the bucket→count table plus the arrival
+    * count: O(32·log(max value)) counters FOREVER (≤ ~1900 for any
+    * int64, a few hundred in practice) — never the values, which is the
+    * whole point of HDR as stream state. Bucket geometry is exactly
+    * q214's integer arithmetic (e = max(0, bitlen(v)−5), m = v≫e,
+    * bucket = 32e+m, range [m·2^e, (m+1)·2^e) — relative width ≤ 1/16
+    * by construction), and counts are plain sums, so the fold is
+    * order-robust and sum-mergeable like [[heavyHittersState]]'s MG
+    * counters: every trigger's snapshot is the exact bucket table of
+    * the whole stream PREFIX regardless of micro-batch boundaries.
+    * Each snapshot carries nearest-rank P50/90/95/99 (k = ⌈p·n/100⌉ in
+    * q214's exact ceil-division longs) from a cumulative walk over the
+    * state table — O(buckets) per trigger, never the data — plus the
+    * canonical bucket table itself for the batch-parity bridge.
+    * Values must be nonnegative cent-grid longs (q214's documented
+    * precondition; negative arrivals are dropped with a count so the
+    * contract is visible, not silent). */
+  def hdrQuantileState(vals: Dataset[ValueArrival]): Dataset[HdrSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), HdrSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[ValueArrival],
+         state: GroupState[(Map[Long, Long], Long)]) =>
+          var (tbl, n) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          batch.foreach { a =>
+            if (a.cents >= 0) {
+              tbl = tbl.updated(hdrBucket(a.cents), tbl.getOrElse(hdrBucket(a.cents), 0L) + 1L)
+              n += 1
+            }
+          }
+          state.update((tbl, n))
+          val sorted = tbl.toSeq.sortBy(_._1)
+          val qs = Seq(50L, 90L, 95L, 99L).map { p =>
+            val k = (p * n + 99L) / 100L
+            var cum = 0L
+            val hit = sorted.find { case (_, c) => cum += c; cum >= k }
+            hit.fold(s"$p:$k:-1:-1:-1") { case (b, _) =>
+              val (lo, hi) = hdrBounds(b); s"$p:$k:$b:$lo:$hi"
+            }
+          }.mkString(",")
+          val bucketsCsv = sorted.map { case (b, c) => s"$b:$c" }.mkString(",")
+          Iterator(HdrSnapshot(scope, n, sorted.size.toLong, qs, bucketsCsv))
+      }
+  }
+
+  /** q214's bucket id for a nonnegative cent-grid value — bitlen via
+    * Long.numberOfLeadingZeros matches `length(bin(v))` for v ≥ 1, and
+    * v = 0 pins bitlen 1 (bin(0) = "0") so e = 0 either way. */
+  def hdrBucket(v: Long): Long = {
+    val bitlen = if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val e = math.max(0, bitlen - 5)
+    (e.toLong << 5) + (v >> e)
+  }
+
+  /** [lo, hi) of a q214 bucket id. */
+  def hdrBounds(bucket: Long): (Long, Long) = {
+    val e = (bucket >> 5).toInt
+    val m = bucket & 31L
+    (m << e, (m + 1L) << e)
+  }
+
   final case class AlertTick(alert: String, ts: Long, pred: Boolean)
   final case class AlertRunState(runStart: Long, firing: Boolean, frontier: Long)
   final case class AlertEvent(alert: String, ts: Long, event: String)

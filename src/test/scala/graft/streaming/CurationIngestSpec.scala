@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-vs-batch keep-set parity for the COMPOSED curation ingest
+  * ([[CurationIngest]]): a chopped, checkpointed stream through the
+  * chained gates must admit EXACTLY q196's survivor set — same docs,
+  * same token counts, same pack assignment — because every stage is
+  * either the identical per-doc rule, a score against the corpus fit
+  * q196's stages themselves computed (frozen, with exact rank-boundary
+  * cut pairs), or durable state replaying the batch window's
+  * semantics. Plus the replay gates: a re-delivered batch is a no-op,
+  * and a half-committed batch (hashes written, admissions lost)
+  * recomputes without seeing its own partial write. */
+class CurationIngestSpec extends SparkSpec {
+
+  private def freshDirs(): (String, String) = (
+    java.nio.file.Files.createTempDirectory("graft-curation-ref").toString,
+    java.nio.file.Files.createTempDirectory("graft-curation-state").toString)
+
+  private def canon(rows: Array[Row]): Seq[(Long, String, Long, Long)] =
+    rows.map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("source")),
+      r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("pack_id"))))
+      .toSeq.sortBy(_._1)
+
+  test("a chopped id-ordered stream admits exactly q196's survivor set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (refDir, stateDir) = freshDirs()
+    CurationIngest.saveReference(spark, sfDir, refDir)
+
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // three uneven contiguous chops — id-ordered ingest, the documented
+    // precondition for first-arrival == min-doc_id dedup parity
+    val cuts = Seq(corpus.length / 4, (corpus.length * 2) / 3, corpus.length)
+    val batches = cuts.zip(0 +: cuts.dropRight(1)).map { case (e, b) => corpus.slice(b, e).toSeq }
+
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = CurationIngest.ingestSink(
+      input.toDF().toDF("doc_id", "source", "lang", "text"),
+      refDir, stateDir, java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = canon(CurationIngest.admitted(spark, stateDir).collect())
+    val batch = canon(
+      graft.llm.LlmQueries.queries("q196_curation_canon")(spark, sfDir).collect())
+    assert(streamed.nonEmpty, "composed gates admitted nothing — vacuous parity")
+    assert(streamed === batch,
+      s"stream admitted ${streamed.size} docs, batch kept ${batch.size} — keep sets diverged")
+    spark.catalog.clearCache()
+  }
+
+  test("replayed batches are no-ops; a half-committed batch recomputes without self-collision") {
+    import spark.implicits._
+    val (refDir, stateDir) = freshDirs()
+    CurationIngest.saveReference(spark, sfDir, refDir)
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(200)
+    val b0 = corpus.filter(col("doc_id") < 100)
+    val b1 = corpus.filter(col("doc_id") >= 100)
+
+    CurationIngest.ingestBatch(b0, 0L, refDir, stateDir)
+    val after0 = canon(CurationIngest.admitted(spark, stateDir).collect())
+    // full replay of batch 0: admitted dir exists → skip, nothing changes
+    CurationIngest.ingestBatch(b0, 0L, refDir, stateDir)
+    assert(canon(CurationIngest.admitted(spark, stateDir).collect()) === after0,
+      "replayed batch changed the admitted set")
+
+    // half-committed batch 1: simulate a crash after the hashes append
+    // but before the admitted write — the replay must not anti-join
+    // its own docs against their own first-attempt hashes
+    CurationIngest.ingestBatch(b1, 1L, refDir, stateDir)
+    val after1 = canon(CurationIngest.admitted(spark, stateDir).collect())
+    assert(after1.size > after0.size, "batch 1 admitted nothing — test is vacuous")
+    graft.Fs.deleteRecursively(
+      java.nio.file.Paths.get(s"$stateDir/admitted/batch=1"))
+    CurationIngest.ingestBatch(b1, 1L, refDir, stateDir) // hashes/batch=1 still present
+    assert(canon(CurationIngest.admitted(spark, stateDir).collect()) === after1,
+      "half-committed replay diverged (self-collision on its own hash append)")
+    spark.catalog.clearCache()
+  }
+}

@@ -180,6 +180,38 @@ object StreamGateProps extends Properties("graft.streamgates") {
       }
     }
 
+  // ---- hdrQuantileState: bucket table split/order-invariant, prefix-exact ----
+  private val centStreams: Gen[List[StreamOps.ValueArrival]] = for {
+    n <- Gen.choose(1, 60)
+    vs <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 40L), Gen.choose(0L, 100000L)))
+  } yield vs.map(StreamOps.ValueArrival("s", _))
+
+  property("hdrQuantileState bucket table and quantiles are split- and order-invariant, prefix-exact") =
+    Prop.forAll(centStreams) { vals =>
+      Prop.forAll(cutsGen(vals.size), Gen.choose(0L, Long.MaxValue)) { (cuts, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val batches = splitAt(vals, cuts).map(b => rnd.shuffle(b))
+        val snaps = runStream(batches, (d: Dataset[StreamOps.ValueArrival]) =>
+          StreamOps.hdrQuantileState(d))
+        val last = snaps.maxBy(_.nSeen)
+        // clean driver fold: plain-sum bucket counts + the q214 walk
+        val tbl = vals.map(_.cents).groupBy(StreamOps.hdrBucket)
+          .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val n = vals.size.toLong
+        val qs = Seq(50L, 90L, 95L, 99L).map { p =>
+          val k = (p * n + 99L) / 100L
+          var cum = 0L
+          tbl.find { case (_, c) => cum += c; cum >= k }
+            .fold(s"$p:$k:-1:-1:-1") { case (b, _) =>
+              val (lo, hi) = StreamOps.hdrBounds(b); s"$p:$k:$b:$lo:$hi"
+            }
+        }.mkString(",")
+        val want = tbl.map { case (b, c) => s"$b:$c" }.mkString(",")
+        ((last.buckets == want) && (last.quantiles == qs) && (last.nSeen == n)) :|
+          s"final sketch diverged from the clean fold (cuts $cuts): ${last.buckets} vs $want"
+      }
+    }
+
   // ---- alertState: fired/resolved edges invariant, replay-proof ----
   private val predRuns: Gen[List[Boolean]] = for {
     n <- Gen.choose(3, 25)
