@@ -188,6 +188,22 @@ object MlQueries {
   /** A9/W1/M11: full ROC sweep + trapezoid AUC. Pre-aggregates to one row
     * per distinct threshold BEFORE the cumulative window, so the window
     * processes |thresholds| (≤1000) rows however large lineitem is. */
+  /** Shared oracle for q46 AND its two-phase twin q219 (the
+    * q198/q199/q200 twin discipline: one sequential window spec). */
+  private lazy val rocAucSql: String =
+    s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
+       |    CAST(sum(1 - label) AS BIGINT) AS fp_at FROM ($scoredSql) s GROUP BY score),
+       |tot AS (SELECT CAST(sum(tp_at) AS BIGINT) AS pos, CAST(sum(fp_at) AS BIGINT) AS neg FROM per),
+       |curve AS (SELECT score,
+       |    sum(tp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / pos AS tpr,
+       |    sum(fp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
+       |  FROM per, tot),
+       |tz AS (SELECT fpr, tpr,
+       |    coalesce(lag(fpr) OVER (ORDER BY score DESC), 0.0) AS prev_fpr,
+       |    coalesce(lag(tpr) OVER (ORDER BY score DESC), 0.0) AS prev_tpr
+       |  FROM curve)
+       |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin
+
   private val q46RocAuc: Q = (s, dir) => {
     val perThreshold = scored(s, dir)
       .groupBy(col("score"))
@@ -207,6 +223,39 @@ object MlQueries {
     curve
       .withColumn("prev_tpr", coalesce(lag(col("tpr"), 1).over(wl), lit(0.0)))
       .withColumn("prev_fpr", coalesce(lag(col("fpr"), 1).over(wl), lit(0.0)))
+      .agg(round(sum((col("fpr") - col("prev_fpr")) * (col("tpr") + col("prev_tpr")) / 2.0), 4)
+        .as("auc"))
+  }
+
+  /** q46's exact two-phase twin — the round-10 verdict's directive #8:
+    * q46's threshold sweep runs its cumulative TP/FP through ONE
+    * unpartitioned window (a single task sorting every distinct score;
+    * `AucSketch` covers AUC-only, not the sweep). This computes the
+    * identical trapezoid sum with NO global sort:
+    * [[graft.operators.DistributedSelect.globalPrefixSumDescDouble]]
+    * buckets distinct thresholds by ⌊(1−score)·1024⌋ (ascending-bucket
+    * = descending-score across buckets), the driver prefix-sums one
+    * bounded two-weight histogram, and each bucket windows only its
+    * slice. The lag() q46 needs disappears arithmetically: the previous
+    * row's cumulative is THIS row's cumulative minus its own increment
+    * (prev_tpr = (cum_tp − tp_at)/pos — exact, first row included,
+    * because the cumulatives are exact longs). Oracle: q46's SQL
+    * verbatim — the hash match proves the two-phase decomposition
+    * equals the sequential window spec. */
+  private val q219RocTwoPhase: Q = (s, dir) => {
+    val per = scored(s, dir)
+      .groupBy(col("score"))
+      .agg(sum(col("label")).as("tp_at"), sum(lit(1) - col("label")).as("fp_at"))
+    val totals = per.agg(
+      sum(col("tp_at")).as("pos"), sum(col("fp_at")).as("neg"))
+    graft.operators.DistributedSelect
+      .globalPrefixSumDescDouble(per, "score", Seq("tp_at", "fp_at"), 1024)
+      .crossJoin(broadcast(totals))
+      .select(
+        (col("cum_tp_at") / col("pos")).as("tpr"),
+        (col("cum_fp_at") / col("neg")).as("fpr"),
+        ((col("cum_tp_at") - col("tp_at")) / col("pos")).as("prev_tpr"),
+        ((col("cum_fp_at") - col("fp_at")) / col("neg")).as("prev_fpr"))
       .agg(round(sum((col("fpr") - col("prev_fpr")) * (col("tpr") + col("prev_tpr")) / 2.0), 4)
         .as("auc"))
   }
@@ -556,6 +605,7 @@ object MlQueries {
     "q44_confusion"    -> q44Confusion,
     "q45_class_report" -> q45ClassReport,
     "q46_roc_auc"      -> q46RocAuc,
+    "q219_roc_twophase" -> q219RocTwoPhase,
     "q157_calibration" -> q157Calibration,
     "q218_isotonic"    -> q218Isotonic,
     "q61_auc_sketch"   -> q61AucSketch,
@@ -655,19 +705,10 @@ object MlQueries {
            s"abs(${fpRound4Sql("avg(score)")} - ${fpRound4Sql("avg(CAST(label AS DOUBLE))")})")}
          |    AS abs_gap
          |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
-    "q46_roc_auc" ->
-      s"""WITH per AS (SELECT score, CAST(sum(label) AS BIGINT) AS tp_at,
-         |    CAST(sum(1 - label) AS BIGINT) AS fp_at FROM ($scoredSql) s GROUP BY score),
-         |tot AS (SELECT CAST(sum(tp_at) AS BIGINT) AS pos, CAST(sum(fp_at) AS BIGINT) AS neg FROM per),
-         |curve AS (SELECT score,
-         |    sum(tp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / pos AS tpr,
-         |    sum(fp_at) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / neg AS fpr
-         |  FROM per, tot),
-         |tz AS (SELECT fpr, tpr,
-         |    coalesce(lag(fpr) OVER (ORDER BY score DESC), 0.0) AS prev_fpr,
-         |    coalesce(lag(tpr) OVER (ORDER BY score DESC), 0.0) AS prev_tpr
-         |  FROM curve)
-         |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin,
+    "q46_roc_auc" -> rocAucSql,
+    // q219: the two-phase twin reuses q46's oracle VERBATIM — same
+    // sequential window spec, hash match proves the decomposition
+    "q219_roc_twophase" -> rocAucSql,
     "q81_calibration" ->
       s"""SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
          |  CAST(count(*) AS BIGINT) AS n,

@@ -245,6 +245,46 @@ object DistributedSelect {
       .drop("__ps_b", "__ps_off")
   }
 
+  /** [[globalPrefixSum]] for a DOUBLE key in [0, 1], DESCENDING order,
+    * over MULTIPLE weight columns at once — the ROC/KS/PR sweep shape:
+    * every threshold curve needs cumulative TP and FP from the top
+    * score down, which `sum(w) OVER (ORDER BY score DESC)` computes
+    * through one single-task sort. Here bucket = ⌊(1−key)·nBuckets⌋ is
+    * monotone NONINCREASING in the key, so ascending bucket order IS
+    * global descending key order across buckets; the driver
+    * prefix-sums one bounded (≤ nBuckets+1 rows) multi-weight
+    * histogram, and each bucket sorts only its own slice. Keys must be
+    * unique (the sweep frames are per-DISTINCT-threshold aggregates);
+    * weights non-negative longs. Output: input columns plus
+    * `cum_<w>` = Σ w over rows with key ≥ this row's key. */
+  def globalPrefixSumDescDouble(df: DataFrame, keyCol: String,
+      wCols: Seq[String], nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && wCols.nonEmpty, "need buckets and weight columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df.withColumn("__pd_b",
+      floor((lit(1.0) - col(keyCol)) * nBuckets).cast("long"))
+    val aggs = wCols.map(w => sum(col(w)).as(s"__sw_$w"))
+    val hist = withB.groupBy(col("__pd_b")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), wCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    var acc = Seq.fill(wCols.size)(0L)
+    val offsets = hist.map { case (b, sums) =>
+      val o = (b, acc)
+      acc = acc.zip(sums).map { case (a, s) => a + s }
+      o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("__pd_b", "__pd_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pd_b")).orderBy(col(keyCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    wCols.zipWithIndex.foldLeft(withB.join(offDf, Seq("__pd_b"))) {
+      case (d, (wc, i)) => d.withColumn(s"cum_$wc",
+        element_at(col("__pd_off"), i + 1) + sum(col(wc)).over(w))
+    }.drop("__pd_b", "__pd_off")
+  }
+
   /** ntile(buckets) as pure arithmetic over a 1-based global rank of n
     * rows — SQL ntile semantics: the first (n mod buckets) tiles take
     * ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋. With ranks from

@@ -41,6 +41,35 @@ class TwoPhaseParitySpec extends SparkSpec {
     parity("q179_gini_lorenz", "q200_gini_twophase")
   }
 
+  test("q219 two-phase ROC sweep equals q46 exactly") {
+    parity("q46_roc_auc", "q219_roc_twophase")
+  }
+
+  test("globalPrefixSumDescDouble equals the descending global-sort cumsum on adversarial keys") {
+    // unique double keys in [0, 1) with a dense cluster near 1.0 (the
+    // ROC shape: most thresholds crowd the top) and two weight columns
+    val base = (0 until 400).map { i =>
+      val k = if (i % 3 == 0) 0.99 - i * 1e-6 else (i * 7919 % 1000) / 1000.0 + i * 1e-9
+      (k, (i % 5).toLong, ((i * 13) % 7).toLong)
+    }.filter(t => t._1 >= 0.0 && t._1 < 1.0)
+      .groupBy(_._1).map(_._2.head).toSeq // unique keys
+    val df = base.toDF("score", "w1", "w2")
+    val got = DistributedSelect
+      .globalPrefixSumDescDouble(df, "score", Seq("w1", "w2"), nBuckets = 64)
+      .select("score", "cum_w1", "cum_w2")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("cum_w1", sum(col("w1")).over(w))
+      .withColumn("cum_w2", sum(col("w2")).over(w))
+      .select("score", "cum_w1", "cum_w2")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length === want.length)
+    assert(got.sameElements(want),
+      "two-level descending prefix sum diverged from the global-sort window")
+  }
+
   test("globalRowNumber equals the global-sort row_number on adversarial keys") {
     // duplicates ACROSS buckets plus a dense tie-heavy region — the key
     // column is unique by construction in callers, so build unique keys
