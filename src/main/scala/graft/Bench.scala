@@ -26,6 +26,16 @@ object Bench {
       // latency path (HDFS/S3 carry their own integrity; this conf only
       // affects file:// paths)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // Let AQE re-plan INSIDE cache materialization (off by default):
+      // the iterative graph queries pin every round via cache(), and
+      // with this off each cached round's shuffle materializes at the
+      // full session partition count — 32 near-empty tasks per stage
+      // per round at local[32], which measured 1.6-2.5× on
+      // q138/q169/q194/q217 (the round-10 "regression on unchanged
+      // code": the cost scales with CPUS, not code). AQE then coalesces
+      // tiny cached rounds to data-proportional task counts; at real
+      // scale the same knob right-sizes reducer counts per round.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,6 +49,8 @@ object StreamBench {
       // see Bench: RawLocalFileSystem skips .crc sidecar writes on the
       // latency path (store dirs + checkpoint logs are all file://)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // see Bench: AQE re-planning inside cache materialization
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1829,6 +1829,77 @@ object LlmQueries {
     trace.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    * Phys. Rev. E 76) over the shared link graph — community detection,
+    * the fourth standard graph-shape signal next to q138's centrality,
+    * q161's clustering, and q194's density peeling (corpus curation
+    * reads communities as topical clusters and link-farm blobs). Each
+    * of the fixed [[LpaRounds]] rounds every vertex adopts its
+    * neighbors' MOST FREQUENT label, ties broken toward the SMALLEST
+    * label, isolated vertices keep their own — the deterministic
+    * synchronous variant (the paper's async random order is
+    * irreproducible by design; fixed rounds are the q138/q194 exact
+    * contract, no convergence read). Scale shape per round: one
+    * labels⋈edges hash join + a (v, label) count aggregate (map-side
+    * combinable) + one argmax-by-struct per vertex — O(E) per round,
+    * never all-pairs. Each round's label frame feeds TWO consumers
+    * (the next round's join and the convergence trace), so rounds are
+    * pinned and released on the q217 cadence. The oracle unrolls the
+    * same rounds as MATERIALIZED CTEs with the mode computed by a
+    * max-count window + min-label group — matching trace hashes prove
+    * the struct-argmax equals the declarative mode-with-tie-break
+    * spec. Output: the bounded per-round convergence trace
+    * (n_changed, n_communities, label checksum). */
+  private val LpaRounds = 4
+  private val q220LabelProp: Q = (s, dir) => {
+    val docs = linkGraphDocs(s, dir).cache()
+    val n = docs.count()
+    val undC = linkGraphRawEdges(docs, n)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val und = s.createDataFrame(undC.rdd, undC.schema)
+    undC.count()
+    val nbrs = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+    var lblC = docs.select(col("idx").as("v"), col("idx").as("lbl")).cache()
+    var labels = s.createDataFrame(lblC.rdd, lblC.schema)
+    lblC.count()
+    docs.unpersist()
+    val trace = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to LpaRounds) {
+      val counts = nbrs.join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val mode = counts
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("new_lbl"))
+      // (v, old, new) pinned ONCE; both the trace row and the next
+      // round's labels project from it. Unlike q217 (whose output reads
+      // only the LAST round), the trace output reads EVERY round's
+      // frame, so rounds stay cached for the query's lifetime — the
+      // q194 pattern; the runner's clearCache releases them (the
+      // query-scoped-cache contract).
+      val stepC = labels.select(col("v"), col("lbl").as("old_lbl"))
+        .join(mode, Seq("v"), "left")
+        .select(col("v"), col("old_lbl"),
+          coalesce(col("new_lbl"), col("old_lbl")).as("lbl"))
+        .cache()
+      val step = s.createDataFrame(stepC.rdd, stepC.schema)
+      stepC.count()
+      lblC = stepC
+      labels = step.select(col("v"), col("lbl"))
+      trace += step.agg(
+          sum(when(col("lbl") =!= col("old_lbl"), 1L).otherwise(0L)).as("n_changed"),
+          countDistinct(col("lbl")).as("n_communities"),
+          sum(col("lbl")).as("lbl_checksum"))
+        .select(lit(r.toLong).as("round"), col("n_changed"),
+          col("n_communities"), col("lbl_checksum"))
+    }
+    undC.unpersist()
+    trace.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3826,6 +3897,7 @@ object LlmQueries {
     "q181_readability"    -> q181Readability,
     "q183_heavy_hitters"  -> q183HeavyHitters,
     "q194_kcore"          -> q194Kcore,
+    "q220_label_prop"     -> q220LabelProp,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4066,6 +4138,43 @@ object LlmQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** q220: the same synchronous LPA rounds unrolled as MATERIALIZED
+    * CTEs; the mode-with-min-tie-break is a max-count window + min-label
+    * group — the declarative spec the Spark struct-argmax must equal. */
+  private lazy val duckLpaSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""c$r AS (SELECT n.v, l.lbl, count(*) AS cnt
+         |  FROM nbrs n JOIN l${r - 1} l ON l.v = n.u GROUP BY n.v, l.lbl),
+         |m$r AS (SELECT v, min(lbl) AS new_lbl FROM (
+         |    SELECT v, lbl, cnt, max(cnt) OVER (PARTITION BY v) AS mx FROM c$r)
+         |  WHERE cnt = mx GROUP BY v),
+         |l$r AS MATERIALIZED (SELECT p.v, p.lbl AS old_lbl,
+         |    coalesce(m.new_lbl, p.lbl) AS lbl
+         |  FROM l${r - 1} p LEFT JOIN m$r m ON m.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    val trace = (1 to LpaRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT count(*) FROM l$r WHERE lbl <> old_lbl) AS BIGINT) AS n_changed,
+         |  CAST((SELECT count(DISTINCT lbl) FROM l$r) AS BIGINT) AS n_communities,
+         |  CAST((SELECT sum(lbl) FROM l$r) AS BIGINT) AS lbl_checksum""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM links WHERE src <> dst),
+       |nbrs AS MATERIALIZED (SELECT a AS v, b AS u FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT idx AS v, idx AS old_lbl, idx AS lbl FROM docs),
+       |$rounds
+       |$trace
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
@@ -4073,6 +4182,7 @@ object LlmQueries {
     "q217_weighted_sssp" -> duckSsspSql,
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,
+    "q220_label_prop" -> duckLpaSql,
     // q196: the composed curation canon — the SAME gopher/repetition/
     // CCNet/DSIR/contamination chains the standalone oracles use
     // (p-/w-prefixed to avoid CTE name collisions), cascaded then

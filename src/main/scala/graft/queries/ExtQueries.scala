@@ -2420,7 +2420,92 @@ object ExtQueries {
       .orderBy(col("t"))
   }
 
+  /** Poisson bootstrap (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    * "Estimating uncertainty for massive data streams" — Google's
+    * production bootstrap; Kleiner et al.'s BLB is the same lineage) —
+    * THE distributed uncertainty-quantification canon: classical
+    * resampling draws n indices per replicate (a shuffle of the whole
+    * dataset per replicate), while the Poisson bootstrap gives every
+    * row an INDEPENDENT Poisson(1) replicate weight, so all
+    * [[BootReps]] replicates ride ONE scan with map-side-combinable
+    * weighted sums — at 100 TB the difference between 64 shuffles of
+    * the corpus and one aggregate to 64 rows (explode×64 collapses to
+    * ≤64 partials per task before any shuffle). Everything is exact
+    * cross-engine integer arithmetic: the per-(row, replicate) draw is
+    * a q212-style mixed hash (interleaved mods keep every product
+    * < 2⁶³ at any orderkey scale) mapped through the Poisson(1)
+    * inverse CDF on the micro grid — thresholds are the micro-floored
+    * cumulative series e⁻¹·Σ 1/k! (367879, 735758, 919698, 981011,
+    * 996340, 999405, 999916, 999989, 999998; P(≥9) keeps w=9) — and
+    * each replicate's (n_eff, sum of cents) are plain long sums. Only
+    * the replicate mean touches doubles: one division + one floor in
+    * identical order both engines. The spec reads the percentile CI
+    * off the 64 exact replicate rows. */
+  private val BootReps = 64
+  private val q221PoissonBootstrap: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"),
+        floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0L), lit(BootReps - 1L))))
+      .withColumn("h0",
+        expr("((ok % 1000003) * 65599 + (ln % 1000003) * 4001 + b * 104729) % 2147483648"))
+      .withColumn("h1", expr("(h0 ^ shiftright(h0, 16)) * 73244475 % 2147483648"))
+      .withColumn("h2", expr("(h1 ^ shiftright(h1, 13)) * 73244475 % 2147483648"))
+      .withColumn("u", expr("(h2 ^ shiftright(h2, 16)) % 1000000"))
+      .withColumn("w",
+        when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+          .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+          .when(col("u") < 996340L, 4L).when(col("u") < 999405L, 5L)
+          .when(col("u") < 999916L, 6L).when(col("u") < 999989L, 7L)
+          .when(col("u") < 999998L, 8L).otherwise(9L))
+    li.groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("sum_cents"))
+      .select(col("b"), col("n_eff"), col("sum_cents"),
+        floor(col("sum_cents").cast("double") / col("n_eff").cast("double") * 1e6 + 0.5)
+          .cast("long").as("mean_micro"))
+      .orderBy(col("b"))
+  }
+
+  /** Theil–Sen slope estimator (Theil 1950; Sen 1968, JASA) — the
+    * robust trend canon complementing q167's OLS fit (one outlier day
+    * moves OLS arbitrarily; Theil–Sen's breakdown point is 29%): the
+    * median over all pairwise day-to-day slopes of the daily purchase
+    * revenue series. Scale shape: events collapse to the bounded daily
+    * grid first (one map-side-combinable aggregate — the q166/q215
+    * argument), so the pairwise self-join is ≤ (span choose 2) rows —
+    * calendar-bounded, never event-bounded — and the rank window runs
+    * over that tiny frame (documented bounded-grid window). Exactness:
+    * slopes are IEEE quotients of exact longs (Δcents ≤ ~10⁹,
+    * Δdays ≤ span, so distinct rationals differ by ≥ 1/span² ≫ double
+    * eps — ordering by the double is collision-free on this grid),
+    * both engines divide the identical longs, and the median is
+    * nearest-rank selection (both middle values reported exactly,
+    * micro-floored, plus their midpoint). */
+  private val q222TheilSen: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+    val pairs = daily.toDF("d1", "v1")
+      .join(daily.toDF("d2", "v2"), col("d2") > col("d1"))
+      .select(((col("v2") - col("v1")).cast("double") /
+        (col("d2") - col("d1")).cast("double")).as("slope"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.orderBy(col("slope"))).cast("long"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+    ranked
+      .filter(col("rn") === expr("(np + 1) div 2") || col("rn") === expr("np div 2 + 1"))
+      .agg(max(col("np")).as("n_pairs"),
+        s6(min(col("slope"))).as("lo_micro"),
+        s6(max(col("slope"))).as("hi_micro"),
+        s6((min(col("slope")) + max(col("slope"))) / 2.0).as("median_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_theil_sen" -> q222TheilSen,
+    "q221_poisson_bootstrap" -> q221PoissonBootstrap,
     "q216_mann_whitney" -> q216MannWhitney,
     "q215_kaplan_meier" -> q215KaplanMeier,
     "q214_hdr_quantiles" -> q214HdrQuantiles,
@@ -2573,6 +2658,48 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q221: identical mixed hash (interleaved mods), identical
+    // micro-grid Poisson(1) inverse-CDF thresholds, plain long sums;
+    // only the mean divides — one double op in identical order
+    "q221_poisson_bootstrap" ->
+      """WITH li AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+        |    CAST(floor(round(l_extendedprice, 2) * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |ex AS (SELECT ok, ln, cents, b FROM li, (SELECT unnest(range(0, 64)) AS b)),
+        |h0 AS (SELECT cents, b,
+        |    ((ok % 1000003) * 65599 + (ln % 1000003) * 4001 + b * 104729) % 2147483648 AS h0
+        |  FROM ex),
+        |h1 AS (SELECT cents, b, xor(h0, h0 >> 16) * 73244475 % 2147483648 AS h1 FROM h0),
+        |h2 AS (SELECT cents, b, xor(h1, h1 >> 13) * 73244475 % 2147483648 AS h2 FROM h1),
+        |u AS (SELECT cents, b, xor(h2, h2 >> 16) % 1000000 AS u FROM h2),
+        |w AS (SELECT cents, b, CASE
+        |    WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 WHEN u < 919698 THEN 2
+        |    WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |    WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 WHEN u < 999998 THEN 8
+        |    ELSE 9 END AS w FROM u)
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |  CAST(floor(CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS mean_micro
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
+    // q222: identical daily cent grid, identical pairwise IEEE
+    // quotients, nearest-rank median selection
+    "q222_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |pairs AS (SELECT CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.d > a.d),
+        |ranked AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+        |    count(*) OVER () AS np FROM pairs)
+        |SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+        |  CAST(floor(min(slope) * 1000000.0 + 0.5) AS BIGINT) AS lo_micro,
+        |  CAST(floor(max(slope) * 1000000.0 + 0.5) AS BIGINT) AS hi_micro,
+        |  CAST(floor((min(slope) + max(slope)) / 2.0 * 1000000.0 + 0.5) AS BIGINT) AS median_micro
+        |FROM ranked
+        |WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1""".stripMargin,
     // q216: identical doubled-midrank grid — exact longs through 2U1,
     // identical-order double ops for the tie-corrected z and the
     // rank-biserial effect size

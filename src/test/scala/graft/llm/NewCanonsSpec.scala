@@ -1,0 +1,119 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Driver-side sequential references for the round-11 canons: q220
+  * synchronous label propagation (vs a plain-Scala LPA over the same
+  * derived graph), q221 Poisson bootstrap (vs a single-threaded fold of
+  * the same hash → inverse-CDF weights, plus the CI-extraction
+  * contract), q222 Theil–Sen (vs an exact all-pairs median). The
+  * oracle hash-matches the cross-engine arithmetic; these pin the
+  * SEMANTICS against independent sequential implementations. */
+class NewCanonsSpec extends SparkSpec {
+
+  test("q220 LPA trace equals a sequential driver LPA over the same graph") {
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val n = docs.length.toLong
+    // same hash-derived edge set, driver-side
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val und = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (math.min(idx, dst), math.max(idx, dst))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = docs.map { case (_, idx) => idx -> idx }.toMap
+    val trace = (1 to 4).map { r =>
+      val next = lbl.map { case (v, old) =>
+        val counts = nbrs.getOrElse(v, Array.empty[Long]).groupBy(lbl)
+          .view.mapValues(_.length).toSeq
+        if (counts.isEmpty) v -> old
+        else {
+          val mx = counts.map(_._2).max
+          v -> counts.filter(_._2 == mx).map(_._1).min
+        }
+      }
+      val changed = next.count { case (v, l) => lbl(v) != l }.toLong
+      lbl = next
+      (r.toLong, changed, lbl.values.toSet.size.toLong, lbl.values.sum)
+    }
+    val got = LlmQueries.queries("q220_label_prop")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === trace, "distributed LPA trace diverged from the sequential fold")
+    // communities must actually form (not the trivial all-self fixpoint)
+    assert(trace.last._3 < n, "LPA did nothing — vacuous gate")
+    spark.catalog.clearCache()
+  }
+
+  test("q221 replicate rows equal a sequential weight fold; percentile CI brackets the point estimate") {
+    val rows = Tables.lineitem(spark, sfDir).select(
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cum = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L)
+    def weight(ok: Long, ln: Long, b: Long): Long = {
+      val h0 = ((ok % 1000003L) * 65599L + (ln % 1000003L) * 4001L + b * 104729L) % 2147483648L
+      val h1 = (h0 ^ (h0 >> 16)) * 73244475L % 2147483648L
+      val h2 = (h1 ^ (h1 >> 13)) * 73244475L % 2147483648L
+      val u = (h2 ^ (h2 >> 16)) % 1000000L
+      cum.indexWhere(u < _) match { case -1 => 9L; case i => i.toLong }
+    }
+    val got = graft.queries.ExtQueries.queries("q221_poisson_bootstrap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 64)
+    // spot-check replicates 0, 17, 63 against the sequential fold
+    Seq(0L, 17L, 63L).foreach { b =>
+      var nEff = 0L; var sum = 0L
+      rows.foreach { case (ok, ln, c) =>
+        val w = weight(ok, ln, b); nEff += w; sum += w * c
+      }
+      val r = got.find(_._1 == b).get
+      assert((r._2, r._3) === ((nEff, sum)), s"replicate $b weighted sums diverged")
+      assert(r._4 === math.floor(sum.toDouble / nEff.toDouble * 1e6 + 0.5).toLong)
+    }
+    // Poisson(1) sanity: effective sizes concentrate around N
+    val nTrue = rows.length.toDouble
+    got.foreach { case (b, nEff, _, _) =>
+      assert(math.abs(nEff - nTrue) < 5 * math.sqrt(nTrue) + 10,
+        s"replicate $b effective size $nEff implausible for N=$nTrue")
+    }
+    // CI extraction (the consumer contract): nearest-rank P2.5/P97.5 of
+    // the 64 exact replicate means bracket the full-sample mean
+    val means = got.map(_._4).sorted
+    def pct(p: Double) = means(math.min(63, math.max(0, math.ceil(p * 64).toInt - 1)))
+    val pointMicro = {
+      val s = rows.map(_._3).sum
+      math.floor(s.toDouble / rows.length * 1e6 + 0.5).toLong
+    }
+    assert(pct(0.025) <= pointMicro && pointMicro <= pct(0.975),
+      s"95% bootstrap CI [${pct(0.025)}, ${pct(0.975)}] misses the point estimate $pointMicro")
+  }
+
+  test("q222 equals the exact all-pairs Theil-Sen median on the daily grid") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble / (daily(j)._1 - daily(i)._1).toDouble)
+      .sorted
+    val np = slopes.length
+    val lo = slopes((np + 1) / 2 - 1)
+    val hi = slopes(np / 2)
+    def s6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val r = graft.queries.ExtQueries.queries("q222_theil_sen")(spark, sfDir).head()
+    assert(r.getLong(0) === np.toLong)
+    assert(r.getLong(1) === s6(lo), "lower middle slope diverged")
+    assert(r.getLong(2) === s6(hi), "upper middle slope diverged")
+    assert(r.getLong(3) === s6((lo + hi) / 2.0), "median diverged")
+    // robustness canon sanity: the median slope is finite and the grid real
+    assert(np > 100, "daily grid too small — vacuous")
+  }
+}
