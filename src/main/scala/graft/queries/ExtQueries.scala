@@ -2503,7 +2503,127 @@ object ExtQueries {
         s6((min(col("slope")) + max(col("slope"))) / 2.0).as("median_micro"))
   }
 
+  /** Trimmed and winsorized means (Tukey's robust location estimators —
+    * the outlier-tolerant "average order value" finance and SRE
+    * dashboards actually want) — and a new CONSUMER of the two-phase
+    * exact-selection machinery: the trim cuts are order statistics, and
+    * at 100 TB the textbook rank-window formulation is a single-task
+    * global sort. Here [[graft.operators.DistributedSelect.kth]]
+    * locates all four needed ranks (g, g+1, n−g, n−g+1; g = ⌊n/20⌋,
+    * the 5% trim) in TWO bounded-histogram passes, then ONE conditional
+    * aggregate computes the exact tail sums with the classic tie
+    * decomposition: sum of the g smallest = Σ(v < cut) +
+    * (g − |v < cut|)·cut — exact longs even when ties straddle the
+    * cut. Winsorized sum replaces each trimmed tail with g copies of
+    * its nearest kept neighbor (ranks g+1 and n−g). Only the two means
+    * divide — identical-order double ops, micro-floored. The oracle
+    * restates everything as rank-range sums under a full sort (tie
+    * order inside equal values cannot move any sum). */
+  private val q223TrimmedStats: Q = (s, dir) => {
+    val cents = Tables.lineitem(s, dir)
+      .select(floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("v"))
+    val n = cents.count()
+    val g = n / 20
+    require(g >= 1, s"trimmed stats need n >= 20 rows, got $n")
+    val ks = graft.operators.DistributedSelect.kth(
+      cents, Seq(g, g + 1, n - g, n - g + 1), width = 4096L)
+    val (loCut, loRep, hiRep, hiCut) = (ks(g), ks(g + 1), ks(n - g), ks(n - g + 1))
+    cents.agg(
+        sum(col("v")).as("total"),
+        sum(when(col("v") < loCut, col("v")).otherwise(0L)).as("sum_below"),
+        sum(when(col("v") < loCut, 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > hiCut, col("v")).otherwise(0L)).as("sum_above"),
+        sum(when(col("v") > hiCut, 1L).otherwise(0L)).as("n_above"))
+      .select(
+        lit(n).as("n"), lit(g).as("g"),
+        lit(loCut).as("lo_cut"), lit(hiCut).as("hi_cut"),
+        (col("total") - (col("sum_below") + (lit(g) - col("n_below")) * loCut)
+          - (col("sum_above") + (lit(g) - col("n_above")) * hiCut)).as("trimmed_sum"))
+      .select(col("n"), col("g"), col("lo_cut"), col("hi_cut"),
+        col("trimmed_sum"),
+        floor(col("trimmed_sum").cast("double") / lit((n - 2 * g).toDouble) * 1e6 + 0.5)
+          .cast("long").as("trimmed_mean_micro"),
+        floor((col("trimmed_sum") + lit(g * loRep) + lit(g * hiRep)).cast("double")
+          / lit(n.toDouble) * 1e6 + 0.5).cast("long").as("winsor_mean_micro"))
+  }
+
+  /** Holt linear (double-exponential) smoothing (Holt 1957) — the
+    * trend-aware forecasting canon between q166's level-only EWMA and
+    * q190's fixed seasonal decompose: level and trend updated per day,
+    * ℓ_t = α·x_t + (1−α)(ℓ+b), b_t = β(ℓ_t−ℓ) + (1−β)b with α=0.3,
+    * β=0.1. The fold is ORDER-SENSITIVE, so like q166/q215 it runs as
+    * one higher-order `aggregate` over the sorted bounded daily grid
+    * (events collapse to ≤ span rows first; nothing order-sensitive
+    * ever touches row-order-nondeterministic data). Exactness: state
+    * lives on the milli-cent grid as longs; each update is integer
+    * products (< 2⁵³) + an explicit floor(·/1000.0) — floor, not `div`,
+    * because the TREND goes negative and Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors (the sign-semantics trap the
+    * all-positive q215 never hits). The oracle walks the identical
+    * recurrence as a recursive CTE. Output: the full bounded
+    * (day, x, level, trend, one-step forecast) path. */
+  private val q224HoltLinear: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(floor(round(sum(col("value")), 2) * 100.0 + 0.5).cast("long").as("x"))
+    daily
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(explode(expr(
+        """aggregate(slice(arr, 2, size(arr) - 1),
+          |  array(named_struct(
+          |    'd', arr[0].d, 'x', arr[0].x,
+          |    'l', 1000L * arr[0].x,
+          |    'b', 1000L * (arr[1].x - arr[0].x))),
+          |  (acc, e) -> concat(acc, array(named_struct(
+          |    'd', e.d, 'x', e.x,
+          |    'l', CAST(floor((300000.0 * e.x + 700.0 *
+          |           (element_at(acc, -1).l + element_at(acc, -1).b)) / 1000.0) AS BIGINT),
+          |    'b', CAST(floor((100.0 *
+          |           (CAST(floor((300000.0 * e.x + 700.0 *
+          |              (element_at(acc, -1).l + element_at(acc, -1).b)) / 1000.0) AS BIGINT)
+          |            - element_at(acc, -1).l) + 900.0 * element_at(acc, -1).b) / 1000.0) AS BIGINT))))
+          |)""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.x").as("x_cents"),
+        col("r.l").as("level_milli"), col("r.b").as("trend_milli"),
+        (col("r.l") + col("r.b")).as("forecast_milli"))
+      .orderBy(col("d"))
+  }
+
+  /** k-anonymity audit (Sweeney 2002, IJUFKS) — the data-governance
+    * gate a training-data release runs before shipping: group the
+    * table by its quasi-identifier tuple (nation, market segment,
+    * $1000 balance band) and measure how identifiable the rows are —
+    * the k level (smallest group), how many groups and rows fall below
+    * the k=5 bar, and the suppression rate a k-enforcing release would
+    * pay. One map-side-combinable groupBy on the bounded QI grid plus
+    * a one-row rollup; every number an exact long (the rate is one
+    * micro-floored division). Negative balances band with floor
+    * division semantics matched explicitly (Spark `floor(/1.0)` vs
+    * DuckDB floor — not `div`/`//`, the q224 sign lesson). */
+  private val q225KAnonymity: Q = (s, dir) => {
+    val qi = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(round(col("c_acctbal"), 2) / 1000.0).cast("long").as("bal_band"))
+    val groups = qi.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("k_anonymity"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
+      .select(col("n_groups"), col("n_rows"), col("k_anonymity"),
+        col("n_groups_below_k"), col("n_rows_at_risk"),
+        floor(col("n_rows_at_risk").cast("double") / col("n_rows").cast("double")
+          * 1e6 + 0.5).cast("long").as("suppression_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q225_k_anonymity" -> q225KAnonymity,
+    "q224_holt_linear" -> q224HoltLinear,
+    "q223_trimmed_stats" -> q223TrimmedStats,
     "q222_theil_sen" -> q222TheilSen,
     "q221_poisson_bootstrap" -> q221PoissonBootstrap,
     "q216_mann_whitney" -> q216MannWhitney,
@@ -2658,6 +2778,68 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q223: the same four order statistics and tail sums restated as
+    // rank-range aggregates under a full sort (tie order inside equal
+    // values cannot move a rank-range sum)
+    "q223_trimmed_stats" ->
+      """WITH v AS (SELECT CAST(floor(round(l_extendedprice, 2) * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |p AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM v),
+        |c AS (SELECT max(n) AS n, max(n) // 20 AS g FROM p),
+        |cuts AS (SELECT
+        |    (SELECT v FROM p, c WHERE rn = c.g) AS lo_cut,
+        |    (SELECT v FROM p, c WHERE rn = c.g + 1) AS lo_rep,
+        |    (SELECT v FROM p, c WHERE rn = c.n - c.g) AS hi_rep,
+        |    (SELECT v FROM p, c WHERE rn = c.n - c.g + 1) AS hi_cut),
+        |t AS (SELECT CAST(sum(v) AS BIGINT) AS trimmed_sum
+        |  FROM p, c WHERE rn > c.g AND rn <= c.n - c.g)
+        |SELECT CAST(c.n AS BIGINT) AS n, CAST(c.g AS BIGINT) AS g,
+        |  cuts.lo_cut, cuts.hi_cut, t.trimmed_sum,
+        |  CAST(floor(CAST(t.trimmed_sum AS DOUBLE) / CAST(c.n - 2 * c.g AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS trimmed_mean_micro,
+        |  CAST(floor(CAST(t.trimmed_sum + c.g * cuts.lo_rep + c.g * cuts.hi_rep AS DOUBLE)
+        |    / CAST(c.n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS winsor_mean_micro
+        |FROM c, cuts, t""".stripMargin,
+    // q224: the identical milli-grid Holt recurrence as a recursive CTE
+    // (floor(), not //, so negative trends floor identically)
+    "q224_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(floor(round(sum(value), 2) * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |nn AS (SELECT max(rn) AS n FROM idx),
+        |h AS (
+        |  SELECT i1.rn, i1.d, i1.x,
+        |    1000 * i1.x AS l,
+        |    1000 * (i2.x - i1.x) AS b
+        |  FROM idx i1 JOIN idx i2 ON i2.rn = 2 WHERE i1.rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.d, i.x,
+        |    CAST(floor((300000.0 * i.x + 700.0 * (h.l + h.b)) / 1000.0) AS BIGINT),
+        |    CAST(floor((100.0 *
+        |        (CAST(floor((300000.0 * i.x + 700.0 * (h.l + h.b)) / 1000.0) AS BIGINT) - h.l)
+        |      + 900.0 * h.b) / 1000.0) AS BIGINT)
+        |  FROM h JOIN idx i ON i.rn = h.rn + 1)
+        |SELECT d, x AS x_cents, l AS level_milli, b AS trend_milli,
+        |  l + b AS forecast_milli
+        |FROM h ORDER BY d""".stripMargin,
+    // q225: identical QI grid and rollup; balance band via floor(),
+    // negative balances floor identically both engines
+    "q225_k_anonymity" ->
+      """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(round(c_acctbal, 2) / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(min(sz) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(floor(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(sz) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS suppression_micro
+        |FROM g""".stripMargin,
     // q221: identical mixed hash (interleaved mods), identical
     // micro-grid Poisson(1) inverse-CDF thresholds, plain long sums;
     // only the mean divides — one double op in identical order

@@ -94,6 +94,70 @@ class NewCanonsSpec extends SparkSpec {
       s"95% bootstrap CI [${pct(0.025)}, ${pct(0.975)}] misses the point estimate $pointMicro")
   }
 
+  test("q223 trimmed/winsorized means equal a full-sort driver computation, ties included") {
+    val vs = Tables.lineitem(spark, sfDir)
+      .select(floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length
+    val g = n / 20
+    val trimmed = vs.slice(g, n - g)
+    val trimmedSum = trimmed.sum
+    val winsorSum = trimmedSum + g * vs(g) + g * vs(n - g - 1)
+    val r = graft.queries.ExtQueries.queries("q223_trimmed_stats")(spark, sfDir).head()
+    assert(r.getLong(0) === n.toLong && r.getLong(1) === g.toLong)
+    assert(r.getLong(2) === vs(g - 1), "lo_cut != g-th smallest")
+    assert(r.getLong(3) === vs(n - g), "hi_cut != (n-g+1)-th smallest")
+    assert(r.getLong(4) === trimmedSum, "tie-decomposed tail sums diverged from the sorted slice")
+    assert(r.getLong(5) === math.floor(trimmedSum.toDouble / (n - 2 * g) * 1e6 + 0.5).toLong)
+    assert(r.getLong(6) === math.floor(winsorSum.toDouble / n * 1e6 + 0.5).toLong)
+    // robustness sanity: the trimmed mean lies inside the kept range
+    assert(r.getLong(5) >= vs(g) * 1000000L && r.getLong(5) <= vs(n - g - 1) * 1000000L,
+      "trimmed mean escaped the kept value range")
+  }
+
+  test("q224 Holt path equals a sequential milli-grid fold; negative trends floor correctly") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(floor(round(sum(col("value")), 2) * 100.0 + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def flr(a: Double): Long = math.floor(a / 1000.0).toLong
+    var l = 1000L * daily(0)._2
+    var b = 1000L * (daily(1)._2 - daily(0)._2)
+    val ref = scala.collection.mutable.ArrayBuffer((daily(0)._1, daily(0)._2, l, b))
+    daily.drop(1).foreach { case (d, x) =>
+      val l2 = flr(300000.0 * x + 700.0 * (l + b))
+      val b2 = flr(100.0 * (l2 - l) + 900.0 * b)
+      l = l2; b = b2
+      ref += ((d, x, l, b))
+    }
+    val got = graft.queries.ExtQueries.queries("q224_holt_linear")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case ((d, x, lv, tr, fc), (rd, rx, rl, rb)) =>
+      assert((d, x, lv, tr) === ((rd, rx, rl, rb)), s"day $d diverged")
+      assert(fc === lv + tr, "forecast != level + trend")
+    }
+    // the fold must actually exercise the negative-trend floor branch
+    assert(ref.exists(_._4 < 0), "no negative trend day — the sign-semantics gate is vacuous")
+  }
+
+  test("q225 k-anonymity rollup equals a driver group-size census") {
+    val sizes = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(round(col("c_acctbal"), 2) / 1000.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val r = graft.queries.ExtQueries.queries("q225_k_anonymity")(spark, sfDir).head()
+    assert(r.getLong(0) === sizes.length.toLong)
+    assert(r.getLong(1) === sizes.sum)
+    assert(r.getLong(2) === sizes.min)
+    assert(r.getLong(3) === sizes.count(_ < 5).toLong)
+    assert(r.getLong(4) === sizes.filter(_ < 5).sum)
+    assert(r.getLong(5) ===
+      math.floor(sizes.filter(_ < 5).sum.toDouble / sizes.sum * 1e6 + 0.5).toLong)
+  }
+
   test("q222 equals the exact all-pairs Theil-Sen median on the daily grid") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
