@@ -998,6 +998,61 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEvent(user: String, tsUs: Long, eventId: Long, etype: String)
+  final case class FunnelStage(user: String, stage: String, tsUs: Long)
+  final case class FunnelUserState(tView: Long, tClick: Long, tBuy: Long,
+      fTs: Long, fId: Long)
+
+  /** q106's keyed streaming twin: the view → click → purchase funnel as
+    * per-user state, emitting each stage transition EXACTLY ONCE as it
+    * first fires (the product-analytics activation feed; downstream
+    * counts of distinct users per stage reproduce q106's rollup). State
+    * is three stage timestamps + the fold frontier per user — O(1)
+    * forever. Semantics mirror the batch query exactly for event-time-
+    * ordered delivery: t_view = first view, t_click = first click
+    * STRICTLY after t_view, t_buy = first purchase strictly after
+    * t_click (q106's min-with-strict-inequality chain is prefix-causal
+    * under in-order arrival, so the bounded state IS the exact batch
+    * answer — the CurationIngest ordered-ingest precondition). The fold
+    * is order-SENSITIVE, so it runs the [[cusumState]]/[[alertState]]
+    * disorder discipline: each micro-batch sorts its group by
+    * (ts, event_id) and anything at or before the folded frontier is
+    * dropped — a replayed or late event can neither re-fire a stage nor
+    * fire it out of order. (Exact batch parity under ARBITRARY disorder
+    * would need the full per-user click/purchase history — unbounded
+    * state — which is exactly the trade this gate refuses.) */
+  def funnelState(evs: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelUserState, FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: String, batch: Iterator[FunnelEvent], state: GroupState[FunnelUserState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelUserState(-1L, -1L, -1L, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[FunnelStage]
+          batch.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            val fresh = e.tsUs > st.fTs || (e.tsUs == st.fTs && e.eventId > st.fId)
+            if (fresh) {
+              e.etype match {
+                case "view" if st.tView < 0 =>
+                  st = st.copy(tView = e.tsUs)
+                  out += FunnelStage(user, "view", e.tsUs)
+                case "click" if st.tView >= 0 && st.tClick < 0 && e.tsUs > st.tView =>
+                  st = st.copy(tClick = e.tsUs)
+                  out += FunnelStage(user, "click", e.tsUs)
+                case "purchase" if st.tClick >= 0 && st.tBuy < 0 && e.tsUs > st.tClick =>
+                  st = st.copy(tBuy = e.tsUs)
+                  out += FunnelStage(user, "purchase", e.tsUs)
+                case _ => ()
+              }
+              st = st.copy(fTs = e.tsUs, fId = e.eventId)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class ValueArrival(scope: String, cents: Long)
   final case class HdrSnapshot(scope: String, nSeen: Long, nBuckets: Long,
       quantiles: String, buckets: String)

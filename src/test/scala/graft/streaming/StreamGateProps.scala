@@ -212,6 +212,49 @@ object StreamGateProps extends Properties("graft.streamgates") {
       }
     }
 
+  // ---- funnelState: stage emissions split-invariant, replay-proof ----
+  private val funnelStreams: Gen[List[StreamOps.FunnelEvent]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 50L)
+      e <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u, t, e))
+  } yield evs.zipWithIndex
+    .map { case ((u, t, e), i) => StreamOps.FunnelEvent(s"u$u", t, i.toLong, e) }
+    .sortBy(e => (e.tsUs, e.eventId)) // in-order delivery, the documented precondition
+
+  property("funnelState emissions are split-invariant, replay-proof, fold-exact") =
+    Prop.forAll(funnelStreams) { evs =>
+      Prop.forAll(cutsGen(evs.size)) { cuts =>
+        val batches = splitAt(evs, cuts)
+        // each batch re-delivers the previous batch's tail: at-least-once
+        val withReplays = batches.zipWithIndex.map { case (b, i) =>
+          if (i == 0) b else batches(i - 1).takeRight(3) ++ b
+        }
+        val got = runStream(withReplays, (d: Dataset[StreamOps.FunnelEvent]) =>
+          StreamOps.funnelState(d))
+          .map(s => (s.user, s.stage, s.tsUs)).sorted
+        // sequential reference: the q106 chain folded in event order
+        val want = evs.groupBy(_.user).toSeq.flatMap { case (u, es) =>
+          var (tv, tc, tb) = (-1L, -1L, -1L)
+          val out = Seq.newBuilder[(String, String, Long)]
+          es.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            e.etype match {
+              case "view" if tv < 0 => tv = e.tsUs; out += ((u, "view", e.tsUs))
+              case "click" if tv >= 0 && tc < 0 && e.tsUs > tv =>
+                tc = e.tsUs; out += ((u, "click", e.tsUs))
+              case "purchase" if tc >= 0 && tb < 0 && e.tsUs > tc =>
+                tb = e.tsUs; out += ((u, "purchase", e.tsUs))
+              case _ => ()
+            }
+          }
+          out.result()
+        }.sorted
+        (got == want) :| s"funnel emissions diverged (cuts $cuts): $got vs $want"
+      }
+    }
+
   // ---- alertState: fired/resolved edges invariant, replay-proof ----
   private val predRuns: Gen[List[Boolean]] = for {
     n <- Gen.choose(3, 25)
