@@ -1900,6 +1900,97 @@ object LlmQueries {
     trace.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** Good–Turing frequency estimation (Good 1953, Biometrika; Gale &
+    * Sampson 1995) — the corpus-linguistics canon behind "how much
+    * vocabulary haven't we seen yet": the unseen-mass estimate
+    * P₀ = N₁/N and the Turing-smoothed counts r* = (r+1)·N_{r+1}/N_r
+    * from the frequencies-of-frequencies profile. This is q147's
+    * complement (vocab coverage measures what a REFERENCE vocabulary
+    * catches; Good–Turing predicts what MORE data would add — the
+    * sample-size planning signal for corpus collection). Scale shape:
+    * tokens collapse to term frequencies (one map-side-combinable
+    * aggregate), term frequencies collapse to the freq-of-freq grid —
+    * bounded by the max term count, never vocabulary size — and the
+    * TEN SMALLEST observed counts (where GT smoothing is meaningful,
+    * wherever the corpus's head sits) join the grid's shifted self.
+    * Counts are exact longs; r* and P₀ are one identical-order double
+    * division each, micro-floored (P₀ = 0 on a hapax-free corpus —
+    * "nothing unseen remains", the correct GT reading). */
+  private val q227GoodTuring: Q = (s, dir) => {
+    val tf = Tables.documents(s, dir)
+      .select(explode(toksCol(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val nr = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    // P0 = N1/N, 0 when the corpus has no hapaxes (the synthetic
+    // template vocabulary's min count is ≫ 1 — the estimate is then
+    // "nothing unseen remains", which is the correct GT reading)
+    val totals = tf.agg(sum(col("r")).as("n_total"), count(lit(1)).as("v"),
+      coalesce(sum(when(col("r") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"))
+    // the TEN SMALLEST observed counts (not r ≤ 10): GT smooths the
+    // head of the observed grid wherever that head sits
+    nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r_next")), Seq("r"), "left")
+      .orderBy(col("r")).limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        floor((col("r") + 1).cast("double") *
+          coalesce(col("n_r_next"), lit(0L)).cast("double") /
+          col("n_r").cast("double") * 1e6 + 0.5).cast("long").as("r_star_micro"),
+        col("n_total"), col("v"),
+        floor(col("n1").cast("double") / col("n_total").cast("double") * 1e6 + 0.5)
+          .cast("long").as("p0_micro"))
+      .orderBy(col("r"))
+  }
+
+  /** Zipf rank-frequency fit (Zipf 1949; the log-log slope every corpus
+    * health check reads — natural text sits near −1, template/spam
+    * corpora flatten or steepen): OLS of log(frequency) on log(rank)
+    * over the whole vocabulary. The scale story is the RANKING: ranks
+    * come from the freq-of-freq grid, NOT a per-token sort — each
+    * distinct frequency occupies the contiguous rank block
+    * [offset+1, offset+n_f] (offset = count of strictly-more-frequent
+    * tokens, a window over the BOUNDED distinct-frequency grid), and
+    * log-rank terms explode per block. Tie order inside a block cannot
+    * move any OLS sum (all block members share the frequency), so no
+    * per-token order — and no single-task vocabulary sort — exists
+    * anywhere. Exactness: per-term logs are micro-floored longs (the
+    * q133 fixed-point discipline; ln of identical doubles is identical
+    * cross-engine at this grid), sums are exact longs (documented
+    * bound: Σ(log_micro)² needs vocab ≲ 10⁵ — widen to DECIMAL beyond),
+    * and the closed form widens factors to double BEFORE multiplying
+    * (the q184 overflow discipline). */
+  private val q228ZipfFit: Q = (s, dir) => {
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val tf = Tables.documents(s, dir)
+      .select(explode(toksCol(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ff = tf.groupBy(col("f")).agg(count(lit(1)).as("n_f"))
+    val wOff = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pairs = ff
+      .withColumn("off", coalesce(sum(col("n_f")).over(wOff), lit(0L)))
+      .select(col("f"),
+        explode(sequence(col("off") + 1, col("off") + col("n_f"))).as("rank"))
+    val terms = pairs.select(
+      s6(log(col("rank").cast("double"))).as("lx"),
+      s6(log(col("f").cast("double"))).as("ly"))
+    val g = terms.agg(count(lit(1)).as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("ly") * col("ly")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    g.select(col("n").as("v"),
+      s6(cov / varX).as("slope_micro"),
+      // sx/sy are ALREADY micro-scaled logs, so the intercept lands on
+      // the micro grid without another 1e6 factor
+      floor((col("sy").cast("double") - cov / varX * col("sx").cast("double")) / nD + 0.5)
+        .cast("long").as("intercept_micro"),
+      s6(cov * cov / (varX * varY)).as("r2_micro"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -3898,6 +3989,8 @@ object LlmQueries {
     "q183_heavy_hitters"  -> q183HeavyHitters,
     "q194_kcore"          -> q194Kcore,
     "q220_label_prop"     -> q220LabelProp,
+    "q227_good_turing"    -> q227GoodTuring,
+    "q228_zipf_fit"       -> q228ZipfFit,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4183,6 +4276,57 @@ object LlmQueries {
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,
     "q220_label_prop" -> duckLpaSql,
+    // q227: identical freq-of-freq grid; r* and P0 are one double
+    // division each in identical order
+    "q227_good_turing" ->
+      s"""WITH tf AS (SELECT t AS tok, count(*) AS r
+         |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY 1),
+         |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_total,
+         |    CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM tf),
+         |head AS (SELECT a.r, a.n_r, CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next
+         |  FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 ORDER BY a.r LIMIT 10)
+         |SELECT CAST(h.r AS BIGINT) AS r, h.n_r, h.n_r_next,
+         |  CAST(floor(CAST(h.r + 1 AS DOUBLE) * CAST(h.n_r_next AS DOUBLE)
+         |    / CAST(h.n_r AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS r_star_micro,
+         |  tot.n_total, tot.v,
+         |  CAST(floor(CAST(tot.n1 AS DOUBLE) / CAST(tot.n_total AS DOUBLE)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS p0_micro
+         |FROM head h, tot ORDER BY r""".stripMargin,
+    // q228: identical rank blocks off the freq-of-freq grid, identical
+    // micro-floored logs, double-widened closed form
+    "q228_zipf_fit" ->
+      s"""WITH tf AS (SELECT t AS tok, count(*) AS f
+         |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY 1),
+         |ff AS (SELECT f, count(*) AS n_f FROM tf GROUP BY f),
+         |offs AS (SELECT f, n_f,
+         |    CAST(coalesce(sum(n_f) OVER (ORDER BY f DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM ff),
+         |pairs AS (SELECT f, unnest(range(off + 1, off + n_f + 1)) AS rank FROM offs),
+         |terms AS (SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx,
+         |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ly
+         |  FROM pairs),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         |    CAST(sum(lx * lx) AS BIGINT) AS sxx, CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         |    CAST(sum(ly * ly) AS BIGINT) AS syy FROM terms)
+         |SELECT n AS v,
+         |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS slope_micro,
+         |  CAST(floor((CAST(sy AS DOUBLE)
+         |      - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept_micro,
+         |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
+         |FROM g""".stripMargin,
     // q196: the composed curation canon — the SAME gopher/repetition/
     // CCNet/DSIR/contamination chains the standalone oracles use
     // (p-/w-prefixed to avoid CTE name collisions), cascaded then

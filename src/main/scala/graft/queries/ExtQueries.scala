@@ -2620,7 +2620,53 @@ object ExtQueries {
           * 1e6 + 0.5).cast("long").as("suppression_micro"))
   }
 
+  /** Multiwindow error-budget burn-rate alerting (the Google SRE
+    * workbook's multiwindow-multi-burn policy — the page/ticket logic
+    * behind every modern SLO dashboard, extending q204's PromQL
+    * evaluation and ST8's alert rules): per hour, burn = error-rate /
+    * SLO budget over the 1 h window and the rolling 6 h window; a PAGE
+    * needs BOTH short and long windows hot (burn > 14.4 — exhausting a
+    * 30-day budget in 2 days), a TICKET both > 6. Everything is exact
+    * integer arithmetic on the calendar-bounded hourly grid: events
+    * collapse to (hour, errors, total) in one map-side-combinable
+    * pass, the 6 h rolling sums are a range frame over the bounded
+    * grid, and the burn comparisons cross-multiply
+    * (errs·10¹² > thr_micro·budget_micro·total as pure long products)
+    * so no float boundary decides a page. Burn values are emitted
+    * micro-floored for the dashboard alongside the decisions. Int64
+    * bound (the q167 discipline): the cross-products hold while hourly
+    * totals stay < ~9·10⁶ rows; beyond that the widen path is
+    * DECIMAL(38)/HUGEINT — documented, not silently lossy. */
+  private val q226BurnRate: Q = (s, dir) => {
+    // SLO: 2% error budget — the synthetic stream runs ~20% errors with
+    // high hourly variance, so burn hovers around 10× and BOTH decision
+    // branches (page > 14.4, ticket > 6) fire and rest across the grid
+    val budgetMicro = 20000L
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("cast(cast(ts as long) div 3600 as bigint)").as("h"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"),
+        count(lit(1)).as("total"))
+    val w6 = Window.orderBy(col("h")).rangeBetween(-5L, 0L)
+    val rolled = hourly
+      .withColumn("errs6", sum(col("errs")).over(w6))
+      .withColumn("total6", sum(col("total")).over(w6))
+    // burn > thr  ⇔  errs·1e6·1e6 > thr_micro·budget_micro·total — longs
+    def hot(errs: Column, total: Column, thrMicro: Long): Column =
+      errs * lit(1000000L) * lit(1000000L) > lit(thrMicro) * lit(budgetMicro) * total
+    rolled.select(col("h"), col("errs"), col("total"), col("errs6"), col("total6"),
+        floor(col("errs").cast("double") / col("total").cast("double")
+          / (budgetMicro.toDouble / 1e6) * 1e6 + 0.5).cast("long").as("burn1h_micro"),
+        floor(col("errs6").cast("double") / col("total6").cast("double")
+          / (budgetMicro.toDouble / 1e6) * 1e6 + 0.5).cast("long").as("burn6h_micro"),
+        (hot(col("errs"), col("total"), 14400000L) &&
+          hot(col("errs6"), col("total6"), 14400000L)).cast("int").as("page"),
+        (hot(col("errs"), col("total"), 6000000L) &&
+          hot(col("errs6"), col("total6"), 6000000L)).cast("int").as("ticket"))
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
     "q223_trimmed_stats" -> q223TrimmedStats,
@@ -2778,6 +2824,32 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q226: identical hourly grid, identical RANGE-framed 6h rolling
+    // sums (calendar semantics over hour gaps), pure-long page/ticket
+    // cross-products, micro-floored burn values
+    "q226_burn_rate" ->
+      """WITH hourly AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM events GROUP BY 1),
+        |rolled AS (SELECT h, errs, total,
+        |    CAST(sum(errs) OVER w6 AS BIGINT) AS errs6,
+        |    CAST(sum(total) OVER w6 AS BIGINT) AS total6
+        |  FROM hourly
+        |  WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT h, errs, total, errs6, total6,
+        |  CAST(floor(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.02
+        |    * 1000000.0 + 0.5) AS BIGINT) AS burn1h_micro,
+        |  CAST(floor(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.02
+        |    * 1000000.0 + 0.5) AS BIGINT) AS burn6h_micro,
+        |  CAST(CASE WHEN errs * 1000000::BIGINT * 1000000 > 14400000::BIGINT * 20000 * total
+        |    AND errs6 * 1000000::BIGINT * 1000000 > 14400000::BIGINT * 20000 * total6
+        |    THEN 1 ELSE 0 END AS INTEGER) AS page,
+        |  CAST(CASE WHEN errs * 1000000::BIGINT * 1000000 > 6000000::BIGINT * 20000 * total
+        |    AND errs6 * 1000000::BIGINT * 1000000 > 6000000::BIGINT * 20000 * total6
+        |    THEN 1 ELSE 0 END AS INTEGER) AS ticket
+        |FROM rolled ORDER BY h""".stripMargin,
     // q223: the same four order statistics and tail sums restated as
     // rank-range aggregates under a full sort (tie order inside equal
     // values cannot move a rank-range sum)

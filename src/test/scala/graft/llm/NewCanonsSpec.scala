@@ -158,6 +158,79 @@ class NewCanonsSpec extends SparkSpec {
       math.floor(sizes.filter(_ < 5).sum.toDouble / sizes.sum * 1e6 + 0.5).toLong)
   }
 
+  test("q226 burn-rate decisions equal a driver fold and both branches actually exercise") {
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(expr("cast(cast(ts as long) div 3600 as bigint)").as("h"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"),
+        count(lit(1)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byH = hours.map(x => x._1 -> (x._2, x._3)).toMap
+    val got = graft.queries.ExtQueries.queries("q226_burn_rate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getInt(7), r.getInt(8)))
+    assert(got.length === hours.length)
+    got.foreach { case (h, e6, t6, page, ticket) =>
+      // calendar-range 6h window: hours h-5..h that EXIST in the grid
+      val win = (h - 5 to h).flatMap(byH.get)
+      assert((e6, t6) === ((win.map(_._1).sum, win.map(_._2).sum)), s"hour $h rolling sums")
+      val (e1, t1) = byH(h)
+      def hot(e: Long, t: Long, thr: Long) = e * 1000000L * 1000000L > thr * 20000L * t
+      assert(page === (if (hot(e1, t1, 14400000L) && hot(e6, t6, 14400000L)) 1 else 0))
+      assert(ticket === (if (hot(e1, t1, 6000000L) && hot(e6, t6, 6000000L)) 1 else 0))
+    }
+    // the policy must fire AND rest — a constant column gates nothing
+    assert(got.exists(_._5 === 1) && got.exists(_._5 === 0), "ticket branch vacuous")
+    assert(got.exists(_._4 === 0), "page fires everywhere — thresholds vacuous")
+  }
+
+  test("q227 Good-Turing head equals a driver freq-of-freq computation") {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .collect().map(_.getLong(1))
+    val nr = freqs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val head = nr.keys.toSeq.sorted.take(10)
+    val nTotal = freqs.sum
+    val got = LlmQueries.queries("q227_good_turing")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(_._1).toSeq === head, "head of the observed grid diverged")
+    got.foreach { case (r, nR, nNext, rStar, nTot, v, p0) =>
+      assert(nR === nr(r))
+      assert(nNext === nr.getOrElse(r + 1, 0L))
+      assert(rStar === math.floor((r + 1).toDouble * nNext / nR * 1e6 + 0.5).toLong)
+      assert(nTot === nTotal && v === freqs.length.toLong)
+      assert(p0 === math.floor(nr.getOrElse(1L, 0L).toDouble / nTotal * 1e6 + 0.5).toLong)
+    }
+  }
+
+  test("q228 Zipf fit equals a driver log-log OLS over rank blocks; slope is negative") {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    def s6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val terms = freqs.zipWithIndex.map { case (f, i) =>
+      (s6(math.log((i + 1).toDouble)), s6(math.log(f.toDouble)))
+    }
+    val n = terms.length.toDouble
+    val sx = terms.map(_._1).sum; val sy = terms.map(_._2).sum
+    val sxx = terms.map(t => t._1 * t._1).sum
+    val sxy = terms.map(t => t._1 * t._2).sum
+    val syy = terms.map(t => t._2 * t._2).sum
+    val cov = n * sxy - sx.toDouble * sy
+    val varX = n * sxx - sx.toDouble * sx
+    val varY = n * syy - sy.toDouble * sy
+    val r = LlmQueries.queries("q228_zipf_fit")(spark, sfDir).head()
+    assert(r.getLong(0) === terms.length.toLong)
+    assert(r.getLong(1) === s6(cov / varX), "slope diverged")
+    assert(r.getLong(2) ===
+      math.floor((sy.toDouble - cov / varX * sx.toDouble) / n + 0.5).toLong, "intercept diverged")
+    assert(r.getLong(3) === s6(cov * cov / (varX * varY)), "r2 diverged")
+    assert(r.getLong(1) < 0L, "rank-frequency slope must be negative")
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+  }
+
   test("q222 equals the exact all-pairs Theil-Sen median on the daily grid") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
