@@ -260,6 +260,43 @@ object MlQueries {
         .as("auc"))
   }
 
+  /** Split-conformal prediction (Vovk et al. 2005; Angelopoulos & Bates
+    * 2021 tutorial) — the modern distribution-free uncertainty canon a
+    * serving stack wraps around ANY score: on a held-out calibration
+    * split, nonconformity = 1 − score(true class); the conformal
+    * quantile q̂ is the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * nonconformity (α = 0.1), and the marginal-coverage guarantee
+    * P(true class in the prediction set) ≥ 1−α holds by exchangeability
+    * alone — no model assumptions. Scale shape: the calibration split
+    * is deterministic (every 5th composite key — the q42/W6 holdout
+    * discipline), nonconformity lands on the micro grid as exact longs,
+    * q̂ comes from [[graft.operators.DistributedSelect.kth]] (two
+    * bounded-histogram passes, NO global sort — the q223 consumer
+    * pattern), and the audit is one conditional aggregate over the
+    * evaluation rows. Output: calibration size, the exact rank, q̂, and
+    * the audited empirical coverage — the number the guarantee bounds.
+    * Everything but the coverage ratio (one micro-floored division) is
+    * integer arithmetic both engines share. */
+  private val q229Conformal: Q = (s, dir) => {
+    val base = scored(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("label"), col("score"))
+      .withColumn("nc_micro",
+        floor((lit(1.0) - when(col("label") === 1, col("score"))
+          .otherwise(lit(1.0) - col("score"))) * 1e6 + 0.5).cast("long"))
+      .withColumn("is_cal", (col("l_orderkey") * 7L + col("l_linenumber")) % 5 === 0)
+    val cal = base.filter(col("is_cal")).select(col("nc_micro").as("v"))
+    val n = cal.count()
+    val k = math.ceil((n + 1).toDouble * 0.9).toLong.min(n)
+    val qhat = graft.operators.DistributedSelect.kth(cal, Seq(k), width = 4096L)(k)
+    base.filter(!col("is_cal"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nc_micro") <= qhat, 1L).otherwise(0L)).as("n_covered"))
+      .select(lit(n).as("n_cal"), lit(k).as("k"), lit(qhat).as("qhat_micro"),
+        col("n_eval"), col("n_covered"),
+        floor(col("n_covered").cast("double") / col("n_eval").cast("double")
+          * 1e6 + 0.5).cast("long").as("coverage_micro"))
+  }
+
   /** Calibration (reliability) bins — evaluate_model's companion check:
     * decile bins of predicted score vs observed positive rate. One
     * partial-aggregated groupBy on the bin id. */
@@ -606,6 +643,7 @@ object MlQueries {
     "q45_class_report" -> q45ClassReport,
     "q46_roc_auc"      -> q46RocAuc,
     "q219_roc_twophase" -> q219RocTwoPhase,
+    "q229_conformal"   -> q229Conformal,
     "q157_calibration" -> q157Calibration,
     "q218_isotonic"    -> q218Isotonic,
     "q61_auc_sketch"   -> q61AucSketch,
@@ -709,6 +747,31 @@ object MlQueries {
     // q219: the two-phase twin reuses q46's oracle VERBATIM — same
     // sequential window spec, hash match proves the decomposition
     "q219_roc_twophase" -> rocAucSql,
+    // q229: identical deterministic calibration split, identical micro
+    // nonconformity grid; the oracle takes the conformal quantile by
+    // full-sort rank — the two-phase kth must land on the same value
+    "q229_conformal" ->
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber, label, score,
+         |    CAST(floor((1.0 - CASE WHEN label = 1 THEN score ELSE 1.0 - score END)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS nc_micro,
+         |    (l_orderkey * 7 + l_linenumber) % 5 = 0 AS is_cal
+         |  FROM ($scoredSql) s),
+         |cal AS (SELECT nc_micro, row_number() OVER (ORDER BY nc_micro) AS rn,
+         |    count(*) OVER () AS n FROM base WHERE is_cal),
+         |kq AS (SELECT CAST(max(n) AS BIGINT) AS n_cal,
+         |    CAST(least(CAST(ceil((max(n) + 1) * 0.9) AS BIGINT), max(n)) AS BIGINT) AS k
+         |  FROM cal),
+         |qh AS (SELECT kq.n_cal, kq.k, c.nc_micro AS qhat_micro
+         |  FROM kq JOIN cal c ON c.rn = kq.k)
+         |SELECT qh.n_cal, qh.k, qh.qhat_micro,
+         |  CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN b.nc_micro <= qh.qhat_micro THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST(floor(CAST(sum(CASE WHEN b.nc_micro <= qh.qhat_micro THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         |    AS coverage_micro
+         |FROM base b, qh WHERE NOT b.is_cal
+         |GROUP BY qh.n_cal, qh.k, qh.qhat_micro""".stripMargin,
     "q81_calibration" ->
       s"""SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
          |  CAST(count(*) AS BIGINT) AS n,

@@ -2665,7 +2665,49 @@ object ExtQueries {
       .orderBy(col("h"))
   }
 
+  /** Chi-square test of independence + Cramér's V (Pearson 1900;
+    * Cramér 1946) — the categorical-association canon the stats tier
+    * was missing next to KS (q82, continuous), Mann–Whitney (q216,
+    * ordinal) and the proportion z (q165, binary): is event type
+    * independent of day-of-week? Contingency counts are one
+    * map-side-combinable aggregate over the bounded (type × dow) grid;
+    * expected counts are row·col/N with factors widened to double
+    * BEFORE multiplying (the q184 overflow discipline — r·c outgrows a
+    * long at cluster scale); each cell's (O−E)²/E lands micro-floored
+    * on the long grid BEFORE the exact integer total (the q133
+    * fixed-point discipline — a float sum's order would diverge
+    * cross-engine), and Cramér's V = √(χ²/(N·min(R−1, C−1))) is one
+    * identical-order double chain off that exact total. dow is epoch-
+    * day mod 7 — pure integer, no locale/timezone WEEKDAY semantics to
+    * disagree on. */
+  private val q230ChiSquare: Q = (s, dir) => {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type").as("t"),
+        expr("cast(cast(ts as long) div 86400 as bigint) % 7").as("dow"))
+      .groupBy(col("t"), col("dow")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("t")).agg(sum(col("o")).as("r_tot"))
+    val cols = cells.groupBy(col("dow")).agg(sum(col("o")).as("c_tot"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("t")).as("r_cats"), countDistinct(col("dow")).as("c_cats"))
+    val e = col("r_tot").cast("double") * col("c_tot").cast("double") / col("n").cast("double")
+    val perCell = cells
+      .join(rows, "t").join(cols, "dow").crossJoin(broadcast(tot))
+      .select(col("n"), col("r_cats"), col("c_cats"),
+        floor((col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+          * 1e6 + 0.5).cast("long").as("cell_micro"))
+    perCell.groupBy(col("n"), col("r_cats"), col("c_cats"))
+      .agg(sum(col("cell_micro")).as("chi2_micro"))
+      .select(col("n"), col("r_cats"), col("c_cats"),
+        ((col("r_cats") - 1) * (col("c_cats") - 1)).as("dof"),
+        col("chi2_micro"),
+        floor(sqrt(col("chi2_micro").cast("double") / 1e6 /
+          (col("n").cast("double") *
+            least(col("r_cats") - 1, col("c_cats") - 1).cast("double"))) * 1e6 + 0.5)
+          .cast("long").as("cramers_v_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q230_chi_square" -> q230ChiSquare,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -2824,6 +2866,33 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q230: identical contingency grid, double-widened expected counts,
+    // per-cell micro floors before the exact integer total
+    "q230_chi_square" ->
+      """WITH cells AS (SELECT event_type AS t,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT t, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY t),
+        |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY dow),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS r_cats,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS c_cats FROM cells),
+        |pc AS (SELECT tot.n, tot.r_cats, tot.c_cats,
+        |    CAST(floor((CAST(o AS DOUBLE) -
+        |        CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) -
+        |        CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS cell_micro
+        |  FROM cells JOIN r USING (t) JOIN c USING (dow), tot)
+        |SELECT n, r_cats, c_cats,
+        |  (r_cats - 1) * (c_cats - 1) AS dof,
+        |  CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+        |  CAST(floor(sqrt(CAST(sum(cell_micro) AS DOUBLE) / 1000000.0 /
+        |    (CAST(n AS DOUBLE) * CAST(least(r_cats - 1, c_cats - 1) AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS cramers_v_micro
+        |FROM pc GROUP BY n, r_cats, c_cats""".stripMargin,
     // q226: identical hourly grid, identical RANGE-framed 6h rolling
     // sums (calendar semantics over hour gaps), pure-long page/ticket
     // cross-products, micro-floored burn values

@@ -231,6 +231,59 @@ class NewCanonsSpec extends SparkSpec {
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
   }
 
+  test("q229 conformal quantile equals a full-sort driver rank; the coverage guarantee holds") {
+    // the Column-API double chain scored() uses (a SQL-string decimal
+    // rebuild would differ in ulps at the micro-floor boundaries)
+    val u = ((col("l_orderkey") * 9973L + col("l_linenumber") * 7919L) % 1000L) / 1000.0
+    val label = when(col("l_returnflag") === "R", 1).otherwise(0)
+    val score = when(label === 1, lit(0.3) + lit(0.7) * u).otherwise(lit(0.66) * u)
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        label.cast("int").as("label"), score.as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    def nc(label: Int, score: Double): Long =
+      math.floor((1.0 - (if (label == 1) score else 1.0 - score)) * 1e6 + 0.5).toLong
+    val (cal, eval_) = rows.partition { case (ok, ln, _, _) => (ok * 7 + ln) % 5 == 0 }
+    val calNc = cal.map { case (_, _, l, sc) => nc(l, sc) }.sorted
+    val n = calNc.length
+    val k = math.min(math.ceil((n + 1) * 0.9).toLong, n.toLong)
+    val qhat = calNc((k - 1).toInt)
+    val covered = eval_.count { case (_, _, l, sc) => nc(l, sc) <= qhat }
+    val r = graft.ml.MlQueries.queries("q229_conformal")(spark, sfDir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((n.toLong, k, qhat)),
+      "two-phase conformal quantile diverged from the full-sort rank")
+    assert((r.getLong(3), r.getLong(4)) === ((eval_.length.toLong, covered.toLong)))
+    // the marginal-coverage guarantee: empirical coverage ≈ ≥ 90%
+    // (exchangeable splits; allow finite-sample slack below the bound)
+    val coverage = r.getLong(5) / 1e6
+    assert(coverage >= 0.88, s"coverage $coverage fell far below the 0.9 conformal bound")
+    assert(r.getLong(5) ===
+      math.floor(covered.toDouble / eval_.length * 1e6 + 0.5).toLong)
+  }
+
+  test("q230 chi-square + Cramér's V equal a driver contingency computation") {
+    val obs = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(cast(ts as long) div 86400 as bigint) % 7"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rTot = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cTot = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = obs.values.sum
+    val chi2Micro = obs.map { case ((t, d), o) =>
+      val e = rTot(t).toDouble * cTot(d).toDouble / n.toDouble
+      math.floor((o.toDouble - e) * (o.toDouble - e) / e * 1e6 + 0.5).toLong
+    }.sum
+    val rc = rTot.size.toLong; val cc = cTot.size.toLong
+    val v = math.sqrt(chi2Micro.toDouble / 1e6 / (n.toDouble * math.min(rc - 1, cc - 1)))
+    val row = graft.queries.ExtQueries.queries("q230_chi_square")(spark, sfDir).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((n, rc, cc, (rc - 1) * (cc - 1))))
+    assert(row.getLong(4) === chi2Micro, "per-cell micro-floored chi2 total diverged")
+    assert(row.getLong(5) === math.floor(v * 1e6 + 0.5).toLong)
+    // V lives in [0, 1] on the micro grid
+    assert(row.getLong(5) >= 0L && row.getLong(5) <= 1000000L)
+  }
+
   test("q222 equals the exact all-pairs Theil-Sen median on the daily grid") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
