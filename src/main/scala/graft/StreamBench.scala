@@ -82,11 +82,49 @@ object StreamBench {
     val rows10k = runConfig(spark, rowsPerBatch = 10000)
     System.gc()
     val aged = runConfig(spark, historyBatches = 50, compactEvery = 25)
-    s"""{"baseline":$baseline,"rows1k":$rows1k,"rows10k":$rows10k,"aged":$aged}"""
+    // the TREE kernel at the rows1k rate: the reference trains XGBoost
+    // (train_model.py:69-80) and promotion can now serve it — the SLO
+    // must hold for the family actually trained, not just the linear
+    // explainer's. 100 trees × depth 5 (the reference's config) built
+    // deterministically; per row the kernel walks ≤ 500 compares.
+    System.gc()
+    val gbt1k = runConfig(spark, rowsPerBatch = 1000, useGbt = true)
+    s"""{"baseline":$baseline,"rows1k":$rows1k,"rows10k":$rows10k,"aged":$aged,"gbt1k":$gbt1k}"""
+  }
+
+  /** Deterministic reference-shaped ensemble (100 complete trees of
+    * depth 5) — the bench needs the KERNEL's cost, not a fit. */
+  private def syntheticTrees(nFeat: Int): graft.xai.GbtAttr.FlatTrees = {
+    val nTrees = 100; val depth = 5
+    val feat = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val thresh = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val left = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val right = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val pred = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def add(t: Int, d: Int, salt: Int): Int = {
+      val id = feat.length
+      if (d == depth) {
+        feat += -1; thresh += 0.0; left += -1; right += -1
+        pred += ((t * 31 + salt * 7) % 21 - 10) / 100.0
+        id
+      } else {
+        feat += (t * 31 + salt * 13 + d) % nFeat
+        thresh += ((t * 7 + salt * 13 + d * 29) % 97) / 97.0
+        left += -1; right += -1; pred += ((t + salt) % 13 - 6) / 100.0
+        val l = add(t, d + 1, salt * 2 + 1)
+        val r = add(t, d + 1, salt * 2 + 2)
+        left(id) = l; right(id) = r
+        id
+      }
+    }
+    val roots = (0 until nTrees).map(t => add(t, 0, 0)).toArray
+    graft.xai.GbtAttr.FlatTrees(roots, feat.toArray, thresh.toArray,
+      left.toArray, right.toArray, pred.toArray, Array.fill(nTrees)(0.1))
   }
 
   def runConfig(spark: SparkSession, warmBatches: Int = 3, timedBatches: Int = 20,
-      rowsPerBatch: Int = 100, historyBatches: Int = 0, compactEvery: Int = 0): String = {
+      rowsPerBatch: Int = 100, historyBatches: Int = 0, compactEvery: Int = 0,
+      useGbt: Boolean = false): String = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -98,8 +136,11 @@ object StreamBench {
     val input = MemoryStream[(String, Map[String, Double])]
     val stream = input.toDF().toDF("transaction_id", "features")
     val store = new ScoringStream.ResultStore(s"$dir/store")
-    val q = ScoringStream.attach(stream, store, s"$dir/ckpt",
-      featureNames, coefs, mu, intercept = 0.05, compactEvery = compactEvery)
+    val q =
+      if (useGbt) ScoringStream.attachGbt(stream, store, s"$dir/ckpt",
+        featureNames, syntheticTrees(featureNames.size), compactEvery = compactEvery)
+      else ScoringStream.attach(stream, store, s"$dir/ckpt",
+        featureNames, coefs, mu, intercept = 0.05, compactEvery = compactEvery)
 
     def oneBatch(b: Int): Double = {
       val rows = (0 until rowsPerBatch).map { i =>
