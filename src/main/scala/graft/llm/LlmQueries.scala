@@ -1900,6 +1900,73 @@ object LlmQueries {
     trace.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** Greedy facility-location coreset selection (stochastic greedy —
+    * Mirzasoleiman et al., AAAI 2015 "Lazier than lazy greedy";
+    * facility location is THE submodular objective of data-selection
+    * papers like CRAIG/coreset distillation): pick k documents whose
+    * embeddings jointly cover the corpus, where coverage(S) =
+    * Σ_v max_{c∈S} sim(v, c). Each round scores a DETERMINISTIC hash
+    * pool of candidates (the stochastic-greedy trick that turns
+    * O(k·N²) full greedy into O(k·N·|pool|) with a 1−1/e−ε guarantee —
+    * the only shape that survives 100 TB), picks the gain-argmax
+    * (gain desc, id asc — deterministic), and folds the winner into
+    * the per-vector coverage state, which is pinned per round (two
+    * consumers: next round's gains and the coverage trace — the q217
+    * cadence). Exactness: similarities land on the 4dp integer grid
+    * (floor(cos·10⁴+0.5) — the q38 cross-engine cosine discipline), so
+    * gains, argmax ties, and running coverage are pure long
+    * arithmetic both engines reproduce; the oracle unrolls the same
+    * rounds as MATERIALIZED CTEs. Output: the bounded per-round trace
+    * (round, selected id, gain, total coverage). */
+  private val CoresetRounds = 6
+  private val q231CoresetGreedy: Q = (s, dir) => {
+    import s.implicits._
+    val embC = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .cache()
+    val emb = s.createDataFrame(embC.rdd, embC.schema)
+    embC.count()
+    def s4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("long")
+    var curC = emb.select(col("vec_id").as("v"), lit(0L).as("cur")).cache()
+    var cur = s.createDataFrame(curC.rdd, curC.schema)
+    curC.count()
+    var selected = List.empty[Long]
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (r <- 1 to CoresetRounds) {
+      val pool = emb
+        .filter(tokHash(concat(lit(s"$r#"), col("vec_id").cast("string"))) % 32 === 0)
+        .filter(!col("vec_id").isin(selected: _*))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val gains = emb.crossJoin(broadcast(pool))
+        .select(col("c_id"), col("vec_id").as("v"),
+          s4(cosine(col("embedding"), col("c_emb"))).as("s4"))
+        .join(cur, "v")
+        .groupBy(col("c_id"))
+        .agg(sum(greatest(col("s4") - col("cur"), lit(0L))).as("gain"))
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      // pool-bounded driver argmax (gain desc, id asc) — like the kth
+      // histogram walks, a bounded artifact, never corpus-sized
+      val (winner, gain) = gains.minBy { case (id, g) => (-g, id) }
+      selected ::= winner
+      val wEmb = broadcast(emb.filter(col("vec_id") === winner)
+        .select(col("embedding").as("w_emb")))
+      val prev = curC
+      curC = cur.join(
+          emb.crossJoin(wEmb)
+            .select(col("vec_id").as("v"), s4(cosine(col("embedding"), col("w_emb"))).as("ws4")),
+          "v")
+        .select(col("v"), greatest(col("cur"), col("ws4")).as("cur"))
+        .cache()
+      cur = s.createDataFrame(curC.rdd, curC.schema)
+      curC.count()
+      prev.unpersist() // consumed by the round just materialized
+      val coverage = cur.agg(sum(col("cur"))).head().getLong(0)
+      trace += ((r.toLong, winner, gain, coverage))
+    }
+    curC.unpersist(); embC.unpersist() // trace is driver-held: release all
+    trace.toSeq.toDF("round", "selected_id", "gain", "coverage")
+  }
+
   /** Good–Turing frequency estimation (Good 1953, Biometrika; Gale &
     * Sampson 1995) — the corpus-linguistics canon behind "how much
     * vocabulary haven't we seen yet": the unseen-mass estimate
@@ -3991,6 +4058,7 @@ object LlmQueries {
     "q220_label_prop"     -> q220LabelProp,
     "q227_good_turing"    -> q227GoodTuring,
     "q228_zipf_fit"       -> q228ZipfFit,
+    "q231_coreset_greedy" -> q231CoresetGreedy,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4268,7 +4336,45 @@ object LlmQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** q231: the same stochastic-greedy rounds unrolled as MATERIALIZED
+    * CTEs — same hash pools, same 4dp integer similarity grid, same
+    * (gain desc, id asc) argmax, same coverage fold. */
+  private lazy val duckCoresetSql: String = {
+    def s4(e: String): String = s"CAST(floor(($e) * 10000.0 + 0.5) AS BIGINT)"
+    val rounds = (1 to CoresetRounds).map { r =>
+      val hash = duckTokHash(s"'$r#' || CAST(vec_id AS VARCHAR)")
+      val notSel =
+        if (r == 1) ""
+        else "AND vec_id NOT IN (" +
+          (1 until r).map(i => s"SELECT selected_id FROM w$i").mkString(" UNION ALL ") + ")"
+      s"""p$r AS MATERIALIZED (SELECT vec_id AS c_id, emb AS c_emb FROM e
+         |  WHERE ($hash) % 32 = 0 $notSel),
+         |g$r AS (SELECT p.c_id,
+         |    CAST(sum(greatest(${s4("list_cosine_similarity(ev.emb, p.c_emb)")} - c.cur, 0))
+         |      AS BIGINT) AS gain
+         |  FROM e ev CROSS JOIN p$r p JOIN cur${r - 1} c ON c.v = ev.vec_id
+         |  GROUP BY p.c_id),
+         |w$r AS MATERIALIZED (SELECT c_id AS selected_id, gain FROM g$r
+         |  ORDER BY gain DESC, c_id LIMIT 1),
+         |cur$r AS MATERIALIZED (SELECT c.v,
+         |    greatest(c.cur, ${s4("list_cosine_similarity(ev.emb, we.emb)")}) AS cur
+         |  FROM cur${r - 1} c
+         |  JOIN e ev ON ev.vec_id = c.v
+         |  JOIN e we ON we.vec_id = (SELECT selected_id FROM w$r))""".stripMargin
+    }.mkString(",\n")
+    val trace = (1 to CoresetRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, w.selected_id, w.gain,
+         |  (SELECT CAST(sum(cur) AS BIGINT) FROM cur$r) AS coverage FROM w$r w""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cur0 AS (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cur FROM e),
+       |$rounds
+       |$trace
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q231_coreset_greedy" -> duckCoresetSql,
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,

@@ -284,6 +284,47 @@ class NewCanonsSpec extends SparkSpec {
     assert(row.getLong(5) >= 0L && row.getLong(5) <= 1000000L)
   }
 
+  test("q231 stochastic-greedy coreset equals a sequential driver greedy; coverage identity holds") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def s4(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // the kernel's exact op order: dot / (sqrt(na) * sqrt(nb))
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5).toLong
+    }
+    var cur = embs.keys.map(_ -> 0L).toMap
+    var selected = List.empty[Long]
+    val ref = (1 to 6).map { r =>
+      val pool = embs.keys.filter(id =>
+        tokHash(s"$r#$id") % 32 == 0 && !selected.contains(id)).toSeq
+      val gains = pool.map { c =>
+        // iterator, not keys.map: a Set would DEDUPE equal gain terms
+        c -> embs.keys.iterator.map(v => math.max(0L, s4(embs(v), embs(c)) - cur(v))).sum
+      }
+      val (winner, gain) = gains.minBy { case (id, g) => (-g, id) }
+      selected ::= winner
+      cur = cur.map { case (v, cv) => v -> math.max(cv, s4(embs(v), embs(winner))) }
+      (r.toLong, winner, gain, cur.values.sum)
+    }
+    val got = LlmQueries.queries("q231_coreset_greedy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === ref, "distributed stochastic greedy diverged from the sequential fold")
+    // the facility-location identity: coverage grows by exactly the
+    // selected candidate's full-corpus gain, and is monotone
+    got.sliding(2).foreach {
+      case Seq((_, _, _, c0), (_, _, g1, c1)) =>
+        assert(c1 === c0 + g1, "coverage != previous coverage + winner gain")
+      case _ => ()
+    }
+    assert(got.map(_._4) === got.map(_._4).sorted, "coverage not monotone")
+    spark.catalog.clearCache()
+  }
+
   test("q222 equals the exact all-pairs Theil-Sen median on the daily grid") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
