@@ -2706,7 +2706,43 @@ object ExtQueries {
           .cast("long").as("cramers_v_micro"))
   }
 
+  /** Rolling 7-day distinct users — the hardest everyday OLAP ask
+    * (COUNT(DISTINCT) OVER a sliding window has no algebraic
+    * decomposition: distinct counts don't subtract), solved EXACTLY
+    * with q213's word-aligned bitmap machinery: per (epoch-day, word)
+    * bitmaps pack 63 users per long via bit_or; each day's words
+    * fan out to the 7 target days they cover (a bounded ×7 explode,
+    * map-side combinable straight back down); the per-target-day OR
+    * + popcount IS the exact windowed distinct. At 100 TB this is
+    * |users|/63 words × 7 per day instead of a user-level
+    * self-join-per-window — and unlike HLL (q211) it is EXACT, the
+    * trade the bitmap tier exists for. Output per day: the exact
+    * 1-day and trailing-7-day distinct actives, plus the ratio
+    * (stickiness, DAU/WAU) micro-floored. Nonnegative user_id filter
+    * as in q213 (sign-bit shift semantics). */
+  private val q232RollingDistinct: Q = (s, dir) => {
+    val dw = Tables.events(s, dir)
+      .filter(col("user_id") >= 0)
+      .select(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"),
+        expr("cast(user_id as bigint) div 63").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(cast(user_id as bigint) % 63 as int))").as("bit"))
+      .groupBy(col("d"), col("w")).agg(expr("bit_or(bit)").as("bm"))
+    val daily = dw.groupBy(col("d")).agg(sum(bit_count(col("bm"))).as("dau"))
+    val win = dw
+      .select(explode(sequence(col("d"), col("d") + 6)).as("td"), col("w"), col("bm"))
+      .groupBy(col("td"), col("w")).agg(expr("bit_or(bm)").as("bm7"))
+      .groupBy(col("td")).agg(sum(bit_count(col("bm7"))).as("wau"))
+    // only days that actually have data (edge days past the frontier
+    // would otherwise report partial trailing windows)
+    daily.join(win, daily("d") === win("td"))
+      .select(col("d"), col("dau"), col("wau"),
+        floor(col("dau").cast("double") / col("wau").cast("double") * 1e6 + 0.5)
+          .cast("long").as("stickiness_micro"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q232_rolling_distinct" -> q232RollingDistinct,
     "q230_chi_square" -> q230ChiSquare,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
@@ -2866,6 +2902,26 @@ object ExtQueries {
         |FROM w ORDER BY dec""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q232: identical 63-bit word bitmaps, identical ×7 day fan-out,
+    // OR + popcount windowed distinct — all exact longs
+    "q232_rolling_distinct" ->
+      """WITH dw AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(user_id AS BIGINT) // 63 AS w,
+        |    bit_or(1::BIGINT << CAST(CAST(user_id AS BIGINT) % 63 AS INT)) AS bm
+        |  FROM events WHERE user_id >= 0 GROUP BY 1, 2),
+        |daily AS (SELECT d, CAST(sum(bit_count(bm)) AS BIGINT) AS dau
+        |  FROM dw GROUP BY d),
+        |fan AS (SELECT d + o AS td, w, bm
+        |  FROM dw, (SELECT unnest(range(0, 7)) AS o)),
+        |win AS (SELECT td, CAST(sum(bit_count(bm7)) AS BIGINT) AS wau FROM (
+        |    SELECT td, w, bit_or(bm) AS bm7 FROM fan GROUP BY td, w)
+        |  GROUP BY td)
+        |SELECT daily.d, daily.dau, win.wau,
+        |  CAST(floor(CAST(daily.dau AS DOUBLE) / CAST(win.wau AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS stickiness_micro
+        |FROM daily JOIN win ON win.td = daily.d
+        |ORDER BY daily.d""".stripMargin,
     // q230: identical contingency grid, double-widened expected counts,
     // per-cell micro floors before the exact integer total
     "q230_chi_square" ->

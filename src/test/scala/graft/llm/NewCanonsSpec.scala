@@ -325,6 +325,27 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q232 rolling 7-day distinct equals an exact set-based driver computation") {
+    val pairs = Tables.events(spark, sfDir)
+      .filter(col("user_id") >= 0)
+      .select(expr("cast(cast(ts as long) div 86400 as bigint)"), col("user_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = graft.queries.ExtQueries.queries("q232_rolling_distinct")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === byDay.size)
+    got.foreach { case (d, dau, wau, stick) =>
+      val want1 = byDay(d).size.toLong
+      val want7 = (d - 6 to d).flatMap(byDay.get).foldLeft(Set.empty[Long])(_ ++ _).size.toLong
+      assert(dau === want1, s"day $d DAU")
+      assert(wau === want7, s"day $d trailing-7 distinct (bitmap OR != set union)")
+      assert(stick === math.floor(dau.toDouble / wau * 1e6 + 0.5).toLong)
+      assert(wau >= dau, "window distinct below daily distinct")
+    }
+    // the window must actually exceed single days somewhere (non-vacuous)
+    assert(got.exists { case (_, dau, wau, _) => wau > dau })
+  }
+
   test("q222 equals the exact all-pairs Theil-Sen median on the daily grid") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
