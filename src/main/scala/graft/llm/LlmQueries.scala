@@ -1967,6 +1967,47 @@ object LlmQueries {
     trace.toSeq.toDF("round", "selected_id", "gain", "coverage")
   }
 
+  /** Per-source KL divergence from the corpus token distribution
+    * (Kullback–Leibler 1951; the "how far does this source drift from
+    * the mixture" signal data-recipe papers weight sources by — the
+    * distributional side of q132's DSIR importance and q140's PSI
+    * drift, at token grain): D(P_s ‖ P) = Σ_t P_s(t)·ln(P_s(t)/P(t))
+    * with add-1 smoothing on both distributions (every corpus token
+    * participates for every source, so the sum is over the shared
+    * vocabulary and KL is finite by construction). Scale shape: tokens
+    * collapse to (source, token) counts in one map-side-combinable
+    * pass; the per-source and corpus marginals are vocabulary-bounded;
+    * the scoring join is keyed on token. Exactness: the q133
+    * fixed-point discipline — each term's log-ratio lands micro-floored
+    * on the long grid BEFORE the per-source sum... except the term
+    * weight P_s(t) is a ratio, so instead each term is floored in
+    * NANO-nats after ONE double chain in identical order
+    * (cnt_s+1)/(n_s+V) · ln(((cnt_s+1)·(n+V)) / ((n_s+V)·(cnt+1)))
+    * and the per-source total is an exact long sum of those terms. */
+  private val q233SourceKl: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(toksCol(col("text"))).as("t"))
+    val st = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_s"))
+    val ct = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val marg = st.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val tot = ct.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    // every (source, vocabulary token) pair participates — the add-1
+    // smoothing grid; absent pairs take c_s = 0
+    val grid = marg.crossJoin(ct).crossJoin(broadcast(tot))
+      .join(st, Seq("source", "t"), "left")
+      .select(col("source"), col("n_s"), col("n"), col("v"),
+        coalesce(col("c_s"), lit(0L)).as("c_s"), col("c"))
+    val ps = (col("c_s") + 1).cast("double") / (col("n_s") + col("v")).cast("double")
+    val ratio = ((col("c_s") + 1).cast("double") * (col("n") + col("v")).cast("double")) /
+      ((col("n_s") + col("v")).cast("double") * (col("c") + 1).cast("double"))
+    grid
+      .select(col("source"), col("n_s"),
+        floor(ps * log(ratio) * 1e9 + 0.5).cast("long").as("term_nano"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term_nano")).as("kl_nano"), count(lit(1)).as("v_terms"))
+      .orderBy(col("source"))
+  }
+
   /** Good–Turing frequency estimation (Good 1953, Biometrika; Gale &
     * Sampson 1995) — the corpus-linguistics canon behind "how much
     * vocabulary haven't we seen yet": the unseen-mass estimate
@@ -4059,6 +4100,7 @@ object LlmQueries {
     "q227_good_turing"    -> q227GoodTuring,
     "q228_zipf_fit"       -> q228ZipfFit,
     "q231_coreset_greedy" -> q231CoresetGreedy,
+    "q233_source_kl"      -> q233SourceKl,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4375,6 +4417,28 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "q231_coreset_greedy" -> duckCoresetSql,
+    // q233: identical smoothing grid, one identical-order double chain
+    // per term nano-floored before the exact per-source sum
+    "q233_source_kl" ->
+      s"""WITH toks AS (SELECT source, t
+         |  FROM (SELECT source, unnest($duckToks) AS t FROM documents)),
+         |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_s
+         |  FROM toks GROUP BY 1, 2),
+         |ct AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         |marg AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY source),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM ct),
+         |grid AS (SELECT m.source, m.n_s, tot.n, tot.v,
+         |    coalesce(s.c_s, 0) AS c_s, ct.c
+         |  FROM marg m CROSS JOIN ct CROSS JOIN tot
+         |  LEFT JOIN st s ON s.source = m.source AND s.t = ct.t)
+         |SELECT source, n_s,
+         |  CAST(sum(CAST(floor(
+         |    CAST(c_s + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE) *
+         |    ln((CAST(c_s + 1 AS DOUBLE) * CAST(n + v AS DOUBLE)) /
+         |       (CAST(n_s + v AS DOUBLE) * CAST(c + 1 AS DOUBLE)))
+         |    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nano,
+         |  CAST(count(*) AS BIGINT) AS v_terms
+         |FROM grid GROUP BY source, n_s ORDER BY source""".stripMargin,
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
