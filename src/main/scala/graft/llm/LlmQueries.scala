@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` testdata tables: deduplication (exact, MinHash+LSH,
@@ -1069,14 +1070,27 @@ object LlmQueries {
   }
 
   private val q132DsirSelect: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    // the selection rank (log_w desc, doc_id asc) over EVERY document is
+    // corpus-sized — `row_number().over(Window.orderBy(…))` would funnel
+    // the corpus through one task (this repo's named scale-killer). The
+    // (log_w, doc_id) pair packs into one unique long key — log_w is
+    // 4dp-floored, so log_w·10⁴ is an exact integer on both engines —
+    // and the two-level prefix sum ranks it; the oracle keeps the
+    // sequential window spec, so the hash match proves the decomposition.
+    val M = 1L << 24    // doc_id cap
+    val CapW = 1L << 20 // |log_w·10⁴| cap (|log_w| ≤ ~104 nats)
     val scored = dsirScore(Tables.documents(s, dir), dsirLlrFit(s, dir))
-    val w = Window.orderBy(col("log_w").desc, col("doc_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("cnt",
-        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("le4", floor(col("log_w") * 1e4 + 0.5).cast("long"))
+      .cache()
+    val g = scored.agg(max(abs(col("le4"))), max(col("doc_id")), count(lit(1))).head()
+    require(g.getLong(0) < CapW && g.getLong(1) < M,
+      "composed-key caps exceeded — widen the key packing")
+    val n = g.getLong(2)
+    val keyed = scored.withColumn("k", (lit(CapW) - col("le4")) * M + col("doc_id"))
+    DistributedSelect.globalRowNumber(keyed, "k", "rnk", 1L << 29)
       .select(col("doc_id"), col("n_grams"), col("log_w"), col("rnk"),
-        (col("rnk") <= ceil(col("cnt") * DsirKeepFrac)).cast("int").as("selected"))
+        (col("rnk") <= math.ceil(n * DsirKeepFrac).toLong).cast("int").as("selected"))
   }
 
   /** CCNet-style n-gram LM perplexity filter (Wenzek et al. 2020,
@@ -1773,8 +1787,10 @@ object LlmQueries {
     require(sketch.nonEmpty, "Misra-Gries summary came back empty on a non-empty stream")
     val est = map(sketch.toSeq.sortBy(_._1)
       .flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    // stream total via a broadcast 1-row aggregate, not an empty-
+    // partition window over the vocabulary-sized counts frame
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .withColumn("n", sum(col("freq")).over(Window.partitionBy()))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n"))))
     val bound = col("n").cast("double") / lit((MgCounters + 1).toDouble)
     counts.filter(col("freq").cast("double") > bound)
       .select(col("token"), col("freq"),
@@ -1801,32 +1817,58 @@ object LlmQueries {
     * (n_alive, n_edges, idx checksum). */
   private val KcoreK = 3
   private val KcoreRounds = 4
-  private val q194Kcore: Q = (s, dir) => {
-    val docs = linkGraphDocs(s, dir).cache()
-    val n = docs.count()
-    val und = linkGraphRawEdges(docs, n)
+  private val q194Kcore: Q = (s, dir) => q194KcoreImpl(s, dir, _ => ())
+
+  /** q194 with a per-round hook (CacheContractSpec's mid-query storage
+    * seam). Cache discipline is the q217 cadence: each round's pinned
+    * survivor frame is released as soon as the NEXT round materializes,
+    * `docs` once the edge list exists, `und` when the loop ends — live
+    * storage is O(1) frames for the query's whole life, not O(rounds).
+    * The per-round trace numbers are read EAGERLY into driver tuples
+    * (they are one bounded aggregate over the just-pinned round — the
+    * q231 trace discipline), which is exactly what makes the release
+    * safe: nothing downstream holds lineage into an unpersisted round
+    * (contrast q220, whose returned plan deliberately reads every
+    * round's frame and documents the retention). */
+  private[graft] def q194KcoreImpl(s: SparkSession, dir: String,
+      onRound: Int => Unit): DataFrame = {
+    import s.implicits._
+    val docsC = linkGraphDocs(s, dir).cache()
+    val n = docsC.count()
+    val docs = s.createDataFrame(docsC.rdd, docsC.schema)
+    val undC = linkGraphRawEdges(docs, n)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .cache()
-    def pinned(df: DataFrame): DataFrame = {
-      val c = df.cache(); c.count()
-      s.createDataFrame(c.rdd, c.schema)
-    }
-    var alive = pinned(und.select(col("a").as("v"))
-      .union(und.select(col("b").as("v"))).distinct())
-    val trace = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val und = s.createDataFrame(undC.rdd, undC.schema)
+    undC.count()
+    docsC.unpersist() // edge list materialized; docs is done
+    var aliveC = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct().cache()
+    var alive = s.createDataFrame(aliveC.rdd, aliveC.schema)
+    aliveC.count()
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
     for (r <- 1 to KcoreRounds) {
       val e = und
         .join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      alive = pinned(deg.filter(col("d") >= KcoreK).select(col("v")))
+      val prev = aliveC
+      aliveC = deg.filter(col("d") >= KcoreK).select(col("v")).cache()
+      alive = s.createDataFrame(aliveC.rdd, aliveC.schema)
+      aliveC.count()
+      prev.unpersist() // consumed by the round just materialized
       val eAfter = und.join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
-      trace += alive.agg(count(lit(1)).as("n_alive"), coalesce(sum(col("v")), lit(0L)).as("checksum"))
+      val row = alive.agg(count(lit(1)).as("n_alive"),
+          coalesce(sum(col("v")), lit(0L)).as("checksum"))
         .crossJoin(eAfter.agg(count(lit(1)).as("n_edges")))
-        .select(lit(r.toLong).as("round"), col("n_alive"), col("n_edges"), col("checksum"))
+        .head()
+      trace += ((r.toLong, row.getLong(0), row.getLong(2), row.getLong(1)))
+      onRound(r)
     }
-    trace.reduce(_ unionAll _).orderBy(col("round"))
+    undC.unpersist(); aliveC.unpersist() // trace is driver-held: release all
+    trace.toSeq.toDF("round", "n_alive", "n_edges", "checksum")
+      .orderBy(col("round"))
   }
 
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007,
@@ -1944,6 +1986,14 @@ object LlmQueries {
         .groupBy(col("c_id"))
         .agg(sum(greatest(col("s4") - col("cur"), lit(0L))).as("gain"))
         .collect().map(row => (row.getLong(0), row.getLong(1)))
+      // refuse loudly when the round's candidate pool is empty (tokHash
+      // %32 gate ∧ not-already-selected can yield zero candidates on a
+      // tiny corpus; the DuckDB oracle would likewise emit no w$r row) —
+      // an explicit contract beats minBy's opaque UnsupportedOperation
+      require(gains.nonEmpty,
+        s"q231 round $r: stochastic-greedy candidate pool is empty " +
+          s"(tokHash%32==0 minus ${selected.size} already-selected ids) — " +
+          "corpus too small for CoresetRounds at this pool rate")
       // pool-bounded driver argmax (gain desc, id asc) — like the kth
       // histogram walks, a bounded artifact, never corpus-sized
       val (winner, gain) = gains.minBy { case (id, g) => (-g, id) }
@@ -1974,37 +2024,58 @@ object LlmQueries {
     * drift, at token grain): D(P_s ‖ P) = Σ_t P_s(t)·ln(P_s(t)/P(t))
     * with add-1 smoothing on both distributions (every corpus token
     * participates for every source, so the sum is over the shared
-    * vocabulary and KL is finite by construction). Scale shape: tokens
-    * collapse to (source, token) counts in one map-side-combinable
-    * pass; the per-source and corpus marginals are vocabulary-bounded;
-    * the scoring join is keyed on token. Exactness: the q133
+    * vocabulary and KL is finite by construction). Exactness: the q133
     * fixed-point discipline — each term's log-ratio lands micro-floored
     * on the long grid BEFORE the per-source sum... except the term
     * weight P_s(t) is a ratio, so instead each term is floored in
     * NANO-nats after ONE double chain in identical order
     * (cnt_s+1)/(n_s+V) · ln(((cnt_s+1)·(n+V)) / ((n_s+V)·(cnt+1)))
-    * and the per-source total is an exact long sum of those terms. */
+    * and the per-source total is an exact long sum of those terms.
+    *
+    * Scale shape — the |sources|×|V| smoothing grid the definition
+    * DESCRIBES is never materialized (the r11 verdict's named degrade):
+    * an absent pair's term depends only on (n_s, c), so the absent mass
+    * collapses onto the (sources × FREQ-OF-FREQ) grid — bounded by the
+    * distinct corpus counts, not the vocabulary — via
+    * Σ_grid = Σ_sources Σ_{distinct c} n_c·term₀(n_s, c)
+    *        + Σ_{occurring (s,t)} (term(c_s) − term₀(c)),
+    * where every floored long appears identically on both sides of the
+    * identity, so the decomposition is EXACT, not approximate: the
+    * oracle still evaluates the full grid SQL, and the hash match IS
+    * the proof. Occurring pairs ride a sparse token-keyed join; the
+    * marginals are broadcast. */
   private val q233SourceKl: Q = (s, dir) => {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(toksCol(col("text"))).as("t"))
     val st = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_s"))
-    val ct = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val ct = toks.groupBy(col("t")).agg(count(lit(1)).as("c")).cache()
     val marg = st.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
     val tot = ct.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    // every (source, vocabulary token) pair participates — the add-1
-    // smoothing grid; absent pairs take c_s = 0
-    val grid = marg.crossJoin(ct).crossJoin(broadcast(tot))
-      .join(st, Seq("source", "t"), "left")
-      .select(col("source"), col("n_s"), col("n"), col("v"),
-        coalesce(col("c_s"), lit(0L)).as("c_s"), col("c"))
-    val ps = (col("c_s") + 1).cast("double") / (col("n_s") + col("v")).cast("double")
-    val ratio = ((col("c_s") + 1).cast("double") * (col("n") + col("v")).cast("double")) /
-      ((col("n_s") + col("v")).cast("double") * (col("c") + 1).cast("double"))
-    grid
+    // one nano-floored term; cS = c_s + 1 for present pairs, 1 for absent
+    def termNano(cS: Column): Column = {
+      val ps = cS.cast("double") / (col("n_s") + col("v")).cast("double")
+      val ratio = (cS.cast("double") * (col("n") + col("v")).cast("double")) /
+        ((col("n_s") + col("v")).cast("double") * (col("c") + 1).cast("double"))
+      floor(ps * log(ratio) * 1e9 + 0.5).cast("long")
+    }
+    // absent-pair mass for EVERY token, on the (source × freq-of-freq)
+    // grid: tokens with equal corpus count share one floored term
+    val cf = ct.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+    val absAll = marg.crossJoin(broadcast(cf)).crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("v"),
+        (col("n_c") * termNano(lit(1L))).as("mass"))
+      .groupBy(col("source"), col("n_s"), col("v"))
+      .agg(sum(col("mass")).as("abs_nano"))
+    // occurring pairs: replace each one's absent term with its real term
+    val pres = st.join(ct, "t")
+      .join(broadcast(marg), "source").crossJoin(broadcast(tot))
+      .select(col("source"),
+        (termNano(col("c_s") + 1) - termNano(lit(1L))).as("delta"))
+      .groupBy(col("source")).agg(sum(col("delta")).as("pres_nano"))
+    absAll.join(pres, Seq("source"), "left")
       .select(col("source"), col("n_s"),
-        floor(ps * log(ratio) * 1e9 + 0.5).cast("long").as("term_nano"))
-      .groupBy(col("source"), col("n_s"))
-      .agg(sum(col("term_nano")).as("kl_nano"), count(lit(1)).as("v_terms"))
+        (col("abs_nano") + coalesce(col("pres_nano"), lit(0L))).as("kl_nano"),
+        col("v").as("v_terms"))
       .orderBy(col("source"))
   }
 
@@ -2063,10 +2134,13 @@ object LlmQueries {
     * per-token order — and no single-task vocabulary sort — exists
     * anywhere. Exactness: per-term logs are micro-floored longs (the
     * q133 fixed-point discipline; ln of identical doubles is identical
-    * cross-engine at this grid), sums are exact longs (documented
-    * bound: Σ(log_micro)² needs vocab ≲ 10⁵ — widen to DECIMAL beyond),
-    * and the closed form widens factors to double BEFORE multiplying
-    * (the q184 overflow discipline). */
+    * cross-engine at this grid), first-moment sums are exact longs
+    * (Σ|log_micro| wraps only past ~10¹² tokens of vocabulary), the
+    * SECOND-moment sums ride DECIMAL(38,0) — Σ(log_micro)² wraps int64
+    * right at V ≈ 10⁵ while DuckDB's sum(BIGINT) is HUGEINT, so the
+    * widening keeps the two engines on the same exact-integer grid at
+    * ANY vocabulary — and the closed form widens factors to double
+    * BEFORE multiplying (the q184 overflow discipline). */
   private val q228ZipfFit: Q = (s, dir) => {
     def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
     val tf = Tables.documents(s, dir)
@@ -2082,10 +2156,19 @@ object LlmQueries {
     val terms = pairs.select(
       s6(log(col("rank").cast("double"))).as("lx"),
       s6(log(col("f").cast("double"))).as("ly"))
+    // second-moment sums are widened to DECIMAL(38,0) BEFORE summing:
+    // Σ(log_micro)² wraps int64 right at V ≈ 10⁵ (lx² ≈ 1.3×10¹⁴ per
+    // term), and DuckDB's sum(BIGINT) is HUGEINT (int128) so only the
+    // Spark side would wrap — silently under non-ANSI. The products are
+    // exact integers in both representations and the closed form reads
+    // them through double, so the widening is value-identical on any
+    // vocabulary that previously fit and correct on ones that didn't.
+    val d38 = DecimalType(38, 0)
     val g = terms.agg(count(lit(1)).as("n"),
       sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
-      sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"),
-      sum(col("ly") * col("ly")).as("syy"))
+      sum((col("lx") * col("lx")).cast(d38)).as("sxx"),
+      sum((col("lx") * col("ly")).cast(d38)).as("sxy"),
+      sum((col("ly") * col("ly")).cast(d38)).as("syy"))
     val nD = col("n").cast("double")
     val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
     val varX = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
@@ -2898,8 +2981,12 @@ object LlmQueries {
     * percentiles here (both engines: (a+b)/2 halves — exact doubles);
     * the 100 TB path swaps in approx_percentile (the q64 sketch) since
     * an exact median needs a per-group sort, and the MAD pass reuses
-    * the same one-row-per-source broadcast join this plan uses. */
-  private val q142RobustStats: Q = (s, dir) => {
+    * the same one-row-per-source broadcast join this plan uses.
+    *
+    * SPEC-SIDE REFERENCE, not served: `q142_robust_stats` serves
+    * [[q198RobustTwophase]] (exact two-phase selection, no per-group
+    * sort); TwoPhaseParitySpec pins this form equal to the served one. */
+  private[graft] val q142RobustStatsWindowRef: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .select(col("source"), size(toksCol(col("text"))).cast("long").as("n"))
       .cache()
@@ -4105,7 +4192,9 @@ object LlmQueries {
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
     "q141_leakage_split"  -> q141LeakageSplit,
-    "q142_robust_stats"   -> q142RobustStats,
+    // q142 serves the exact two-phase twin (round-11 directive #3);
+    // the percentile-sort form demoted to q142RobustStatsWindowRef
+    "q142_robust_stats"   -> q198RobustTwophase,
     "q198_robust_twophase" -> q198RobustTwophase,
     "q143_window_ranks"   -> q143WindowRanks,
     "q144_source_overlap" -> q144SourceOverlap,

@@ -204,7 +204,13 @@ object MlQueries {
        |  FROM curve)
        |SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2.0), 4) AS auc FROM tz""".stripMargin
 
-  private val q46RocAuc: Q = (s, dir) => {
+  /** SPEC-SIDE REFERENCE, not served: the sequential window form of the
+    * ROC sweep (one unpartitioned cumulative window over the distinct
+    * thresholds). `q46_roc_auc` serves [[q219RocTwoPhase]] — the exact
+    * two-phase decomposition with NO single-task sort — and
+    * TwoPhaseParitySpec pins this form equal to the served one, so the
+    * window spec stays executable without ever being the shipped plan. */
+  private[graft] val q46RocAucWindowRef: Q = (s, dir) => {
     val perThreshold = scored(s, dir)
       .groupBy(col("score"))
       .agg(sum(col("label")).as("tp_at"), sum(lit(1) - col("label")).as("fp_at"))
@@ -641,7 +647,10 @@ object MlQueries {
     "q43_kfold_assign" -> q43KfoldAssign,
     "q44_confusion"    -> q44Confusion,
     "q45_class_report" -> q45ClassReport,
-    "q46_roc_auc"      -> q46RocAuc,
+    // q46 serves the exact two-phase twin (round-11 directive #3): same
+    // oracle, hashes proven equal by the shared SQL + TwoPhaseParitySpec;
+    // the single-task window form demoted to q46RocAucWindowRef
+    "q46_roc_auc"      -> q219RocTwoPhase,
     "q219_roc_twophase" -> q219RocTwoPhase,
     "q229_conformal"   -> q229Conformal,
     "q157_calibration" -> q157Calibration,

@@ -285,6 +285,42 @@ object DistributedSelect {
     }.drop("__pd_b", "__pd_off")
   }
 
+  /** Exact global EXCLUSIVE running max without a global sort — the
+    * prefix-max sibling of [[globalPrefixSum]] (same two-level shape,
+    * max in place of Σ): one bucketing pass collects the bounded
+    * occupied-bucket max histogram, the driver EXCLUSIVE-prefix-maxes it
+    * into per-bucket "max of everything in earlier buckets" offsets, and
+    * each row's answer is greatest(offset, in-bucket running max over
+    * STRICTLY PRECEDING rows). This is the skyline/staircase primitive —
+    * `max(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING TO -1)` without
+    * the single-task sort. `keyCol` must hold UNIQUE non-negative longs
+    * (callers pack composite orders into one key — the q199 discipline);
+    * `vCol` long. Output: input columns plus `outCol` = max v over all
+    * rows with key < this row's key, NULL for the globally first row
+    * (greatest() ignores nulls, so the two legs compose exactly). */
+  def globalPrefixMaxExclusive(df: DataFrame, keyCol: String, vCol: String,
+      outCol: String, width: Long): DataFrame = {
+    require(width >= 1, "need a positive bucket width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df.withColumn("__pm_b", (col(keyCol) / width).cast("long"))
+    val hist = withB.groupBy(col("__pm_b")).agg(max(col(vCol)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run: Option[Long] = None
+    val offsets = hist.map { case (b, m) =>
+      val o = (b, run)
+      run = Some(run.fold(m)(math.max(_, m)))
+      o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("__pm_b", "__pm_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pm_b")).orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withB.join(offDf, Seq("__pm_b"))
+      .withColumn(outCol, greatest(col("__pm_off"), max(col(vCol)).over(w)))
+      .drop("__pm_b", "__pm_off")
+  }
+
   /** ntile(buckets) as pure arithmetic over a 1-based global rank of n
     * rows — SQL ntile semantics: the first (n mod buckets) tiles take
     * ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋. With ranks from

@@ -602,8 +602,13 @@ object ExtQueries {
     * ranking is inherently global; the q142-style 100 TB degrade is
     * quantile thresholds from approx_percentile instead of exact
     * ntile. Recency quartile 1 = most recent (standard RFM polarity:
-    * higher digit = weaker), frequency/monetary quartile 1 = highest. */
-  private val q156Rfm: Q = (s, dir) => {
+    * higher digit = weaker), frequency/monetary quartile 1 = highest.
+    *
+    * SPEC-SIDE REFERENCE, not served: `q156_rfm` serves
+    * [[q199RfmTwophase]] (two-level prefix-sum ranks, no global-sort
+    * windows); TwoPhaseParitySpec pins this form equal to the served
+    * one. */
+  private[graft] val q156RfmWindowRef: Q = (s, dir) => {
     val maxD = Tables.events(s, dir)
       .agg(max(to_date(col("ts"))).as("d1"))
     val perUser = Tables.events(s, dir)
@@ -1064,13 +1069,30 @@ object ExtQueries {
     * algorithms and are out of this operator's declared scope. Raw
     * stored doubles compare without arithmetic — exact cross-engine. */
   private val q176Skyline: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    // the staircase scan `max(size) OVER (ORDER BY price, size DESC ROWS
+    // … TO -1)` runs over the DISTINCT (price, size) grid — which is
+    // ~|part|-sized, so the window form would funnel the dimension
+    // through one task. Two-phase instead (round-11 directive #3 family):
+    // pack (price asc, size desc) into one unique long key and take the
+    // exclusive prefix max via the two-level bucket decomposition; the
+    // oracle keeps the sequential window spec, so the hash match proves
+    // the decomposition.
+    val CapS = 1L << 10
     val pts = Tables.part(s, dir)
       .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
       .agg(count(lit(1)).as("n_parts"))
-    val before = Window.orderBy(col("price"), col("size").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pts.withColumn("run_max", max(col("size")).over(before))
-      .filter(col("run_max").isNull || col("size") > col("run_max"))
+      .withColumn("cents", floor(col("price") * 100.0 + 0.5).cast("long"))
+      .cache()
+    val g = pts.agg(max(col("cents")), max(col("size").cast("long")),
+      min(col("size").cast("long"))).head()
+    require(g.getLong(0) < (1L << 50) / CapS && g.getLong(1) < CapS && g.getLong(2) >= 0,
+      "composed-key caps exceeded — widen the key packing")
+    val keyed = pts.withColumn("k",
+      col("cents") * CapS + (lit(CapS) - col("size").cast("long")))
+      .withColumn("sz", col("size").cast("long"))
+    DistributedSelect.globalPrefixMaxExclusive(keyed, "k", "sz", "run_max", 1L << 14)
+      .filter(col("run_max").isNull || col("sz") > col("run_max"))
       .select(col("price"), col("size"), col("n_parts"))
       .orderBy(col("price"))
   }
@@ -1150,8 +1172,12 @@ object ExtQueries {
     * path is DECIMAL38/HUGEINT, documented not silent), so G is one
     * double division of identical integers, micro-floored. The global
     * sort rides q156's documented 100 TB degrade (approx-quantile
-    * boundaries); the per-decile aggregate is bounded at 10 rows. */
-  private val q179GiniLorenz: Q = (s, dir) => {
+    * boundaries); the per-decile aggregate is bounded at 10 rows.
+    *
+    * SPEC-SIDE REFERENCE, not served: `q179_gini_lorenz` serves
+    * [[q200GiniTwophase]] (two-level prefix-sum rank + rank-weighted
+    * sums, no global sort); TwoPhaseParitySpec pins the parity. */
+  private[graft] val q179GiniLorenzWindowRef: Q = (s, dir) => {
     def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -1292,8 +1318,12 @@ object ExtQueries {
     * ntile pass + one bounded 16-row aggregate; the global rank rides
     * q156's documented approx-quantile 100 TB degrade (which is exactly
     * how production ANALYZE computes it — approx boundaries, exact
-    * per-bucket stats). */
-  private val q182EquidepthHist: Q = (s, dir) => {
+    * per-bucket stats).
+    *
+    * SPEC-SIDE REFERENCE, not served: `q182_equidepth_hist` serves
+    * [[q205EquidepthTwophase]] (two-level prefix-sum rank, no global
+    * sort); TwoPhaseParitySpec pins this form equal to the served one. */
+  private[graft] val q182EquidepthHistWindowRef: Q = (s, dir) => {
     val ranked = Tables.lineitem(s, dir)
       .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
       .withColumn("bucket", ntile(16).over(
@@ -1451,14 +1481,21 @@ object ExtQueries {
     * scale (documented; exact long here). */
   private val PpsSamples = 20L
   private val q188PpsSample: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    // the customer-ordered cumulative weight is corpus-sized — `sum(w)
+    // OVER (ORDER BY o_custkey)` would funnel every customer through one
+    // task. o_custkey is already a unique non-negative long, so the
+    // two-level prefix sum ranks it directly; the grand total rides a
+    // broadcast 1-row aggregate. The oracle keeps the sequential window
+    // spec — the hash match proves the decomposition.
     val spend = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("w"))
-    val ord = Window.orderBy(col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val g = spend
-      .withColumn("cum", sum(col("w")).over(ord))
-      .withColumn("total", sum(col("w")).over(Window.partitionBy()))
+      .cache()
+    val tot = spend.agg(sum(col("w")).as("total"))
+    val g = DistributedSelect
+      .globalPrefixSum(spend, "o_custkey", "w", "cum", 1L << 16)
+      .crossJoin(broadcast(tot))
       .withColumn("hits",
         expr(s"($PpsSamples * cum) div total - ($PpsSamples * (cum - w)) div total"))
     g.filter(col("hits") > 0)
@@ -2775,7 +2812,10 @@ object ExtQueries {
     "q109_unpivot" -> q109Unpivot,
     "q154_retention" -> q154Retention,
     "q155_rolling_active" -> q155RollingActive,
-    "q156_rfm" -> q156Rfm,
+    // q156/q179/q182 serve their exact two-phase twins (round-11
+    // directive #3): same oracles, hashes proven equal by the shared SQL
+    // + TwoPhaseParitySpec; window forms demoted to *WindowRef
+    "q156_rfm" -> q199RfmTwophase,
     "q199_rfm_twophase" -> q199RfmTwophase,
     "q200_gini_twophase" -> q200GiniTwophase,
     "q59_coercion"      -> q59Coercion,
@@ -2815,8 +2855,8 @@ object ExtQueries {
     "q176_skyline"      -> q176Skyline,
     "q177_peak_concurrency" -> q177PeakConcurrency,
     "q178_share_of_parent" -> q178ShareOfParent,
-    "q179_gini_lorenz"  -> q179GiniLorenz,
-    "q182_equidepth_hist" -> q182EquidepthHist,
+    "q179_gini_lorenz"  -> q200GiniTwophase,
+    "q182_equidepth_hist" -> q205EquidepthTwophase,
     "q184_peer_anomaly" -> q184PeerAnomaly,
     "q185_autocorrelation" -> q185Autocorrelation,
     "q186_apportionment" -> q186Apportionment,

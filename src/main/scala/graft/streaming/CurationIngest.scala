@@ -114,11 +114,20 @@ object CurationIngest {
       }
       .start()
 
-  private def exists(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+  /** A batch dir counts as COMMITTED only once its `_SUCCESS` marker
+    * exists: Spark creates the output directory at job start and the
+    * committer places `_SUCCESS` last, so directory existence alone
+    * would read a torn (crashed-mid-write) dir as a finished batch —
+    * the replay would then skip recomputation and permanently lose that
+    * batch's admissions. Everything below (the replay skip AND the
+    * prior-state reads) keys on the marker, so a torn write is
+    * recomputed exactly like the tested hashes-only crash. */
+  private def committed(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
-  /** Batch dirs under `root` EXCLUDING the given label — the
-    * replay-safety read shape. */
+  /** COMMITTED batch dirs under `root` EXCLUDING the given label — the
+    * replay-safety read shape (a torn dir is invisible until its owner
+    * batch replays and rewrites it). */
   private def priorLabels(root: String, label: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(root)
@@ -128,7 +137,8 @@ object CurationIngest {
       try s.iterator().asScala.toSeq
         .filter(d => java.nio.file.Files.isDirectory(d) &&
           d.getFileName.toString.startsWith("batch=") &&
-          d.getFileName.toString != label)
+          d.getFileName.toString != label &&
+          committed(d.toString))
         .map(_.toString)
       finally s.close()
     }
@@ -140,7 +150,9 @@ object CurationIngest {
       stateDir: String): Unit = {
     val spark = batch.sparkSession
     val label = s"batch=$batchId"
-    if (exists(s"$stateDir/admitted/$label")) return // replay: identical recompute, skip
+    // replay: identical recompute, skip — gated on the batch's _SUCCESS
+    // marker, NOT directory existence (see [[committed]])
+    if (committed(s"$stateDir/admitted/$label")) return
 
     val arr = batch.select(col("doc_id"), col("source"), col("lang"), col("text"))
 

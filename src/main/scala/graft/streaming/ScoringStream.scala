@@ -32,19 +32,22 @@ object ScoringStream {
     * FAILED (the 422 arity-check analogue, api/app.py:185-191); others
     * COMPLETED with score + attributions. */
   def scoreBatch(batch: DataFrame, featureNames: Seq[String],
-      coefs: Seq[Double], mu: Seq[Double], intercept: Double): DataFrame = {
-    // P3 map-alignment + score + SHAP + validity in ONE fused kernel
-    // ([[graft.functions.LinearScoreAttr]]): this plan is re-built,
-    // re-analyzed, and re-executed EVERY micro-batch (foreachBatch) on
-    // the latency path, and the composable formulation (per-feature
-    // getItem probes, zip_with/aggregate HOF folds, per-row to_json)
-    // was the dominant per-trigger cost at 10k-row batches. Two selects
-    // keep the kernel evaluated ONCE (CollapseProject refuses to inline
-    // a non-cheap expression into multiple references).
-    val scored = call_function("linear_score_attr", col("features"),
+      coefs: Seq[Double], mu: Seq[Double], intercept: Double): DataFrame =
+    shapeScored(batch, linearColumn(featureNames, coefs, mu, intercept))
+
+  /** The fused linear score+SHAP kernel as a reusable Column.
+    * P3 map-alignment + score + SHAP + validity in ONE fused kernel
+    * ([[graft.functions.LinearScoreAttr]]): the composable formulation
+    * (per-feature getItem probes, zip_with/aggregate HOF folds, per-row
+    * to_json) was the dominant per-trigger cost at 10k-row batches.
+    * Built ONCE per model, not per micro-batch: a Column is an immutable
+    * expression tree reusable across plans, and rebuilding it per
+    * trigger re-runs the Scala→Catalyst literal conversion of every
+    * model parameter on the foreachBatch latency path. */
+  def linearColumn(featureNames: Seq[String], coefs: Seq[Double],
+      mu: Seq[Double], intercept: Double): org.apache.spark.sql.Column =
+    call_function("linear_score_attr", col("features"),
       typedLit(featureNames), typedLit(coefs), typedLit(mu), lit(intercept))
-    shapeScored(batch, scored)
-  }
 
   /** [[scoreBatch]] for a promoted GRADIENT-BOOSTED model: identical
     * alignment/validity/lifecycle semantics and an identical output
@@ -330,19 +333,28 @@ object ScoringStream {
   def attach(stream: DataFrame, store: ResultStore, checkpointDir: String,
       featureNames: Seq[String], coefs: Seq[Double], mu: Seq[Double],
       intercept: Double, compactEvery: Int = 0,
-      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
+      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery = {
+    // hoisted: the kernel Column (and its model-literal conversion) is
+    // built once per attach, not once per micro-batch trigger
+    val scoredCol = linearColumn(featureNames, coefs, mu, intercept)
     attachScorer(stream, store, checkpointDir,
-      scoreBatch(_, featureNames, coefs, mu, intercept), compactEvery, metrics)
+      shapeScored(_, scoredCol), compactEvery, metrics)
+  }
 
   /** [[attach]] serving a promoted gradient-boosted model: the same
     * lifecycle/metrics/store wiring with the tree-walk kernel
-    * ([[scoreBatchGbt]]) in place of the linear one. */
+    * ([[scoreBatchGbt]]) in place of the linear one. The model Column —
+    * whose construction converts ~6×nodes flat arrays to Catalyst
+    * literals — is built ONCE here; per-trigger rebuild was a measurable
+    * constant on the 500 ms-SLO path at 100-tree models. */
   def attachGbt(stream: DataFrame, store: ResultStore, checkpointDir: String,
       featureNames: Seq[String], trees: graft.xai.GbtAttr.FlatTrees,
       compactEvery: Int = 0,
-      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
+      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery = {
+    val scoredCol = graft.xai.GbtAttr.column(col("features"), featureNames, trees)
     attachScorer(stream, store, checkpointDir,
-      scoreBatchGbt(_, featureNames, trees), compactEvery, metrics)
+      shapeScored(_, scoredCol), compactEvery, metrics)
+  }
 
   /** The model-family-agnostic worker loop: any scorer producing the
     * shared (transaction_id, prediction_score, shap_values, status,

@@ -1054,8 +1054,8 @@ object StreamOps {
   }
 
   final case class ValueArrival(scope: String, cents: Long)
-  final case class HdrSnapshot(scope: String, nSeen: Long, nBuckets: Long,
-      quantiles: String, buckets: String)
+  final case class HdrSnapshot(scope: String, nSeen: Long, nDropped: Long,
+      nBuckets: Long, quantiles: String, buckets: String)
 
   /** q214's keyed streaming twin and the sketch tier's last missing
     * stream gate: a per-scope HDR (log-scale histogram) quantile monitor
@@ -1076,23 +1076,25 @@ object StreamOps {
     * state table — O(buckets) per trigger, never the data — plus the
     * canonical bucket table itself for the batch-parity bridge.
     * Values must be nonnegative cent-grid longs (q214's documented
-    * precondition; negative arrivals are dropped with a count so the
-    * contract is visible, not silent). */
+    * precondition); a negative arrival is excluded from the sketch but
+    * COUNTED — every snapshot carries the cumulative `nDropped`, so a
+    * producer violating the contract is visible in the output, never
+    * silently absorbed. */
   def hdrQuantileState(vals: Dataset[ValueArrival]): Dataset[HdrSnapshot] = {
     import vals.sparkSession.implicits._
     vals.groupByKey(_.scope)
-      .flatMapGroupsWithState[(Map[Long, Long], Long), HdrSnapshot](
+      .flatMapGroupsWithState[(Map[Long, Long], Long, Long), HdrSnapshot](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (scope: String, batch: Iterator[ValueArrival],
-         state: GroupState[(Map[Long, Long], Long)]) =>
-          var (tbl, n) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+         state: GroupState[(Map[Long, Long], Long, Long)]) =>
+          var (tbl, n, dropped) = state.getOption.getOrElse((Map.empty[Long, Long], 0L, 0L))
           batch.foreach { a =>
             if (a.cents >= 0) {
               tbl = tbl.updated(hdrBucket(a.cents), tbl.getOrElse(hdrBucket(a.cents), 0L) + 1L)
               n += 1
-            }
+            } else dropped += 1
           }
-          state.update((tbl, n))
+          state.update((tbl, n, dropped))
           val sorted = tbl.toSeq.sortBy(_._1)
           val qs = Seq(50L, 90L, 95L, 99L).map { p =>
             val k = (p * n + 99L) / 100L
@@ -1103,7 +1105,7 @@ object StreamOps {
             }
           }.mkString(",")
           val bucketsCsv = sorted.map { case (b, c) => s"$b:$c" }.mkString(",")
-          Iterator(HdrSnapshot(scope, n, sorted.size.toLong, qs, bucketsCsv))
+          Iterator(HdrSnapshot(scope, n, dropped, sorted.size.toLong, qs, bucketsCsv))
       }
   }
 

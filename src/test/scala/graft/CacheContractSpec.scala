@@ -29,4 +29,22 @@ class CacheContractSpec extends SparkSpec {
     }
     assert(leaked.isEmpty, s"queries leaking caches past clearCache: ${leaked.mkString("; ")}")
   }
+
+  test("q194 holds O(1) cached frames MID-query (per-round release, the q217 cadence)") {
+    // the post-query sweep above can't see a query that accumulates one
+    // pinned frame per round and only releases at the end — this seam
+    // asserts DURING the peel that live storage stays bounded by the
+    // cadence (und + current alive, plus transient overlap while the
+    // next round materializes), independent of round count
+    spark.catalog.clearCache()
+    var maxLive = 0
+    val df = graft.llm.LlmQueries.q194KcoreImpl(spark, sfDir, { _ =>
+      maxLive = math.max(maxLive, spark.sparkContext.getPersistentRDDs.size)
+    })
+    assert(df.count() > 0)
+    assert(maxLive <= 3,
+      s"q194 held $maxLive cached frames mid-query — per-round release regressed")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q194 trace is driver-held; nothing may stay cached at return")
+  }
 }

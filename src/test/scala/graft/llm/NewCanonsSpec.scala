@@ -231,6 +231,44 @@ class NewCanonsSpec extends SparkSpec {
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
   }
 
+  test("q233 per-source KL equals a driver add-1-smoothed computation over the full grid") {
+    // the q133 discipline: recompute every per-term double chain
+    // driver-side IN THE SAME ORDER as the Column expression —
+    // (cnt_s+1)/(n_s+V) · ln(((cnt_s+1)·(n+V)) / ((n_s+V)·(cnt+1))) —
+    // nano-floored per term, exact long sum per source
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val st = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val marg = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    val v = ct.size.toLong
+    val want = marg.keys.toSeq.sorted.map { src =>
+      val nS = marg(src)
+      val klNano = ct.keys.toSeq.map { t =>
+        val cS = st.getOrElse((src, t), 0L)
+        val c = ct(t)
+        val ps = (cS + 1).toDouble / (nS + v).toDouble
+        val ratio = ((cS + 1).toDouble * (n + v).toDouble) /
+          ((nS + v).toDouble * (c + 1).toDouble)
+        math.floor(ps * math.log(ratio) * 1e9 + 0.5).toLong
+      }.sum
+      (src, nS, klNano, v)
+    }
+    val got = LlmQueries.queries("q233_source_kl")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want, "distributed KL grid diverged from the driver recomputation")
+    // the signal must discriminate: at least one source away from zero
+    // (every source = the mixture would make the gate vacuous), and KL's
+    // nonnegativity (Gibbs) must survive the nano-floor up to one ulp
+    // per term of floor slack
+    assert(want.exists(_._3 > 0L), "all sources at zero KL — vacuous gate")
+    want.foreach { case (src, _, kl, vocab) =>
+      assert(kl >= -vocab, s"source $src: KL below the floor-slack bound — Gibbs violated")
+    }
+  }
+
   test("q229 conformal quantile equals a full-sort driver rank; the coverage guarantee holds") {
     // the Column-API double chain scored() uses (a SQL-string decimal
     // rebuild would differ in ulps at the micro-floor boundaries)

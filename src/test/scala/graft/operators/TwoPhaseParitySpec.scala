@@ -5,44 +5,49 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The documented 100 TB degrade paths, proven EXACT: each two-phase
-  * twin (q198/q199/q200) must return row-for-row identical results to
-  * its window/percentile-based original (q142/q156/q179) on the oracle
-  * data — plus kernel-level parity for the two new primitives against
-  * the global-sort formulations they replace. */
+/** The sequential window/percentile specifications, proven EXACT against
+  * the SERVED two-phase implementations: since round 12 the original
+  * query names (q46/q142/q156/q179/q182) serve their two-phase twins
+  * (round-11 directive #3 — no single-task global-sort window ships in
+  * any served plan), and the window forms survive only as spec-side
+  * references (`*WindowRef`). Each must return row-for-row identical
+  * results to the served query on the oracle data — plus kernel-level
+  * parity for the two-phase primitives against the global-sort
+  * formulations they replace. */
 class TwoPhaseParitySpec extends SparkSpec {
   import spark.implicits._
 
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
-  private def parity(orig: String, twin: String): Unit = {
-    val a = rows(SparkEntry.queries(orig)(spark, sfDir))
-    val b = rows(SparkEntry.queries(twin)(spark, sfDir))
-    assert(a.nonEmpty, s"$orig returned nothing — vacuous parity")
-    assert(a === b, s"$twin diverged from $orig: " +
-      s"only-orig ${(a -- b).take(2)}, only-twin ${(b -- a).take(2)}")
+  private def parity(windowRef: (org.apache.spark.sql.SparkSession, String) => DataFrame,
+      served: String): Unit = {
+    val a = rows(windowRef(spark, sfDir))
+    val b = rows(SparkEntry.queries(served)(spark, sfDir))
+    assert(a.nonEmpty, s"window reference for $served returned nothing — vacuous parity")
+    assert(a === b, s"served $served diverged from its window-form spec: " +
+      s"only-ref ${(a -- b).take(2)}, only-served ${(b -- a).take(2)}")
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("q198 two-phase median+MAD equals q142 exactly") {
-    parity("q142_robust_stats", "q198_robust_twophase")
+  test("served q142 (two-phase median+MAD) equals the percentile-sort spec exactly") {
+    parity(graft.llm.LlmQueries.q142RobustStatsWindowRef, "q142_robust_stats")
   }
 
-  test("q199 two-phase RFM quartiles equal q156 exactly (ties included)") {
-    parity("q156_rfm", "q199_rfm_twophase")
+  test("served q156 (two-phase RFM quartiles) equals the ntile-window spec exactly (ties included)") {
+    parity(graft.queries.ExtQueries.q156RfmWindowRef, "q156_rfm")
   }
 
-  test("q205 two-phase equi-depth histogram equals q182 exactly") {
-    parity("q182_equidepth_hist", "q205_equidepth_twophase")
+  test("served q182 (two-phase equi-depth histogram) equals the ntile-window spec exactly") {
+    parity(graft.queries.ExtQueries.q182EquidepthHistWindowRef, "q182_equidepth_hist")
   }
 
-  test("q200 two-phase Lorenz/Gini equals q179 exactly") {
-    parity("q179_gini_lorenz", "q200_gini_twophase")
+  test("served q179 (two-phase Lorenz/Gini) equals the rank-window spec exactly") {
+    parity(graft.queries.ExtQueries.q179GiniLorenzWindowRef, "q179_gini_lorenz")
   }
 
-  test("q219 two-phase ROC sweep equals q46 exactly") {
-    parity("q46_roc_auc", "q219_roc_twophase")
+  test("served q46 (two-phase ROC sweep) equals the cumulative-window spec exactly") {
+    parity(graft.ml.MlQueries.q46RocAucWindowRef, "q46_roc_auc")
   }
 
   test("globalPrefixSumDescDouble equals the descending global-sort cumsum on adversarial keys") {
@@ -68,6 +73,31 @@ class TwoPhaseParitySpec extends SparkSpec {
     assert(got.length === want.length)
     assert(got.sameElements(want),
       "two-level descending prefix sum diverged from the global-sort window")
+  }
+
+  test("globalPrefixMaxExclusive equals the global-sort exclusive running max (nulls included)") {
+    // adversarial: duplicate values across buckets, a strictly-decreasing
+    // run (every row on the 'skyline'), and a bucket whose max sits at
+    // its first row (offset must come from EARLIER buckets only)
+    val base = (0L until 300L).map { i =>
+      val k = (i * 7919L) % 1000L * 64L + i // unique, bucket-scattered
+      val v = if (i % 7 == 0) 500L - i else (i * 31L) % 97L
+      (k, v)
+    }
+    val df = base.toDF("k", "v")
+    val got = DistributedSelect
+      .globalPrefixMaxExclusive(df, "k", "v", "run_max", width = 128L)
+      .select("k", "run_max")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("run_max", max(col("v")).over(w))
+      .select("k", "run_max")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got === want,
+      "two-level exclusive prefix max diverged from the global-sort window")
+    assert(want.values.exists(_.isEmpty), "first row must be NULL — vacuous otherwise")
   }
 
   test("globalRowNumber equals the global-sort row_number on adversarial keys") {

@@ -58,12 +58,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q46: the ROC cumulative window consumes the pre-aggregated thresholds") {
-    val opt = SparkEntry.queries("q46_roc_auc")(spark, sfDir).queryExecution.optimizedPlan.toString
-    val windowIdx = opt.indexOf("Window")
-    val aggIdx = opt.indexOf("Aggregate", windowIdx)
-    assert(windowIdx >= 0 && aggIdx > windowIdx,
-      s"window should sit above the per-threshold aggregate:\n$opt")
+  test("q46: the served ROC sweep is the two-phase plan — no unpartitioned window anywhere") {
+    // round-11 directive #3: q46_roc_auc serves q219's two-phase
+    // decomposition; the cumulative-window form is spec-side only
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("q46_roc_auc")(spark, sfDir).queryExecution.optimizedPlan
+    val unpart = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(unpart.isEmpty,
+      s"q46 regressed to a single-task global-sort window:\n$plan")
   }
 
   test("q75: contamination is a hash join on the shingle hash, never all-pairs") {
@@ -254,6 +256,66 @@ class PlanAuditSpec extends SparkSpec {
       s"q150 rank window is not label-partitioned:\n$winSpec")
   }
 
+  test("FULL SURFACE: no served query plans an unpartitioned window over corpus-sized input") {
+    // Round-11 directive #3's gate, generalized: sweep EVERY SparkEntry
+    // query's optimized logical plan for Window nodes with an empty
+    // partitionSpec (= one task sorts the node's whole input). An
+    // unpartitioned window is only acceptable when its input is BOUNDED
+    // by construction — each allowlisted query names its bound; anything
+    // else (a new query, or a regression of a served two-phase twin)
+    // fails here BY NAME. Window shape is SF-invariant (it is a plan
+    // property, not a stats decision), so the sf0.001 sweep pins the
+    // sf0.1 shape the bench runs.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bounded: Map[String, String] = Map(
+      // sweep-curve family: windows over the per-DISTINCT-score
+      // aggregate — scores are 1000-bucket-quantized by construction
+      "q82_ks_stat"        -> "≤2000 distinct quantized scores",
+      "q83_pr_auc"         -> "≤2000 distinct quantized scores",
+      "q84_decile_lift"    -> "≤2000 distinct quantized scores",
+      "q218_isotonic"      -> "≤1000 calibration bins (PAVA over the bin grid)",
+      // tiny fixed frames
+      "q48_shap_topk"      -> "4-row stacked feature table",
+      "q171_benford"       -> "9-row first-digit grid",
+      "q175_woe_iv"        -> "bounded WoE bin grid",
+      "q178_share_of_parent" -> "region/nation dimension grid",
+      "q186_apportionment" -> "25-row nation grid",
+      "q179_gini_lorenz"   -> "10-row decile rollup (rank itself is two-phase)",
+      "q200_gini_twophase" -> "10-row decile rollup (rank itself is two-phase)",
+      // domain-bounded grids (value domains, not corpus size)
+      "q162_mutual_info"   -> "lang×source cell grid",
+      "q203_temp_mixture"  -> "per-source weight table",
+      "q214_hdr_quantiles" -> "HDR bucket table (≤32·log(max) buckets)",
+      "q216_mann_whitney"  -> "integer-quantity domain grid (runtime tie-group pin)",
+      "q228_zipf_fit"      -> "freq-of-freq grid (distinct frequencies)",
+      // calendar/time-bounded series
+      "q164_seasonality"   -> "calendar grid",
+      "q189_cross_correlation" -> "daily series (calendar-bounded)",
+      "q204_promql_eval"   -> "evaluation-step time grid",
+      "q215_kaplan_meier"  -> "duration grid (calendar-bounded)",
+      "q222_theil_sen"     -> "day-grid pair slopes (calendar-bounded)",
+      "q226_burn_rate"     -> "SLO window time grid",
+      // bounded top-K frames
+      "q147_vocab_coverage" -> "top-K vocab after TakeOrdered (K bounded)",
+      "q152_hybrid_rrf"    -> "RRF depth-limited candidate lists")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+      spark.catalog.clearCache() // iterative queries pin round frames
+      if (n > 0) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(bounded.contains)
+    val stale = bounded.keys.toSeq.filterNot(offenders.contains)
+    assert(unexpected.isEmpty,
+      s"served queries planning an unpartitioned window without a documented bound: " +
+        s"${unexpected.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning an unpartitioned window (remove them): " +
+        s"${stale.mkString(", ")}")
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
     // the 100 TB shape for metadata-only questions: with pushdown on,
     // the scan node carries PushedAggregation and reads NO data pages.
@@ -411,18 +473,30 @@ class PlanAuditSpec extends SparkSpec {
     val p175 = planOf("q175_woe_iv")
     assert("lineitem\\.parquet".r.findAllIn(p175).size === 1,
       s"q175 rescanned lineitem for the class totals:\n$p175")
+    // q176 is two-phase since r12: the only join is the broadcast of the
+    // bounded bucket-offset frame, and the staircase window partitions
+    // by bucket — never one global-sort task, never a pair join
     val p176 = planOf("q176_skyline")
-    assert(!p176.contains("Join"),
-      s"q176 skyline must be one window, never a pair join:\n$p176")
+    assert(p176.contains("BroadcastHashJoin") && !p176.contains("SortMergeJoin") &&
+      !p176.contains("CartesianProduct"),
+      s"q176 skyline must join only the broadcast offsets:\n$p176")
+    val opt176 = SparkEntry.queries("q176_skyline")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val win176 = opt176.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(win176.contains("__pm_b"), s"q176 window is not bucket-partitioned:\n$win176")
     val p177 = planOf("q177_peak_concurrency")
     assert("events\\.parquet".r.findAllIn(p177).size === 1,
       s"q177 boundary union paid the fact twice instead of exploding one scan:\n$p177")
     val p178 = planOf("q178_share_of_parent")
     assert("BroadcastHashJoin".r.findAllIn(p178).size >= 2,
       s"q178 shuffled the bounded dimension joins:\n$p178")
+    // q179 serves the two-phase twin since r12: the per-customer frame
+    // is cached (its parquet path prints inside the InMemoryTableScan
+    // rendering — the q174 caveat — so the pin is on the cache read)
     val p179 = planOf("q179_gini_lorenz")
-    assert("orders\\.parquet".r.findAllIn(p179).size === 1,
-      s"q179 rescanned orders:\n$p179")
+    assert(p179.contains("InMemoryTableScan"),
+      s"q179 re-derives the per-customer frame instead of reading its cache:\n$p179")
+    spark.catalog.clearCache()
     val p180 = planOf("q180_assortativity")
     assert(!p180.contains("CartesianProduct") && !p180.contains("BroadcastNestedLoopJoin"),
       s"q180 degree join degenerated:\n$p180")

@@ -95,7 +95,13 @@ class StreamHdrSpec extends SparkSpec {
       q.processAllAvailable()
       val snap = spark.table("hdr_neg").as[StreamOps.HdrSnapshot].collect().last
       assert(snap.nSeen === 1L, "negative value must not count")
+      assert(snap.nDropped === 1L, "the contract violation must be counted, not silent")
       assert(snap.buckets === s"${StreamOps.hdrBucket(10L)}:1")
+      // the drop counter is cumulative state, not per-trigger
+      input.addData(StreamOps.ValueArrival("s", -7L))
+      q.processAllAvailable()
+      val snap2 = spark.table("hdr_neg").as[StreamOps.HdrSnapshot].collect().last
+      assert(snap2.nSeen === 1L && snap2.nDropped === 2L)
     } finally q.stop()
   }
 
