@@ -858,6 +858,73 @@ object LlmQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact cross-document substring dedup at SPAN grain — the removal
+    * half of Lee et al. 2021 §4.2 (arXiv:2107.06499): q129 MINES
+    * repeated windows, this REMOVES them. Semantics: the MIN-doc_id
+    * occurrence of each [[DecontamWindow]]-token window is canonical and
+    * keeps its text; in every other document, each window position whose
+    * hash also occurs in a lower-id document marks its W tokens for
+    * removal, and a document's removed-token count is the UNION length
+    * of those (overlapping) fixed-width spans. Deterministic by
+    * construction — no tie depends on partitioning.
+    *
+    * Scale shape: position-grain window hashes (the q129/q35 explode —
+    * corpus × ~tokens, the unavoidable cost of exact matching), ONE
+    * min-aggregate per hash (crucially: removal needs NO pair join, so
+    * q129's df cap is unnecessary — boilerplate windows cost one
+    * aggregate row, never quadratic fan-out), one hash-keyed probe back,
+    * and the interval-union length per doc is a PER-DOC window over its
+    * duplicate positions (sorted i: Σ min(W, next_i − i), W for the
+    * last — the classic equal-length interval-merge closed form). */
+  private[graft] def spanDedupStats(docs: DataFrame): DataFrame = {
+    val W = DecontamWindow
+    val wins = docs
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - (W - 1)),
+        i => struct(i.cast("long").as("i"),
+          tokHash(array_join(slice(col("tk"), i, lit(W)), " ")).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+      .cache() // two consumers (min-doc aggregate + probe); runner clearCache scopes it
+    val minDoc = wins.groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+    val dupPos = wins.join(minDoc, "h")
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("i"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val cov = dupPos.withColumn("nxt", lead(col("i"), 1).over(wd))
+      .select(col("doc_id"),
+        when(col("nxt").isNull, lit(W.toLong))
+          .otherwise(least(lit(W.toLong), col("nxt") - col("i"))).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("cov")).as("n_removed"))
+    docs.select(col("doc_id"), size(toksCol(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[spanDedupStats]] over the raw corpus. */
+  private val q234SpanRemoval: Q = (s, dir) =>
+    spanDedupStats(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The curation canon COMPOSED with span-grain dedup — q196's admitted
+    * set, then [[spanDedupStats]] among the survivors (the Lee et al.
+    * pipeline order: document-level gates and exact-dup removal first,
+    * then verbatim repeated spans excised across what remains). Min-doc
+    * canonicality is evaluated over the ADMITTED set, so a span shared
+    * only with rejected documents is NOT removed — the survivor is its
+    * corpus's sole copy. */
+  private val q235CurationSpans: Q = (s, dir) => {
+    val kept = q196CurationCanon(s, dir).select(col("doc_id"))
+    spanDedupStats(Tables.documents(s, dir)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text")))
+  }
+
   /** Cross-source duplication matrix — q129's shared-window signal
     * rolled up to the SOURCE grain: how much verbatim text does each
     * pair of sources share? This is the dedup-planning diagnostic a
@@ -4188,6 +4255,8 @@ object LlmQueries {
     "q228_zipf_fit"       -> q228ZipfFit,
     "q231_coreset_greedy" -> q231CoresetGreedy,
     "q233_source_kl"      -> q233SourceKl,
+    "q234_span_removal"   -> q234SpanRemoval,
+    "q235_curation_spans" -> q235CurationSpans,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4504,6 +4573,120 @@ object LlmQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** The span-dedup CTE chain over a (doc_id, text) relation — the
+    * oracle twin of [[spanDedupStats]]: position-grain window hashes,
+    * min-doc canonicality, per-doc interval-union via the lead() closed
+    * form. Ends with `stoks` (per-doc tokens) and `sagg` (per-doc
+    * removal stats) for the caller's final projection. */
+  private def duckSpanCTEs(rel: String): String = {
+    val W = DecontamWindow
+    s"""stoks AS MATERIALIZED (SELECT doc_id, $duckToks AS tk FROM $rel),
+       |swins AS MATERIALIZED (SELECT doc_id,
+       |    unnest(lst).i AS i, unnest(lst).h AS h
+       |  FROM (SELECT doc_id, list_transform(range(1, len(tk) - ${W - 2}),
+       |      wi -> struct_pack(i := wi,
+       |        h := ${duckTokHash(s"array_to_string(tk[wi:wi+${W - 1}], ' ')")})) AS lst
+       |    FROM stoks WHERE len(tk) >= $W)),
+       |smind AS (SELECT h, min(doc_id) AS min_doc FROM swins GROUP BY h),
+       |scov AS (SELECT w.doc_id,
+       |    CASE WHEN lead(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i) IS NULL THEN $W
+       |         ELSE least($W, lead(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i) - w.i)
+       |    END AS cov
+       |  FROM swins w JOIN smind m ON w.h = m.h WHERE w.doc_id > m.min_doc),
+       |sagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |    CAST(sum(cov) AS BIGINT) AS n_removed FROM scov GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q196 curation chain as a reusable CTE body (gates -> ppl ->
+    * dsir -> dedup -> decontam -> `clean` -> `packed`): q196 selects
+    * from `packed`; q235 appends the span CTEs over `clean`. */
+  private lazy val duckCurationCTEs: String = {
+    def s6(e: String) = s"CAST(floor(ln($e) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""${duckGopherCTEs("documents")},
+         |${duckRepetitionCTEs("documents")},
+         |ptoks AS MATERIALIZED (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+         |pbg AS (SELECT doc_id, lang,
+         |    list_transform(range(1, len(tk)),
+         |      i -> struct_pack(g := tk[i] || ' ' || tk[i+1], h := tk[i])) AS lst
+         |  FROM ptoks WHERE len(tk) >= 2),
+         |pocc AS MATERIALIZED (SELECT doc_id, lang, unnest(lst).g AS g, unnest(lst).h AS h FROM pbg),
+         |pvoc AS MATERIALIZED (SELECT lang, count(DISTINCT w) AS v,
+         |          ${s6("count(DISTINCT w)")} AS den_def
+         |        FROM (SELECT lang, unnest(tk) AS w FROM ptoks) GROUP BY lang),
+         |pc2 AS (SELECT lang, g, ${s6("count(*) + 1.0")} AS num_s
+         |       FROM pocc GROUP BY lang, g),
+         |pc1 AS (SELECT o.lang, o.h, ${s6("count(*) + any_value(pvoc.v)")} AS den_s
+         |       FROM pocc o JOIN pvoc ON pvoc.lang = o.lang GROUP BY o.lang, o.h),
+         |pds AS (SELECT o.doc_id,
+         |         sum(COALESCE(pc2.num_s, 0) - COALESCE(pc1.den_s, pvoc.den_def)) AS sw,
+         |         count(*) AS m
+         |       FROM pocc o
+         |       LEFT JOIN pc2 ON pc2.lang = o.lang AND pc2.g = o.g
+         |       LEFT JOIN pc1 ON pc1.lang = o.lang AND pc1.h = o.h
+         |       JOIN pvoc ON pvoc.lang = o.lang
+         |       GROUP BY o.doc_id),
+         |pscored AS (SELECT d.doc_id, d.lang,
+         |    ${fpRound4Sql("CASE WHEN m > 0 THEN -(CAST(sw AS DOUBLE) / 1000000.0 / m) ELSE 0.0 END")} AS ce
+         |  FROM documents d LEFT JOIN pds ON pds.doc_id = d.doc_id),
+         |ppl AS (SELECT doc_id,
+         |    CASE WHEN rn * 3 <= cnt THEN 'head'
+         |         WHEN rn * 3 <= 2 * cnt THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ce, doc_id) AS rn,
+         |          count(*) OVER (PARTITION BY lang) AS cnt FROM pscored)),
+         |wbks AS (SELECT doc_id, lang,
+         |    list_transform($duckBigrams, g -> (${duckTokHash("g")}) % $DsirBuckets) AS bk
+         |  FROM ptoks),
+         |wocc AS MATERIALIZED (SELECT doc_id, lang, unnest(bk) AS b FROM wbks),
+         |wbc AS (SELECT b, count(*) AS raw_c,
+         |         sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tgt_c
+         |       FROM wocc GROUP BY b),
+         |wtot AS (SELECT sum(raw_c) AS nr, sum(tgt_c) AS nt FROM wbc),
+         |wllr AS (SELECT b, CAST(floor((ln((tgt_c + 1.0) / (nt + $DsirBuckets)) -
+         |           ln((raw_c + 1.0) / (nr + $DsirBuckets))) * 1000000.0 + 0.5) AS BIGINT) AS w
+         |        FROM wbc, wtot),
+         |wds AS (SELECT o.doc_id, sum(l.w) AS sw FROM wocc o JOIN wllr l ON o.b = l.b
+         |        GROUP BY o.doc_id),
+         |wscored AS (SELECT d.doc_id,
+         |    ${fpRound4Sql("CAST(COALESCE(sw, 0) AS DOUBLE) / 1000000.0")} AS log_w
+         |  FROM documents d LEFT JOIN wds ON wds.doc_id = d.doc_id),
+         |dsel AS (SELECT doc_id FROM (
+         |    SELECT *, CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rnk,
+         |      count(*) OVER () AS cnt FROM wscored)
+         |  WHERE rnk <= ceil(cnt * $DsirKeepFrac)),
+         |gated AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d
+         |  JOIN gop ON gop.doc_id = d.doc_id
+         |  JOIN rep_stats rs ON rs.doc_id = d.doc_id
+         |  WHERE gop.r_words * gop.r_mean_len * gop.r_symbol * gop.r_alpha
+         |      * gop.r_bullet * gop.r_ellipsis = 1 AND $duckRepPassCond
+         |    AND d.doc_id IN (SELECT doc_id FROM ppl WHERE bucket <> 'tail')
+         |    AND d.doc_id IN (SELECT doc_id FROM dsel)),
+         |dd AS (SELECT doc_id, source, text, row_number() OVER (
+         |    PARTITION BY ${duckTokHash("text")} ORDER BY doc_id) AS rn FROM gated),
+         |cbg AS (SELECT doc_id, list_distinct($duckBigrams) AS bg
+         |        FROM ptoks WHERE len(tk) >= 2),
+         |cex AS (SELECT doc_id, unnest(bg) AS b FROM cbg),
+         |csh AS MATERIALIZED (SELECT doc_id, ${duckTokHash("b")} AS h FROM cex),
+         |crk AS (SELECT h FROM (SELECT h, count(*) AS df FROM csh GROUP BY h)
+         |        WHERE df * 20 <= (SELECT count(*) FROM documents) AND df <= $AbsDfCap),
+         |crare AS MATERIALIZED (SELECT s.doc_id, s.h FROM csh s JOIN crk ON s.h = crk.h),
+         |cns AS (SELECT doc_id, count(*) AS n_sh FROM crare GROUP BY doc_id),
+         |flagged AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT t.doc_id AS doc_id
+         |  FROM crare t JOIN crare e ON t.h = e.h
+         |  JOIN cns ON cns.doc_id = t.doc_id
+         |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         |  GROUP BY t.doc_id, e.doc_id, cns.n_sh
+         |  HAVING count(*) >= 3 AND count(*) * 2 >= cns.n_sh)),
+         |clean AS (SELECT doc_id, source, text FROM dd
+         |  WHERE rn = 1 AND doc_id % 10 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |packed AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(len($duckToks)) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM clean)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q231_coreset_greedy" -> duckCoresetSql,
     // q233: identical smoothing grid, one identical-order double chain
@@ -4591,94 +4774,30 @@ object LlmQueries {
     // (p-/w-prefixed to avoid CTE name collisions), cascaded then
     // dedup→decontaminate→pack. Multi-referenced heavy CTEs forced
     // AS MATERIALIZED (the duckKcoreSql inlining lesson).
-    "q196_curation_canon" -> {
-      def s6(e: String) = s"CAST(floor(ln($e) * 1000000.0 + 0.5) AS BIGINT)"
-      s"""WITH ${duckGopherCTEs("documents")},
-         |${duckRepetitionCTEs("documents")},
-         |ptoks AS MATERIALIZED (SELECT doc_id, lang, $duckToks AS tk FROM documents),
-         |pbg AS (SELECT doc_id, lang,
-         |    list_transform(range(1, len(tk)),
-         |      i -> struct_pack(g := tk[i] || ' ' || tk[i+1], h := tk[i])) AS lst
-         |  FROM ptoks WHERE len(tk) >= 2),
-         |pocc AS MATERIALIZED (SELECT doc_id, lang, unnest(lst).g AS g, unnest(lst).h AS h FROM pbg),
-         |pvoc AS MATERIALIZED (SELECT lang, count(DISTINCT w) AS v,
-         |          ${s6("count(DISTINCT w)")} AS den_def
-         |        FROM (SELECT lang, unnest(tk) AS w FROM ptoks) GROUP BY lang),
-         |pc2 AS (SELECT lang, g, ${s6("count(*) + 1.0")} AS num_s
-         |       FROM pocc GROUP BY lang, g),
-         |pc1 AS (SELECT o.lang, o.h, ${s6("count(*) + any_value(pvoc.v)")} AS den_s
-         |       FROM pocc o JOIN pvoc ON pvoc.lang = o.lang GROUP BY o.lang, o.h),
-         |pds AS (SELECT o.doc_id,
-         |         sum(COALESCE(pc2.num_s, 0) - COALESCE(pc1.den_s, pvoc.den_def)) AS sw,
-         |         count(*) AS m
-         |       FROM pocc o
-         |       LEFT JOIN pc2 ON pc2.lang = o.lang AND pc2.g = o.g
-         |       LEFT JOIN pc1 ON pc1.lang = o.lang AND pc1.h = o.h
-         |       JOIN pvoc ON pvoc.lang = o.lang
-         |       GROUP BY o.doc_id),
-         |pscored AS (SELECT d.doc_id, d.lang,
-         |    ${fpRound4Sql("CASE WHEN m > 0 THEN -(CAST(sw AS DOUBLE) / 1000000.0 / m) ELSE 0.0 END")} AS ce
-         |  FROM documents d LEFT JOIN pds ON pds.doc_id = d.doc_id),
-         |ppl AS (SELECT doc_id,
-         |    CASE WHEN rn * 3 <= cnt THEN 'head'
-         |         WHEN rn * 3 <= 2 * cnt THEN 'middle' ELSE 'tail' END AS bucket
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ce, doc_id) AS rn,
-         |          count(*) OVER (PARTITION BY lang) AS cnt FROM pscored)),
-         |wbks AS (SELECT doc_id, lang,
-         |    list_transform($duckBigrams, g -> (${duckTokHash("g")}) % $DsirBuckets) AS bk
-         |  FROM ptoks),
-         |wocc AS MATERIALIZED (SELECT doc_id, lang, unnest(bk) AS b FROM wbks),
-         |wbc AS (SELECT b, count(*) AS raw_c,
-         |         sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tgt_c
-         |       FROM wocc GROUP BY b),
-         |wtot AS (SELECT sum(raw_c) AS nr, sum(tgt_c) AS nt FROM wbc),
-         |wllr AS (SELECT b, CAST(floor((ln((tgt_c + 1.0) / (nt + $DsirBuckets)) -
-         |           ln((raw_c + 1.0) / (nr + $DsirBuckets))) * 1000000.0 + 0.5) AS BIGINT) AS w
-         |        FROM wbc, wtot),
-         |wds AS (SELECT o.doc_id, sum(l.w) AS sw FROM wocc o JOIN wllr l ON o.b = l.b
-         |        GROUP BY o.doc_id),
-         |wscored AS (SELECT d.doc_id,
-         |    ${fpRound4Sql("CAST(COALESCE(sw, 0) AS DOUBLE) / 1000000.0")} AS log_w
-         |  FROM documents d LEFT JOIN wds ON wds.doc_id = d.doc_id),
-         |dsel AS (SELECT doc_id FROM (
-         |    SELECT *, CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rnk,
-         |      count(*) OVER () AS cnt FROM wscored)
-         |  WHERE rnk <= ceil(cnt * $DsirKeepFrac)),
-         |gated AS (SELECT d.doc_id, d.source, d.text
-         |  FROM documents d
-         |  JOIN gop ON gop.doc_id = d.doc_id
-         |  JOIN rep_stats rs ON rs.doc_id = d.doc_id
-         |  WHERE gop.r_words * gop.r_mean_len * gop.r_symbol * gop.r_alpha
-         |      * gop.r_bullet * gop.r_ellipsis = 1 AND $duckRepPassCond
-         |    AND d.doc_id IN (SELECT doc_id FROM ppl WHERE bucket <> 'tail')
-         |    AND d.doc_id IN (SELECT doc_id FROM dsel)),
-         |dd AS (SELECT doc_id, source, text, row_number() OVER (
-         |    PARTITION BY ${duckTokHash("text")} ORDER BY doc_id) AS rn FROM gated),
-         |cbg AS (SELECT doc_id, list_distinct($duckBigrams) AS bg
-         |        FROM ptoks WHERE len(tk) >= 2),
-         |cex AS (SELECT doc_id, unnest(bg) AS b FROM cbg),
-         |csh AS MATERIALIZED (SELECT doc_id, ${duckTokHash("b")} AS h FROM cex),
-         |crk AS (SELECT h FROM (SELECT h, count(*) AS df FROM csh GROUP BY h)
-         |        WHERE df * 20 <= (SELECT count(*) FROM documents) AND df <= $AbsDfCap),
-         |crare AS MATERIALIZED (SELECT s.doc_id, s.h FROM csh s JOIN crk ON s.h = crk.h),
-         |cns AS (SELECT doc_id, count(*) AS n_sh FROM crare GROUP BY doc_id),
-         |flagged AS (SELECT DISTINCT doc_id FROM (
-         |  SELECT t.doc_id AS doc_id
-         |  FROM crare t JOIN crare e ON t.h = e.h
-         |  JOIN cns ON cns.doc_id = t.doc_id
-         |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
-         |  GROUP BY t.doc_id, e.doc_id, cns.n_sh
-         |  HAVING count(*) >= 3 AND count(*) * 2 >= cns.n_sh)),
-         |clean AS (SELECT doc_id, source, text FROM dd
-         |  WHERE rn = 1 AND doc_id % 10 <> 0
-         |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
-         |packed AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(sum(len($duckToks)) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM clean)
+    "q196_curation_canon" ->
+      s"""WITH $duckCurationCTEs
          |SELECT doc_id, source, n_tokens, cum_before // $PackWindow AS pack_id
-         |FROM packed ORDER BY doc_id""".stripMargin
-    },
+         |FROM packed ORDER BY doc_id""".stripMargin,
+    // q234: position-grain window hashes, min-doc canonicality, and the
+    // equal-width interval-union closed form — identical arithmetic to
+    // the Spark operator, exact longs end to end
+    "q234_span_removal" ->
+      s"""WITH ${duckSpanCTEs("documents")}
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(len(tk) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+         |FROM stoks t LEFT JOIN sagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q235: the full curation chain, then the span CTEs over its
+    // admitted relation — min-doc canonicality among SURVIVORS only
+    "q235_curation_spans" ->
+      s"""WITH $duckCurationCTEs,
+         |${duckSpanCTEs("(SELECT doc_id, text FROM clean)")}
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(len(tk) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+         |FROM stoks t LEFT JOIN sagg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q181: same three exact counts (vowel-run syllables floored at 1,
     // terminator-run sentences floored at 1), same double expression
     "q181_readability" ->

@@ -42,7 +42,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * representative exactly when duplicates arrive in id order — the
   * same precondition q139 documents for stable sharding. Out-of-order
   * ingest admits the same COUNT per hash group but a different
-  * representative (IncrementalDedupProps covers that invariance).
+  * representative — which [[reconciled]] closes: every gate-passing
+  * arrival is ledgered (`seen/`), group facts are text-derived
+  * (`hashes/` carries n_tokens + the contamination verdict), so a
+  * compaction-time read re-seats min-id representatives and replays
+  * holdout + packing to land EXACTLY on q196's set for ANY arrival
+  * order (CurationIngestSpec's shuffled-ingest test).
   *
   * Scale shape per batch: every gate is scan-shaped or a broadcast-
   * sized join against bounded frozen artifacts (LM tables are
@@ -202,6 +207,11 @@ object CurationIngest {
     // somehow reaches here (its admitted dir lost mid-write) recomputes
     // against the same prefix and rewrites identically.
     val hashed = gated.withColumn("h", TextOps.rollingHash(col("text")))
+    // the reconciliation ledger ([[reconciled]]): EVERY gate-passing
+    // arrival, pre-dedup — min-id representatives are recoverable at
+    // compaction no matter the arrival order
+    hashed.select(col("h"), col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$stateDir/seen/$label")
     val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val firstInBatch = hashed
       .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1).drop("rn")
@@ -215,14 +225,15 @@ object CurationIngest {
         val idx = spark.read.parquet(idxDirs: _*).select(col("h"))
         firstInBatch.join(idx, Seq("h"), "left_anti")
       } else firstInBatch
-    survivors.select(col("h"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$stateDir/hashes/$label")
 
-    // ---- eval holdout + decontamination against the frozen index
-    val held = survivors.filter(col("doc_id") % 10 =!= 0)
+    // ---- decontamination against the frozen index, computed for ALL
+    // survivors (pre-holdout): the predicate is TEXT-derived, so the
+    // flag holds for every member of the hash group — which is what
+    // lets [[reconciled]] re-seat the representative without the
+    // rejected duplicates' text
     val rareKeys = spark.read.parquet(s"$refDir/rare_keys")
     val evalSh = spark.read.parquet(s"$refDir/eval_sh")
-    val docSh = held
+    val docSh = survivors
       .withColumn("tk", TextOps.tokens(col("text")))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"),
@@ -236,7 +247,20 @@ object CurationIngest {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3 && col("n_shared") * 2 >= col("n_sh"))
       .select("doc_id").distinct()
-    val clean = held.join(contaminated, Seq("doc_id"), "left_anti")
+    // one row per hash group GLOBALLY (dedup keeps only the first
+    // overall arrival) with the group's text-derived facts — the group
+    // half of the reconciliation ledger
+    val survFlagged = survivors
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+    survFlagged.select(col("h"), col("doc_id"), col("source"),
+        col("n_tokens"), col("contaminated"))
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/$label")
+
+    // ---- eval holdout + the stored contamination verdict
+    val clean = survFlagged
+      .filter(col("doc_id") % 10 =!= 0 && !col("contaminated"))
 
     // ---- packing: per-source cumulative tokens over previously
     // admitted docs (derived from durable state, not driver memory)
@@ -252,7 +276,6 @@ object CurationIngest {
     val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val out = clean
-      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
       .join(priorTotals, Seq("source"), "left")
       .withColumn("cum_before",
         coalesce(col("prior"), lit(0L)) +
@@ -263,8 +286,65 @@ object CurationIngest {
   }
 
   /** The admitted set so far: (doc_id, source, n_tokens, pack_id) —
-    * q196's output shape, for the parity bridge. */
+    * q196's output shape, for the parity bridge. Representative
+    * identity matches q196 only under id-ordered ingest (scaladoc
+    * above); [[reconciled]] is the order-independent read. */
   def admitted(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/admitted")
       .select("doc_id", "source", "n_tokens", "pack_id")
+
+  /** The admitted set under MIN-ID representative reconciliation — the
+    * compaction-time read that closes the ingest's one documented
+    * order-sensitivity: out-of-order arrival admits the right hash
+    * GROUPS but a first-arrival (not min-id) representative, so the
+    * streamed `admitted` set can differ from q196's on doc identity.
+    * This re-seats every group's representative from the `seen/` ledger
+    * (all gate-passing arrivals) and re-derives the member-invariant
+    * facts from the `hashes/` ledger (n_tokens and the contamination
+    * verdict are TEXT-derived, so the stored survivor's values hold for
+    * the re-seated representative), then replays holdout + packing on
+    * the reconciled set — q196's exact batch semantics, arrival-order
+    * independent. The per-source packing window is the q196/q130 shape
+    * (partitioned by source, never global). Run at compaction (the
+    * IncrementalDedup generation-fold seam): like every read here it
+    * scans only COMMITTED ledgers, and ingest may continue appending —
+    * reconciliation is a pure read. */
+  def reconciled(spark: SparkSession, stateDir: String): DataFrame = {
+    // committed ledgers only (the _SUCCESS discipline): a torn write from
+    // an in-flight batch must not contribute phantom arrivals
+    val seenDirs = priorLabels(s"$stateDir/seen", label = "")
+    val hashDirs = priorLabels(s"$stateDir/hashes", label = "")
+    require(seenDirs.nonEmpty && hashDirs.nonEmpty,
+      s"no committed ingest state under $stateDir")
+    val seen = spark.read.parquet(seenDirs: _*)
+      .select(col("h"), col("doc_id"), col("source"))
+    val reps = seen.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("rep"))
+      .select(col("h"), col("rep.doc_id").as("doc_id"), col("rep.source").as("source"))
+    val info = spark.read.parquet(hashDirs: _*)
+      .select(col("h"), col("n_tokens"), col("contaminated"))
+    val fin = reps.join(info, "h")
+      .filter(col("doc_id") % 10 =!= 0 && !col("contaminated"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fin
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before div ${LlmQueries.PackWindow}").as("pack_id"))
+  }
+
+  /** Span-grain dedup over the ADMITTED corpus — the compaction-time
+    * composition of [[graft.llm.LlmQueries.spanDedupStats]] (q234's
+    * operator, Lee et al. 2021 §4.2's removal half) with the ingest
+    * state: the ledgers hold hashes, not text, so the span pass reads
+    * the reconciled doc_ids' text back from the corpus store — exactly
+    * where a production compactor runs it, after representative
+    * reconciliation and before the packed rewrite. Equals
+    * `q235_curation_spans` when ingest covered the same corpus
+    * (CurationIngestSpec pins it, shuffled arrival included). */
+  def spanStats(spark: SparkSession, corpusDir: String, stateDir: String): DataFrame =
+    LlmQueries.spanDedupStats(
+      Tables.documents(spark, corpusDir)
+        .join(reconciled(spark, stateDir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")))
 }

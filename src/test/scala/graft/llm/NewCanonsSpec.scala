@@ -269,6 +269,39 @@ class NewCanonsSpec extends SparkSpec {
     }
   }
 
+  test("q234 span removal equals a driver interval-union over min-doc canonical windows") {
+    val W = 8 // DecontamWindow
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def toks(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    def tokHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val wins = docs.flatMap { case (id, t) =>
+      val tk = toks(t)
+      (0 to tk.length - W).map(i => (id, i + 1L, tokHash(tk.slice(i, i + W).mkString(" "))))
+    }
+    val minDoc = wins.groupBy(_._3).view.mapValues(_.map(_._1).min).toMap
+    val byDoc = wins.filter { case (id, _, h) => minDoc(h) < id }.groupBy(_._1)
+    val want = docs.map { case (id, t) =>
+      val n = toks(t).length.toLong
+      val ps = byDoc.getOrElse(id, Array.empty).map(_._2).sorted
+      val removed =
+        if (ps.isEmpty) 0L
+        else ps.zip(ps.drop(1)).map { case (a, b) => math.min(W.toLong, b - a) }.sum + W
+      (id, n, ps.length.toLong, removed, n - removed)
+    }.toSeq
+    val got = LlmQueries.queries("q234_span_removal")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want, "distributed span removal diverged from the driver interval-union")
+    // non-vacuity: the corpus must exercise PARTIAL removal (the
+    // interval-union arithmetic), not only whole-doc duplicates
+    assert(want.exists(w => w._4 > 0 && w._4 < w._2),
+      "no partially-removed doc — the union closed form is untested")
+    assert(want.exists(_._4 == 0L), "every doc had removals — min-doc canonicality untested")
+    spark.catalog.clearCache()
+  }
+
   test("q229 conformal quantile equals a full-sort driver rank; the coverage guarantee holds") {
     // the Column-API double chain scored() uses (a SQL-string decimal
     // rebuild would differ in ulps at the micro-floor boundaries)

@@ -55,6 +55,54 @@ class CurationIngestSpec extends SparkSpec {
     assert(streamed.nonEmpty, "composed gates admitted nothing — vacuous parity")
     assert(streamed === batch,
       s"stream admitted ${streamed.size} docs, batch kept ${batch.size} — keep sets diverged")
+    // and the reconciliation read agrees with the streamed set when
+    // ingest WAS id-ordered (first arrival == min id by construction)
+    assert(canon(CurationIngest.reconciled(spark, stateDir).collect()) === batch,
+      "reconciled read diverged from q196 under id-ordered ingest")
+    spark.catalog.clearCache()
+  }
+
+  test("SHUFFLED arrival order reconciles to exactly q196's representatives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (refDir, stateDir) = freshDirs()
+    CurationIngest.saveReference(spark, sfDir, refDir)
+
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // deterministic shuffle that guarantees duplicate groups arrive OUT
+    // of id order: sort by a multiplicative hash of doc_id, then chop —
+    // first arrival per hash group is now essentially arbitrary
+    val shuffled = corpus.sortBy { case (id, _, _, _) => (id * 2654435761L) % 1000003L }
+    assert(shuffled.map(_._1).toSeq != shuffled.map(_._1).sorted.toSeq,
+      "shuffle was a no-op — test is vacuous")
+    val cuts = Seq(shuffled.length / 3, (shuffled.length * 3) / 4, shuffled.length)
+    val batches = cuts.zip(0 +: cuts.dropRight(1)).map { case (e, b) => shuffled.slice(b, e).toSeq }
+
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = CurationIngest.ingestSink(
+      input.toDF().toDF("doc_id", "source", "lang", "text"),
+      refDir, stateDir, java.nio.file.Files.createTempDirectory("graft-cur-ckpt2").toString)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val batch = canon(
+      graft.llm.LlmQueries.queries("q196_curation_canon")(spark, sfDir).collect())
+    val rec = canon(CurationIngest.reconciled(spark, stateDir).collect())
+    assert(rec.nonEmpty, "reconciliation produced nothing — vacuous")
+    assert(rec === batch,
+      s"reconciled set (${rec.size} docs) diverged from q196 (${batch.size}) under shuffled ingest")
+
+    // compaction-time span pass over the reconciled set == the composed
+    // batch canon q235, arrival order notwithstanding
+    val spanGot = CurationIngest.spanStats(spark, sfDir, stateDir)
+      .collect().map(_.toSeq).toSeq
+    val spanWant = graft.llm.LlmQueries.queries("q235_curation_spans")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(spanGot === spanWant,
+      "compaction-time span stats diverged from the composed batch canon")
     spark.catalog.clearCache()
   }
 
