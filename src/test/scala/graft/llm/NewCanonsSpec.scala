@@ -302,6 +302,161 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q236 Heaps fit equals a driver vocabulary-growth computation; beta in (0,1]") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+    val n = docs.length.toLong
+    val grid = (1 to 16).map(k => (k.toLong, n * k / 16))
+    // sequential prefix walk: cumulative tokens + first-seen TRIGRAM
+    // vocabulary (the unigram space saturates on this corpus — q236's
+    // documented reason for the n-gram form)
+    var cum = 0L
+    val seen = scala.collection.mutable.Set.empty[String]
+    val prefix = docs.zipWithIndex.map { case ((_, t), i) =>
+      val tk = toks(t); cum += tk.length
+      tk.sliding(3).filter(_.length == 3).foreach(g => seen += g.mkString(" "))
+      (i + 1L) -> ((cum, seen.size.toLong))
+    }.toMap
+    val pts = grid.map { case (k, pk) =>
+      val (c, v) = prefix(pk); (k, pk, c, v)
+    }
+    def s6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val terms = pts.map { case (_, _, c, v) => (s6(math.log(c.toDouble)), s6(math.log(v.toDouble))) }
+    val np = terms.length.toDouble
+    val sx = terms.map(_._1).sum; val sy = terms.map(_._2).sum
+    val sxx = terms.map(t => t._1 * t._1).sum
+    val sxy = terms.map(t => t._1 * t._2).sum
+    val cov = np * sxy - sx.toDouble * sy
+    val varX = np * sxx - sx.toDouble * sx
+    val beta = s6(cov / varX)
+    val got = LlmQueries.queries("q236_heaps_fit")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === pts.map(t => (t._1, t._2, t._3, t._4)),
+      "grid points diverged from the sequential prefix walk")
+    assert(got.head._5 === beta, "beta diverged from the driver OLS")
+    assert(beta > 0L && beta <= 1000000L, s"Heaps beta out of (0,1]: $beta")
+    spark.catalog.clearCache()
+  }
+
+  test("q237 weighted sample equals a driver Efraimidis-Spirakis top-k; weights bias selection") {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(floor(round(sum(col("o_totalprice")), 2) * 100.0 + 0.5).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    def tokHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val keyed = spend.map { case (id, w) =>
+      val u = (tokHash(s"es#$id") + 1).toDouble / 1000000008.0
+      (id, w, math.floor(math.log(u) / w.toDouble * 1e12).toLong)
+    }
+    val want = keyed.sortBy { case (id, _, k) => (-k, id) }.take(20).sortBy(_._1).toSeq
+    val res = graft.queries.ExtQueries.queries("q237_weighted_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(res === want, "distributed ES top-k diverged from the driver reference")
+    // the sample must actually be weight-biased: mean sampled weight
+    // exceeds the population mean (facility of the u^(1/w) key)
+    val popMean = spend.map(_._2).sum.toDouble / spend.length
+    val sampMean = res.map(_._2).sum.toDouble / res.size
+    assert(sampMean > popMean, "weighted sample shows no weight bias — vacuous")
+  }
+
+  test("q238 entropies equal a driver computation; conditional entropy <= unigram entropy") {
+    val texts = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().map(_.getString(0))
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val tk = toks(t)
+      tk.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        big((p(0), p(1))) = big.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val n = uni.values.sum
+    val h1 = uni.values.map(c =>
+      math.floor(c.toDouble * math.log(n.toDouble / c) * 1e6 + 0.5).toLong).sum / n
+    val c1 = big.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nb = big.values.sum
+    val h2 = big.map { case ((w1, _), c12) =>
+      math.floor(c12.toDouble * math.log(c1(w1).toDouble / c12) * 1e6 + 0.5).toLong
+    }.sum / nb
+    val r = LlmQueries.queries("q238_entropy_rate")(spark, sfDir).head()
+    assert(r.getLong(0) === n && r.getLong(1) === uni.size.toLong)
+    assert(r.getLong(2) === nb && r.getLong(3) === big.size.toLong)
+    assert(r.getLong(4) === h1, "unigram entropy diverged")
+    assert(r.getLong(5) === h2, "conditional bigram entropy diverged")
+    // conditioning cannot add entropy (up to the micro floor slack)
+    assert(r.getLong(5) <= r.getLong(4) + 1L, "H(W2|W1) > H(W) — impossible")
+    assert(r.getLong(4) > 0L, "zero unigram entropy — vacuous corpus")
+  }
+
+  test("q239 HITS trace equals a sequential driver power iteration over the same graph") {
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val n = docs.length.toLong
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val edges = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (idx, dst)).distinct
+    val scale = 1000000000L
+    var h = Array.fill(n.toInt)(scale / n)
+    val trace = (1 to 4).map { r =>
+      val aRaw = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s0, d0) => aRaw(d0.toInt) += h(s0.toInt) }
+      val ta = aRaw.sum
+      val a = aRaw.map(x => x * scale / ta)
+      val hRaw = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s0, d0) => hRaw(s0.toInt) += a(d0.toInt) }
+      val th = hRaw.sum
+      h = hRaw.map(x => x * scale / th)
+      def mx(v: Array[Long]): (Long, Long) = {
+        val m = v.max; (m, v.indexOf(m).toLong)
+      }
+      val (ma, ai) = mx(a); val (mh, hi) = mx(h)
+      (r.toLong, a.sum, ma, ai, h.sum, mh, hi)
+    }
+    val got = LlmQueries.queries("q239_hits")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === trace, "distributed HITS diverged from the sequential power iteration")
+    // hubs and authorities must actually separate (argmaxes move mass)
+    assert(trace.last._3 > scale / n, "authority mass never concentrated — vacuous gate")
+    spark.catalog.clearCache()
+  }
+
+  test("q240 ANOVA F equals a driver computation and detects the between-group signal") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(round(col("value"), 2) * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = byG.size.toLong
+    val n = rows.length.toLong
+    val sx = rows.map(_._2).sum
+    val sxx = rows.map(v => v._2 * v._2).sum
+    val tsum = byG.values.map { vs =>
+      val s = vs.sum
+      math.floor(s.toDouble * s.toDouble / vs.length.toDouble + 0.5).toLong
+    }.sum
+    val ssb = tsum.toDouble - sx.toDouble * sx.toDouble / n.toDouble
+    val sst = sxx.toDouble - sx.toDouble * sx.toDouble / n.toDouble
+    val f = (ssb / (k - 1).toDouble) / ((sst - ssb) / (n - k).toDouble)
+    val r = graft.queries.ExtQueries.queries("q240_anova_f")(spark, sfDir).head()
+    assert(r.getLong(0) === k && r.getLong(1) === n)
+    assert(r.getLong(2) === math.floor(ssb + 0.5).toLong)
+    assert(r.getLong(3) === math.floor((sst - ssb) + 0.5).toLong)
+    assert(r.getLong(4) === math.floor(f * 1e6 + 0.5).toLong, "F diverged")
+    assert(r.getLong(5) === math.floor(ssb / sst * 1e6 + 0.5).toLong, "eta2 diverged")
+    assert(r.getLong(0) >= 2L, "need >= 2 groups for ANOVA — vacuous")
+  }
+
   test("q229 conformal quantile equals a full-sort driver rank; the coverage guarantee holds") {
     // the Column-API double chain scored() uses (a SQL-string decimal
     // rebuild would differ in ulps at the micro-floor boundaries)
