@@ -2813,6 +2813,92 @@ object ExtQueries {
       floor(ssb / sst * 1e6 + 0.5).cast("long").as("eta2_micro"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
+    * nonparametric "is there a monotone trend" significance test that
+    * pairs with q222's Theil–Sen slope (the textbook pairing: MK for
+    * detection, TS for magnitude; hydrology/ops-metrics standard).
+    * S = Σ_{i<j} sign(v_j − v_i) over the calendar-bounded daily grid
+    * (the q222 pair join — bounded², never corpus-sized), variance with
+    * the tie correction Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and
+    * the continuity-corrected z. Everything is exact integer arithmetic
+    * until the final z (one identical-order double chain,
+    * micro-floored); ties enter via an exact value-grid aggregate. */
+  private val q241MannKendall: Q = (s, dir) => {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+    val sStat = daily.toDF("d1", "v1")
+      .join(daily.toDF("d2", "v2"), col("d2") > col("d1"))
+      .agg(coalesce(sum(signum(col("v2") - col("v1")).cast("long")), lit(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    val nD = col("n_days").cast("double")
+    val var18 = col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) - col("tie_term")
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0, (sD - 1.0) / sqrt(col("var18").cast("double") / 18.0))
+      .when(col("s_stat") < 0, (sD + 1.0) / sqrt(col("var18").cast("double") / 18.0))
+      .otherwise(lit(0.0))
+    sStat.crossJoin(broadcast(ties))
+      .withColumn("var18", var18)
+      .select(col("n_days"), col("n_values"), col("s_stat"), col("tie_term"),
+        col("var18"), s6(z).as("z_micro"),
+        signum(col("s_stat")).cast("long").as("trend"))
+  }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952) — the rank-based k-group
+    * test completing q240's parametric ANOVA (the pairing every stats
+    * text teaches: F when variances behave, H when they don't): do
+    * event-value DISTRIBUTIONS differ by type? Ranks are midranks over
+    * the cent-value grid on q198's DOUBLED grid (2·r̄(v) = 2·cumBelow +
+    * m + 1 is an exact integer, so tie handling never touches a float),
+    * and the grid's cumulative counts come from
+    * [[graft.operators.DistributedSelect.globalPrefixSum]] on the
+    * UNIQUE cent keys — value-domain-bounded histogram, NO global-sort
+    * window even over the grid. Per-group (2R_g)²/(4n_g) is floored to
+    * a long BEFORE the exact integer total (the q240/q230 discipline),
+    * H and its tie-corrected form are identical-order double chains,
+    * micro-floored. */
+  private val q242KruskalWallis: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    val rows = Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .cache()
+    val grid = rows.groupBy(col("v")).agg(count(lit(1)).as("m")).cache()
+    // globalPrefixSum's key contract is non-negative longs — refuse
+    // loudly on a negative-value corpus (shift the grid, don't wrap)
+    require(grid.agg(min(col("v"))).head().getLong(0) >= 0L,
+      "q242: negative cent values — offset the value grid before ranking")
+    val cum = DistributedSelect.globalPrefixSum(grid, "v", "m", "cum", 1L << 12)
+      .select(col("v"), col("m"), (col("cum") - col("m")).as("below"))
+    // 2·midrank per grid value; per-group 2R_g via the sparse (g, v) join
+    val gv = rows.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c_gv"))
+    val r2g = gv.join(cum, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c_gv")).as("n_g"),
+        sum(col("c_gv") * (lit(2L) * col("below") + col("m") + 1L)).as("r2"))
+    val perGroup = r2g.select(col("n_g"),
+      floor(col("r2").cast("double") * col("r2").cast("double") /
+        (lit(4.0) * col("n_g").cast("double")) + 0.5).cast("long").as("t_g"))
+    val tieTerm = grid.agg(
+      sum(col("m") * col("m") * col("m") - col("m")).as("tie3")).head().getLong(0)
+    val m = perGroup.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("t_g")).as("rsum"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("rsum").cast("double") -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - lit(tieTerm.toDouble) / (nD * nD * nD - nD)
+    m.select(col("k"), col("n"), col("rsum").as("rank_sq_sum"),
+      lit(tieTerm).as("tie3"),
+      s6(h).as("h_micro"),
+      s6(h / corr).as("h_tie_micro"))
+  }
+
   /** Rolling 7-day distinct users — the hardest everyday OLAP ask
     * (COUNT(DISTINCT) OVER a sliding window has no algebraic
     * decomposition: distinct counts don't subtract), solved EXACTLY
@@ -2853,6 +2939,8 @@ object ExtQueries {
     "q230_chi_square" -> q230ChiSquare,
     "q237_weighted_sample" -> q237WeightedSample,
     "q240_anova_f" -> q240AnovaF,
+    "q241_mann_kendall" -> q241MannKendall,
+    "q242_kruskal_wallis" -> q242KruskalWallis,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -3051,6 +3139,61 @@ object ExtQueries {
          |  ORDER BY key_pico DESC, o_custkey LIMIT 20)
          |ORDER BY o_custkey""".stripMargin
     },
+    // q241: same bounded daily-grid pair join, same integer S/tie
+    // terms, same continuity-corrected z double chain
+    "q241_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT CAST(coalesce(sum(CASE WHEN b.v > a.v THEN 1
+        |      WHEN b.v < a.v THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON b.d > a.d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+        |    CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT v, count(*) AS t FROM daily GROUP BY v)),
+        |x AS (SELECT n_days, n_values, s_stat, tie_term,
+        |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var18
+        |  FROM s, t)
+        |SELECT n_days, n_values, s_stat, tie_term, var18,
+        |  CAST(floor((CASE
+        |    WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+        |  CAST(sign(s_stat) AS BIGINT) AS trend
+        |FROM x""".stripMargin,
+    // q242: same doubled-grid midranks off the value histogram's
+    // cumulative, same per-group floors, same H double chains
+    "q242_kruskal_wallis" ->
+      """WITH rows0 AS (SELECT event_type AS g,
+        |    CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |grid AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM rows0 GROUP BY v),
+        |cum AS (SELECT v, m,
+        |    CAST(coalesce(sum(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |  FROM grid),
+        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c_gv FROM rows0 GROUP BY g, v),
+        |r2g AS (SELECT g, CAST(sum(c_gv) AS BIGINT) AS n_g,
+        |    CAST(sum(c_gv * (2 * below + m + 1)) AS BIGINT) AS r2
+        |  FROM gv JOIN cum USING (v) GROUP BY g),
+        |pg AS (SELECT n_g, CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |    / (4.0 * CAST(n_g AS DOUBLE)) + 0.5) AS BIGINT) AS t_g FROM r2g),
+        |tt AS (SELECT CAST(sum(m * m * m - m) AS BIGINT) AS tie3 FROM grid),
+        |m0 AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(t_g) AS BIGINT) AS rsum FROM pg)
+        |SELECT k, n, rsum AS rank_sq_sum, tie3,
+        |  CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * CAST(rsum AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS h_micro,
+        |  CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * CAST(rsum AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tie3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS h_tie_micro
+        |FROM m0, tt""".stripMargin,
     // q240: identical exact cent-grid moments, per-group floors before
     // the exact integer total, identical-order double closed forms
     "q240_anova_f" ->

@@ -457,6 +457,60 @@ class NewCanonsSpec extends SparkSpec {
     assert(r.getLong(0) >= 2L, "need >= 2 groups for ANOVA — vacuous")
   }
 
+  test("q241 Mann-Kendall equals a driver all-pairs sign computation with tie-corrected variance") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sStat = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong).sum
+    val n = daily.length.toLong
+    val ties = daily.groupBy(_._2).map(_._2.length.toLong)
+    val tieTerm = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+    val z =
+      if (sStat > 0) (sStat - 1.0) / math.sqrt(var18.toDouble / 18.0)
+      else if (sStat < 0) (sStat + 1.0) / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val r = graft.queries.ExtQueries.queries("q241_mann_kendall")(spark, sfDir).head()
+    assert(r.getLong(0) === n && r.getLong(1) === ties.size.toLong)
+    assert(r.getLong(2) === sStat, "S statistic diverged")
+    assert(r.getLong(3) === tieTerm && r.getLong(4) === var18)
+    assert(r.getLong(5) === math.floor(z * 1e6 + 0.5).toLong, "z diverged")
+    assert(n >= 10, "too few days for a meaningful MK test — vacuous")
+  }
+
+  test("q242 Kruskal-Wallis equals a driver midrank computation; ties actually exercised") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(round(col("value"), 2) * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grid = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedV = grid.keys.toSeq.sorted
+    val below = sortedV.scanLeft(0L)((acc, v) => acc + grid(v)).zip(sortedV)
+      .map { case (b, v) => v -> b }.toMap
+    // 2×midrank per value; per-group 2R_g exact
+    val r2ByG = rows.groupBy(_._1).view.mapValues(_.map { case (_, v) =>
+      2 * below(v) + grid(v) + 1 }.sum).toMap
+    val nByG = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val rsum = r2ByG.map { case (g, r2) =>
+      math.floor(r2.toDouble * r2.toDouble / (4.0 * nByG(g).toDouble) + 0.5).toLong
+    }.sum
+    val n = rows.length.toLong
+    val tie3 = grid.values.map(m => m * m * m - m).sum
+    val h = 12.0 / (n.toDouble * (n + 1.0)) * rsum.toDouble - 3.0 * (n + 1.0)
+    val corr = 1.0 - tie3.toDouble / (n.toDouble * n * n - n)
+    val r = graft.queries.ExtQueries.queries("q242_kruskal_wallis")(spark, sfDir).head()
+    assert(r.getLong(0) === nByG.size.toLong && r.getLong(1) === n)
+    assert(r.getLong(2) === rsum, "rank-square sum diverged")
+    assert(r.getLong(3) === tie3)
+    assert(r.getLong(4) === math.floor(h * 1e6 + 0.5).toLong, "H diverged")
+    assert(r.getLong(5) === math.floor(h / corr * 1e6 + 0.5).toLong, "tie-corrected H diverged")
+    assert(tie3 > 0L, "no ties on the value grid — the midrank machinery is untested")
+    spark.catalog.clearCache()
+  }
+
   test("q229 conformal quantile equals a full-sort driver rank; the coverage guarantee holds") {
     // the Column-API double chain scored() uses (a SQL-string decimal
     // rebuild would differ in ulps at the micro-floor boundaries)
