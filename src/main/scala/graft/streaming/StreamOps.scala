@@ -1171,6 +1171,68 @@ object StreamOps {
       }
   }
 
+  final case class WeightedArrival(scope: String, id: Long, w: Long)
+  final case class ReservoirSnapshot(scope: String, nSeen: Long, nDropped: Long,
+      sample: String)
+
+  /** q237's streaming twin: a per-scope weighted reservoir WITHOUT
+    * replacement (Efraimidis & Spirakis 2006 — the one-pass reservoir
+    * IS the streaming algorithm; the batch q237 is its TakeOrdered
+    * specialization). State per scope is the current top-[[EsStateK]]
+    * items by the deterministic selection key ln(u)/w (u hash-derived
+    * from the id exactly as q237 — the q56 seeded-generator
+    * discipline), pico-floored to a long with id tie-break. Determinism
+    * is what upgrades the reservoir from distributionally-correct to
+    * EXACTLY TESTABLE: every trigger's sample equals the batch top-k
+    * over the stream prefix, which the spec pins per trigger. State is
+    * O(k) triples forever; the fold is order-robust (a max-k of
+    * deterministic keys commutes), and an at-least-once REPLAY of an
+    * item recomputes the identical key so the SAMPLE is
+    * replay-idempotent — only nSeen counts deliveries (documented;
+    * exact-once delivery counts are the store layer's job, not the
+    * sketch's). Nonpositive weights are excluded and counted
+    * (`nDropped`, the hdr contract). Snapshot serializes the sample as
+    * "id:w:key" in (key desc, id asc) order. */
+  val EsStateK = 20
+  def weightedReservoirState(arr: Dataset[WeightedArrival]): Dataset[ReservoirSnapshot] = {
+    import arr.sparkSession.implicits._
+    def keyOf(id: Long, w: Long): Long = {
+      val s = s"es#$id"
+      val h = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      val u = (h + 1).toDouble / 1000000008.0
+      math.floor(math.log(u) / w.toDouble * 1e12).toLong
+    }
+    arr.groupByKey(_.scope)
+      .flatMapGroupsWithState[(Map[Long, (Long, Long)], Long, Long), ReservoirSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[WeightedArrival],
+         state: GroupState[(Map[Long, (Long, Long)], Long, Long)]) =>
+          // state: id -> (key_pico, w), plus delivery + drop counters
+          var (top, n, dropped) = state.getOption
+            .getOrElse((Map.empty[Long, (Long, Long)], 0L, 0L))
+          batch.foreach { a =>
+            if (a.w <= 0) dropped += 1
+            else {
+              n += 1
+              if (!top.contains(a.id)) {
+                top = top.updated(a.id, (keyOf(a.id, a.w), a.w))
+                if (top.size > EsStateK) {
+                  // evict the minimum by (key asc, id desc) — the
+                  // complement of the keep order
+                  val evict = top.minBy { case (id, (k, _)) => (k, -id) }._1
+                  top = top.removed(evict)
+                }
+              }
+            }
+          }
+          state.update((top, n, dropped))
+          val sample = top.toSeq
+            .sortBy { case (id, (k, _)) => (-k, id) }
+            .map { case (id, (k, w)) => s"$id:$w:$k" }.mkString(",")
+          Iterator(ReservoirSnapshot(scope, n, dropped, sample))
+      }
+  }
+
   /** ST4: bounded-retry wrapper around a sink action. Retries transient
     * failures up to `maxAttempts` (xai_tasks.py:137-163 semantics:
     * backoff + terminal give-up); returns the number of attempts used or
