@@ -876,9 +876,12 @@ object LlmQueries {
     * and the interval-union length per doc is a PER-DOC window over its
     * duplicate positions (sorted i: Σ min(W, next_i − i), W for the
     * last — the classic equal-length interval-merge closed form). */
-  private[graft] def spanDedupStats(docs: DataFrame): DataFrame = {
+  /** Position-grain [[DecontamWindow]]-token window hashes — the shared
+    * explode behind the span-dedup family (q234 cross-doc, q243
+    * within-doc). */
+  private def windowPositions(docs: DataFrame): DataFrame = {
     val W = DecontamWindow
-    val wins = docs
+    docs
       .select(col("doc_id"), toksCol(col("text")).as("tk"))
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"), explode(transform(
@@ -886,24 +889,87 @@ object LlmQueries {
         i => struct(i.cast("long").as("i"),
           tokHash(array_join(slice(col("tk"), i, lit(W)), " ")).as("h")))).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
-      .cache() // two consumers (min-doc aggregate + probe); runner clearCache scopes it
-    val minDoc = wins.groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
-    val dupPos = wins.join(minDoc, "h")
-      .filter(col("doc_id") > col("min_doc"))
-      .select(col("doc_id"), col("i"))
+  }
+
+  /** Per-doc removed-token mass = union length of equal-width spans at
+    * the given duplicate start positions (sorted i: Σ min(W, nextᵢ−i),
+    * W for the last — per-doc window, the q234/q243 closed form). */
+  private def spanUnionStats(docs: DataFrame, dupPos: DataFrame,
+      nDupCol: String): DataFrame = {
+    val W = DecontamWindow
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val cov = dupPos.withColumn("nxt", lead(col("i"), 1).over(wd))
       .select(col("doc_id"),
         when(col("nxt").isNull, lit(W.toLong))
           .otherwise(least(lit(W.toLong), col("nxt") - col("i"))).as("cov"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_windows"), sum(col("cov")).as("n_removed"))
+      .agg(count(lit(1)).as(nDupCol), sum(col("cov")).as("n_removed"))
     docs.select(col("doc_id"), size(toksCol(col("text"))).cast("long").as("n_tokens"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col(nDupCol), lit(0L)).as(nDupCol),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def spanDedupStats(docs: DataFrame): DataFrame = {
+    val wins = windowPositions(docs)
+      .cache() // two consumers (min-doc aggregate + probe); runner clearCache scopes it
+    val minDoc = wins.groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+    val dupPos = wins.join(minDoc, "h")
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("i"))
+    spanUnionStats(docs, dupPos, "n_dup_windows")
+  }
+
+  /** Katz centrality (Katz 1953, Psychometrika) over the shared link
+    * graph — the attenuation-based prestige index between q138's
+    * PageRank (flow-normalized) and q239's HITS (mutually recursive):
+    * x = Σ_k α^k·(Aᵀ)^k·1, every path endorses its endpoint with weight
+    * decaying in length. Computed as the truncated fixed-round
+    * recurrence x_t = 1 + α·Aᵀ·x_{t−1} ([[KatzIters]] rounds — the
+    * q138/q239 exact-iteration contract), in integer micro-units with
+    * α = 1/[[KatzInvAlpha]] as `contrib div 10` — both engines hold
+    * bit-identical longs, no convergence read, and with the hash
+    * graph's bounded in-degrees the truncated sum stays far inside
+    * int64. Scale shape per round: ONE ranks⋈edges hash join + one
+    * partial-aggregated groupBy(dst) + a left join back — O(E),
+    * exactly q138's loop; rounds pinned and released on the q217
+    * cadence (output reads only the LAST round). Output: per-doc Katz
+    * score in micro-units. */
+  private val KatzIters = 4
+  private val KatzInvAlpha = 10L
+  private val KatzUnit = 1000000L
+  private val q244Katz: Q = (s, dir) => {
+    val docsC = linkGraphDocs(s, dir).cache()
+    val n = docsC.count()
+    val docs = s.createDataFrame(docsC.rdd, docsC.schema)
+    val edgesC = linkGraphRawEdges(docs, n).distinct().cache()
+    val edges = s.createDataFrame(edgesC.rdd, edgesC.schema)
+    edgesC.count()
+    val s0 = docs.sparkSession
+    var xC = docs.select(col("idx"), lit(KatzUnit).as("x")).cache()
+    var x = s0.createDataFrame(xC.rdd, xC.schema)
+    xC.count()
+    for (_ <- 1 to KatzIters) {
+      val contrib = x.join(edges, x("idx") === edges("src"))
+        .groupBy(col("dst").as("idx")).agg(sum(col("x")).as("c"))
+      val prev = xC
+      xC = docs.select(col("idx")).join(contrib, Seq("idx"), "left")
+        .select(col("idx"),
+          (lit(KatzUnit) + expr(s"coalesce(c, 0) div $KatzInvAlpha")).as("x"))
+        .cache()
+      x = s0.createDataFrame(xC.rdd, xC.schema)
+      xC.count()
+      prev.unpersist() // consumed by the round just materialized
+    }
+    edgesC.unpersist() // all relax joins done
+    // docsC and the final round stay cached: the returned lineage reads
+    // BOTH (the runner's clearCache releases them — the query-scoped
+    // contract, same as q138)
+    x.join(docs, "idx")
+      .select(col("doc_id"), col("x").as("katz_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -4451,6 +4517,7 @@ object LlmQueries {
     "q236_heaps_fit"      -> q236HeapsFit,
     "q238_entropy_rate"   -> q238EntropyRate,
     "q239_hits"           -> q239Hits,
+    "q244_katz"           -> q244Katz,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4807,6 +4874,30 @@ object LlmQueries {
        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
 
+  /** q244's oracle: the truncated Katz recurrence unrolled as
+    * MATERIALIZED CTEs (the duckPageRankSql pattern). */
+  private lazy val duckKatzSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val iters = (1 to KatzIters).map { t =>
+      s"""c$t AS (SELECT e.dst, SUM(r.x) AS c
+         |  FROM x${t - 1} r JOIN edges e ON e.src = r.idx GROUP BY e.dst),
+         |x$t AS MATERIALIZED (SELECT d.idx,
+         |    $KatzUnit + COALESCE(c.c, 0) // $KatzInvAlpha AS x
+         |  FROM docs d LEFT JOIN c$t c ON c.dst = d.idx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS MATERIALIZED (SELECT src, dst FROM links WHERE src <> dst),
+       |x0 AS (SELECT idx, CAST($KatzUnit AS BIGINT) AS x FROM docs),
+       |$iters
+       |SELECT doc_id, CAST(x AS BIGINT) AS katz_micro
+       |FROM x$KatzIters JOIN docs USING (idx) ORDER BY doc_id""".stripMargin
+  }
+
   /** The span-dedup CTE chain over a (doc_id, text) relation — the
     * oracle twin of [[spanDedupStats]]: position-grain window hashes,
     * min-doc canonicality, per-doc interval-union via the lead() closed
@@ -5095,6 +5186,7 @@ object LlmQueries {
          |  CAST(h2.s // bt.nb AS BIGINT) AS h2_micro
          |FROM ut, bt, h1, h2""".stripMargin,
     "q239_hits" -> duckHitsSql,
+    "q244_katz" -> duckKatzSql,
     // q235: the full curation chain, then the span CTEs over its
     // admitted relation — min-doc canonicality among SURVIVORS only
     "q235_curation_spans" ->

@@ -431,6 +431,32 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q244 Katz equals a sequential driver recurrence; attenuation actually differentiates") {
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val n = docs.length.toLong
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val edges = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (idx, dst)).distinct
+    var x = Array.fill(n.toInt)(1000000L)
+    (1 to 4).foreach { _ =>
+      val c = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s0, d0) => c(d0.toInt) += x(s0.toInt) }
+      x = c.map(v => 1000000L + v / 10L)
+    }
+    val want = docs.map { case (docId, idx) => (docId, x(idx.toInt)) }.toSeq
+    val got = LlmQueries.queries("q244_katz")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "distributed Katz diverged from the sequential recurrence")
+    assert(x.distinct.length > 1, "Katz scores all equal — attenuation did nothing, vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("q240 ANOVA F equals a driver computation and detects the between-group signal") {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"),
