@@ -923,6 +923,61 @@ object LlmQueries {
     spanUnionStats(docs, dupPos, "n_dup_windows")
   }
 
+  /** Personalized PageRank (Haveliwala 2002, WWW — topic-sensitive
+    * PageRank; the random walk RESTARTS at a seed set instead of
+    * uniformly, so rank means "endorsed reachability FROM these seeds"
+    * — the relevance-propagation primitive behind seed-based crawl
+    * frontiers, related-document expansion, and TrustRank-style spam
+    * demotion): q138's exact integer-mass iteration with the base mass
+    * redirected to the q217 seed set (idx % 97 == 0) —
+    * pr'(v) = seedBase(v) + (85·Σ contrib) div 100, seedBase nonzero
+    * only at seeds, initial mass scale div |S| on seeds and 0 elsewhere.
+    * Non-seeds hold rank ONLY through actual in-paths from the seed
+    * set; floor-division crumbs leak deterministically (the q138
+    * discipline — a ranking signal, not a measure). Scale shape per
+    * round: identical to q138 — one ranks⋈edges hash join + one
+    * partial-aggregated groupBy(dst) + a left join back; ONE consumer
+    * per round, so the chain stays lazy and only the final frame pins
+    * (the PageRank.iterate cadence). */
+  private val PprIters = 5
+  private val q245PersonalizedPr: Q = (s, dir) => {
+    val docsC = linkGraphDocs(s, dir).cache()
+    val n = docsC.count()
+    val docs = s.createDataFrame(docsC.rdd, docsC.schema)
+    val withDegC = {
+      val e = linkGraphRawEdges(docs, n).distinct()
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), "src").cache()
+    }
+    val withDeg = s.createDataFrame(withDegC.rdd, withDegC.schema)
+    withDegC.count()
+    val isSeed = col("idx") % 97 === 0
+    val nSeeds = docsC.filter(isSeed).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val perSeed = PrScale / nSeeds
+    val base = 15L * perSeed / 100L
+    val seedBase = when(isSeed, lit(base)).otherwise(lit(0L))
+    var ranks = docs.select(col("idx"),
+      when(isSeed, lit(perSeed)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to PprIters) {
+      val contribs = ranks
+        .join(withDeg, ranks("idx") === withDeg("src"))
+        .select(col("dst"), expr("pr div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = docs.select(col("idx"))
+        .join(contribs, col("idx") === col("dst"), "left")
+        .select(col("idx"),
+          (seedBase + expr("(85 * coalesce(contrib, 0L)) div 100")).as("pr"))
+    }
+    // one consumer per round — the lazy chain executes once; pin the
+    // final frame for the analyzer bound (the PageRank.iterate cadence)
+    val fin = ranks.cache()
+    fin.count()
+    s.createDataFrame(fin.rdd, fin.schema)
+      .join(docs, "idx")
+      .select(col("doc_id"), col("pr").as("ppr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Katz centrality (Katz 1953, Psychometrika) over the shared link
     * graph — the attenuation-based prestige index between q138's
     * PageRank (flow-normalized) and q239's HITS (mutually recursive):
@@ -4518,6 +4573,7 @@ object LlmQueries {
     "q238_entropy_rate"   -> q238EntropyRate,
     "q239_hits"           -> q239Hits,
     "q244_katz"           -> q244Katz,
+    "q245_personalized_pr" -> q245PersonalizedPr,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4874,6 +4930,38 @@ object LlmQueries {
        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
 
+  /** q245's oracle: the seeded-restart iteration unrolled as
+    * MATERIALIZED CTEs (the duckPageRankSql pattern with the base mass
+    * redirected to the seed set). */
+  private lazy val duckPprSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    val perSeed = s"(SELECT $PrScale // ns FROM sn)"
+    val base = s"(SELECT (15 * ($PrScale // ns)) // 100 FROM sn)"
+    val iters = (1 to PprIters).map { t =>
+      s"""c$t AS (SELECT e.dst, SUM(r.pr // g.d) AS contrib
+         |  FROM r${t - 1} r JOIN edges e ON e.src = r.idx JOIN deg g ON g.src = r.idx
+         |  GROUP BY e.dst),
+         |r$t AS MATERIALIZED (SELECT d.idx,
+         |    (CASE WHEN d.idx % 97 = 0 THEN $base ELSE 0 END)
+         |      + (85 * COALESCE(c.contrib, 0)) // 100 AS pr
+         |  FROM docs d LEFT JOIN c$t c ON c.dst = d.idx)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |sn AS (SELECT count(*) AS ns FROM docs WHERE idx % 97 = 0),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS MATERIALIZED (SELECT src, dst FROM links WHERE src <> dst),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |r0 AS (SELECT idx, CASE WHEN idx % 97 = 0 THEN $perSeed ELSE 0 END AS pr
+       |  FROM docs),
+       |$iters
+       |SELECT doc_id, CAST(pr AS BIGINT) AS ppr
+       |FROM r$PprIters JOIN docs USING (idx) ORDER BY doc_id""".stripMargin
+  }
+
   /** q244's oracle: the truncated Katz recurrence unrolled as
     * MATERIALIZED CTEs (the duckPageRankSql pattern). */
   private lazy val duckKatzSql: String = {
@@ -5187,6 +5275,7 @@ object LlmQueries {
          |FROM ut, bt, h1, h2""".stripMargin,
     "q239_hits" -> duckHitsSql,
     "q244_katz" -> duckKatzSql,
+    "q245_personalized_pr" -> duckPprSql,
     // q235: the full curation chain, then the span CTEs over its
     // admitted relation — min-doc canonicality among SURVIVORS only
     "q235_curation_spans" ->

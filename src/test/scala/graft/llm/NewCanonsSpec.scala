@@ -457,6 +457,43 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q245 personalized PageRank equals a sequential seeded-restart iteration; locality holds") {
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val n = docs.length.toLong
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val edges = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (idx, dst)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val scale = 1000000000000L
+    val seeds = docs.map(_._2).filter(_ % 97 == 0)
+    val perSeed = scale / seeds.length
+    val base = 15L * perSeed / 100L
+    var pr = docs.map { case (_, idx) => idx -> (if (idx % 97 == 0) perSeed else 0L) }.toMap
+    (1 to 5).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => contrib(d0) += pr(s0) / outDeg(s0) }
+      pr = docs.map { case (_, idx) =>
+        idx -> ((if (idx % 97 == 0) base else 0L) + 85L * contrib(idx) / 100L)
+      }.toMap
+    }
+    val want = docs.map { case (docId, idx) => (docId, pr(idx)) }.toSeq
+    val got = LlmQueries.queries("q245_personalized_pr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "distributed PPR diverged from the sequential seeded iteration")
+    // locality: rank must NOT be uniform (the restart set differentiates),
+    // and some non-seed node must hold rank only via actual in-paths
+    assert(pr.values.toSet.size > 1, "PPR is uniform — seeding did nothing, vacuous")
+    assert(docs.exists { case (_, i) => i % 97 != 0 && pr(i) > 0 },
+      "no non-seed node reached — the walk never left the seed set")
+    spark.catalog.clearCache()
+  }
+
   test("q240 ANOVA F equals a driver computation and detects the between-group signal") {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"),
