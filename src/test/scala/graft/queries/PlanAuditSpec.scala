@@ -188,6 +188,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(winSpec.contains("source"), s"q130 window is not partitioned by source:\n$winSpec")
   }
 
+  test("q234/q239/q244/q245: the round-12 operators stay hash-keyed — no cartesian, no nested loop") {
+    for (q <- Seq("q234_span_removal", "q239_hits", "q244_katz", "q245_personalized_pr")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loop join:\n$p")
+      spark.catalog.clearCache() // the graph queries pin round frames
+    }
+    // q234's min-doc probe must be a hash equi-join on the window hash
+    val p234 = planOf("q234_span_removal")
+    assert(p234.contains("HashJoin"), s"q234 lost the hash-keyed probe:\n$p234")
+    spark.catalog.clearCache()
+  }
+
   test("q138: PageRank iterations stay hash-keyed — no cartesian, no nested loop") {
     val p = planOf("q138_pagerank")
     assert(!p.contains("CartesianProduct"), s"q138 degenerated to a cartesian product:\n$p")
