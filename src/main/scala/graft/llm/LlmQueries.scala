@@ -3278,7 +3278,14 @@ object LlmQueries {
     * 50×50 full outer join. */
   private val RrfK = 60L
   private val RrfDepth = 50
-  private val q152HybridRrf: Q = (s, dir) => {
+  private val RrfOut = 20
+  private val q152HybridRrf: Q = (s, dir) => hybridRrfParts(s, dir)._2
+
+  /** q152's corpus frame + fused top list, shared with q247's NDCG
+    * evaluation (the retrieval and its metric must score the SAME
+    * run). Returns (u — the cached per-doc frame with tf columns,
+    * fused — the RRF top-[[RrfOut]] list ordered (rrf desc, doc_id)). */
+  private def hybridRrfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val qTerms = Seq("join", "vector", "stream")
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("emb"))
@@ -3314,13 +3321,60 @@ object LlmQueries {
         Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
     def rrfTerm(rank: Column): Column =
       coalesce(floor(lit(1000000.0) / (lit(RrfK.toDouble) + rank)).cast("long"), lit(0L))
-    lexTop.select(col("doc_id"), col("rank_lex"))
+    val fused = lexTop.select(col("doc_id"), col("rank_lex"))
       .join(vecTop.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
       .withColumn("rrf", rrfTerm(col("rank_lex")) + rrfTerm(col("rank_vec")))
       .select(col("doc_id"),
         coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
         coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(RrfOut)
+    (u, fused)
+  }
+
+  /** NDCG@[[RrfOut]] of the q152 hybrid retrieval (Järvelin & Kekäläinen
+    * 2002, TOIS — THE graded ranking metric; a retrieval tier without
+    * its evaluation metric is half an operator): graded relevance is
+    * deterministic and text-derived — rel(doc) = number of DISTINCT
+    * query terms the document contains (0–3) — so both engines label
+    * identically; DCG sums per-position gains rel/log₂(pos+1), each
+    * gain ONE double chain micro-floored BEFORE the exact long sum (the
+    * q133 discipline); the IDEAL ranking needs no sort — it reads off
+    * the bounded relevance HISTOGRAM (ideal_rel(p) = 3 while p ≤ n₃,
+    * then 2, then 1 — corpus-size-independent, ≤4 rows). Scale shape:
+    * the ranked list is the bounded fused top-k (a driver artifact);
+    * relevance labels ride the same cached per-doc frame q152 already
+    * pays for; the histogram is one aggregate. Output: the evaluated
+    * list (pos, doc_id, rel, gain) with DCG/IDCG/NDCG constants. */
+  private val q247NdcgRetrieval: Q = (s, dir) => {
+    import s.implicits._
+    val (u, fused) = hybridRrfParts(s, dir)
+    val relCol = ((col("tf0") > 0.0).cast("long") + (col("tf1") > 0.0).cast("long") +
+      (col("tf2") > 0.0).cast("long")).as("rel")
+    val rel = u.select(col("doc_id"), relCol)
+    // the ranked run: bounded top-k, positions driver-assigned
+    val run = fused.select(col("doc_id")).collect().map(_.getLong(0))
+      .zipWithIndex.map { case (d, i) => (d, i + 1L) }
+    val relOfRun = broadcast(run.toSeq.toDF("doc_id", "pos"))
+      .join(rel, Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .sortBy(_._1)
+    def gain(relV: Long, pos: Long): Long =
+      math.floor(relV.toDouble / (math.log((pos + 1).toDouble) / math.log(2.0))
+        * 1e6 + 0.5).toLong
+    val dcg = relOfRun.map { case (p, _, r) => gain(r, p) }.sum
+    // ideal gains off the bounded relevance histogram — no sort anywhere
+    val hist = rel.groupBy(col("rel")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idealRels = Seq(3L, 2L, 1L).flatMap(v => Seq.fill(
+      math.min(hist.getOrElse(v, 0L), RrfOut.toLong).toInt)(v)).take(RrfOut)
+    val idcg = idealRels.zipWithIndex.map { case (r, i) => gain(r, i + 1L) }.sum
+    require(idcg > 0L, "no relevant document in the corpus — NDCG undefined")
+    u.unpersist() // every consumer above collected; output is driver-held
+    relOfRun.toSeq.map { case (p, d, r) =>
+      (p, d, r, gain(r, p), dcg, idcg,
+        math.floor(dcg.toDouble / idcg.toDouble * 1e6 + 0.5).toLong)
+    }.toDF("pos", "doc_id", "rel", "gain_micro", "dcg_micro", "idcg_micro", "ndcg_micro")
+      .orderBy(col("pos"))
   }
 
   /** Compression-ratio quality signal
@@ -4574,6 +4628,7 @@ object LlmQueries {
     "q239_hits"           -> q239Hits,
     "q244_katz"           -> q244Katz,
     "q245_personalized_pr" -> q245PersonalizedPr,
+    "q247_ndcg_retrieval" -> q247NdcgRetrieval,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
     "q140_psi_drift"      -> q140PsiDrift,
@@ -4929,6 +4984,41 @@ object LlmQueries {
        |$iters
        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
+
+  /** The q152 hybrid-retrieval CTE chain (BM25 leg + vector leg + RRF
+    * fusion), ending at `f` (the fused candidate set) with `u` and `tf`
+    * live for q247's relevance labels. */
+  private lazy val duckRrfCTEs: String =
+    s"""e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |d AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |u AS MATERIALIZED (SELECT d.doc_id, tk, len(tk)::DOUBLE AS dl, emb
+       |      FROM d JOIN e ON e.doc_id = d.doc_id),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*) AS avgdl FROM u),
+       |t AS (SELECT doc_id, dl, unnest(tk) AS tok FROM u),
+       |tf AS MATERIALIZED (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM t
+       |  WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+       |dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+       |c AS (SELECT doc_id, tok,
+       |    ((n_docs - df + 0.5) / (df + 0.5)) *
+       |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+       |  FROM tf JOIN dfx USING (tok) CROSS JOIN stats),
+       |p AS (SELECT doc_id,
+       |    coalesce(sum(CASE WHEN tok = 'join' THEN contrib END), 0.0) AS c0,
+       |    coalesce(sum(CASE WHEN tok = 'vector' THEN contrib END), 0.0) AS c1,
+       |    coalesce(sum(CASE WHEN tok = 'stream' THEN contrib END), 0.0) AS c2
+       |  FROM c GROUP BY doc_id),
+       |lex AS (SELECT doc_id, row_number() OVER (
+       |    ORDER BY floor((c0 + c1 + c2) * 10000.0 + 0.5) / 10000.0 DESC, doc_id) AS rank_lex
+       |  FROM p QUALIFY rank_lex <= $RrfDepth),
+       |qv AS (SELECT emb AS q_emb FROM e WHERE doc_id = 0),
+       |vec AS (SELECT u.doc_id, row_number() OVER (
+       |    ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, u.doc_id) AS rank_vec
+       |  FROM u CROSS JOIN qv QUALIFY rank_vec <= $RrfDepth),
+       |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(rank_lex, 0) AS rank_lex, COALESCE(rank_vec, 0) AS rank_vec,
+       |    COALESCE(CAST(floor(1000000.0 / ($RrfK + rank_lex)) AS BIGINT), 0) +
+       |      COALESCE(CAST(floor(1000000.0 / ($RrfK + rank_vec)) AS BIGINT), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)""".stripMargin
 
   /** q245's oracle: the seeded-restart iteration unrolled as
     * MATERIALIZED CTEs (the duckPageRankSql pattern with the base mass
@@ -6015,39 +6105,45 @@ object LlmQueries {
     // reciprocal ranks — the double division 10⁶/(60+rank) is the same
     // IEEE operation on the same operands in both engines
     "q152_hybrid_rrf" ->
-      s"""WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |d AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |u AS (SELECT d.doc_id, tk, len(tk)::DOUBLE AS dl, emb
-         |      FROM d JOIN e ON e.doc_id = d.doc_id),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*) AS avgdl FROM u),
-         |t AS (SELECT doc_id, dl, unnest(tk) AS tok FROM u),
-         |tf AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM t
-         |  WHERE tok IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
-         |dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-         |c AS (SELECT doc_id, tok,
-         |    ((n_docs - df + 0.5) / (df + 0.5)) *
-         |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
-         |  FROM tf JOIN dfx USING (tok) CROSS JOIN stats),
-         |p AS (SELECT doc_id,
-         |    coalesce(sum(CASE WHEN tok = 'join' THEN contrib END), 0.0) AS c0,
-         |    coalesce(sum(CASE WHEN tok = 'vector' THEN contrib END), 0.0) AS c1,
-         |    coalesce(sum(CASE WHEN tok = 'stream' THEN contrib END), 0.0) AS c2
-         |  FROM c GROUP BY doc_id),
-         |lex AS (SELECT doc_id, row_number() OVER (
-         |    ORDER BY floor((c0 + c1 + c2) * 10000.0 + 0.5) / 10000.0 DESC, doc_id) AS rank_lex
-         |  FROM p QUALIFY rank_lex <= $RrfDepth),
-         |qv AS (SELECT emb AS q_emb FROM e WHERE doc_id = 0),
-         |vec AS (SELECT u.doc_id, row_number() OVER (
-         |    ORDER BY round(list_cosine_similarity(emb, q_emb), 4) DESC, u.doc_id) AS rank_vec
-         |  FROM u CROSS JOIN qv QUALIFY rank_vec <= $RrfDepth),
-         |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |    COALESCE(rank_lex, 0) AS rank_lex, COALESCE(rank_vec, 0) AS rank_vec,
-         |    COALESCE(CAST(floor(1000000.0 / ($RrfK + rank_lex)) AS BIGINT), 0) +
-         |      COALESCE(CAST(floor(1000000.0 / ($RrfK + rank_vec)) AS BIGINT), 0) AS rrf
-         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+      s"""WITH $duckRrfCTEs
          |SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
          |  CAST(rank_vec AS BIGINT) AS rank_vec, CAST(rrf AS BIGINT) AS rrf
-         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfOut""".stripMargin,
+    // q247: same fused run, relevance = distinct query terms present,
+    // gains micro-floored per position BEFORE the exact sums, ideal off
+    // the bounded relevance histogram (no sort)
+    "q247_ndcg_retrieval" ->
+      s"""WITH $duckRrfCTEs,
+         |run AS (SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS pos
+         |  FROM f QUALIFY pos <= $RrfOut),
+         |rel AS (SELECT u.doc_id,
+         |    CAST(coalesce(t.r, 0) AS BIGINT) AS rel
+         |  FROM u LEFT JOIN (SELECT doc_id, count(DISTINCT tok) AS r FROM tf
+         |    WHERE tf > 0 GROUP BY doc_id) t ON t.doc_id = u.doc_id),
+         |scored AS (SELECT run.pos, run.doc_id, rel.rel,
+         |    CAST(floor(CAST(rel.rel AS DOUBLE)
+         |      / (ln(CAST(run.pos + 1 AS DOUBLE)) / ln(2.0))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS gain_micro
+         |  FROM run JOIN rel USING (doc_id)),
+         |dcg AS (SELECT CAST(sum(gain_micro) AS BIGINT) AS dcg_micro FROM scored),
+         |hist AS (SELECT rel, CAST(count(*) AS BIGINT) AS n FROM rel GROUP BY rel),
+         |ideal AS (SELECT p,
+         |    CASE WHEN p <= coalesce((SELECT n FROM hist WHERE rel = 3), 0) THEN 3
+         |         WHEN p <= coalesce((SELECT n FROM hist WHERE rel = 3), 0)
+         |                 + coalesce((SELECT n FROM hist WHERE rel = 2), 0) THEN 2
+         |         WHEN p <= coalesce((SELECT n FROM hist WHERE rel = 3), 0)
+         |                 + coalesce((SELECT n FROM hist WHERE rel = 2), 0)
+         |                 + coalesce((SELECT n FROM hist WHERE rel = 1), 0) THEN 1
+         |         ELSE 0 END AS irel
+         |  FROM (SELECT unnest(range(1, ${RrfOut + 1})) AS p)),
+         |idcg AS (SELECT CAST(sum(CAST(floor(CAST(irel AS DOUBLE)
+         |    / (ln(CAST(p + 1 AS DOUBLE)) / ln(2.0))
+         |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_micro
+         |  FROM ideal WHERE irel > 0)
+         |SELECT pos, doc_id, rel, gain_micro, dcg_micro, idcg_micro,
+         |  CAST(floor(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS ndcg_micro
+         |FROM scored, dcg, idcg ORDER BY pos""".stripMargin,
     // q153: gate vector — zlib has no relational twin; the corpus-
     // derived count keeps the row honest, the zeros pin the invariants
     "q153_compress_ratio" ->

@@ -494,6 +494,41 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q247 NDCG: ideal equals the sort-based definition; gains and labels recompute exactly") {
+    // driver-side relevance for EVERY doc (the sort-based ideal is the
+    // DEFINITION; the query builds it from the histogram — this is the
+    // proof the two constructions agree)
+    val qTerms = Seq("join", "vector", "stream")
+    val rels = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val tk = r.getString(1).split("\\s+").filter(_.nonEmpty).toSet
+        r.getLong(0) -> qTerms.count(tk.contains).toLong
+      }.toMap
+    def gain(relV: Long, pos: Long): Long =
+      math.floor(relV.toDouble / (math.log((pos + 1).toDouble) / math.log(2.0))
+        * 1e6 + 0.5).toLong
+    val idealIdcg = rels.values.toSeq.sortBy(-_).take(20).zipWithIndex
+      .map { case (r, i) => gain(r, i + 1L) }.sum
+    val rows = LlmQueries.queries("q247_ndcg_retrieval")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    rows.foreach { case (p, d, rel, g, _, _, _) =>
+      assert(rel === rels(d), s"pos $p doc $d: relevance label diverged")
+      assert(g === gain(rel, p), s"pos $p: gain arithmetic diverged")
+    }
+    val dcg = rows.map(_._4).sum
+    assert(rows.head._5 === dcg, "emitted DCG != sum of emitted gains")
+    assert(rows.head._6 === idealIdcg,
+      "histogram-built ideal diverged from the sort-based definition")
+    assert(rows.head._7 ===
+      math.floor(dcg.toDouble / idealIdcg.toDouble * 1e6 + 0.5).toLong)
+    // the metric must discriminate: a real run is neither perfect nor flat
+    assert(rows.head._7 > 0L && rows.head._7 < 1000000L,
+      s"NDCG ${rows.head._7} — degenerate run, vacuous metric")
+    assert(rows.map(_._3).distinct.length > 1, "all retrieved docs share one relevance — vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("q240 ANOVA F equals a driver computation and detects the between-group signal") {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"),
