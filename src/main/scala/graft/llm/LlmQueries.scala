@@ -978,6 +978,85 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Spearman rank correlation with ties (Spearman 1904) — the
+    * rank-based dependence measure completing the correlation pair
+    * (q67's Pearson asks "linear?"; this asks "monotone?" — robust to
+    * the heavy tails that corrupt Pearson on corpus stats). Measured
+    * between document LENGTH (token count) and LEXICAL DIVERSITY
+    * (distinct-token count) — the "does longer mean richer" corpus
+    * diagnostic. ρ = Pearson over midranks; midranks come from each
+    * variable's bounded INTEGER-GRID histogram on q198's doubled grid
+    * (2r̄ = 2·cumBelow + m + 1 exact) with cumulatives via
+    * [[graft.operators.DistributedSelect.globalPrefixSum]] on unique
+    * grid keys — NO sort, NO window over corpus-sized input, the q242
+    * machinery applied to two variables at once. All moment sums are
+    * exact longs; the closed form is one double-widened chain
+    * micro-floored (the q228 discipline). */
+  private val q243Spearman: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toksCol(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("x"),
+        size(array_distinct(col("tk"))).cast("long").as("y"))
+      .cache()
+    def midranks(v: String): DataFrame = {
+      val grid = base.groupBy(col(v)).agg(count(lit(1)).as("m"))
+      DistributedSelect.globalPrefixSum(grid, v, "m", "cum", 64L)
+        .select(col(v), (lit(2L) * (col("cum") - col("m")) + col("m") + 1L).as(s"r2_$v"))
+    }
+    val ranked = base
+      .join(midranks("x"), "x")
+      .join(midranks("y"), "y")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r2_x")).as("sx"), sum(col("r2_y")).as("sy"),
+      sum(col("r2_x") * col("r2_x")).as("sxx"),
+      sum(col("r2_x") * col("r2_y")).as("sxy"),
+      sum(col("r2_y") * col("r2_y")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n"), col("sx").as("rank2_sum_x"), col("sy").as("rank2_sum_y"),
+      s6(cov / sqrt(vx * vy)).as("spearman_micro"))
+  }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two raters, here the corpus's two independent per-doc quality
+    * gates (the Gopher A1.1 conjunction q196 composes, and q131's
+    * repetition battery): "do the gates agree beyond what their base
+    * rates force?" is the gate-redundancy diagnostic a curation
+    * pipeline reads before paying for both. κ = (p_o − p_e)/(1 − p_e)
+    * from the exact 2×2 agreement counts (one conditional aggregate
+    * over the joined gate flags — scan-shaped, both gates are one
+    * pass); p_o/p_e/κ are identical-order double chains off exact
+    * longs, micro-floored. */
+  private val q246CohenKappa: Q = (s, dir) => {
+    val a = TextOps.gopherRules(Tables.documents(s, dir), "text")
+      .select(col("doc_id"),
+        (col("r_words") * col("r_mean_len") * col("r_symbol") *
+          col("r_alpha") * col("r_bullet") * col("r_ellipsis") === 1)
+          .cast("long").as("ga"))
+    val b = TextOps.repetitionRules(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), (col("rep_pass") === 1).cast("long").as("gb"))
+    val m = a.join(b, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("ga") * col("gb")).as("n11"),
+      sum(col("ga") * (lit(1L) - col("gb"))).as("n10"),
+      sum((lit(1L) - col("ga")) * col("gb")).as("n01"),
+      sum((lit(1L) - col("ga")) * (lit(1L) - col("gb"))).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")) / (nD * nD)
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      floor(po * 1e6 + 0.5).cast("long").as("po_micro"),
+      floor(pe * 1e6 + 0.5).cast("long").as("pe_micro"),
+      floor((po - pe) / (lit(1.0) - pe) * 1e6 + 0.5).cast("long").as("kappa_micro"))
+  }
+
   /** Katz centrality (Katz 1953, Psychometrika) over the shared link
     * graph — the attenuation-based prestige index between q138's
     * PageRank (flow-normalized) and q239's HITS (mutually recursive):
@@ -4628,6 +4707,8 @@ object LlmQueries {
     "q239_hits"           -> q239Hits,
     "q244_katz"           -> q244Katz,
     "q245_personalized_pr" -> q245PersonalizedPr,
+    "q243_spearman"       -> q243Spearman,
+    "q246_cohen_kappa"    -> q246CohenKappa,
     "q247_ndcg_retrieval" -> q247NdcgRetrieval,
     "q196_curation_canon" -> q196CurationCanon,
     "q139_shard_assign"   -> q139ShardAssign,
@@ -6109,6 +6190,68 @@ object LlmQueries {
          |SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
          |  CAST(rank_vec AS BIGINT) AS rank_vec, CAST(rrf AS BIGINT) AS rrf
          |FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfOut""".stripMargin,
+    // q243: same doubled-grid midranks per variable (integer-grid
+    // histograms + cumulative), same exact moments, same closed form
+    "q243_spearman" ->
+      s"""WITH b AS (SELECT doc_id, len(tk) AS x, len(list_distinct(tk)) AS y
+         |  FROM (SELECT doc_id, $duckToks AS tk FROM documents)),
+         |gx AS (SELECT x, count(*) AS m,
+         |    2 * coalesce(sum(count(*)) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + count(*) + 1 AS r2_x
+         |  FROM b GROUP BY x),
+         |gy AS (SELECT y, count(*) AS m,
+         |    2 * coalesce(sum(count(*)) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + count(*) + 1 AS r2_y
+         |  FROM b GROUP BY y),
+         |r AS (SELECT b.doc_id, gx.r2_x, gy.r2_y
+         |  FROM b JOIN gx USING (x) JOIN gy USING (y)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(r2_x) AS BIGINT) AS sx, CAST(sum(r2_y) AS BIGINT) AS sy,
+         |    CAST(sum(r2_x * r2_x) AS BIGINT) AS sxx,
+         |    CAST(sum(r2_x * r2_y) AS BIGINT) AS sxy,
+         |    CAST(sum(r2_y * r2_y) AS BIGINT) AS syy FROM r)
+         |SELECT n, sx AS rank2_sum_x, sy AS rank2_sum_y,
+         |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS spearman_micro
+         |FROM m""".stripMargin,
+    // q246: same two gate conjunctions over the shared rule CTEs, same
+    // exact 2x2 counts and double chains
+    "q246_cohen_kappa" -> {
+      s"""WITH ${duckGopherCTEs("documents")},
+         |${duckRepetitionCTEs("documents")},
+         |flags AS (SELECT d.doc_id,
+         |    CASE WHEN gop.r_words * gop.r_mean_len * gop.r_symbol * gop.r_alpha
+         |        * gop.r_bullet * gop.r_ellipsis = 1 THEN 1 ELSE 0 END AS ga,
+         |    CASE WHEN $duckRepPassCond THEN 1 ELSE 0 END AS gb
+         |  FROM documents d
+         |  JOIN gop ON gop.doc_id = d.doc_id
+         |  JOIN rep_stats rs ON rs.doc_id = d.doc_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ga * gb) AS BIGINT) AS n11,
+         |    CAST(sum(ga * (1 - gb)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - ga) * gb) AS BIGINT) AS n01,
+         |    CAST(sum((1 - ga) * (1 - gb)) AS BIGINT) AS n00 FROM flags)
+         |SELECT n, n11, n10, n01, n00,
+         |  CAST(floor(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS po_micro,
+         |  CAST(floor((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,
+         |  CAST(floor((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |    / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS kappa_micro
+         |FROM m""".stripMargin
+    },
     // q247: same fused run, relevance = distinct query terms present,
     // gains micro-floored per position BEFORE the exact sums, ideal off
     // the bounded relevance histogram (no sort)

@@ -529,6 +529,57 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q243 Spearman equals a driver midrank Pearson; monotone signal present") {
+    val base = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().map { r =>
+        val tk = r.getString(0).split("\\s+").filter(_.nonEmpty)
+        (tk.length.toLong, tk.distinct.length.toLong)
+      }
+    def midranks(vs: Seq[Long]): Map[Long, Long] = {
+      val grid = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = grid.keys.toSeq.sorted
+      var below = 0L
+      sorted.map { v =>
+        val r = v -> (2 * below + grid(v) + 1); below += grid(v); r
+      }.toMap
+    }
+    val rx = midranks(base.map(_._1).toSeq)
+    val ry = midranks(base.map(_._2).toSeq)
+    val pts = base.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val cov = n * sxy - sx.toDouble * sy
+    val rho = cov / math.sqrt((n * sxx - sx.toDouble * sx) * (n * syy - sy.toDouble * sy))
+    val r = LlmQueries.queries("q243_spearman")(spark, sfDir).head()
+    assert(r.getLong(0) === pts.length.toLong)
+    assert(r.getLong(1) === sx && r.getLong(2) === sy)
+    assert(r.getLong(3) === math.floor(rho * 1e6 + 0.5).toLong, "rho diverged")
+    assert(math.abs(r.getLong(3)) > 100000L && math.abs(r.getLong(3)) < 1000000L,
+      s"rho ${r.getLong(3)} degenerate — no monotone signal to measure")
+    spark.catalog.clearCache()
+  }
+
+  test("q246 Cohen's kappa equals a driver agreement computation; gates genuinely disagree somewhere") {
+    val r = LlmQueries.queries("q246_cohen_kappa")(spark, sfDir).head()
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n === n11 + n10 + n01 + n00, "confusion cells don't partition the corpus")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) + (n01 + n00).toDouble * (n10 + n00)) /
+      (n.toDouble * n)
+    assert(r.getLong(5) === math.floor(po * 1e6 + 0.5).toLong)
+    assert(r.getLong(6) === math.floor(pe * 1e6 + 0.5).toLong)
+    assert(r.getLong(7) === math.floor((po - pe) / (1.0 - pe) * 1e6 + 0.5).toLong)
+    // the statistic must have something to correct: both agreement and
+    // disagreement present, and kappa strictly between chance and perfect
+    assert(n11 + n00 > 0 && n10 + n01 > 0, "gates never disagree (or never agree) — vacuous")
+    assert(r.getLong(7) > 0L && r.getLong(7) < 1000000L,
+      s"kappa ${r.getLong(7)} degenerate")
+  }
+
   test("q240 ANOVA F equals a driver computation and detects the between-group signal") {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"),
