@@ -1171,6 +1171,58 @@ object StreamOps {
       }
   }
 
+  final case class GroupValue(scope: String, g: String, cents: Long)
+  final case class AnovaSnapshot(scope: String, k: Long, n: Long,
+      ssbCents2: Long, sswCents2: Long, fMicro: Long, eta2Micro: Long)
+
+  /** q240's streaming twin — a per-scope one-way-ANOVA monitor ("does
+    * mean value differ by group, LIVE"): state is the per-group exact
+    * moment triple (n_g, Σx, Σx²) — O(groups) longs forever, plain sums
+    * so the fold is order-robust and merge-associative like the MG/HDR
+    * states — and every trigger's snapshot computes F and η² with
+    * EXACTLY q240's arithmetic (per-group s²/n floors before the exact
+    * integer total, identical-order double chains), so each snapshot
+    * equals the batch q240 formula over the stream PREFIX, which the
+    * spec pins per trigger. Triggers where the F precondition fails
+    * (k < 2, n ≤ k, or zero within-group variance) emit k/n with the
+    * statistics pinned at −1 — visible, never a crash mid-stream. */
+  def anovaState(vals: Dataset[GroupValue]): Dataset[AnovaSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[String, (Long, Long, Long)], AnovaSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[GroupValue],
+         state: GroupState[Map[String, (Long, Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long, Long)])
+          batch.foreach { v =>
+            val (n, s, ss) = m.getOrElse(v.g, (0L, 0L, 0L))
+            m = m.updated(v.g, (n + 1, s + v.cents, ss + v.cents * v.cents))
+          }
+          state.update(m)
+          val k = m.size.toLong
+          val n = m.values.map(_._1).sum
+          val sx = m.values.map(_._2).sum
+          val sxx = m.values.map(_._3).sum
+          val tsum = m.values.map { case (ng, sg, _) =>
+            math.floor(sg.toDouble * sg.toDouble / ng.toDouble + 0.5).toLong
+          }.sum
+          val ssb = tsum.toDouble - sx.toDouble * sx.toDouble / n.toDouble
+          val sst = sxx.toDouble - sx.toDouble * sx.toDouble / n.toDouble
+          val snap =
+            if (k < 2 || n <= k || sst - ssb <= 0.0)
+              AnovaSnapshot(scope, k, n, -1L, -1L, -1L, -1L)
+            else {
+              val f = (ssb / (k - 1).toDouble) / ((sst - ssb) / (n - k).toDouble)
+              AnovaSnapshot(scope, k, n,
+                math.floor(ssb + 0.5).toLong,
+                math.floor((sst - ssb) + 0.5).toLong,
+                math.floor(f * 1e6 + 0.5).toLong,
+                math.floor(ssb / sst * 1e6 + 0.5).toLong)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class WeightedArrival(scope: String, id: Long, w: Long)
   final case class ReservoirSnapshot(scope: String, nSeen: Long, nDropped: Long,
       sample: String)
