@@ -121,9 +121,15 @@ final class ScoringService(
   }
 
   /** An empty store (no batch dir yet) must read as "not found", not an
-    * AnalysisException — the same shapes [[health]] guards. */
+    * AnalysisException — the same shapes [[health]] guards. With the
+    * r13 typed-empty ResultStore the common race (stream attached, no
+    * batch committed) returns a zero-row frame and never reaches this
+    * guard; what remains is the NEVER-initialized store, which the
+    * store reports as the typed [[graft.streaming.ScoringStream.UninitializedStoreException]]
+    * (caught here → 404-shaped None, not a 500). */
   private def guardEmptyStore[T](read: => Option[T]): Option[T] =
     try read catch {
+      case _: graft.streaming.ScoringStream.UninitializedStoreException => None
       case e: org.apache.spark.sql.AnalysisException if isEmptyStoreShape(e) => None
     }
 
@@ -140,8 +146,9 @@ final class ScoringService(
       val r = store.completionRollup(spark).head()
       Some((r.getLong(0), r.getLong(1)))
     } catch {
-      // empty-store shapes only: no batch dir yet, or a dir holding just
-      // sidecars so parquet schema inference has nothing to read
+      // empty-store shapes only: never-initialized store (typed), or a
+      // dir holding just sidecars so schema inference has nothing to read
+      case _: graft.streaming.ScoringStream.UninitializedStoreException => None
       case e: org.apache.spark.sql.AnalysisException if isEmptyStoreShape(e) => None
     }
     HealthOut(modelLoaded = model != null,

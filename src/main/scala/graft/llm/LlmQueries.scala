@@ -989,12 +989,20 @@ object LlmQueries {
     * (2r̄ = 2·cumBelow + m + 1 exact) with cumulatives via
     * [[graft.operators.DistributedSelect.globalPrefixSum]] on unique
     * grid keys — NO sort, NO window over corpus-sized input, the q242
-    * machinery applied to two variables at once. All moment sums are
-    * exact longs; the closed form is one double-widened chain
-    * micro-floored (the q228 discipline). */
+    * machinery applied to two variables at once. Exactness: the
+    * FIRST-moment sums are exact longs (Σ2r̄ ≈ n² — wraps only past
+    * ~3×10⁹ docs); the SECOND-moment sums ride DECIMAL(38,0) (the q228
+    * widening) because Σ(2r̄)² ≈ (4/3)n³ crosses int64 at n ≈ 1.9M docs
+    * while DuckDB's sum(BIGINT) is HUGEINT — without the widening the
+    * two engines would diverge SILENTLY under non-ANSI Spark past that
+    * corpus size. The closed form reads the decimals through double
+    * (value-identical wherever the longs previously fit) and is one
+    * identical-order chain micro-floored (the q228 discipline). */
   private val q243Spearman: Q = (s, dir) => {
     import graft.operators.DistributedSelect
+    import org.apache.spark.sql.types.DecimalType
     def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val d38 = DecimalType(38, 0)
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), toksCol(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("x"),
@@ -1008,11 +1016,14 @@ object LlmQueries {
     val ranked = base
       .join(midranks("x"), "x")
       .join(midranks("y"), "y")
+    // operands (not products) are widened: a long×long product itself
+    // wraps at 2r̄ > 3×10⁹ (n ≈ 1.5×10⁹ docs — inside a 100 TB corpus's
+    // range), while decimal×decimal at scale 0 is exact to 10³⁸
     val m = ranked.agg(count(lit(1)).as("n"),
       sum(col("r2_x")).as("sx"), sum(col("r2_y")).as("sy"),
-      sum(col("r2_x") * col("r2_x")).as("sxx"),
-      sum(col("r2_x") * col("r2_y")).as("sxy"),
-      sum(col("r2_y") * col("r2_y")).as("syy"))
+      sum(col("r2_x").cast(d38) * col("r2_x").cast(d38)).as("sxx"),
+      sum(col("r2_x").cast(d38) * col("r2_y").cast(d38)).as("sxy"),
+      sum(col("r2_y").cast(d38) * col("r2_y").cast(d38)).as("syy"))
     val nD = col("n").cast("double")
     val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
     val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
@@ -1120,9 +1131,18 @@ object LlmQueries {
     * corpus's sole copy. */
   private val q235CurationSpans: Q = (s, dir) => {
     val kept = q196CurationCanon(s, dir).select(col("doc_id"))
-    spanDedupStats(Tables.documents(s, dir)
+    // The ADMITTED SET is the shared stage: spanDedupStats reads its
+    // input twice (window explode + the n_tokens scan), and without
+    // this cache each read would re-execute the FULL curation canon —
+    // gates, exact dedup, decontamination — which at 100 TB is the one
+    // computation you never run twice. Cached here, the canon executes
+    // once into the survivors frame; the runner's clearCache releases
+    // it (query-scoped cache contract).
+    val survivors = Tables.documents(s, dir)
       .join(kept, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"))
+      .cache()
+    spanDedupStats(survivors)
   }
 
   /** Heaps' law fit (Heaps 1978; Herdan 1960) — vocabulary growth

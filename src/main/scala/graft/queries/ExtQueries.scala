@@ -2785,7 +2785,12 @@ object ExtQueries {
     * discipline — a float sum over groups would be order-sensitive),
     * and SST/F/η² are identical-order double chains off exact longs,
     * micro-floored. Σx² fits int64 to ~10⁴-cent values × 10¹⁰ rows;
-    * beyond, widen to DECIMAL (the q228 move). */
+    * beyond, widen to DECIMAL (the q228 move). Degenerate inputs
+    * (k < 2 groups, n ≤ k, or zero within-group variance) pin the four
+    * statistics at −1 with k/n still reported — the SAME sentinel
+    * contract as the streaming twin [[graft.streaming.StreamOps.anovaState]],
+    * so the batch/stream pair agrees exactly where F is undefined
+    * instead of diverging on NaN/Infinity floor semantics. */
   private val q240AnovaF: Q = (s, dir) => {
     val cents = floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")
     val g = Tables.events(s, dir)
@@ -2806,11 +2811,13 @@ object ExtQueries {
     val ssw = sst - ssb
     val f = (ssb / (col("k") - 1).cast("double")) /
       (ssw / (col("n") - col("k")).cast("double"))
+    val degenerate = col("k") < 2 || col("n") <= col("k") || ssw <= 0.0
+    def gated(c: Column): Column = when(degenerate, lit(-1L)).otherwise(c)
     m.select(col("k"), col("n"),
-      floor(ssb + 0.5).cast("long").as("ssb_cents2"),
-      floor(ssw + 0.5).cast("long").as("ssw_cents2"),
-      floor(f * 1e6 + 0.5).cast("long").as("f_micro"),
-      floor(ssb / sst * 1e6 + 0.5).cast("long").as("eta2_micro"))
+      gated(floor(ssb + 0.5).cast("long")).as("ssb_cents2"),
+      gated(floor(ssw + 0.5).cast("long")).as("ssw_cents2"),
+      gated(floor(f * 1e6 + 0.5).cast("long")).as("f_micro"),
+      gated(floor(ssb / sst * 1e6 + 0.5).cast("long")).as("eta2_micro"))
   }
 
   /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
@@ -2861,7 +2868,14 @@ object ExtQueries {
     * window even over the grid. Per-group (2R_g)²/(4n_g) is floored to
     * a long BEFORE the exact integer total (the q240/q230 discipline),
     * H and its tie-corrected form are identical-order double chains,
-    * micro-floored. */
+    * micro-floored. BOUND: t_g ≈ n²·n_g and rsum ≈ n³ — t_g's
+    * floor(double)→long cast leaves int64 around n ≈ 4×10⁶ rows
+    * (k ≈ 10 groups) (and the double itself leaves the exact-integer
+    * grid at 2⁵³ earlier still); past that the H chain stays
+    * CROSS-ENGINE-IDENTICAL (both engines run the same IEEE chain off
+    * the same doubles) but the reported rank_sq_sum is no longer an
+    * exact integer — callers needing exactness past ~10⁶ rows should
+    * re-derive it on a DECIMAL grid (the q228/q243 move). */
   private val q242KruskalWallis: Q = (s, dir) => {
     import graft.operators.DistributedSelect
     def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
@@ -3215,11 +3229,15 @@ object ExtQueries {
         |      / CAST(n AS DOUBLE) AS sst
         |  FROM m)
         |SELECT k, n,
-        |  CAST(floor(ssb + 0.5) AS BIGINT) AS ssb_cents2,
-        |  CAST(floor((sst - ssb) + 0.5) AS BIGINT) AS ssw_cents2,
-        |  CAST(floor((ssb / CAST(k - 1 AS DOUBLE))
-        |    / ((sst - ssb) / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS f_micro,
-        |  CAST(floor(ssb / sst * 1000000.0 + 0.5) AS BIGINT) AS eta2_micro
+        |  CASE WHEN k < 2 OR n <= k OR (sst - ssb) <= 0 THEN -1
+        |    ELSE CAST(floor(ssb + 0.5) AS BIGINT) END AS ssb_cents2,
+        |  CASE WHEN k < 2 OR n <= k OR (sst - ssb) <= 0 THEN -1
+        |    ELSE CAST(floor((sst - ssb) + 0.5) AS BIGINT) END AS ssw_cents2,
+        |  CASE WHEN k < 2 OR n <= k OR (sst - ssb) <= 0 THEN -1
+        |    ELSE CAST(floor((ssb / CAST(k - 1 AS DOUBLE))
+        |      / ((sst - ssb) / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END AS f_micro,
+        |  CASE WHEN k < 2 OR n <= k OR (sst - ssb) <= 0 THEN -1
+        |    ELSE CAST(floor(ssb / sst * 1000000.0 + 0.5) AS BIGINT) END AS eta2_micro
         |FROM x""".stripMargin,
     "q230_chi_square" ->
       """WITH cells AS (SELECT event_type AS t,

@@ -105,6 +105,13 @@ object ScoringStream {
     *   shape compaction exists to undo. `coalesce` (narrow, no shuffle)
     *   caps that at data-proportional cost; batches with fewer
     *   partitions pass through unchanged. 0 disables the cap. */
+  /** Reading a store that was never attached and never written: a
+    * typed, catchable state (the caller can't know the schema either,
+    * so an empty FRAME is impossible — but the failure must name the
+    * store and the fix, not leak a filesystem trace). */
+  final class UninitializedStoreException(msg: String)
+    extends IllegalStateException(msg)
+
   final class ResultStore(val path: String,
       val maxWritePartitions: Int = 8) extends Serializable {
     /** ST3: replay-safe — same batchId always lands in the same dir
@@ -186,11 +193,69 @@ object ScoringStream {
         s"batch label must not contain line breaks: ${label.take(40)}")
       val sized =
         if (maxWritePartitions > 0) results.coalesce(maxWritePartitions) else results
-      sized.withColumn("batch_id", lit(order))
-        .write.mode("overwrite").parquet(s"$path/batch=$label")
+      val stamped = sized.withColumn("batch_id", lit(order))
+      // schema sidecar BEFORE the data write: a reader racing this very
+      // first commit then gets the typed empty frame, never an FNFE
+      recordSchema(stamped.schema)
+      stamped.write.mode("overwrite").parquet(s"$path/batch=$label")
       // re-record AFTER the write (overwrite wiped the dir)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path, s"batch=$label", "_stamp"), order.toString)
+    }
+
+    /** Records the store's result schema (the exact shape
+      * [[upsertLabeled]] writes, batch_id included) in a root
+      * `_schema.json` sidecar, write-if-absent. Called by every write
+      * AND at stream-attach time (see [[attachScorer]]) so the schema
+      * is known BEFORE the first micro-batch commits — the window in
+      * which a `GET /explain/{id}` race must read as a typed EMPTY
+      * result, not a raw FileNotFoundException (empty-store reads are a
+      * real serving state, not an error). */
+    def recordSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
+      val p = java.nio.file.Paths.get(path, "_schema.json")
+      if (!java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        java.nio.file.Files.writeString(p, schema.json)
+      }
+    }
+
+    /** The recorded schema, nullable-normalized to match parquet
+      * read-back (a read-back frame reports every field nullable, so an
+      * empty frame must too or downstream unions flip schemas between
+      * the empty and non-empty states). */
+    private def storedSchema: Option[org.apache.spark.sql.types.StructType] = {
+      val p = java.nio.file.Paths.get(path, "_schema.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(p))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fields.map(_.copy(nullable = true))))
+    }
+
+    private def hasBatches: Boolean = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.exists(root) && {
+        val s = java.nio.file.Files.list(root)
+        try s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
+        finally s.close()
+      }
+    }
+
+    /** Schema-correct EMPTY frame for the no-committed-batch state: the
+      * recorded data schema plus the `batch` string partition column
+      * discovery appends on real reads, so empty and non-empty reads
+      * are shape-identical. */
+    private def emptyTyped(spark: SparkSession): DataFrame = {
+      val base = storedSchema.getOrElse(throw new UninitializedStoreException(
+        s"ResultStore at $path has no committed batch and no recorded schema — " +
+          "attach a stream or upsert once before reading"))
+      val withPartCol = org.apache.spark.sql.types.StructType(
+        base.fields :+ org.apache.spark.sql.types.StructField(
+          "batch", org.apache.spark.sql.types.StringType, nullable = true))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withPartCol)
     }
 
     /** Keyed point lookup: the same last-writer-wins semantics as
@@ -200,21 +265,45 @@ object ScoringStream {
       * TakeOrderedAndProject over the handful of matching rows — no
       * global window over every key the store has ever written, which
       * is what a GET /explain point read must never do at a 100×-scale
-      * store. */
+      * store. An empty store (stream attached, nothing committed yet)
+      * reads as a typed zero-row frame. */
     def keyedLookup(spark: SparkSession, transactionId: String): DataFrame =
-      spark.read.option("basePath", path).parquet(s"$path/batch=*")
+      if (!hasBatches) emptyTyped(spark).filter(col("transaction_id") === transactionId)
+      else readBatches(spark)
         .filter(col("transaction_id") === transactionId)
         .orderBy(col("batch_id").desc, col("updated_at").desc)
         .limit(1)
 
-    /** Last-writer-wins current state, one row per transaction_id. */
-    def snapshot(spark: SparkSession): DataFrame = {
-      val w = Window.partitionBy(col("transaction_id"))
-        .orderBy(col("batch_id").desc, col("updated_at").desc)
-      spark.read.option("basePath", path).parquet(s"$path/batch=*")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+    /** All committed batches, with the `batch` partition column pinned
+      * to STRING: labels ARE strings (micro-batch ids, API labels,
+      * compact's `c<stamp>`), but partition-type INFERENCE reports int
+      * while every label happens to be numeric and flips to string the
+      * moment the first compacted dir appears — a read-back schema that
+      * changes with store maintenance. Pinning makes empty, fresh, and
+      * compacted stores shape-identical.
+      *
+      * Reads the store ROOT (partition discovery finds the batch dirs;
+      * the `_stamp(s)`/`_schema.json` sidecars are underscore-hidden to
+      * the listing) rather than a `batch=*` glob: Spark's
+      * FileStreamSink probe treats an unresolved glob as a literal
+      * path and WARN-logs a FileNotFoundException stack trace on every
+      * such read — noise that reads like a failure in any serving log. */
+    private def readBatches(spark: SparkSession): DataFrame =
+      spark.read.option("basePath", path).parquet(path)
+        .withColumn("batch", col("batch").cast("string"))
+
+    /** Last-writer-wins current state, one row per transaction_id. An
+      * empty store reads as a typed zero-row frame (see
+      * [[recordSchema]]), not a FileNotFoundException. */
+    def snapshot(spark: SparkSession): DataFrame =
+      if (!hasBatches) emptyTyped(spark)
+      else {
+        val w = Window.partitionBy(col("transaction_id"))
+          .orderBy(col("batch_id").desc, col("updated_at").desc)
+        readBatches(spark)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
     /** Compaction: fold every batch directory into ONE batch holding
       * the current last-writer-wins snapshot, then delete the rest. An
@@ -273,8 +362,7 @@ object ScoringStream {
       // `_stamp` (skipping such a dir would let its replay take a fresh
       // stamp and resurrect stale rows); the sidecar remains the fallback
       // for zero-row writes, whose parquet carries no rows to read.
-      val fromData = spark.read.option("basePath", path)
-        .parquet(s"$path/batch=*")
+      val fromData = readBatches(spark)
         .groupBy(col("batch")).agg(max(col("batch_id")).as("stamp"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val lines = toFold.flatMap { p =>
@@ -362,7 +450,17 @@ object ScoringStream {
     * metric-instrumented micro-batch path. */
   def attachScorer(stream: DataFrame, store: ResultStore, checkpointDir: String,
       scorer: DataFrame => DataFrame, compactEvery: Int = 0,
-      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery =
+      metrics: graft.api.Metrics.Registry = graft.api.Metrics.global): StreamingQuery = {
+    // Record the store schema AT ATTACH TIME by planning the scorer over
+    // a zero-row frame of the stream's shape: the scorer is plan
+    // construction, so this is schema derivation, not execution. Closes
+    // the serving race where GET /explain arrives before the first
+    // micro-batch ever commits — the store can answer with a typed
+    // empty frame instead of a FileNotFoundException.
+    val spark = stream.sparkSession
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    store.recordSchema(scorer(probe).withColumn("batch_id", lit(0L)).schema)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -387,4 +485,5 @@ object ScoringStream {
         }
       }
       .start()
+  }
 }

@@ -606,6 +606,50 @@ class NewCanonsSpec extends SparkSpec {
     assert(r.getLong(0) >= 2L, "need >= 2 groups for ANOVA — vacuous")
   }
 
+  test("q240 degenerate input pins the statistics at -1 (the anovaState sentinel contract)") {
+    // a one-group events table: k = 1 makes F undefined — the batch
+    // query must emit the SAME sentinels the streaming twin pins,
+    // never NaN/Infinity floor semantics
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-anova-degen").toString
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
+    val r = graft.queries.ExtQueries.queries("q240_anova_f")(spark, tmpDir).head()
+    assert(r.getLong(0) === 1L, "expected exactly one group")
+    assert(r.getLong(1) > 0L, "degenerate fixture must still carry rows")
+    assert(r.getLong(2) === -1L && r.getLong(3) === -1L &&
+      r.getLong(4) === -1L && r.getLong(5) === -1L,
+      "degenerate ANOVA must pin ssb/ssw/F/eta2 at -1 (batch/stream sentinel parity)")
+  }
+
+  test("q243's DECIMAL(38,0) second moments stay exact where long sums wrap int64 " +
+      "(the adversarial-n shape: sum(r2*r2) ~ (4/3)n^3 past ~1.9M docs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // doubled midranks the size a ~1.5B-doc corpus would produce: each
+    // product r2*r2 ~ 4.2e18 fits int64, but THREE of them overflow the
+    // plain long sum — the exact silent-wrap q243 widens against
+    val r2 = Seq(2060000000L, 2070000000L, 2080000000L)
+    val df = r2.toDF("r2_x")
+    val d38 = DecimalType(38, 0)
+    val widened = df.agg(
+      sum(col("r2_x").cast(d38) * col("r2_x").cast(d38)).as("sxx"))
+      .head().getDecimal(0)
+    val truth = r2.map(v => BigInt(v) * BigInt(v)).sum
+    assert(BigInt(widened.toBigInteger) === truth,
+      s"widened sum $widened != exact $truth")
+    assert(truth > BigInt(Long.MaxValue),
+      "fixture must actually exceed int64 or the case is vacuous")
+    // the plain-long shape FAILS on the same input — silently wrapped
+    // under non-ANSI Spark (the cross-engine divergence), a hard
+    // ARITHMETIC_OVERFLOW under ANSI (this session): either way the
+    // un-widened aggregate cannot produce the exact sum
+    val longShape = scala.util.Try(
+      df.agg(sum(col("r2_x") * col("r2_x"))).head().getLong(0))
+    assert(longShape.isFailure || BigInt(longShape.get) != truth,
+      "long sum unexpectedly exact — fixture too small")
+  }
+
   test("q241 Mann-Kendall equals a driver all-pairs sign computation with tie-corrected variance") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")

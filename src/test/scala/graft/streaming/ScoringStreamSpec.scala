@@ -337,4 +337,67 @@ class ScoringStreamSpec extends SparkSpec {
       assert(failedRow === 2.0)
     } finally q2.stop()
   }
+
+  test("empty store with an ATTACHED stream reads as typed zero-row frames " +
+      "(GET /explain racing the first micro-batch — no FileNotFoundException)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Map[String, Double])]
+    val stream = input.toDF().toDF("transaction_id", "features")
+    val store = new ScoringStream.ResultStore(tmp("graft-empty-attached"))
+    val q = ScoringStream.attach(stream, store, tmp("graft-empty-ckpt"),
+      feats, coefs, mu, intercept = 0.1)
+    try {
+      // NO data added: the stream is attached, zero batches committed —
+      // the exact serving window the typed empty state exists for
+      val snap = store.snapshot(spark)
+      assert(snap.count() === 0L)
+      // shape-identical to a real read: data cols + batch_id + the
+      // `batch` partition column discovery appends
+      assert(snap.columns.toSet === Set("transaction_id", "prediction_score",
+        "shap_values", "status", "updated_at", "batch_id", "batch"))
+      val point = store.keyedLookup(spark, "t-racing")
+      assert(point.count() === 0L)
+      assert(point.columns.toSet === snap.columns.toSet)
+      // rollup over the typed empty frame: (0, 0), not an exception
+      val r = store.completionRollup(spark).head()
+      assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+      // ...and the same store reads normally once a batch lands
+      input.addData(("t1", Map("f0" -> 1.0)))
+      q.processAllAvailable()
+      assert(store.snapshot(spark).count() === 1L)
+      assert(store.keyedLookup(spark, "t1").count() === 1L)
+    } finally q.stop()
+  }
+
+  test("NEVER-initialized store read is the typed UninitializedStoreException, " +
+      "naming the store and the fix") {
+    val store = new ScoringStream.ResultStore(tmp("graft-never-init"))
+    val e = intercept[ScoringStream.UninitializedStoreException] {
+      store.snapshot(spark)
+    }
+    assert(e.getMessage.contains(store.path))
+    assert(e.getMessage.contains("attach a stream or upsert once"))
+    intercept[ScoringStream.UninitializedStoreException] {
+      store.keyedLookup(spark, "x")
+    }
+  }
+
+  test("empty-then-nonempty snapshot schemas agree field-for-field " +
+      "(empty state unions cleanly with later reads)") {
+    val store = new ScoringStream.ResultStore(tmp("graft-schema-parity"))
+    val batch = Seq(("a", Map("f0" -> 1.0))).toDF("transaction_id", "features")
+    val scored = ScoringStream.scoreBatch(batch, feats, coefs, mu, 0.0)
+    // record schema exactly as attach would, read empty, then write
+    store.recordSchema(org.apache.spark.sql.types.StructType(
+      scored.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType, nullable = false)))
+    val empty = store.snapshot(spark)
+    store.upsert(scored, 0L)
+    val full = store.snapshot(spark)
+    assert(empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      full.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // nullable-normalized: the empty frame never reports a STRICTER
+    // schema than parquet read-back does
+    assert(empty.schema.fields.forall(_.nullable))
+  }
 }
