@@ -877,7 +877,7 @@ object LlmQueries {
     * duplicate positions (sorted i: Σ min(W, next_i − i), W for the
     * last — the classic equal-length interval-merge closed form). */
   /** Position-grain [[DecontamWindow]]-token window hashes — the shared
-    * explode behind the span-dedup family (q234 cross-doc, q243
+    * explode behind the span-dedup family (q234 cross-doc, q248
     * within-doc). */
   private def windowPositions(docs: DataFrame): DataFrame = {
     val W = DecontamWindow
@@ -893,7 +893,7 @@ object LlmQueries {
 
   /** Per-doc removed-token mass = union length of equal-width spans at
     * the given duplicate start positions (sorted i: Σ min(W, nextᵢ−i),
-    * W for the last — per-doc window, the q234/q243 closed form). */
+    * W for the last — per-doc window, the q234/q248 closed form). */
   private def spanUnionStats(docs: DataFrame, dupPos: DataFrame,
       nDupCol: String): DataFrame = {
     val W = DecontamWindow
@@ -1143,6 +1143,37 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .cache()
     spanDedupStats(survivors)
+  }
+
+  /** WITHIN-document repeated-span self-dedup — the third member of the
+    * span-dedup family, completing Lee et al. 2021 §4.2 alongside q234:
+    * q234 excises spans duplicated ACROSS documents; this excises a
+    * document's OWN verbatim repeats (boilerplate headers re-pasted
+    * mid-doc, chorus/refrain repetition, template stutter — the mass
+    * q131 SCORES via dup-ngram fractions but nothing previously
+    * REMOVED). A window position is a self-dup iff its
+    * [[DecontamWindow]]-token hash occurs at an EARLIER position in the
+    * SAME document (the first occurrence is canonical — deterministic,
+    * no tie depends on partitioning); a doc's removed-token count is
+    * the interval union of those spans ([[spanUnionStats]]).
+    *
+    * Scale shape — STRICTLY cheaper than q234: the shared
+    * [[windowPositions]] explode, then one min-aggregate per
+    * (doc_id, hash) — the aggregation key CONTAINS doc_id, so unlike
+    * q234's corpus-wide min-per-hash there is no cross-document shuffle
+    * anywhere; every stage partitions by doc_id and a 100×-wider corpus
+    * just means more independent partitions. The per-doc interval-union
+    * window rides each doc's own duplicate positions (bounded by doc
+    * length, never corpus-sized). */
+  private val q248SpanSelfDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val wins = windowPositions(docs)
+      .cache() // two consumers (first-pos aggregate + probe); runner clearCache scopes it
+    val firstPos = wins.groupBy(col("doc_id"), col("h")).agg(min(col("i")).as("i0"))
+    val dupPos = wins.join(firstPos, Seq("doc_id", "h"))
+      .filter(col("i") > col("i0"))
+      .select(col("doc_id"), col("i"))
+    spanUnionStats(docs, dupPos, "n_self_dup_windows")
   }
 
   /** Heaps' law fit (Heaps 1978; Herdan 1960) — vocabulary growth
@@ -4722,6 +4753,7 @@ object LlmQueries {
     "q233_source_kl"      -> q233SourceKl,
     "q234_span_removal"   -> q234SpanRemoval,
     "q235_curation_spans" -> q235CurationSpans,
+    "q248_span_self_dedup" -> q248SpanSelfDedup,
     "q236_heaps_fit"      -> q236HeapsFit,
     "q238_entropy_rate"   -> q238EntropyRate,
     "q239_hits"           -> q239Hits,
@@ -5182,7 +5214,9 @@ object LlmQueries {
     * min-doc canonicality, per-doc interval-union via the lead() closed
     * form. Ends with `stoks` (per-doc tokens) and `sagg` (per-doc
     * removal stats) for the caller's final projection. */
-  private def duckSpanCTEs(rel: String): String = {
+  /** The shared stoks/swins base of the span-dedup oracles (the
+    * [[windowPositions]] twin). */
+  private def duckSpanBaseCTEs(rel: String): String = {
     val W = DecontamWindow
     s"""stoks AS MATERIALIZED (SELECT doc_id, $duckToks AS tk FROM $rel),
        |swins AS MATERIALIZED (SELECT doc_id,
@@ -5190,7 +5224,12 @@ object LlmQueries {
        |  FROM (SELECT doc_id, list_transform(range(1, len(tk) - ${W - 2}),
        |      wi -> struct_pack(i := wi,
        |        h := ${duckTokHash(s"array_to_string(tk[wi:wi+${W - 1}], ' ')")})) AS lst
-       |    FROM stoks WHERE len(tk) >= $W)),
+       |    FROM stoks WHERE len(tk) >= $W))""".stripMargin
+  }
+
+  private def duckSpanCTEs(rel: String): String = {
+    val W = DecontamWindow
+    s"""${duckSpanBaseCTEs(rel)},
        |smind AS (SELECT h, min(doc_id) AS min_doc FROM swins GROUP BY h),
        |scov AS (SELECT w.doc_id,
        |    CASE WHEN lead(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i) IS NULL THEN $W
@@ -5198,6 +5237,22 @@ object LlmQueries {
        |    END AS cov
        |  FROM swins w JOIN smind m ON w.h = m.h WHERE w.doc_id > m.min_doc),
        |sagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |    CAST(sum(cov) AS BIGINT) AS n_removed FROM scov GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q248's oracle tail: dup = same hash at an EARLIER position in the
+    * SAME doc (first occurrence canonical), same interval-union form. */
+  private def duckSelfSpanCTEs(rel: String): String = {
+    val W = DecontamWindow
+    s"""${duckSpanBaseCTEs(rel)},
+       |sfirst AS (SELECT doc_id, h, min(i) AS i0 FROM swins GROUP BY doc_id, h),
+       |scov AS (SELECT w.doc_id,
+       |    CASE WHEN lead(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i) IS NULL THEN $W
+       |         ELSE least($W, lead(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i) - w.i)
+       |    END AS cov
+       |  FROM swins w JOIN sfirst f ON f.doc_id = w.doc_id AND f.h = w.h
+       |  WHERE w.i > f.i0),
+       |sagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_self_dup_windows,
        |    CAST(sum(cov) AS BIGINT) AS n_removed FROM scov GROUP BY doc_id)""".stripMargin
   }
 
@@ -5389,6 +5444,15 @@ object LlmQueries {
       s"""WITH ${duckSpanCTEs("documents")}
          |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(len(tk) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+         |FROM stoks t LEFT JOIN sagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q248: same window-hash base; dup = same hash earlier in the SAME
+    // doc (first occurrence canonical), same interval-union closed form
+    "q248_span_self_dedup" ->
+      s"""WITH ${duckSelfSpanCTEs("documents")}
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_self_dup_windows, 0) AS BIGINT) AS n_self_dup_windows,
          |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
          |  CAST(len(tk) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
          |FROM stoks t LEFT JOIN sagg USING (doc_id) ORDER BY doc_id""".stripMargin,

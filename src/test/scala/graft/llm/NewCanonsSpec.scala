@@ -302,6 +302,64 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q248 within-doc span self-dedup equals a driver interval-union; " +
+      "injected self-repeats exercise the overlapping-union closed form") {
+    val W = 8 // DecontamWindow
+    def toks(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    def tokHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def selfStats(id: Long, t: String): (Long, Long, Long, Long, Long) = {
+      val tk = toks(t)
+      val wins = (0 to tk.length - W)
+        .map(i => (i + 1L, tokHash(tk.slice(i, i + W).mkString(" "))))
+      val first = wins.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+      val ps = wins.collect { case (i, h) if i > first(h) => i }.sorted
+      val n = tk.length.toLong
+      val removed =
+        if (ps.isEmpty) 0L
+        else ps.zip(ps.drop(1)).map { case (a, b) => math.min(W.toLong, b - a) }.sum + W
+      (id, n, ps.length.toLong, removed, n - removed)
+    }
+    // part 1: real-corpus parity — the synthetic corpus has no
+    // within-doc 8-token repeats, so this pins NO FALSE POSITIVES
+    // (every doc must come back untouched, matching the driver truth)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = docs.map { case (id, t) => selfStats(id, t) }.toSeq
+    val got = LlmQueries.queries("q248_span_self_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want, "distributed self-dedup diverged from the driver recomputation")
+    spark.catalog.clearCache()
+    // part 2: INJECTED self-repeats — the corpus can't exercise the
+    // union arithmetic, so a fixture must: a far repeat (disjoint
+    // spans), a triple stutter (9 OVERLAPPING spans whose union is 16
+    // tokens, not 9×8), a clean doc, and a doc shorter than W
+    import spark.implicits._
+    val t8 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$t8 f1 f2 f3 f4 $t8"),                  // far repeat: one span
+      (2L, s"$t8 $t8 $t8"),                          // stutter: overlap union
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // clean
+      (4L, "s1 s2 s3 s4 s5"))                        // shorter than W
+    val dir = java.nio.file.Files.createTempDirectory("graft-selfspan").toString
+    fixture.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gotFx = LlmQueries.queries("q248_span_self_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val wantFx = Seq(
+      (1L, 20L, 1L, 8L, 12L),  // one dup window, whole W removed
+      (2L, 24L, 9L, 16L, 8L),  // 9 overlapping spans union to 16 tokens
+      (3L, 12L, 0L, 0L, 12L),
+      (4L, 5L, 0L, 0L, 5L))
+    assert(gotFx === wantFx, "injected self-repeat fixture diverged")
+    // ...and the driver closed form agrees on the fixture too (the
+    // union arithmetic is pinned from BOTH sides)
+    assert(fixture.map { case (id, t) => selfStats(id, t) } === wantFx)
+    spark.catalog.clearCache()
+  }
+
   test("q236 Heaps fit equals a driver vocabulary-growth computation; beta in (0,1]") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
