@@ -1223,6 +1223,69 @@ object StreamOps {
       }
   }
 
+  final case class DailyValue(scope: String, d: Long, cents: Long)
+  final case class MkSnapshot(scope: String, nDays: Long, nValues: Long,
+      sStat: Long, tieTerm: Long, var18: Long, zMicro: Long, trend: Long,
+      defined: Boolean)
+
+  /** q241's streaming twin — a per-scope Mann–Kendall TREND monitor
+    * ("is this metric drifting monotonically, LIVE"): the alerting
+    * layer's companion to the level gates (q204-style thresholds catch
+    * a jump; MK catches a slow slide long before any threshold trips).
+    * State is the BOUNDED DAILY GRID — per scope, day → exact cent
+    * total, O(calendar days) longs forever, plain sums so the fold is
+    * order-robust and merge-associative (a replayed or late event for
+    * day d lands in the same cell) — and every trigger's snapshot runs
+    * EXACTLY q241's arithmetic over the stream prefix: S = Σ_{i<j}
+    * sign(v_j − v_i) over the grid (bounded², the q241/q222 pair-join
+    * justification — days, never events), the tie-corrected
+    * Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) on the exact value grid,
+    * and the continuity-corrected z as one identical-order double
+    * chain, micro-floored. Triggers where the test is undefined
+    * (fewer than 2 days, or zero variance — all days tied) emit the
+    * grid shape with `defined = false` and z pinned at 0 — visible,
+    * never NaN mid-stream (z = 0 IS a legal value, hence the explicit
+    * flag rather than a numeric sentinel). */
+  def mannKendallState(vals: Dataset[DailyValue]): Dataset[MkSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], MkSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DailyValue],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { v =>
+            m = m.updated(v.d, m.getOrElse(v.d, 0L) + v.cents)
+          }
+          state.update(m)
+          val days = m.toSeq.sortBy(_._1)
+          val n = days.size.toLong
+          var s = 0L
+          for (i <- days.indices; j <- (i + 1) until days.size)
+            s += java.lang.Long.signum(days(j)._2 - days(i)._2)
+          val tieSizes = days.groupBy(_._2).map(_._2.size.toLong)
+          val nValues = tieSizes.size.toLong
+          val tieTerm = tieSizes.map(t => t * (t - 1) * (2 * t + 5)).sum
+          val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+          val snap =
+            if (n < 2 || var18 <= 0L)
+              MkSnapshot(scope, n, nValues, s, tieTerm, var18,
+                zMicro = 0L, trend = java.lang.Long.signum(s).toLong,
+                defined = false)
+            else {
+              val sd = math.sqrt(var18.toDouble / 18.0)
+              val z =
+                if (s > 0) (s - 1).toDouble / sd
+                else if (s < 0) (s + 1).toDouble / sd
+                else 0.0
+              MkSnapshot(scope, n, nValues, s, tieTerm, var18,
+                math.floor(z * 1e6 + 0.5).toLong,
+                java.lang.Long.signum(s).toLong, defined = true)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class WeightedArrival(scope: String, id: Long, w: Long)
   final case class ReservoirSnapshot(scope: String, nSeen: Long, nDropped: Long,
       sample: String)
