@@ -206,12 +206,17 @@ object CurationIngest {
     // Decisions read only EARLIER batch dirs — a replayed batch that
     // somehow reaches here (its admitted dir lost mid-write) recomputes
     // against the same prefix and rewrites identically.
+    // persisted for the BATCH's duration: three sink writes (seen/,
+    // hashes/, admitted/) read this lineage, and uncached each would
+    // re-execute the full gate cascade (gopher + repetition + ppl +
+    // dsir batteries + the hash) on the foreachBatch latency path —
+    // 3× the dominant cost per trigger. Safe to cache (not a
+    // read-then-mutate hazard): every upstream read is pinned to
+    // PRIOR-label dir lists resolved at plan time, so a recomputed
+    // partition sees the identical prefix. Released after the
+    // admitted write.
     val hashed = gated.withColumn("h", TextOps.rollingHash(col("text")))
-    // the reconciliation ledger ([[reconciled]]): EVERY gate-passing
-    // arrival, pre-dedup — min-id representatives are recoverable at
-    // compaction no matter the arrival order
-    hashed.select(col("h"), col("doc_id"), col("source"))
-      .write.mode("overwrite").parquet(s"$stateDir/seen/$label")
+      .persist()
     val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val firstInBatch = hashed
       .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1).drop("rn")
@@ -254,9 +259,25 @@ object CurationIngest {
       .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
       .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      // two consumers (the hashes/ ledger write + the admitted write's
+      // clean set) — cached so dedup + decontamination run once per batch
+      .persist()
+    // LEDGER WRITE ORDER: hashes/ BEFORE seen/ — [[reconciled]] joins
+    // min-id representatives (from seen/) with group facts (from
+    // hashes/), so a crash window where seen/ leads would make groups
+    // first seen in the torn batch VISIBLE in the arrivals ledger yet
+    // silently dropped by the join (an inconsistent read). With hashes/
+    // leading, every committed seen/ group has its facts: a torn batch
+    // reads as "batch fully absent" (a consistent prefix) until the
+    // replay lands, and [[reconciled]] asserts the invariant.
     survFlagged.select(col("h"), col("doc_id"), col("source"),
         col("n_tokens"), col("contaminated"))
       .write.mode("overwrite").parquet(s"$stateDir/hashes/$label")
+    // the reconciliation ledger ([[reconciled]]): EVERY gate-passing
+    // arrival, pre-dedup — min-id representatives are recoverable at
+    // compaction no matter the arrival order
+    hashed.select(col("h"), col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$stateDir/seen/$label")
 
     // ---- eval holdout + the stored contamination verdict
     val clean = survFlagged
@@ -283,6 +304,9 @@ object CurationIngest {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_before div ${LlmQueries.PackWindow}").as("pack_id"))
     out.write.mode("overwrite").parquet(s"$stateDir/admitted/$label")
+    // batch-scoped caches released once the last sink has consumed them
+    survFlagged.unpersist()
+    hashed.unpersist()
   }
 
   /** The admitted set so far: (doc_id, source, n_tokens, pack_id) —
@@ -321,8 +345,27 @@ object CurationIngest {
     val reps = seen.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("source"))).as("rep"))
       .select(col("h"), col("rep.doc_id").as("doc_id"), col("rep.source").as("source"))
+    // ONE info row per group: a replayed first-arrival batch committing
+    // AFTER a later batch independently indexed the same group leaves
+    // two fact rows for one h — the facts are text-derived and the
+    // group shares one text, so any member's row is correct; min-struct
+    // keeps the pick deterministic (never a row-per-duplicate fan-out
+    // into the packing sum)
     val info = spark.read.parquet(hashDirs: _*)
-      .select(col("h"), col("n_tokens"), col("contaminated"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("n_tokens"), col("contaminated"))).as("i"))
+      .select(col("h"), col("i.n_tokens").as("n_tokens"),
+        col("i.contaminated").as("contaminated"))
+    // the hashes-before-seen write order makes this an INVARIANT, not a
+    // race: every group visible in the committed arrivals ledger has
+    // committed facts. A violation means ledger corruption (manual
+    // deletion, mixed-version writers) and must refuse loudly rather
+    // than silently dropping groups from the reconciled corpus.
+    val orphans = reps.join(info, Seq("h"), "left_anti").count()
+    require(orphans == 0L,
+      s"$orphans seen/ hash group(s) have no committed hashes/ facts under " +
+        s"$stateDir — ledger corruption (the hashes-first write order " +
+        "guarantees facts commit before arrivals)")
     val fin = reps.join(info, "h")
       .filter(col("doc_id") % 10 =!= 0 && !col("contaminated"))
     val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -136,4 +136,35 @@ class CurationIngestSpec extends SparkSpec {
       "half-committed replay diverged (self-collision on its own hash append)")
     spark.catalog.clearCache()
   }
+
+  test("a torn batch (hashes committed, seen not) reads as batch-absent in reconciled — " +
+      "consistent prefix, no silent group drops, and self-heals on replay") {
+    import spark.implicits._
+    val (refDir, stateDir) = freshDirs()
+    CurationIngest.saveReference(spark, sfDir, refDir)
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(200)
+    val b0 = corpus.filter(col("doc_id") < 100)
+    val b1 = corpus.filter(col("doc_id") >= 100)
+    CurationIngest.ingestBatch(b0, 0L, refDir, stateDir)
+    val rec0 = canon(CurationIngest.reconciled(spark, stateDir).collect())
+    CurationIngest.ingestBatch(b1, 1L, refDir, stateDir)
+    val rec01 = canon(CurationIngest.reconciled(spark, stateDir).collect())
+    assert(rec01.size > rec0.size, "batch 1 contributed nothing — vacuous")
+    // simulate the crash window the hashes-first order leaves: batch 1's
+    // hashes/ committed, its seen/ (and admitted/) torn away
+    graft.Fs.deleteRecursively(
+      java.nio.file.Paths.get(s"$stateDir/seen/batch=1"))
+    graft.Fs.deleteRecursively(
+      java.nio.file.Paths.get(s"$stateDir/admitted/batch=1"))
+    val recTorn = canon(CurationIngest.reconciled(spark, stateDir).collect())
+    assert(recTorn === rec0,
+      "torn batch must read as batch-absent (the batch-0 prefix), not a partial mix")
+    // the replay recommits both ledgers and the reconciled read heals
+    CurationIngest.ingestBatch(b1, 1L, refDir, stateDir)
+    assert(canon(CurationIngest.reconciled(spark, stateDir).collect()) === rec01,
+      "replay after the torn window did not restore the full reconciled set")
+    spark.catalog.clearCache()
+  }
 }
