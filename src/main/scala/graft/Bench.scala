@@ -178,13 +178,16 @@ object Bench {
     // does the same between iterations) so hundreds of completed batch
     // queries pay their collection debt HERE, in untimed space, instead
     // of as multi-hundred-ms pauses inside a 500 ms-SLO micro-batch.
-    val streaming =
-      if (only.isDefined) "null"
+    val (streaming, streamStats) =
+      if (only.isDefined) ("null", Seq.empty[(String, StreamBench.ConfigStats)])
       else {
         spark.catalog.clearCache()
         System.gc()
-        scala.util.Try(StreamBench.run(spark))
-          .recover { case e => s"""{"error":${jstr(e.toString.take(200))}}""" }
+        scala.util.Try(StreamBench.runStructured(spark))
+          .recover { case e =>
+            (s"""{"error":${jstr(e.toString.take(200))}}""",
+              Seq.empty[(String, StreamBench.ConfigStats)])
+          }
           .get
       }
     // per-rep detail + GC attribution (arrays are [rep1, rep2, ...] in
@@ -196,19 +199,23 @@ object Bench {
       s"""${jstr(n)}:{"min":${ts.min},"max":${ts.max}}""" }.mkString("{", ",", "}")
     // The official driver artifact must carry the streaming SLO evidence
     // itself (round-11 directive #2: the 500 ms P95 is the reference's
-    // ONE hard number, and r11's driver record proved it only via the
-    // sidecar): pull each config's P95 out of the embedded streaming
-    // record into a map small enough for the compact line.
-    val streamingP95 =
-      if (streaming == "null") "null"
-      else {
-        val entry = """"(\w+)":\{[^{}]*?"p95_ms":([0-9.]+)""".r
-        val pairs = entry.findAllMatchIn(streaming)
-          .map(m => s"${jstr(m.group(1))}:${m.group(2)}").mkString(",")
-        s"{$pairs}"
-      }
+    // ONE hard number). Since r13 these come from StreamBench's
+    // STRUCTURED per-config stats — the former regex scrape of the
+    // serialized record would silently yield an empty map on any format
+    // change, on the very line meant to carry the SLO verdict. gc_ms and
+    // the trigger-order lat_ms arrays ride along (round-12 directive
+    // #7) so a P95 divergence between driver and sidecar runs is
+    // adjudicable (collection wave vs level shift) from the official
+    // artifact alone.
+    def statMap(f: StreamBench.ConfigStats => String): String =
+      if (streamStats.isEmpty) "null"
+      else streamStats.map { case (n, c) => s"${jstr(n)}:${f(c)}" }
+        .mkString("{", ",", "}")
+    val streamingP95 = statMap(_.p95Ms.toString)
+    val streamingGc = statMap(_.gcMs.toString)
+    val streamingLat = statMap(_.latMs.mkString("[", ",", "]"))
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"streaming_p95_ms":$streamingP95,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's
     // stdout tail window, which truncates the head of the line and breaks
     // its JSON parse (rounds 3-4 both ended "parsed": null). So the full
@@ -222,7 +229,7 @@ object Bench {
       scala.util.Try(Files.writeString(Paths.get(p), full + "\n")).isSuccess
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
     spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
     if (sidecar.isEmpty) println(full)
     println(compact)

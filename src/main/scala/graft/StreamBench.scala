@@ -57,7 +57,7 @@ object StreamBench {
     println(s"STREAMBENCH ${run(spark)}")
     // the control the `aged` config's compact_every defends against:
     // same 50-batch history, compaction off — the listing-cost drift
-    println(s"STREAMBENCH_AGED_NOCOMPACT ${runConfig(spark, historyBatches = 50)}")
+    println(s"STREAMBENCH_AGED_NOCOMPACT ${runConfig(spark, historyBatches = 50).json}")
     spark.stop()
   }
 
@@ -68,7 +68,19 @@ object StreamBench {
     * 1372 ms P95 while baseline before it and rows10k after were both
     * <400 ms — the signature of a collection wave, not of the path;
     * per-config gc_ms in the record now makes that distinction data). */
-  def run(spark: SparkSession): String = {
+  /** Per-config result as DATA, not just serialized JSON: the official
+    * bench artifact's compact line must carry each config's P95 (the
+    * SLO evidence), gc_ms, and the trigger-order lat_ms array — and a
+    * regex scrape of the serialized record silently yields an empty map
+    * on any format change, on the very line meant to carry the SLO
+    * verdict. Callers read fields; `json` is the embedded full record. */
+  final case class ConfigStats(json: String, p95Ms: Double, gcMs: Long,
+      latMs: Seq[Double])
+
+  def run(spark: SparkSession): String = runStructured(spark)._1
+
+  /** (full streaming JSON, per-config structured stats in run order). */
+  def runStructured(spark: SparkSession): (String, Seq[(String, ConfigStats)]) = {
     System.gc()
     val baseline = runConfig(spark)
     System.gc()
@@ -89,7 +101,10 @@ object StreamBench {
     // deterministically; per row the kernel walks ≤ 500 compares.
     System.gc()
     val gbt1k = runConfig(spark, rowsPerBatch = 1000, useGbt = true)
-    s"""{"baseline":$baseline,"rows1k":$rows1k,"rows10k":$rows10k,"aged":$aged,"gbt1k":$gbt1k}"""
+    val configs = Seq("baseline" -> baseline, "rows1k" -> rows1k,
+      "rows10k" -> rows10k, "aged" -> aged, "gbt1k" -> gbt1k)
+    (configs.map { case (n, c) => s""""$n":${c.json}""" }
+      .mkString("{", ",", "}"), configs)
   }
 
   /** Deterministic reference-shaped ensemble (100 complete trees of
@@ -124,7 +139,7 @@ object StreamBench {
 
   def runConfig(spark: SparkSession, warmBatches: Int = 3, timedBatches: Int = 20,
       rowsPerBatch: Int = 100, historyBatches: Int = 0, compactEvery: Int = 0,
-      useGbt: Boolean = false): String = {
+      useGbt: Boolean = false): ConfigStats = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -184,6 +199,10 @@ object StreamBench {
     // stall (a collection pause, an FS hiccup) is then distinguishable
     // from a level shift — p50/p95/max alone can't tell those apart
     val latJson = lat.map(ms).mkString("[", ",", "]")
-    s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"lat_ms":$latJson,"slo_ms":500}"""
+    ConfigStats(
+      s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"lat_ms":$latJson,"slo_ms":500}""",
+      p95Ms = math.round(pct(0.95) * 10.0) / 10.0,
+      gcMs = gcDelta,
+      latMs = lat.map(v => math.round(v * 10.0) / 10.0))
   }
 }

@@ -1043,14 +1043,20 @@ object LlmQueries {
     * pass); p_o/p_e/κ are identical-order double chains off exact
     * longs, micro-floored. */
   private val q246CohenKappa: Q = (s, dir) => {
-    val a = TextOps.gopherRules(Tables.documents(s, dir), "text")
+    // BOTH batteries composed over ONE documents scan: gopherRules and
+    // repetitionRules are column batteries that preserve their input,
+    // so chaining them evaluates both gates in a single projection over
+    // a single parquet read — the former two-scan + doc_id join paid a
+    // second full corpus pass and a shuffle for what is one row-local
+    // conjunction pair
+    val flags = TextOps.repetitionRules(
+        TextOps.gopherRules(Tables.documents(s, dir), "text"), "text")
       .select(col("doc_id"),
         (col("r_words") * col("r_mean_len") * col("r_symbol") *
           col("r_alpha") * col("r_bullet") * col("r_ellipsis") === 1)
-          .cast("long").as("ga"))
-    val b = TextOps.repetitionRules(Tables.documents(s, dir), "text")
-      .select(col("doc_id"), (col("rep_pass") === 1).cast("long").as("gb"))
-    val m = a.join(b, "doc_id").agg(
+          .cast("long").as("ga"),
+        (col("rep_pass") === 1).cast("long").as("gb"))
+    val m = flags.agg(
       count(lit(1)).as("n"),
       sum(col("ga") * col("gb")).as("n11"),
       sum(col("ga") * (lit(1L) - col("gb"))).as("n10"),
