@@ -33,4 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The JDK default 240 MB ReservedCodeCacheSize fills mid-sweep once
+  // the query surface's whole-stage-codegen + JIT footprint crosses
+  // ~150 MB (measured 152 MB at 242 queries): the sweeper then flushes
+  // hot compiled methods and every JIT-heavy query pays a diffuse
+  // 10-30% (round-13 A/B: the same 228 queries ran 93.5 s at 240 MB vs
+  // 83.8 s at 512 MB on the same tree/data/machine — the entire
+  // "graph-tier drift" the r12 verdict flagged). Standard setting for
+  // codegen-heavy Spark drivers.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -2856,6 +2856,51 @@ object ExtQueries {
         signum(col("s_stat")).cast("long").as("trend"))
   }
 
+  /** Two-sided tabular CUSUM drift alarm (Page 1954, Biometrika) — the
+    * sequential-changepoint canon completing the trend tier: q241's MK
+    * asks "is there a monotone trend anywhere"; CUSUM asks "WHEN did the
+    * level leave its reference band" and is the textbook fraud-ops
+    * monitor for slow drifts a fixed threshold misses. Reference
+    * (μ0, slack k = μ0/20, threshold h = μ0/2) is FROZEN from the first
+    * [[CusumBaselineDays]] calendar days (the CurationIngest
+    * frozen-reference discipline — a monitor must not let the drift it
+    * hunts contaminate its own reference), all exact cent-grid longs
+    * via floor division. The recurrence S⁺_t = max(0, S⁺_{t−1} + v_t −
+    * μ0 − k) is computed NOT as a sequential fold but by its prefix
+    * closed form S⁺_t = P_t − min(0, min_{j≤t} P_j) (P = running sum of
+    * deviations; S⁻ symmetric) — two running windows over the
+    * CALENDAR-BOUNDED daily grid (the q222/q226 allowlist class: days,
+    * never events, cross the window). Integer arithmetic end to end —
+    * no float enters, so cross-engine equality is structural. */
+  private val CusumBaselineDays = 7
+  private val q249Cusum: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+    val base = daily.orderBy(col("d")).limit(CusumBaselineDays)
+      .agg(count(lit(1)).as("nb"), max(col("d")).as("cut"), sum(col("v")).as("sb"))
+      .head()
+    require(base.getLong(0) == CusumBaselineDays.toLong,
+      s"q249: need $CusumBaselineDays baseline days, found ${base.getLong(0)} — " +
+        "series too short to freeze a reference")
+    val cut = base.getLong(1)
+    val mu0 = Math.floorDiv(base.getLong(2), CusumBaselineDays.toLong)
+    val slack = Math.floorDiv(mu0, 20L)
+    val h = Math.floorDiv(mu0, 2L)
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.filter(col("d") > cut)
+      .withColumn("pp", sum(col("v") - lit(mu0 + slack)).over(w))
+      .withColumn("pn", sum(lit(mu0 - slack) - col("v")).over(w))
+      .select(col("d"), col("v").as("v_cents"),
+        (col("pp") - least(min(col("pp")).over(w), lit(0L))).as("s_pos_cents"),
+        (col("pn") - least(min(col("pn")).over(w), lit(0L))).as("s_neg_cents"))
+      .withColumn("alarm",
+        ((col("s_pos_cents") > h) || (col("s_neg_cents") > h)).cast("long"))
+      .orderBy(col("d"))
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) — the rank-based k-group
     * test completing q240's parametric ANOVA (the pairing every stats
     * text teaches: F when variances behave, H when they don't): do
@@ -2955,6 +3000,7 @@ object ExtQueries {
     "q240_anova_f" -> q240AnovaF,
     "q241_mann_kendall" -> q241MannKendall,
     "q242_kruskal_wallis" -> q242KruskalWallis,
+    "q249_cusum" -> q249Cusum,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -3239,6 +3285,35 @@ object ExtQueries {
         |  CASE WHEN k < 2 OR n <= k OR (sst - ssb) <= 0 THEN -1
         |    ELSE CAST(floor(ssb / sst * 1000000.0 + 0.5) AS BIGINT) END AS eta2_micro
         |FROM x""".stripMargin,
+    // q249: identical daily grid, identical frozen-baseline floor
+    // divisions, identical prefix/running-min closed form — pure
+    // integer arithmetic on both engines
+    "q249_cusum" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cut AS (SELECT max(d) AS cd, CAST(sum(v) AS BIGINT) AS sb
+        |  FROM (SELECT d, v FROM daily ORDER BY d LIMIT $CusumBaselineDays)),
+        |params AS (SELECT cd,
+        |    sb // $CusumBaselineDays AS mu0,
+        |    (sb // $CusumBaselineDays) // 20 AS slack,
+        |    (sb // $CusumBaselineDays) // 2 AS h FROM cut),
+        |pref AS (SELECT d, v, mu0, slack, h,
+        |    CAST(sum(v - (mu0 + slack)) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
+        |    CAST(sum((mu0 - slack) - v) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pn
+        |  FROM daily, params WHERE d > cd),
+        |traj AS (SELECT d, v, h,
+        |    pp - least(CAST(min(pp) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_pos,
+        |    pn - least(CAST(min(pn) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_neg
+        |  FROM pref)
+        |SELECT d, v AS v_cents, s_pos AS s_pos_cents, s_neg AS s_neg_cents,
+        |  CAST(CASE WHEN s_pos > h OR s_neg > h THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM traj ORDER BY d""".stripMargin,
     "q230_chi_square" ->
       """WITH cells AS (SELECT event_type AS t,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,

@@ -708,6 +708,37 @@ class NewCanonsSpec extends SparkSpec {
       "long sum unexpectedly exact — fixture too small")
   }
 
+  test("q249 CUSUM equals a driver sequential-recurrence fold (the closed form vs the " +
+      "textbook recurrence, pinned from both sides); alarms actually fire") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val B = 7 // CusumBaselineDays
+    assert(daily.length > B, "series too short — vacuous")
+    val mu0 = Math.floorDiv(daily.take(B).map(_._2).sum, B.toLong)
+    val slack = Math.floorDiv(mu0, 20L)
+    val h = Math.floorDiv(mu0, 2L)
+    // the TEXTBOOK recurrence (max(0, S + dev)), NOT the prefix closed
+    // form the query plans — agreement proves the algebraic identity
+    var sp = 0L; var sn = 0L
+    val want = daily.drop(B).map { case (d, v) =>
+      sp = math.max(0L, sp + v - mu0 - slack)
+      sn = math.max(0L, sn + mu0 - slack - v)
+      (d, v, sp, sn, if (sp > h || sn > h) 1L else 0L)
+    }.toSeq
+    val got = graft.queries.ExtQueries.queries("q249_cusum")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want, "distributed CUSUM closed form diverged from the recurrence")
+    // the monitor must do real work on the corpus: both sides excited,
+    // and at least one alarm day (the synthetic series drifts)
+    assert(want.exists(_._3 > 0L) && want.exists(_._4 > 0L),
+      "one-sided trajectories flat — vacuous")
+    assert(want.exists(_._5 === 1L), "no alarm day on the corpus — vacuous monitor")
+  }
+
   test("q241 Mann-Kendall equals a driver all-pairs sign computation with tie-corrected variance") {
     val daily = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
