@@ -1286,6 +1286,62 @@ object StreamOps {
       }
   }
 
+  final case class CusumSnapshot(scope: String, nDays: Long, mu0Cents: Long,
+      sPosCents: Long, sNegCents: Long, nAlarms: Long, alarmNow: Boolean,
+      defined: Boolean)
+
+  /** q249's streaming twin — the LIVE two-sided CUSUM drift alarm
+    * (Page 1954; CUSUM is natively sequential, so unlike the batch
+    * query's prefix closed form the stream just RUNS the recurrence).
+    * State is the same bounded daily grid as [[mannKendallState]]
+    * (order-robust per-day fold; a late arrival for ANY day — baseline
+    * days included — lands in its cell and the next trigger's
+    * recomputation re-freezes μ0/slack/threshold from the first
+    * [[graft.queries.ExtQueries]] `CusumBaselineDays` days exactly as
+    * the batch canon would), and every trigger replays the recurrence
+    * over the grid: O(days) work per trigger, bounded by calendar, the
+    * price of exact batch parity under out-of-order arrival. Prefixes
+    * that cannot freeze a baseline yet (≤ baseline days seen) report
+    * `defined = false` visibly. Emits the trajectory head (current
+    * S⁺/S⁻), the alarm count so far, and whether the LATEST day is in
+    * alarm — the triple an alerting rule consumes. */
+  def cusumState(vals: Dataset[DailyValue],
+      baselineDays: Int = 7): Dataset[CusumSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], CusumSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DailyValue],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { v =>
+            m = m.updated(v.d, m.getOrElse(v.d, 0L) + v.cents)
+          }
+          state.update(m)
+          val days = m.toSeq.sortBy(_._1)
+          val snap =
+            if (days.size <= baselineDays)
+              CusumSnapshot(scope, days.size.toLong, 0L, 0L, 0L, 0L,
+                alarmNow = false, defined = false)
+            else {
+              val mu0 = Math.floorDiv(
+                days.take(baselineDays).map(_._2).sum, baselineDays.toLong)
+              val slack = Math.floorDiv(mu0, 20L)
+              val h = Math.floorDiv(mu0, 2L)
+              var sp = 0L; var sn = 0L; var nA = 0L; var alarmNow = false
+              days.drop(baselineDays).foreach { case (_, v) =>
+                sp = math.max(0L, sp + v - mu0 - slack)
+                sn = math.max(0L, sn + mu0 - slack - v)
+                alarmNow = sp > h || sn > h
+                if (alarmNow) nA += 1
+              }
+              CusumSnapshot(scope, days.size.toLong, mu0, sp, sn, nA,
+                alarmNow, defined = true)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class WeightedArrival(scope: String, id: Long, w: Long)
   final case class ReservoirSnapshot(scope: String, nSeen: Long, nDropped: Long,
       sample: String)
