@@ -2856,12 +2856,18 @@ object ExtQueries {
         signum(col("s_stat")).cast("long").as("trend"))
   }
 
-  /** Two-sided tabular CUSUM drift alarm (Page 1954, Biometrika) — the
-    * sequential-changepoint canon completing the trend tier: q241's MK
-    * asks "is there a monotone trend anywhere"; CUSUM asks "WHEN did the
-    * level leave its reference band" and is the textbook fraud-ops
-    * monitor for slow drifts a fixed threshold misses. Reference
-    * (μ0, slack k = μ0/20, threshold h = μ0/2) is FROZEN from the first
+  /** Two-sided tabular CUSUM MONITOR (Page 1954, Biometrika) — the
+    * PROSPECTIVE member of the CUSUM pair: q173 is the retrospective
+    * diagnostic (target = each series' own GLOBAL mean, one-sided, a
+    * per-type summary — "where, in hindsight, did this series run
+    * hot"), while this is the form a live monitor runs — the reference
+    * must be FROZEN before the data it judges arrives (a global-mean
+    * target lets the drift pull its own yardstick toward itself),
+    * two-sided with the textbook slack parameter, per-day trajectory
+    * output, and a streaming twin
+    * ([[graft.streaming.StreamOps.cusumState]]) bridged exactly.
+    * Reference (μ0, slack k = μ0/20, threshold h = μ0/2) is frozen from
+    * the first
     * [[CusumBaselineDays]] calendar days (the CurationIngest
     * frozen-reference discipline — a monitor must not let the drift it
     * hunts contaminate its own reference), all exact cent-grid longs
@@ -3000,7 +3006,7 @@ object ExtQueries {
     "q240_anova_f" -> q240AnovaF,
     "q241_mann_kendall" -> q241MannKendall,
     "q242_kruskal_wallis" -> q242KruskalWallis,
-    "q249_cusum" -> q249Cusum,
+    "q249_cusum_monitor" -> q249Cusum,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -3288,7 +3294,7 @@ object ExtQueries {
     // q249: identical daily grid, identical frozen-baseline floor
     // divisions, identical prefix/running-min closed form — pure
     // integer arithmetic on both engines
-    "q249_cusum" ->
+    "q249_cusum_monitor" ->
       s"""WITH daily AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
         |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v

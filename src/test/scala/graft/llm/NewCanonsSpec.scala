@@ -728,7 +728,7 @@ class NewCanonsSpec extends SparkSpec {
       sn = math.max(0L, sn + mu0 - slack - v)
       (d, v, sp, sn, if (sp > h || sn > h) 1L else 0L)
     }.toSeq
-    val got = graft.queries.ExtQueries.queries("q249_cusum")(spark, sfDir)
+    val got = graft.queries.ExtQueries.queries("q249_cusum_monitor")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
     assert(got === want, "distributed CUSUM closed form diverged from the recurrence")

@@ -70,7 +70,7 @@ class StreamCusumSpec extends SparkSpec {
         assert(snap.defined, s"trigger $i: baseline not freezable — chop too small")
       }
       // the bridge: the final snapshot == the served batch q249's tail
-      val batchRows = graft.queries.ExtQueries.queries("q249_cusum")(spark, sfDir)
+      val batchRows = graft.queries.ExtQueries.queries("q249_cusum_monitor")(spark, sfDir)
         .collect()
       val last = batchRows.last
       val fin = spark.table("cusum_state").as[StreamOps.CusumSnapshot].collect().last
