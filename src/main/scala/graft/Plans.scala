@@ -67,7 +67,12 @@ object Plans {
     // and their unrolled-CTE oracles pin those.
     "q234_span_removal", "q237_weighted_sample", "q238_entropy_rate",
     "q241_mann_kendall", "q242_kruskal_wallis", "q243_spearman",
-    "q246_cohen_kappa")
+    "q246_cohen_kappa",
+    // round 13: within-doc span self-dedup (the doc_id-keyed aggregate —
+    // NO cross-document shuffle, the contrast to q234's corpus-wide min)
+    // and the frozen-baseline CUSUM monitor (two running windows over
+    // the calendar-bounded daily grid)
+    "q248_span_self_dedup", "q249_cusum_monitor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
