@@ -1864,20 +1864,28 @@ object LlmQueries {
     // Gopher paper's thresholds are English-web-tuned and per-corpus
     // configurable by design; the full conjunction (r_stop included)
     // still ships and is oracle-checked standalone in q127.
-    val gopherKeep = q127GopherRules(s, dir)
-      .select(col("doc_id"), (col("r_words") * col("r_mean_len") * col("r_symbol") *
-        col("r_alpha") * col("r_bullet") * col("r_ellipsis")).as("gop_keep")).cache()
-      .filter(col("gop_keep") === 1).select("doc_id")
-    val repKeep = q131RepetitionRules(s, dir)
-      .select(col("doc_id"), col("rep_pass")).cache()
-      .filter(col("rep_pass") === 1).select("doc_id")
+    // gopher + repetition are PER-ROW batteries that preserve their
+    // input, so both evaluate in ONE projection over ONE documents scan
+    // (the q246 composition — was: two standalone battery scans plus
+    // two doc_id semi-join shuffles back onto a third docs scan).
+    // CurationCanonSpec still proves the keep-set equals the standalone
+    // q127/q131 criteria — the contract is set identity, which a shared
+    // scan cannot move. ppl/dsir stay semi joins: their criteria need
+    // corpus-level fits (LM tables, DSIR buckets), not row-local flags.
+    val grScored = TextOps.repetitionRules(
+        TextOps.gopherRules(docs, "text"), "text")
+      .select(col("doc_id"), col("source"), col("text"),
+        (col("r_words") * col("r_mean_len") * col("r_symbol") *
+          col("r_alpha") * col("r_bullet") * col("r_ellipsis")).as("gop_keep"),
+        col("rep_pass")).cache()
+    val grKept = grScored
+      .filter(col("gop_keep") === 1 && col("rep_pass") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
     val pplKeep = q133NgramLmPpl(s, dir)
       .filter(col("ppl_bucket") =!= "tail").select("doc_id")
     val dsirKeep = q132DsirSelect(s, dir)
       .filter(col("selected") === 1).select("doc_id")
-    val gated = docs
-      .join(gopherKeep, Seq("doc_id"), "left_semi")
-      .join(repKeep, Seq("doc_id"), "left_semi")
+    val gated = grKept
       .join(pplKeep, Seq("doc_id"), "left_semi")
       .join(dsirKeep, Seq("doc_id"), "left_semi")
     val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
