@@ -2865,7 +2865,7 @@ object ExtQueries {
     * target lets the drift pull its own yardstick toward itself),
     * two-sided with the textbook slack parameter, per-day trajectory
     * output, and a streaming twin
-    * ([[graft.streaming.StreamOps.cusumState]]) bridged exactly.
+    * ([[graft.streaming.StreamOps.cusumMonitorState]]) bridged exactly.
     * Reference (μ0, slack k = μ0/20, threshold h = μ0/2) is frozen from
     * the first
     * [[CusumBaselineDays]] calendar days (the CurationIngest

@@ -1293,6 +1293,12 @@ object StreamOps {
   /** q249's streaming twin — the LIVE two-sided CUSUM drift alarm
     * (Page 1954; CUSUM is natively sequential, so unlike the batch
     * query's prefix closed form the stream just RUNS the recurrence).
+    * Distinct from [[cusumState]] (q173's keyed twin) the way q249 is
+    * distinct from q173: that one folds an externally-FIT (target,
+    * threshold) reference with O(1) state and REFUSES late days
+    * (order-sensitive recurrence); this one freezes its own baseline
+    * from the grid and ABSORBS late days by per-trigger recomputation
+    * — the price is O(days) state and work, bounded by calendar.
     * State is the same bounded daily grid as [[mannKendallState]]
     * (order-robust per-day fold; a late arrival for ANY day — baseline
     * days included — lands in its cell and the next trigger's
@@ -1305,7 +1311,7 @@ object StreamOps {
     * `defined = false` visibly. Emits the trajectory head (current
     * S⁺/S⁻), the alarm count so far, and whether the LATEST day is in
     * alarm — the triple an alerting rule consumes. */
-  def cusumState(vals: Dataset[DailyValue],
+  def cusumMonitorState(vals: Dataset[DailyValue],
       baselineDays: Int = 7): Dataset[CusumSnapshot] = {
     import vals.sparkSession.implicits._
     vals.groupByKey(_.scope)

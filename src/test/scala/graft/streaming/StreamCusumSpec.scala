@@ -53,7 +53,7 @@ class StreamCusumSpec extends SparkSpec {
       shuffled.slice(cut2, shuffled.length))
 
     val input = MemoryStream[StreamOps.DailyValue]
-    val q = StreamOps.cusumState(input.toDS())
+    val q = StreamOps.cusumMonitorState(input.toDS())
       .writeStream.format("memory").queryName("cusum_state")
       .outputMode("append").start()
     try {
@@ -90,7 +90,7 @@ class StreamCusumSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.DailyValue]
-    val q = StreamOps.cusumState(input.toDS(), baselineDays = 2)
+    val q = StreamOps.cusumMonitorState(input.toDS(), baselineDays = 2)
       .writeStream.format("memory").queryName("cusum_late")
       .outputMode("append").start()
     try {
@@ -117,7 +117,7 @@ class StreamCusumSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.DailyValue]
-    val q = StreamOps.cusumState(input.toDS())
+    val q = StreamOps.cusumMonitorState(input.toDS())
       .writeStream.format("memory").queryName("cusum_deg")
       .outputMode("append").start()
     try {

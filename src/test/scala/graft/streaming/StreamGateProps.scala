@@ -119,6 +119,93 @@ object StreamGateProps extends Properties("graft.streamgates") {
       }
     }
 
+  // ---- mannKendallState / cusumMonitorState: the r13 GRID states.
+  // Unlike cusumState's ordered fold, these absorb ANY arrival order
+  // (per-day cells are plain sums), so the property is stronger:
+  // final snapshot is invariant under PERMUTATION as well as split,
+  // and equals the driver grid fold. ----
+  private val dailyValues: Gen[List[StreamOps.DailyValue]] = for {
+    n <- Gen.choose(6, 30)
+    ds <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), Gen.choose(1L, 500L)))
+  } yield ds.map { case (d, c) => StreamOps.DailyValue("s", d, c) }
+
+  private def permuted[T](xs: List[T], seed: Long): List[T] =
+    xs.zipWithIndex.sortBy { case (_, i) => (i * 2654435761L + seed) % 1000003L }.map(_._1)
+
+  property("mannKendallState final snapshot is split- AND permutation-invariant, grid-fold exact") =
+    Prop.forAll(dailyValues, Gen.choose(0L, 1000L)) { (vals, seed) =>
+      Prop.forAll(cutsGen(vals.size)) { cuts =>
+        def mkRef(prefix: Seq[StreamOps.DailyValue]) = {
+          val grid = prefix.groupBy(_.d).view.mapValues(_.map(_.cents).sum).toMap
+          val days = grid.toSeq.sortBy(_._1)
+          val n = days.size.toLong
+          val s = (for { i <- days.indices; j <- (i + 1) until days.size }
+            yield java.lang.Long.signum(days(j)._2 - days(i)._2).toLong).sum
+          val ts = days.groupBy(_._2).map(_._2.size.toLong)
+          val tie = ts.map(t => t * (t - 1) * (2 * t + 5)).sum
+          val v18 = n * (n - 1) * (2 * n + 5) - tie
+          if (n < 2 || v18 <= 0L)
+            StreamOps.MkSnapshot("s", n, ts.size.toLong, s, tie, v18, 0L,
+              java.lang.Long.signum(s).toLong, defined = false)
+          else {
+            val sd = math.sqrt(v18.toDouble / 18.0)
+            val z = if (s > 0) (s - 1) / sd else if (s < 0) (s + 1) / sd else 0.0
+            StreamOps.MkSnapshot("s", n, ts.size.toLong, s, tie, v18,
+              math.floor(z * 1e6 + 0.5).toLong,
+              java.lang.Long.signum(s).toLong, defined = true)
+          }
+        }
+        val shuffled = permuted(vals, seed)
+        val batches = splitAt(shuffled, cuts)
+        val got = runStream(batches, (d: Dataset[StreamOps.DailyValue]) =>
+          StreamOps.mannKendallState(d))
+        val ref = mkRef(vals)
+        // per-trigger snapshots equal the SHUFFLED prefixes' grid folds;
+        // the final one equals the canonical-order fold (permutation
+        // invariance: the grid doesn't know arrival order)
+        val prefixesOk = batches.inits.toList.reverse.drop(1)
+          .map(_.flatten).zip(got).forall { case (pfx, snap) => snap == mkRef(pfx) }
+        prefixesOk :| s"a trigger diverged from its prefix grid fold (cuts $cuts)" &&
+          (got.last == ref) :| s"final snapshot != canonical-order fold (seed $seed)"
+      }
+    }
+
+  property("cusumMonitorState final snapshot is split- AND permutation-invariant, recurrence exact") =
+    Prop.forAll(dailyValues, Gen.choose(0L, 1000L)) { (vals, seed) =>
+      Prop.forAll(cutsGen(vals.size)) { cuts =>
+        val B = 2
+        def ref(prefix: Seq[StreamOps.DailyValue]) = {
+          val grid = prefix.groupBy(_.d).view.mapValues(_.map(_.cents).sum).toMap
+          val days = grid.toSeq.sortBy(_._1)
+          if (days.size <= B)
+            StreamOps.CusumSnapshot("s", days.size.toLong, 0L, 0L, 0L, 0L,
+              alarmNow = false, defined = false)
+          else {
+            val mu0 = Math.floorDiv(days.take(B).map(_._2).sum, B.toLong)
+            val slack = Math.floorDiv(mu0, 20L)
+            val h = Math.floorDiv(mu0, 2L)
+            var sp = 0L; var sn = 0L; var nA = 0L; var al = false
+            days.drop(B).foreach { case (_, v) =>
+              sp = math.max(0L, sp + v - mu0 - slack)
+              sn = math.max(0L, sn + mu0 - slack - v)
+              al = sp > h || sn > h
+              if (al) nA += 1
+            }
+            StreamOps.CusumSnapshot("s", days.size.toLong, mu0, sp, sn, nA, al,
+              defined = true)
+          }
+        }
+        val shuffled = permuted(vals, seed)
+        val batches = splitAt(shuffled, cuts)
+        val got = runStream(batches, (d: Dataset[StreamOps.DailyValue]) =>
+          StreamOps.cusumMonitorState(d, baselineDays = B))
+        val prefixesOk = batches.inits.toList.reverse.drop(1)
+          .map(_.flatten).zip(got).forall { case (pfx, snap) => snap == ref(pfx) }
+        prefixesOk :| s"a trigger diverged from its prefix recurrence (cuts $cuts)" &&
+          (got.last == ref(vals)) :| s"final snapshot != canonical-order recurrence (seed $seed)"
+      }
+    }
+
   // ---- heavyHittersState: MG theorems hold at every split ----
   private val tokenStreams: Gen[List[StreamOps.TokenArrival]] = for {
     n <- Gen.choose(10, 80)
