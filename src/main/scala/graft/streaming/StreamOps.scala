@@ -1286,6 +1286,74 @@ object StreamOps {
       }
   }
 
+  final case class GroupCentValue(scope: String, g: String, v: Long)
+  final case class KwSnapshot(scope: String, k: Long, n: Long,
+      rankSqSum: Long, tie3: Long, hMicro: Long, hTieMicro: Long,
+      defined: Boolean)
+
+  /** q242's streaming twin — the NONPARAMETRIC sibling of
+    * [[anovaState]] ("do the group value DISTRIBUTIONS differ, LIVE" —
+    * F when variances behave, H when they don't, the same pairing the
+    * batch tier ships): per-scope state is the exact (group, cent
+    * value) count grid — bounded by groups × the value domain, plain
+    * sums so the fold is order-robust and replayed/late arrivals land
+    * in their cell — and every trigger recomputes midranks over the
+    * grid and H with EXACTLY q242's arithmetic (doubled midranks
+    * 2r̄ = 2·below + m + 1 as exact integers, per-group
+    * floor((2R)²/(4n_g)) BEFORE the integer total, identical-order
+    * double chains micro-floored), so each snapshot equals the batch
+    * q242 formula over the stream prefix. Triggers where H is undefined
+    * (k < 2, n < 2, or every value tied — the tie correction's
+    * denominator vanishes) report `defined = false` with the grid shape
+    * still visible, never NaN (the [[mannKendallState]] flag pattern;
+    * −1 is a legal h value since H ≥ 0 but the SHAPE fields k/n are
+    * wanted regardless, so a flag is cleaner than sentinels). */
+  def kruskalWallisState(vals: Dataset[GroupCentValue]): Dataset[KwSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[(String, Long), Long], KwSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[GroupCentValue],
+         state: GroupState[Map[(String, Long), Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[(String, Long), Long])
+          batch.foreach { gv =>
+            val key = (gv.g, gv.v)
+            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+          }
+          state.update(m)
+          // midranks over the merged value grid (exact integers)
+          val grid = m.groupBy(_._1._2).view.mapValues(_.values.sum)
+            .toSeq.sortBy(_._1)
+          var below = 0L
+          val r2OfV = grid.map { case (v, cnt) =>
+            val r = v -> (2L * below + cnt + 1L); below += cnt; r
+          }.toMap
+          val byG = m.groupBy(_._1._1)
+          val k = byG.size.toLong
+          val n = m.values.sum
+          val tie3 = grid.map { case (_, c) => c * c * c - c }.sum
+          val perGroup = byG.toSeq.map { case (_, cells) =>
+            val nG = cells.values.sum
+            val r2 = cells.map { case ((_, v), c) => c * r2OfV(v) }.sum
+            (nG, math.floor(r2.toDouble * r2.toDouble /
+              (4.0 * nG.toDouble) + 0.5).toLong)
+          }
+          val rsum = perGroup.map(_._2).sum
+          val snap =
+            if (k < 2 || n < 2 || tie3 == n * n * n - n)
+              KwSnapshot(scope, k, n, rsum, tie3, 0L, 0L, defined = false)
+            else {
+              val nD = n.toDouble
+              val h = 12.0 / (nD * (nD + 1.0)) * rsum.toDouble - 3.0 * (nD + 1.0)
+              val corr = 1.0 - tie3.toDouble / (nD * nD * nD - nD)
+              KwSnapshot(scope, k, n, rsum, tie3,
+                math.floor(h * 1e6 + 0.5).toLong,
+                math.floor(h / corr * 1e6 + 0.5).toLong, defined = true)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class CusumSnapshot(scope: String, nDays: Long, mu0Cents: Long,
       sPosCents: Long, sNegCents: Long, nAlarms: Long, alarmNow: Boolean,
       defined: Boolean)
