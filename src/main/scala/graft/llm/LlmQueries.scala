@@ -2371,24 +2371,40 @@ object LlmQueries {
     var alive = s.createDataFrame(aliveC.rdd, aliveC.schema)
     aliveC.count()
     val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    // Round r's trace needs n_edges among alive_r — which is EXACTLY
+    // round r+1's input edge set. Caching each round's filtered edges
+    // once and completing the PREVIOUS round's trace row from its count
+    // makes one-join-per-round an EXPLICIT contract (plus one final
+    // count) instead of relying on exchange reuse to deduplicate the
+    // former deg/eAfter re-joins — measured parity at local SFs (the
+    // optimizer was already reusing), but at real scale the guarantee
+    // should not hang on a reuse heuristic across a cache boundary.
+    // Live storage stays ≤ 3 frames (und + e + alive; prev releases
+    // before the new alive pins — the CacheContractSpec seam).
+    var pending: Option[(Long, Long, Long)] = None // (round, n_alive, checksum)
     for (r <- 1 to KcoreRounds) {
-      val e = und
-        .join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
+      val eC = und.join(alive.toDF("a"), "a").join(alive.toDF("b"), "b").cache()
+      val e = s.createDataFrame(eC.rdd, eC.schema)
+      val nEdges = eC.count()
+      pending.foreach { case (pr, na, cs) => trace += ((pr, na, nEdges, cs)) }
+      pending = None
+      val prev = aliveC
+      prev.unpersist() // e is materialized; deg reads the pinned e cache
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      val prev = aliveC
       aliveC = deg.filter(col("d") >= KcoreK).select(col("v")).cache()
       alive = s.createDataFrame(aliveC.rdd, aliveC.schema)
       aliveC.count()
-      prev.unpersist() // consumed by the round just materialized
-      val eAfter = und.join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
+      eC.unpersist() // deg consumed during the alive materialization
       val row = alive.agg(count(lit(1)).as("n_alive"),
-          coalesce(sum(col("v")), lit(0L)).as("checksum"))
-        .crossJoin(eAfter.agg(count(lit(1)).as("n_edges")))
-        .head()
-      trace += ((r.toLong, row.getLong(0), row.getLong(2), row.getLong(1)))
+        coalesce(sum(col("v")), lit(0L)).as("checksum")).head()
+      pending = Some((r.toLong, row.getLong(0), row.getLong(1)))
       onRound(r)
     }
+    // the LAST round's post-filter edge count has no next round to ride
+    val lastEdges = und.join(alive.toDF("a"), "a").join(alive.toDF("b"), "b")
+      .agg(count(lit(1)).as("n")).head().getLong(0)
+    pending.foreach { case (pr, na, cs) => trace += ((pr, na, lastEdges, cs)) }
     undC.unpersist(); aliveC.unpersist() // trace is driver-held: release all
     trace.toSeq.toDF("round", "n_alive", "n_edges", "checksum")
       .orderBy(col("round"))
