@@ -1032,6 +1032,88 @@ object LlmQueries {
       s6(cov / sqrt(vx * vy)).as("spearman_micro"))
   }
 
+  /** Kendall's τ-b with tie correction (Kendall 1938; Kendall 1945 for
+    * the tie form) — the third member of the correlation triple (q67
+    * Pearson: "linear?"; q243 Spearman: "monotone, rank-scaled?"; τ-b:
+    * "monotone, PAIR-scaled?" — τ is the probability a random pair is
+    * concordant minus discordant, the effect size Spearman's ρ
+    * over-states on heavy-tied data), over the same length/diversity
+    * pair as q243 so the two canons read side by side.
+    *
+    * Scale shape — NO pair join: the naive C/D count is an O(n²)
+    * self-join; here concordance comes from a 2-D DOMINANCE COUNT on a
+    * DENSE VALUE GRID (observed x values × the full integer y range,
+    * |X|·|Y| cells — value-domain-bounded, independent of corpus size;
+    * unbounded-domain variables take the cent-grid move first). Two
+    * partitioned windows, each over a grid-bounded partition:
+    *   A(x,y)  = Σ_{x'<x} c(x',y)   (partition y, order x — ≤|X| rows)
+    *   Dlt(x,y)= Σ_{y'<y} A(x,y')   (partition x, order y — ≤|Y| rows)
+    * so Dlt = #points strictly dominated and Dgt = Σ_y A − Dlt − A =
+    * #points below-x/above-y; C = Σ c·Dlt and D = Σ c·Dgt over observed
+    * cells count every unordered pair exactly once from its larger-x
+    * side, and x-ties/y-ties fall out of both — exactly τ-b's C and D.
+    * The density in y is what makes the second prefix complete (a
+    * sparse cell grid misses A at (x, y') when y' never occurs at x).
+    *
+    * Exactness: cell counts and dominance counts are exact longs; the
+    * C/D/tie-pair sums ride DECIMAL(38,0) with OPERANDS widened (the
+    * q243/q228 discipline — c·Dlt is an n²-shaped product and Σ ≈ n²/2
+    * wraps int64 at n ≈ 6×10⁹ docs, inside a 100 TB corpus's range,
+    * while DuckDB's sum(BIGINT) is HUGEINT). The OUTPUT count columns
+    * are those decimals read back as longs — exact to n ≈ 4.3×10⁹ and
+    * documented here, while tau_b_micro reads the decimals through
+    * double and stays exact-input at ANY n. Degenerate corpora (all x
+    * tied or all y tied ⇒ zero denominator) pin tau_b_micro at the
+    * out-of-range sentinel −2·10⁶ on BOTH engines (the q240 contract:
+    * engines must agree where the statistic is undefined). */
+  private val q250KendallTau: Q = (s, dir) => {
+    val d38 = DecimalType(38, 0)
+    val base = Tables.documents(s, dir)
+      .select(toksCol(col("text")).as("tk"))
+      .select(size(col("tk")).cast("long").as("x"),
+        size(array_distinct(col("tk"))).cast("long").as("y"))
+    val cells = base.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c")).cache()
+    val yBounds = cells.agg(min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+    val dense = cells.select(col("x")).distinct()
+      .crossJoin(broadcast(yBounds)) // broadcast 1-row bounds frame
+      .select(col("x"), explode(sequence(col("ylo"), col("yhi"))).as("y"))
+      .join(cells, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("c"), lit(0L)).as("c"))
+    val wXless = Window.partitionBy(col("y")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wYless = Window.partitionBy(col("x")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wYtot = Window.partitionBy(col("x"))
+    val dom = dense
+      .withColumn("a", coalesce(sum(col("c")).over(wXless), lit(0L)))
+      .withColumn("dlt", coalesce(sum(col("a")).over(wYless), lit(0L)))
+      .withColumn("atot", sum(col("a")).over(wYtot))
+    val cd = dom.filter(col("c") > 0).agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast(d38) * col("dlt").cast(d38)).as("conc"),
+      sum(col("c").cast(d38) *
+        (col("atot") - col("dlt") - col("a")).cast(d38)).as("disc"))
+    // doubled tie-pair counts Σt(t−1) per marginal grid (doubling keeps
+    // the closed form division-free in integer-land)
+    def tie2(v: String): DataFrame = cells.groupBy(col(v))
+      .agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(col("t").cast(d38) * (col("t").cast(d38) - 1)),
+        lit(0).cast(d38)).as(s"tie2_$v"))
+    val m = cd.crossJoin(broadcast(tie2("x"))).crossJoin(broadcast(tie2("y")))
+    val nD = col("n").cast("double")
+    val num = lit(2.0) * (col("conc").cast("double") - col("disc").cast("double"))
+    val dx = nD * (nD - 1.0) - col("tie2_x").cast("double")
+    val dy = nD * (nD - 1.0) - col("tie2_y").cast("double")
+    m.select(col("n"),
+      col("conc").cast("long").as("conc"),
+      col("disc").cast("long").as("disc"),
+      col("tie2_x").cast("long").as("tie2_x"),
+      col("tie2_y").cast("long").as("tie2_y"),
+      when(dx <= 0.0 || dy <= 0.0, lit(-2000000L))
+        .otherwise(floor(num / sqrt(dx * dy) * 1e6 + 0.5).cast("long"))
+        .as("tau_b_micro"))
+  }
+
   /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
     * two raters, here the corpus's two independent per-doc quality
     * gates (the Gopher A1.1 conjunction q196 composes, and q131's
@@ -4790,6 +4872,7 @@ object LlmQueries {
     "q244_katz"           -> q244Katz,
     "q245_personalized_pr" -> q245PersonalizedPr,
     "q243_spearman"       -> q243Spearman,
+    "q250_kendall_tau"    -> q250KendallTau,
     "q246_cohen_kappa"    -> q246CohenKappa,
     "q247_ndcg_retrieval" -> q247NdcgRetrieval,
     "q196_curation_canon" -> q196CurationCanon,
@@ -6332,6 +6415,49 @@ object LlmQueries {
          |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
          |    * 1000000.0 + 0.5) AS BIGINT) AS spearman_micro
          |FROM m""".stripMargin,
+    // q250: same dense value grid, same two dominance windows, same
+    // widened sums (DuckDB's sum(BIGINT) is already HUGEINT-exact), and
+    // the identical-order double chain with the same degenerate sentinel
+    "q250_kendall_tau" ->
+      s"""WITH b AS (SELECT len(tk) AS x, len(list_distinct(tk)) AS y
+         |  FROM (SELECT $duckToks AS tk FROM documents)),
+         |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |yb AS (SELECT min(y) AS ylo, max(y) AS yhi FROM cells),
+         |dense AS (SELECT xs.x, yr.y, coalesce(cells.c, 0) AS c
+         |  FROM (SELECT DISTINCT x FROM cells) xs
+         |  CROSS JOIN (SELECT unnest(range(ylo, yhi + 1)) AS y FROM yb) yr
+         |  LEFT JOIN cells ON cells.x = xs.x AND cells.y = yr.y),
+         |a AS (SELECT x, y, c,
+         |    coalesce(sum(c) OVER (PARTITION BY y ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+         |  FROM dense),
+         |dom AS (SELECT x, y, c, a,
+         |    coalesce(sum(a) OVER (PARTITION BY x ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dlt,
+         |    sum(a) OVER (PARTITION BY x) AS atot
+         |  FROM a),
+         |cd AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c * dlt) AS BIGINT) AS conc,
+         |    CAST(sum(c * (atot - dlt - a)) AS BIGINT) AS disc
+         |  FROM dom WHERE c > 0),
+         |tx AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tie2_x
+         |  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+         |ty AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tie2_y
+         |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+         |SELECT n, conc, disc, tie2_x, tie2_y,
+         |  CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |        - CAST(tie2_x AS DOUBLE) <= 0.0
+         |      OR CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |        - CAST(tie2_y AS DOUBLE) <= 0.0
+         |    THEN CAST(-2000000 AS BIGINT)
+         |    ELSE CAST(floor(2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+         |      / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |          - CAST(tie2_x AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |          - CAST(tie2_y AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT)
+         |  END AS tau_b_micro
+         |FROM cd, tx, ty""".stripMargin,
     // q246: same two gate conjunctions over the shared rule CTEs, same
     // exact 2x2 counts and double chains
     "q246_cohen_kappa" -> {

@@ -930,4 +930,60 @@ class NewCanonsSpec extends SparkSpec {
     // robustness canon sanity: the median slope is finite and the grid real
     assert(np > 100, "daily grid too small — vacuous")
   }
+
+  test("q250 Kendall tau-b equals a driver brute-force pair count (the O(n^2) definition " +
+      "vs the dense-grid dominance plan); association present and tau < |rho|-ish sane") {
+    val pts = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().map { r =>
+        val tk = r.getString(0).split("\\s+").filter(_.nonEmpty)
+        (tk.length.toLong, tk.distinct.length.toLong)
+      }
+    var conc = 0L; var disc = 0L; var tieX = 0L; var tieY = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val dx = java.lang.Long.signum(pts(j)._1 - pts(i)._1)
+      val dy = java.lang.Long.signum(pts(j)._2 - pts(i)._2)
+      if (dx == 0) tieX += 1
+      if (dy == 0) tieY += 1
+      if (dx != 0 && dy != 0) { if (dx == dy) conc += 1 else disc += 1 }
+    }
+    val n = pts.length.toDouble
+    val num = 2.0 * (conc.toDouble - disc.toDouble)
+    val dxT = n * (n - 1.0) - (2L * tieX).toDouble
+    val dyT = n * (n - 1.0) - (2L * tieY).toDouble
+    val r = LlmQueries.queries("q250_kendall_tau")(spark, sfDir).head()
+    assert(r.getLong(0) === pts.length.toLong)
+    assert(r.getLong(1) === conc, "concordant count diverged from the pair definition")
+    assert(r.getLong(2) === disc, "discordant count diverged from the pair definition")
+    assert(r.getLong(3) === 2L * tieX && r.getLong(4) === 2L * tieY,
+      "tie-pair counts diverged")
+    assert(r.getLong(5) === math.floor(num / math.sqrt(dxT * dyT) * 1e6 + 0.5).toLong,
+      "tau_b diverged")
+    // the length/diversity association is real on this corpus, and tau
+    // must be a proper effect size (strictly inside (0, 1))
+    assert(r.getLong(5) > 100000L && r.getLong(5) < 1000000L,
+      s"tau ${r.getLong(5)} degenerate — no signal to measure")
+    spark.catalog.clearCache()
+  }
+
+  test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
+      "matching the oracle's CASE on both engines") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-tau-degenerate").toString
+    import spark.implicits._
+    // every doc has exactly ONE distinct token but distinct lengths:
+    // x varies, y == 1 everywhere — tau-b's y-denominator is exactly 0
+    Seq((1L, "a"), (2L, "b b"), (3L, "c c c"), (4L, "d d d d"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.queries("q250_kendall_tau")(spark, dir).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L,
+      "no pair can be concordant or discordant when y never moves")
+    assert(r.getLong(4) === 12L, "all 6 pairs are y-ties (doubled = 12)")
+    assert(r.getLong(5) === -2000000L,
+      "undefined tau must pin the out-of-range sentinel, not NaN/null")
+    spark.catalog.clearCache()
+  }
 }
