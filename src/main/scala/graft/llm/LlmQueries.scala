@@ -2803,6 +2803,51 @@ object LlmQueries {
       s6(cov * cov / (varX * varY)).as("r2_micro"))
   }
 
+  /** Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §2.7) — the count-based LM that powered a
+    * decade of CCNet-style corpus quality filtering and is still the
+    * cheap perplexity yardstick a curation pipeline trains on its own
+    * corpus (q132's ppl gate CONSUMES an LM; this canon TRAINS one).
+    * Absolute discount d = 3/4 off every observed bigram, mass
+    * redistributed by the CONTINUATION unigram (how many contexts a
+    * word completes — N1+(·w), the insight that makes "Francisco"
+    * unlikely outside "San _"):
+    *   p(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + d·N1+(w₁·)/c(w₁·) · N1+(·w₂)/B
+    * with B = distinct bigram types. In quarters the numerator algebra
+    * is pure integers — (4c − 3) is exact (c ≥ 1 so no clamp), the
+    * normalization identity Σ_obs(4c − 3) = 4c(w₁·) − 3N1+(w₁·) holds
+    * exactly and the spec pins it — and the probability is ONE
+    * identical-order double chain off exact longs, micro-floored.
+    *
+    * Scale shape: bigram counting is THE canonical map-side-combinable
+    * aggregate (one corpus scan); every other statistic — left
+    * marginals, both continuation counts, the type total — derives from
+    * the bigram-TYPE table, which is vocabulary-bounded, never
+    * corpus-bounded; the served head is a TakeOrdered(40), not a global
+    * sort. Counts stay exact longs to c ≈ 2×10¹⁸ bigram tokens. */
+  private val q251KneserNey: Q = (s, dir) => {
+    val pairs = Tables.documents(s, dir)
+      .select(explode(TextOps.bigrams(toksCol(col("text")))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .select(col("bg"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c"))
+      .cache()
+    val left = pairs.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("n1_fw"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n1_bw"))
+    val types = pairs.agg(count(lit(1)).as("b"))
+    val scored = pairs.join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(types)) // 1-row type total
+    val discPart = (lit(4L) * col("c") - 3L).cast("double") /
+      (lit(4.0) * col("c_w1").cast("double"))
+    val contPart = lit(3.0) * col("n1_fw").cast("double") * col("n1_bw").cast("double") /
+      (lit(4.0) * col("c_w1").cast("double") * col("b").cast("double"))
+    scored.select(col("bg"), col("c"), col("c_w1"), col("n1_fw"), col("n1_bw"),
+        floor((discPart + contPart) * 1e6 + 0.5).cast("long").as("p_kn_micro"))
+      .orderBy(col("c").desc, col("bg"))
+      .limit(40)
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -4861,6 +4906,7 @@ object LlmQueries {
     "q220_label_prop"     -> q220LabelProp,
     "q227_good_turing"    -> q227GoodTuring,
     "q228_zipf_fit"       -> q228ZipfFit,
+    "q251_kneser_ney"     -> q251KneserNey,
     "q231_coreset_greedy" -> q231CoresetGreedy,
     "q233_source_kl"      -> q233SourceKl,
     "q234_span_removal"   -> q234SpanRemoval,
@@ -5541,6 +5587,26 @@ object LlmQueries {
          |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
          |    * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
          |FROM g""".stripMargin,
+    // q251: same bigram-type counts, same quarters algebra (4c-3 exact
+    // longs), same identical-order double chain, same (c DESC, bg) head
+    "q251_kneser_ney" ->
+      s"""WITH toks AS (SELECT $duckToks AS tk FROM documents),
+         |bgx AS (SELECT unnest($duckBigrams) AS bg FROM toks),
+         |pairs AS (SELECT bg, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM bgx GROUP BY 1, 2, 3),
+         |lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+         |    CAST(count(*) AS BIGINT) AS n1_fw FROM pairs GROUP BY 1),
+         |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bw FROM pairs GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pairs)
+         |SELECT p.bg, p.c, l.c_w1, l.n1_fw, r.n1_bw,
+         |  CAST(floor((
+         |    CAST(4 * p.c - 3 AS DOUBLE) / (4.0 * CAST(l.c_w1 AS DOUBLE))
+         |    + 3.0 * CAST(l.n1_fw AS DOUBLE) * CAST(r.n1_bw AS DOUBLE)
+         |      / (4.0 * CAST(l.c_w1 AS DOUBLE) * CAST(tot.b AS DOUBLE))
+         |  ) * 1000000.0 + 0.5) AS BIGINT) AS p_kn_micro
+         |FROM pairs p JOIN lft l USING (w1) JOIN rgt r USING (w2) CROSS JOIN tot
+         |ORDER BY p.c DESC, p.bg LIMIT 40""".stripMargin,
     // q196: the composed curation canon — the SAME gopher/repetition/
     // CCNet/DSIR/contamination chains the standalone oracles use
     // (p-/w-prefixed to avoid CTE name collisions), cascaded then

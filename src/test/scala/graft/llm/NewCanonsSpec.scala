@@ -965,6 +965,53 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q251 Kneser-Ney head equals a sequential driver LM build; the model is a " +
+      "PROPER distribution (exact integer normalization identity in quarters)") {
+    val texts = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val c = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cW1 = c.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val n1fw = c.groupBy(_._1.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val n1bw = c.groupBy(_._1.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+    val b = c.size.toLong
+    def pkn(bg: String): Double = {
+      val Array(w1, w2) = bg.split(" ")
+      (4L * c(bg) - 3L).toDouble / (4.0 * cW1(w1).toDouble) +
+        3.0 * n1fw(w1).toDouble * n1bw(w2).toDouble / (4.0 * cW1(w1).toDouble * b.toDouble)
+    }
+    val want = c.keys.toSeq.sortBy(bg => (-c(bg), bg)).take(40).map { bg =>
+      (bg, c(bg), cW1(bg.split(" ")(0)), n1fw(bg.split(" ")(0)), n1bw(bg.split(" ")(1)),
+        math.floor(pkn(bg) * 1e6 + 0.5).toLong)
+    }
+    val got = LlmQueries.queries("q251_kneser_ney")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, "KN head diverged from the sequential LM build")
+    // proper-distribution identity, EXACT in quarters: for every context
+    // w1, sum over the full bigram-type vocabulary of the scaled
+    // numerator (4c-3)B + 3*N1fw*N1bw equals 4*c(w1.)*B — i.e.
+    // sum_w2 p(w2|w1) == 1 with zero float involvement
+    cW1.keys.foreach { w1 =>
+      // .toSeq before map: keys is a Set, and a Set.map would collapse
+      // equal-valued terms before the sum
+      val obs = c.keys.toSeq.filter(_.split(" ")(0) == w1)
+      val obsNum = obs.map(bg =>
+        BigInt(4L * c(bg) - 3L) * b + BigInt(3L) * n1fw(w1) * n1bw(bg.split(" ")(1))).sum
+      val unobsNum = n1bw.keys.toSeq.filterNot(w2 => c.contains(s"$w1 $w2"))
+        .map(w2 => BigInt(3L) * n1fw(w1) * n1bw(w2)).sum
+      assert(obsNum + unobsNum === BigInt(4L) * cW1(w1) * b,
+        s"KN mass for context '$w1' does not normalize — not a distribution")
+    }
+    // the head must carry real discounting structure, not a degenerate
+    // uniform table
+    assert(got.map(_._2).distinct.length > 1, "all head bigrams share one count — vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
