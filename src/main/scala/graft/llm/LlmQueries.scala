@@ -2196,6 +2196,76 @@ object LlmQueries {
       .orderBy(col("hop"))
   }
 
+  /** Seeded harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    * Centrality" — harmonic is the closeness variant that handles
+    * disconnected graphs correctly; Eppstein & Wang 2001 for why a
+    * seed SAMPLE estimates it) over the shared link graph: H_S(v) =
+    * Σ_{s∈S, 0<d(s,v)≤[[HcHops]]} 1/d(s,v) from the q169 seed set
+    * (idx % 97). This is the missing member of the graph tier's
+    * centrality family — PageRank/Katz/HITS weigh WALKS, harmonic
+    * weighs SHORTEST PATHS (a hub that is 2 hops from everywhere beats
+    * one with many redundant in-links; crawl-frontier prioritization
+    * and influence radius read this form).
+    *
+    * EXACT on the hop grid: contributions are 60/d — an exact integer
+    * for every d ∈ 1..6 (60 = lcm(1..6)) — so H·60 is a plain long sum
+    * and cross-engine equality is structural, no float anywhere.
+    *
+    * Scale shape: a multi-source BFS carrying (seed, node) pairs —
+    * each round is ONE frontier⋈edges hash join + a pair-distinct +
+    * an anti-join against the visited pair set (the q169 round shape
+    * on a compound key), rounds pinned as flat LogicalRDDs (the q169
+    * analyzer-bound discipline). State is |S|·reach pairs; the seed
+    * set is a 1/97 sample here for determinism, and the Eppstein–Wang
+    * bound says O(log n/ε²) seeds suffice at ANY corpus size, so at
+    * 100 TB the sample is a CONSTANT few hundred seeds and state is
+    * O(|V|·|S|) with small |S| — never all-pairs. Output is a
+    * TakeOrdered(20) head by (H·60, doc_id). */
+  private val HcHops = 6
+  private val q252Harmonic: Q = (s, dir) => {
+    val docs = linkGraphDocs(s, dir).cache()
+    val n = docs.count()
+    val edges = linkGraphRawEdges(docs, n)
+      .distinct()
+      .cache()
+    def pinned(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      s.createDataFrame(c.rdd, c.schema)
+    }
+    val seeds = pinned(docs.filter(col("idx") % 97 === 0)
+      .select(col("idx").as("s"), col("idx").as("v"), lit(0L).as("d")))
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
+    var visited = seeds.select(col("s"), col("v"))
+    var frontier = seeds
+    var h = 1
+    var growing = true
+    while (h <= HcHops && growing) {
+      val nxt = frontier.join(edges, frontier("v") === edges("src"))
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(h.toLong).as("d"))
+        .cache()
+      if (nxt.count() == 0) { nxt.unpersist(); growing = false }
+      else {
+        val flat = s.createDataFrame(nxt.rdd, nxt.schema)
+        layers += flat
+        visited = visited.union(flat.select(col("s"), col("v")))
+        frontier = flat
+      }
+      h += 1
+    }
+    layers.reduce(_ union _)
+      .filter(col("d") > 0) // a seed's own 0-distance row carries no mass
+      .groupBy(col("v"))
+      .agg(sum(expr("60 div d")).as("h60"), // integer div: exact for d ∈ 1..6
+        count(lit(1)).as("n_seeds_reaching"))
+      .join(docs, col("v") === docs("idx"))
+      .select(col("doc_id"), col("h60"), col("n_seeds_reaching"))
+      .orderBy(col("h60").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Single-source(-set) shortest paths with WEIGHTED edges — bounded
     * Bellman–Ford over the q138/q169 link graph, the weighted
     * counterpart of q169's hop-count BFS (crawl cost, latency-weighted
@@ -4897,6 +4967,7 @@ object LlmQueries {
     "q162_mutual_info"    -> q162MutualInfo,
     "q163_pmi_collocations" -> q163PmiCollocations,
     "q169_bfs_reach"      -> q169BfsReach,
+    "q252_harmonic"       -> q252Harmonic,
     "q217_weighted_sssp"  -> q217WeightedSssp,
     "q174_inverted_index" -> q174InvertedIndex,
     "q180_assortativity"  -> q180Assortativity,
@@ -5067,6 +5138,31 @@ object LlmQueries {
        |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
        |  CAST(sum(v) AS BIGINT) AS idx_checksum
        |FROM md GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
+  /** q252: the same per-seed BFS as a recursive CTE on (s, v) pairs,
+    * the same min-hop collapse, and the same exact 60//d integer mass. */
+  private lazy val duckHarmonicSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS (SELECT src, dst FROM links WHERE src <> dst),
+       |bfs(s, v, hop) AS (
+       |  SELECT idx, idx, CAST(0 AS BIGINT) FROM docs WHERE idx % 97 = 0
+       |  UNION
+       |  SELECT b.s, e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.v
+       |  WHERE b.hop < $HcHops),
+       |md AS (SELECT s, v, CAST(min(hop) AS BIGINT) AS d FROM bfs GROUP BY s, v),
+       |hc AS (SELECT v, CAST(sum(60 // d) AS BIGINT) AS h60,
+       |    CAST(count(*) AS BIGINT) AS n_seeds_reaching
+       |  FROM md WHERE d > 0 GROUP BY v)
+       |SELECT doc_id, h60, n_seeds_reaching
+       |FROM hc JOIN docs ON docs.idx = hc.v
+       |ORDER BY h60 DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** q217: the same k-round Bellman–Ford invariant unrolled as
@@ -5532,6 +5628,7 @@ object LlmQueries {
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
+    "q252_harmonic" -> duckHarmonicSql,
     "q217_weighted_sssp" -> duckSsspSql,
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,

@@ -40,7 +40,8 @@ class LinkGraphPlanSpec extends SparkSpec {
   test("no graph query's visible lineage contains an unpartitioned window") {
     val names = Seq("q138_pagerank", "q161_triangles", "q169_bfs_reach",
       "q180_assortativity", "q194_kcore", "q217_weighted_sssp",
-      "q220_label_prop", "q239_hits", "q244_katz", "q245_personalized_pr")
+      "q220_label_prop", "q239_hits", "q244_katz", "q245_personalized_pr",
+      "q252_harmonic")
     names.foreach { n =>
       val df = LlmQueries.queries(n)(spark, sfDir)
       assert(unpartitionedWindows(df) === 0,

@@ -1012,6 +1012,49 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q252 harmonic centrality equals a sequential per-seed BFS over the same derived " +
+      "graph; the 60/d integer mass is exact and hubs genuinely separate") {
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length.toLong
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val edges = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (idx, dst)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = docs.map(_._2).filter(_ % 97 == 0)
+    val mass = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    seeds.foreach { s0 =>
+      var frontier = Set(s0)
+      var seen = Set(s0)
+      for (d <- 1 to 6) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long])) -- seen
+        seen ++= frontier
+        frontier.foreach { v =>
+          val (h, c) = mass.getOrElse(v, (0L, 0L))
+          mass(v) = (h + 60L / d, c + 1L)
+        }
+      }
+    }
+    val idx2doc = docs.map { case (doc, idx) => idx -> doc }.toMap
+    val want = mass.toSeq
+      .map { case (v, (h, c)) => (idx2doc(v), h, c) }
+      .sortBy { case (doc, h, _) => (-h, doc) }
+      .take(20)
+    val got = LlmQueries.queries("q252_harmonic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "harmonic head diverged from the sequential per-seed BFS")
+    // the centrality must discriminate (a flat table would be vacuous),
+    // and multiple seeds must genuinely reach the head nodes
+    assert(got.map(_._2).distinct.length > 1, "all head nodes share one H — vacuous")
+    assert(got.head._3 > 1L, "top node reached by a single seed — sample too sparse to rank")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
