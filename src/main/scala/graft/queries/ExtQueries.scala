@@ -2907,6 +2907,90 @@ object ExtQueries {
       .orderBy(col("d"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov DRIFT trajectory (Kolmogorov 1933;
+    * Smirnov 1948; Massey 1951 for the two-sample form) — the
+    * DISTRIBUTION-shape member of the monitor family: q249's CUSUM
+    * catches mean shifts, q241's MK catches monotone trends, but a
+    * variance blow-up or bimodal split moves NEITHER — KS against a
+    * frozen reference window is the standard model-serving input-drift
+    * gate (q140's PSI is its binned cousin; KS needs no bin choice).
+    * Reference = the first [[KsBaselineDays]] calendar days' cent-value
+    * distribution, FROZEN (the q249 discipline — the drift must not
+    * pull its own yardstick); each post-baseline day t reports
+    * D_t = max_v |F_ref(v) − F_live≤t(v)| over the merged value grid.
+    *
+    * Exact arithmetic: D's numerator is computed CROSS-MULTIPLIED —
+    * max_v |cumRef(v)·nLive − cumLive(v)·nRef| — so the max ranges over
+    * exact integers (DECIMAL(38,0)-widened products: at 10¹² events a
+    * side, cumRef·nLive ≈ 10²⁴ is far past int64 while DuckDB's
+    * BIGINT·BIGINT promotes to HUGEINT); only the final D division is
+    * a double, micro-floored. The d_num output column reads the
+    * decimal back as a long — exact to nRef·nLive < 2⁶³ (~3×10⁹ events
+    * a side), documented here; d_micro stays exact-input at any scale.
+    *
+    * Scale shape: the lattice is (merged cent grid × post-baseline
+    * calendar) — value-domain × calendar bounded, independent of event
+    * count; its three windows are each partitioned by the OTHER
+    * dimension (per-value day prefix, per-day value prefix, per-day
+    * total), so no partition exceeds a grid bound; the reference
+    * cumulative rides [[graft.operators.DistributedSelect
+    * .globalPrefixSum]] on the merged grid (no unpartitioned window);
+    * the calendar side of the lattice is a broadcast cross join of a
+    * ≤366-row frame (the bounded-broadcast class, documented). */
+  private[graft] val KsBaselineDays = 7
+  private val q253KsDrift: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"),
+        floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .cache()
+    val base = ev.select(col("d")).distinct().orderBy(col("d")).limit(KsBaselineDays)
+      .agg(count(lit(1)).as("nb"), max(col("d")).as("cut")).head()
+    require(base.getLong(0) == KsBaselineDays.toLong,
+      s"q253: need $KsBaselineDays baseline days to freeze a reference, " +
+        s"found ${base.getLong(0)}")
+    val cut = base.getLong(1)
+    val ref = ev.filter(col("d") <= cut)
+      .groupBy(col("v")).agg(count(lit(1)).as("cref"))
+    val live = ev.filter(col("d") > cut)
+      .groupBy(col("d"), col("v")).agg(count(lit(1)).as("c"))
+    val liveDays = live.select(col("d")).distinct()
+    val allv = ref.select(col("v")).union(live.select(col("v"))).distinct()
+    val refCum = DistributedSelect.globalPrefixSum(
+        allv.join(ref, Seq("v"), "left")
+          .select(col("v"), coalesce(col("cref"), lit(0L)).as("cref")),
+        "v", "cref", "cumref", 1L << 12)
+      .select(col("v"), col("cumref"))
+    val nRef = ref.agg(coalesce(sum(col("cref")), lit(0L)).as("n_ref"))
+    val dense = allv.crossJoin(broadcast(liveDays)) // grid × ≤366-day calendar
+      .join(live, Seq("v", "d"), "left")
+      .select(col("v"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val wDays = Window.partitionBy(col("v")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVals = Window.partitionBy(col("d")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy(col("d"))
+    dense
+      .withColumn("cl", sum(col("c")).over(wDays))    // value v, arrivals ≤ day d
+      .withColumn("cuml", sum(col("cl")).over(wVals)) // values ≤ v, arrivals ≤ day d
+      .withColumn("n_live", sum(col("cl")).over(wDay))
+      .join(refCum, "v").crossJoin(broadcast(nRef))
+      .withColumn("dev", abs(col("cumref").cast(d38) * col("n_live").cast(d38)
+        - col("cuml").cast(d38) * col("n_ref").cast(d38)))
+      .groupBy(col("d"))
+      .agg(max(col("n_live")).as("n_live"), max(col("n_ref")).as("n_ref"),
+        max(col("dev")).as("dev"))
+      .select(col("d"), col("n_live"), col("n_ref"),
+        col("dev").cast("long").as("d_num"),
+        floor(col("dev").cast("double") /
+          (col("n_ref").cast("double") * col("n_live").cast("double"))
+          * 1e6 + 0.5).cast("long").as("d_micro"))
+      .orderBy(col("d"))
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) — the rank-based k-group
     * test completing q240's parametric ANOVA (the pairing every stats
     * text teaches: F when variances behave, H when they don't): do
@@ -3007,6 +3091,7 @@ object ExtQueries {
     "q241_mann_kendall" -> q241MannKendall,
     "q242_kruskal_wallis" -> q242KruskalWallis,
     "q249_cusum_monitor" -> q249Cusum,
+    "q253_ks_drift" -> q253KsDrift,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -3320,6 +3405,50 @@ object ExtQueries {
         |SELECT d, v AS v_cents, s_pos AS s_pos_cents, s_neg AS s_neg_cents,
         |  CAST(CASE WHEN s_pos > h OR s_neg > h THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM traj ORDER BY d""".stripMargin,
+    // q253: identical frozen 7-day reference, identical merged-grid
+    // lattice and cross-multiplied integer deviations (DuckDB's
+    // BIGINT*BIGINT promotes to HUGEINT — already exact), identical
+    // final double division
+    "q253_ks_drift" ->
+      s"""WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |cutq AS (SELECT max(d) AS cut
+        |  FROM (SELECT DISTINCT d FROM ev ORDER BY d LIMIT $KsBaselineDays)),
+        |ref AS (SELECT v, CAST(count(*) AS BIGINT) AS cref
+        |  FROM ev, cutq WHERE d <= cut GROUP BY v),
+        |nref AS (SELECT CAST(coalesce(sum(cref), 0) AS BIGINT) AS n_ref FROM ref),
+        |live AS (SELECT d, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev, cutq WHERE d > cut GROUP BY d, v),
+        |livedays AS (SELECT DISTINCT d FROM live),
+        |allv AS (SELECT DISTINCT v FROM
+        |  (SELECT v FROM ref UNION ALL SELECT v FROM live)),
+        |refcum AS (SELECT a.v,
+        |    CAST(sum(coalesce(r.cref, 0)) OVER (ORDER BY a.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumref
+        |  FROM allv a LEFT JOIN ref r ON r.v = a.v),
+        |dense AS (SELECT a.v, ld.d, CAST(coalesce(l.c, 0) AS BIGINT) AS c
+        |  FROM allv a CROSS JOIN livedays ld
+        |  LEFT JOIN live l ON l.v = a.v AND l.d = ld.d),
+        |cum AS (SELECT v, d,
+        |    CAST(sum(c) OVER (PARTITION BY v ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cl
+        |  FROM dense),
+        |cum2 AS (SELECT v, d, cl,
+        |    CAST(sum(cl) OVER (PARTITION BY d ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuml,
+        |    CAST(sum(cl) OVER (PARTITION BY d) AS BIGINT) AS n_live
+        |  FROM cum),
+        |dev AS (SELECT c2.d, c2.n_live, nref.n_ref,
+        |    abs(rc.cumref * c2.n_live - c2.cuml * nref.n_ref) AS dev
+        |  FROM cum2 c2 JOIN refcum rc ON rc.v = c2.v CROSS JOIN nref)
+        |SELECT d, n_live, n_ref,
+        |  CAST(max(dev) AS BIGINT) AS d_num,
+        |  CAST(floor(CAST(max(dev) AS DOUBLE)
+        |    / (CAST(n_ref AS DOUBLE) * CAST(n_live AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS d_micro
+        |FROM dev GROUP BY d, n_live, n_ref ORDER BY d""".stripMargin,
     "q230_chi_square" ->
       """WITH cells AS (SELECT event_type AS t,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,

@@ -1416,6 +1416,79 @@ object StreamOps {
       }
   }
 
+  final case class DayCentArrival(scope: String, d: Long, v: Long)
+  final case class KsDriftSnapshot(scope: String, nDays: Long, nRef: Long,
+      nLive: Long, dNum: Long, dMicro: Long, alarmNow: Boolean, defined: Boolean)
+
+  /** q253's streaming twin — the DISTRIBUTION-shape member of the
+    * monitor family ([[cusumMonitorState]] catches mean shifts,
+    * [[mannKendallState]] catches trends; a variance blow-up or bimodal
+    * split moves neither — two-sample KS against a frozen reference
+    * does). Per-scope state is the exact (day, cent-value) count grid —
+    * calendar × value-domain bounded, plain sums, so the fold is
+    * order-robust and replayed/late arrivals land in their cell. Every
+    * trigger re-freezes the reference from the grid's first
+    * [[graft.queries.ExtQueries.KsBaselineDays]] calendar days (grid
+    * semantics, not arrival-order semantics: a late arrival into a
+    * baseline day re-freezes — the cusum/MK discipline) and reports
+    * D = max_v |F_ref(v) − F_live(v)| over the merged grid with q253's
+    * EXACT cross-multiplied integer numerator (long products — exact to
+    * nRef·nLive < 2⁶³, the per-scope stream-state range; the batch side
+    * rides DECIMAL(38,0) for corpus scale) and the identical
+    * final double chain, so each snapshot equals the batch q253's LAST
+    * trajectory row over the stream prefix. `alarmNow` applies the
+    * large-sample two-sample KS critical value at α = 0.01,
+    * c(α)·√((n₁+n₂)/(n₁n₂)) with c = √(−ln(α/2)/2) ≈ 1.628 (Smirnov
+    * 1948; Massey 1951). Triggers that cannot freeze a full baseline
+    * (or have no post-baseline mass yet) report `defined = false` with
+    * the grid shape visible (the [[mannKendallState]] flag pattern). */
+  def ksDriftState(vals: Dataset[DayCentArrival],
+      baselineDays: Int = graft.queries.ExtQueries.KsBaselineDays)
+      : Dataset[KsDriftSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[(Long, Long), Long], KsDriftSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DayCentArrival],
+         state: GroupState[Map[(Long, Long), Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[(Long, Long), Long])
+          batch.foreach { a =>
+            val key = (a.d, a.v)
+            m = m.updated(key, m.getOrElse(key, 0L) + 1L)
+          }
+          state.update(m)
+          val days = m.keysIterator.map(_._1).toSeq.distinct.sorted
+          val snap =
+            if (days.size <= baselineDays)
+              KsDriftSnapshot(scope, days.size.toLong, 0L, 0L, 0L, 0L,
+                alarmNow = false, defined = false)
+            else {
+              val cut = days(baselineDays - 1)
+              var nRef = 0L; var nLive = 0L
+              val refG = scala.collection.mutable.Map.empty[Long, Long]
+              val liveG = scala.collection.mutable.Map.empty[Long, Long]
+              m.foreach { case ((d, v), c) =>
+                if (d <= cut) { refG(v) = refG.getOrElse(v, 0L) + c; nRef += c }
+                else { liveG(v) = liveG.getOrElse(v, 0L) + c; nLive += c }
+              }
+              val merged = (refG.keySet ++ liveG.keySet).toSeq.sorted
+              var cr = 0L; var clv = 0L; var dNum = 0L
+              merged.foreach { v =>
+                cr += refG.getOrElse(v, 0L)
+                clv += liveG.getOrElse(v, 0L)
+                dNum = math.max(dNum, math.abs(cr * nLive - clv * nRef))
+              }
+              val dD = dNum.toDouble / (nRef.toDouble * nLive.toDouble)
+              val crit = math.sqrt(-math.log(0.005) / 2.0) *
+                math.sqrt((nRef + nLive).toDouble / (nRef.toDouble * nLive.toDouble))
+              KsDriftSnapshot(scope, days.size.toLong, nRef, nLive, dNum,
+                math.floor(dD * 1e6 + 0.5).toLong,
+                alarmNow = dD > crit, defined = true)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class WeightedArrival(scope: String, id: Long, w: Long)
   final case class ReservoirSnapshot(scope: String, nSeen: Long, nDropped: Long,
       sample: String)
