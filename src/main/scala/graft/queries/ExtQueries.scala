@@ -1409,6 +1409,64 @@ object ExtQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Ljung–Box portmanteau whiteness test (Ljung & Box 1978,
+    * Biometrika; Box & Pierce 1970 for the unscaled form) — q185's ACF
+    * measures the memory lag by lag; this is the ONE-NUMBER
+    * significance gate read off it ("is there ANY autocorrelation at
+    * lags 1..h" — the residual-whiteness check behind every ARIMA fit
+    * and the alerting form of "is this series still i.i.d."):
+    * Q(h) = n(n+2) Σ_{k≤h} r̂_k²/(n−k) with h = [[LbLags]], per event
+    * type over the daily-revenue series. Reuses q185's exact integer
+    * machinery verbatim (y_t = n·x_t − T longs; Σy_t·y_{t+k} and Σy_t²
+    * exact long sums; same DECIMAL38-at-extreme-revenue documented
+    * widen path). The per-lag terms and the h-term sum are doubles —
+    * and a groupBy SUM of doubles is commutative-reduce
+    * NONDETERMINISTIC, so the terms are pivoted to columns and added
+    * in WRITTEN order instead (one identical-order chain both
+    * engines), micro-floored. `reject` compares Q against
+    * χ²_{0.99, 7} = 18.475307 (identical IEEE comparison); series too
+    * short for all h lags (n ≤ h+1) pin the −1 sentinel on both
+    * engines (the q240 contract). Scale: everything rides the
+    * calendar-bounded daily grid — one scan, one 7-lead window pass. */
+  private val LbLags = 7
+  private val q254LjungBox: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val y = daily
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("t", sum(col("x")).over(byType))
+      .withColumn("y", col("n") * col("x") - col("t"))
+    val withLeads = (1 to LbLags).foldLeft(y) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(ordered))
+    }.withColumn("syy", sum(col("y") * col("y")).over(byType))
+    val stacked = withLeads.select(col("event_type"), col("n"), col("y"), col("syy"),
+        expr("stack(" + LbLags + ", " +
+          (1 to LbLags).map(k => s"${k}L, y$k").mkString(", ") + ") AS (lag, ylead)"))
+      .filter(col("ylead").isNotNull)
+    val perLag = stacked.groupBy(col("event_type"), col("lag"))
+      .agg(max(col("n")).as("n"), max(col("syy")).as("syy"),
+        sum(col("y") * col("ylead")).as("syk"))
+    val pivotCols = (1 to LbLags).map(k =>
+      max(when(col("lag") === k, col("syk"))).as(s"s$k"))
+    val pv = perLag.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), (max(col("syy")).as("syy") +: pivotCols): _*)
+    val nD = col("n").cast("double")
+    val terms = (1 to LbLags).map { k =>
+      val r = col(s"s$k").cast("double") / col("syy").cast("double")
+      r * r / (nD - k.toDouble)
+    }.reduce(_ + _)
+    val q = nD * (nD + 2.0) * terms
+    val defined = col("n") > (LbLags + 1)
+    pv.select(col("event_type"), col("n").as("n_days"), col("syy"),
+        when(defined, floor(q * 1e6 + 0.5).cast("long")).otherwise(lit(-1L)).as("q_micro"),
+        when(!defined, lit(-1L))
+          .when(q > 18.475307, lit(1L)).otherwise(lit(0L)).as("reject"))
+      .orderBy(col("event_type"))
+  }
+
   /** Largest-remainder apportionment (Hamilton's method — the budget /
     * seat / shard allocation classic): split a fixed integer budget of
     * [[ApportionUnits]] units across nations proportional to revenue,
@@ -3092,6 +3150,7 @@ object ExtQueries {
     "q242_kruskal_wallis" -> q242KruskalWallis,
     "q249_cusum_monitor" -> q249Cusum,
     "q253_ks_drift" -> q253KsDrift,
+    "q254_ljung_box" -> q254LjungBox,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -4609,6 +4668,49 @@ object ExtQueries {
         |    * 1000000.0 + 0.5) AS BIGINT) AS acf_micro
         |FROM st GROUP BY event_type, lag
         |ORDER BY event_type, lag""".stripMargin
+    },
+    // q254: identical q185 integer machinery, identical pivoted
+    // written-order term sum (a SQL SUM of doubles would be
+    // order-nondeterministic), identical sentinel and chi-square cut
+    "q254_ljung_box" -> {
+      val leads = (1 to 7).map(k =>
+        s"lead(y, $k) OVER (PARTITION BY event_type ORDER BY d) AS y$k").mkString(",\n        |    ")
+      val unions = (1 to 7).map(k =>
+        s"SELECT event_type, n, CAST($k AS BIGINT) AS lag, y, y$k AS ylead, syy FROM wl WHERE y$k IS NOT NULL")
+        .mkString("\n        |  UNION ALL ")
+      val pivots = (1 to 7).map(k =>
+        s"CAST(max(CASE WHEN lag = $k THEN syk END) AS BIGINT) AS s$k").mkString(",\n        |    ")
+      val terms = (1 to 7).map(k =>
+        s"(CAST(s$k AS DOUBLE) / CAST(syy AS DOUBLE)) * (CAST(s$k AS DOUBLE) / CAST(syy AS DOUBLE)) / (CAST(n AS DOUBLE) - $k.0)")
+        .mkString(" + ")
+      val qExpr = s"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($terms)"
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |y AS (SELECT event_type, d,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x -
+        |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS y
+        |  FROM daily),
+        |wl AS (SELECT event_type, d, n, y,
+        |    CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS syy,
+        |    $leads
+        |  FROM y),
+        |st AS ($unions),
+        |lg AS (SELECT event_type, lag, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(syy) AS BIGINT) AS syy, CAST(sum(y * ylead) AS BIGINT) AS syk
+        |  FROM st GROUP BY event_type, lag),
+        |pv AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(syy) AS BIGINT) AS syy,
+        |    $pivots
+        |  FROM lg GROUP BY event_type)
+        |SELECT event_type, n AS n_days, syy,
+        |  CASE WHEN n <= 8 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(floor(($qExpr) * 1000000.0 + 0.5) AS BIGINT) END AS q_micro,
+        |  CASE WHEN n <= 8 THEN CAST(-1 AS BIGINT)
+        |    WHEN ($qExpr) > 18.475307 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS reject
+        |FROM pv ORDER BY event_type""".stripMargin
     },
     // q186: identical integer apportionment; leftover < |nations| goes to
     // the largest remainders under (rem DESC, n_name)

@@ -1416,6 +1416,60 @@ object StreamOps {
       }
   }
 
+  final case class LbSnapshot(scope: String, nDays: Long, syy: Long,
+      qMicro: Long, reject: Long, defined: Boolean)
+
+  /** q254's streaming twin — the live residual-whiteness gate ("is this
+    * series still i.i.d." as a monitor; [[mannKendallState]] asks about
+    * TREND, this asks about ANY lag-1..7 memory — seasonality, sticky
+    * incidents, feedback loops all light it up first). Per-scope state
+    * is the exact daily cent grid ([[DailyValue]] — plain sums, so the
+    * fold is order-robust and late arrivals land in their day). Every
+    * trigger converts the grid to q254's dollar-grain series EXACTLY —
+    * x = floorDiv(cents + 50, 100) is integer-identical to the batch
+    * side's floor(round(sum(value), 2) + 0.5) because a day's cent sum
+    * is exact — and replays q254's arithmetic verbatim: y_t = n·x_t − T
+    * exact longs, per-lag Σy·y₊ₖ and Σy² exact long sums, the h = 7
+    * terms added in WRITTEN order (the batch pivot discipline), the
+    * same χ²₀.₉₉,₇ cut and the same n ≤ h+1 sentinel semantics
+    * (`defined = false`, the [[mannKendallState]] flag pattern), so
+    * each snapshot equals the batch q254 row over the stream prefix. */
+  def ljungBoxState(vals: Dataset[DailyValue]): Dataset[LbSnapshot] = {
+    import vals.sparkSession.implicits._
+    val h = 7
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], LbSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DailyValue],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { v =>
+            m = m.updated(v.d, m.getOrElse(v.d, 0L) + v.cents)
+          }
+          state.update(m)
+          val xs = m.toSeq.sortBy(_._1).map { case (_, c) => Math.floorDiv(c + 50L, 100L) }
+          val n = xs.size.toLong
+          val t = xs.sum
+          val ys = xs.map(x => n * x - t)
+          val syy = ys.map(y => y * y).sum
+          val snap =
+            if (n <= h + 1)
+              LbSnapshot(scope, n, syy, qMicro = -1L, reject = -1L, defined = false)
+            else {
+              var terms = 0.0
+              (1 to h).foreach { k =>
+                val syk = ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }.sum
+                val r = syk.toDouble / syy.toDouble
+                terms += r * r / (n.toDouble - k.toDouble)
+              }
+              val q = n.toDouble * (n.toDouble + 2.0) * terms
+              LbSnapshot(scope, n, syy, math.floor(q * 1e6 + 0.5).toLong,
+                if (q > 18.475307) 1L else 0L, defined = true)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class DayCentArrival(scope: String, d: Long, v: Long)
   final case class KsDriftSnapshot(scope: String, nDays: Long, nRef: Long,
       nLive: Long, dNum: Long, dMicro: Long, alarmNow: Boolean, defined: Boolean)

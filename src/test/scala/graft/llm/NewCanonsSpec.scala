@@ -1055,6 +1055,74 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q254 Ljung-Box equals a sequential driver fold of q185's ACF (the textbook " +
+      "Q(h) formula); the i.i.d. synthetic series correctly ACCEPT whiteness") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = graft.queries.ExtQueries.queries("q254_ljung_box")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byType = daily.groupBy(_._1)
+    got.foreach { case (tpe, nDays, syyGot, qMicro, reject) =>
+      val xs = byType(tpe).sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      assert(n === nDays)
+      val t = xs.sum
+      val ys = xs.map(x => n * x - t)
+      val syy = ys.map(y => y * y).sum
+      assert(syy === syyGot, s"$tpe: Syy diverged")
+      if (n <= 8) assert(qMicro === -1L && reject === -1L)
+      else {
+        // written-order term sum — the exact chain the query pins
+        var terms = 0.0
+        (1 to 7).foreach { k =>
+          val syk = ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }.sum
+          val r = syk.toDouble / syy.toDouble
+          terms += r * r / (n.toDouble - k.toDouble)
+        }
+        val q = n.toDouble * (n.toDouble + 2.0) * terms
+        assert(qMicro === math.floor(q * 1e6 + 0.5).toLong, s"$tpe: Q diverged")
+        assert(reject === (if (q > 18.475307) 1L else 0L))
+      }
+    }
+    // the statistic must be defined and must discriminate between
+    // series (the synthetic corpus is i.i.d.-ish by construction, so
+    // ACCEPTING whiteness everywhere is the CORRECT verdict here — the
+    // reject branch is proven on a planted trend in the next test)
+    assert(got.forall(_._5 === 0L), "synthetic i.i.d. revenue flagged as autocorrelated")
+    assert(got.forall(_._4 > 0L) && got.map(_._4).distinct.length > 1,
+      "Q degenerate — no signal measured")
+    spark.catalog.clearCache()
+  }
+
+  test("q254 fires on a planted trend and pins the short-series sentinel " +
+      "(the gate can actually gate)") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lb-trend").toString
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // 30-day strongly trending series (value = 100*day): massive
+    // positive autocorrelation at every lag — Q must reject; plus a
+    // 5-day series that cannot support h = 7 lags — sentinel
+    val rows =
+      (1 to 30).map(d => (ts(d), "trend", d * 100.0)) ++
+        (1 to 5).map(d => (ts(d), "short", 50.0))
+    rows.toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byType = graft.queries.ExtQueries.queries("q254_ljung_box")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val (nT, qT, rejT) = byType("trend")
+    assert(nT === 30L && rejT === 1L, s"planted trend not rejected (Q_micro=$qT)")
+    assert(qT > 18475307L, "rejecting series must carry Q above the chi-square cut")
+    val (nS, qS, rejS) = byType("short")
+    assert(nS === 5L && qS === -1L && rejS === -1L,
+      "series shorter than h+2 must pin the sentinel, not NaN/null")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
