@@ -1467,6 +1467,60 @@ object ExtQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Empirical-Bayes shrinkage of per-group rates (beta-binomial,
+    * method-of-moments prior — Efron & Morris 1975 "Data Analysis Using
+    * Stein's Estimator"; Robbins 1956 for the EB idea): per-nation
+    * return rates shrunk toward the cross-group prior, the standard fix
+    * for "the smallest group always tops the leaderboard" — raw rates
+    * from 40-order nations swing wildly; EB pulls them toward the pool
+    * in proportion to their evidence. Prior (α, β) is fit by MoM on the
+    * MICRO-FLOORED rate grid: p̃ᵢ = ⌊yᵢ·10⁶/nᵢ⌋ is an EXACT long
+    * (integer division), so Σp̃ and Σp̃² are exact integer moments —
+    * this sidesteps the cross-engine trap that a SUM of K raw double
+    * rates is commutative-reduce nondeterministic (the q254 pivot
+    * lesson, solved here by gridding instead of pivoting because K is
+    * data-dependent). Σp̃² ≤ K·10¹² wraps int64 only past K ≈ 9·10⁶
+    * groups (documented bound). α+β = m(1−m)/v − 1 and the shrunken
+    * (yᵢ+α)/(nᵢ+α+β) are identical-order double chains off those exact
+    * integers, micro-floored. Degenerate priors (zero between-group
+    * variance, or MoM giving α+β ≤ 0 — the overdispersed case where EB
+    * says "don't shrink") emit the raw rate with prior_defined = 0 on
+    * BOTH engines (the q240 sentinel contract). Scale: one join-cascade
+    * scan collapses to |nations| rows; the prior is a second aggregate
+    * over that bounded group table. */
+  private val q255EbShrinkage: Q = (s, dir) => {
+    val g = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("y"))
+      .withColumn("p_micro", expr("(y * 1000000) div n"))
+    val prior = g.agg(count(lit(1)).as("k"),
+      sum(col("p_micro")).as("sp"),
+      sum(col("p_micro") * col("p_micro")).as("spp"))
+    val kD = col("k").cast("double")
+    val m01 = col("sp").cast("double") / kD / 1e6
+    val v01 = (kD * col("spp").cast("double") -
+      col("sp").cast("double") * col("sp").cast("double")) / (kD * kD) / 1e12
+    val ab = m01 * (lit(1.0) - m01) / v01 - 1.0
+    val withPrior = g.crossJoin(broadcast(prior)) // 1-row prior frame
+      .withColumn("defined", (v01 > 0.0) && (ab > 0.0))
+    val alpha = m01 * ab
+    val shrunk = (col("y").cast("double") + alpha) /
+      (col("n").cast("double") + ab)
+    withPrior.select(col("n_name"), col("n"), col("y"), col("p_micro").as("raw_micro"),
+        when(col("defined"), floor(alpha * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(-1L)).as("alpha_micro"),
+        when(col("defined"), floor((ab - alpha) * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(-1L)).as("beta_micro"),
+        when(col("defined"), floor(shrunk * 1e6 + 0.5).cast("long"))
+          .otherwise(col("p_micro")).as("shrunk_micro"),
+        col("defined").cast("long").as("prior_defined"))
+      .orderBy(col("n_name"))
+  }
+
   /** Largest-remainder apportionment (Hamilton's method — the budget /
     * seat / shard allocation classic): split a fixed integer budget of
     * [[ApportionUnits]] units across nations proportional to revenue,
@@ -3151,6 +3205,7 @@ object ExtQueries {
     "q249_cusum_monitor" -> q249Cusum,
     "q253_ks_drift" -> q253KsDrift,
     "q254_ljung_box" -> q254LjungBox,
+    "q255_eb_shrinkage" -> q255EbShrinkage,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
     "q224_holt_linear" -> q224HoltLinear,
@@ -4712,6 +4767,42 @@ object ExtQueries {
         |    ELSE CAST(0 AS BIGINT) END AS reject
         |FROM pv ORDER BY event_type""".stripMargin
     },
+    // q255: identical exact micro-rate grid (integer division), identical
+    // integer prior moments, identical double chains and sentinel
+    "q255_eb_shrinkage" ->
+      """WITH g AS (SELECT n_name,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |gm AS (SELECT n_name, n, y, (y * 1000000) // n AS p_micro FROM g),
+        |prior AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(p_micro) AS BIGINT) AS sp,
+        |    CAST(sum(p_micro * p_micro) AS BIGINT) AS spp FROM gm),
+        |chain AS (SELECT k, sp, spp,
+        |    CAST(sp AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0 AS m01,
+        |    (CAST(k AS DOUBLE) * CAST(spp AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)) / 1000000000000.0 AS v01
+        |  FROM prior),
+        |pr AS (SELECT m01, v01,
+        |    m01 * (1.0 - m01) / v01 - 1.0 AS ab,
+        |    (v01 > 0.0) AND (m01 * (1.0 - m01) / v01 - 1.0 > 0.0) AS defined
+        |  FROM chain)
+        |SELECT n_name, n, y, p_micro AS raw_micro,
+        |  CASE WHEN defined THEN CAST(floor(m01 * ab * 1000000.0 + 0.5) AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS alpha_micro,
+        |  CASE WHEN defined THEN CAST(floor((ab - m01 * ab) * 1000000.0 + 0.5) AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS beta_micro,
+        |  CASE WHEN defined THEN CAST(floor(
+        |      (CAST(y AS DOUBLE) + m01 * ab) / (CAST(n AS DOUBLE) + ab)
+        |      * 1000000.0 + 0.5) AS BIGINT)
+        |    ELSE p_micro END AS shrunk_micro,
+        |  CAST(CASE WHEN defined THEN 1 ELSE 0 END AS BIGINT) AS prior_defined
+        |FROM gm CROSS JOIN pr ORDER BY n_name""".stripMargin,
     // q186: identical integer apportionment; leftover < |nations| goes to
     // the largest remainders under (rem DESC, n_name)
     "q186_apportionment" ->

@@ -1123,6 +1123,50 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q255 EB shrinkage equals a sequential MoM fold; every defined rate is pulled " +
+      "strictly toward the pool and small groups are pulled harder") {
+    val rows = graft.queries.ExtQueries.queries("q255_eb_shrinkage")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // sequential MoM fold over the same (n, y) table, in n_name order
+    val k = rows.length.toLong
+    val ps = rows.map { case (_, n, y, _, _, _, _, _) => y * 1000000L / n }
+    rows.zip(ps).foreach { case (r, p) => assert(r._4 === p, s"${r._1}: raw grid diverged") }
+    val sp = ps.sum; val spp = ps.map(p => p * p).sum
+    val m01 = sp.toDouble / k.toDouble / 1e6
+    val v01 = (k.toDouble * spp.toDouble - sp.toDouble * sp.toDouble) /
+      (k.toDouble * k.toDouble) / 1e12
+    val ab = m01 * (1.0 - m01) / v01 - 1.0
+    val defined = v01 > 0.0 && ab > 0.0
+    assert(rows.forall(_._8 === (if (defined) 1L else 0L)))
+    assert(defined, "prior degenerate on this corpus — shrinkage untested, vacuous")
+    val alpha = m01 * ab
+    rows.foreach { case (name, n, y, raw, aM, bM, shrunk, _) =>
+      assert(aM === math.floor(alpha * 1e6 + 0.5).toLong)
+      assert(bM === math.floor((ab - alpha) * 1e6 + 0.5).toLong)
+      val want = math.floor((y.toDouble + alpha) / (n.toDouble + ab) * 1e6 + 0.5).toLong
+      assert(shrunk === want, s"$name: shrunken rate diverged")
+      // the pull invariant: shrunk lies between raw and the prior mean
+      val mMicro = m01 * 1e6
+      assert(shrunk.toDouble >= math.min(raw.toDouble, mMicro) - 1.0 &&
+        shrunk.toDouble <= math.max(raw.toDouble, mMicro) + 1.0,
+        s"$name: shrunken rate escaped the [raw, prior-mean] interval")
+    }
+    // monotone pull: the pull FRACTION ab/(n+ab) decreases in n, so the
+    // smallest group moves a larger share of its gap than the largest
+    val byN = rows.sortBy(_._2)
+    val (sm, lg) = (byN.head, byN.last)
+    def pullShare(r: (String, Long, Long, Long, Long, Long, Long, Long)): Double = {
+      val gap = m01 * 1e6 - r._4.toDouble
+      if (math.abs(gap) < 1.0) 0.0 else (r._7.toDouble - r._4.toDouble) / gap
+    }
+    if (sm._2 < lg._2 && math.abs(m01 * 1e6 - sm._4.toDouble) >= 1.0 &&
+        math.abs(m01 * 1e6 - lg._4.toDouble) >= 1.0)
+      assert(pullShare(sm) > pullShare(lg) - 0.02,
+        "smaller group pulled a smaller share of its gap — not EB")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
