@@ -72,7 +72,16 @@ object Plans {
     // NO cross-document shuffle, the contrast to q234's corpus-wide min)
     // and the frozen-baseline CUSUM monitor (two running windows over
     // the calendar-bounded daily grid)
-    "q248_span_self_dedup", "q249_cusum_monitor")
+    "q248_span_self_dedup", "q249_cusum_monitor",
+    // round 13 (cont.): the dense-grid dominance Kendall tau (two
+    // grid-partitioned prefix windows, no pair join), the Kneser-Ney
+    // bigram LM (type-table derivations + TakeOrdered head), the KS
+    // drift lattice (three grid-partitioned windows over value x
+    // calendar), the pivoted written-order Ljung-Box, and the exact-grid
+    // EB shrinkage. q252 harmonic is omitted (iterative; the q169
+    // argument — LinkGraphPlanSpec + recursive-CTE oracle pin it)
+    "q250_kendall_tau", "q251_kneser_ney", "q253_ks_drift",
+    "q254_ljung_box", "q255_eb_shrinkage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
