@@ -2918,6 +2918,43 @@ object LlmQueries {
       .limit(40)
   }
 
+  /** Pairwise source-vocabulary overlap (Jaccard + containment on
+    * token-type sets; Broder 1997 for resemblance/containment as the
+    * canonical set-overlap pair) — the MIXTURE-DESIGN companion to
+    * q233's per-source KL: KL weighs how differently two sources USE a
+    * shared vocabulary, this weighs how much vocabulary they SHARE at
+    * all (a source whose types are 90%-contained in another adds
+    * diversity only in usage, not coverage — the "is this source worth
+    * its tokens" read before weighting a training mixture).
+    *
+    * Scale shape: one corpus scan collapses to the DISTINCT
+    * (source, token) table — vocabulary-bounded, never corpus-bounded
+    * (the q233 shape); intersections come from its self-join keyed on
+    * TOKEN, whose per-token fanout is at most |sources|² — a bounded
+    * constant — so the pair table is |S|² rows and the join work is
+    * O(|V|·|S|²), independent of corpus size. EXACT integers end to
+    * end: Jaccard and containment are micro-floored INTEGER DIVISIONS
+    * (⌊10⁶·∩/∪⌋, ⌊10⁶·∩/min⌋) — no float enters, cross-engine equality
+    * is structural. */
+  private val q256SourceOverlap: Q = (s, dir) => {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(toksCol(col("text"))).as("tok"))
+      .distinct()
+      .cache()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = st.toDF("s1", "tok")
+      .join(st.toDF("s2", "tok2"),
+        col("tok") === col("tok2") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("s1", "v1"), "s1")
+      .join(sizes.toDF("s2", "v2"), "s2")
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("inter"),
+        expr("(inter * 1000000) div (v1 + v2 - inter)").as("jaccard_micro"),
+        expr("(inter * 1000000) div least(v1, v2)").as("containment_micro"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -4978,6 +5015,7 @@ object LlmQueries {
     "q227_good_turing"    -> q227GoodTuring,
     "q228_zipf_fit"       -> q228ZipfFit,
     "q251_kneser_ney"     -> q251KneserNey,
+    "q256_source_overlap" -> q256SourceOverlap,
     "q231_coreset_greedy" -> q231CoresetGreedy,
     "q233_source_kl"      -> q233SourceKl,
     "q234_span_removal"   -> q234SpanRemoval,
@@ -5684,6 +5722,23 @@ object LlmQueries {
          |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
          |    * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
          |FROM g""".stripMargin,
+    // q256: same distinct (source, token) table, same token-keyed
+    // self-join, same micro-floored integer divisions — no float at all
+    "q256_source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, t AS tok
+         |  FROM (SELECT source, unnest($duckToks) AS t FROM documents)),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY 1),
+         |inter AS (SELECT a.source AS s1, b.source AS s2,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, sa.v AS v1, sb.v AS v2, inter,
+         |  (inter * 1000000) // (sa.v + sb.v - inter) AS jaccard_micro,
+         |  (inter * 1000000) // least(sa.v, sb.v) AS containment_micro
+         |FROM inter
+         |JOIN sizes sa ON sa.source = s1
+         |JOIN sizes sb ON sb.source = s2
+         |ORDER BY s1, s2""".stripMargin,
     // q251: same bigram-type counts, same quarters algebra (4c-3 exact
     // longs), same identical-order double chain, same (c DESC, bg) head
     "q251_kneser_ney" ->

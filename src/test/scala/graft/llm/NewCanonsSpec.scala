@@ -1167,6 +1167,37 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q256 source-overlap matrix equals a driver set computation; containment " +
+      "dominates Jaccard and the matrix genuinely discriminates") {
+    val sets = Tables.documents(spark, sfDir).select(col("source"), col("text"))
+      .collect().groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap(_.getString(1).split("\\s+").filter(_.nonEmpty)).toSet
+      }
+    val srcs = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (s1, s2) = (srcs(i), srcs(j))
+      a = sets(s1); b = sets(s2)
+      inter = (a & b).size.toLong
+    } yield (s1, s2, a.size.toLong, b.size.toLong, inter,
+      inter * 1000000L / (a.size + b.size - inter),
+      inter * 1000000L / math.min(a.size, b.size))).toSeq
+    val got = LlmQueries.queries("q256_source_overlap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want, "overlap matrix diverged from the driver set computation")
+    assert(got.length === srcs.length * (srcs.length - 1) / 2, "pair count wrong")
+    // structural invariants + non-vacuity: containment >= jaccard always,
+    // and the synthetic sources share SOME but not ALL vocabulary
+    got.foreach { case (s1, s2, _, _, _, j, c) =>
+      assert(c >= j, s"($s1,$s2): containment below Jaccard — impossible")
+    }
+    assert(got.exists(r => r._6 > 0L && r._6 < 1000000L),
+      "every pair is identical-or-disjoint — vacuous matrix")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
