@@ -3673,13 +3673,16 @@ object LlmQueries {
   private val RrfK = 60L
   private val RrfDepth = 50
   private val RrfOut = 20
-  private val q152HybridRrf: Q = (s, dir) => hybridRrfParts(s, dir)._2
+  private val q152HybridRrf: Q = (s, dir) => hybridRrfParts(s, dir)._4
 
-  /** q152's corpus frame + fused top list, shared with q247's NDCG
-    * evaluation (the retrieval and its metric must score the SAME
-    * run). Returns (u — the cached per-doc frame with tf columns,
-    * fused — the RRF top-[[RrfOut]] list ordered (rrf desc, doc_id)). */
-  private def hybridRrfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** q152's corpus frame, per-leg tops, and fused top list — shared
+    * with q247's NDCG and q257's rank-agreement (the retrieval, its
+    * metric, and its leg diagnostics must score the SAME run). Returns
+    * (u — the cached per-doc frame with tf columns, lexTop / vecTop —
+    * the two depth-[[RrfDepth]] legs with their ranks, fused — the RRF
+    * top-[[RrfOut]] list ordered (rrf desc, doc_id)). */
+  private def hybridRrfParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val qTerms = Seq("join", "vector", "stream")
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("emb"))
@@ -3722,7 +3725,7 @@ object LlmQueries {
         coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
         coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(RrfOut)
-    (u, fused)
+    (u, lexTop, vecTop, fused)
   }
 
   /** NDCG@[[RrfOut]] of the q152 hybrid retrieval (Järvelin & Kekäläinen
@@ -3741,7 +3744,7 @@ object LlmQueries {
     * list (pos, doc_id, rel, gain) with DCG/IDCG/NDCG constants. */
   private val q247NdcgRetrieval: Q = (s, dir) => {
     import s.implicits._
-    val (u, fused) = hybridRrfParts(s, dir)
+    val (u, _, _, fused) = hybridRrfParts(s, dir)
     val relCol = ((col("tf0") > 0.0).cast("long") + (col("tf1") > 0.0).cast("long") +
       (col("tf2") > 0.0).cast("long")).as("rel")
     val rel = u.select(col("doc_id"), relCol)
@@ -3769,6 +3772,50 @@ object LlmQueries {
         math.floor(dcg.toDouble / idcg.toDouble * 1e6 + 0.5).toLong)
     }.toDF("pos", "doc_id", "rel", "gain_micro", "dcg_micro", "idcg_micro", "ndcg_micro")
       .orderBy(col("pos"))
+  }
+
+  /** Inter-leg rank agreement of the hybrid retrieval (Kendall 1938
+    * applied to ranker comparison; Voorhees 1998 for rank correlation
+    * as the standard IR-run agreement measure) — the third member of
+    * the retrieval-eval family: q152 RUNS the fusion, q247 scores its
+    * QUALITY, this measures whether the two legs are REDUNDANT or
+    * COMPLEMENTARY — the statistic that decides if hybrid fusion is
+    * worth paying for both legs (τ ≈ 1: drop a leg; τ low or overlap
+    * small: fusion is buying real diversity). Over the doc set BOTH
+    * depth-[[RrfDepth]] legs retrieve: Kendall τ-a of (rank_lex,
+    * rank_vec) — ranks are distinct so no tie correction — plus the
+    * top-set Jaccard ⌊10⁶·|∩|/|∪|⌋ as an exact integer division.
+    * Scale shape: both legs are bounded top-k driver-bounded frames
+    * (≤[[RrfDepth]] rows), so the pair join is ≤ depth² — a CONSTANT —
+    * and everything upstream is the one cached q152 corpus frame.
+    * Counts are exact longs; τ is one identical-order double chain
+    * micro-floored; a shared set below 2 docs pins the −2·10⁶
+    * sentinel (the q250 contract). */
+  private val q257RankAgreement: Q = (s, dir) => {
+    val (_, lexTop, vecTop, _) = hybridRrfParts(s, dir)
+    val shared = lexTop.select(col("doc_id"), col("rank_lex"))
+      .join(vecTop.select(col("doc_id"), col("rank_vec")), Seq("doc_id"))
+    val a = shared.toDF("d1", "l1", "v1")
+    val b = shared.toDF("d2", "l2", "v2")
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .select((signum(col("l2") - col("l1")) * signum(col("v2") - col("v1"))).as("sg"))
+    val pairAgg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("sg") > 0.0, 1L).otherwise(0L)), lit(0L)).as("conc"),
+      coalesce(sum(when(col("sg") < 0.0, 1L).otherwise(0L)), lit(0L)).as("disc"))
+    val ns = shared.agg(count(lit(1)).as("n_shared"))
+    val nLex = lexTop.agg(count(lit(1)).as("n_lex"))
+    val nVec = vecTop.agg(count(lit(1)).as("n_vec"))
+    val nD = col("n_shared").cast("double")
+    val tau = (col("conc") - col("disc")).cast("double") /
+      (nD * (nD - 1.0) / 2.0) * 1e6
+    ns.crossJoin(broadcast(pairAgg)) // 1-row frames throughout
+      .crossJoin(broadcast(nLex)).crossJoin(broadcast(nVec))
+      .select(col("n_lex"), col("n_vec"), col("n_shared"),
+        col("n_pairs"), col("conc"), col("disc"),
+        when(col("n_shared") < 2, lit(-2000000L))
+          .otherwise(floor(tau + 0.5).cast("long")).as("tau_micro"),
+        expr("(n_shared * 1000000) div (n_lex + n_vec - n_shared)").as("jaccard_micro"))
   }
 
   /** Compression-ratio quality signal
@@ -5016,6 +5063,7 @@ object LlmQueries {
     "q228_zipf_fit"       -> q228ZipfFit,
     "q251_kneser_ney"     -> q251KneserNey,
     "q256_source_overlap" -> q256SourceOverlap,
+    "q257_rank_agreement" -> q257RankAgreement,
     "q231_coreset_greedy" -> q231CoresetGreedy,
     "q233_source_kl"      -> q233SourceKl,
     "q234_span_removal"   -> q234SpanRemoval,
@@ -6605,6 +6653,30 @@ object LlmQueries {
          |SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
          |  CAST(rank_vec AS BIGINT) AS rank_vec, CAST(rrf AS BIGINT) AS rrf
          |FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfOut""".stripMargin,
+    // q257: same leg CTEs, same bounded pair join over the shared set,
+    // same double chain and sentinel, same exact-integer Jaccard;
+    // `shared` is referenced twice — MATERIALIZED (the kcore lesson)
+    "q257_rank_agreement" ->
+      s"""WITH $duckRrfCTEs,
+         |shared AS MATERIALIZED (SELECT l.doc_id,
+         |    CAST(l.rank_lex AS BIGINT) AS rank_lex,
+         |    CAST(v.rank_vec AS BIGINT) AS rank_vec
+         |  FROM lex l JOIN vec v ON l.doc_id = v.doc_id),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lex FROM lex),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM vec),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM shared),
+         |pr AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(coalesce(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS conc,
+         |    CAST(coalesce(sum(CASE WHEN sg < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS disc
+         |  FROM (SELECT sign(b.rank_lex - a.rank_lex) * sign(b.rank_vec - a.rank_vec) AS sg
+         |    FROM shared a JOIN shared b ON a.doc_id < b.doc_id))
+         |SELECT n_lex, n_vec, n_shared, n_pairs, conc, disc,
+         |  CASE WHEN n_shared < 2 THEN CAST(-2000000 AS BIGINT)
+         |    ELSE CAST(floor(CAST(conc - disc AS DOUBLE)
+         |      / (CAST(n_shared AS DOUBLE) * (CAST(n_shared AS DOUBLE) - 1.0) / 2.0)
+         |      * 1000000.0 + 0.5) AS BIGINT) END AS tau_micro,
+         |  (n_shared * 1000000) // (n_lex + n_vec - n_shared) AS jaccard_micro
+         |FROM ns, pr, nl, nv""".stripMargin,
     // q243: same doubled-grid midranks per variable (integer-grid
     // histograms + cumulative), same exact moments, same closed form
     "q243_spearman" ->

@@ -1198,6 +1198,35 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q257 rank agreement: invariants tie it to the served q152 run — shared set, " +
+      "pair partition, tau bounds, and Jaccard arithmetic all cross-checked") {
+    val r = LlmQueries.queries("q257_rank_agreement")(spark, sfDir).head()
+    val (nLex, nVec, nShared, nPairs, conc, disc, tau, jac) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    // the shared set comes from the same run q152 serves: recompute it
+    // from the served q152 frame's rank columns (rank 0 = leg missed it)
+    val fused = LlmQueries.queries("q152_hybrid_rrf")(spark, sfDir).collect()
+      .map(rr => (rr.getLong(1), rr.getLong(2)))
+    assert(nLex <= 50L && nVec <= 50L && nShared <= math.min(nLex, nVec))
+    assert(fused.count { case (l, v) => l > 0L && v > 0L } <= nShared,
+      "q152's fused list contains both-leg docs the shared set missed")
+    // pair accounting: conc + disc + (pairs where either rank ties —
+    // impossible, ranks are permutations) = all pairs
+    assert(nPairs === nShared * (nShared - 1) / 2, "pair count wrong")
+    assert(conc + disc === nPairs, "rank permutations cannot produce sign-0 pairs")
+    // tau in [-1, 1] micro, consistent with its own counts
+    val tauWant = math.floor((conc - disc).toDouble /
+      (nShared.toDouble * (nShared.toDouble - 1.0) / 2.0) * 1e6 + 0.5).toLong
+    assert(tau === tauWant && tau >= -1000000L && tau <= 1000000L)
+    assert(jac === nShared * 1000000L / (nLex + nVec - nShared))
+    // non-vacuity: the two legs genuinely overlap AND genuinely disagree
+    // (if either fails, the fusion diagnostic has nothing to diagnose)
+    assert(nShared >= 2L, "legs share <2 docs — agreement undefined, vacuous")
+    assert(disc > 0L, "legs agree perfectly — suspicious for independent rankers")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
