@@ -1936,7 +1936,15 @@ object LlmQueries {
     * standalone queries use). The per-flag battery frames are cached
     * before their filters — the q137 discipline: an uncached
     * filter-on-derived-flag inlines the interpreted gram pipelines into
-    * the scan predicate. */
+    * the scan predicate.
+    *
+    * Composition point (documented, deliberately not wired): q258's
+    * Kneser–Ney perplexity gate slots in as one more
+    * `.join(knKeep, Seq("doc_id"), "left_semi")` beside `pplKeep` —
+    * its keep-set is corpus-global exactly like q133's, so the
+    * cascade algebra is unchanged; it stays unwired here so this
+    * canon's oracle (and its stage-boundary spec) remain frozen while
+    * the KN gate is oracle-checked standalone as q258. */
   private val q196CurationCanon: Q = (s, dir) => {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
     // A1.1 conjunction MINUS the distinct-stop-word rule: the synthetic
@@ -2222,7 +2230,18 @@ object LlmQueries {
     * O(|V|·|S|) with small |S| — never all-pairs. Output is a
     * TakeOrdered(20) head by (H·60, doc_id). */
   private val HcHops = 6
-  private val q252Harmonic: Q = (s, dir) => {
+  private val q252Harmonic: Q = (s, dir) => q252HarmonicImpl(s, dir, _ => ())
+
+  /** q252 with a per-round hook (CacheContractSpec's mid-query storage
+    * seam — the q194KcoreImpl pattern). Cache discipline differs from
+    * q217's per-round release ON PURPOSE: the output union reads EVERY
+    * BFS layer, so layers stay cached until return (the q194-trace
+    * trade, documented in the query scaladoc) — live storage is
+    * docs + edges + seeds + ≤[[HcHops]] layers, a CONSTANT bound set
+    * by the hop cap, never by corpus size; the runner's clearCache
+    * releases all of it (the query-scoped-cache contract). */
+  private[graft] def q252HarmonicImpl(s: SparkSession, dir: String,
+      onRound: Int => Unit): DataFrame = {
     val docs = linkGraphDocs(s, dir).cache()
     val n = docs.count()
     val edges = linkGraphRawEdges(docs, n)
@@ -2253,6 +2272,7 @@ object LlmQueries {
         visited = visited.union(flat.select(col("s"), col("v")))
         frontier = flat
       }
+      onRound(h)
       h += 1
     }
     layers.reduce(_ union _)
@@ -2287,7 +2307,13 @@ object LlmQueries {
     * Output is the bounded distance profile (≤ 9·rounds+1 rows) with an
     * idx-sum checksum per distance. */
   private val SsspRounds = 6
-  private val q217WeightedSssp: Q = (s, dir) => {
+  private val q217WeightedSssp: Q = (s, dir) => q217SsspImpl(s, dir, _ => ())
+
+  /** q217 with a per-round hook (CacheContractSpec's mid-query storage
+    * seam — the q194KcoreImpl pattern; the release-cadence counterpart
+    * to [[q252HarmonicImpl]]'s layer retention). */
+  private[graft] def q217SsspImpl(s: SparkSession, dir: String,
+      onRound: Int => Unit): DataFrame = {
     // cache discipline: each pinned round is released as soon as the
     // NEXT round is materialized (its rows were consumed by that
     // round's count), and docs/edges are released once the loop no
@@ -2320,7 +2346,7 @@ object LlmQueries {
     var dist = s.createDataFrame(distC.rdd, distC.schema)
     distC.count()
     docsC.unpersist() // edges + seed set are materialized; docs is done
-    for (_ <- 1 to SsspRounds) {
+    for (r <- 1 to SsspRounds) {
       val relax = dist.join(edges, dist("v") === edges("src"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
       val prev = distC
@@ -2329,6 +2355,7 @@ object LlmQueries {
       dist = s.createDataFrame(distC.rdd, distC.schema)
       distC.count()
       prev.unpersist() // consumed by the round just materialized
+      onRound(r)
     }
     edgesC.unpersist() // all relax joins done; only the final dist remains
     dist.groupBy(col("d").as("dist"))
@@ -2638,20 +2665,36 @@ object LlmQueries {
     * facility location is THE submodular objective of data-selection
     * papers like CRAIG/coreset distillation): pick k documents whose
     * embeddings jointly cover the corpus, where coverage(S) =
-    * Σ_v max_{c∈S} sim(v, c). Each round scores a DETERMINISTIC hash
-    * pool of candidates (the stochastic-greedy trick that turns
-    * O(k·N²) full greedy into O(k·N·|pool|) with a 1−1/e−ε guarantee —
-    * the only shape that survives 100 TB), picks the gain-argmax
-    * (gain desc, id asc — deterministic), and folds the winner into
-    * the per-vector coverage state, which is pinned per round (two
-    * consumers: next round's gains and the coverage trace — the q217
-    * cadence). Exactness: similarities land on the 4dp integer grid
+    * Σ_v max_{c∈S} sim(v, c). Each round scores a DETERMINISTIC
+    * hash-order candidate pool of ABSOLUTE size [[CoresetPoolCap]]
+    * (TakeOrdered on a per-round salted hash — a distributed top-C
+    * heap, never a global sort), picks the gain-argmax (gain desc, id
+    * asc — deterministic), and folds the winner into the per-vector
+    * coverage state, which is pinned per round (two consumers: next
+    * round's gains and the coverage trace — the q217 cadence).
+    *
+    * Cost is O(k·N·C) cosine evaluations with C CONSTANT, and the
+    * broadcast side of the gains crossJoin is C rows — constant-sized
+    * at any corpus (the r13 verdict's scale-killer was the previous
+    * Θ(N/32) pool: quadratic compute AND a corpus-proportional
+    * broadcast). The stochastic-greedy guarantee (Mirzasoleiman's
+    * 1−1/e−ε with |pool| = (N/k)·ln(1/ε)) prices the cap honestly:
+    * a FIXED C corresponds to ε = exp(−C·k/N), which decays toward 1
+    * as N grows — at this C=64, ε ≈ 0.46 at N=500 and the guarantee is
+    * vacuous past N ≈ 10⁴. That is the documented trade: constant
+    * per-round cost and a constant broadcast in exchange for a
+    * data-scale-dependent approximation bound; deployments that need a
+    * fixed ε at fixed k raise C with N (cost stays O(k·N·C), the
+    * broadcast stays C rows) — the SHAPE survives 100 TB either way.
+    * Exactness: similarities land on the 4dp integer grid
     * (floor(cos·10⁴+0.5) — the q38 cross-engine cosine discipline), so
     * gains, argmax ties, and running coverage are pure long
     * arithmetic both engines reproduce; the oracle unrolls the same
-    * rounds as MATERIALIZED CTEs. Output: the bounded per-round trace
+    * rounds (and the same ORDER BY hash LIMIT C pools) as MATERIALIZED
+    * CTEs. Output: the bounded per-round trace
     * (round, selected id, gain, total coverage). */
   private val CoresetRounds = 6
+  private val CoresetPoolCap = 64
   private val q231CoresetGreedy: Q = (s, dir) => {
     import s.implicits._
     val embC = Tables.embeddings(s, dir)
@@ -2666,9 +2709,15 @@ object LlmQueries {
     var selected = List.empty[Long]
     val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
     for (r <- 1 to CoresetRounds) {
+      // absolute-size pool: top-C by a per-round salted hash (vec_id
+      // tie-break for hash collisions) — orderBy+limit plans as
+      // TakeOrderedAndProject, a per-partition heap + driver merge,
+      // never a global sort; the broadcast below is then ≤ C rows
       val pool = emb
-        .filter(tokHash(concat(lit(s"$r#"), col("vec_id").cast("string"))) % 32 === 0)
         .filter(!col("vec_id").isin(selected: _*))
+        .withColumn("h", tokHash(concat(lit(s"$r#"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(CoresetPoolCap)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val gains = emb.crossJoin(broadcast(pool))
         .select(col("c_id"), col("vec_id").as("v"),
@@ -2677,14 +2726,20 @@ object LlmQueries {
         .groupBy(col("c_id"))
         .agg(sum(greatest(col("s4") - col("cur"), lit(0L))).as("gain"))
         .collect().map(row => (row.getLong(0), row.getLong(1)))
-      // refuse loudly when the round's candidate pool is empty (tokHash
-      // %32 gate ∧ not-already-selected can yield zero candidates on a
-      // tiny corpus; the DuckDB oracle would likewise emit no w$r row) —
-      // an explicit contract beats minBy's opaque UnsupportedOperation
+      // refuse loudly when the round's candidate pool is empty (the
+      // not-already-selected filter can exhaust a tiny corpus; the
+      // DuckDB oracle would likewise emit no w$r row) — an explicit
+      // contract beats minBy's opaque UnsupportedOperation
       require(gains.nonEmpty,
         s"q231 round $r: stochastic-greedy candidate pool is empty " +
-          s"(tokHash%32==0 minus ${selected.size} already-selected ids) — " +
-          "corpus too small for CoresetRounds at this pool rate")
+          s"(corpus minus ${selected.size} already-selected ids) — " +
+          "corpus too small for CoresetRounds")
+      // the constant-broadcast contract the r13 verdict asked pinned:
+      // gains has exactly one row per pool candidate, so this bounds
+      // the crossJoin's broadcast side at CoresetPoolCap regardless of N
+      require(gains.length <= CoresetPoolCap,
+        s"q231 round $r: candidate pool ${gains.length} exceeded the " +
+          s"absolute cap $CoresetPoolCap — the constant-broadcast contract broke")
       // pool-bounded driver argmax (gain desc, id asc) — like the kth
       // histogram walks, a bounded artifact, never corpus-sized
       val (winner, gain) = gains.minBy { case (id, g) => (-g, id) }
@@ -2895,7 +2950,13 @@ object LlmQueries {
     * the bigram-TYPE table, which is vocabulary-bounded, never
     * corpus-bounded; the served head is a TakeOrdered(40), not a global
     * sort. Counts stay exact longs to c ≈ 2×10¹⁸ bigram tokens. */
-  private val q251KneserNey: Q = (s, dir) => {
+  /** The q251 scored bigram-type frame — (bg, w1, w2, c, c_w1, n1_fw,
+    * n1_bw, b) — shared by q251's served head and q258's perplexity
+    * gate so both read the SAME trained LM (the hybridRrfParts
+    * discipline: a shared part, not two drifting copies). `pairs` is
+    * cached (three consumers: both marginals and the scored join); the
+    * runner's clearCache scopes it. */
+  private def knModelScored(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(s, dir)
       .select(explode(TextOps.bigrams(toksCol(col("text")))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
@@ -2906,16 +2967,82 @@ object LlmQueries {
       .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("n1_fw"))
     val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n1_bw"))
     val types = pairs.agg(count(lit(1)).as("b"))
-    val scored = pairs.join(left, "w1").join(right, "w2")
+    pairs.join(left, "w1").join(right, "w2")
       .crossJoin(broadcast(types)) // 1-row type total
-    val discPart = (lit(4L) * col("c") - 3L).cast("double") /
-      (lit(4.0) * col("c_w1").cast("double"))
-    val contPart = lit(3.0) * col("n1_fw").cast("double") * col("n1_bw").cast("double") /
+  }
+  /** The two KN probability terms (quarters algebra — the q251
+    * scaladoc's identical-order double chain), as column builders over
+    * [[knModelScored]]'s frame. */
+  private def knDiscPart: Column = (lit(4L) * col("c") - 3L).cast("double") /
+    (lit(4.0) * col("c_w1").cast("double"))
+  private def knContPart: Column =
+    lit(3.0) * col("n1_fw").cast("double") * col("n1_bw").cast("double") /
       (lit(4.0) * col("c_w1").cast("double") * col("b").cast("double"))
-    scored.select(col("bg"), col("c"), col("c_w1"), col("n1_fw"), col("n1_bw"),
-        floor((discPart + contPart) * 1e6 + 0.5).cast("long").as("p_kn_micro"))
+  private val q251KneserNey: Q = (s, dir) => {
+    knModelScored(s, dir)
+      .select(col("bg"), col("c"), col("c_w1"), col("n1_fw"), col("n1_bw"),
+        floor((knDiscPart + knContPart) * 1e6 + 0.5).cast("long").as("p_kn_micro"))
       .orderBy(col("c").desc, col("bg"))
       .limit(40)
+  }
+
+  /** CCNet-style perplexity GATE under the q251 interpolated Kneser–Ney
+    * bigram LM (Wenzek et al. 2020, arXiv:1911.00359 §4.3 — rank
+    * documents by LM cross-entropy, keep the most fluent; q133 is the
+    * add-1 form of this gate, this is the KN form the LM canon exists
+    * to power). The LM trains on the corpus itself (CCNet's
+    * self-scoring variant), so every document bigram is OBSERVED and
+    * scores through the full interpolated formula — no backoff branch
+    * to diverge on.
+    *
+    * Exactness: each bigram TYPE's surprisal −ln p_kn lands
+    * micro-floored on the long grid (ONE identical-order double chain
+    * off exact longs), per-doc totals are exact long sums of those
+    * grid points (order-independent — the q132/q133 fixed-point
+    * discipline), and per-token cross-entropy is the exact integer
+    * division ⌊H_micro / n_bigrams⌋. The keep threshold is the exact
+    * ⌈2n/3⌉-th smallest ce (CCNet keeps head+middle) selected by the
+    * established two-phase method
+    * ([[graft.operators.DistributedSelect.kth]] — two bounded passes,
+    * never a global sort); keep = ce ≤ threshold, ties inclusive, on
+    * both engines. Bigram-less docs (< 2 tokens) pin ce = −1: the
+    * sentinel sorts below every real ce so the keep comparison retains
+    * them (q133's "most fluent edge" contract) while they are EXCLUDED
+    * from the threshold rank.
+    *
+    * Scale shape: the model is the vocabulary-bounded bigram-TYPE
+    * table, never corpus-bounded; scoring is one explode + one
+    * bigram-keyed join + a map-side-combinable per-doc sum; selection
+    * is two bounded passes. Composition point in the q196 cascade:
+    * `.join(knKeep, Seq("doc_id"), "left_semi")` beside pplKeep
+    * (documented there, deliberately not wired — the canon's oracle
+    * stays frozen). */
+  private val q258KnPplGate: Q = (s, dir) => {
+    val surp = knModelScored(s, dir).select(col("bg"),
+      floor(-log(knDiscPart + knContPart) * 1e6 + 0.5).cast("long").as("surp_micro"))
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.bigrams(toksCol(col("text")))).as("bg"))
+    val perDoc = occ.join(surp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp_micro")).as("h_micro"))
+      .withColumn("ce_micro", expr("h_micro div n_bigrams"))
+    val scoredC = Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("h_micro"), lit(0L)).as("h_micro"),
+        coalesce(col("ce_micro"), lit(-1L)).as("ce_micro"))
+      .cache() // three consumers: rank count, the two-phase passes, output
+    val nScored = scoredC.filter(col("n_bigrams") > 0).count()
+    require(nScored > 0, "q258: no document carries a bigram — gate undefined")
+    val k = (2L * nScored + 2L) / 3L // ceil(2n/3), exact in longs
+    val thr = graft.operators.DistributedSelect.kth(
+      scoredC.filter(col("n_bigrams") > 0).select(col("ce_micro").as("v")),
+      Seq(k), width = 65536L)(k)
+    scoredC.select(col("doc_id"), col("n_bigrams"), col("h_micro"), col("ce_micro"),
+        lit(thr).as("thr_micro"),
+        (col("ce_micro") <= thr).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** Pairwise source-vocabulary overlap (Jaccard + containment on
@@ -3790,7 +3917,10 @@ object LlmQueries {
     * and everything upstream is the one cached q152 corpus frame.
     * Counts are exact longs; τ is one identical-order double chain
     * micro-floored; a shared set below 2 docs pins the −2·10⁶
-    * sentinel (the q250 contract). */
+    * sentinel (the q250 contract), and an EMPTY union (both legs
+    * retrieved nothing — n_lex + n_vec = n_shared = 0) pins the same
+    * sentinel on jaccard_micro so its integer division never sees a
+    * zero denominator on either engine. */
   private val q257RankAgreement: Q = (s, dir) => {
     val (_, lexTop, vecTop, _) = hybridRrfParts(s, dir)
     val shared = lexTop.select(col("doc_id"), col("rank_lex"))
@@ -3815,7 +3945,12 @@ object LlmQueries {
         col("n_pairs"), col("conc"), col("disc"),
         when(col("n_shared") < 2, lit(-2000000L))
           .otherwise(floor(tau + 0.5).cast("long")).as("tau_micro"),
-        expr("(n_shared * 1000000) div (n_lex + n_vec - n_shared)").as("jaccard_micro"))
+        // union empty (both legs retrieved nothing) → the integer
+        // division's denominator is 0: pin the q250 sentinel instead of
+        // letting Spark emit NULL while DuckDB's // errors (r13 ADVICE)
+        when(col("n_lex") + col("n_vec") === col("n_shared"), lit(-2000000L))
+          .otherwise(expr("(n_shared * 1000000) div (n_lex + n_vec - n_shared)"))
+          .as("jaccard_micro"))
   }
 
   /** Compression-ratio quality signal
@@ -5062,6 +5197,7 @@ object LlmQueries {
     "q227_good_turing"    -> q227GoodTuring,
     "q228_zipf_fit"       -> q228ZipfFit,
     "q251_kneser_ney"     -> q251KneserNey,
+    "q258_kn_ppl_gate"    -> q258KnPplGate,
     "q256_source_overlap" -> q256SourceOverlap,
     "q257_rank_agreement" -> q257RankAgreement,
     "q231_coreset_greedy" -> q231CoresetGreedy,
@@ -5383,18 +5519,20 @@ object LlmQueries {
   }
 
   /** q231: the same stochastic-greedy rounds unrolled as MATERIALIZED
-    * CTEs — same hash pools, same 4dp integer similarity grid, same
-    * (gain desc, id asc) argmax, same coverage fold. */
+    * CTEs — same absolute-size hash-order pools (ORDER BY salted hash,
+    * id LIMIT [[CoresetPoolCap]]), same 4dp integer similarity grid,
+    * same (gain desc, id asc) argmax, same coverage fold. */
   private lazy val duckCoresetSql: String = {
     def s4(e: String): String = s"CAST(floor(($e) * 10000.0 + 0.5) AS BIGINT)"
     val rounds = (1 to CoresetRounds).map { r =>
       val hash = duckTokHash(s"'$r#' || CAST(vec_id AS VARCHAR)")
       val notSel =
-        if (r == 1) ""
-        else "AND vec_id NOT IN (" +
+        if (r == 1) "TRUE"
+        else "vec_id NOT IN (" +
           (1 until r).map(i => s"SELECT selected_id FROM w$i").mkString(" UNION ALL ") + ")"
       s"""p$r AS MATERIALIZED (SELECT vec_id AS c_id, emb AS c_emb FROM e
-         |  WHERE ($hash) % 32 = 0 $notSel),
+         |  WHERE $notSel
+         |  ORDER BY ($hash), vec_id LIMIT $CoresetPoolCap),
          |g$r AS (SELECT p.c_id,
          |    CAST(sum(greatest(${s4("list_cosine_similarity(ev.emb, p.c_emb)")} - c.cur, 0))
          |      AS BIGINT) AS gain
@@ -5807,6 +5945,46 @@ object LlmQueries {
          |  ) * 1000000.0 + 0.5) AS BIGINT) AS p_kn_micro
          |FROM pairs p JOIN lft l USING (w1) JOIN rgt r USING (w2) CROSS JOIN tot
          |ORDER BY p.c DESC, p.bg LIMIT 40""".stripMargin,
+    // q258: the same KN model CTEs, per-type surprisal micro-floored
+    // off the identical double chain, exact long per-doc sums, exact
+    // integer ce division, and the same ceil(2n/3) rank threshold
+    // (row_number over scored docs — the sequential spec of the
+    // two-phase selection the Spark side runs)
+    "q258_kn_ppl_gate" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |bgx AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM toks),
+         |pairs AS (SELECT bg, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM bgx GROUP BY 1, 2, 3),
+         |lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+         |    CAST(count(*) AS BIGINT) AS n1_fw FROM pairs GROUP BY 1),
+         |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bw FROM pairs GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pairs),
+         |surp AS MATERIALIZED (SELECT p.bg,
+         |    CAST(floor(-ln(
+         |      CAST(4 * p.c - 3 AS DOUBLE) / (4.0 * CAST(l.c_w1 AS DOUBLE))
+         |      + 3.0 * CAST(l.n1_fw AS DOUBLE) * CAST(r.n1_bw AS DOUBLE)
+         |        / (4.0 * CAST(l.c_w1 AS DOUBLE) * CAST(tot.b AS DOUBLE))
+         |    ) * 1000000.0 + 0.5) AS BIGINT) AS surp_micro
+         |  FROM pairs p JOIN lft l USING (w1) JOIN rgt r USING (w2) CROSS JOIN tot),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(surp_micro) AS BIGINT) AS h_micro
+         |  FROM bgx JOIN surp USING (bg) GROUP BY doc_id),
+         |scored AS MATERIALIZED (SELECT d.doc_id,
+         |    CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |    CAST(coalesce(p.h_micro, 0) AS BIGINT) AS h_micro,
+         |    CAST(CASE WHEN p.n_bigrams IS NULL THEN -1
+         |      ELSE p.h_micro // p.n_bigrams END AS BIGINT) AS ce_micro
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored WHERE n_bigrams > 0),
+         |thr AS (SELECT CAST(max(ce_micro) AS BIGINT) AS t FROM (
+         |    SELECT ce_micro, row_number() OVER (ORDER BY ce_micro, doc_id) AS rn
+         |    FROM scored WHERE n_bigrams > 0)
+         |  WHERE rn <= (SELECT (2 * n + 2) // 3 FROM nn))
+         |SELECT s.doc_id, s.n_bigrams, s.h_micro, s.ce_micro,
+         |  thr.t AS thr_micro,
+         |  CAST(CASE WHEN s.ce_micro <= thr.t THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM scored s CROSS JOIN thr ORDER BY s.doc_id""".stripMargin,
     // q196: the composed curation canon — the SAME gopher/repetition/
     // CCNet/DSIR/contamination chains the standalone oracles use
     // (p-/w-prefixed to avoid CTE name collisions), cascaded then
@@ -6675,7 +6853,8 @@ object LlmQueries {
          |    ELSE CAST(floor(CAST(conc - disc AS DOUBLE)
          |      / (CAST(n_shared AS DOUBLE) * (CAST(n_shared AS DOUBLE) - 1.0) / 2.0)
          |      * 1000000.0 + 0.5) AS BIGINT) END AS tau_micro,
-         |  (n_shared * 1000000) // (n_lex + n_vec - n_shared) AS jaccard_micro
+         |  CASE WHEN n_lex + n_vec = n_shared THEN CAST(-2000000 AS BIGINT)
+         |    ELSE (n_shared * 1000000) // (n_lex + n_vec - n_shared) END AS jaccard_micro
          |FROM ns, pr, nl, nv""".stripMargin,
     // q243: same doubled-grid midranks per variable (integer-grid
     // histograms + cumulative), same exact moments, same closed form

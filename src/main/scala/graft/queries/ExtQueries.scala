@@ -1426,7 +1426,14 @@ object ExtQueries {
     * engines), micro-floored. `reject` compares Q against
     * χ²_{0.99, 7} = 18.475307 (identical IEEE comparison); series too
     * short for all h lags (n ≤ h+1) pin the −1 sentinel on both
-    * engines (the q240 contract). Scale: everything rides the
+    * engines (the q240 contract). The output ROW SET is derived from
+    * the per-type daily frame with the per-lag aggregates LEFT-joined
+    * onto it — so a type whose series has a single day (every lead
+    * NULL, zero stacked rows) still emits its sentinel row instead of
+    * silently vanishing, keeping the documented n ≤ h+1 contract total
+    * and the streaming twin's keyset bridge intact
+    * ([[graft.streaming.StreamOps.ljungBoxState]] emits defined=false
+    * for such a scope). Scale: everything rides the
     * calendar-bounded daily grid — one scan, one 7-lead window pass. */
   private val LbLags = 7
   private val q254LjungBox: Q = (s, dir) => {
@@ -1441,18 +1448,24 @@ object ExtQueries {
       .withColumn("y", col("n") * col("x") - col("t"))
     val withLeads = (1 to LbLags).foldLeft(y) { (df, k) =>
       df.withColumn(s"y$k", lead(col("y"), k).over(ordered))
-    }.withColumn("syy", sum(col("y") * col("y")).over(byType))
-    val stacked = withLeads.select(col("event_type"), col("n"), col("y"), col("syy"),
+    }
+    val stacked = withLeads.select(col("event_type"), col("y"),
         expr("stack(" + LbLags + ", " +
           (1 to LbLags).map(k => s"${k}L, y$k").mkString(", ") + ") AS (lag, ylead)"))
       .filter(col("ylead").isNotNull)
     val perLag = stacked.groupBy(col("event_type"), col("lag"))
-      .agg(max(col("n")).as("n"), max(col("syy")).as("syy"),
-        sum(col("y") * col("ylead")).as("syk"))
+      .agg(sum(col("y") * col("ylead")).as("syk"))
     val pivotCols = (1 to LbLags).map(k =>
       max(when(col("lag") === k, col("syk"))).as(s"s$k"))
-    val pv = perLag.groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"), (max(col("syy")).as("syy") +: pivotCols): _*)
+    // row set from the per-type daily frame (n/syy are exact long
+    // aggregates of it); the stacked per-lag sums LEFT-join on — an
+    // n=1 type (no surviving lead rows) keeps its row and takes the
+    // n <= h+1 sentinel below instead of vanishing
+    val base = y.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("y") * col("y")).as("syy"))
+    val pv = base.join(
+      perLag.groupBy(col("event_type")).agg(pivotCols.head, pivotCols.tail: _*),
+      Seq("event_type"), "left")
     val nD = col("n").cast("double")
     val terms = (1 to LbLags).map { k =>
       val r = col(s"s$k").cast("double") / col("syy").cast("double")
@@ -1464,6 +1477,88 @@ object ExtQueries {
         when(defined, floor(q * 1e6 + 0.5).cast("long")).otherwise(lit(-1L)).as("q_micro"),
         when(!defined, lit(-1L))
           .when(q > 18.475307, lit(1L)).otherwise(lit(0L)).as("reject"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Partial autocorrelation at lags 1..3 via the Durbin–Levinson
+    * recursion unrolled to closed form (Durbin 1960; Levinson 1947;
+    * Box & Jenkins 1970 §3.2 for PACF as THE AR-order identification
+    * tool — ACF (q185) says how much memory a series has, PACF says
+    * which lag carries it once shorter lags are regressed out: an
+    * AR(p) series has PACF ≡ 0 past lag p, so this is the "which lag
+    * actually matters" read behind every ARIMA order choice). The r13
+    * round skipped PACF because the general recursion is ugly in SQL;
+    * at h ≤ 3 it is three closed-form steps off q185's exact ACF
+    * machinery, mirrorable operand-for-operand:
+    *   φ₁₁ = r₁
+    *   φ₂₂ = (r₂ − r₁²) / (1 − r₁²),            φ₂₁ = r₁ − φ₂₂·r₁
+    *   φ₃₃ = (r₃ − φ₂₁·r₂ − φ₂₂·r₁) / (1 − φ₂₁·r₁ − φ₂₂·r₂)
+    * with r_k = Σy_t·y_{t+k} / Σy_t² on q185's exact integer y-grid
+    * (y_t = n·x_t − T longs; the numerators/denominator are exact long
+    * sums, each r_k ONE double division, the recursion one written-
+    * order double chain — both engines evaluate the same IEEE tree).
+    * Row set and degenerate contract follow q254: rows derive from the
+    * per-type daily frame (n=1 types keep their sentinel row); series
+    * too short (n ≤ h+1), a zero Σy² (constant series), or a vanishing
+    * recursion denominator (|1−r₁²| or the φ₃₃ denominator = 0 — an
+    * IEEE comparison on identically-built doubles) pin the −2·10⁶
+    * sentinel on all three φ (the q250 out-of-range convention: |φ|
+    * ≤ 1 on the micro grid). Scale: the calendar-bounded daily grid —
+    * one scan, one 3-lead window pass, bounded output. */
+  private val PacfLags = 3
+  private val q259Pacf: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val y = daily
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("t", sum(col("x")).over(byType))
+      .withColumn("y", col("n") * col("x") - col("t"))
+    val withLeads = (1 to PacfLags).foldLeft(y) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(ordered))
+    }
+    val stacked = withLeads.select(col("event_type"), col("y"),
+        expr("stack(" + PacfLags + ", " +
+          (1 to PacfLags).map(k => s"${k}L, y$k").mkString(", ") + ") AS (lag, ylead)"))
+      .filter(col("ylead").isNotNull)
+    val perLag = stacked.groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("y") * col("ylead")).as("syk"))
+    val pivotCols = (1 to PacfLags).map(k =>
+      max(when(col("lag") === k, col("syk"))).as(s"s$k"))
+    val base = y.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("y") * col("y")).as("syy"))
+    val pv = base.join(
+      perLag.groupBy(col("event_type")).agg(pivotCols.head, pivotCols.tail: _*),
+      Seq("event_type"), "left")
+    // every divisor is null-masked when zero (NOT merely branch-guarded:
+    // ANSI division raises DIVIDE_BY_ZERO and codegen subexpression
+    // elimination can evaluate a shared division EAGERLY even inside an
+    // untaken CASE branch); a null divisor propagates null through the
+    // chain, the defined flag collapses null to false, and the sentinel
+    // branch emits — same values as the oracle on every defined row
+    def nz(c: Column): Column = when(c =!= 0.0, c)
+    def r(k: Int): Column =
+      col(s"s$k").cast("double") / nz(col("syy").cast("double"))
+    val r1 = r(1); val r2 = r(2); val r3 = r(3)
+    val phi11 = r1
+    val d2 = lit(1.0) - r1 * r1
+    val phi22 = (r2 - r1 * r1) / nz(d2)
+    val phi21 = r1 - phi22 * r1
+    val d3 = lit(1.0) - phi21 * r1 - phi22 * r2
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) / nz(d3)
+    val defined = coalesce(
+      col("n") > (PacfLags + 1) && col("syy") > 0 &&
+        d2 =!= 0.0 && d3 =!= 0.0, lit(false))
+    def s6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    def sent(c: Column): Column = when(defined, s6(c)).otherwise(lit(-2000000L))
+    pv.select(col("event_type"), col("n").as("n_days"), col("syy"),
+        sent(r1).as("acf1_micro"), sent(r2).as("acf2_micro"),
+        sent(r3).as("acf3_micro"),
+        sent(phi11).as("pacf1_micro"), sent(phi22).as("pacf2_micro"),
+        sent(phi33).as("pacf3_micro"),
+        defined.cast("long").as("defined"))
       .orderBy(col("event_type"))
   }
 
@@ -3205,6 +3300,7 @@ object ExtQueries {
     "q249_cusum_monitor" -> q249Cusum,
     "q253_ks_drift" -> q253KsDrift,
     "q254_ljung_box" -> q254LjungBox,
+    "q259_pacf" -> q259Pacf,
     "q255_eb_shrinkage" -> q255EbShrinkage,
     "q226_burn_rate" -> q226BurnRate,
     "q225_k_anonymity" -> q225KAnonymity,
@@ -4731,7 +4827,7 @@ object ExtQueries {
       val leads = (1 to 7).map(k =>
         s"lead(y, $k) OVER (PARTITION BY event_type ORDER BY d) AS y$k").mkString(",\n        |    ")
       val unions = (1 to 7).map(k =>
-        s"SELECT event_type, n, CAST($k AS BIGINT) AS lag, y, y$k AS ylead, syy FROM wl WHERE y$k IS NOT NULL")
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, y, y$k AS ylead FROM wl WHERE y$k IS NOT NULL")
         .mkString("\n        |  UNION ALL ")
       val pivots = (1 to 7).map(k =>
         s"CAST(max(CASE WHEN lag = $k THEN syk END) AS BIGINT) AS s$k").mkString(",\n        |    ")
@@ -4739,6 +4835,9 @@ object ExtQueries {
         s"(CAST(s$k AS DOUBLE) / CAST(syy AS DOUBLE)) * (CAST(s$k AS DOUBLE) / CAST(syy AS DOUBLE)) / (CAST(n AS DOUBLE) - $k.0)")
         .mkString(" + ")
       val qExpr = s"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($terms)"
+      // pv derives its ROW SET from the per-type base frame with the
+      // stacked per-lag sums LEFT-joined on (the Spark side's shape):
+      // an n=1 type survives to its sentinel row
       s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
@@ -4747,24 +4846,82 @@ object ExtQueries {
         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x -
         |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS y
         |  FROM daily),
-        |wl AS (SELECT event_type, d, n, y,
-        |    CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS syy,
+        |base AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM y GROUP BY event_type),
+        |wl AS (SELECT event_type, d, y,
         |    $leads
         |  FROM y),
         |st AS ($unions),
-        |lg AS (SELECT event_type, lag, CAST(max(n) AS BIGINT) AS n,
-        |    CAST(max(syy) AS BIGINT) AS syy, CAST(sum(y * ylead) AS BIGINT) AS syk
+        |lg AS (SELECT event_type, lag, CAST(sum(y * ylead) AS BIGINT) AS syk
         |  FROM st GROUP BY event_type, lag),
-        |pv AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        |    CAST(max(syy) AS BIGINT) AS syy,
+        |pvl AS (SELECT event_type,
         |    $pivots
-        |  FROM lg GROUP BY event_type)
+        |  FROM lg GROUP BY event_type),
+        |pv AS (SELECT b.event_type, b.n, b.syy,
+        |    ${(1 to 7).map(k => s"pvl.s$k").mkString(", ")}
+        |  FROM base b LEFT JOIN pvl USING (event_type))
         |SELECT event_type, n AS n_days, syy,
         |  CASE WHEN n <= 8 THEN CAST(-1 AS BIGINT)
         |    ELSE CAST(floor(($qExpr) * 1000000.0 + 0.5) AS BIGINT) END AS q_micro,
         |  CASE WHEN n <= 8 THEN CAST(-1 AS BIGINT)
         |    WHEN ($qExpr) > 18.475307 THEN CAST(1 AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS reject
+        |FROM pv ORDER BY event_type""".stripMargin
+    },
+    // q259: the q254 base/left-join row-set shape at 3 lags, the same
+    // exact y-grid sums, and the Durbin-Levinson closed forms written
+    // as the IDENTICAL double expression tree (r1..r3 each one
+    // division; phi/denominator chains in the same written order)
+    "q259_pacf" -> {
+      val leads = (1 to 3).map(k =>
+        s"lead(y, $k) OVER (PARTITION BY event_type ORDER BY d) AS y$k").mkString(",\n        |    ")
+      val unions = (1 to 3).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, y, y$k AS ylead FROM wl WHERE y$k IS NOT NULL")
+        .mkString("\n        |  UNION ALL ")
+      val pivots = (1 to 3).map(k =>
+        s"CAST(max(CASE WHEN lag = $k THEN syk END) AS BIGINT) AS s$k").mkString(",\n        |    ")
+      def rk(k: Int) = s"(CAST(s$k AS DOUBLE) / CAST(syy AS DOUBLE))"
+      val d2 = s"(1.0 - ${rk(1)} * ${rk(1)})"
+      val phi22 = s"((${rk(2)} - ${rk(1)} * ${rk(1)}) / $d2)"
+      val phi21 = s"(${rk(1)} - $phi22 * ${rk(1)})"
+      val d3 = s"(1.0 - $phi21 * ${rk(1)} - $phi22 * ${rk(2)})"
+      val phi33 = s"((${rk(3)} - $phi21 * ${rk(2)} - $phi22 * ${rk(1)}) / $d3)"
+      val definedSql = s"(n > 4 AND syy > 0 AND $d2 <> 0.0 AND $d3 <> 0.0)"
+      def sent(e: String, name: String) =
+        s"CASE WHEN $definedSql THEN CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT) " +
+          s"ELSE CAST(-2000000 AS BIGINT) END AS $name"
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(round(sum(value), 2) + 0.5) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |y AS (SELECT event_type, d,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x -
+        |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS y
+        |  FROM daily),
+        |base AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM y GROUP BY event_type),
+        |wl AS (SELECT event_type, d, y,
+        |    $leads
+        |  FROM y),
+        |st AS ($unions),
+        |lg AS (SELECT event_type, lag, CAST(sum(y * ylead) AS BIGINT) AS syk
+        |  FROM st GROUP BY event_type, lag),
+        |pvl AS (SELECT event_type,
+        |    $pivots
+        |  FROM lg GROUP BY event_type),
+        |pv AS (SELECT b.event_type, b.n, b.syy,
+        |    ${(1 to 3).map(k => s"pvl.s$k").mkString(", ")}
+        |  FROM base b LEFT JOIN pvl USING (event_type))
+        |SELECT event_type, n AS n_days, syy,
+        |  ${sent(rk(1), "acf1_micro")},
+        |  ${sent(rk(2), "acf2_micro")},
+        |  ${sent(rk(3), "acf3_micro")},
+        |  ${sent(rk(1), "pacf1_micro")},
+        |  ${sent(phi22, "pacf2_micro")},
+        |  ${sent(phi33, "pacf3_micro")},
+        |  CAST(CASE WHEN $definedSql THEN 1 ELSE 0 END AS BIGINT) AS defined
         |FROM pv ORDER BY event_type""".stripMargin
     },
     // q255: identical exact micro-rate grid (integer division), identical

@@ -1433,7 +1433,17 @@ object StreamOps {
     * terms added in WRITTEN order (the batch pivot discipline), the
     * same χ²₀.₉₉,₇ cut and the same n ≤ h+1 sentinel semantics
     * (`defined = false`, the [[mannKendallState]] flag pattern), so
-    * each snapshot equals the batch q254 row over the stream prefix. */
+    * each snapshot equals the batch q254 row over the stream prefix.
+    *
+    * Long bound (the [[ksDriftState]] doc discipline): y = n·x − T and
+    * the Σy², Σy·y₊ₖ sums are plain Long — y² wraps past |y| ≈ 3·10⁹,
+    * i.e. a per-scope daily series whose n·(dollar deviation from the
+    * scope total) exceeds ~3 billion. That is the identical bound the
+    * batch q254 carries (its documented widen path at extreme revenue
+    * scales is DECIMAL(38,0)); the twin must wrap exactly when the
+    * batch side would, or the prefix-parity contract itself breaks —
+    * so the fix at such scales is widening BOTH sides, never just
+    * this fold. */
   def ljungBoxState(vals: Dataset[DailyValue]): Dataset[LbSnapshot] = {
     import vals.sparkSession.implicits._
     val h = 7

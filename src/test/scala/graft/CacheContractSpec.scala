@@ -47,4 +47,40 @@ class CacheContractSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "q194 trace is driver-held; nothing may stay cached at return")
   }
+
+  test("q217 holds O(1) cached frames mid-query (per-round release cadence)") {
+    // docs releases once edges materialize; each dist round releases as
+    // soon as the next materializes — the probe (end of round, after
+    // prev.unpersist) must see at most edges + dist (+1 transient)
+    spark.catalog.clearCache()
+    var maxLive = 0
+    val df = graft.llm.LlmQueries.q217SsspImpl(spark, sfDir, { _ =>
+      maxLive = math.max(maxLive, spark.sparkContext.getPersistentRDDs.size)
+    })
+    assert(df.count() > 0)
+    assert(maxLive <= 3,
+      s"q217 held $maxLive cached frames mid-query — per-round release regressed")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q217's final dist is query-scoped; clearCache must release it")
+  }
+
+  test("q252 layer retention is bounded by the hop cap, and clearCache releases all") {
+    // q252's output union reads EVERY BFS layer (the q194-trace trade,
+    // documented), so layers stay cached until return — but the live
+    // set must be bounded by the CONSTANT hop cap (docs + edges +
+    // seeds + <= 6 layers), never grow with corpus size, and the
+    // runner's clearCache must release everything
+    spark.catalog.clearCache()
+    var maxLive = 0
+    val df = graft.llm.LlmQueries.q252HarmonicImpl(spark, sfDir, { _ =>
+      maxLive = math.max(maxLive, spark.sparkContext.getPersistentRDDs.size)
+    })
+    assert(df.count() > 0)
+    assert(maxLive <= 9, // docs + edges + seeds + 6 hop layers
+      s"q252 held $maxLive cached frames mid-query — layer retention exceeded the hop bound")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q252's layers are query-scoped; clearCache must release them")
+  }
 }

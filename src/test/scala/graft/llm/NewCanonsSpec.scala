@@ -862,8 +862,9 @@ class NewCanonsSpec extends SparkSpec {
     var cur = embs.keys.map(_ -> 0L).toMap
     var selected = List.empty[Long]
     val ref = (1 to 6).map { r =>
-      val pool = embs.keys.filter(id =>
-        tokHash(s"$r#$id") % 32 == 0 && !selected.contains(id)).toSeq
+      // the absolute-size hash-order pool: top-64 by (salted hash, id)
+      val pool = embs.keys.filterNot(selected.contains).toSeq
+        .sortBy(id => (tokHash(s"$r#$id"), id)).take(64)
       val gains = pool.map { c =>
         // iterator, not keys.map: a Set would DEDUPE equal gain terms
         c -> embs.keys.iterator.map(v => math.max(0L, s4(embs(v), embs(c)) - cur(v))).sum
@@ -1109,7 +1110,8 @@ class NewCanonsSpec extends SparkSpec {
     // 5-day series that cannot support h = 7 lags — sentinel
     val rows =
       (1 to 30).map(d => (ts(d), "trend", d * 100.0)) ++
-        (1 to 5).map(d => (ts(d), "short", 50.0))
+        (1 to 5).map(d => (ts(d), "short", 50.0)) ++
+        Seq((ts(1), "oneday", 75.0)) // a 1-day series: zero lead rows survive
     rows.toDF("ts", "event_type", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val byType = graft.queries.ExtQueries.queries("q254_ljung_box")(spark, dir)
@@ -1120,6 +1122,142 @@ class NewCanonsSpec extends SparkSpec {
     val (nS, qS, rejS) = byType("short")
     assert(nS === 5L && qS === -1L && rejS === -1L,
       "series shorter than h+2 must pin the sentinel, not NaN/null")
+    // the r13 ADVICE contract: an n=1 type has NO stacked lag rows at
+    // all — it must still EMIT its sentinel row (row set derives from
+    // the per-type daily frame), or the streaming twin's keyset bridge
+    // breaks on such data
+    assert(byType.contains("oneday"), "n=1 event type silently dropped from q254's output")
+    val (n1, q1, rej1) = byType("oneday")
+    assert(n1 === 1L && q1 === -1L && rej1 === -1L,
+      "n=1 type must carry the short-series sentinel")
+    spark.catalog.clearCache()
+  }
+
+  test("q258 KN perplexity gate equals a sequential driver LM scoring + the exact " +
+      "ceil(2n/3) rank threshold; the gate genuinely cuts") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bigramsOf: String => Seq[String] = { t =>
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }.toSeq
+    }
+    val allBg = docs.flatMap { case (_, t) => bigramsOf(t) }
+    val c = allBg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cW1 = c.toSeq.groupBy(_._1.split(" ")(0)).view.mapValues(_.map(_._2).sum).toMap
+    val n1fw = c.toSeq.groupBy(_._1.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val n1bw = c.toSeq.groupBy(_._1.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+    val b = c.size.toLong
+    def surp(bg: String): Long = {
+      val Array(w1, w2) = bg.split(" ")
+      val p = (4L * c(bg) - 3L).toDouble / (4.0 * cW1(w1).toDouble) +
+        3.0 * n1fw(w1).toDouble * n1bw(w2).toDouble / (4.0 * cW1(w1).toDouble * b.toDouble)
+      math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    }
+    val perDoc = docs.map { case (id, t) =>
+      val bgs = bigramsOf(t)
+      val h = bgs.map(surp).sum
+      val n = bgs.length.toLong
+      (id, n, if (n > 0) h else 0L, if (n > 0) h / n else -1L)
+    }
+    val scoredCes = perDoc.filter(_._2 > 0).map(_._4).sorted
+    val k = (2L * scoredCes.length + 2L) / 3L
+    val thr = scoredCes((k - 1).toInt)
+    val want = perDoc.sortBy(_._1).map { case (id, n, h, ce) =>
+      (id, n, h, ce, thr, if (ce <= thr) 1L else 0L)
+    }.toSeq
+    val got = LlmQueries.queries("q258_kn_ppl_gate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, "KN gate diverged from the sequential LM scoring")
+    // the gate must actually partition the corpus: CCNet keeps
+    // head+middle, so roughly a third is dropped (exactly n - the
+    // tie-inclusive keep count; assert both classes non-empty)
+    val kept = got.count(_._6 === 1L); val dropped = got.count(_._6 === 0L)
+    assert(kept > 0 && dropped > 0, s"gate vacuous: kept=$kept dropped=$dropped")
+    // threshold rank contract: every scored kept doc's ce <= every dropped ce
+    val keptCes = got.filter(g => g._6 === 1L && g._2 > 0).map(_._4)
+    val dropCes = got.filter(_._6 === 0L).map(_._4)
+    assert(keptCes.max <= dropCes.min, "keep set is not a ce-prefix")
+    spark.catalog.clearCache()
+  }
+
+  test("q259 PACF equals the sequential Durbin-Levinson recursion off the exact ACF " +
+      "grid; an AR-free series keeps small partials and sentinels pin on degenerates") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(floor(round(sum(col("value")), 2) + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = graft.queries.ExtQueries.queries("q259_pacf")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        (3 to 8).map(r.getLong).toSeq, r.getLong(9)))
+    val byType = daily.groupBy(_._1)
+    assert(got.map(_._1).toSet === byType.keySet, "row set != event-type set")
+    got.foreach { case (tpe, nDays, syyGot, micros, defined) =>
+      val xs = byType(tpe).sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      assert(n === nDays)
+      val t = xs.sum
+      val ys = xs.map(x => n * x - t)
+      val syy = ys.map(y => y * y).sum
+      assert(syy === syyGot, s"$tpe: Syy diverged")
+      def sk(k: Int): Long =
+        ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }.sum
+      if (n > 4 && syy > 0) {
+        // the sequential recursion, in the query's written order
+        val r1 = sk(1).toDouble / syy.toDouble
+        val r2 = sk(2).toDouble / syy.toDouble
+        val r3 = sk(3).toDouble / syy.toDouble
+        val d2 = 1.0 - r1 * r1
+        val phi22 = (r2 - r1 * r1) / d2
+        val phi21 = r1 - phi22 * r1
+        val d3 = 1.0 - phi21 * r1 - phi22 * r2
+        val phi33 = (r3 - phi21 * r2 - phi22 * r1) / d3
+        if (d2 != 0.0 && d3 != 0.0) {
+          assert(defined === 1L)
+          val want = Seq(r1, r2, r3, r1, phi22, phi33)
+            .map(v => math.floor(v * 1e6 + 0.5).toLong)
+          assert(micros === want, s"$tpe: DL recursion diverged")
+          // partials are proper correlations on the micro grid
+          micros.foreach(m => assert(m >= -1000000L && m <= 1000000L))
+        }
+      } else {
+        assert(defined === 0L && micros.forall(_ === -2000000L),
+          s"$tpe: degenerate series must pin the sentinel")
+      }
+    }
+    // non-vacuity: the synthetic series must yield distinct partials
+    assert(got.filter(_._5 === 1L).map(_._4).distinct.length > 1,
+      "PACF degenerate — no signal measured")
+    spark.catalog.clearCache()
+  }
+
+  test("q259 pins sentinels on short and constant series and detects a planted AR(1)") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pacf").toString
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // a smooth strongly-persistent series (x_t = 10·t²): consecutive
+    // values are near-identical relative to the series spread, so the
+    // lag-1 partial dominates; constant and 3-day series pin sentinels
+    val ar = (1 to 40).map(d => (ts(d), "ar1", 10.0 * d * d))
+    val rows = ar ++
+      (1 to 3).map(d => (ts(d), "short", 50.0 * d)) ++
+      (1 to 20).map(d => (ts(d), "flat", 400.0))
+    rows.toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byType = graft.queries.ExtQueries.queries("q259_pacf")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        ((3 to 8).map(r.getLong).toSeq, r.getLong(9)))).toMap
+    val (arM, arDef) = byType("ar1")
+    assert(arDef === 1L, "AR(1) series must be defined")
+    assert(arM(3) > 500000L, s"lag-1 partial of a random walk should dominate: ${arM(3)}")
+    assert(math.abs(arM(5)) < arM(3), "lag-3 partial must not exceed lag-1 on AR(1)")
+    val (shM, shDef) = byType("short")
+    assert(shDef === 0L && shM.forall(_ === -2000000L), "3-day series must pin the sentinel")
+    val (flM, flDef) = byType("flat")
+    assert(flDef === 0L && flM.forall(_ === -2000000L),
+      "constant series (syy=0) must pin the sentinel, not NaN")
     spark.catalog.clearCache()
   }
 
