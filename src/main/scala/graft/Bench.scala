@@ -145,20 +145,25 @@ object Bench {
     // ALL rep times are kept (not just the min): a tail-degradation band
     // is visible as max/min variance in the sidecar, per-run, instead of
     // surfacing only when the official run's minima themselves degrade.
-    var repsDetail = Vector.empty[(String, Seq[Double], Long)]
+    var repsDetail = Vector.empty[(String, Seq[Double], Long, Long)]
     val timed: Map[String, Double] = names.flatMap { n =>
       once(n) // prime
       val g0 = gcMs()
+      val s0 = HostStat.stealMs()
       val ts = (1 to reps).flatMap(_ => once(n))
       val g1 = gcMs()
+      val s1 = HostStat.stealMs()
       spark.catalog.clearCache()
       if (ts.isEmpty) None
-      else { repsDetail :+= ((n, ts, g1 - g0)); Some(n -> ts.min) }
+      else {
+        repsDetail :+= ((n, ts, g1 - g0, HostStat.delta(s0, s1)))
+        Some(n -> ts.min)
+      }
     }.toMap
     // variance flag: any query whose slowest rep ran > 3× its fastest —
     // a per-query plan is deterministic at fixed SF, so spread that wide
     // is environmental (GC wave, CPU contention), not a plan property
-    val flagged = repsDetail.filter { case (_, ts, _) => ts.max > 3.0 * ts.min }
+    val flagged = repsDetail.filter { case (_, ts, _, _) => ts.max > 3.0 * ts.min }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -190,13 +195,17 @@ object Bench {
           }
           .get
       }
-    // per-rep detail + GC attribution (arrays are [rep1, rep2, ...] in
-    // run order; gc_ms is the stop-the-world delta across the reps)
+    // per-rep detail + GC + host-steal attribution (arrays are
+    // [rep1, rep2, ...] in run order; gc_ms is the stop-the-world delta
+    // across the reps; steal_ms is /proc/stat's hypervisor-steal delta
+    // — the co-tenant signal gc_ms can't see, see [[HostStat]])
     val detailJson = repsDetail
-      .map { case (n, ts, g) => s"""${jstr(n)}:{"t":[${ts.mkString(",")}],"gc_ms":$g}""" }
+      .map { case (n, ts, g, st) =>
+        s"""${jstr(n)}:{"t":[${ts.mkString(",")}],"gc_ms":$g,"steal_ms":$st}""" }
       .mkString("{", ",", "}")
-    val varianceJson = flagged.map { case (n, ts, _) =>
-      s"""${jstr(n)}:{"min":${ts.min},"max":${ts.max}}""" }.mkString("{", ",", "}")
+    val varianceJson = flagged.map { case (n, ts, _, st) =>
+      s"""${jstr(n)}:{"min":${ts.min},"max":${ts.max},"steal_ms":$st}""" }
+      .mkString("{", ",", "}")
     // The official driver artifact must carry the streaming SLO evidence
     // itself (round-11 directive #2: the 500 ms P95 is the reference's
     // ONE hard number). Since r13 these come from StreamBench's
@@ -214,8 +223,9 @@ object Bench {
     val streamingP95 = statMap(_.p95Ms.toString)
     val streamingGc = statMap(_.gcMs.toString)
     val streamingLat = statMap(_.latMs.mkString("[", ",", "]"))
+    val streamingSteal = statMap(_.stealMs.toString)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's
     // stdout tail window, which truncates the head of the line and breaks
     // its JSON parse (rounds 3-4 both ended "parsed": null). So the full
@@ -229,7 +239,7 @@ object Bench {
       scala.util.Try(Files.writeString(Paths.get(p), full + "\n")).isSuccess
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
     spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
     if (sidecar.isEmpty) println(full)
     println(compact)

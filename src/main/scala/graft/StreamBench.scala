@@ -75,7 +75,7 @@ object StreamBench {
     * on any format change, on the very line meant to carry the SLO
     * verdict. Callers read fields; `json` is the embedded full record. */
   final case class ConfigStats(json: String, p95Ms: Double, gcMs: Long,
-      latMs: Seq[Double])
+      latMs: Seq[Double], stealMs: Long)
 
   def run(spark: SparkSession): String = runStructured(spark)._1
 
@@ -173,6 +173,7 @@ object StreamBench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
     var gcDelta = 0L
+    var stealDelta = -1L
     val lat =
       try {
         // history first (untimed): ages the store so the timed batches
@@ -181,8 +182,10 @@ object StreamBench {
         (historyBatches until historyBatches + warmBatches).foreach(oneBatch)
         val start = historyBatches + warmBatches
         val g0 = gcMs()
+        val s0 = graft.HostStat.stealMs()
         val timed = (start until start + timedBatches).map(oneBatch)
         gcDelta = gcMs() - g0
+        stealDelta = graft.HostStat.delta(s0, graft.HostStat.stealMs())
         timed
       } finally {
         q.stop()
@@ -200,9 +203,10 @@ object StreamBench {
     // from a level shift — p50/p95/max alone can't tell those apart
     val latJson = lat.map(ms).mkString("[", ",", "]")
     ConfigStats(
-      s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"lat_ms":$latJson,"slo_ms":500}""",
+      s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"steal_ms":$stealDelta,"lat_ms":$latJson,"slo_ms":500}""",
       p95Ms = math.round(pct(0.95) * 10.0) / 10.0,
       gcMs = gcDelta,
-      latMs = lat.map(v => math.round(v * 10.0) / 10.0))
+      latMs = lat.map(v => math.round(v * 10.0) / 10.0),
+      stealMs = stealDelta)
   }
 }
