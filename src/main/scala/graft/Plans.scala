@@ -81,7 +81,14 @@ object Plans {
     // EB shrinkage. q252 harmonic is omitted (iterative; the q169
     // argument — LinkGraphPlanSpec + recursive-CTE oracle pin it)
     "q250_kendall_tau", "q251_kneser_ney", "q253_ks_drift",
-    "q254_ljung_box", "q255_eb_shrinkage")
+    "q254_ljung_box", "q255_eb_shrinkage",
+    // round 14: the KN perplexity gate (shared-model scoring join +
+    // the two-phase threshold — the selection itself is driver-bounded
+    // aggregates, so the plan shows the scoring shape) and the PACF
+    // closed-form chain over the q254 base/left-join row set. q260
+    // betweenness is omitted (iterative, the q169/q252 argument — its
+    // walk-count oracle + explicit-enumeration spec pin it)
+    "q258_kn_ppl_gate", "q259_pacf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

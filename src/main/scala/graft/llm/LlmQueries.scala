@@ -2286,6 +2286,101 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Seed-pair ("pivot") betweenness centrality (Brandes & Pich 2007,
+    * "Centrality Estimation in Large Networks"; Anthonisse 1971 /
+    * Freeman 1977 for the measure) over the shared directed link
+    * graph — the r13 stretch directive, closed WITHOUT fractional
+    * accumulation: the declared blocker was Brandes' backward pass
+    * (δ sums of σ-ratios — no clean exact oracle), so this restates
+    * the estimator PAIRWISE over the bounded seed set S (idx % 97, the
+    * q169/q252 sample): for s, t ∈ S with d(s,t) ≤ [[BcHops]],
+    *   bc(v) += σ_sv · σ_vt / σ_st   when d(s,v) + d(v,t) = d(s,t)
+    * — Brandes' own pair-dependency identity, no recursion. Each term
+    * is micro-floored INTEGER arithmetic: path counts are exact longs
+    * (σ ≤ outdeg^h = 3⁶ = 729 on the hop-capped DAG, so
+    * σ_sv·σ_vt·10⁶ ≤ 5.4·10¹¹ — documented long bound), the term is
+    * one integer division ⌊10⁶·σσ/σ_st⌋, and bc·10⁶ is a plain long
+    * sum of those grid points — order-independent, hash-matchable.
+    * EXACT (not sampled) on the declared restriction: all shortest
+    * paths between seed pairs within the hop cap; a fixed-size seed
+    * sample is the Brandes–Pich pivot prescription at any scale.
+    *
+    * Scale shape: TWO multi-source BFS sweeps of the q252 round shape
+    * carrying a path-count column (forward from S on edges, backward
+    * from S on reversed edges — σ_new = map-side-combinable SUM over
+    * frontier predecessors, then the same pair-anti-join), each
+    * O(|S|·reach) state; the dependency join is keyed on v with
+    * ≤|S|² per-node fanout (the q256 bound) and the σ_st pair table is
+    * ≤|S|² rows broadcast. Rounds pinned as flat LogicalRDDs (the q169
+    * analyzer-bound discipline); layers stay cached until return (the
+    * q252 trade — the output union reads all of them). Output:
+    * TakeOrdered(20) by (bc_micro desc, doc_id). */
+  private val BcHops = 6
+  private val q260Betweenness: Q = (s, dir) => {
+    val docs = linkGraphDocs(s, dir).cache()
+    val n = docs.count()
+    val edges = linkGraphRawEdges(docs, n)
+      .distinct()
+      .cache()
+    def pinned(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      s.createDataFrame(c.rdd, c.schema)
+    }
+    // one seeded BFS with shortest-path counts; `ed` is (src, dst) —
+    // pass reversed for the backward sweep. Layer r holds nodes FIRST
+    // reached at distance r with σ = Σ over distance-(r−1) predecessors
+    // (every shortest path enters v through one of them, so the
+    // map-side-combinable sum IS the path count).
+    def bfsSig(ed: DataFrame): DataFrame = {
+      val seeds = pinned(docs.filter(col("idx") % 97 === 0)
+        .select(col("idx").as("s"), col("idx").as("v"),
+          lit(0L).as("d"), lit(1L).as("sig")))
+      val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
+      var visited = seeds.select(col("s"), col("v"))
+      var frontier = seeds
+      var h = 1
+      var growing = true
+      while (h <= BcHops && growing) {
+        val nxt = frontier.join(ed, frontier("v") === ed("src"))
+          .select(col("s"), col("dst").as("v"), col("sig"))
+          .join(visited, Seq("s", "v"), "left_anti")
+          .groupBy(col("s"), col("v")).agg(sum(col("sig")).as("sig"))
+          .select(col("s"), col("v"), lit(h.toLong).as("d"), col("sig"))
+          .cache()
+        if (nxt.count() == 0) { nxt.unpersist(); growing = false }
+        else {
+          val flat = s.createDataFrame(nxt.rdd, nxt.schema)
+          layers += flat
+          visited = visited.union(flat.select(col("s"), col("v")))
+          frontier = flat
+        }
+        h += 1
+      }
+      layers.reduce(_ union _)
+    }
+    val fwd = bfsSig(edges)
+    val rev = bfsSig(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // σ_st over seed pairs: the forward table's rows whose node IS a
+    // seed — ≤|S|² rows, a broadcastable driver-bounded pair table
+    val pairs = fwd.filter(col("v") % 97 === 0 && col("v") =!= col("s"))
+      .select(col("s"), col("v").as("t"), col("d").as("dst_d"), col("sig").as("sig_st"))
+    val dep = fwd.select(col("s"), col("v"), col("d").as("df"), col("sig").as("sf"))
+      .join(rev.select(col("s").as("t"), col("v"), col("d").as("dr"), col("sig").as("sr")),
+        Seq("v"))
+      .join(broadcast(pairs), Seq("s", "t"))
+      .filter(col("df") + col("dr") === col("dst_d") &&
+        col("v") =!= col("s") && col("v") =!= col("t"))
+      .select(col("v"),
+        expr("(sf * sr * 1000000) div sig_st").as("term_micro"))
+    dep.groupBy(col("v"))
+      .agg(sum(col("term_micro")).as("bc_micro"), count(lit(1)).as("n_pair_terms"))
+      .join(docs, col("v") === docs("idx"))
+      .select(col("doc_id"), col("bc_micro"), col("n_pair_terms"))
+      .orderBy(col("bc_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Single-source(-set) shortest paths with WEIGHTED edges — bounded
     * Bellman–Ford over the q138/q169 link graph, the weighted
     * counterpart of q169's hop-count BFS (crawl cost, latency-weighted
@@ -5198,6 +5293,7 @@ object LlmQueries {
     "q228_zipf_fit"       -> q228ZipfFit,
     "q251_kneser_ney"     -> q251KneserNey,
     "q258_kn_ppl_gate"    -> q258KnPplGate,
+    "q260_betweenness"    -> q260Betweenness,
     "q256_source_overlap" -> q256SourceOverlap,
     "q257_rank_agreement" -> q257RankAgreement,
     "q231_coreset_greedy" -> q231CoresetGreedy,
@@ -5385,6 +5481,53 @@ object LlmQueries {
        |SELECT doc_id, h60, n_seeds_reaching
        |FROM hc JOIN docs ON docs.idx = hc.v
        |ORDER BY h60 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** q260: the DECLARATIVE restatement of the pivot-betweenness
+    * estimator — σ as WALK counts (a recursive UNION ALL enumerates
+    * every ≤[[BcHops]]-hop walk from the seed set; walks of MINIMAL
+    * length per (s,v) are exactly the shortest paths, so σ = their
+    * count), forward and on reversed edges, then Brandes' pair
+    * identity as one join. The hash match proves the engine's layered
+    * frontier algorithm (map-side σ sums + pair anti-joins) computes
+    * this fixpoint spec. Walk volume is Σ_h outdeg^h per seed — a few
+    * hundred rows per seed at outdeg 3, h ≤ 6. */
+  private lazy val duckBetweennessSql: String = {
+    val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+    def walkCTEs(pfx: String, edgeRel: String): String =
+      s"""${pfx}walks(s, v, hop) AS (
+         |  SELECT idx, idx, CAST(0 AS BIGINT) FROM docs WHERE idx % 97 = 0
+         |  UNION ALL
+         |  SELECT w.s, e.dst, w.hop + 1 FROM ${pfx}walks w
+         |  JOIN $edgeRel e ON e.src = w.v WHERE w.hop < $BcHops),
+         |${pfx}wc AS (SELECT s, v, hop, CAST(count(*) AS BIGINT) AS c
+         |  FROM ${pfx}walks GROUP BY 1, 2, 3),
+         |${pfx}md AS (SELECT s, v, CAST(min(hop) AS BIGINT) AS d
+         |  FROM ${pfx}wc GROUP BY 1, 2),
+         |$pfx AS MATERIALIZED (SELECT w.s, w.v, m.d, w.c AS sig
+         |  FROM ${pfx}wc w JOIN ${pfx}md m
+         |    ON m.s = w.s AND m.v = w.v AND w.hop = m.d)""".stripMargin
+    s"""WITH RECURSIVE docs AS MATERIALIZED (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM docs),
+       |links AS (SELECT DISTINCT d.idx AS src, ($hash) % nn.n AS dst
+       |  FROM docs d, nn, (SELECT unnest(range(1, ${PrOutLinks + 1})) AS j) j),
+       |edges AS MATERIALIZED (SELECT src, dst FROM links WHERE src <> dst),
+       |redges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM edges),
+       |${walkCTEs("fwd", "edges")},
+       |${walkCTEs("rev", "redges")},
+       |pairs AS MATERIALIZED (SELECT s, v AS t, d AS dst_d, sig AS sig_st
+       |  FROM fwd WHERE v % 97 = 0 AND v <> s),
+       |dep AS (SELECT f.v, (f.sig * r.sig * 1000000) // p.sig_st AS term
+       |  FROM fwd f
+       |  JOIN rev r ON r.v = f.v
+       |  JOIN pairs p ON p.s = f.s AND p.t = r.s
+       |  WHERE f.d + r.d = p.dst_d AND f.v <> f.s AND f.v <> r.s)
+       |SELECT d.doc_id, CAST(sum(term) AS BIGINT) AS bc_micro,
+       |  CAST(count(*) AS BIGINT) AS n_pair_terms
+       |FROM dep JOIN docs d ON d.idx = dep.v
+       |GROUP BY d.doc_id ORDER BY bc_micro DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** q217: the same k-round Bellman–Ford invariant unrolled as
@@ -5853,6 +5996,7 @@ object LlmQueries {
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,
     "q252_harmonic" -> duckHarmonicSql,
+    "q260_betweenness" -> duckBetweennessSql,
     "q217_weighted_sssp" -> duckSsspSql,
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,

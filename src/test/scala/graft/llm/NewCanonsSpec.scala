@@ -1056,6 +1056,72 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q260 pivot betweenness equals an EXPLICIT shortest-path enumeration (every " +
+      "seed-pair path walked and counted per intermediate node)") {
+    // independent of both the engine's σ-sum frontier algorithm AND the
+    // oracle's walk-count fixpoint: enumerate the actual shortest paths
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length.toLong
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val edges = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (idx, dst)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seeds = docs.map(_._2).filter(_ % 97 == 0)
+    def bfsDist(s0: Long): Map[Long, Int] = {
+      val d = scala.collection.mutable.Map(s0 -> 0)
+      var frontier = Seq(s0)
+      for (h <- 1 to 6) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+          .distinct.filterNot(d.contains)
+        frontier.foreach(v => d(v) = h)
+      }
+      d.toMap
+    }
+    val bc = scala.collection.mutable.Map.empty[Long, Long] // v -> bc_micro
+    val terms = scala.collection.mutable.Map.empty[Long, Long] // v -> n_pair_terms
+    seeds.foreach { s0 =>
+      val dist = bfsDist(s0)
+      seeds.filter(t => t != s0 && dist.contains(t)).foreach { t =>
+        val dst = dist(t)
+        // walk the layered DAG: every path s→t stepping d→d+1
+        var sigmaSt = 0L
+        val through = scala.collection.mutable.Map.empty[Long, Long]
+        def walk(v: Long, path: List[Long]): Unit =
+          if (v == t) {
+            sigmaSt += 1
+            path.drop(1).foreach(u => // interiors only: path = v :: ... :: s
+              if (u != s0 && u != t) through(u) = through.getOrElse(u, 0L) + 1L)
+          } else adj.getOrElse(v, Seq.empty)
+            .filter(w => dist.get(w).contains(dist(v) + 1) && dist(w) <= dst)
+            .foreach(w => walk(w, w :: path))
+        walk(s0, List(s0))
+        assert(sigmaSt > 0L)
+        through.foreach { case (v, c) =>
+          bc(v) = bc.getOrElse(v, 0L) + c * 1000000L / sigmaSt
+          terms(v) = terms.getOrElse(v, 0L) + 1L
+        }
+      }
+    }
+    // NOTE the grain: the engine floors PER (s,t,v) TERM — c·10⁶ div σ_st
+    // per pair — and c here is already the per-pair count, so the floor
+    // grain matches exactly
+    val idx2doc = docs.map { case (doc, idx) => idx -> doc }.toMap
+    val want = bc.toSeq.map { case (v, b) => (idx2doc(v), b, terms(v)) }
+      .sortBy { case (doc, b, _) => (-b, doc) }.take(20)
+    val got = LlmQueries.queries("q260_betweenness")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "betweenness head diverged from explicit path enumeration")
+    assert(got.map(_._2).distinct.length > 1, "flat betweenness table — vacuous")
+    assert(got.head._3 > 1L, "top broker carries a single pair term — sample too sparse")
+    spark.catalog.clearCache()
+  }
+
   test("q254 Ljung-Box equals a sequential driver fold of q185's ACF (the textbook " +
       "Q(h) formula); the i.i.d. synthetic series correctly ACCEPT whiteness") {
     val daily = Tables.events(spark, sfDir)
