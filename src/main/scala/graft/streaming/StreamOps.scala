@@ -1480,6 +1480,74 @@ object StreamOps {
       }
   }
 
+  final case class PacfSnapshot(scope: String, nDays: Long, syy: Long,
+      acf1Micro: Long, acf2Micro: Long, acf3Micro: Long,
+      pacf1Micro: Long, pacf2Micro: Long, pacf3Micro: Long, defined: Boolean)
+
+  /** q259's streaming twin — the live AR-ORDER read beside
+    * [[ljungBoxState]]'s any-memory gate (LB says "this series has
+    * memory", PACF says WHICH lag carries it once shorter lags are
+    * regressed out — the monitor that distinguishes "yesterday
+    * explains today" from genuine multi-day structure). Per-scope
+    * state is the exact daily cent grid ([[DailyValue]] — the
+    * ljungBoxState fold, order-robust, late arrivals land in their
+    * day). Every trigger converts to the dollar-grain series exactly
+    * (floorDiv(cents+50,100) ≡ the batch floor(round(Σ,2)+0.5)) and
+    * replays q259's arithmetic verbatim: exact y/Σy²/Σy·y₊ₖ longs,
+    * r₁..r₃ each one double division, the Durbin–Levinson closed forms
+    * in the same written order, micro-floors. Degenerates (n ≤ 4,
+    * Σy² = 0, vanishing recursion denominators) report
+    * `defined = false` with −2·10⁶ pinned on every φ (the q259/q250
+    * sentinel), so each snapshot equals the batch q259 row over the
+    * stream prefix. Long bound: identical to [[ljungBoxState]]'s
+    * (y² wraps past |y| ≈ 3·10⁹ — the batch side's documented
+    * DECIMAL38 widen scale). */
+  def pacfState(vals: Dataset[DailyValue]): Dataset[PacfSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], PacfSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DailyValue],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { v =>
+            m = m.updated(v.d, m.getOrElse(v.d, 0L) + v.cents)
+          }
+          state.update(m)
+          val xs = m.toSeq.sortBy(_._1).map { case (_, c) => Math.floorDiv(c + 50L, 100L) }
+          val n = xs.size.toLong
+          val t = xs.sum
+          val ys = xs.map(x => n * x - t)
+          val syy = ys.map(y => y * y).sum
+          def sk(k: Int): Long =
+            ys.dropRight(k).zip(ys.drop(k)).map { case (a, b) => a * b }.sum
+          val sent = -2000000L
+          val snap =
+            if (n <= 4 || syy <= 0L)
+              PacfSnapshot(scope, n, syy, sent, sent, sent, sent, sent, sent,
+                defined = false)
+            else {
+              val r1 = sk(1).toDouble / syy.toDouble
+              val r2 = sk(2).toDouble / syy.toDouble
+              val r3 = sk(3).toDouble / syy.toDouble
+              val d2 = 1.0 - r1 * r1
+              val phi22 = (r2 - r1 * r1) / d2
+              val phi21 = r1 - phi22 * r1
+              val d3 = 1.0 - phi21 * r1 - phi22 * r2
+              val phi33 = (r3 - phi21 * r2 - phi22 * r1) / d3
+              if (d2 == 0.0 || d3 == 0.0)
+                PacfSnapshot(scope, n, syy, sent, sent, sent, sent, sent, sent,
+                  defined = false)
+              else {
+                def s6(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+                PacfSnapshot(scope, n, syy, s6(r1), s6(r2), s6(r3),
+                  s6(r1), s6(phi22), s6(phi33), defined = true)
+              }
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class DayCentArrival(scope: String, d: Long, v: Long)
   final case class KsDriftSnapshot(scope: String, nDays: Long, nRef: Long,
       nLive: Long, dNum: Long, dMicro: Long, alarmNow: Boolean, defined: Boolean)
