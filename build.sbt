@@ -28,6 +28,10 @@ val jdk17AddOpens = Seq(
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
+  // not a Spark need: HostStat.safepointMs reflects HotSpot's
+  // total-safepoint counter (per-trigger pause attribution in the
+  // streaming bench); it degrades to -1 where this open is absent
+  "java.management/sun.management",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

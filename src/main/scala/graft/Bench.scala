@@ -88,26 +88,53 @@ object Bench {
     // speedups (measured 0.64× first-quartile on a clean tree) do not
     // flag; both quartile means land in the artifact for forensics.
     if (sys.env.get("SPARK_GRAFT_BENCH_SOAK").contains("1")) {
-      def sweep(): Seq[(String, Double)] = names.flatMap { n =>
+      // each timed run carries its own steal + gc delta (r14 verdict
+      // #3: both r14 soaks flagged on DISJOINT random sets during
+      // sampled 6–8% steal bursts and needed post-hoc SCALING.md
+      // adjudication — the violation list now adjudicates itself)
+      def sweep(): Seq[(String, Double, Long, Long)] = names.flatMap { n =>
         once(n) // prime
+        val s0 = HostStat.stealMs()
+        val g0 = gcMs()
         val t = once(n)
+        val st = HostStat.delta(s0, HostStat.stealMs())
+        val gd = gcMs() - g0
         spark.catalog.clearCache()
-        t.map(n -> _)
+        t.map(v => (n, v, st, gd))
       }
       val p1 = sweep()
-      val p2 = sweep().toMap
+      val p2 = sweep().map(r => r._1 -> r).toMap
       spark.catalog.clearCache(); System.gc()
       val streamJson = scala.util.Try(StreamBench.run(spark))
         .recover { case e => s"""{"error":${jstr0(e.toString.take(200))}}""" }.get
-      val rows = p1.flatMap { case (n, t1) => p2.get(n).map(t2 => (n, t1, t2)) }
+      val rows = p1.flatMap { case (n, t1, st1, _) =>
+        p2.get(n).map { case (_, t2, st2, gc2) => (n, t1, t2, st1, st2, gc2) } }
       // per-query violation: pass-2 >1.5× slower AND >1 s absolute (a
       // sub-second spread is scheduler noise, not JVM aging). An
       // ISOLATED spike or two is the documented-environmental pattern
       // (the r11 contention forensics); the r10 pathology was a
       // CONTIGUOUS BAND — so the failure gate is ≥3 violations.
-      val viol = rows.filter { case (_, t1, t2) => t2 > 1.5 * t1 && t2 - t1 > 1.0 }
+      val viol = rows.filter { case (_, t1, t2, _, _, _) =>
+        t2 > 1.5 * t1 && t2 - t1 > 1.0 }
+      // host attribution: steal as a FRACTION of the rep's cpu budget
+      // (steal_ms sums over vCPUs, so frac = steal / (cpus · wall)).
+      // The measured co-tenant storms run 5–12% sustained with 6–8%
+      // sampled bursts (HostStat, r14 forensics); ≥4% during the
+      // pass-2 rep is far beyond scheduler noise and marks the
+      // violation host-attributed. The FAIL gate counts only
+      // code-attributed violations — the r14 adjudication rule,
+      // mechanized into the artifact instead of post-hoc in SCALING.md.
+      val nCpus = math.max(1, scala.util.Try(cpus.toInt).getOrElse(4))
+      def stealFrac(st: Long, wallSec: Double): Double =
+        if (st <= 0L || wallSec <= 0.0) 0.0
+        else st.toDouble / (nCpus.toDouble * wallSec * 1000.0)
+      val violAnn = viol.map { case (n, t1, t2, _, st2, gc2) =>
+        val f = stealFrac(st2, t2)
+        (n, t1, t2, st2, gc2, f, f >= 0.04)
+      }
+      val codeViol = violAnn.filterNot(_._7)
       val qn = math.max(rows.size / 4, 1)
-      def meanRatio(s: Seq[(String, Double, Double)]): Double =
+      def meanRatio(s: Seq[(String, Double, Double, Long, Long, Long)]): Double =
         s.map(r => r._3 / math.max(r._2, 1e-9)).sum / s.size
       // drift = the LAST run-order quartile's mean pass2/pass1 ratio, in
       // ABSOLUTE terms: the r10 signature is the tail getting slower in
@@ -117,21 +144,22 @@ object Bench {
       val firstQ = meanRatio(rows.take(qn))
       val tailQ = meanRatio(rows.takeRight(qn))
       val driftFlag = tailQ > 1.25
-      val pairsJson = rows.map { case (n, t1, t2) =>
-        s"${jstr0(n)}:[$t1,$t2]" }.mkString("{", ",", "}")
-      val violJson = viol.map { case (n, t1, t2) =>
-        s"${jstr0(n)}:[$t1,$t2]" }.mkString("{", ",", "}")
+      val pairsJson = rows.map { case (n, t1, t2, st1, st2, _) =>
+        s"${jstr0(n)}:[$t1,$t2,$st1,$st2]" }.mkString("{", ",", "}")
+      val violJson = violAnn.map { case (n, t1, t2, st2, gc2, f, host) =>
+        s"""${jstr0(n)}:{"t1":$t1,"t2":$t2,"steal_ms":$st2,"gc_ms":$gc2,"steal_frac":${math.round(f * 1000.0) / 1000.0},"host_attributed":$host}""" }
+        .mkString("{", ",", "}")
       val esJson = errors.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr0(k)}:${jstr0(v)}" }.mkString("{", ",", "}")
-      val failed = viol.size >= 3 || driftFlag || errors.nonEmpty
+      val failed = codeViol.size >= 3 || driftFlag || errors.nonEmpty
       val soakFull =
-        s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"violations":$violJson,"first_quartile_ratio":$firstQ,"tail_quartile_ratio":$tailQ,"drift_flag":$driftFlag,"soak_failed":$failed,"pairs":$pairsJson,"streaming":$streamJson,"errors":$esJson,"sf":${jstr0(sfDir)}}"""
+        s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"n_violations_code":${codeViol.size},"violations":$violJson,"first_quartile_ratio":$firstQ,"tail_quartile_ratio":$tailQ,"drift_flag":$driftFlag,"soak_failed":$failed,"pairs":$pairsJson,"streaming":$streamJson,"errors":$esJson,"sf":${jstr0(sfDir)}}"""
       val soakSidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter { p =>
         scala.util.Try(Files.writeString(Paths.get(p), soakFull + "\n")).isSuccess
       }
       spark.stop()
       if (soakSidecar.isEmpty) println(soakFull)
-      println(s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"first_quartile_ratio":$firstQ,"tail_quartile_ratio":$tailQ,"drift_flag":$driftFlag,"soak_failed":$failed,"detail":${jstr0(soakSidecar.getOrElse("stdout"))}}""")
+      println(s"""{"metric":"soak","pass1_total":${p1.map(_._2).sum},"pass2_total":${rows.map(_._3).sum},"n_queries":${rows.size},"n_violations":${viol.size},"n_violations_code":${codeViol.size},"first_quartile_ratio":$firstQ,"tail_quartile_ratio":$tailQ,"drift_flag":$driftFlag,"soak_failed":$failed,"detail":${jstr0(soakSidecar.getOrElse("stdout"))}}""")
       sys.exit(if (failed) 1 else 0)
     }
 
@@ -224,8 +252,14 @@ object Bench {
     val streamingGc = statMap(_.gcMs.toString)
     val streamingLat = statMap(_.latMs.mkString("[", ",", "]"))
     val streamingSteal = statMap(_.stealMs.toString)
+    // r14 verdict #2: per-TRIGGER steal + safepoint arrays (index-aligned
+    // with streaming_lat_ms) — a single-trigger excursion now carries its
+    // own pause attribution instead of averaging into the config window
+    val streamingSafepoint = statMap(_.safepointMs.toString)
+    val streamingStealTrig = statMap(_.stealMsTrig.mkString("[", ",", "]"))
+    val streamingSafeTrig = statMap(_.safepointMsTrig.mkString("[", ",", "]"))
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"streaming":$streaming,"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"streaming_safepoint_ms":$streamingSafepoint,"streaming_steal_ms_trig":$streamingStealTrig,"streaming_safepoint_ms_trig":$streamingSafeTrig,"rep_detail":$detailJson,"variance_flags":$varianceJson,"n_variance_flagged":${flagged.size},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     // The full per-query map (~4 KB as one line) outgrows the driver's
     // stdout tail window, which truncates the head of the line and breaks
     // its JSON parse (rounds 3-4 both ended "parsed": null). So the full
@@ -239,7 +273,7 @@ object Bench {
       scala.util.Try(Files.writeString(Paths.get(p), full + "\n")).isSuccess
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"streaming_safepoint_ms":$streamingSafepoint,"streaming_steal_ms_trig":$streamingStealTrig,"streaming_safepoint_ms_trig":$streamingSafeTrig,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
     spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
     if (sidecar.isEmpty) println(full)
     println(compact)

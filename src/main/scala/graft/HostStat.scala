@@ -36,4 +36,32 @@ object HostStat {
   /** Delta between two [[stealMs]] readings, −1-propagating. */
   def delta(before: Long, after: Long): Long =
     if (before < 0 || after < 0) -1L else after - before
+
+  // HotSpot's total stop-the-world safepoint time — the superset of GC
+  // pauses (deopt storms, code-cache sweeps, thread dumps, biased-lock
+  // revocation all stop the world WITHOUT touching gc_ms; the r14
+  // official artifact's streaming SLO breach had gc_ms 41 and steal_ms
+  // 60 against 1011 ms triggers — neither counter covered the pause
+  // class). sun.management is not exported on JDK 17, so this reflects
+  // and needs `--add-opens java.management/sun.management=ALL-UNNAMED`
+  // (build.sbt ships it for forked run/test); −1 when unavailable so
+  // artifacts distinguish "zero pauses" from "cannot tell".
+  private lazy val safepointMBean: Option[(AnyRef, java.lang.reflect.Method)] =
+    try {
+      val helper = Class.forName("sun.management.ManagementFactoryHelper")
+      val gm = helper.getMethod("getHotspotRuntimeMBean")
+      gm.setAccessible(true)
+      val mb = gm.invoke(null)
+      val tm = mb.getClass.getMethod("getTotalSafepointTime")
+      tm.setAccessible(true)
+      Some((mb, tm))
+    } catch { case _: Throwable => None }
+
+  /** Cumulative JVM stop-the-world safepoint time in ms, or −1. */
+  def safepointMs(): Long = safepointMBean match {
+    case Some((mb, tm)) =>
+      try tm.invoke(mb).asInstanceOf[java.lang.Long].longValue()
+      catch { case _: Throwable => -1L }
+    case None => -1L
+  }
 }

@@ -75,7 +75,8 @@ object StreamBench {
     * on any format change, on the very line meant to carry the SLO
     * verdict. Callers read fields; `json` is the embedded full record. */
   final case class ConfigStats(json: String, p95Ms: Double, gcMs: Long,
-      latMs: Seq[Double], stealMs: Long)
+      latMs: Seq[Double], stealMs: Long, safepointMs: Long,
+      stealMsTrig: Seq[Long], safepointMsTrig: Seq[Long])
 
   def run(spark: SparkSession): String = runStructured(spark)._1
 
@@ -174,6 +175,19 @@ object StreamBench {
     }
     var gcDelta = 0L
     var stealDelta = -1L
+    var safeDelta = -1L
+    // per-TRIGGER pause attribution (r14 verdict #2: the official
+    // artifact's rows1k P95 read 1011 ms against a 60 ms CONFIG-window
+    // steal stamp — a burst inside one trigger averages away at config
+    // granularity, so the breach was adjudicable by neither the steal
+    // rule nor gc_ms). Each timed trigger records its own steal delta
+    // (kernel hypervisor-steal, summed over vCPUs — a 10% burst on 32
+    // vCPUs stamps ~960 ms into a 300 ms trigger) and its own
+    // safepoint delta (ALL stop-the-world pauses, not just GC), so an
+    // excursion carries its adjudication in the same array index as
+    // its latency.
+    val stealTrig = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val safeTrig = scala.collection.mutable.ArrayBuffer.empty[Long]
     val lat =
       try {
         // history first (untimed): ages the store so the timed batches
@@ -183,9 +197,18 @@ object StreamBench {
         val start = historyBatches + warmBatches
         val g0 = gcMs()
         val s0 = graft.HostStat.stealMs()
-        val timed = (start until start + timedBatches).map(oneBatch)
+        val f0 = graft.HostStat.safepointMs()
+        val timed = (start until start + timedBatches).map { b =>
+          val st0 = graft.HostStat.stealMs()
+          val sf0 = graft.HostStat.safepointMs()
+          val l = oneBatch(b)
+          stealTrig += graft.HostStat.delta(st0, graft.HostStat.stealMs())
+          safeTrig += graft.HostStat.delta(sf0, graft.HostStat.safepointMs())
+          l
+        }
         gcDelta = gcMs() - g0
         stealDelta = graft.HostStat.delta(s0, graft.HostStat.stealMs())
+        safeDelta = graft.HostStat.delta(f0, graft.HostStat.safepointMs())
         timed
       } finally {
         q.stop()
@@ -202,11 +225,16 @@ object StreamBench {
     // stall (a collection pause, an FS hiccup) is then distinguishable
     // from a level shift — p50/p95/max alone can't tell those apart
     val latJson = lat.map(ms).mkString("[", ",", "]")
+    val stealTrigJson = stealTrig.mkString("[", ",", "]")
+    val safeTrigJson = safeTrig.mkString("[", ",", "]")
     ConfigStats(
-      s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"steal_ms":$stealDelta,"lat_ms":$latJson,"slo_ms":500}""",
+      s"""{"n_batches":$timedBatches,"rows_per_batch":$rowsPerBatch,"history_batches":$historyBatches,"compact_every":$compactEvery,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"max_ms":${ms(sorted.last)},"gc_ms":$gcDelta,"steal_ms":$stealDelta,"safepoint_ms":$safeDelta,"lat_ms":$latJson,"steal_ms_trig":$stealTrigJson,"safepoint_ms_trig":$safeTrigJson,"slo_ms":500}""",
       p95Ms = math.round(pct(0.95) * 10.0) / 10.0,
       gcMs = gcDelta,
       latMs = lat.map(v => math.round(v * 10.0) / 10.0),
-      stealMs = stealDelta)
+      stealMs = stealDelta,
+      safepointMs = safeDelta,
+      stealMsTrig = stealTrig.toSeq,
+      safepointMsTrig = safeTrig.toSeq)
   }
 }

@@ -1072,7 +1072,10 @@ class NewCanonsSpec extends SparkSpec {
       if dst != idx
     } yield (idx, dst)).distinct
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val seeds = docs.map(_._2).filter(_ % 97 == 0)
+    // the r15 ABSOLUTE-size pivot set: top-64 by salted hash, idx tie-break
+    val seeds = docs.map(_._2)
+      .sortBy(idx => (tokHash(s"bc#$idx"), idx))
+      .take(64)
     def bfsDist(s0: Long): Map[Long, Int] = {
       val d = scala.collection.mutable.Map(s0 -> 0)
       var frontier = Seq(s0)
