@@ -1938,14 +1938,25 @@ object LlmQueries {
     * filter-on-derived-flag inlines the interpreted gram pipelines into
     * the scan predicate.
     *
-    * Composition point (documented, deliberately not wired): q258's
-    * Kneser–Ney perplexity gate slots in as one more
-    * `.join(knKeep, Seq("doc_id"), "left_semi")` beside `pplKeep` —
-    * its keep-set is corpus-global exactly like q133's, so the
-    * cascade algebra is unchanged; it stays unwired here so this
-    * canon's oracle (and its stage-boundary spec) remain frozen while
-    * the KN gate is oracle-checked standalone as q258. */
-  private val q196CurationCanon: Q = (s, dir) => {
+    * Composition point — WIRED as its own canon since r15 (the q85
+    * precedent): q258's Kneser–Ney perplexity gate slots in as one
+    * more `.join(knKeep, Seq("doc_id"), "left_semi")` beside
+    * `pplKeep` — its keep-set is corpus-global exactly like q133's,
+    * so the cascade algebra is unchanged. q196 itself stays frozen
+    * (knGate = false) so this canon's oracle and stage-boundary spec
+    * never move; the composed pipeline is served and oracle-checked
+    * separately as q261 (knGate = true), whose oracle re-derives the
+    * identical cascade with the KN keep-set CTE added to `gated`. */
+  private val q196CurationCanon: Q = (s, dir) => curationCanonImpl(s, dir, knGate = false)
+
+  /** q261: the q196 curation cascade WITH the q258 KN perplexity gate
+    * composed at the gating stage (r14 verdict #5 closed by wiring).
+    * Same scale shape as q196 plus q258's vocabulary-bounded LM score
+    * and two bounded threshold passes; the extra gate is one more
+    * doc_id semi-join. */
+  private val q261CurationKn: Q = (s, dir) => curationCanonImpl(s, dir, knGate = true)
+
+  private def curationCanonImpl(s: SparkSession, dir: String, knGate: Boolean): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
     // A1.1 conjunction MINUS the distinct-stop-word rule: the synthetic
     // corpus's 31-word template vocabulary carries ≤1 distinct stopword
@@ -1975,8 +1986,14 @@ object LlmQueries {
       .filter(col("ppl_bucket") =!= "tail").select("doc_id")
     val dsirKeep = q132DsirSelect(s, dir)
       .filter(col("selected") === 1).select("doc_id")
-    val gated = grKept
+    val afterPpl = grKept
       .join(pplKeep, Seq("doc_id"), "left_semi")
+    val afterKn =
+      if (!knGate) afterPpl
+      else afterPpl.join(
+        q258KnPplGate(s, dir).filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val gated = afterKn
       .join(dsirKeep, Seq("doc_id"), "left_semi")
     val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val deduped = gated
@@ -3172,9 +3189,9 @@ object LlmQueries {
     * table, never corpus-bounded; scoring is one explode + one
     * bigram-keyed join + a map-side-combinable per-doc sum; selection
     * is two bounded passes. Composition point in the q196 cascade:
-    * `.join(knKeep, Seq("doc_id"), "left_semi")` beside pplKeep
-    * (documented there, deliberately not wired — the canon's oracle
-    * stays frozen). */
+    * `.join(knKeep, Seq("doc_id"), "left_semi")` beside pplKeep —
+    * WIRED as the separately-served q261 since r15; this standalone
+    * canon and q196 both stay frozen. */
   private val q258KnPplGate: Q = (s, dir) => {
     val surp = knModelScored(s, dir).select(col("bg"),
       floor(-log(knDiscPart + knContPart) * 1e6 + 0.5).cast("long").as("surp_micro"))
@@ -5357,6 +5374,7 @@ object LlmQueries {
     "q251_kneser_ney"     -> q251KneserNey,
     "q258_kn_ppl_gate"    -> q258KnPplGate,
     "q260_betweenness"    -> q260Betweenness,
+    "q261_curation_kn"    -> q261CurationKn,
     "q256_source_overlap" -> q256SourceOverlap,
     "q257_rank_agreement" -> q257RankAgreement,
     "q231_coreset_greedy" -> q231CoresetGreedy,
@@ -5958,9 +5976,53 @@ object LlmQueries {
 
   /** The q196 curation chain as a reusable CTE body (gates -> ppl ->
     * dsir -> dedup -> decontam -> `clean` -> `packed`): q196 selects
-    * from `packed`; q235 appends the span CTEs over `clean`. */
-  private lazy val duckCurationCTEs: String = {
+    * from `packed`; q235 appends the span CTEs over `clean`; q261 is
+    * the `knGate = true` form — the q258 KN keep-set CTEs (k-prefixed,
+    * reusing `ptoks`) with one more membership test in `gated`. */
+  private lazy val duckCurationCTEs: String = curationCTEs(knGate = false)
+  private lazy val duckCurationKnCTEs: String = curationCTEs(knGate = true)
+
+  /** The q258 KN perplexity keep-set as k-prefixed CTEs over `ptoks`
+    * (the identical model/threshold arithmetic of the standalone q258
+    * oracle — quarters algebra, micro-floored surprisal, exact long
+    * per-doc sums, ceil(2n/3) rank threshold, ce=−1 sentinels kept). */
+  private lazy val duckKnKeepCTEs: String =
+    s"""kbgx AS MATERIALIZED (SELECT doc_id, unnest($duckBigrams) AS bg FROM ptoks),
+       |kpairs AS (SELECT bg, split_part(bg, ' ', 1) AS w1,
+       |    split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM kbgx GROUP BY 1, 2, 3),
+       |klft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+       |    CAST(count(*) AS BIGINT) AS n1_fw FROM kpairs GROUP BY 1),
+       |krgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bw FROM kpairs GROUP BY 1),
+       |ktot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM kpairs),
+       |ksurp AS MATERIALIZED (SELECT p.bg,
+       |    CAST(floor(-ln(
+       |      CAST(4 * p.c - 3 AS DOUBLE) / (4.0 * CAST(l.c_w1 AS DOUBLE))
+       |      + 3.0 * CAST(l.n1_fw AS DOUBLE) * CAST(r.n1_bw AS DOUBLE)
+       |        / (4.0 * CAST(l.c_w1 AS DOUBLE) * CAST(ktot.b AS DOUBLE))
+       |    ) * 1000000.0 + 0.5) AS BIGINT) AS surp_micro
+       |  FROM kpairs p JOIN klft l USING (w1) JOIN krgt r USING (w2) CROSS JOIN ktot),
+       |kperdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(surp_micro) AS BIGINT) AS h_micro
+       |  FROM kbgx JOIN ksurp USING (bg) GROUP BY doc_id),
+       |kscored AS MATERIALIZED (SELECT d.doc_id,
+       |    CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(CASE WHEN p.n_bigrams IS NULL THEN -1
+       |      ELSE p.h_micro // p.n_bigrams END AS BIGINT) AS ce_micro
+       |  FROM documents d LEFT JOIN kperdoc p USING (doc_id)),
+       |knn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kscored WHERE n_bigrams > 0),
+       |kthr AS (SELECT CAST(max(ce_micro) AS BIGINT) AS t FROM (
+       |    SELECT ce_micro, row_number() OVER (ORDER BY ce_micro, doc_id) AS rn
+       |    FROM kscored WHERE n_bigrams > 0)
+       |  WHERE rn <= (SELECT (2 * n + 2) // 3 FROM knn)),
+       |kkeep AS MATERIALIZED (SELECT s.doc_id FROM kscored s CROSS JOIN kthr
+       |  WHERE s.ce_micro <= kthr.t)""".stripMargin
+
+  private def curationCTEs(knGate: Boolean): String = {
     def s6(e: String) = s"CAST(floor(ln($e) * 1000000.0 + 0.5) AS BIGINT)"
+    val knBlock = if (knGate) s"\n         |$duckKnKeepCTEs," else ""
+    val knCond =
+      if (knGate) "\n         |    AND d.doc_id IN (SELECT doc_id FROM kkeep)" else ""
     s"""${duckGopherCTEs("documents")},
          |${duckRepetitionCTEs("documents")},
          |ptoks AS MATERIALIZED (SELECT doc_id, lang, $duckToks AS tk FROM documents),
@@ -6011,14 +6073,14 @@ object LlmQueries {
          |dsel AS (SELECT doc_id FROM (
          |    SELECT *, CAST(row_number() OVER (ORDER BY log_w DESC, doc_id) AS BIGINT) AS rnk,
          |      count(*) OVER () AS cnt FROM wscored)
-         |  WHERE rnk <= ceil(cnt * $DsirKeepFrac)),
+         |  WHERE rnk <= ceil(cnt * $DsirKeepFrac)),$knBlock
          |gated AS (SELECT d.doc_id, d.source, d.text
          |  FROM documents d
          |  JOIN gop ON gop.doc_id = d.doc_id
          |  JOIN rep_stats rs ON rs.doc_id = d.doc_id
          |  WHERE gop.r_words * gop.r_mean_len * gop.r_symbol * gop.r_alpha
          |      * gop.r_bullet * gop.r_ellipsis = 1 AND $duckRepPassCond
-         |    AND d.doc_id IN (SELECT doc_id FROM ppl WHERE bucket <> 'tail')
+         |    AND d.doc_id IN (SELECT doc_id FROM ppl WHERE bucket <> 'tail')$knCond
          |    AND d.doc_id IN (SELECT doc_id FROM dsel)),
          |dd AS (SELECT doc_id, source, text, row_number() OVER (
          |    PARTITION BY ${duckTokHash("text")} ORDER BY doc_id) AS rn FROM gated),
@@ -6214,6 +6276,12 @@ object LlmQueries {
     // AS MATERIALIZED (the duckKcoreSql inlining lesson).
     "q196_curation_canon" ->
       s"""WITH $duckCurationCTEs
+         |SELECT doc_id, source, n_tokens, cum_before // $PackWindow AS pack_id
+         |FROM packed ORDER BY doc_id""".stripMargin,
+    // q261: the same cascade with the q258 KN keep-set CTEs composed
+    // into `gated` (k-prefixed; the Spark side's knGate = true twin)
+    "q261_curation_kn" ->
+      s"""WITH $duckCurationKnCTEs
          |SELECT doc_id, source, n_tokens, cum_before // $PackWindow AS pack_id
          |FROM packed ORDER BY doc_id""".stripMargin,
     // q234: position-grain window hashes, min-doc canonicality, and the

@@ -13,9 +13,12 @@ class CurationCanonSpec extends SparkSpec {
 
   private val PackWindow = 256L // q77's window (private in LlmQueries)
 
-  test("q196 equals the standalone keep-sets folded through dedup/decon/pack") {
+  /** The driver-side fold both canon tests share: intersect the
+    * standalone keep-sets → dedup first-doc_id-wins per content hash →
+    * drop eval docs and quarantined train docs → pack per source. */
+  private def foldAndCompare(queryName: String, extraGates: Seq[Set[Long]]): Unit = {
     val q = LlmQueries.queries
-    // standalone keep-sets (the same criteria q196 composes)
+    // standalone keep-sets (the same criteria the canon composes)
     val gopher = q("q127_gopher_rules")(spark, sfDir)
       .filter(col("r_words") * col("r_mean_len") * col("r_symbol") *
         col("r_alpha") * col("r_bullet") * col("r_ellipsis") === 1)
@@ -45,9 +48,8 @@ class CurationCanonSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
       .toMap
 
-    // fold: intersect → dedup first-doc_id-wins per content hash →
-    // drop eval docs and quarantined train docs → pack per source
-    val gatedIds = (gopher & rep & ppl & dsir).toSeq.sorted
+    val gatedIds = extraGates
+      .foldLeft(gopher & rep & ppl & dsir)(_ & _).toSeq.sorted
     val firstPerHash = gatedIds.groupBy(id => facts(id)._2)
       .map { case (_, ids) => ids.min }.toSet
     val cleanIds = gatedIds.filter(id =>
@@ -62,11 +64,27 @@ class CurationCanonSpec extends SparkSpec {
         }
     }.sortBy(_._1)
 
-    val got = q("q196_curation_canon")(spark, sfDir)
+    val got = q(queryName)(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === expected,
-      s"composition drifted: got ${got.size} rows, expected ${expected.size}")
-    assert(got.nonEmpty, "pipeline must keep a non-trivial survivor set")
-    spark.sharedState.cacheManager.clearCache() // q196 stage caches (runner contract)
+      s"$queryName composition drifted: got ${got.size} rows, expected ${expected.size}")
+    assert(got.nonEmpty, s"$queryName must keep a non-trivial survivor set")
+    spark.sharedState.cacheManager.clearCache() // stage caches (runner contract)
+  }
+
+  test("q196 equals the standalone keep-sets folded through dedup/decon/pack") {
+    foldAndCompare("q196_curation_canon", Seq.empty)
+  }
+
+  test("q261 equals the same fold with q258's KN keep-set as one more gate " +
+      "(the r14 composition point, wired)") {
+    val kn = LlmQueries.queries("q258_kn_ppl_gate")(spark, sfDir)
+      .filter(col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = Tables.documents(spark, sfDir).count()
+    // the KN gate must discriminate or composing it proves nothing
+    assert(kn.nonEmpty && kn.size < n, s"kn stage keeps ${kn.size} of $n — vacuous")
+    spark.sharedState.cacheManager.clearCache() // q258's scored cache
+    foldAndCompare("q261_curation_kn", Seq(kn))
   }
 }
