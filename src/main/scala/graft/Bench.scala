@@ -173,25 +173,28 @@ object Bench {
     // ALL rep times are kept (not just the min): a tail-degradation band
     // is visible as max/min variance in the sidecar, per-run, instead of
     // surfacing only when the official run's minima themselves degrade.
-    var repsDetail = Vector.empty[(String, Seq[Double], Long, Long)]
+    var repsDetail = Vector.empty[(String, Seq[Double], Long, Long, Long)]
     val timed: Map[String, Double] = names.flatMap { n =>
       once(n) // prime
       val g0 = gcMs()
       val s0 = HostStat.stealMs()
+      val f0 = HostStat.safepointMs()
       val ts = (1 to reps).flatMap(_ => once(n))
       val g1 = gcMs()
       val s1 = HostStat.stealMs()
+      val f1 = HostStat.safepointMs()
       spark.catalog.clearCache()
       if (ts.isEmpty) None
       else {
-        repsDetail :+= ((n, ts, g1 - g0, HostStat.delta(s0, s1)))
+        repsDetail :+= ((n, ts, g1 - g0, HostStat.delta(s0, s1),
+          HostStat.delta(f0, f1)))
         Some(n -> ts.min)
       }
     }.toMap
     // variance flag: any query whose slowest rep ran > 3× its fastest —
     // a per-query plan is deterministic at fixed SF, so spread that wide
     // is environmental (GC wave, CPU contention), not a plan property
-    val flagged = repsDetail.filter { case (_, ts, _, _) => ts.max > 3.0 * ts.min }
+    val flagged = repsDetail.filter { case (_, ts, _, _, _) => ts.max > 3.0 * ts.min }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -228,11 +231,11 @@ object Bench {
     // across the reps; steal_ms is /proc/stat's hypervisor-steal delta
     // — the co-tenant signal gc_ms can't see, see [[HostStat]])
     val detailJson = repsDetail
-      .map { case (n, ts, g, st) =>
-        s"""${jstr(n)}:{"t":[${ts.mkString(",")}],"gc_ms":$g,"steal_ms":$st}""" }
+      .map { case (n, ts, g, st, sf) =>
+        s"""${jstr(n)}:{"t":[${ts.mkString(",")}],"gc_ms":$g,"steal_ms":$st,"safepoint_ms":$sf}""" }
       .mkString("{", ",", "}")
-    val varianceJson = flagged.map { case (n, ts, _, st) =>
-      s"""${jstr(n)}:{"min":${ts.min},"max":${ts.max},"steal_ms":$st}""" }
+    val varianceJson = flagged.map { case (n, ts, _, st, sf) =>
+      s"""${jstr(n)}:{"min":${ts.min},"max":${ts.max},"steal_ms":$st,"safepoint_ms":$sf}""" }
       .mkString("{", ",", "}")
     // The official driver artifact must carry the streaming SLO evidence
     // itself (round-11 directive #2: the 500 ms P95 is the reference's
