@@ -3685,6 +3685,69 @@ object LlmQueries {
         round(stddev_pop(col("v")), 4).as("spread"),
         count(lit(1)).as("n"))
 
+  /** Fréchet embedding distance between label slices under the
+    * DIAGONAL-Gaussian simplification (Dowson & Landau 1982 for the
+    * closed form between Gaussians; Heusel et al. 2017 for FID — the
+    * standard "are these two embedding distributions the same"
+    * statistic; MAUVE/data-drift papers read exactly this family when
+    * comparing dataset slices): for slices a, b with per-dimension
+    * means μ and variances σ², d² = Σ_d (μ_a−μ_b)² + σ²_a + σ²_b −
+    * 2·√(σ²_a·σ²_b) — the full Fréchet form with covariances assumed
+    * diagonal (documented simplification: the 64-d full form needs a
+    * matrix square root, which has no cross-engine-exact restatement;
+    * the diagonal form is the standard cheap variant and is exact
+    * here).
+    *
+    * Exactness: components land on the 1e6 integer grid FIRST
+    * (⌊x·10⁶+0.5⌋ — the q38 cosine discipline), so per-(label, dim)
+    * moments n/Σx/Σx² are exact integers (both moment sums ride
+    * DECIMAL(38,0) with operands widened — the q228/q243 wrap
+    * discipline; DuckDB's HUGEINT mirrors); each dimension's term is
+    * ONE identical-order double chain over those exact integers
+    * (variance numerator n·Σx²−(Σx)² is Cauchy–Schwarz-nonnegative in
+    * exact arithmetic, so √ never sees a negative), nano-floored
+    * BEFORE the per-pair sum — a fixed-64-term long sum,
+    * order-independent. Scale shape: posexplode's 64× row inflation
+    * collapses map-side (partial agg) to a labels×dims frame —
+    * BOUNDED, broadcastable; the pair join is ≤|L|²·dims rows.
+    * Output: one row per unordered label pair. */
+  private val q262FrechetSlices: Q = (s, dir) => {
+    val d38 = DecimalType(38, 0)
+    val st = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("xq"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq").cast(d38)).as("sx"),
+        sum((col("xq") * col("xq")).cast(d38)).as("sxx"))
+      .cache() // two consumers (both sides of the pair join); runner-scoped
+    def mean(sx: Column, n: Column): Column = sx.cast("double") / n.cast("double")
+    def variance(n: Column, sx: Column, sxx: Column): Column = {
+      val nD = n.cast("double")
+      (nD * sxx.cast("double") - sx.cast("double") * sx.cast("double")) / (nD * nD)
+    }
+    val a = st.select(col("label").as("label_a"), col("dim").as("dim_a"),
+      col("n").as("na"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = st.select(col("label").as("label_b"), col("dim").as("dim_b"),
+      col("n").as("nb"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+    val dmu = mean(col("sxa"), col("na")) - mean(col("sxb"), col("nb"))
+    val va = variance(col("na"), col("sxa"), col("sxxa"))
+    val vb = variance(col("nb"), col("sxb"), col("sxxb"))
+    val termNano =
+      floor((dmu * dmu + va + vb - lit(2.0) * sqrt(va * vb)) / 1000.0 + 0.5)
+        .cast("long")
+    a.join(broadcast(b),
+        col("dim_a") === col("dim_b") && col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("na"), col("nb"),
+        termNano.as("term_nano"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("na")).cast("long").as("n_a"), max(col("nb")).cast("long").as("n_b"),
+        count(lit(1)).as("n_dims"), sum(col("term_nano")).as("fid_nano"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** IVF ANN invariants (KMeans centroids aren't oracle-reproducible, so
     * the oracle states the structural contract): full corpus coverage,
     * plural inverted lists, ≤ topK results per query, probe restriction. */
@@ -3983,7 +4046,7 @@ object LlmQueries {
     * (u — the cached per-doc frame with tf columns, lexTop / vecTop —
     * the two depth-[[RrfDepth]] legs with their ranks, fused — the RRF
     * top-[[RrfOut]] list ordered (rrf desc, doc_id)). */
-  private def hybridRrfParts(s: SparkSession, dir: String)
+  private[llm] def hybridRrfParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val qTerms = Seq("join", "vector", "stream")
     val emb = Tables.embeddings(s, dir)
@@ -4126,6 +4189,44 @@ object LlmQueries {
         when(col("n_lex") + col("n_vec") === col("n_shared"), lit(-2000000L))
           .otherwise(expr("(n_shared * 1000000) div (n_lex + n_vec - n_shared)"))
           .as("jaccard_micro"))
+  }
+
+  /** Rank-biased overlap of the two retrieval legs at dyadic
+    * persistence p = 1/2 (Webber, Moffat & Zobel 2010, TOIS §4 — the
+    * standard TOP-WEIGHTED indefinite-rank agreement measure) — the
+    * fourth member of the retrieval-eval family: q257's τ weighs every
+    * shared-rank pair EQUALLY, but a serving cutoff reads the TOP of
+    * each leg, so leg redundancy should be judged top-weighted. The
+    * bounded-prefix form (Webber's RBO_MIN at depth [[RrfDepth]], no
+    * residual extrapolation — the depth is the contract):
+    * rbo = (1−p)·Σ_{d=1..D} p^{d−1}·O_d/d = Σ_d O_d/(2^d·d) at p=1/2,
+    * with O_d = |lex@d ∩ vec@d| the prefix-overlap curve.
+    *
+    * p = 1/2 is the DYADIC choice made for exactness: p^{d−1}(1−p) is
+    * exactly 2^{−d}, so every term is the pure INTEGER division
+    * ⌊10⁹·O_d/(2^d·d)⌋ and rbo_nano an exact long sum — no float, no
+    * pow() to diverge cross-engine (Webber's usual p=0.9 needs p^d,
+    * and neither engine guarantees correctly-rounded pow). Terms past
+    * d≈35 floor to 0 at nano grain — the top-weighting that IS the
+    * measure. Scale shape: both legs are driver-bounded depth-D
+    * frames (the cached q152 corpus frame upstream), the depth grid ×
+    * shared join is ≤ D² rows — constants at any corpus. Output: the
+    * per-depth trace (depth, o_d, term_nano) with the rbo_nano total,
+    * D rows. */
+  private val q263RboLegs: Q = (s, dir) => {
+    val (_, lexTop, vecTop, _) = hybridRrfParts(s, dir)
+    val shared = lexTop.select(col("doc_id"), col("rank_lex"))
+      .join(vecTop.select(col("doc_id"), col("rank_vec")), Seq("doc_id"))
+    val grid = s.range(1, RrfDepth + 1).select(col("id").cast("long").as("depth"))
+    val od = grid.join(broadcast(shared),
+        col("rank_lex") <= col("depth") && col("rank_vec") <= col("depth"), "left")
+      .groupBy(col("depth"))
+      .agg(count(col("doc_id")).as("o_d")) // counts non-null: 0 when no overlap yet
+    val terms = od.select(col("depth"), col("o_d"),
+      expr("(o_d * 1000000000) div (shiftleft(1L, cast(depth as int)) * depth)")
+        .as("term_nano"))
+    val tot = terms.agg(sum(col("term_nano")).as("rbo_nano"))
+    terms.crossJoin(broadcast(tot)).orderBy(col("depth"))
   }
 
   /** Compression-ratio quality signal
@@ -5375,6 +5476,8 @@ object LlmQueries {
     "q258_kn_ppl_gate"    -> q258KnPplGate,
     "q260_betweenness"    -> q260Betweenness,
     "q261_curation_kn"    -> q261CurationKn,
+    "q262_frechet_slices" -> q262FrechetSlices,
+    "q263_rbo_legs"       -> q263RboLegs,
     "q256_source_overlap" -> q256SourceOverlap,
     "q257_rank_agreement" -> q257RankAgreement,
     "q231_coreset_greedy" -> q231CoresetGreedy,
@@ -7146,6 +7249,66 @@ object LlmQueries {
          |  CASE WHEN n_lex + n_vec = n_shared THEN CAST(-2000000 AS BIGINT)
          |    ELSE (n_shared * 1000000) // (n_lex + n_vec - n_shared) END AS jaccard_micro
          |FROM ns, pr, nl, nv""".stripMargin,
+    // q262: same 1e6 grid, same exact HUGEINT moments (DuckDB's
+    // sum(BIGINT) is int128 — the Spark side's DECIMAL(38,0) twin),
+    // same identical-order double chain nano-floored per dim before
+    // the exact per-pair sum
+    "q262_frechet_slices" ->
+      s"""WITH ex AS (SELECT label, unnest(lst).d AS dim, unnest(lst).q AS xq
+         |  FROM (SELECT label::BIGINT AS label,
+         |      list_transform(range(1, len(emb) + 1),
+         |        i -> struct_pack(d := CAST(i - 1 AS BIGINT),
+         |          q := CAST(floor(emb[i] * 1000000.0 + 0.5) AS BIGINT))) AS lst
+         |    FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings))),
+         |st AS MATERIALIZED (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         |    sum(xq) AS sx, sum(xq * xq) AS sxx
+         |  FROM ex GROUP BY 1, 2),
+         |terms AS (SELECT a.label AS label_a, b.label AS label_b,
+         |    a.n AS na, b.n AS nb,
+         |    CAST(floor((
+         |      (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+         |        - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+         |      * (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+         |        - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+         |      + (CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+         |          - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+         |        / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE))
+         |      + (CAST(b.n AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+         |          - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+         |        / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE))
+         |      - 2.0 * sqrt(
+         |          (CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+         |            - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+         |          / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE))
+         |          * ((CAST(b.n AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+         |            - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+         |          / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE))))
+         |    ) / 1000.0 + 0.5) AS BIGINT) AS term_nano
+         |  FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label)
+         |SELECT label_a, label_b, CAST(max(na) AS BIGINT) AS n_a,
+         |  CAST(max(nb) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS n_dims,
+         |  CAST(sum(term_nano) AS BIGINT) AS fid_nano
+         |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q263: same leg CTEs; the prefix-overlap curve off a bounded depth
+    // grid, each term the identical pure-integer division (no float on
+    // either engine — the dyadic-p design), exact long total
+    "q263_rbo_legs" ->
+      s"""WITH $duckRrfCTEs,
+         |shared AS MATERIALIZED (SELECT l.doc_id,
+         |    CAST(l.rank_lex AS BIGINT) AS rank_lex,
+         |    CAST(v.rank_vec AS BIGINT) AS rank_vec
+         |  FROM lex l JOIN vec v ON l.doc_id = v.doc_id),
+         |grid AS (SELECT CAST(unnest(range(1, ${RrfDepth + 1})) AS BIGINT) AS depth),
+         |od AS (SELECT g.depth, CAST(count(s.doc_id) AS BIGINT) AS o_d
+         |  FROM grid g LEFT JOIN shared s
+         |    ON s.rank_lex <= g.depth AND s.rank_vec <= g.depth
+         |  GROUP BY g.depth),
+         |terms AS MATERIALIZED (SELECT depth, o_d,
+         |    (o_d * 1000000000) // ((1::BIGINT << depth) * depth) AS term_nano
+         |  FROM od),
+         |tot AS (SELECT CAST(sum(term_nano) AS BIGINT) AS rbo_nano FROM terms)
+         |SELECT depth, o_d, term_nano, rbo_nano FROM terms CROSS JOIN tot
+         |ORDER BY depth""".stripMargin,
     // q243: same doubled-grid midranks per variable (integer-grid
     // histograms + cumulative), same exact moments, same closed form
     "q243_spearman" ->

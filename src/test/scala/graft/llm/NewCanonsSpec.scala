@@ -1434,6 +1434,80 @@ class NewCanonsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q262 diagonal-Fréchet equals a sequential per-dim moment fold (exact-integer " +
+      "moments, the identical double chain); distances are nonnegative and discriminate") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    val labels = byLabel.keys.toSeq.sorted
+    val dims = rows.head._2.length
+    def moments(vs: Array[Array[Double]], d: Int): (Long, BigInt, BigInt) = {
+      val q = vs.map(v => math.floor(v(d) * 1e6 + 0.5).toLong)
+      (q.length.toLong, q.map(BigInt(_)).sum, q.map(x => BigInt(x) * x).sum)
+    }
+    def varOf(n: Long, sx: BigInt, sxx: BigInt): Double =
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) / (n.toDouble * n.toDouble)
+    val want = for { i <- labels; j <- labels if i < j } yield {
+      var fid = 0L
+      (0 until dims).foreach { d =>
+        val (na, sxa, sxxa) = moments(byLabel(i), d)
+        val (nb, sxb, sxxb) = moments(byLabel(j), d)
+        val dmu = sxa.toDouble / na.toDouble - sxb.toDouble / nb.toDouble
+        val va = varOf(na, sxa, sxxa)
+        val vb = varOf(nb, sxb, sxxb)
+        // exact-arithmetic Cauchy–Schwarz: the variance numerator is
+        // nonnegative BEFORE the double cast, so sqrt is always defined
+        assert(na * sxxa - sxa * sxa >= 0 && nb * sxxb - sxb * sxb >= 0)
+        fid += math.floor(
+          (dmu * dmu + va + vb - 2.0 * math.sqrt(va * vb)) / 1000.0 + 0.5).toLong
+      }
+      (i, j, byLabel(i).length.toLong, byLabel(j).length.toLong, dims.toLong, fid)
+    }
+    val got = LlmQueries.queries("q262_frechet_slices")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, "pairwise Fréchet table diverged from the sequential fold")
+    assert(got.nonEmpty && got.forall(_._6 >= 0L), "Fréchet distance must be nonnegative")
+    assert(got.map(_._6).distinct.length > 1,
+      "all slice pairs equidistant — the statistic is vacuous on this corpus")
+    spark.catalog.clearCache()
+  }
+
+  test("q263 RBO equals a sequential prefix-overlap fold of the SAME legs q152/q257 " +
+      "read, term-for-term; the curve is monotone and top-weighted") {
+    // independent recomputation: collect the two legs' rank maps and
+    // fold the prefix-overlap curve O_d depth by depth, computing each
+    // dyadic term with BigInt (no shiftleft/div machinery shared with
+    // the engine path)
+    val (_, lexTop, vecTop, _) = LlmQueries.hybridRrfParts(spark, sfDir)
+    val lex = lexTop.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vec = vecTop.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wantRows = (1 to 50).map { d =>
+      val od = lex.count { case (doc, rl) =>
+        rl <= d && vec.get(doc).exists(_ <= d) }.toLong
+      val term = (BigInt(od) * BigInt(1000000000) /
+        (BigInt(1) << d) / BigInt(d)).toLong
+      (d.toLong, od, term)
+    }
+    val wantRbo = wantRows.map(_._3).sum
+    val got = LlmQueries.queries("q263_rbo_legs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === wantRows,
+      "per-depth overlap/term trace diverged from the sequential fold")
+    assert(got.forall(_._4 === wantRbo), "rbo_nano total diverged")
+    // invariants: O_d monotone, O_50 = the q257 shared-set size, and
+    // the measure is genuinely top-weighted and non-vacuous here
+    val ods = got.map(_._2)
+    assert(ods.zip(ods.tail).forall { case (a, b) => a <= b }, "O_d not monotone")
+    val nShared = LlmQueries.queries("q257_rank_agreement")(spark, sfDir)
+      .head().getLong(2)
+    assert(ods.last === nShared, "O_D must equal q257's shared-set size")
+    assert(wantRbo > 0L && wantRbo < 1000000000L,
+      "rbo must discriminate (0 < rbo < 1): legs neither disjoint nor identical")
+    spark.catalog.clearCache()
+  }
+
   test("q250 degenerate corpus (all y tied => zero denominator) pins the sentinel, " +
       "matching the oracle's CASE on both engines") {
     import java.nio.file.Files
