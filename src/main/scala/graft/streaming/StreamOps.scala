@@ -1548,6 +1548,68 @@ object StreamOps {
       }
   }
 
+  final case class RateArrival(scope: String, g: String, ret: Long)
+  final case class EbSnapshot(scope: String, g: String, n: Long, y: Long,
+      rawMicro: Long, alphaMicro: Long, betaMicro: Long, shrunkMicro: Long,
+      priorDefined: Boolean)
+
+  /** q255's streaming twin — LIVE empirical-Bayes rate shrinkage
+    * (Efron & Morris 1975; Robbins 1956), completing the batch/stream
+    * pairing of the monitor family's estimator member: the leaderboard
+    * problem q255 fixes (small groups swing wildly on raw rates) is
+    * WORSE live, where every group starts small. Per-scope state is the
+    * per-group (n, y) pair — two longs per group, bounded by group
+    * cardinality forever, plain sums so the fold is order-robust and
+    * replay-safe. Every trigger refits the MoM beta-binomial prior over
+    * the EXACT micro-floored rate grid (p̃ = ⌊y·10⁶/n⌋ — integer
+    * division, so Σp̃/Σp̃² are exact longs; the q255 gridding that
+    * sidesteps the double-sum nondeterminism) and emits one row per
+    * group with the identical-order (α, β, shrunk) double chains — so
+    * each trigger's rows equal batch q255's arithmetic over the stream
+    * prefix. Degenerate priors (zero between-group variance, or MoM
+    * α+β ≤ 0 — overdispersed, EB says "don't shrink") emit the raw
+    * rate with priorDefined = false, exactly the batch sentinel
+    * contract. Σp̃² wraps long only past k ≈ 9·10⁶ groups — the batch
+    * side's documented bound, shared. */
+  def ebShrinkState(vals: Dataset[RateArrival]): Dataset[EbSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], EbSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[RateArrival],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          batch.foreach { a =>
+            val (n, y) = m.getOrElse(a.g, (0L, 0L))
+            m = m.updated(a.g, (n + 1L, y + (if (a.ret != 0L) 1L else 0L)))
+          }
+          state.update(m)
+          val k = m.size.toLong
+          // exact rate grid (y ≥ 0, n ≥ 1: floorDiv == the batch `div`)
+          val ps = m.valuesIterator
+            .map { case (n, y) => Math.floorDiv(y * 1000000L, n) }.toSeq
+          val sp = ps.sum
+          val spp = ps.map(p => p * p).sum
+          val kD = k.toDouble
+          val m01 = sp.toDouble / kD / 1e6
+          val v01 = (kD * spp.toDouble - sp.toDouble * sp.toDouble) / (kD * kD) / 1e12
+          val ab = m01 * (1.0 - m01) / v01 - 1.0
+          val defined = v01 > 0.0 && ab > 0.0
+          val alpha = m01 * ab
+          m.toSeq.sortBy(_._1).iterator.map { case (g, (n, y)) =>
+            val raw = Math.floorDiv(y * 1000000L, n)
+            if (defined)
+              EbSnapshot(scope, g, n, y, raw,
+                math.floor(alpha * 1e6 + 0.5).toLong,
+                math.floor((ab - alpha) * 1e6 + 0.5).toLong,
+                math.floor((y.toDouble + alpha) / (n.toDouble + ab) * 1e6 + 0.5).toLong,
+                priorDefined = true)
+            else
+              EbSnapshot(scope, g, n, y, raw, -1L, -1L, raw, priorDefined = false)
+          }
+      }
+  }
+
   final case class DayCentArrival(scope: String, d: Long, v: Long)
   final case class KsDriftSnapshot(scope: String, nDays: Long, nRef: Long,
       nLive: Long, dNum: Long, dMicro: Long, alarmNow: Boolean, defined: Boolean)
