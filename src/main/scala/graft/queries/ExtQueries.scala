@@ -1955,7 +1955,15 @@ object ExtQueries {
     * bucketed, sort-merge join, ZERO Exchange below the join. The
     * aggregate above it legitimately shuffles on its own grouping key. */
   private[graft] def bucketedJoinFrame(s: SparkSession, dir: String): DataFrame = {
-    val tag = (dir.hashCode & 0x7fffffff).toString
+    // tag carries the JVM pid besides the sfDir hash: the fixture lives
+    // under the shared java.io.tmpdir, and ensure()'s fresh-session
+    // cleanup (delete + rewrite) is not safe against a CONCURRENT
+    // session reading the same path — two sbt JVMs on one sfDir raced
+    // exactly that way (FILE_NOT_EXIST mid-scan, r15). Per-JVM paths
+    // trade a one-time rewrite per session for full isolation; a real
+    // deployment's bucketed tables live in a managed warehouse, not tmp.
+    val tag = (dir.hashCode & 0x7fffffff).toString + "_" +
+      ProcessHandle.current().pid().toString
     val oT = s"graft_bkt_orders_$tag"
     val lT = s"graft_bkt_lineitem_$tag"
     val base = java.nio.file.Paths.get(

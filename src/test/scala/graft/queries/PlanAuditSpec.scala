@@ -312,7 +312,8 @@ class PlanAuditSpec extends SparkSpec {
       // bounded top-K frames
       "q147_vocab_coverage" -> "top-K vocab after TakeOrdered (K bounded)",
       "q152_hybrid_rrf"    -> "RRF depth-limited candidate lists",
-      "q257_rank_agreement" -> "RRF depth-limited candidate lists (the q152 legs)")
+      "q257_rank_agreement" -> "RRF depth-limited candidate lists (the q152 legs)",
+      "q263_rbo_legs"       -> "RRF depth-limited candidate lists (the q152 legs)")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val n = df.queryExecution.optimizedPlan.collect {
