@@ -88,7 +88,14 @@ object Plans {
     // closed-form chain over the q254 base/left-join row set. q260
     // betweenness is omitted (iterative, the q169/q252 argument — its
     // walk-count oracle + explicit-enumeration spec pin it)
-    "q258_kn_ppl_gate", "q259_pacf")
+    "q258_kn_ppl_gate", "q259_pacf",
+    // round 15: the diagonal-Fréchet slice distance (posexplode →
+    // map-side-combined labels×dims moments → broadcast pair join) and
+    // the dyadic RBO (bounded depth-grid × legs join, pure integer
+    // terms). q261 is omitted (its plan is q196's cascade plus q258's
+    // scoring join, both already here — the CurationCanonSpec fold pins
+    // the composition)
+    "q262_frechet_slices", "q263_rbo_legs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
