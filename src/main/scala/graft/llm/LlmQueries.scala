@@ -3257,6 +3257,79 @@ object LlmQueries {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions (Lin 1991, IEEE Trans. IT 37(1); Endres &
+    * Schindelin 2003 prove √JSD is a metric) — the SYMMETRIC member of
+    * the distributional-comparison family: q233's KL scores each source
+    * against the corpus mixture (asymmetric, needs add-1 smoothing to
+    * stay finite), while JSD compares sources PAIRWISE and is finite
+    * with NO smoothing — a token absent from one side contributes only
+    * its presence term p·ln 2 — which is exactly why mixture-design
+    * work uses JSD/√JSD as the dataset-distance matrix (and q256's
+    * set-Jaccard is its frequency-blind shadow: two sources can share
+    * 100% of vocabulary and still diverge in JSD).
+    *
+    * JSD(P,Q) = ½Σ_t p ln(2p/(p+q)) + ½Σ_t q ln(2q/(p+q)), summed over
+    * the UNION vocabulary of the pair. Exactness: counts and totals are
+    * exact longs; each union token's term is ONE double chain in
+    * identical operand order on both engines, nano-floored to a long;
+    * the per-pair total is an exact integer sum (the q233 discipline —
+    * no variable-length double sum). Absent sides are NULL-masked
+    * (`when(c > 0, …)`), never branch-guarded divisions — the r14 ANSI
+    * subexpression-elimination rule; the mixture denominator p+q is > 0
+    * on every union row by construction. `jsd_norm_micro` re-grids the
+    * exact nano total by ln 2 into [0, 1e6] (one more identical chain).
+    *
+    * Scale shape: tokens collapse once to (source, token) counts (one
+    * map-side-combinable aggregate); each count row then fans out to
+    * the ≤|S|−1 pairs its source participates in via a BROADCAST pair
+    * frame — |S| is the source taxonomy, a property of the corpus
+    * SCHEMA (20 here), not of its row count, so the fanout is a
+    * constant factor on a token-keyed shuffle; the union lattice is a
+    * single full-outer join on (pair, token). Nothing is quadratic in
+    * tokens, documents, or vocabulary — the |pairs| = |S|(|S|−1)/2
+    * output is driver-bounded like a PQ codebook. */
+  private val q264JsDivergence: Q = (s, dir) => {
+    val tc = Tables.documents(s, dir)
+      .select(col("source"), explode(toksCol(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .cache() // two pair legs + the marginal; runner-scoped
+    val marg = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val pairs = marg.select(col("source").as("sa"), col("n_s").as("na"))
+      .crossJoin(marg.select(col("source").as("sb"), col("n_s").as("nb")))
+      .filter(col("sa") < col("sb")) // |S|(|S|-1)/2 rows — schema-bounded
+    val legA = tc.join(broadcast(pairs.select(col("sa"), col("sb"))),
+        col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("t"), col("c").as("ca"))
+    val legB = tc.join(broadcast(pairs.select(col("sa"), col("sb"))),
+        col("source") === col("sb"))
+      .select(col("sa").as("sa2"), col("sb").as("sb2"), col("t").as("t2"),
+        col("c").as("cb"))
+    val un = legA.join(legB,
+        col("sa") === col("sa2") && col("sb") === col("sb2") &&
+          col("t") === col("t2"), "full_outer")
+      .select(coalesce(col("sa"), col("sa2")).as("sa"),
+        coalesce(col("sb"), col("sb2")).as("sb"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .join(broadcast(pairs), Seq("sa", "sb"))
+    val pA = when(col("ca") > 0L, col("ca").cast("double") / col("na").cast("double"))
+    val pB = when(col("cb") > 0L, col("cb").cast("double") / col("nb").cast("double"))
+    val mix = coalesce(pA, lit(0.0)) + coalesce(pB, lit(0.0))
+    val tA = coalesce(pA * log(lit(2.0) * pA / mix), lit(0.0))
+    val tB = coalesce(pB * log(lit(2.0) * pB / mix), lit(0.0))
+    un.select(col("sa"), col("sb"), col("na"), col("nb"),
+        floor((lit(0.5) * tA + lit(0.5) * tB) * 1e9 + 0.5).cast("long")
+          .as("term_nano"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_union"), sum(col("term_nano")).as("jsd_nano"))
+      .withColumn("jsd_norm_micro",
+        floor(col("jsd_nano").cast("double") / 1e9 / log(lit(2.0)) * 1e6 + 0.5)
+          .cast("long"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Token-balanced output sharding — the write-side step of corpus
     * construction: assign every document to a training shard so each
     * shard carries ≈[[ShardTokenBudget]] tokens, in a stable hash
@@ -5480,6 +5553,7 @@ object LlmQueries {
     "q263_rbo_legs"       -> q263RboLegs,
     "q256_source_overlap" -> q256SourceOverlap,
     "q257_rank_agreement" -> q257RankAgreement,
+    "q264_js_divergence"  -> q264JsDivergence,
     "q231_coreset_greedy" -> q231CoresetGreedy,
     "q233_source_kl"      -> q233SourceKl,
     "q234_span_removal"   -> q234SpanRemoval,
@@ -6235,6 +6309,46 @@ object LlmQueries {
          |    * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_nano,
          |  CAST(count(*) AS BIGINT) AS v_terms
          |FROM grid GROUP BY source, n_s ORDER BY source""".stripMargin,
+    // q264: same (source, token) counts, same broadcast pair frame as a
+    // plain CTE, same full-outer union lattice; each union token's term
+    // is the identical NULL-masked double chain nano-floored before the
+    // exact per-pair integer sum; ln 2 re-grid in identical order
+    "q264_js_divergence" ->
+      s"""WITH tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($duckToks) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |marg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY 1),
+         |pairs AS (SELECT a.source AS sa, a.n_s AS na, b.source AS sb, b.n_s AS nb
+         |  FROM marg a JOIN marg b ON a.source < b.source),
+         |la AS (SELECT p.sa, p.sb, c.t, c.c AS ca
+         |  FROM tc c JOIN pairs p ON c.source = p.sa),
+         |lb AS (SELECT p.sa, p.sb, c.t, c.c AS cb
+         |  FROM tc c JOIN pairs p ON c.source = p.sb),
+         |un AS (SELECT coalesce(la.sa, lb.sa) AS sa, coalesce(la.sb, lb.sb) AS sb,
+         |    CAST(coalesce(la.ca, 0) AS BIGINT) AS ca,
+         |    CAST(coalesce(lb.cb, 0) AS BIGINT) AS cb
+         |  FROM la FULL OUTER JOIN lb
+         |    ON la.sa = lb.sa AND la.sb = lb.sb AND la.t = lb.t),
+         |terms AS (SELECT un.sa, un.sb, p.na, p.nb,
+         |    CAST(floor((
+         |      0.5 * coalesce(
+         |        (CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) / CAST(p.na AS DOUBLE) END)
+         |        * ln(2.0 * (CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) / CAST(p.na AS DOUBLE) END)
+         |          / (coalesce(CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) / CAST(p.na AS DOUBLE) END, 0.0)
+         |            + coalesce(CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) / CAST(p.nb AS DOUBLE) END, 0.0))), 0.0)
+         |      + 0.5 * coalesce(
+         |        (CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) / CAST(p.nb AS DOUBLE) END)
+         |        * ln(2.0 * (CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) / CAST(p.nb AS DOUBLE) END)
+         |          / (coalesce(CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) / CAST(p.na AS DOUBLE) END, 0.0)
+         |            + coalesce(CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) / CAST(p.nb AS DOUBLE) END, 0.0))), 0.0)
+         |    ) * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+         |  FROM un JOIN pairs p ON p.sa = un.sa AND p.sb = un.sb)
+         |SELECT sa, sb, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         |  CAST(count(*) AS BIGINT) AS n_union,
+         |  CAST(sum(term_nano) AS BIGINT) AS jsd_nano,
+         |  CAST(floor(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0 / ln(2.0)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS jsd_norm_micro
+         |FROM terms GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
     "q138_pagerank" -> duckPageRankSql,
     "q161_triangles" -> duckTrianglesSql,
     "q169_bfs_reach" -> duckBfsSql,

@@ -3206,6 +3206,106 @@ object ExtQueries {
       .orderBy(col("d"))
   }
 
+  /** Benjamini–Hochberg FDR step-up over a one-vs-rest KS drift battery
+    * (Benjamini & Hochberg 1995, JRSS-B 57(1)) — the MULTIPLICITY layer
+    * the monitor family was missing: q253/q242/q240 each test ONE
+    * hypothesis, but a production drift screen fires one test per
+    * segment every window, and alerting on raw per-test p-values at
+    * α = 0.05 false-alarms at a rate that grows with the segment count.
+    * BH caps the expected FALSE-DISCOVERY fraction instead: sort the m
+    * p-values ascending, find k = max{i : p₍ᵢ₎ ≤ i·α/m}, reject the k
+    * smallest. Battery here: for every event type g, the two-sample KS
+    * distance between g's cent-value distribution and the REST of the
+    * corpus (one-vs-rest — the standard segment-drift screen shape).
+    *
+    * The p-value is the DKW tail bound p = min(1, 2·exp(−2·d²·n_eff)),
+    * n_eff = n_g·n_rest/(n_g+n_rest) (Dvoretzky–Kiefer–Wolfowitz 1956
+    * with Massart's 1990 tight constant — the same bound that powers
+    * KS table lookups). It is deliberately a closed-form BOUND, not the
+    * asymptotic Kolmogorov CDF: (a) a conservative p keeps BH's FDR
+    * guarantee (rejections only shrink), and (b) it needs only exp(),
+    * which both engines evaluate as the same IEEE chain — Φ/erf-based
+    * p-values are NOT cross-engine exact. Exactness: D's numerator is
+    * the q253 cross-multiplied exact-integer max (DECIMAL(38,0)
+    * products); d, p are ONE double chain each off exact longs,
+    * micro-floored; every BH comparison is then pure-integer —
+    * p_microᵢ·m ≤ i·[[BhAlphaMicro]] — so the accept/reject set cannot
+    * drift on a float ulp. Ranks come from an m×m lexicographic
+    * self-join ((p, g) total order), not a global window.
+    *
+    * Scale shape: the lattice is (cent-value grid × event-type
+    * taxonomy) — value-domain × schema bounded, independent of event
+    * count; per-type cumulatives ride windows PARTITIONED by type
+    * (each partition grid-bounded, the q253 class); the corpus-wide
+    * cumulative rides [[graft.operators.DistributedSelect
+    * .globalPrefixSum]]; everything after the per-type max is an
+    * m-row frame (m = taxonomy size — broadcast class). d_num's
+    * long readback is exact to n_g·n_rest < 2⁶³ (the q253 bound);
+    * d_micro/p_micro stay exact-input at any scale. */
+  private[graft] val BhAlphaMicro = 50000L // α = 0.05 on the micro grid
+  private val q265BhFdr: Q = (s, dir) => {
+    import graft.operators.DistributedSelect
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+      .cache()
+    val gv = ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val grid = ev.groupBy(col("v")).agg(count(lit(1)).as("m")).cache()
+    require(grid.agg(min(col("v"))).head().getLong(0) >= 0L,
+      "q265: negative cent values — offset the value grid before the prefix sum")
+    val cumAll = DistributedSelect.globalPrefixSum(grid, "v", "m", "cum_all", 1L << 12)
+      .select(col("v"), col("cum_all"))
+    val groups = gv.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val nTot = ev.count()
+    val mHyp = groups.count() // taxonomy-bounded driver scalars
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = grid.select(col("v"))
+      .crossJoin(broadcast(groups.select(col("g")))) // grid × taxonomy lattice
+      .join(gv, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_g", sum(col("c")).over(wG))
+      .join(cumAll, "v")
+      .join(broadcast(groups), "g")
+      .withColumn("n_rest", lit(nTot) - col("n_g"))
+      .withColumn("dev", abs(col("cum_g").cast(d38) * col("n_rest").cast(d38)
+        - (col("cum_all") - col("cum_g")).cast(d38) * col("n_g").cast(d38)))
+      .groupBy(col("g"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_rest")).as("n_rest"),
+        max(col("dev")).as("dev"))
+    def dChain: Column =
+      col("dev").cast("double") / (col("n_g").cast("double") * col("n_rest").cast("double"))
+    val scored = dev.select(col("g"), col("n_g"), col("n_rest"),
+        col("dev").cast("long").as("d_num"),
+        floor(dChain * 1e6 + 0.5).cast("long").as("d_micro"),
+        floor(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * dChain * dChain
+          * (col("n_g").cast("double") * col("n_rest").cast("double")
+            / (col("n_g").cast("double") + col("n_rest").cast("double")))))
+          * 1e6 + 0.5).cast("long").as("p_micro"))
+      .cache() // m-row frame with FIVE consumers (rank legs, k, final) —
+               // uncached, each re-executes the full grid lattice; runner-scoped
+    val r1 = scored.select(col("g"), col("p_micro"))
+    val rnk = r1.toDF("g", "p")
+      .join(broadcast(r1.toDF("g2", "p2")),
+        col("p2") < col("p") || (col("p2") === col("p") && col("g2") <= col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("rnk")) // m×m, taxonomy-bounded
+    val kBh = rnk.join(broadcast(scored.select(col("g"), col("p_micro"))), "g")
+      .agg(coalesce(max(when(col("p_micro") * lit(mHyp)
+        <= col("rnk") * lit(BhAlphaMicro), col("rnk"))), lit(0L)).as("k_bh"))
+    scored.join(broadcast(rnk), "g")
+      .crossJoin(broadcast(kBh))
+      .select(col("g").as("event_type"), col("n_g"), col("n_rest"),
+        col("d_num"), col("d_micro"), col("p_micro"), col("rnk"),
+        lit(mHyp).as("m_hyp"),
+        (col("p_micro") * lit(mHyp) <= col("rnk") * lit(BhAlphaMicro))
+          .cast("long").as("bh_flag"),
+        col("k_bh"),
+        (col("rnk") <= col("k_bh")).cast("long").as("rejected"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) — the rank-based k-group
     * test completing q240's parametric ANOVA (the pairing every stats
     * text teaches: F when variances behave, H when they don't): do
@@ -3307,6 +3407,7 @@ object ExtQueries {
     "q242_kruskal_wallis" -> q242KruskalWallis,
     "q249_cusum_monitor" -> q249Cusum,
     "q253_ks_drift" -> q253KsDrift,
+    "q265_bh_fdr" -> q265BhFdr,
     "q254_ljung_box" -> q254LjungBox,
     "q259_pacf" -> q259Pacf,
     "q255_eb_shrinkage" -> q255EbShrinkage,
@@ -3667,6 +3768,60 @@ object ExtQueries {
         |    / (CAST(n_ref AS DOUBLE) * CAST(n_live AS DOUBLE))
         |    * 1000000.0 + 0.5) AS BIGINT) AS d_micro
         |FROM dev GROUP BY d, n_live, n_ref ORDER BY d""".stripMargin,
+    // q265: same cent grid, same one-vs-rest cross-multiplied exact KS
+    // numerator, same DKW double chain micro-floored, same m×m
+    // lexicographic rank join, same pure-integer BH comparisons
+    "q265_bh_fdr" ->
+      s"""WITH ev AS (SELECT event_type AS g,
+         |    CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+         |grid AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM ev GROUP BY v),
+         |cumall AS (SELECT v, CAST(sum(m) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+         |  FROM grid),
+         |groups AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM gv GROUP BY g),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+         |mh AS (SELECT CAST(count(*) AS BIGINT) AS m_hyp FROM groups),
+         |dense AS (SELECT gr.g, a.v, CAST(coalesce(x.c, 0) AS BIGINT) AS c
+         |  FROM (SELECT v FROM grid) a CROSS JOIN (SELECT g FROM groups) gr
+         |  LEFT JOIN gv x ON x.g = gr.g AND x.v = a.v),
+         |cum AS (SELECT g, v, CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+         |  FROM dense),
+         |dv AS (SELECT c.g, gp.n_g, t.n - gp.n_g AS n_rest,
+         |    abs(c.cum_g * (t.n - gp.n_g) - (ca.cum_all - c.cum_g) * gp.n_g) AS dev
+         |  FROM cum c JOIN cumall ca USING (v)
+         |  JOIN groups gp ON gp.g = c.g CROSS JOIN tot t),
+         |dmax AS (SELECT g, CAST(max(n_g) AS BIGINT) AS n_g,
+         |    CAST(max(n_rest) AS BIGINT) AS n_rest, max(dev) AS dev
+         |  FROM dv GROUP BY g),
+         |scored AS (SELECT g, n_g, n_rest, CAST(dev AS BIGINT) AS d_num,
+         |    CAST(floor(CAST(dev AS DOUBLE)
+         |      / (CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS d_micro,
+         |    CAST(floor(least(1.0, 2.0 * exp(-2.0
+         |      * (CAST(dev AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE)))
+         |      * (CAST(dev AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE)))
+         |      * (CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE)
+         |        / (CAST(n_g AS DOUBLE) + CAST(n_rest AS DOUBLE)))))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+         |  FROM dmax),
+         |rnk AS (SELECT a.g, CAST(count(*) AS BIGINT) AS rnk
+         |  FROM scored a JOIN scored b
+         |    ON b.p_micro < a.p_micro OR (b.p_micro = a.p_micro AND b.g <= a.g)
+         |  GROUP BY a.g),
+         |kq AS (SELECT CAST(coalesce(max(CASE WHEN s.p_micro * mh.m_hyp
+         |      <= r.rnk * $BhAlphaMicro THEN r.rnk END), 0) AS BIGINT) AS k_bh
+         |  FROM scored s JOIN rnk r USING (g) CROSS JOIN mh)
+         |SELECT s.g AS event_type, s.n_g, s.n_rest, s.d_num, s.d_micro,
+         |  s.p_micro, r.rnk, mh.m_hyp,
+         |  CAST(CASE WHEN s.p_micro * mh.m_hyp <= r.rnk * $BhAlphaMicro
+         |    THEN 1 ELSE 0 END AS BIGINT) AS bh_flag,
+         |  kq.k_bh,
+         |  CAST(CASE WHEN r.rnk <= kq.k_bh THEN 1 ELSE 0 END AS BIGINT) AS rejected
+         |FROM scored s JOIN rnk r USING (g) CROSS JOIN mh CROSS JOIN kq
+         |ORDER BY event_type""".stripMargin,
     "q230_chi_square" ->
       """WITH cells AS (SELECT event_type AS t,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,

@@ -1529,4 +1529,132 @@ class NewCanonsSpec extends SparkSpec {
       "undefined tau must pin the out-of-range sentinel, not NaN/null")
     spark.catalog.clearCache()
   }
+
+  test("q264 pairwise JSD equals a sequential union-vocab fold; nonnegative, " +
+      "bounded by ln 2, role-symmetric, and discriminates between pairs") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts: Map[String, Map[String, Long]] =
+      docs.groupBy(_._1).view.mapValues { ds =>
+        ds.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      }.toMap
+    val srcs = counts.keys.toSeq.sorted
+    // the engine's exact chain, folded sequentially: per union token one
+    // double chain nano-floored, exact long sum per pair
+    def jsdNano(ca: Map[String, Long], na: Long,
+                cb: Map[String, Long], nb: Long): (Long, Long) = {
+      val union = ca.keySet ++ cb.keySet
+      var acc = 0L
+      union.foreach { t =>
+        val xa = ca.getOrElse(t, 0L); val xb = cb.getOrElse(t, 0L)
+        val p = if (xa > 0) Some(xa.toDouble / na.toDouble) else None
+        val q = if (xb > 0) Some(xb.toDouble / nb.toDouble) else None
+        val m = p.getOrElse(0.0) + q.getOrElse(0.0)
+        val tA = p.map(pp => pp * math.log(2.0 * pp / m)).getOrElse(0.0)
+        val tB = q.map(qq => qq * math.log(2.0 * qq / m)).getOrElse(0.0)
+        acc += math.floor((0.5 * tA + 0.5 * tB) * 1e9 + 0.5).toLong
+      }
+      (acc, union.size.toLong)
+    }
+    val want = for { a <- srcs; b <- srcs if a < b } yield {
+      val na = counts(a).values.sum; val nb = counts(b).values.sum
+      val (jsd, nu) = jsdNano(counts(a), na, counts(b), nb)
+      (a, b, na, nb, nu, jsd,
+        math.floor(jsd.toDouble / 1e9 / math.log(2.0) * 1e6 + 0.5).toLong)
+    }
+    val got = LlmQueries.queries("q264_js_divergence")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === want, "pairwise JSD table diverged from the sequential fold")
+    // Lin 1991 bounds: 0 <= JSD <= ln 2 (norm in [0, 1e6]); the nano
+    // total may dip a few ulps under 0 only via flooring, so pin >= 0
+    // exactly (every per-token floor is symmetric around the true term)
+    assert(got.forall(r => r._6 >= 0L && r._7 >= 0L && r._7 <= 1000000L),
+      "JSD out of [0, ln 2]")
+    // role symmetry: swapping the pair's legs must reproduce the same
+    // nano total exactly (IEEE + is commutative; the chain is symmetric)
+    val (a0, b0) = (want.head._1, want.head._2)
+    val swapped = jsdNano(counts(b0), counts(b0).values.sum,
+      counts(a0), counts(a0).values.sum)._1
+    assert(swapped === want.head._6, "JSD must be order-free in its legs")
+    assert(got.map(_._6).distinct.length > 1,
+      "all source pairs equidistant — the statistic is vacuous on this corpus")
+    spark.catalog.clearCache()
+  }
+
+  test("q265 BH-FDR equals a driver sequential fold (exact KS numerators, DKW p, " +
+      "pure-integer step-up); ranks are a permutation; a shifted segment is rejected") {
+    def bhTable(pairs: Array[(String, Long)])
+        : Seq[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = pairs.length.toLong
+      val types = pairs.map(_._1).distinct.sorted
+      val m = types.length.toLong
+      val grid = pairs.map(_._2).distinct.sorted
+      val scored = types.map { g =>
+        val mine = pairs.collect { case (`g`, v) => v }
+        val ng = mine.length.toLong; val nr = n - ng
+        var best = BigInt(0)
+        grid.foreach { v =>
+          val cg = mine.count(_ <= v).toLong
+          val ca = pairs.count(_._2 <= v).toLong
+          val dev = (BigInt(cg) * BigInt(nr) - BigInt(ca - cg) * BigInt(ng)).abs
+          if (dev > best) best = dev
+        }
+        val d = best.toDouble / (ng.toDouble * nr.toDouble)
+        val neff = ng.toDouble * nr.toDouble / (ng.toDouble + nr.toDouble)
+        val p = math.min(1.0, 2.0 * math.exp(-2.0 * d * d * neff))
+        (g, ng, nr, best.toLong, math.floor(d * 1e6 + 0.5).toLong,
+          math.floor(p * 1e6 + 0.5).toLong)
+      }
+      val ranked = scored.map { case t @ (g, _, _, _, _, p) =>
+        (t, scored.count { case (g2, _, _, _, _, p2) =>
+          p2 < p || (p2 == p && g2 <= g) }.toLong)
+      }
+      val k = ranked.collect { case ((_, _, _, _, _, p), rnk)
+        if p * m <= rnk * 50000L => rnk }.foldLeft(0L)(math.max)
+      ranked.map { case ((g, ng, nr, dn, dm, p), rnk) =>
+        (g, ng, nr, dn, dm, p, rnk, m,
+          if (p * m <= rnk * 50000L) 1L else 0L, k, if (rnk <= k) 1L else 0L)
+      }.sortBy(_._1).toSeq
+    }
+    def collectPairs(dir: String): Array[(String, Long)] =
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          floor(round(col("value"), 2) * 100.0 + 0.5).cast("long").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    def runQ(dir: String) =
+      graft.queries.ExtQueries.queries("q265_bh_fdr")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9), r.getLong(10))).toSeq
+    val want = bhTable(collectPairs(sfDir))
+    val got = runQ(sfDir)
+    assert(got === want, "BH table diverged from the sequential fold")
+    assert(want.map(_._7).sorted === (1L to want.length.toLong),
+      "ranks must be a permutation of 1..m (the (p, g) order is total)")
+    // the corpus itself is homogeneous by construction — the screen must
+    // NOT fire there (a monitor that rejects on null data is miscalibrated)
+    assert(want.forall(_._11 === 0L),
+      "BH rejected a segment on the homogeneous corpus — check the DKW chain")
+    // reject path: graft a genuinely shifted clone segment and re-screen
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-bh-reject").toString
+    val base = Tables.events(spark, sfDir)
+    base.union(base.filter(col("event_type") === "purchase")
+        .withColumn("event_type", lit("shifted"))
+        .withColumn("value", col("value") + 500.0))
+      .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
+    val got2 = runQ(tmpDir)
+    assert(got2 === bhTable(collectPairs(tmpDir)),
+      "BH table diverged from the fold on the shifted fixture")
+    val sh = got2.find(_._1 == "shifted").get
+    assert(sh._11 === 1L, "a 500-unit shifted segment must be rejected")
+    // step-up closure: the rejected set is EXACTLY ranks <= k, never a
+    // flag-only subset (the property that distinguishes BH from per-test)
+    val k2 = got2.head._10
+    assert(got2.forall(r => (r._11 === 1L) === (r._7 <= k2)),
+      "rejected set must be the step-up prefix")
+    spark.catalog.clearCache()
+  }
 }
