@@ -3122,6 +3122,77 @@ object ExtQueries {
       .orderBy(col("d"))
   }
 
+  /** Two-sided Page–Hinkley changepoint trajectory (Page 1954; Hinkley
+    * 1971, Biometrika 58(3); the sequential-drift form surveyed in Gama
+    * et al. 2014) — the ADAPTIVE-mean member of the changepoint pair:
+    * q249's CUSUM judges every day against a FROZEN μ0 (right when a
+    * known reference regime exists), while PH judges day t against the
+    * RUNNING mean x̄_t of the monitored window itself — the
+    * REFERENCE-FREE detector drift-adaptation surveys recommend when no
+    * trustworthy baseline regime exists: deviations smaller than δ from
+    * the series' own mean never accumulate, whatever the level.
+    * m_t = Σ_{i≤t}(x_i − x̄_i − δ), alarm when m_t − min_{j≤t} m_j > λ
+    * (the mirrored sum catches drops). Post-alarm the statistic LATCHES
+    * while the shifted level persists — the cumulative mean decays the
+    * offset only like 1/t — which is why practice resets m after each
+    * alarm; this canon reports the raw un-reset trajectory (the reset
+    * policy is an alerting concern, [[graft.api.AlertRules]] grain).
+    * δ and λ still need units, so they are frozen from the first
+    * [[CusumBaselineDays]] days exactly like q249 (δ = μ0/50, λ = μ0/2,
+    * floor-division longs) — the baseline parameterizes the SCALE,
+    * never the mean PH adapts by itself; the trajectory starts at the
+    * cut (t indexes post-baseline days).
+    *
+    * Exactness: daily cent totals are exact longs; x_t − x̄_t is the
+    * exact integer (x_t·t − cum_t) divided by t as the row's ONE double
+    * op, floored (exact to |x·t − cum| < 2⁵³ — document-bounded like
+    * q253's d_num); both sides' increments are then exact longs, and
+    * the running sum / running min / subtraction are pure integer —
+    * the floor(a/t) vs floor(−a/t) asymmetry is MIRRORED operand-for-
+    * operand on both engines (never `div`: Spark `div` truncates toward
+    * zero, DuckDB `//` floors — the sign-dependent divergence the
+    * house rule exists for). Streaming twin:
+    * [[graft.streaming.StreamOps.pageHinkleyState]], prefix-bridged.
+    *
+    * Scale shape: one map-side-combinable daily aggregate, then
+    * windows over the CALENDAR-BOUNDED day grid (the q249/q222/q226
+    * allowlist class: days, never events, cross the window). */
+  private val q266PageHinkley: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+    val base = daily.orderBy(col("d")).limit(CusumBaselineDays)
+      .agg(count(lit(1)).as("nb"), max(col("d")).as("cut"), sum(col("v")).as("sb"))
+      .head()
+    require(base.getLong(0) == CusumBaselineDays.toLong,
+      s"q266: need $CusumBaselineDays baseline days to freeze the scale, " +
+        s"found ${base.getLong(0)}")
+    val cut = base.getLong(1)
+    val mu0 = Math.floorDiv(base.getLong(2), CusumBaselineDays.toLong)
+    val delta = Math.floorDiv(mu0, 50L)
+    val lambda = Math.floorDiv(mu0, 2L)
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.filter(col("d") > cut)
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cum", sum(col("v")).over(w))
+      .withColumn("term_pos",
+        floor((col("v") * col("t") - col("cum")).cast("double") / col("t"))
+          .cast("long") - lit(delta))
+      .withColumn("term_neg",
+        floor((col("cum") - col("v") * col("t")).cast("double") / col("t"))
+          .cast("long") - lit(delta))
+      .withColumn("m_pos", sum(col("term_pos")).over(w))
+      .withColumn("m_neg", sum(col("term_neg")).over(w))
+      .select(col("d"), col("v").as("v_cents"), col("t"),
+        (col("m_pos") - min(col("m_pos")).over(w)).as("ph_pos"),
+        (col("m_neg") - min(col("m_neg")).over(w)).as("ph_neg"))
+      .withColumn("alarm",
+        ((col("ph_pos") > lambda) || (col("ph_neg") > lambda)).cast("long"))
+      .orderBy(col("d"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov DRIFT trajectory (Kolmogorov 1933;
     * Smirnov 1948; Massey 1951 for the two-sample form) — the
     * DISTRIBUTION-shape member of the monitor family: q249's CUSUM
@@ -3406,6 +3477,7 @@ object ExtQueries {
     "q241_mann_kendall" -> q241MannKendall,
     "q242_kruskal_wallis" -> q242KruskalWallis,
     "q249_cusum_monitor" -> q249Cusum,
+    "q266_page_hinkley" -> q266PageHinkley,
     "q253_ks_drift" -> q253KsDrift,
     "q265_bh_fdr" -> q265BhFdr,
     "q254_ljung_box" -> q254LjungBox,
@@ -3768,6 +3840,41 @@ object ExtQueries {
         |    / (CAST(n_ref AS DOUBLE) * CAST(n_live AS DOUBLE))
         |    * 1000000.0 + 0.5) AS BIGINT) AS d_micro
         |FROM dev GROUP BY d, n_live, n_ref ORDER BY d""".stripMargin,
+    // q266: same daily cent totals and frozen-scale CTE as q249; the
+    // per-row mean deviation is the identical floor(CAST(num AS
+    // DOUBLE)/t) chain (never // — sign-dependent), every cumulative
+    // and running min pure BIGINT
+    "q266_page_hinkley" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |base AS (SELECT max(d) AS cut, CAST(sum(v) AS BIGINT) AS sb
+        |  FROM (SELECT d, v FROM daily ORDER BY d LIMIT 7)),
+        |par AS (SELECT cut, (sb // 7) // 50 AS delta, (sb // 7) // 2 AS lambda
+        |  FROM base),
+        |seq AS (SELECT d, v,
+        |    CAST(count(*) OVER w AS BIGINT) AS t,
+        |    CAST(sum(v) OVER w AS BIGINT) AS cum
+        |  FROM daily, par WHERE d > cut
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (SELECT d, v, t,
+        |    CAST(floor(CAST(v * t - cum AS DOUBLE) / t) AS BIGINT) - p.delta AS term_pos,
+        |    CAST(floor(CAST(cum - v * t AS DOUBLE) / t) AS BIGINT) - p.delta AS term_neg
+        |  FROM seq, par p),
+        |m AS (SELECT d, v, t,
+        |    CAST(sum(term_pos) OVER w2 AS BIGINT) AS m_pos,
+        |    CAST(sum(term_neg) OVER w2 AS BIGINT) AS m_neg
+        |  FROM terms
+        |  WINDOW w2 AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT d, v AS v_cents, t,
+        |  m_pos - min(m_pos) OVER w3 AS ph_pos,
+        |  m_neg - min(m_neg) OVER w3 AS ph_neg,
+        |  CAST(CASE WHEN (m_pos - min(m_pos) OVER w3) > p.lambda
+        |      OR (m_neg - min(m_neg) OVER w3) > p.lambda
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM m, par p
+        |WINDOW w3 AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
     // q265: same cent grid, same one-vs-rest cross-multiplied exact KS
     // numerator, same DKW double chain micro-floored, same m×m
     // lexicographic rank join, same pure-integer BH comparisons

@@ -1416,6 +1416,78 @@ object StreamOps {
       }
   }
 
+  final case class PhSnapshot(scope: String, nDays: Long, mu0Cents: Long,
+      phPos: Long, phNeg: Long, nAlarms: Long, alarmNow: Boolean,
+      defined: Boolean)
+
+  /** q266's streaming twin — the live ADAPTIVE-mean changepoint monitor
+    * pairing [[cusumMonitorState]] exactly the way batch q266 pairs
+    * q249: CUSUM judges against a frozen μ0, PH against the running
+    * mean of the monitored window itself (only a genuine change-point
+    * outruns it; a slow ramp re-centers). Per-scope state is the exact
+    * daily cent grid ([[DailyValue]] — plain sums, so the fold is
+    * order-robust and late arrivals land in their day, re-freezing the
+    * δ/λ scale when they touch a baseline day, exactly as the batch
+    * canon recomputed on the fuller table would). Every trigger replays
+    * q266's arithmetic verbatim over the sorted grid: δ = μ0/50 and
+    * λ = μ0/2 floor-division longs off the first `baselineDays` days,
+    * per-day mean deviation = floor((v·t − cum)/t) as the row's ONE
+    * double op (t, cum over post-cut days), running sums / running
+    * mins / ph = m − min(m) pure longs — so each snapshot equals the
+    * batch q266 tail over the stream prefix. n ≤ baselineDays prefixes
+    * report `defined = false` (the [[cusumMonitorState]] sentinel
+    * shape).
+    *
+    * Long bound (the [[ljungBoxState]] doc discipline): v·t wraps past
+    * v ≈ 2⁶³/t — a per-scope DAILY cent total near 10¹⁷ at t ≈ 100
+    * days — and the floor(double)/t chain leaves the exact-integer
+    * grid at |v·t − cum| ≈ 2⁵³; both bounds are the batch q266's own
+    * (documented there), and the twin must cross them exactly when the
+    * batch side does or prefix parity itself breaks — widen BOTH
+    * sides, never just this fold. */
+  def pageHinkleyState(vals: Dataset[DailyValue],
+      baselineDays: Int = 7): Dataset[PhSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], PhSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DailyValue],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { v =>
+            m = m.updated(v.d, m.getOrElse(v.d, 0L) + v.cents)
+          }
+          state.update(m)
+          val days = m.toSeq.sortBy(_._1)
+          val snap =
+            if (days.size <= baselineDays)
+              PhSnapshot(scope, days.size.toLong, 0L, 0L, 0L, 0L,
+                alarmNow = false, defined = false)
+            else {
+              val mu0 = Math.floorDiv(
+                days.take(baselineDays).map(_._2).sum, baselineDays.toLong)
+              val delta = Math.floorDiv(mu0, 50L)
+              val lambda = Math.floorDiv(mu0, 2L)
+              var t = 0L; var cum = 0L
+              var mPos = 0L; var mNeg = 0L
+              var minPos = Long.MaxValue; var minNeg = Long.MaxValue
+              var phPos = 0L; var phNeg = 0L; var nA = 0L; var alarmNow = false
+              days.drop(baselineDays).foreach { case (_, v) =>
+                t += 1; cum += v
+                mPos += math.floor((v * t - cum).toDouble / t).toLong - delta
+                mNeg += math.floor((cum - v * t).toDouble / t).toLong - delta
+                minPos = math.min(minPos, mPos); minNeg = math.min(minNeg, mNeg)
+                phPos = mPos - minPos; phNeg = mNeg - minNeg
+                alarmNow = phPos > lambda || phNeg > lambda
+                if (alarmNow) nA += 1
+              }
+              PhSnapshot(scope, days.size.toLong, mu0, phPos, phNeg, nA,
+                alarmNow, defined = true)
+            }
+          Iterator(snap)
+      }
+  }
+
   final case class LbSnapshot(scope: String, nDays: Long, syy: Long,
       qMicro: Long, reject: Long, defined: Boolean)
 

@@ -1657,4 +1657,75 @@ class NewCanonsSpec extends SparkSpec {
       "rejected set must be the step-up prefix")
     spark.catalog.clearCache()
   }
+
+  test("q266 Page-Hinkley equals a driver sequential fold; a level step alarms " +
+      "within 2 days, latches while it persists, and a constant series never fires") {
+    val B = 7
+    def phTable(daily: Seq[(Long, Long)])
+        : Seq[(Long, Long, Long, Long, Long, Long)] = {
+      val sorted = daily.sortBy(_._1)
+      val mu0 = Math.floorDiv(sorted.take(B).map(_._2).sum, B.toLong)
+      val delta = Math.floorDiv(mu0, 50L); val lambda = Math.floorDiv(mu0, 2L)
+      var t = 0L; var cum = 0L; var mPos = 0L; var mNeg = 0L
+      var minPos = Long.MaxValue; var minNeg = Long.MaxValue
+      sorted.drop(B).map { case (d, v) =>
+        t += 1; cum += v
+        mPos += math.floor((v * t - cum).toDouble / t).toLong - delta
+        mNeg += math.floor((cum - v * t).toDouble / t).toLong - delta
+        minPos = math.min(minPos, mPos); minNeg = math.min(minNeg, mNeg)
+        val pp = mPos - minPos; val pn = mNeg - minNeg
+        (d, v, t, pp, pn, if (pp > lambda || pn > lambda) 1L else 0L)
+      }
+    }
+    def collectDaily(dir: String): Seq[(Long, Long)] =
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+        .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def runQ(dir: String) =
+      graft.queries.ExtQueries.queries("q266_page_hinkley")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = phTable(collectDaily(sfDir))
+    val got = runQ(sfDir)
+    assert(got === want, "PH trajectory diverged from the sequential fold")
+    assert(want.exists(_._4 > 0L) && want.exists(_._5 > 0L),
+      "one-sided trajectories flat — vacuous detector")
+    // the detection contract, as a FIXTURE property (corpus-level alarm
+    // counts are SF-dependent — sf0.001's noisy daily means excite PH
+    // too): a 4x level step at day 11, one clean-cent event per day,
+    // pushed through the ENGINE. PH must be quiet before the step,
+    // catch it within ~2 days, and LATCH while the level persists (the
+    // running mean decays the offset only like 1/t — the reason
+    // practitioners reset after alarm; the scaladoc states it)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-ph-step").toString
+    import spark.implicits._
+    val step = (1L to 70L).map(d => (d, if (d <= 10L) 100.00 else 400.00))
+    step.toDF("day", "value")
+      .select((col("day") * 86400L).cast("timestamp").as("ts"),
+        lit("purchase").as("event_type"), col("value"),
+        col("day").as("event_id"), col("day").as("user_id"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
+    val stepGot = runQ(tmpDir)
+    assert(stepGot === phTable(collectDaily(tmpDir)),
+      "PH diverged from the fold on the step fixture")
+    val firstAlarm = stepGot.indexWhere(_._6 === 1L)
+    assert(firstAlarm >= 0, "a 4x level step must alarm")
+    assert(stepGot.take(firstAlarm).forall(r => r._1 <= 10L || r._6 === 0L)
+      && stepGot(firstAlarm)._1 >= 11L,
+      "no alarm may precede the step")
+    assert(stepGot(firstAlarm)._1 <= 13L,
+      "the step lands at day 11 — PH must catch it within ~2 days")
+    assert(stepGot.last._6 === 1L,
+      "the alarm must latch while the shifted level persists")
+    // and the null contract, driver-side: a CONSTANT series never
+    // excites either side (every term is exactly -delta, m rides its
+    // own running min, ph stays pinned at 0)
+    val flat = phTable((1L to 100L).map(d => (d, 10000L)))
+    assert(flat.forall(r => r._4 === 0L && r._5 === 0L && r._6 === 0L),
+      "PH excursion on a constant series — the null contract broke")
+    spark.catalog.clearCache()
+  }
 }
