@@ -2811,6 +2811,103 @@ object LlmQueries {
     trace.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** Newman–Girvan modularity of the q220 label-propagation communities
+    * (Newman & Girvan 2004, Phys. Rev. E 69; Newman 2006 for the
+    * degree-null form) — the QUALITY functional the graph tier was
+    * missing: q220 produces a partition but nothing scores it, and
+    * modularity Q = Σ_c [e_c/m − (d_c/2m)²] is the standard "is this
+    * community structure better than the degree-preserving random
+    * graph" yardstick (what Louvain greedily maximizes; LPA + Q-score
+    * is the classic cheap pipeline). Communities are the FINAL
+    * [[LpaRounds]]-round synchronous min-tiebreak LPA labels over the
+    * same hash-derived link graph every graph canon shares — the loop
+    * is re-run here rather than composed (the q261 lesson: canons stay
+    * frozen; a composed frame would couple two oracles).
+    *
+    * Expected READING on this corpus: Q ≈ 0 or slightly negative — and
+    * that is the functional doing its job, twice over. The link graph
+    * is hash-derived (Erdős–Rényi-like), so there is no community
+    * structure for ANY algorithm to find (max modularity of a random
+    * graph concentrates near 0), and synchronous min-tiebreak LPA is
+    * additionally prone to two-cycle label oscillation (the reason
+    * Raghavan et al. 2007 recommend async updates) — a production
+    * monitor scoring a clustering pipeline needs exactly this signal.
+    * The spec proves the functional DISCRIMINATES with a
+    * planted-partition fixture (two cliques + a bridge → Q ≈ ½).
+    *
+    * Exactness: e_c (intra-community edge count), d_c (community degree
+    * sum) and m (undirected edge count) are exact longs; each
+    * community's term is ONE double chain in identical operand order,
+    * micro-floored, and the corpus total is the exact long sum of the
+    * floored terms (never a variable-length double sum). Isolated
+    * vertices carry e_c = d_c = 0 → term 0 (their singleton communities
+    * are listed, not dropped — Q's definition sums over ALL parts).
+    *
+    * Scale shape: the LPA loop is the q220 plan (per-round pinned
+    * frames, edge-keyed shuffles, O(E) per round); scoring adds two
+    * label joins on the edge list (linear, key = vertex), a degree
+    * aggregate, and a per-community aggregate — nothing quadratic, no
+    * windows. Output is one row per community (≤ N, and in practice
+    * the LPA collapse count). */
+  private val q267Modularity: Q = (s, dir) => {
+    val docs = linkGraphDocs(s, dir).cache()
+    val n = docs.count()
+    val undC = linkGraphRawEdges(docs, n)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val und = s.createDataFrame(undC.rdd, undC.schema)
+    val mEdges = undC.count()
+    var lblC = docs.select(col("idx").as("v"), col("idx").as("lbl")).cache()
+    var labels = s.createDataFrame(lblC.rdd, lblC.schema)
+    lblC.count()
+    val nbrs = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+    for (_ <- 1 to LpaRounds) {
+      val counts = nbrs.join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val mode = counts
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("new_lbl"))
+      val stepC = labels.select(col("v"), col("lbl").as("old_lbl"))
+        .join(mode, Seq("v"), "left")
+        .select(col("v"), coalesce(col("new_lbl"), col("old_lbl")).as("lbl"))
+        .cache()
+      val step = s.createDataFrame(stepC.rdd, stepC.schema)
+      stepC.count()
+      lblC.unpersist() // single consumer per round — the q217 cadence
+      lblC = stepC
+      labels = step
+    }
+    docs.unpersist() // consumed by the und build + label init above
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val ec = und
+      .join(labels.select(col("v").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("v").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val dc = labels.join(deg, Seq("v"), "left")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("dg")), lit(0L)).as("d_c"))
+    val mD = lit(mEdges).cast("double")
+    val terms = dc.join(ec, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .withColumn("q_micro",
+        floor((col("e_c").cast("double") / mD
+          - (col("d_c").cast("double") / (lit(2.0) * mD))
+            * (col("d_c").cast("double") / (lit(2.0) * mD))) * 1e6 + 0.5)
+          .cast("long"))
+    val tot = terms.agg(sum(col("q_micro")).as("q_total_micro"),
+      count(lit(1)).as("n_communities"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("lbl"), col("n_nodes"), col("e_c"), col("d_c"),
+        col("q_micro"), col("n_communities"), col("q_total_micro"))
+      .orderBy(col("lbl"))
+  }
+
   /** Greedy facility-location coreset selection (stochastic greedy —
     * Mirzasoleiman et al., AAAI 2015 "Lazier than lazy greedy";
     * facility location is THE submodular objective of data-selection
@@ -5543,6 +5640,7 @@ object LlmQueries {
     "q183_heavy_hitters"  -> q183HeavyHitters,
     "q194_kcore"          -> q194Kcore,
     "q220_label_prop"     -> q220LabelProp,
+    "q267_modularity"     -> q267Modularity,
     "q227_good_turing"    -> q227GoodTuring,
     "q228_zipf_fit"       -> q228ZipfFit,
     "q251_kneser_ney"     -> q251KneserNey,
@@ -5900,7 +5998,12 @@ object LlmQueries {
   /** q220: the same synchronous LPA rounds unrolled as MATERIALIZED
     * CTEs; the mode-with-min-tie-break is a max-count window + min-label
     * group — the declarative spec the Spark struct-argmax must equal. */
-  private lazy val duckLpaSql: String = {
+  /** Shared LPA CTE prefix (docs/links/und/nbrs + the [[LpaRounds]]
+    * synchronous min-tiebreak rounds `l1..lR`) — q220's oracle reads
+    * the per-round trace off it, q267's modularity scores the final
+    * `l[[LpaRounds]]` partition. One text, two oracles: the partition
+    * CANNOT silently diverge between them. */
+  private lazy val duckLpaCTEs: String = {
     val hash = duckTokHash("CAST(d.idx AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
     val rounds = (1 to LpaRounds).map { r =>
       s"""c$r AS (SELECT n.v, l.lbl, count(*) AS cnt
@@ -5912,13 +6015,7 @@ object LlmQueries {
          |    coalesce(m.new_lbl, p.lbl) AS lbl
          |  FROM l${r - 1} p LEFT JOIN m$r m ON m.v = p.v)""".stripMargin
     }.mkString(",\n")
-    val trace = (1 to LpaRounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round,
-         |  CAST((SELECT count(*) FROM l$r WHERE lbl <> old_lbl) AS BIGINT) AS n_changed,
-         |  CAST((SELECT count(DISTINCT lbl) FROM l$r) AS BIGINT) AS n_communities,
-         |  CAST((SELECT sum(lbl) FROM l$r) AS BIGINT) AS lbl_checksum""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH docs AS (SELECT doc_id,
+    s"""docs AS (SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
        |  FROM documents),
        |nn AS (SELECT count(*) AS n FROM docs),
@@ -5929,10 +6026,47 @@ object LlmQueries {
        |nbrs AS MATERIALIZED (SELECT a AS v, b AS u FROM und
        |  UNION ALL SELECT b, a FROM und),
        |l0 AS (SELECT idx AS v, idx AS old_lbl, idx AS lbl FROM docs),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val duckLpaSql: String = {
+    val trace = (1 to LpaRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT count(*) FROM l$r WHERE lbl <> old_lbl) AS BIGINT) AS n_changed,
+         |  CAST((SELECT count(DISTINCT lbl) FROM l$r) AS BIGINT) AS n_communities,
+         |  CAST((SELECT sum(lbl) FROM l$r) AS BIGINT) AS lbl_checksum""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $duckLpaCTEs
        |$trace
        |ORDER BY round""".stripMargin
   }
+
+  /** q267's oracle: the same shared LPA partition ([[duckLpaCTEs]]),
+    * the same exact e_c/d_c/m longs, each community's term the
+    * identical double chain micro-floored, the total an exact sum of
+    * the floored terms. */
+  private lazy val duckModularitySql: String =
+    s"""WITH $duckLpaCTEs,
+       |lab AS MATERIALIZED (SELECT v, lbl FROM l$LpaRounds),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM nbrs GROUP BY v),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |ec AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM und u JOIN lab la ON la.v = u.a JOIN lab lb ON lb.v = u.b
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |dc AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(coalesce(sum(d.dg), 0) AS BIGINT) AS d_c
+       |  FROM lab l LEFT JOIN deg d ON d.v = l.v GROUP BY l.lbl),
+       |terms AS MATERIALIZED (SELECT dc.lbl, dc.n_nodes,
+       |    CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c, dc.d_c,
+       |    CAST(floor((CAST(coalesce(ec.e_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       |      - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+       |        * (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+       |  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl CROSS JOIN mm),
+       |tot AS (SELECT CAST(sum(q_micro) AS BIGINT) AS q_total_micro,
+       |    CAST(count(*) AS BIGINT) AS n_communities FROM terms)
+       |SELECT lbl, n_nodes, e_c, d_c, q_micro, n_communities, q_total_micro
+       |FROM terms CROSS JOIN tot ORDER BY lbl""".stripMargin
 
   /** q231: the same stochastic-greedy rounds unrolled as MATERIALIZED
     * CTEs — same absolute-size hash-order pools (ORDER BY salted hash,
@@ -6358,6 +6492,7 @@ object LlmQueries {
     "q180_assortativity" -> duckAssortativitySql,
     "q194_kcore" -> duckKcoreSql,
     "q220_label_prop" -> duckLpaSql,
+    "q267_modularity" -> duckModularitySql,
     // q227: identical freq-of-freq grid; r* and P0 are one double
     // division each in identical order
     "q227_good_turing" ->

@@ -1728,4 +1728,85 @@ class NewCanonsSpec extends SparkSpec {
       "PH excursion on a constant series — the null contract broke")
     spark.catalog.clearCache()
   }
+
+  test("q267 modularity equals a driver fold over the same LPA partition; " +
+      "degree identity holds; the functional discriminates a planted partition") {
+    // the exact q_micro fold the engine plans, shared by both halves
+    def modTable(und: Seq[(Long, Long)], lbl: Map[Long, Long])
+        : Seq[(Long, Long, Long, Long, Long)] = {
+      val m = und.length.toLong
+      val deg = (und ++ und.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.length.toLong).toMap
+      val ecM = und.filter { case (a, b) => lbl(a) == lbl(b) }
+        .groupBy { case (a, _) => lbl(a) }.view.mapValues(_.length.toLong).toMap
+      lbl.groupBy(_._2).toSeq.map { case (c, members) =>
+        // .toSeq first: Map.keys is set-backed and .map would collapse
+        // equal degree values before the sum (the house Set.map gotcha)
+        val dc = members.keys.toSeq.map(v => deg.getOrElse(v, 0L)).sum
+        val ec = ecM.getOrElse(c, 0L)
+        val q = math.floor((ec.toDouble / m.toDouble
+          - (dc.toDouble / (2.0 * m.toDouble)) * (dc.toDouble / (2.0 * m.toDouble)))
+          * 1e6 + 0.5).toLong
+        (c, members.size.toLong, ec, dc, q)
+      }.sortBy(_._1)
+    }
+    // same graph + LPA as the q220 spec, to FINAL labels
+    val docs = LlmQueries.linkGraphDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val n = docs.length.toLong
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val und = (for {
+      (_, idx) <- docs
+      j <- 1 to 3
+      dst = tokHash(s"$idx#$j") % n
+      if dst != idx
+    } yield (math.min(idx, dst), math.max(idx, dst))).distinct.toSeq
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = docs.map { case (_, idx) => idx -> idx }.toMap
+    (1 to 4).foreach { _ =>
+      lbl = lbl.map { case (v, old) =>
+        val counts = nbrs.getOrElse(v, Seq.empty[Long]).groupBy(lbl)
+          .view.mapValues(_.length).toSeq
+        if (counts.isEmpty) v -> old
+        else {
+          val mx = counts.map(_._2).max
+          v -> counts.filter(_._2 == mx).map(_._1).min
+        }
+      }
+    }
+    val want = modTable(und, lbl)
+    val wantTot = want.map(_._5).sum
+    val got = LlmQueries.queries("q267_modularity")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) === want,
+      "per-community modularity table diverged from the sequential fold")
+    assert(got.forall(r => r._6 === want.length.toLong && r._7 === wantTot),
+      "community count / total diverged")
+    // structural identities: every degree end is in exactly one
+    // community, every intra edge counted once
+    assert(got.map(_._4).sum === 2L * und.length, "sum d_c must equal 2m")
+    assert(got.map(_._3).sum <= und.length.toLong, "sum e_c cannot exceed m")
+    assert(got.map(_._2).sum === n, "communities must partition the vertices")
+    // the honest corpus reading: the link graph is hash-random, so NO
+    // partition scores well — |Q| must sit near 0 (a large |Q| here
+    // would mean the fold or the graph derivation drifted)
+    assert(math.abs(wantTot) < 100000L,
+      s"|Q| = $wantTot on an Erdos-Renyi-like graph — structure appeared from nowhere")
+    // discrimination, via the SAME fold proven equal to the engine
+    // above: two 12-cliques joined by one bridge, true labels → Q ≈ ½;
+    // the all-one-community partition on the same graph → Q = 0
+    val cliques = (for {
+      blk <- 0 to 1; i <- 0 until 12; j <- (i + 1) until 12
+    } yield (blk * 12L + i, blk * 12L + j)) :+ (0L, 12L)
+    val planted = (0L until 24L).map(v => v -> (if (v < 12L) 0L else 1L)).toMap
+    val plantedQ = modTable(cliques, planted).map(_._5).sum
+    val trivialQ = modTable(cliques, (0L until 24L).map(_ -> 0L).toMap).map(_._5).sum
+    assert(plantedQ > 400000L,
+      s"planted two-clique partition scored $plantedQ — the functional is blind")
+    assert(trivialQ === 0L,
+      "the one-community partition must score exactly 0 (e_c = m, d_c = 2m)")
+    spark.catalog.clearCache()
+  }
 }
