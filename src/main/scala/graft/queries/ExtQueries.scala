@@ -3277,6 +3277,79 @@ object ExtQueries {
       .orderBy(col("d"))
   }
 
+  /** Burstiness and memory of the per-type arrival process (Goh &
+    * Barabási 2008, EPL 81, 48002) — the event-TIMING member of the
+    * monitor family: every other monitor asks about the VALUE series;
+    * this asks whether arrivals themselves cluster. Over each type's
+    * daily-count series: B = (σ − μ)/(σ + μ) ∈ [−1, 1] (−1 a perfectly
+    * regular process, 0 Poisson, → 1 maximally bursty), the Fano
+    * factor σ²/μ (the dispersion index — 1 at Poisson), and the memory
+    * coefficient M = lag-1 Pearson of consecutive days (Goh–Barabási's
+    * second axis: bursts can be independent or self-exciting). Daily
+    * counts rather than raw interevent gaps is the deliberate SCALE
+    * form: gap statistics need a per-type global sort of every event,
+    * while the daily grid is one map-side-combinable aggregate and
+    * calendar-bounded windows (documented; at Poisson rates the two
+    * B readings are equivalent signals of the same clustering).
+    *
+    * Exactness: counts and all five lag moments are exact longs
+    * (c² ≈ 10¹⁴ at 10⁷ events/day — int64-safe far past bench scale;
+    * the q242-style DECIMAL widen is the documented path beyond); B,
+    * Fano, M are ONE double chain each, micro-floored; M's zero-
+    * variance denominator is NULL-MASKED (`when(denom > 0)`) never
+    * branch-guarded — the r14 ANSI rule — and pins the −2·10⁶
+    * sentinel (the q250 convention) when either side's variance
+    * vanishes or the series has a single day. A constant series is
+    * NOT degenerate for B: σ = 0 gives B = −1 exactly (the definition
+    * working, not failing).
+    *
+    * Scale shape: one (type × day) aggregate, a lead(1) window
+    * PARTITIONED by type over the calendar-bounded day grid, two
+    * taxonomy-sized aggregates — no global window, nothing event-
+    * quadratic. */
+  private val q268Burstiness: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("g"),
+        expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // moment + lag consumers; runner-scoped
+    val mom = daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("d"))
+    val lagged = daily
+      .withColumn("cn", lead(col("c"), 1).over(wG))
+      .filter(col("cn").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("k"), sum(col("c")).as("sx"), sum(col("cn")).as("sy"),
+        sum(col("c") * col("c")).as("sxx"), sum(col("cn") * col("cn")).as("syy"),
+        sum(col("c") * col("cn")).as("sxy"))
+    val nD = col("n").cast("double")
+    val mu = col("sc").cast("double") / nD
+    val varPop = (nD * col("sc2").cast("double")
+      - col("sc").cast("double") * col("sc").cast("double")) / (nD * nD)
+    val sigma = sqrt(varPop)
+    val kD = col("k").cast("double")
+    // parenthesized continuations: a leading `-` on a new line is a
+    // SEPARATE discarded statement under semicolon inference
+    val vx = (kD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val vy = (kD * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    val num = (kD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+    val denom = sqrt(vx * vy)
+    mom.join(lagged, Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n").as("n_days"),
+        col("sc").as("n_events"),
+        floor((sigma - mu) / (sigma + mu) * 1e6 + 0.5).cast("long").as("b_micro"),
+        floor(varPop / mu * 1e6 + 0.5).cast("long").as("fano_micro"),
+        coalesce(floor(num / when(denom > 0.0, denom) * 1e6 + 0.5).cast("long"),
+          lit(-2000000L)).as("memory_micro"),
+        coalesce(col("k"), lit(0L)).as("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
   /** Benjamini–Hochberg FDR step-up over a one-vs-rest KS drift battery
     * (Benjamini & Hochberg 1995, JRSS-B 57(1)) — the MULTIPLICITY layer
     * the monitor family was missing: q253/q242/q240 each test ONE
@@ -3480,6 +3553,7 @@ object ExtQueries {
     "q266_page_hinkley" -> q266PageHinkley,
     "q253_ks_drift" -> q253KsDrift,
     "q265_bh_fdr" -> q265BhFdr,
+    "q268_burstiness" -> q268Burstiness,
     "q254_ljung_box" -> q254LjungBox,
     "q259_pacf" -> q259Pacf,
     "q255_eb_shrinkage" -> q255EbShrinkage,
@@ -3875,6 +3949,54 @@ object ExtQueries {
         |FROM m, par p
         |WINDOW w3 AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY d""".stripMargin,
+    // q268: same (type × day) count grid, same five exact lag moments
+    // off the consecutive-day lead, identical B/Fano/M double chains
+    // micro-floored, same zero-variance sentinel
+    "q268_burstiness" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM daily GROUP BY g),
+        |lagd AS (SELECT g, c,
+        |    lead(c, 1) OVER (PARTITION BY g ORDER BY d) AS cn
+        |  FROM daily),
+        |lagm AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(c) AS BIGINT) AS sx, CAST(sum(cn) AS BIGINT) AS sy,
+        |    CAST(sum(c * c) AS BIGINT) AS sxx, CAST(sum(cn * cn) AS BIGINT) AS syy,
+        |    CAST(sum(c * cn) AS BIGINT) AS sxy
+        |  FROM lagd WHERE cn IS NOT NULL GROUP BY g)
+        |SELECT m.g AS event_type, m.n AS n_days, m.sc AS n_events,
+        |  CAST(floor((sqrt((CAST(m.n AS DOUBLE) * CAST(m.sc2 AS DOUBLE)
+        |        - CAST(m.sc AS DOUBLE) * CAST(m.sc AS DOUBLE))
+        |        / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)))
+        |      - CAST(m.sc AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |    / (sqrt((CAST(m.n AS DOUBLE) * CAST(m.sc2 AS DOUBLE)
+        |        - CAST(m.sc AS DOUBLE) * CAST(m.sc AS DOUBLE))
+        |        / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)))
+        |      + CAST(m.sc AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS b_micro,
+        |  CAST(floor((CAST(m.n AS DOUBLE) * CAST(m.sc2 AS DOUBLE)
+        |      - CAST(m.sc AS DOUBLE) * CAST(m.sc AS DOUBLE))
+        |    / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))
+        |    / (CAST(m.sc AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS fano_micro,
+        |  CAST(coalesce(floor((CAST(l.k AS DOUBLE) * CAST(l.sxy AS DOUBLE)
+        |      - CAST(l.sx AS DOUBLE) * CAST(l.sy AS DOUBLE))
+        |    / (CASE WHEN sqrt((CAST(l.k AS DOUBLE) * CAST(l.sxx AS DOUBLE)
+        |          - CAST(l.sx AS DOUBLE) * CAST(l.sx AS DOUBLE))
+        |        * (CAST(l.k AS DOUBLE) * CAST(l.syy AS DOUBLE)
+        |          - CAST(l.sy AS DOUBLE) * CAST(l.sy AS DOUBLE))) > 0.0
+        |      THEN sqrt((CAST(l.k AS DOUBLE) * CAST(l.sxx AS DOUBLE)
+        |          - CAST(l.sx AS DOUBLE) * CAST(l.sx AS DOUBLE))
+        |        * (CAST(l.k AS DOUBLE) * CAST(l.syy AS DOUBLE)
+        |          - CAST(l.sy AS DOUBLE) * CAST(l.sy AS DOUBLE))) END)
+        |    * 1000000.0 + 0.5), -2000000) AS BIGINT) AS memory_micro,
+        |  CAST(coalesce(l.k, 0) AS BIGINT) AS n_pairs
+        |FROM mom m LEFT JOIN lagm l ON l.g = m.g
+        |ORDER BY event_type""".stripMargin,
     // q265: same cent grid, same one-vs-rest cross-multiplied exact KS
     // numerator, same DKW double chain micro-floored, same m×m
     // lexicographic rank join, same pure-integer BH comparisons

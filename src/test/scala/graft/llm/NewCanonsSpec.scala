@@ -1809,4 +1809,76 @@ class NewCanonsSpec extends SparkSpec {
       "the one-community partition must score exactly 0 (e_c = m, d_c = 2m)")
     spark.catalog.clearCache()
   }
+
+  test("q268 burstiness/memory equals a driver moment fold; Goh-Barabasi bounds hold; " +
+      "a metronome series pins B = -1, Fano = 0 and the memory sentinel") {
+    def fold(daily: Seq[(String, Long, Long)])
+        : Seq[(String, Long, Long, Long, Long, Long, Long)] =
+      daily.groupBy(_._1).toSeq.map { case (g, rows) =>
+        val cs = rows.sortBy(_._2).map(_._3)
+        val n = cs.length.toLong
+        val sc = cs.sum; val sc2 = cs.map(c => c * c).sum
+        val nD = n.toDouble
+        val mu = sc.toDouble / nD
+        val varPop = (nD * sc2.toDouble - sc.toDouble * sc.toDouble) / (nD * nD)
+        val sigma = math.sqrt(varPop)
+        val pairs = cs.zip(cs.drop(1))
+        val k = pairs.length.toLong
+        val mem =
+          if (k == 0) -2000000L
+          else {
+            val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+            val sxx = pairs.map(p => p._1 * p._1).sum
+            val syy = pairs.map(p => p._2 * p._2).sum
+            val sxy = pairs.map(p => p._1 * p._2).sum
+            val kD = k.toDouble
+            val vx = kD * sxx.toDouble - sx.toDouble * sx.toDouble
+            val vy = kD * syy.toDouble - sy.toDouble * sy.toDouble
+            val num = kD * sxy.toDouble - sx.toDouble * sy.toDouble
+            val den = math.sqrt(vx * vy)
+            if (den > 0.0) math.floor(num / den * 1e6 + 0.5).toLong else -2000000L
+          }
+        (g, n, sc,
+          math.floor((sigma - mu) / (sigma + mu) * 1e6 + 0.5).toLong,
+          math.floor(varPop / mu * 1e6 + 0.5).toLong, mem, k)
+      }.sortBy(_._1)
+    def collectDaily(dir: String): Seq[(String, Long, Long)] =
+      Tables.events(spark, dir)
+        .groupBy(col("event_type").as("g"),
+          expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def runQ(dir: String) =
+      graft.queries.ExtQueries.queries("q268_burstiness")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val want = fold(collectDaily(sfDir))
+    val got = runQ(sfDir)
+    assert(got === want, "burstiness table diverged from the sequential fold")
+    // Goh-Barabasi ranges: B in [-1, 1], memory in [-1, 1] or sentinel,
+    // Fano >= 0; and the corpus must excite the statistic (all five
+    // types identical would be vacuous)
+    assert(got.forall(r => r._4 >= -1000000L && r._4 <= 1000000L))
+    assert(got.forall(r => r._5 >= 0L))
+    assert(got.forall(r =>
+      (r._6 >= -1000000L && r._6 <= 1000000L) || r._6 === -2000000L))
+    assert(got.map(_._4).distinct.length > 1,
+      "all types equally bursty — vacuous on this corpus")
+    // metronome fixture through the ENGINE: one event per day, so the
+    // daily-count series is constant — the definition's own limits:
+    // sigma = 0 gives B = -1 and Fano = 0 EXACTLY, and the memory
+    // denominator vanishes into the sentinel (not a NaN, not a crash)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-burst-flat").toString
+    import spark.implicits._
+    (1L to 10L).toDF("day")
+      .select((col("day") * 86400L).cast("timestamp").as("ts"),
+        lit("flat").as("event_type"), lit(5.00).as("value"),
+        col("day").as("event_id"), col("day").as("user_id"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
+    val flat = runQ(tmpDir)
+    assert(flat === Seq(("flat", 10L, 10L, -1000000L, 0L, -2000000L, 9L)),
+      "metronome series must pin B = -1, Fano = 0, memory sentinel")
+    spark.catalog.clearCache()
+  }
 }
