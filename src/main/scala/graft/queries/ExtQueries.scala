@@ -3277,6 +3277,78 @@ object ExtQueries {
       .orderBy(col("d"))
   }
 
+  /** Hoeffding-bound adaptive cut detection — the ADWIN cut condition
+    * (Bifet & Gavaldà 2007, SIAM SDM, the ADWIN0 test) applied
+    * retrospectively at every prefix of the daily series: at day T,
+    * does ANY contiguous split of days 1..T into W₀·W₁ show
+    * |μ̂₀ − μ̂₁| > ε_cut(n₀, n₁)? ADWIN's value over the rest of the
+    * changepoint family (q249 CUSUM needs a tuned λ, q266 PH a tuned
+    * δ/λ) is that its threshold is CALIBRATED: ε_cut = R·√(ln(4T/δ) /
+    * (2m)) with harmonic m = n₀n₁/(n₀+n₁) gives a δ-controlled false-
+    * alarm rate from Hoeffding's inequality alone — no tuning, only a
+    * confidence. This canon runs the cut TEST exhaustively per prefix
+    * (the full ADWIN also SHRINKS its window after each detection —
+    * that recursion is a stream concern, and the window state is
+    * exactly what a `GroupState` twin would carry; the batch form
+    * reports every prefix's verdict against the full history). R is
+    * the plug-in prefix range max−min (Hoeffding needs a bound;
+    * documented, standard in implementations). δ = 0.05.
+    *
+    * Exactness: daily cent totals, prefix sums, running min/max and
+    * every (T, n₀) pair's n-counts are exact longs; |μ̂₀ − μ̂₁| and
+    * ε_cut are ONE double chain each off exact operands, micro-floored;
+    * detection is the pure-integer compare dmu_micro > eps_micro and
+    * the per-prefix best cut is the exact lexicographic max
+    * (excess DESC, n₀ ASC) — no float reaches a decision. T = 1 has no
+    * cut: the row pins n0_best = −1 and the −2·10⁶ sentinels.
+    *
+    * Scale shape: one daily aggregate; running windows over the
+    * CALENDAR-BOUNDED day grid (the q249/q266 allowlist class); the
+    * cut lattice is the calendar × calendar self-join (≤ 366² rows,
+    * value-domain independent — the q222 Theil–Sen pair class). */
+  private val q269AdwinCut: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+      .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("rng", max(col("v")).over(w) - min(col("v")).over(w))
+      .cache() // both sides of the cut lattice; runner-scoped
+    val cuts = pre.select(col("d"), col("t"), col("s"), col("rng"))
+      .join(pre.select(col("t").as("n0"), col("s").as("s0")), col("n0") < col("t"))
+    val n1 = col("t") - col("n0")
+    val dmu = abs(col("s0").cast("double") / col("n0").cast("double")
+      - (col("s") - col("s0")).cast("double") / n1.cast("double"))
+    val mH = (col("n0").cast("double") * n1.cast("double")
+      / (col("n0").cast("double") + n1.cast("double")))
+    val eps = (col("rng").cast("double")
+      * sqrt(log(lit(4.0) * col("t").cast("double") / 0.05) / (lit(2.0) * mH)))
+    val scored = cuts.select(col("d"), col("t"), col("n0"),
+        floor(dmu * 1e6 + 0.5).cast("long").as("dmu_micro"),
+        floor(eps * 1e6 + 0.5).cast("long").as("eps_micro"))
+      .withColumn("excess", col("dmu_micro") - col("eps_micro"))
+    val best = scored
+      .groupBy(col("d"), col("t"))
+      .agg(max(struct(col("excess"), (-col("n0")).as("nn"),
+        col("dmu_micro"), col("eps_micro"))).as("b"))
+      .select(col("d"), col("t"), (-col("b.nn")).as("n0_best"),
+        col("b.dmu_micro").as("dmu_micro"), col("b.eps_micro").as("eps_micro"),
+        (col("b.excess") > 0L).cast("long").as("detected"))
+    pre.select(col("d"), col("t"), col("v").as("v_cents"))
+      .join(best.drop("t"), Seq("d"), "left")
+      .select(col("d"), col("t"), col("v_cents"),
+        coalesce(col("n0_best"), lit(-1L)).as("n0_best"),
+        coalesce(col("dmu_micro"), lit(-2000000L)).as("dmu_micro"),
+        coalesce(col("eps_micro"), lit(-2000000L)).as("eps_micro"),
+        coalesce(col("detected"), lit(0L)).as("detected"))
+      .withColumn("alarmed_by", max(col("detected")).over(w))
+      .orderBy(col("d"))
+  }
+
   /** Burstiness and memory of the per-type arrival process (Goh &
     * Barabási 2008, EPL 81, 48002) — the event-TIMING member of the
     * monitor family: every other monitor asks about the VALUE series;
@@ -3554,6 +3626,7 @@ object ExtQueries {
     "q253_ks_drift" -> q253KsDrift,
     "q265_bh_fdr" -> q265BhFdr,
     "q268_burstiness" -> q268Burstiness,
+    "q269_adwin_cut" -> q269AdwinCut,
     "q254_ljung_box" -> q254LjungBox,
     "q259_pacf" -> q259Pacf,
     "q255_eb_shrinkage" -> q255EbShrinkage,
@@ -3948,6 +4021,47 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM m, par p
         |WINDOW w3 AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
+    // q269: same daily cent grid and running prefix/range windows, same
+    // calendar² cut lattice, identical dmu/eps double chains
+    // micro-floored, same pure-integer detection and (excess DESC,
+    // n0 ASC) best-cut order
+    "q269_adwin_cut" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(sum(CAST(floor(round(value, 2) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |pre AS (SELECT d, v,
+        |    CAST(count(*) OVER w AS BIGINT) AS t,
+        |    CAST(sum(v) OVER w AS BIGINT) AS s,
+        |    CAST(max(v) OVER w - min(v) OVER w AS BIGINT) AS rng
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cuts AS (SELECT a.d, a.t, a.s, a.rng, b.t AS n0, b.s AS s0
+        |  FROM pre a JOIN pre b ON b.t < a.t),
+        |scored AS (SELECT d, t, n0,
+        |    CAST(floor(abs(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - CAST(s - s0 AS DOUBLE) / CAST(t - n0 AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS dmu_micro,
+        |    CAST(floor(CAST(rng AS DOUBLE)
+        |      * sqrt(ln(4.0 * CAST(t AS DOUBLE) / 0.05)
+        |        / (2.0 * (CAST(n0 AS DOUBLE) * CAST(t - n0 AS DOUBLE)
+        |          / (CAST(n0 AS DOUBLE) + CAST(t - n0 AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS eps_micro
+        |  FROM cuts),
+        |sel AS (SELECT d, n0 AS n0_best, dmu_micro, eps_micro,
+        |    CAST(CASE WHEN dmu_micro - eps_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS detected
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY d
+        |      ORDER BY dmu_micro - eps_micro DESC, n0 ASC) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT d, t, v AS v_cents,
+        |  CAST(coalesce(n0_best, -1) AS BIGINT) AS n0_best,
+        |  CAST(coalesce(dmu_micro, -2000000) AS BIGINT) AS dmu_micro,
+        |  CAST(coalesce(eps_micro, -2000000) AS BIGINT) AS eps_micro,
+        |  CAST(coalesce(detected, 0) AS BIGINT) AS detected,
+        |  CAST(max(coalesce(detected, 0)) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS alarmed_by
+        |FROM pre LEFT JOIN sel USING (d)
         |ORDER BY d""".stripMargin,
     // q268: same (type × day) count grid, same five exact lag moments
     // off the consecutive-day lead, identical B/Fano/M double chains

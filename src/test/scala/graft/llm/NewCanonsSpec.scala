@@ -1881,4 +1881,76 @@ class NewCanonsSpec extends SparkSpec {
       "metronome series must pin B = -1, Fano = 0, memory sentinel")
     spark.catalog.clearCache()
   }
+
+  test("q269 ADWIN cut equals a driver exhaustive-cut fold; a 4x step trips the " +
+      "Hoeffding bound; a constant series and t=1 pin the null/sentinel contracts") {
+    def fold(vs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      val sorted = vs.sortBy(_._1)
+      var alarmed = 0L
+      sorted.zipWithIndex.map { case ((d, v), i) =>
+        val t = i + 1L
+        val pre = sorted.take(i + 1).map(_._2)
+        val s = pre.sum
+        val rng = pre.max - pre.min
+        if (t == 1L) (d, t, v, -1L, -2000000L, -2000000L, 0L, alarmed)
+        else {
+          val best = (1L until t).map { n0 =>
+            val s0 = pre.take(n0.toInt).sum
+            val n1 = t - n0
+            val dmu = math.abs(s0.toDouble / n0.toDouble
+              - (s - s0).toDouble / n1.toDouble)
+            val mH = n0.toDouble * n1.toDouble / (n0.toDouble + n1.toDouble)
+            val eps = rng.toDouble *
+              math.sqrt(math.log(4.0 * t.toDouble / 0.05) / (2.0 * mH))
+            val dm = math.floor(dmu * 1e6 + 0.5).toLong
+            val em = math.floor(eps * 1e6 + 0.5).toLong
+            (dm - em, -n0, dm, em)
+          }.max
+          val det = if (best._1 > 0L) 1L else 0L
+          alarmed = math.max(alarmed, det)
+          (d, t, v, -best._2, best._3, best._4, det, alarmed)
+        }
+      }
+    }
+    def collectDaily(dir: String): Seq[(Long, Long)] =
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("cast(cast(ts as long) div 86400 as bigint)").as("d"))
+        .agg(sum(floor(round(col("value"), 2) * 100.0 + 0.5).cast("long")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def runQ(dir: String) =
+      graft.queries.ExtQueries.queries("q269_adwin_cut")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(runQ(sfDir) === fold(collectDaily(sfDir)),
+      "ADWIN cut table diverged from the exhaustive-cut fold")
+    // step fixture (the q266 shape): days 1-10 at 10000 cents, 11-20 at
+    // 40000 — the best cut must land AT the step and trip the bound
+    // (R = 30000, |dmu| = 30000 at n0 = 10, eps ≈ 25.8k < 30k at t = 20)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-adwin-step").toString
+    import spark.implicits._
+    (1L to 20L).map(d => (d, if (d <= 10L) 100.00 else 400.00)).toDF("day", "value")
+      .select((col("day") * 86400L).cast("timestamp").as("ts"),
+        lit("purchase").as("event_type"), col("value"),
+        col("day").as("event_id"), col("day").as("user_id"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
+    val stepGot = runQ(tmpDir)
+    assert(stepGot === fold(collectDaily(tmpDir)),
+      "ADWIN diverged from the fold on the step fixture")
+    assert(stepGot.last._7 === 1L && stepGot.last._8 === 1L,
+      "a 4x step must trip the Hoeffding cut by day 20")
+    assert(stepGot.last._4 === 10L,
+      "the best cut must land exactly at the changepoint (n0 = 10)")
+    assert(stepGot.take(10).forall(_._7 === 0L),
+      "no detection may precede the step")
+    // null contract via the fold: a constant series has R = 0, so eps =
+    // dmu = 0 and the strict > never fires at any prefix
+    val flatAdwin = fold((1L to 50L).map(d => (d, 12345L)))
+    assert(flatAdwin.forall(r => r._7 === 0L && r._8 === 0L),
+      "Hoeffding cut fired on a constant series")
+    assert(flatAdwin.head._5 === -2000000L && flatAdwin.head._4 === -1L,
+      "t = 1 must pin the no-cut sentinels")
+    spark.catalog.clearCache()
+  }
 }

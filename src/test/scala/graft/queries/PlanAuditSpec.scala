@@ -309,6 +309,7 @@ class PlanAuditSpec extends SparkSpec {
       "q222_theil_sen"     -> "day-grid pair slopes (calendar-bounded)",
       "q226_burn_rate"     -> "SLO window time grid",
       "q249_cusum_monitor"         -> "daily series (calendar-bounded)",
+      "q269_adwin_cut"             -> "daily series + calendar² cut lattice (calendar-bounded)",
       "q266_page_hinkley"          -> "daily series (calendar-bounded)",
       // bounded top-K frames
       "q147_vocab_coverage" -> "top-K vocab after TakeOrdered (K bounded)",
