@@ -539,6 +539,64 @@ object LlmQueries {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Matryoshka truncation-recall curve (Kusupati et al. 2022, NeurIPS —
+    * Matryoshka Representation Learning) — the eval harness behind the
+    * now-standard serving trick of truncating embeddings to a PREFIX of
+    * their dimensions for cheap first-stage retrieval: for each prefix
+    * width d ∈ [[MrlDims]], brute-force top-3 under prefix-d cosine and
+    * score recall against the full-width truth. The whole eval is a
+    * COLUMN SLICE — no re-embedding, no second index — which is exactly
+    * why the technique matters operationally, and the d = 64 row is a
+    * built-in self-check (full width must reproduce truth: recall
+    * exactly 1). On this corpus the embeddings are near-isotropic
+    * random (the q136 adversarial note), so low-d recall reads as the
+    * FLOOR of the technique, not its typical value — trained MRL
+    * embeddings concentrate information in the prefix by construction.
+    *
+    * Shares q38's total order exactly (4dp-rounded cosine DESC, vec_id
+    * — tie-robust cross-engine, the established convention). Recall is
+    * exact integers end to end: hit counts by a key equi-join against
+    * the truth set, `hits·10⁶ div (3·|panel|)`.
+    *
+    * Scale shape: the q38 bounded-panel class — scored rows are
+    * corpus × |panel| × |dims| with the panel broadcast (never
+    * corpus × corpus); windows partition by (dim, query); the truth
+    * join broadcasts a ≤ 3·|panel|-row set. At production scale the
+    * same curve rides the IVF/PQ indexes instead of brute force. */
+  private val MrlDims = Seq(8, 16, 32, 64)
+  private val q270MrlRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dim", explode(array(MrlDims.map(d => lit(d)): _*)))
+      .withColumn("cos_sim",
+        round(cosine(slice(col("emb"), lit(1), col("dim")),
+          slice(col("q_emb"), lit(1), col("dim"))), 4))
+    val w = Window.partitionBy(col("dim"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val t3 = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("dim").cast("long").as("dim"), col("q_id"), col("vec_id"))
+      .cache() // truth + hits consumers; runner-scoped
+    val truth = t3.filter(col("dim") === MrlDims.last.toLong)
+      .select(col("q_id").as("tq"), col("vec_id").as("tv"))
+    val hits = t3.join(broadcast(truth),
+        col("q_id") === col("tq") && col("vec_id") === col("tv"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    MrlDims.map(_.toLong).toDF("dim")
+      .crossJoin(broadcast(nq))
+      .join(hits, Seq("dim"), "left")
+      .select(col("dim"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_micro",
+        expr("(n_hits * 1000000) div (3 * n_queries)"))
+      .orderBy(col("dim"))
+  }
+
   /** LSH-bucketed ANN (the scale path): hyperplane-sign buckets whose
     * bit width is SIZED TO THE CORPUS ([[EmbedLsh.adaptiveBits]]:
     * ≈[[EmbedLsh.AnnTarget]] rows per bucket at any N — a fixed width
@@ -5612,6 +5670,7 @@ object LlmQueries {
     "q207_incremental_dedup" -> q207IncrementalDedup,
     "q208_greedy_dedup_canon" -> q208GreedyDedupCanon,
     "q38_cosine_topk"     -> q38CosineTopk,
+    "q270_mrl_recall"     -> q270MrlRecall,
     "q39_ann_lsh"         -> q39AnnLsh,
     "q40_multimodal_stub" -> q40MultimodalStub,
     "q57_embed_neardup"   -> q57EmbedNeardup,
@@ -7742,6 +7801,29 @@ object LlmQueries {
         |r AS (SELECT q_id, vec_id, cos_sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
         |SELECT q_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3""".stripMargin,
+    // q270: same e/q CTEs and 4dp total order as q38, prefix slice via
+    // DuckDB list slicing, exact hit counts and integer recall
+    "q270_mrl_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+         |dims AS (SELECT CAST(unnest([${MrlDims.mkString(", ")}]) AS BIGINT) AS dim),
+         |s AS (SELECT d.dim, q.q_id, e.vec_id,
+         |    round(list_cosine_similarity(e.emb[1:d.dim], q.q_emb[1:d.dim]), 4) AS cos_sim
+         |  FROM e, q, dims d WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT dim, q_id, vec_id, row_number() OVER (PARTITION BY dim, q_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM s),
+         |t3 AS (SELECT dim, q_id, vec_id FROM r WHERE rnk <= 3),
+         |truth AS (SELECT q_id, vec_id FROM t3 WHERE dim = ${MrlDims.last}),
+         |hits AS (SELECT t.dim, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM t3 t JOIN truth u ON t.q_id = u.q_id AND t.vec_id = u.vec_id
+         |  GROUP BY t.dim),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+         |SELECT d.dim, nq.n_queries,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 1000000) // (3 * nq.n_queries)
+         |    AS recall_micro
+         |FROM dims d CROSS JOIN nq LEFT JOIN hits h ON h.dim = d.dim
+         |ORDER BY d.dim""".stripMargin,
     "q39_ann_lsh" -> {
       // adaptive width + Hamming-1 multi-probe, generated from the SAME
       // integer formulas as the Spark plan (EmbedLsh.adaptiveBits / .w)

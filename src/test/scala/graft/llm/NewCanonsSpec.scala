@@ -1953,4 +1953,45 @@ class NewCanonsSpec extends SparkSpec {
       "t = 1 must pin the no-cut sentinels")
     spark.catalog.clearCache()
   }
+
+  test("q270 Matryoshka recall equals a driver brute-force fold per prefix width; " +
+      "full width reproduces truth exactly") {
+    import java.math.{BigDecimal => JBD, MathContext}
+    def r4(x: Double): JBD =
+      new JBD(x, MathContext.DECIMAL64).setScale(4, java.math.RoundingMode.HALF_UP)
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val panel = rows.filter(_._1 < 8L)
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dims = Seq(8, 16, 32, 64)
+    def top3(d: Int): Map[Long, Seq[Long]] =
+      panel.map { case (qid, qe) =>
+        qid -> rows.filter(_._1 != qid)
+          .map { case (v, e) => (v, r4(cos(e, qe, d))) }
+          .sortBy { case (v, c) => (c.negate, v) }(
+            Ordering.Tuple2(Ordering.ordered[JBD], Ordering.Long))
+          .take(3).map(_._1).toSeq
+      }.toMap
+    val truth = top3(64)
+    val want = dims.map { d =>
+      val t = top3(d)
+      val hits = panel.map { case (qid, _) =>
+        t(qid).count(truth(qid).contains).toLong }.sum
+      (d.toLong, panel.length.toLong, hits,
+        hits * 1000000L / (3L * panel.length))
+    }
+    val got = LlmQueries.queries("q270_mrl_recall")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want, "recall curve diverged from the brute-force fold")
+    // the built-in self check: full width must reproduce truth EXACTLY
+    assert(got.last._1 === 64L && got.last._4 === 1000000L,
+      "full-width retrieval must have recall exactly 1")
+    assert(got.forall(r => r._3 <= 3L * r._2 && r._4 >= 0L && r._4 <= 1000000L))
+    spark.catalog.clearCache()
+  }
 }
