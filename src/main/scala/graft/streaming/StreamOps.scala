@@ -1488,6 +1488,98 @@ object StreamOps {
       }
   }
 
+  final case class AdwinSnapshot(scope: String, nDays: Long, winLen: Long,
+      winStartD: Long, nShrinks: Long, muWinMicro: Long, shrunkNow: Boolean,
+      defined: Boolean)
+
+  /** The FULL adaptive-window ADWIN (Bifet & Gavaldà 2007) as a
+    * streaming monitor — q269 runs the cut TEST per prefix against the
+    * whole history; this carries the half the batch canon documents as
+    * "a stream concern": after every detection the window SHRINKS,
+    * dropping the pre-change past, so the maintained mean tracks the
+    * CURRENT regime (the adaptation [[pageHinkleyState]]'s cumulative
+    * mean cannot do — PH latches, ADWIN re-anchors). Per-scope state is
+    * the exact daily cent grid (order-robust; late arrivals land in
+    * their day and the fold re-runs deterministically — arrival order
+    * can never change a verdict). Every trigger replays the sequential
+    * ADWIN fold over the sorted grid: append day t to the window, then
+    * WHILE any contiguous cut of the window trips the Hoeffding bound
+    * (q269's exact chains — micro-floored dmu/eps off the WINDOW's
+    * plug-in range, integer compare), drop the oldest day. Snapshot =
+    * window length / start day / cumulative shrink count / 1e6-floored
+    * window mean / whether the newest day caused a shrink.
+    *
+    * The q269 relationship the spec pins: on any series the FIRST
+    * shrink happens at exactly the first day q269 reports `detected` —
+    * until a detection occurs the window IS the full prefix, so the
+    * two scans coincide; after it they intentionally diverge (full
+    * history vs current regime). The re-anchor is PARTIAL on clean
+    * two-level data: the plug-in range makes dmu/rng step-size-free,
+    * so the harmonic bound retains a conservative rump of pre-change
+    * days (the spec pins it exactly) — the window mean still moves
+    * decisively toward the new regime. Cost note: the fold is O(W²)
+    * per trigger over the CALENDAR-bounded window — the same lattice
+    * bound the batch canon documents. */
+  def adwinState(vals: Dataset[DailyValue]): Dataset[AdwinSnapshot] = {
+    import vals.sparkSession.implicits._
+    vals.groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, Long], AdwinSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (scope: String, batch: Iterator[DailyValue],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { v =>
+            m = m.updated(v.d, m.getOrElse(v.d, 0L) + v.cents)
+          }
+          state.update(m)
+          val days = m.toSeq.sortBy(_._1)
+          if (days.isEmpty)
+            Iterator(AdwinSnapshot(scope, 0L, 0L, -1L, 0L, -2000000L,
+              shrunkNow = false, defined = false))
+          else {
+            // q269's exact cut chains, on the current window
+            def cutTrips(win: IndexedSeq[(Long, Long)]): Boolean = {
+              val t = win.length.toLong
+              if (t < 2L) false
+              else {
+                val vs = win.map(_._2)
+                val s = vs.sum
+                val rng = vs.max - vs.min
+                var s0 = 0L
+                (1L until t).exists { n0 =>
+                  s0 += vs((n0 - 1).toInt)
+                  val n1 = t - n0
+                  val dmu = math.abs(s0.toDouble / n0.toDouble
+                    - (s - s0).toDouble / n1.toDouble)
+                  val mH = n0.toDouble * n1.toDouble /
+                    (n0.toDouble + n1.toDouble)
+                  val eps = rng.toDouble *
+                    math.sqrt(math.log(4.0 * t.toDouble / 0.05) / (2.0 * mH))
+                  math.floor(dmu * 1e6 + 0.5).toLong >
+                    math.floor(eps * 1e6 + 0.5).toLong
+                }
+              }
+            }
+            var win = Vector.empty[(Long, Long)]
+            var shrinks = 0L
+            var shrunkLast = false
+            days.foreach { dv =>
+              win :+= dv
+              shrunkLast = false
+              while (cutTrips(win)) {
+                win = win.tail
+                shrinks += 1L
+                shrunkLast = true
+              }
+            }
+            val mu = math.floor(
+              win.map(_._2).sum.toDouble / win.length.toDouble * 1e6 + 0.5).toLong
+            Iterator(AdwinSnapshot(scope, days.size.toLong, win.length.toLong,
+              win.head._1, shrinks, mu, shrunkLast, defined = true))
+          }
+      }
+  }
+
   final case class LbSnapshot(scope: String, nDays: Long, syy: Long,
       qMicro: Long, reject: Long, defined: Boolean)
 
