@@ -623,6 +623,67 @@ object LlmQueries {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** kNN label-noise screening (the Confident-Learning-family data-
+    * quality op — Northcutt et al. 2021, JAIR 70, via its classic kNN
+    * instantiation, Wilson 1972 editing): flag every vector whose k = 5
+    * nearest neighbors' majority label disagrees with its own, and
+    * report the per-class noise rate — the "which labels can I not
+    * trust" screen a training-data pipeline runs before fitting
+    * anything. The SCALE path is the q39 machinery end to end: the
+    * corpus-side adaptive-width LSH bucket (≈[[EmbedLsh.AnnTarget]]
+    * rows per bucket at any N), Hamming-1 multiprobe on the query
+    * side — but the query side here is the WHOLE corpus, so the probe
+    * join is a bucket-keyed SHUFFLE equi-join (never a broadcast of an
+    * N-scale side, never all-pairs): candidates are O(N·(bits+1)·
+    * bucketRows) with the adaptive width holding bucketRows constant.
+    *
+    * Neighbors vote with q38's 4dp total order (tie-robust cross-
+    * engine); majority = (count DESC, label ASC) — the exact
+    * lexicographic max, no float in any decision. Vectors with an
+    * empty probe neighborhood stay UNSCORED (counted per class,
+    * excluded from the rate; an empty-class rate pins the −2·10⁶
+    * sentinel). Noise rates are exact integer `div`s. LSH recall
+    * caveat inherited from q39 and stated: the neighborhood is the
+    * bucket approximation's, not exact kNN — the oracle implements
+    * the IDENTICAL buckets/probes, so the approximation itself is
+    * cross-checked, and the spec additionally compares against exact
+    * brute-force kNN on the small corpus to bound the gap. */
+  private[llm] val KnnNoiseK = 5
+  private val q271KnnLabelNoise: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label").cast("long").as("label"))
+    val bits = EmbedLsh.adaptiveBits(e.count(),
+      EmbedLsh.AnnTarget, EmbedLsh.AnnMinBits, EmbedLsh.AnnMaxBits)
+    val eb = EmbedLsh.annBuckets(e, bits).cache() // corpus + probe legs
+    val probes = eb.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("label").as("q_label"),
+      explode(EmbedLsh.probeKeys(col("bucket"), bits)).as("pkey"))
+    val scored = eb.join(probes, // bucket-keyed shuffle join: both sides N-scale
+        col("bucket") === col("pkey") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val maj = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnNoiseK)
+      .groupBy(col("q_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+      .select(col("q_id"), col("q_label"), (-col("m.nl")).as("maj_label"))
+      .withColumn("flagged", (col("maj_label") =!= col("q_label")).cast("long"))
+    e.select(col("vec_id").as("q_id"), col("label"))
+      .join(maj.select(col("q_id"), col("flagged")), Seq("q_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("flagged").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        coalesce(sum(col("flagged")), lit(0L)).as("n_flagged"))
+      .withColumn("noise_micro",
+        when(col("n_scored") > 0L, expr("(n_flagged * 1000000) div n_scored"))
+          .otherwise(lit(-2000000L)))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-cosine near-duplicate dedup: [[EmbedLsh.NumBands]] LSH
     * band tables whose per-band bit width is SIZED TO THE CORPUS
     * ([[EmbedLsh.adaptiveBits]]: ≈[[EmbedLsh.BandTarget]] rows per
@@ -5671,6 +5732,7 @@ object LlmQueries {
     "q208_greedy_dedup_canon" -> q208GreedyDedupCanon,
     "q38_cosine_topk"     -> q38CosineTopk,
     "q270_mrl_recall"     -> q270MrlRecall,
+    "q271_knn_label_noise" -> q271KnnLabelNoise,
     "q39_ann_lsh"         -> q39AnnLsh,
     "q40_multimodal_stub" -> q40MultimodalStub,
     "q57_embed_neardup"   -> q57EmbedNeardup,
@@ -7850,6 +7912,54 @@ object LlmQueries {
          |r AS (SELECT q_id, vec_id, cos_sim,
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s)
          |SELECT q_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3""".stripMargin
+    },
+    // q271: q39's identical adaptive buckets + Hamming-1 probes with
+    // the WHOLE corpus as the query side, k = 5 under the same 4dp
+    // order, (cnt DESC, label ASC) majority, exact integer rates
+    "q271_knn_label_noise" -> {
+      val bitsExpr = EmbedLsh.adaptiveBitsSql(
+        EmbedLsh.AnnTarget, EmbedLsh.AnnMinBits, EmbedLsh.AnnMaxBits)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    CAST(label AS BIGINT) AS label FROM embeddings),
+         |params AS (SELECT $bitsExpr AS bits FROM embeddings),
+         |bv AS (
+         |  SELECT vec_id,
+         |    CASE WHEN list_dot_product(emb, ${EmbedLsh.wListSql("b.i")}) > 0
+         |      THEN (1::BIGINT << b.i) ELSE 0::BIGINT END AS v
+         |  FROM e, (SELECT unnest(range(0, (SELECT bits FROM params))) AS i) b),
+         |bkt AS (SELECT vec_id, CAST(sum(v) AS BIGINT) AS bucket FROM bv GROUP BY 1),
+         |eb AS (SELECT e.vec_id, e.emb, e.label, bkt.bucket
+         |  FROM e JOIN bkt USING (vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, label AS q_label,
+         |    CASE WHEN p.i < 0 THEN bucket
+         |         ELSE xor(bucket, (1::BIGINT << p.i)) END AS pkey
+         |  FROM eb, (SELECT unnest(range(-1, (SELECT bits FROM params))) AS i) p),
+         |s AS (SELECT p.q_id, p.q_label, eb.vec_id, eb.label,
+         |        round(list_cosine_similarity(eb.emb, p.q_emb), 4) AS cos_sim
+         |      FROM eb JOIN probes p ON eb.bucket = p.pkey AND eb.vec_id <> p.q_id),
+         |r AS (SELECT q_id, q_label, label,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk FROM s),
+         |votes AS (SELECT q_id, q_label, label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r WHERE rnk <= $KnnNoiseK GROUP BY 1, 2, 3),
+         |maj AS (SELECT q_id, q_label, label AS maj_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cnt DESC, label ASC) AS mr FROM votes) WHERE mr = 1),
+         |fl AS (SELECT q_id,
+         |    CAST(CASE WHEN maj_label <> q_label THEN 1 ELSE 0 END AS BIGINT)
+         |      AS flagged
+         |  FROM maj)
+         |SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN fl.flagged IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_scored,
+         |  CAST(coalesce(sum(fl.flagged), 0) AS BIGINT) AS n_flagged,
+         |  CASE WHEN sum(CASE WHEN fl.flagged IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |    THEN (CAST(coalesce(sum(fl.flagged), 0) AS BIGINT) * 1000000)
+         |      // CAST(sum(CASE WHEN fl.flagged IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    ELSE CAST(-2000000 AS BIGINT) END AS noise_micro
+         |FROM e LEFT JOIN fl ON fl.q_id = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin
     },
     "q57_embed_neardup" -> {
       // band t draws planes t·BandMaxBits + b — the same namespace as

@@ -1994,4 +1994,53 @@ class NewCanonsSpec extends SparkSpec {
     assert(got.forall(r => r._3 <= 3L * r._2 && r._4 >= 0L && r._4 <= 1000000L))
     spark.catalog.clearCache()
   }
+
+  test("q271 kNN label-noise: structural identities on the corpus; a planted " +
+      "two-cluster fixture flags exactly the corrupted label") {
+    val got = LlmQueries.queries("q271_knn_label_noise")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val nCorpus = Tables.embeddings(spark, sfDir).count()
+    assert(got.map(_._2).sum === nCorpus, "per-class counts must partition the corpus")
+    assert(got.forall(r => r._3 <= r._2 && r._4 <= r._3),
+      "scored <= n and flagged <= scored")
+    assert(got.forall(r =>
+      (r._5 >= 0L && r._5 <= 1000000L) || r._5 === -2000000L))
+    // labels here are RANDOM w.r.t. the random geometry, so high noise
+    // rates are the honest reading — but the screen must not be a
+    // constant function: it must score nearly everyone via the probes
+    assert(got.map(_._3).sum > nCorpus * 9L / 10L,
+      "LSH probes left >10% of the corpus unscored")
+    // planted fixture through the ENGINE: two antipodal clusters with
+    // tiny per-point jitter (same hyperplane signs within a cluster, so
+    // every point's probe neighborhood IS its cluster), labels follow
+    // clusters except ONE corrupted point in cluster A labeled 9 — the
+    // screen must flag exactly that point
+    val dim = 64
+    def vec(sign: Double, i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(0) = (sign * 1.0).toFloat
+      a(1) = (sign * 1e-4 * (i + 1)).toFloat
+      a
+    }
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-knn-plant").toString
+    import spark.implicits._
+    val rows =
+      (0 until 30).map(i => (i.toLong, vec(1.0, i).toSeq,
+        if (i == 7) 9 else 0)) ++
+      (0 until 30).map(i => (100L + i, vec(-1.0, i).toSeq, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$tmpDir/embeddings.parquet")
+    val planted = LlmQueries.queries("q271_knn_label_noise")(spark, tmpDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(planted === Seq(
+      (0L, 29L, 29L, 0L, 0L),       // clean cluster A: no flags
+      (1L, 30L, 30L, 0L, 0L),       // clean cluster B: no flags
+      (9L, 1L, 1L, 1L, 1000000L)),  // the corrupted point: flagged
+      s"planted screen diverged: $planted")
+    spark.catalog.clearCache()
+  }
 }
