@@ -95,7 +95,18 @@ object Plans {
     // terms). q261 is omitted (its plan is q196's cascade plus q258's
     // scoring join, both already here — the CurationCanonSpec fold pins
     // the composition)
-    "q262_frechet_slices", "q263_rbo_legs")
+    "q262_frechet_slices", "q263_rbo_legs",
+    // round 15 (cont.): the pairwise-JSD union lattice (token-keyed
+    // full-outer join + schema-bounded broadcast pair frame), the BH
+    // battery (grid lattice + m×m rank join, everything after the
+    // per-type max on taxonomy-row frames), the PH/ADWIN calendar
+    // detectors, the type-partitioned burstiness lead, the MRL panel
+    // slice, and the label-noise bucket-keyed shuffle join. q267 is
+    // omitted (iterative LPA, the q169/q252 argument — its shared-CTE
+    // oracle + planted-fixture spec pin it)
+    "q264_js_divergence", "q265_bh_fdr", "q266_page_hinkley",
+    "q268_burstiness", "q269_adwin_cut", "q270_mrl_recall",
+    "q271_knn_label_noise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
