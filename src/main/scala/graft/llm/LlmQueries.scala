@@ -1300,27 +1300,30 @@ object LlmQueries {
     val edgesC = linkGraphRawEdges(docs, n).distinct().cache()
     val edges = s.createDataFrame(edgesC.rdd, edgesC.schema)
     edgesC.count()
-    val s0 = docs.sparkSession
-    var xC = docs.select(col("idx"), lit(KatzUnit).as("x")).cache()
-    var x = s0.createDataFrame(xC.rdd, xC.schema)
-    xC.count()
+    // ONE consumer per round (the next round's relax join), so the lazy
+    // chain executes exactly once — only the FINAL frame pins, the
+    // PageRank.iterate fixed-mode / q245 cadence. (Was: cache + count +
+    // LogicalRDD rebuild EVERY round — KatzIters full materialization
+    // jobs of fixed scheduler overhead for identical longs; 1.40 s →
+    // ~0.6 s at sf0.1, see OPTIMIZATION_r15.md.) Analyzer depth is
+    // bounded by KatzIters·(one join + one agg) — linear, no
+    // self-reference doubling, so no mid-chain pin is needed.
+    var x = docs.select(col("idx"), lit(KatzUnit).as("x"))
     for (_ <- 1 to KatzIters) {
       val contrib = x.join(edges, x("idx") === edges("src"))
         .groupBy(col("dst").as("idx")).agg(sum(col("x")).as("c"))
-      val prev = xC
-      xC = docs.select(col("idx")).join(contrib, Seq("idx"), "left")
+      x = docs.select(col("idx")).join(contrib, Seq("idx"), "left")
         .select(col("idx"),
           (lit(KatzUnit) + expr(s"coalesce(c, 0) div $KatzInvAlpha")).as("x"))
-        .cache()
-      x = s0.createDataFrame(xC.rdd, xC.schema)
-      xC.count()
-      prev.unpersist() // consumed by the round just materialized
     }
-    edgesC.unpersist() // all relax joins done
-    // docsC and the final round stay cached: the returned lineage reads
+    val finC = x.cache()
+    finC.count()
+    edgesC.unpersist() // all relax joins done (the chain just executed)
+    // docsC and the final pin stay cached: the returned lineage reads
     // BOTH (the runner's clearCache releases them — the query-scoped
     // contract, same as q138)
-    x.join(docs, "idx")
+    s.createDataFrame(finC.rdd, finC.schema)
+      .join(docs, "idx")
       .select(col("doc_id"), col("x").as("katz_micro"))
       .orderBy(col("doc_id"))
   }
@@ -1544,34 +1547,53 @@ object LlmQueries {
         .crossJoin(broadcast(tot))
         .select(col("idx"), expr(s"(coalesce(x, 0) * ${HitsScale}L) div t").as("x"))
     }
-    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long, Long)]()
+    // Per round, only the h vector pins (ONE materialization job): the
+    // authority vector and the trace row stay LAZY — a_r is consumed by
+    // h_r's pin during the loop and re-evaluated once inside the single
+    // final trace action (from the PINNED h_{r−1}, one join+agg+
+    // normalize per row — deterministic integer arithmetic, so both
+    // evaluations are bit-identical). Was: pin a, pin h, AND a driver
+    // head() per round — 3 jobs/round, 3.76 s at sf0.1; now 1 job/round
+    // + one union action, ~2.1 s (OPTIMIZATION_r15.md). Every h pin,
+    // docs, and edges stay cached until return because the deferred
+    // trace rows read them — the q252 layer-retention trade (bounded by
+    // HitsIters, a constant); the runner's clearCache releases all.
+    val trace = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (r <- 1 to HitsIters) {
       val aRaw = h.join(edges, h("idx") === edges("src"))
         .groupBy(col("dst").as("idx")).agg(sum(col("x")).as("x"))
+      // cached WITHOUT its own count() job: h's pin below reads through
+      // this InMemoryRelation, so the one hC.count() materializes BOTH
+      // vectors; the LogicalRDD rebuild keeps the a-side normalize
+      // chain (whose scalar-total attach is a single-row broadcast
+      // cross join) out of the returned plan — the trace rows read a
+      // flat cached scan instead
       val aC = normalized(aRaw).cache()
       val a = s.createDataFrame(aC.rdd, aC.schema)
-      aC.count()
       val hRaw = a.join(edges, a("idx") === edges("dst"))
         .groupBy(col("src").as("idx")).agg(sum(col("x")).as("x"))
-      val prevH = hC
       hC = normalized(hRaw).cache()
       h = s.createDataFrame(hC.rdd, hC.schema)
       hC.count()
-      prevH.unpersist()
-      val row = a.agg(sum(col("x")).as("sa"),
-          max(struct(col("x"), (-col("idx")).as("ni"))).as("ma"))
-        .crossJoin(h.agg(sum(col("x")).as("sh"),
-          max(struct(col("x"), (-col("idx")).as("ni"))).as("mh")))
-        .select(col("sa"), col("ma.x"), (-col("ma.ni")).as("ai"),
-          col("sh"), col("mh.x"), (-col("mh.ni")).as("hi"))
-        .head()
-      trace += ((r.toLong, row.getLong(0), row.getLong(1), row.getLong(2),
-        row.getLong(3), row.getLong(4), row.getLong(5)))
-      aC.unpersist() // trace row consumed; next round reads only h
+      // both sides' trace aggregates in ONE aggregate over a
+      // side-tagged union (the former 1-row × 1-row crossJoin planned
+      // as a BroadcastNestedLoopJoin — bounded, but the plan audit
+      // rightly has no allowlist for nested-loop shapes)
+      trace += a.select(lit(1).as("side"), col("idx"), col("x"))
+        .unionAll(h.select(lit(2).as("side"), col("idx"), col("x")))
+        .agg(
+          sum(when(col("side") === 1, col("x"))).as("sa"),
+          max(when(col("side") === 1,
+            struct(col("x"), (-col("idx")).as("ni")))).as("ma"),
+          sum(when(col("side") === 2, col("x"))).as("sh"),
+          max(when(col("side") === 2,
+            struct(col("x"), (-col("idx")).as("ni")))).as("mh"))
+        .select(lit(r.toLong).as("round"), col("sa").as("sum_a"),
+          col("ma.x").as("max_a"), (-col("ma.ni")).as("argmax_a"),
+          col("sh").as("sum_h"), col("mh.x").as("max_h"),
+          (-col("mh.ni")).as("argmax_h"))
     }
-    edgesC.unpersist(); docsC.unpersist(); hC.unpersist()
-    trace.toSeq.toDF("round", "sum_a", "max_a", "argmax_a",
-      "sum_h", "max_h", "argmax_h").orderBy(col("round"))
+    trace.reduce(_ unionAll _).orderBy(col("round"))
   }
 
   /** Cross-source duplication matrix — q129's shared-window signal
@@ -2497,13 +2519,15 @@ object LlmQueries {
     // reached at distance r with σ = Σ over distance-(r−1) predecessors
     // (every shortest path enters v through one of them, so the
     // map-side-combinable sum IS the path count).
+    // ONE pinned seed frame shared by both sweeps (they start from the
+    // identical (s, v, 0, 1) rows — was two separate pin jobs)
+    val seedsInit = pinned(seedSet
+      .select(col("seed").as("s"), col("seed").as("v"),
+        lit(0L).as("d"), lit(1L).as("sig")))
     def bfsSig(ed: DataFrame): DataFrame = {
-      val seeds = pinned(seedSet
-        .select(col("seed").as("s"), col("seed").as("v"),
-          lit(0L).as("d"), lit(1L).as("sig")))
-      val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
-      var visited = seeds.select(col("s"), col("v"))
-      var frontier = seeds
+      val layers = scala.collection.mutable.ArrayBuffer[DataFrame](seedsInit)
+      var visited = seedsInit.select(col("s"), col("v"))
+      var frontier = seedsInit
       var h = 1
       var growing = true
       while (h <= BcHops && growing) {
@@ -2524,8 +2548,27 @@ object LlmQueries {
       }
       layers.reduce(_ union _)
     }
-    val fwd = bfsSig(edges)
-    val rev = bfsSig(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // The two sweeps are INDEPENDENT job chains over read-only shared
+    // state (edges cache + the pinned seed frame): overlap them from
+    // two driver threads (guide §2.6 — actions are only sequential
+    // because driver code calls them sequentially). Each sweep is
+    // internally sequential (round r+1 reads round r), but its per-round
+    // jobs are tiny at local[32], so the other sweep's rounds back-fill
+    // the idle scheduler slots; results are cached frames either way —
+    // identical rows, identical plans, ~1.7× wall on the sweep section
+    // (OPTIMIZATION_r15.md). Determinism: each round is a hash
+    // join + sum aggregate over longs — partition-order independent.
+    val (fwd, rev) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val fF = Future(bfsSig(edges))
+        val rF = Future(bfsSig(edges.select(col("dst").as("src"), col("src").as("dst"))))
+        (Await.result(fF, Duration.Inf), Await.result(rF, Duration.Inf))
+      } finally pool.shutdown()
+    }
     // σ_st over seed pairs: the forward table's rows whose node IS a
     // seed (broadcast semi-join against the ≤C-row pivot set) —
     // ≤C·(C−1) rows, a CONSTANT-bounded broadcast at any corpus
@@ -2619,12 +2662,25 @@ object LlmQueries {
     for (r <- 1 to SsspRounds) {
       val relax = dist.join(edges, dist("v") === edges("src"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
-      val prev = distC
-      distC = dist.select(col("v"), col("d")).union(relax)
-        .groupBy(col("v")).agg(min(col("d")).as("d")).cache()
-      dist = s.createDataFrame(distC.rdd, distC.schema)
-      distC.count()
-      prev.unpersist() // consumed by the round just materialized
+      val merged = dist.select(col("v"), col("d")).union(relax)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+      // dist is referenced TWICE per round (relax join + min-merge
+      // union), so an unpinned chain doubles the LOGICAL tree per round
+      // — but execution still runs once per job (the round ends in an
+      // aggregate's Exchange, so the second reference plans as a
+      // ReusedExchange). Pin every 3rd round + the final frame: the
+      // analyzed tree stays ≤ ~8× one round's nodes (cheap) while the
+      // loop pays 2 materialization jobs instead of SsspRounds = 6
+      // (2.65 s → ~1.6 s at sf0.1, see OPTIMIZATION_r15.md). Round
+      // values are identical longs either way — min-merge arithmetic,
+      // no order dependence.
+      if (r % 3 == 0 || r == SsspRounds) {
+        val prev = distC
+        distC = merged.cache()
+        dist = s.createDataFrame(distC.rdd, distC.schema)
+        distC.count()
+        prev.unpersist() // consumed by the pin just materialized
+      } else dist = merged
       onRound(r)
     }
     edgesC.unpersist() // all relax joins done; only the final dist remains
@@ -2842,11 +2898,15 @@ object LlmQueries {
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       aliveC = deg.filter(col("d") >= KcoreK).select(col("v")).cache()
-      alive = s.createDataFrame(aliveC.rdd, aliveC.schema)
-      aliveC.count()
-      eC.unpersist() // deg consumed during the alive materialization
-      val row = alive.agg(count(lit(1)).as("n_alive"),
+      // ONE job pins the round AND reads its trace scalars: a full-scan
+      // aggregate over the cached frame materializes the InMemoryRelation
+      // exactly like count() did, and carries (n_alive, checksum) in the
+      // same action — was a count() job plus a separate head() job per
+      // round (2.42 s → ~1.9 s at sf0.1, OPTIMIZATION_r15.md)
+      val row = aliveC.agg(count(lit(1)).as("n_alive"),
         coalesce(sum(col("v")), lit(0L)).as("checksum")).head()
+      alive = s.createDataFrame(aliveC.rdd, aliveC.schema)
+      eC.unpersist() // deg consumed during the alive materialization
       pending = Some((r.toLong, row.getLong(0), row.getLong(1)))
       onRound(r)
     }
@@ -2982,22 +3042,30 @@ object LlmQueries {
     lblC.count()
     val nbrs = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
-    for (_ <- 1 to LpaRounds) {
+    for (r <- 1 to LpaRounds) {
       val counts = nbrs.join(labels.select(col("v").as("u"), col("lbl")), "u")
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
       val mode = counts
         .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("new_lbl"))
-      val stepC = labels.select(col("v"), col("lbl").as("old_lbl"))
+      val step = labels.select(col("v"), col("lbl").as("old_lbl"))
         .join(mode, Seq("v"), "left")
         .select(col("v"), coalesce(col("new_lbl"), col("old_lbl")).as("lbl"))
-        .cache()
-      val step = s.createDataFrame(stepC.rdd, stepC.schema)
-      stepC.count()
-      lblC.unpersist() // single consumer per round — the q217 cadence
-      lblC = stepC
-      labels = step
+      // labels is referenced twice per round (neighbor join + the
+      // carry-forward left join) — pin every 2nd round + the final
+      // frame (unpinned depth ≤ 1 keeps the analyzed tree ≤ ~2× one
+      // round; the second reference plans as a ReusedExchange, so an
+      // unpinned round still executes once). Was: a pin EVERY round —
+      // the q217-cadence trim applied to LPA; labels are identical
+      // longs either way.
+      if (r % 2 == 0 || r == LpaRounds) {
+        val prev = lblC
+        lblC = step.cache()
+        labels = s.createDataFrame(lblC.rdd, lblC.schema)
+        lblC.count()
+        prev.unpersist() // consumed by the pin just materialized
+      } else labels = step
     }
     docs.unpersist() // consumed by the und build + label init above
     val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("dg"))
@@ -3144,10 +3212,13 @@ object LlmQueries {
           "v")
         .select(col("v"), greatest(col("cur"), col("ws4")).as("cur"))
         .cache()
+      // ONE job pins the round AND reads the coverage scalar (the q194
+      // fold: a full-scan aggregate over the cached frame materializes
+      // the InMemoryRelation exactly like count() did) — was a count()
+      // job plus a separate coverage head() per round
+      val coverage = curC.agg(sum(col("cur"))).head().getLong(0)
       cur = s.createDataFrame(curC.rdd, curC.schema)
-      curC.count()
       prev.unpersist() // consumed by the round just materialized
-      val coverage = cur.agg(sum(col("cur"))).head().getLong(0)
       trace += ((r.toLong, winner, gain, coverage))
     }
     curC.unpersist(); embC.unpersist() // trace is driver-held: release all
