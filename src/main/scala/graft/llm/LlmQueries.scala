@@ -2125,15 +2125,47 @@ object LlmQueries {
       .select(col("doc_id"), col("source"), col("text"))
     val pplKeep = q133NgramLmPpl(s, dir)
       .filter(col("ppl_bucket") =!= "tail").select("doc_id")
-    val dsirKeep = q132DsirSelect(s, dir)
-      .filter(col("selected") === 1).select("doc_id")
+    // The corpus-global stage FITS each run a short chain of DRIVER
+    // actions (q132: LLR fit collect + caps agg + rank histogram; q258:
+    // the two kthFromTotal passes; q75: the corpus count) that are
+    // mutually INDEPENDENT — only the assembled cascade below consumes
+    // them. Sequential driver code was the only thing serializing those
+    // chains (guide §2.6), so they run from a small thread pool and the
+    // tail of one fit's jobs back-fills the others' idle scheduler
+    // slots — the q260 two-sweep pattern. q133 stays inline: it is a
+    // lazy frame with no driver action of its own. Determinism: each
+    // chain is internally unchanged and the assembly consumes the same
+    // frames; fits are corpus-global so no ordering between them exists.
+    val (dsirKeep, knKeepOpt, flagged) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val dsirF = Future(q132DsirSelect(s, dir)
+          .filter(col("selected") === 1).select("doc_id"))
+        val knF =
+          if (!knGate) None
+          else Some(Future(q258KnPplGate(s, dir)
+            .filter(col("keep") === 1).select("doc_id")))
+        val flaggedF = Future(q75Contamination(s, dir)
+          .select(col("train_id").as("doc_id")).distinct())
+        // grScored heads the final action's LONGEST chain (battery
+        // projection -> semi joins -> dedup window -> packing); its
+        // cache would otherwise materialize only inside that action,
+        // serially AFTER every fit chain. Pinning it here overlaps the
+        // battery scan with the fits (one extra job, fully back-filled).
+        val grF = Future(grScored.count())
+        Await.result(grF, Duration.Inf)
+        (Await.result(dsirF, Duration.Inf),
+          knF.map(Await.result(_, Duration.Inf)),
+          Await.result(flaggedF, Duration.Inf))
+      } finally pool.shutdown()
+    }
     val afterPpl = grKept
       .join(pplKeep, Seq("doc_id"), "left_semi")
-    val afterKn =
-      if (!knGate) afterPpl
-      else afterPpl.join(
-        q258KnPplGate(s, dir).filter(col("keep") === 1).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    val afterKn = knKeepOpt.fold(afterPpl)(kn =>
+      afterPpl.join(kn, Seq("doc_id"), "left_semi"))
     val gated = afterKn
       .join(dsirKeep, Seq("doc_id"), "left_semi")
     val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -2141,7 +2173,6 @@ object LlmQueries {
       .withColumn("h", tokHash(col("text")))
       .withColumn("rn", row_number().over(wD))
       .filter(col("rn") === 1)
-    val flagged = q75Contamination(s, dir).select(col("train_id").as("doc_id")).distinct()
     val clean = deduped
       .filter(col("doc_id") % 10 =!= 0)
       .join(flagged, Seq("doc_id"), "left_anti")
@@ -2942,6 +2973,7 @@ object LlmQueries {
     * (n_changed, n_communities, label checksum). */
   private val LpaRounds = 4
   private val q220LabelProp: Q = (s, dir) => {
+    import s.implicits._
     val docs = linkGraphDocs(s, dir).cache()
     val n = docs.count()
     val undC = linkGraphRawEdges(docs, n)
@@ -2956,7 +2988,7 @@ object LlmQueries {
     var labels = s.createDataFrame(lblC.rdd, lblC.schema)
     lblC.count()
     docs.unpersist()
-    val trace = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
     for (r <- 1 to LpaRounds) {
       val counts = nbrs.join(labels.select(col("v").as("u"), col("lbl")), "u")
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -2964,30 +2996,33 @@ object LlmQueries {
         .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("new_lbl"))
-      // (v, old, new) pinned ONCE; both the trace row and the next
-      // round's labels project from it. Unlike q217 (whose output reads
-      // only the LAST round), the trace output reads EVERY round's
-      // frame, so rounds stay cached for the query's lifetime — the
-      // q194 pattern; the runner's clearCache releases them (the
-      // query-scoped-cache contract).
+      // (v, old, new) pinned ONCE, and the pin job IS the trace read:
+      // a full-scan aggregate over the cached frame materializes the
+      // InMemoryRelation exactly like count() while carrying the round's
+      // (n_changed, n_communities, checksum) scalars — the q194 fold
+      // (was: a count() pin job per round PLUS a final action re-reading
+      // every round's cache through a 4-way union of aggregates). The
+      // trace is driver-held, so the previous round's cache releases as
+      // soon as the next round is materialized — live storage is ≤ 2
+      // label frames instead of all [[LpaRounds]].
       val stepC = labels.select(col("v"), col("lbl").as("old_lbl"))
         .join(mode, Seq("v"), "left")
         .select(col("v"), col("old_lbl"),
           coalesce(col("new_lbl"), col("old_lbl")).as("lbl"))
         .cache()
       val step = s.createDataFrame(stepC.rdd, stepC.schema)
-      stepC.count()
+      val row = stepC.agg(
+        sum(when(col("lbl") =!= col("old_lbl"), 1L).otherwise(0L)).as("n_changed"),
+        countDistinct(col("lbl")).as("n_communities"),
+        sum(col("lbl")).as("lbl_checksum")).head()
+      trace += ((r.toLong, row.getLong(0), row.getLong(1), row.getLong(2)))
+      lblC.unpersist() // next round is materialized; prev frame is dead
       lblC = stepC
       labels = step.select(col("v"), col("lbl"))
-      trace += step.agg(
-          sum(when(col("lbl") =!= col("old_lbl"), 1L).otherwise(0L)).as("n_changed"),
-          countDistinct(col("lbl")).as("n_communities"),
-          sum(col("lbl")).as("lbl_checksum"))
-        .select(lit(r.toLong).as("round"), col("n_changed"),
-          col("n_communities"), col("lbl_checksum"))
     }
-    undC.unpersist()
-    trace.reduce(_ unionAll _).orderBy(col("round"))
+    undC.unpersist(); lblC.unpersist()
+    trace.toSeq.toDF("round", "n_changed", "n_communities", "lbl_checksum")
+      .orderBy(col("round"))
   }
 
   /** Newman–Girvan modularity of the q220 label-propagation communities
@@ -3494,13 +3529,18 @@ object LlmQueries {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("h_micro"), lit(0L)).as("h_micro"),
         coalesce(col("ce_micro"), lit(-1L)).as("ce_micro"))
-      .cache() // three consumers: rank count, the two-phase passes, output
-    val nScored = scoredC.filter(col("n_bigrams") > 0).count()
-    require(nScored > 0, "q258: no document carries a bigram — gate undefined")
-    val k = (2L * nScored + 2L) / 3L // ceil(2n/3), exact in longs
-    val thr = graft.operators.DistributedSelect.kth(
+      .cache() // three consumers: the two-phase passes, output
+    // the ⌈2n/3⌉ rank derives from n INSIDE phase 1's histogram
+    // (kthFromTotal) — was a separate count() pass over the scored
+    // frame before kth's two, i.e. 3 passes where 2 suffice
+    def kOf(n: Long): Seq[Long] = {
+      require(n > 0, "q258: no document carries a bigram — gate undefined")
+      Seq((2L * n + 2L) / 3L) // ceil(2n/3), exact in longs
+    }
+    val (nScored, thrs) = graft.operators.DistributedSelect.kthFromTotal(
       scoredC.filter(col("n_bigrams") > 0).select(col("ce_micro").as("v")),
-      Seq(k), width = 65536L)(k)
+      kOf, width = 65536L)
+    val thr = thrs((2L * nScored + 2L) / 3L)
     scoredC.select(col("doc_id"), col("n_bigrams"), col("h_micro"), col("ce_micro"),
         lit(thr).as("thr_micro"),
         (col("ce_micro") <= thr).cast("long").as("keep"))
@@ -5507,24 +5547,22 @@ object LlmQueries {
     // (one bounded collect, zero MLlib jobs)
     val res = SemDedup.dedup(base.union(copies), "vec_id", "emb", tau, k = 8).cache()
     try {
-      // ONE aggregation pass for ALL scalar counts (q91 pattern) — the
-      // injected population is identifiable by its id offset, so even
-      // nInjected folds in (one more driver action here is one more
-      // whole Spark job)
-      val counts = res.agg(
+      // ONE action for EVERY scalar gate — the frame counts (q91
+      // pattern) AND both re-verification counts (canonical-of-dropped
+      // is kept; kept-set maximality), composed as a cross join of
+      // their 1-row aggregates: each extra driver action is a whole
+      // Spark job of fixed overhead locally and a scheduler barrier at
+      // cluster scale (was TWO actions — the counts head() and the
+      // verification head()). The one action also materializes the res
+      // cache its three subtrees share. normed is read twice (both
+      // pair sides) and l2Normalize is an interpreted HOF — cache it
+      // for the one action that consumes it
+      val countsDf = res.agg(
         count(lit(1)).as("n_total"),
         sum(when(!col("keep") && col("vec_id") >= offset, 1L).otherwise(0L))
           .as("inj_dropped"),
         sum(when(col("vec_id") >= offset, 1L).otherwise(0L)).as("n_injected"),
-        countDistinct(col("vec_id")).as("n_distinct")).head()
-      val (nTotal, injDropped, nInjected, nDistinct) =
-        (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
-      // the two re-verification counts (canonical-of-dropped is kept;
-      // kept-set maximality) fold into ONE action via a cross join of
-      // their 1-row aggregates — each extra driver action on this tiny
-      // frame is a whole Spark job of fixed overhead. normed is read
-      // twice (both pair sides) and l2Normalize is an interpreted HOF —
-      // cache it for the one action that consumes it
+        countDistinct(col("vec_id")).as("n_distinct"))
       val canonNotKeptDf = res.filter(!col("keep"))
         .join(res.filter(col("keep")).select(col("vec_id").as("canonical")),
           Seq("canonical"), "left_anti")
@@ -5533,15 +5571,16 @@ object LlmQueries {
       val keptR = res.filter(col("keep")).select(col("cluster"), col("vec_id").as("b"))
       val normed = base.union(copies).select(col("vec_id"),
         SemDedup.l2Normalize(col("emb")).as("ne")).cache()
-      val (canonNotKept, keptClose) =
+      val (nTotal, injDropped, nInjected, nDistinct, canonNotKept, keptClose) =
         try {
-          val row = canonNotKeptDf.crossJoin(
+          val row = countsDf.crossJoin(canonNotKeptDf).crossJoin(
             keptL.join(keptR, Seq("cluster")).filter(col("a") < col("b"))
               .join(normed.select(col("vec_id").as("a"), col("ne").as("ea")), Seq("a"))
               .join(normed.select(col("vec_id").as("b"), col("ne").as("eb")), Seq("b"))
               .filter(call_function("cosine_sim", col("ea"), col("eb")) >= lit(tau))
               .agg(count(lit(1)).as("kept_close"))).head()
-          (row.getLong(0), row.getLong(1))
+          (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+            row.getLong(4), row.getLong(5))
         } finally normed.unpersist()
       // conservation is a REAL gate: one output row per DISTINCT input id
       // (a dedup that dropped or duplicated output rows breaks it; the

@@ -47,12 +47,37 @@ object FraudPipeline {
   }
 
   /** S13: synthetic eval set (scripts/validate_auc.py:7-12): 10 N(0,1)
-    * features, label = f0 > 0 — a perfectly separable sanity task. */
-  def syntheticEvalSet(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    * features, label = f0 > 0 — a perfectly separable sanity task.
+    *
+    * `numParts` sizes the range's partitioning; the default −1 keeps
+    * `spark.range`'s parallelism (= cores). Callers whose downstream is
+    * an ITERATIVE fit should pass [[fitParts]]: every L-BFGS iteration /
+    * boosting round is one treeAggregate over these partitions, so a
+    * core-count split of a small frame pays cores×iters near-empty
+    * tasks, while a data-sized split keeps per-iteration task count
+    * proportional to rows at any scale. NOTE the drawn sample depends on
+    * the partitioning (seeded per-partition streams) — callers must gate
+    * on partition-robust invariants (the q56/q64/q65 pattern), which
+    * q91/q92 already do by contract. */
+  def syntheticEvalSet(spark: SparkSession, n: Long, seed: Long = 42L,
+      numParts: Int = -1): DataFrame = {
     val fCols = (0 until 10).map(i => randn(seed + i).as(s"f$i"))
-    spark.range(n).select(fCols: _*)
+    val rng = if (numParts > 0) spark.range(0L, n, 1L, numParts) else spark.range(n)
+    rng.select(fCols: _*)
       .withColumn(labelCol, (col("f0") > 0).cast("int"))
   }
+
+  /** Data-proportional partition count for a frame feeding an iterative
+    * MLlib fit: ~[[FitRowsPerPartition]] rows per partition, at least 1 —
+    * derived from the INPUT SIZE, never from the core count (guide §2:
+    * scale-adaptive partitioning; a constant tuned to either local mode
+    * or one cluster is wrong on the other). At bench SFs this is 1-2
+    * partitions (per-iteration scheduler overhead collapses ~cores× to
+    * ~1×); at corpus scale rows/250k grows without any core-count cap,
+    * which is exactly the parallelism an L-BFGS gradient pass wants. */
+  val FitRowsPerPartition = 250000L
+  def fitParts(rows: Long): Int =
+    math.max(1L, (rows + FitRowsPerPartition - 1) / FitRowsPerPartition).toInt
 
   /** M1+M3: assembler → StandardScaler(withMean=true, population σ like
     * sklearn ddof=0) → LogisticRegression. */

@@ -566,7 +566,14 @@ object MlQueries {
     import s.implicits._
     val n = 2000L
     val feats = (0 until 10).map(i => s"f$i")
-    val df = FraudPipeline.syntheticEvalSet(s, n).cache()
+    // data-sized partitioning: each L-BFGS iteration is one treeAggregate
+    // over the input partitions, and the gates are partition-robust by
+    // contract (scaladoc above) — the one thing the partition count may
+    // move is WHICH seeded sample is drawn, which the oracle's constant
+    // gates absorb. 32 near-empty partitions × 15 iterations of scheduler
+    // overhead collapse to 1 task per pass at bench SFs.
+    val df = FraudPipeline.syntheticEvalSet(s, n,
+      numParts = FraudPipeline.fitParts(n)).cache()
     try {
       // light L2: on a SEPARABLE task unregularized LR never converges
       // (coefficients diverge), so maxIter would run to exhaustion; the
@@ -611,7 +618,10 @@ object MlQueries {
     import s.implicits._
     val n = 2000L
     val feats = (0 until 10).map(i => s"f$i")
-    val df = FraudPipeline.withClassWeight(FraudPipeline.syntheticEvalSet(s, n)).cache()
+    // data-sized fit partitioning — the q91 rationale; boosting pays the
+    // per-partition scheduler cost once per tree per depth level
+    val df = FraudPipeline.withClassWeight(FraudPipeline.syntheticEvalSet(s, n,
+      numParts = FraudPipeline.fitParts(n))).cache()
     try {
       // 10 boosting rounds of depth-3 trees: plenty for a task a single
       // f0 split almost solves; 100×depth-5 (the serving default) would

@@ -33,12 +33,27 @@ object DistributedSelect {
     * @param ranks  1-based ranks (k-th smallest) to select, each in [1, n]
     * @param width  bucket width (domain/width buckets in phase 1)
     * @return rank -> exact k-th smallest value */
-  def kth(vals: DataFrame, ranks: Seq[Long], width: Long): Map[Long, Long] = {
-    require(ranks.nonEmpty && width >= 1, "need ranks and a positive bucket width")
+  def kth(vals: DataFrame, ranks: Seq[Long], width: Long): Map[Long, Long] =
+    kthFromTotal(vals, _ => ranks, width)._2
+
+  /** [[kth]] with the ranks derived FROM the total row count: callers
+    * whose rank is a function of n (a ⌈2n/3⌉ gate threshold, a median)
+    * otherwise pay a whole extra corpus pass just to learn n before
+    * calling kth — but phase 1's bucket histogram already carries it
+    * (n = Σ bucket counts). One pass saved at any scale; the histogram,
+    * locate, and phase-2 machinery are exactly [[kth]]'s.
+    *
+    * @param ranksOf total row count -> 1-based ranks, each in [1, total]
+    * @return (total row count, rank -> exact k-th smallest value) */
+  def kthFromTotal(vals: DataFrame, ranksOf: Long => Seq[Long],
+      width: Long): (Long, Map[Long, Long]) = {
+    require(width >= 1, "need a positive bucket width")
     val hist = vals.groupBy((col("v") / width).cast("long").as("b"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = hist.map(_._2).sum
+    val ranks = ranksOf(total)
+    require(ranks.nonEmpty, "need ranks")
     require(ranks.forall(k => k >= 1 && k <= total),
       s"ranks must lie in [1, $total]")
     // locate each rank's bucket + residual rank via one prefix walk
@@ -60,7 +75,7 @@ object DistributedSelect {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
-    located.map { case (k, (b, residual)) =>
+    (total, located.map { case (k, (b, residual)) =>
       var cum = 0L
       var answer = -1L
       val it = inBucket(b).iterator
@@ -70,7 +85,7 @@ object DistributedSelect {
         answer = v
       }
       k -> answer
-    }.toMap
+    }.toMap)
   }
 
   /** Weighted selection: smallest value whose CUMULATIVE WEIGHT (in
