@@ -275,10 +275,24 @@ object Bench {
     val sidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter { p =>
       scala.util.Try(Files.writeString(Paths.get(p), full + "\n")).isSuccess
     }
+    // r15 verdict #1: the driver's per-query comparison has been dark for
+    // ≥2 rounds because the full map only reaches the sidecar / a stdout
+    // line the driver's tail window truncates. Emit the per-query minima
+    // as SELF-DESCRIBING compact lines (~50 queries each, values rounded
+    // to ms) BEFORE the final summary — each line is ~1.5 KB, small
+    // enough to survive any tail window and independently parseable
+    // ({"metric":"queries_part","i":k,"of":n,"queries":{...}}). The
+    // timed methodology is unchanged; this is output format only.
+    val partLines = names.flatMap(n => timed.get(n).map(v =>
+        s"${jstr(n)}:${math.round(v * 1000.0) / 1000.0}"))
+      .grouped(50).toSeq
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${names.size},"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)},"streaming_p95_ms":$streamingP95,"streaming_gc_ms":$streamingGc,"streaming_lat_ms":$streamingLat,"streaming_steal_ms":$streamingSteal,"streaming_safepoint_ms":$streamingSafepoint,"streaming_steal_ms_trig":$streamingStealTrig,"streaming_safepoint_ms_trig":$streamingSafeTrig,"streaming_slo_ms":500,"detail":${jstr(sidecar.getOrElse("stdout"))}}"""
     spark.stop() // stop BEFORE printing: the JSON must be the last stdout line
     if (sidecar.isEmpty) println(full)
+    partLines.zipWithIndex.foreach { case (grp, i) =>
+      println(s"""{"metric":"queries_part","i":${i + 1},"of":${partLines.size},"queries":${grp.mkString("{", ",", "}")}}""")
+    }
     println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1030,19 +1030,47 @@ object ExtQueries {
     * measure WOE = ln(dist_good/dist_bad) and the IV summand
     * (dist_g − dist_b)·WOE. Same formula family as q140's PSI but
     * SUPERVISED — the two distributions are the label classes, so IV
-    * ranks features by separation power. One lineitem scan; class
-    * totals and marginals ride windows over the bounded 10-row grid;
-    * the odds ratio widens each factor to double BEFORE multiplying
-    * (q162 discipline) and lands on the micro-nat grid. The global
-    * ntile carries q156's documented 100 TB degrade
-    * (approx-quantile thresholds instead of exact ranking). */
+    * ranks features by separation power. One cached lineitem scan;
+    * class totals and marginals ride windows over the bounded 10-row
+    * grid; the odds ratio widens each factor to double BEFORE
+    * multiplying (q162 discipline) and lands on the micro-nat grid.
+    * The decile rank is the TWO-PHASE form (r16: the last served
+    * row-scale `ntile(10) OVER (ORDER BY …)` — one task sorting every
+    * lineitem row at 100 TB): pack (price cents, orderkey, linenumber)
+    * into one unique long key — the identical q205 embedding, faithful
+    * because prices sit on exact cents and the tiebreak matches the
+    * window's ORDER BY — rank via
+    * [[graft.operators.DistributedSelect.globalRowNumber]], decile via
+    * [[graft.operators.DistributedSelect.ntileFromRank]] (exact SQL
+    * ntile semantics), so the binned rows are bit-identical to the
+    * window form's and the oracle's ntile SQL still hash-matches. */
   private val q175WoeIv: Q = (s, dir) => {
-    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
-    val binned = Tables.lineitem(s, dir)
+    import graft.operators.DistributedSelect
+    val li = Tables.lineitem(s, dir)
       .select(when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"),
-        ntile(10).over(Window.orderBy(
-          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-          .cast("long").as("bin"))
+        floor(round(col("l_extendedprice"), 2) * 100.0 + 0.5).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+      .cache() // query-scoped: released by the runner's clearCache (q37 contract)
+    val g = li.agg(max(col("cents")), max(col("l_orderkey")), max(col("ln")),
+      count(lit(1))).head()
+    val (mc, mo, ml, n) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    val L = ml + 1L
+    val tieMax = mo * L + ml
+    val M = java.lang.Long.highestOneBit(tieMax) * 2L
+    require(M > tieMax && mc < Long.MaxValue / M,
+      "packed-key caps exceeded — widen the key packing")
+    val keyed = li.withColumn("k", col("cents") * M + col("l_orderkey") * L + col("ln"))
+    val binned = DistributedSelect.globalRowNumber(keyed, "k", "rnk", M * 1000L)
+      .withColumn("bin", DistributedSelect.ntileFromRank(col("rnk"), n, 10).cast("long"))
+      .select(col("bad"), col("bin"))
+    woeIvCells(binned)
+  }
+
+  /** q175's WOE/IV rollup over the (bad, bin) rows — shared by the
+    * served two-phase form and the window-form spec reference so the
+    * parity pin compares ONLY the binning. */
+  private def woeIvCells(binned: DataFrame): DataFrame = {
+    def s6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
     val cells = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad"))
       .withColumn("n_good", col("n") - col("n_bad"))
@@ -1056,6 +1084,19 @@ object ExtQueries {
         s6(woe).as("woe_micro"), s6((dg - db) * woe).as("iv_term_micro"))
       .orderBy(col("bin"))
   }
+
+  /** SPEC-SIDE REFERENCE, not served: the global-ntile window form of
+    * q175 (one task sorting every lineitem row — the named
+    * scale-killer). `q175_woe_iv` serves the two-phase decomposition
+    * above; TwoPhaseParitySpec pins this form equal to the served one,
+    * so the window spec stays executable without ever being the
+    * shipped plan (the q156/q179/q182 twin discipline). */
+  private[graft] val q175WoeIvWindowRef: Q = (s, dir) =>
+    woeIvCells(Tables.lineitem(s, dir)
+      .select(when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"),
+        ntile(10).over(Window.orderBy(
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long").as("bin")))
 
   /** Skyline / Pareto frontier — the preference query (Börzsönyi et al.
     * 2001): parts no other part dominates (cheaper-or-equal AND

@@ -50,6 +50,10 @@ class TwoPhaseParitySpec extends SparkSpec {
     parity(graft.ml.MlQueries.q46RocAucWindowRef, "q46_roc_auc")
   }
 
+  test("served q175 (two-phase WOE/IV deciles) equals the ntile-window spec exactly") {
+    parity(graft.queries.ExtQueries.q175WoeIvWindowRef, "q175_woe_iv")
+  }
+
   test("globalPrefixSumDescDouble equals the descending global-sort cumsum on adversarial keys") {
     // unique double keys in [0, 1) with a dense cluster near 1.0 (the
     // ROC shape: most thresholds crowd the top) and two weight columns
