@@ -23,7 +23,7 @@ object JobProf {
     val dir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,7 +31,15 @@ object JobProf {
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B conf overrides for profiling experiments, e.g.
+    // GRAFT_JOBPROF_CONF="spark.sql.adaptive.enabled=false;spark.x=y"
+    sys.env.get("GRAFT_JOBPROF_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
@@ -43,7 +51,10 @@ object JobProf {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (verbose) {
-          val desc = j.stageInfos.map(_.name).distinct.mkString(" | ").take(180)
+          val label = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .map(d => s"[$d] ").getOrElse("")
+          val desc = label + j.stageInfos.map(_.name).distinct.mkString(" | ").take(180)
           jobStartNs.put(j.jobId, (System.nanoTime(), desc)); ()
         }
       }

