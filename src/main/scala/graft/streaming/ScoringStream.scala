@@ -106,16 +106,18 @@ object ScoringStream {
     *   caps that at data-proportional cost; batches with fewer
     *   partitions pass through unchanged. 0 disables the cap.
     *
-    *   Default 2 (was 8 through r13): the r14 latency decomposition
-    *   measured the 8-file commit at ~70–150 ms of the ~350 ms
-    *   per-trigger p50 on the 500 ms-SLO path — parquet writes a
-    *   10k-row micro-batch in one task faster than the committer can
-    *   rename eight — and the read side lists fewer files per batch
-    *   dir. 2 (not 1) keeps a second writer for skew headroom at the
-    *   10k-row config. Stores that batch far more rows per trigger
-    *   should raise it; the 100 TB serving path is the JDBC keyed
-    *   upsert ([[graft.sources.JdbcResults]]), not this directory
-    *   store. */
+    *   Default 1 (was 8 through r13, 2 through r15): the r14 latency
+    *   decomposition measured the 8-file commit at ~70–150 ms of the
+    *   ~350 ms per-trigger p50 on the 500 ms-SLO path — parquet writes
+    *   a 10k-row micro-batch in one task faster than the committer can
+    *   rename eight — and the r16 A/B (StreamBench, CPUS=32) measured
+    *   1 vs 2 writers at −25 to −40 ms p50 on EVERY config (rows10k
+    *   p95 723 → 399 ms in the same window): a 10k-row batch is
+    *   ~1–2 MB, one writer task commits one file, and the read side
+    *   lists half the files per batch dir. Stores that batch far more
+    *   rows per trigger should raise it; the 100 TB serving path is
+    *   the JDBC keyed upsert ([[graft.sources.JdbcResults]]), not this
+    *   directory store. */
   /** Reading a store that was never attached and never written: a
     * typed, catchable state (the caller can't know the schema either,
     * so an empty FRAME is impossible — but the failure must name the
@@ -124,7 +126,7 @@ object ScoringStream {
     extends IllegalStateException(msg)
 
   final class ResultStore(val path: String,
-      val maxWritePartitions: Int = 2) extends Serializable {
+      val maxWritePartitions: Int = 1) extends Serializable {
     /** ST3: replay-safe — same batchId always lands in the same dir
       * (the label), and a REPLAY reuses the stamp recorded by the first
       * attempt (see [[stampFor]]): a batch replayed after an interleaved
