@@ -11,6 +11,28 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Parallel forked test groups (r16, VERDICT #7): the 70-suite run was
+// sequential in ONE forked JVM (~35 min at r14 — past the driver's
+// test budget, hence `tests_ok: false` with no failing assertion).
+// Suites split round-robin into 4 groups, each its own JVM with its
+// own local[4] SparkSession — independent SparkContexts isolate
+// cleanly across processes, and the per-JVM shared-session model
+// inside each group is unchanged. Cross-JVM file collisions were
+// audited: the bucketed warehouse and the format-roundtrip tmp paths
+// are pid-suffixed; everything else uses createTempDirectory.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val jopts = (Test / javaOptions).value.toVector
+  val n = 4
+  tests.sortBy(_.name).zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+    .map { case (i, g) =>
+      Tests.Group(s"group$i", g.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(jopts)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(16))
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
 // JSON; sbt's trailing "[success] Total time: …" line broke that in
 // rounds 1-2 ("parsed": null). Suppress it and pass forked output through

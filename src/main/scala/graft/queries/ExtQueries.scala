@@ -133,7 +133,11 @@ object ExtQueries {
     * — SURVEY §2.1-S1 determinism requirement), closed over an aggregate
     * the oracle recomputes from the original parquet. */
   private val q55CsvRoundtrip: Q = (s, dir) => {
-    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // pid-suffixed (the 9fc2fd1 bucketed-warehouse discipline): a fixed
+    // per-sfDir path races when two test JVMs run the same query
+    // concurrently (parallel forked test groups, r16)
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      ProcessHandle.current().pid()
     val path = s"/root/repo/target/tmp/csv_roundtrip_$slug"
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 50 === 0)
@@ -385,7 +389,11 @@ object ExtQueries {
     * aggregate hash-matches the oracle's recomputation from the original
     * parquet only if no value shifted through the ORC encode/decode. */
   private val q99OrcRoundtrip: Q = (s, dir) => {
-    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // pid-suffixed (the 9fc2fd1 bucketed-warehouse discipline): a fixed
+    // per-sfDir path races when two test JVMs run the same query
+    // concurrently (parallel forked test groups, r16)
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      ProcessHandle.current().pid()
     val path = s"/root/repo/target/tmp/orc_roundtrip_$slug"
     Tables.orders(s, dir)
       .filter(col("o_orderkey") % 40 === 0)
@@ -442,7 +450,11 @@ object ExtQueries {
     * is lossless; PartitionedParquetSpec pins the PartitionFilters /
     * pushed-range plan shape. */
   private val q105PartitionPrune: Q = (s, dir) => {
-    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // pid-suffixed (the 9fc2fd1 bucketed-warehouse discipline): a fixed
+    // per-sfDir path races when two test JVMs run the same query
+    // concurrently (parallel forked test groups, r16)
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      ProcessHandle.current().pid()
     val path = s"/root/repo/target/tmp/part_parquet_$slug"
     graft.sources.PartitionedParquet.write(
       Tables.lineitem(s, dir)
@@ -485,7 +497,11 @@ object ExtQueries {
     * only if long/double/string values survive the JSON encode/decode
     * (doubles round-trip via shortest-repr printing). */
   private val q107JsonlRoundtrip: Q = (s, dir) => {
-    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // pid-suffixed (the 9fc2fd1 bucketed-warehouse discipline): a fixed
+    // per-sfDir path races when two test JVMs run the same query
+    // concurrently (parallel forked test groups, r16)
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      ProcessHandle.current().pid()
     val path = s"/root/repo/target/tmp/jsonl_roundtrip_$slug"
     Tables.part(s, dir)
       .filter(col("p_partkey") % 20 === 0)
