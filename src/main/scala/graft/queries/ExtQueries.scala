@@ -1864,21 +1864,36 @@ object ExtQueries {
   /** Multiset set operations — EXCEPT ALL / INTERSECT ALL (bag
     * semantics: multiplicities subtract and min, where q13's DISTINCT
     * forms collapse them): returned line order-keys vs high-discount
-    * line order-keys at occurrence grain. Catalyst plans both as
-    * aggregate+join (count multiplicities, then generate), never a
-    * row-pairing loop; the output folds each result to exact
-    * (count, checksum) so the compare is multiplicity-sensitive. */
+    * line order-keys at occurrence grain. Computed FROM THE
+    * MULTIPLICITY ALGEBRA directly (r16, guide §2.3/§2.4): per key
+    * with r copies on the left and d on the right, EXCEPT ALL yields
+    * max(r−d, 0) copies and INTERSECT ALL min(r, d) — so ONE lineitem
+    * scan + ONE partial-aggregated groupBy(l_orderkey) counting both
+    * sides replaces the former four scans and two
+    * replicate-and-generate set-op plans (Catalyst's exceptAll/
+    * intersectAll rewrite), and the folded (count, checksum) outputs
+    * are bit-identical — the oracle (real EXCEPT/INTERSECT ALL in
+    * DuckDB) hash-proves the algebra. */
   private val q192MultisetOps: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val returned = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
-    val discounted = li.filter(col("l_discount") >= 0.05).select(col("l_orderkey"))
-    val ex = returned.exceptAll(discounted)
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("l_orderkey")), lit(0L)).as("checksum"))
-      .select(lit("except_all").as("op"), col("n"), col("checksum"))
-    val in = returned.intersectAll(discounted)
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("l_orderkey")), lit(0L)).as("checksum"))
-      .select(lit("intersect_all").as("op"), col("n"), col("checksum"))
-    ex.unionAll(in).orderBy(col("op"))
+    val counts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"),
+        when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("d"))
+      .filter(col("r") === 1L || col("d") === 1L)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("r")).as("r"), sum(col("d")).as("d"))
+    val folded = counts.agg(
+      coalesce(sum(greatest(col("r") - col("d"), lit(0L))), lit(0L)).as("ex_n"),
+      coalesce(sum(col("l_orderkey") * greatest(col("r") - col("d"), lit(0L))), lit(0L))
+        .as("ex_checksum"),
+      coalesce(sum(least(col("r"), col("d"))), lit(0L)).as("in_n"),
+      coalesce(sum(col("l_orderkey") * least(col("r"), col("d"))), lit(0L))
+        .as("in_checksum"))
+    // stack, not a self-union: a union of two selects over the same
+    // aggregate plans the scan+agg subtree twice
+    folded.select(expr("stack(2, 'except_all', ex_n, ex_checksum, " +
+        "'intersect_all', in_n, in_checksum) AS (op, n, checksum)"))
+      .orderBy(col("op"))
   }
 
   /** Composed time-series profile — the session's primitives as ONE
